@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns via
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs,
+  * no MLlib dependency. Used by similarity search and embedding near-dup.
+  *
+  * Precision note: elements are cast to double BEFORE multiplication so
+  * Spark and external oracles (e.g. DuckDB) agree bit-for-bit on
+  * left-to-right double accumulation.
+  */
+object VectorFunctions {
+
+  def toDoubles(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDoubles(a), toDoubles(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double; NULL if either norm is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n > 0, d / n)
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDoubles(a), toDoubles(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
+    * with deterministic pseudo-random hyperplanes (seeded), packed into a
+    * Long. Same-bucket vectors are cosine-similar candidates. Hyperplane
+    * component (i,j) is derived from a hash of (seed, i, j) — computed
+    * per-row via codegen'd expressions, identical on every executor. */
+  def rhpSignature(v: Column, bits: Int, dim: Int, seed: Long): Column = {
+    val vd = toDoubles(v)
+    val bitCols = (0 until bits).map { i =>
+      // pseudo-random ±1/√dim components from xxhash64(seed, i, j)
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), lit(dim - 1)),
+          (x, j) => {
+            val h = xxhash64(lit(seed), lit(i), j)
+            // map hash to approximately-uniform double in [-1, 1]
+            val u = (pmod(h, lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+            x * u
+          }),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is a single hash-shuffle on the dedup key (or its hash);
+  *  - MinHash/SimHash candidate generation is a band-bucket self-join —
+  *    shuffle on (band, bucket-hash), never an all-pairs cross join;
+  *  - verification (true Jaccard / hamming / cosine) runs only on
+  *    candidate pairs;
+  *  - all signatures are computed row-local with codegen'd higher-order
+  *    functions (no UDF, no driver collection).
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct value of `keyCols`, winner =
+    * smallest `keepBy` (deterministic). */
+  def exact(df: DataFrame, keyCols: Seq[String], keepBy: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(keepBy.asc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Exact-dup groups: one row per duplicated key with the keeper id and
+    * the duplicate count (reporting companion to [[exact]]). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Deterministic MinHash parameters: k universal-hash functions
+    * h_i(x) = (a_i·x + b_i) mod p over base xxhash64 shingle hashes. */
+  private val minhashPrime = 2038074743L
+  private def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (minhashPrime - 1) + 1,
+        math.abs(rnd.nextLong()) % minhashPrime))
+  }
+
+  /** Per-row MinHash signature (array<bigint> of length numHashes) over
+    * word shingles of size `shingle`. */
+  def minHashSignature(text: Column, shingle: Int, numHashes: Int): Column = {
+    // base hash reduced into [0, p) BEFORE the affine map so a*h + b
+    // stays well under Long.MaxValue (ANSI mode rejects overflow)
+    val hashes = transform(
+      array_distinct(wordShingles(text, shingle)),
+      s => pmod(xxhash64(s), lit(minhashPrime)))
+    val sigs = minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(minhashPrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash+LSH near-duplicate PAIRS:
+    * shingle → minhash(numHashes) → band into (numHashes/rowsPerBand)
+    * bands → bucket-join on (band, hash(band-slice)) → verify true
+    * shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, one row per verified pair. */
+  def minHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingle: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSig = df.select(
+      col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingle)).as("shingles"),
+      minHashSignature(col(textCol), shingle, numHashes).as("sig"))
+
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(array((0 until numBands).map(b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard of two (already-distinct) arrays. */
+  def jaccardArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, candidates via 4
+    * 16-bit band buckets (Hamming ≤ 3 guarantees a shared band), verified
+    * by exact Hamming distance ≤ maxHamming. */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Token-set (n-gram, n configurable) Jaccard similarity between given
+    * candidate pairs — the verification primitive exposed standalone. */
+  def ngramJaccardPairs(
+      pairs: DataFrame, // columns: id_a, id_b
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), n)).as("grams"))
+    pairs
+      .join(grams.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("grams", "g_a"), "id_a")
+      .join(grams.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("grams", "g_b"), "id_b")
+      .withColumn("jaccard", jaccardArrays(col("g_a"), col("g_b")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`.
+    * `approx = false` ⇒ exact all-pairs (quadratic — for verification and
+    * small partitions); `approx = true` ⇒ random-hyperplane LSH bucketing
+    * first (the 100 TB path), then exact cosine verify inside buckets. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      approx: Boolean = false,
+      lshBits: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pairs =
+      if (!approx) {
+        val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
+        val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        val sig = base.withColumn("bucket",
+          VectorFunctions.rhpSignature(col("v"), lshBits, dim, seed = 7L))
+        val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+        val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+        a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
+    pairs
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

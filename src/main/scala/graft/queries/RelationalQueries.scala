@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scans, filters (pushed to parquet),
+  * aggregation, star joins, semi/anti joins, set ops, rollup/cube,
+  * windowing, sessionization — the analytic workload implied by the
+  * reference's schema (SURVEY §2.6: the DDL comments delegate these
+  * analyses to Power BI over RDS; here they are first-class engine
+  * queries over the driver's TPC-H-ish testdata).
+  *
+  * Scale notes per query are inline; the common posture: filters/projects
+  * reach the parquet scan (PushedFilters/ReadSchema), small dims are
+  * broadcast, aggregations are partial+final hash aggs, AQE handles skew.
+  */
+object RelationalQueries extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: single scan, partial+final hash agg.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Predicate + projection pushdown: both reach the parquet reader.
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // TPC-H Q5-style star join; region/nation broadcast, fact joins
+    // shuffle on the fk; revenue per nation.
+    "q03_star_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // Dim-fact broadcast join (J4 analog: the implied FK star).
+    "q04_broadcast_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // EXISTS ≡ left-semi join (gate side of the reference's J1 promote).
+    "q05_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // NOT EXISTS ≡ left-anti join (the reference's J2 semi-join delete).
+    "q06_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    // S2: union of two scans + distinct.
+    "q07_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      c.select(col("c_nationkey").as("nationkey"))
+        .union(sup.select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+
+    // Hierarchical ROLLUP (implied dept×role matrices of SURVEY §2.6).
+    "q08_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+    }),
+
+    // CUBE over two order dimensions.
+    "q09_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // Time-bucketed activity counts (implied "activity tracking",
+    // create_tables.sql:12). Day buckets as DATE (ns-safe).
+    "q10_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+    }),
+
+    // Running windowed aggregation, exact via decimal.
+    "q11_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("value")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+    }),
+
+    // Grouped distinct counts (exact).
+    "q12_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Per-type event stats; min/max of raw doubles are exact.
+    "q13_events_by_type" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    }),
+
+    // Sessionization: 30-min inactivity gap, epoch-micros arithmetic so
+    // Spark (µs) and DuckDB (ns→µs) agree exactly. Batch analog of the
+    // streaming session-window operator.
+    "q14_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("es"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("es"), 1).over(w)
+      e.withColumn("is_new",
+          when(prev.isNull || col("es") - prev > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity < 10""".stripMargin,
+    "q03_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q07_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q08_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q09_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q10_time_bucket" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q11_window_running" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS rn,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "q12_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_events_by_type" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q14_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS es FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN lag(es) OVER w IS NULL THEN 1
+        |         WHEN es - lag(es) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * Cosine is computed in double after per-element double casts, sequential
+  * left-to-right accumulation — mirrored exactly in the DuckDB oracle via
+  * list_dot_product over DOUBLE[] casts; similarities are rounded to 4
+  * decimals before ranking/thresholding so sub-ulp accumulation
+  * differences cannot flip a comparison.
+  *
+  * Brute force is the correctness baseline (quadratic); the LSH-bucketed
+  * variant is the 100 TB path (shuffle on (table,bucket), never n²) and is
+  * recall-tested against brute force in SimilaritySpec.
+  */
+object VectorQueries extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-3 neighbors (ids+rank only: float
+    // payloads never surface, so hashing is stable).
+    "q40_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3)),
+
+    // Embedding near-duplicate pairs above cosine 0.9 (exact all-pairs).
+    "q41_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"))),
+
+    // Per-vector L2 norm (deterministic per-row arithmetic).
+    "q42_vector_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        round(VectorFunctions.norm(col("embedding")), 6).as("l2_norm"))),
+
+    // ANN: LSH-bucketed approximate top-3 (rows-only; recall vs brute
+    // force asserted in SimilaritySpec).
+    "q43_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, bits = 8, tables = 4, dim = 64)),
+
+    // Approximate distinct (HLL) per label — rows-only (sketch internals
+    // engine-specific), exactness window asserted in tests.
+    "q44_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "embeddings").groupBy(col("label"))
+        .agg(approx_count_distinct(col("vec_id")).as("approx_vecs"),
+          count(lit(1)).as("n_rows"))))
+
+  private val dotAB =
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+  private val normA =
+    "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+  private val normB =
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+
+  override val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      s"""WITH sims AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(CASE WHEN $normA * $normB > 0
+         |      THEN $dotAB / ($normA * $normB) END, 4) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims) WHERE rank <= 3""".stripMargin,
+    "q41_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(CASE WHEN $normA * $normB > 0
+         |    THEN $dotAB / ($normA * $normB) END, 4) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE CASE WHEN $normA * $normB > 0
+         |    THEN $dotAB / ($normA * $normB) END >= 0.9""".stripMargin,
+    "q42_vector_norms" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        |FROM embeddings""".stripMargin)
+}
