@@ -40,10 +40,11 @@ object VectorQueries extends QueryPack {
         round(VectorFunctions.norm(col("embedding")), 6).as("l2_norm"))),
 
     // ANN: LSH-bucketed approximate top-3 (rows-only; recall vs brute
-    // force asserted in SimilaritySpec).
+    // force asserted in SimilaritySpec). bits/tables tuned to this
+    // corpus's wide neighbor angles (~70°): wide buckets, many tables.
     "q43_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, bits = 8, tables = 4, dim = 64)),
+        k = 3, bits = 4, tables = 8, dim = 64)),
 
     // Approximate distinct (HLL) per label — rows-only (sketch internals
     // engine-specific), exactness window asserted in tests.

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely unrelated text about cooking pasta with tomato sauce and basil"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "yet another unrelated document discussing quarterly financial results")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per duplicate text") {
+    val out = Dedup.exact(docs, Seq("text"), col("doc_id"))
+    assert(out.count() === 4)
+    assert(out.where($"doc_id" === 4).isEmpty) // 4 is a copy of 1
+  }
+
+  test("exactGroups reports keeper + copy count") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .where($"n_copies" > 1)
+      .as[(String, Long, Long)].collect()
+    assert(g.length === 1)
+    assert(g(0)._2 === 1L && g(0)._3 === 2L)
+  }
+
+  test("minHashPairs finds planted near-dup, skips unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingle = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 4L))) // exact copy: jaccard 1.0
+    assert(ids.contains((1L, 2L)) || ids.contains((2L, 4L))) // near-dup
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+    assert(pairs.forall(_._3 >= 0.5)) // verified above threshold
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val s1 = docs.select(Dedup.minHashSignature(col("text"), 3, 16).as("s"))
+      .as[Seq[Long]].collect()
+    val s2 = docs.orderBy(desc("doc_id"))
+      .select(col("doc_id"),
+        Dedup.minHashSignature(col("text"), 3, 16).as("s"))
+      .orderBy("doc_id").select("s").as[Seq[Long]].collect()
+    assert(s1.toSeq === s2.toSeq)
+  }
+
+  test("simHashPairs finds planted near-dup") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 4L)))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 === 0)
+    assert(!ids.contains((1L, 3L)))
+  }
+
+  test("ngramJaccardPairs verifies a given candidate set") {
+    val cand = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardPairs(cand, docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(out((1L, 4L)) === 1.0)
+    assert(out((1L, 3L)) < 0.1)
+  }
+
+  test("embeddingNearDupPairs exact vs approx (LSH) agree on strong dups") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L)))
+    val approx = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        0.99, approx = true, lshBits = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact)) // no false positives after verify
+  }
+}

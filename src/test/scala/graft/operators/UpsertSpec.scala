@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** K1-K4 upsert semantics (ref: src/db/load.py:71-191) — insert path,
+  * update path, composite keys, Postgres NULL-distinctness, last-write-
+  * wins within a batch, idempotence. */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    ("u1", "a@x.com", 1), ("u2", "b@x.com", 2), ("u3", "c@x.com", 3))
+    .toDF("id", "email", "v")
+
+  test("insert-new and update-existing in one batch") {
+    val updates = Seq(("u2", "b2@x.com", 20), ("u9", "new@x.com", 9))
+      .toDF("id", "email", "v")
+    val out = Upsert.upsert(target, updates, Seq("id"))
+      .as[(String, String, Int)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("u1", "a@x.com", 1), ("u2", "b2@x.com", 20),
+      ("u3", "c@x.com", 3), ("u9", "new@x.com", 9)))
+  }
+
+  test("last-write-wins among conflicting rows in one batch") {
+    val updates = Seq(("u2", "first@x", 1), ("u2", "last@x", 2))
+      .toDF("id", "email", "v")
+    val out = Upsert.upsert(target, updates, Seq("id"),
+      orderBy = Some(col("v")))
+    val u2 = out.where($"id" === "u2").as[(String, String, Int)].collect()
+    assert(u2 === Array(("u2", "last@x", 2)))
+  }
+
+  test("composite key upsert") {
+    val t = Seq(("m1", "u1", 10), ("m1", "u2", 20)).toDF("muuid", "uid", "d")
+    val u = Seq(("m1", "u2", 99), ("m2", "u1", 5)).toDF("muuid", "uid", "d")
+    val out = Upsert.upsert(t, u, Seq("muuid", "uid"))
+      .as[(String, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(("m1", "u1", 10), ("m1", "u2", 99), ("m2", "u1", 5)))
+  }
+
+  test("NULL keys never conflict (Postgres distinct-NULL semantics, K3)") {
+    // two guests (null uid) in one meeting must BOTH survive, and a
+    // null-key update must not collapse an existing null-key row
+    val t = Seq(("m1", null, 1), ("m1", "u1", 2))
+      .toDF("muuid", "uid", "d")
+    val u = Seq(("m1", null, 3), ("m1", null, 4)).toDF("muuid", "uid", "d")
+    val out = Upsert.upsert(t, u, Seq("muuid", "uid"))
+    assert(out.count() === 4) // u1 row + original null + two new nulls
+    assert(out.where($"uid".isNull).count() === 3)
+  }
+
+  test("idempotence: upsert(upsert(t,b),b) == upsert(t,b)") {
+    val b = Seq(("u2", "x@x", 7), ("u7", "y@y", 8)).toDF("id", "email", "v")
+    val once = Upsert.upsert(target, b, Seq("id"), orderBy = Some(col("v")))
+    val twice = Upsert.upsert(once, b, Seq("id"), orderBy = Some(col("v")))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+}
