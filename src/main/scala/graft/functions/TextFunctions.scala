@@ -140,9 +140,15 @@ object TextFunctions {
 
   /** Polynomial rolling-hash document fingerprint over the
     * whitespace-normalized text: h = Σ h*31 + codepoint (mod 1e9+7).
-    * Deterministic across runs/partitions; codegen'd via the `aggregate`
-    * higher-order function (no UDF). */
+    * Native Catalyst expression (tight loop); the declarative HOF
+    * formulation is kept below for parity testing. */
   def fingerprint(c: Column): Column = {
+    import graft.functions.expressions.{Fingerprint64, NativeExpressions => NE}
+    NE.col(Fingerprint64(NE.expr(c)))
+  }
+
+  /** HOF reference implementation of [[fingerprint]] (parity-tested). */
+  def fingerprintDeclarative(c: Column): Column = {
     val s = regexp_replace(trim(c), "\\s+", " ")
     val chars = split(s, "")
     aggregate(
@@ -152,8 +158,15 @@ object TextFunctions {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of Σ(±1) across
-    * token xxhash64 bits. Returned as a LongType. */
+    * token xxhash64 bits. Returned as a LongType. Native Catalyst
+    * expression; declarative reference kept for parity testing. */
   def simHash(c: Column): Column = {
+    import graft.functions.expressions.{SimHash64, NativeExpressions => NE}
+    NE.col(SimHash64(NE.expr(tokens(lower(c)))))
+  }
+
+  /** HOF reference implementation of [[simHash]] (parity-tested). */
+  def simHashDeclarative(c: Column): Column = {
     val toks = tokens(lower(c))
     // 64-length vector of per-bit counters (bit index is a Scala-level
     // constant so the shift amounts are literals in the generated code)
@@ -166,9 +179,11 @@ object TextFunctions {
           when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)): _*)
         zip_with(acc, bits, (a, b) => a + b)
       })
-    // fold sign bits into a long: bit i set iff counter_i > 0
-    (0 until 64).map(i =>
+    // fold sign bits into a long: bit i set iff counter_i > 0; NULL text
+    // must yield NULL (not 0, which is the hash of an empty doc)
+    val packed = (0 until 64).map(i =>
       when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
+    when(c.isNotNull, packed)
   }
 }

@@ -13,19 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import graft.functions.expressions.{CosineSim, DotProduct, RhpSig, NativeExpressions => NE}
+
   def toDoubles(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Dot product (native expression; tight JIT loop). */
   def dot(a: Column, b: Column): Column =
+    NE.col(DotProduct(NE.expr(a), NE.expr(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double; NULL if either norm is zero.
+    * Native expression; declarative reference kept for parity testing. */
+  def cosine(a: Column, b: Column): Column =
+    NE.col(CosineSim(NE.expr(a), NE.expr(b)))
+
+  /** HOF reference implementation of [[dot]] (parity-tested). */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDoubles(a), toDoubles(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity in double; NULL if either norm is zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
+  /** HOF reference implementation of [[cosine]] (parity-tested). */
+  def cosineDeclarative(a: Column, b: Column): Column = {
+    val d = dotDeclarative(a, b)
+    val n = sqrt(dotDeclarative(a, a)) * sqrt(dotDeclarative(b, b))
     when(n > 0, d / n)
   }
 
@@ -40,7 +52,11 @@ object VectorFunctions {
     * Long. Same-bucket vectors are cosine-similar candidates. Hyperplane
     * component (i,j) is derived from a hash of (seed, i, j) — computed
     * per-row via codegen'd expressions, identical on every executor. */
-  def rhpSignature(v: Column, bits: Int, dim: Int, seed: Long): Column = {
+  def rhpSignature(v: Column, bits: Int, dim: Int, seed: Long): Column =
+    NE.col(RhpSig(NE.expr(v), bits, dim, seed))
+
+  /** HOF reference implementation of [[rhpSignature]] (parity-tested). */
+  def rhpSignatureDeclarative(v: Column, bits: Int, dim: Int, seed: Long): Column = {
     val vd = toDoubles(v)
     val bitCols = (0 until bits).map { i =>
       // pseudo-random ±1/√dim components from xxhash64(seed, i, j)

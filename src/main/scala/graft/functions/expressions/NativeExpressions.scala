@@ -1,0 +1,296 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the signature/vector hot paths.
+  *
+  * The declarative formulations in TextFunctions/VectorFunctions use
+  * higher-order array functions (`transform`/`aggregate`/`zip_with`),
+  * which Catalyst evaluates per-element through the interpreted expression
+  * path (HOFs don't participate in whole-stage codegen) — a ~100×
+  * constant-factor penalty on 64-wide inner loops. These expressions
+  * compute the same values in tight JIT-compiled Scala loops
+  * (CodegenFallback costs one virtual call per row; the loop itself is
+  * hot JIT code).
+  *
+  * BIT-FOR-BIT parity with the declarative versions is part of the
+  * contract (asserted in NativeParitySpec): same xxhash64 (via
+  * XxHash64Function, seed 42 — identical to the `xxhash64` SQL function),
+  * same left-to-right double accumulation, same null semantics.
+  */
+object NativeExpressions {
+  private[expressions] val XxSeed = 42L
+
+  def col(e: Expression): Column = GraftColumnBridge.column(e)
+  def expr(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  /** xxhash64 of a UTF8String, identical to the SQL `xxhash64(col)`. */
+  @inline private[expressions] def hashString(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, XxSeed)
+}
+
+/** 64-bit SimHash over an array<string> of tokens. Matches
+  * TextFunctions.simHashDeclarative: per token, xxhash64 bits vote ±1 per
+  * position; final bit i set iff counter_i > 0. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = NativeExpressions.hashString(arr.getUTF8String(t))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** MinHash signature (array<bigint>, length = as.length) over an
+  * array<string> of tokens: word shingles of `shingleSize` (short docs
+  * collapse to one whole-doc shingle), distinct, base hash reduced into
+  * [0, prime), then per-function affine min. Matches
+  * Dedup.minHashSignatureDeclarative. */
+case class MinHashSig(
+    child: Expression,
+    shingleSize: Int,
+    as: Seq[Long],
+    bs: Seq[Long],
+    prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      i += 1
+    }
+    // shingles, distinct (insertion order irrelevant for min)
+    val nSh = math.max(n - (shingleSize - 1), 1)
+    val seen = new java.util.HashSet[String](nSh * 2)
+    val bases = new Array[Long](nSh)
+    var nBases = 0
+    i = 0
+    while (i < nSh) {
+      // concat_ws(" ", slice(toks, i+1, shingleSize)) skips nulls
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + shingleSize, n)
+      var first = true
+      while (j < end) {
+        if (toks(j) != null) {
+          if (!first) sb.append(' ')
+          sb.append(toks(j)); first = false
+        }
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        bases(nBases) = java.lang.Math.floorMod(
+          NativeExpressions.hashString(UTF8String.fromString(sh)), prime)
+        nBases += 1
+      }
+      i += 1
+    }
+    val k = as.length
+    val sig = new Array[Long](k)
+    var f = 0
+    while (f < k) {
+      val a = as(f); val b = bs(f)
+      var mn = Long.MaxValue
+      var s = 0
+      while (s < nBases) {
+        val v = java.lang.Math.floorMod(bases(s) * a + b, prime)
+        if (v < mn) mn = v
+        s += 1
+      }
+      sig(f) = mn
+      f += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Numeric-array element accessor shared by the vector expressions. */
+private[expressions] object VecAccess {
+  /** Returns a reader (arrayData, idx) → double for the element type, or
+    * null if unsupported. */
+  def reader(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"unsupported vector type $other")
+  }
+
+  def hasNull(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+}
+
+/** Cosine similarity of two numeric arrays in double precision,
+  * left-to-right accumulation; null on length mismatch / null element /
+  * zero norm. Matches VectorFunctions.cosineDeclarative. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val readL = VecAccess.reader(left.dataType)
+  @transient private lazy val readR = VecAccess.reader(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n || VecAccess.hasNull(a) || VecAccess.hasNull(b))
+      return null
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = readL(a, i); val y = readR(b, i)
+      dot += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    val norm = math.sqrt(aa) * math.sqrt(bb)
+    if (norm > 0) java.lang.Double.valueOf(dot / norm) else null
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+}
+
+/** Dot product in double precision (left-to-right), null on mismatch. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val readL = VecAccess.reader(left.dataType)
+  @transient private lazy val readR = VecAccess.reader(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n || VecAccess.hasNull(a) || VecAccess.hasNull(b))
+      return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += readL(a, i) * readR(b, i); i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH signature: `bits` sign bits packed into a long.
+  * Hyperplane component (bitIdx, j) = (floorMod(xxhash64(seed, bitIdx, j),
+  * 2000001) - 1000000) / 1e6 — the multi-arg xxhash64 chain is replicated
+  * exactly (LongType seed, IntegerType bitIdx and j, chained from seed
+  * 42), matching VectorFunctions.rhpSignatureDeclarative. */
+case class RhpSig(child: Expression, bits: Int, dim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val read = VecAccess.reader(child.dataType)
+
+  // hyperplanes precomputed once per expression instance
+  @transient private lazy val planes: Array[Array[Double]] = {
+    Array.tabulate(bits) { i =>
+      Array.tabulate(dim) { j =>
+        var h = XxHash64Function.hash(seed, LongType, NativeExpressions.XxSeed)
+        h = XxHash64Function.hash(i, IntegerType, h)
+        h = XxHash64Function.hash(j, IntegerType, h)
+        (java.lang.Math.floorMod(h, 2000001L).toDouble - 1000000.0) / 1000000.0
+      }
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      val u = planes(i)
+      var proj = 0.0
+      var j = 0
+      while (j < n) { proj += read(v, j) * u(j); j += 1 }
+      if (proj > 0) out |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RhpSig =
+    copy(child = c)
+}
+
+/** Polynomial rolling-hash fingerprint of a string (whitespace collapsed):
+  * h = fold(h*31 + codepoint mod 1e9+7). Matches
+  * TextFunctions.fingerprintDeclarative (which uses `ascii` per char =
+  * first-codepoint, identical for BMP text). */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private val Mod = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+      .trim.replaceAll("\\s+", " ")
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * 31L + cp, Mod)
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 =
+    copy(child = c)
+}

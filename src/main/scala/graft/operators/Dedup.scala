@@ -47,8 +47,17 @@ object Dedup {
   }
 
   /** Per-row MinHash signature (array<bigint> of length numHashes) over
-    * word shingles of size `shingle`. */
+    * word shingles of size `shingle`. Native Catalyst expression;
+    * declarative reference kept for parity testing. */
   def minHashSignature(text: Column, shingle: Int, numHashes: Int): Column = {
+    import graft.functions.expressions.{MinHashSig, NativeExpressions => NE}
+    val params = minhashParams(numHashes)
+    NE.col(MinHashSig(NE.expr(tokens(text)), shingle,
+      params.map(_._1), params.map(_._2), minhashPrime))
+  }
+
+  /** HOF reference implementation of [[minHashSignature]]. */
+  def minHashSignatureDeclarative(text: Column, shingle: Int, numHashes: Int): Column = {
     // base hash reduced into [0, p) BEFORE the affine map so a*h + b
     // stays well under Long.MaxValue (ANSI mode rejects overflow)
     val hashes = transform(

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.Dedup
+
+/** Bit-for-bit parity between the native Catalyst expressions (tight
+  * JIT loops) and their declarative HOF reference formulations, over the
+  * real sf0.001 corpus. Any drift here would silently change signatures
+  * and thus dedup/search results. */
+class NativeParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(120)
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(120)
+
+  test("simHash native == declarative") {
+    val diff = docs.select(
+      simHash(col("text")).as("a"), simHashDeclarative(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("fingerprint native == declarative") {
+    val diff = docs.select(
+      fingerprint(col("text")).as("a"),
+      fingerprintDeclarative(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("minHashSignature native == declarative") {
+    val diff = docs.select(
+      Dedup.minHashSignature(col("text"), 3, 16).as("a"),
+      Dedup.minHashSignatureDeclarative(col("text"), 3, 16).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("cosine native == declarative (bit-exact doubles)") {
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .where(col("ia") < col("ib")).limit(2000)
+    val diff = pairs.select(
+      cosine(col("va"), col("vb")).as("a"),
+      cosineDeclarative(col("va"), col("vb")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("rhpSignature native == declarative") {
+    val diff = emb.select(
+      rhpSignature(col("embedding"), 12, 64, 7L).as("a"),
+      rhpSignatureDeclarative(col("embedding"), 12, 64, 7L).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("null/edge inputs: empty text, null text") {
+    val df = Seq(Some(""), Some("   "), None, Some("one two three"))
+      .toDF("text")
+    val out = df.select(
+      simHash(col("text")).as("sh"),
+      fingerprint(col("text")).as("fp"),
+      simHashDeclarative(col("text")).as("shd"),
+      fingerprintDeclarative(col("text")).as("fpd"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(2))
+      assert(r.isNullAt(1) === r.isNullAt(3))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(2))
+      if (!r.isNullAt(1)) assert(r.getLong(1) === r.getLong(3))
+    }
+  }
+}
