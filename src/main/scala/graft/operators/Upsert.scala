@@ -66,17 +66,29 @@ object Upsert {
   /** Atomic snapshot write: write to `<path>__tmp`, then swap directories.
     * Crash-safe replacement for Postgres transactional commit
     * (ref load.py:41-50) given plain parquet storage. */
-  def writeSnapshot(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(hadoopConf)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + "__prev")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+  def writeSnapshot(df: DataFrame, path: String): Unit =
+    writeSnapshots(Seq(df -> path))
+
+  /** Multi-table transactional snapshot write: ALL plans execute into
+    * tmp dirs first, THEN all directories swap. Required when the plans
+    * read each other's current snapshots (e.g. the promote pair: the new
+    * staging is an anti-join against the new main, whose plan still scans
+    * the old main files — swapping early would yank files out from under
+    * the second plan). This is the reference's single-transaction pair
+    * commit (load.py:230) for plain-parquet storage. */
+  def writeSnapshots(dfsAndPaths: Seq[(DataFrame, String)]): Unit = {
+    dfsAndPaths.foreach { case (df, path) =>
+      df.write.mode("overwrite").parquet(path + "__tmp")
+    }
+    dfsAndPaths.foreach { case (df, path) =>
+      val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(hadoopConf)
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      val bak = new org.apache.hadoop.fs.Path(path + "__prev")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(dst)) fs.rename(dst, bak)
+      fs.rename(tmp, dst)
+    }
   }
 }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Incremental-scan watermark (S8, ref src/zoom/extract.py:196-211):
+  * a one-row bookmark controlling how far the batch pipeline has read.
+  *
+  * Reference semantics replicated exactly:
+  *  - read defaults to NOW on first run or unreadable state ("no
+  *    backfill", extract.py:200,203);
+  *  - commit happens only AFTER the full load succeeds (DAG ordering
+  *    etl_process.py:236) — at-least-once reprocessing on failure, safe
+  *    because all sinks are idempotent upserts.
+  *
+  * Storage is a tiny file (atomic tmp+rename) — driver-side metadata,
+  * never a distributed dataset.
+  */
+class Bookmark(spark: SparkSession, path: String) {
+  private val hPath = new Path(path)
+  private def fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Last committed watermark, or `default` (ref: now) if absent/corrupt. */
+  def read(default: Instant = Instant.now()): Instant =
+    try {
+      if (!fs.exists(hPath)) default
+      else {
+        val in = fs.open(hPath)
+        try {
+          val bytes = new Array[Byte](256)
+          val n = in.read(bytes)
+          Instant.parse(new String(bytes, 0, math.max(n, 0),
+            StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      }
+    } catch { case _: Exception => default }
+
+  /** Commit a new watermark (atomic tmp + rename). Call ONLY after the
+    * downstream load has fully succeeded. */
+  def commit(ts: Instant): Unit = {
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ts.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(hPath)) fs.delete(hPath, false)
+    fs.rename(tmp, hPath)
+  }
+}
