@@ -170,6 +170,71 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"))
+    }),
+
+    // AS-OF join (operator Spark lacks): each event enriched with the
+    // latest order of the same customer at-or-before the event time.
+    // Implemented as union + ordered-window sweep (graft.operators
+    // .AsOfJoin) — one shuffle, no per-key history product. Right side
+    // pre-deduped per (key, time) for determinism.
+    "q15_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate")).as("odate_us"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.asofBackward(e, o, "user_id", "ts_us",
+          "odate_us", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey"))
+    }),
+
+    // Range join, point-in-interval: clicks landing inside the 24 h
+    // attribution window after each signup of the same user.
+    // Bucket-blocked (graft.operators.RangeJoin) so the join is
+    // (key, bucket)-hashed, never a theta nested-loop.
+    "q16_interval_points" -> ((s, dir) => {
+      val day = 86400000000L
+      val e = t(s, dir, "events")
+      val iv = e.where(col("event_type") === "signup").select(
+        col("event_id").as("signup_id"), col("user_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + day).as("hi"))
+      val pts = e.where(col("event_type") === "click").select(
+        col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+      graft.operators.RangeJoin.pointInInterval(iv, pts, Seq("user_id"),
+          "lo", "hi", "t_us", bucketWidth = day)
+        .select("signup_id", "click_id")
+    }),
+
+    // Interval-overlap self join: same-customer order pairs whose 7-day
+    // windows intersect (bucket-blocked, deduped across buckets).
+    "q17_interval_overlap" -> ((s, dir) => {
+      val week = 604800000000L
+      def iv(alias: String) = t(s, dir, "orders").select(
+        col("o_orderkey").as(s"id_$alias"),
+        col("o_custkey").as("cust"),
+        unix_micros(col("o_orderdate")).as(s"lo_$alias"),
+        (unix_micros(col("o_orderdate")) + week).as(s"hi_$alias"))
+      graft.operators.RangeJoin.intervalOverlap(
+          iv("a"), iv("b"), Seq("cust"),
+          "lo_a", "hi_a", "lo_b", "hi_b", "id_a", "id_b",
+          bucketWidth = week)
+        .where(col("id_a") < col("id_b"))
+        .select("cust", "id_a", "id_b")
+    }),
+
+    // Portable pivot via conditional aggregation (the implied
+    // internal/external split of SURVEY §2.6).
+    "q18_pivot" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def cnt(tpe: String) =
+        count(when(col("event_type") === tpe, 1)).as(s"n_$tpe")
+      e.groupBy(col("user_id"))
+        .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
+          cnt("error"), count(lit(1)).as("n_total"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -264,5 +329,39 @@ object RelationalQueries extends QueryPack {
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
-        |FROM sess GROUP BY user_id, session_id""".stripMargin)
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q15_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS odate_us,
+        |         MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |), e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts_us >= o.odate_us""".stripMargin,
+    "q16_interval_points" ->
+      """SELECT s.event_id AS signup_id, c.event_id AS click_id
+        |FROM events s JOIN events c
+        |  ON s.user_id = c.user_id
+        | AND s.event_type = 'signup' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(s.ts)
+        | AND epoch_us(c.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
+    "q17_interval_overlap" ->
+      """SELECT a.o_custkey AS cust, a.o_orderkey AS id_a, b.o_orderkey AS id_b
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey
+        | AND a.o_orderkey < b.o_orderkey
+        | AND epoch_us(a.o_orderdate) <= epoch_us(b.o_orderdate) + 604800000000
+        | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 604800000000""".stripMargin,
+    "q18_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  COUNT(*) AS n_total
+        |FROM events GROUP BY user_id""".stripMargin)
 }
