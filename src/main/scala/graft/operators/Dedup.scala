@@ -88,24 +88,31 @@ object Dedup {
       array_distinct(wordShingles(col(textCol), shingle)).as("shingles"),
       minHashSignature(col(textCol), shingle, numHashes).as("sig"))
 
+    // candidate generation on (band, bucket, id) ONLY — the fat shingle
+    // arrays never enter the candidate shuffle; they re-attach just for
+    // the verification join on the (much smaller) deduped pair set
     val banded = withSig.select(
-      col("id"), col("shingles"),
+      col("id"),
       posexplode(array((0 until numBands).map(b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val grams = withSig.select(col("id"), col("shingles"))
     candidates
+      .join(grams.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

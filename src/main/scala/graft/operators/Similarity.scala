@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,24 +16,75 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Unit-normalize a vector column (double elements); zero vectors
+    * normalize to null. Done ONCE per row so pairwise similarity is a
+    * plain dot product (3× fewer flops than cosine per pair). */
+  private def normalized(v: Column): Column = {
+    val n = sqrt(dot(v, v))
+    when(n > 0, transform(v, x => x.cast("double") / n))
+  }
+
+  /** Two-phase top-k per key: per-partition bounded heaps (no global
+    * sort of the full pair set), then an exact final window over the
+    * ≤ partitions×keys×k survivors. Order: sim desc, id asc. */
+  private[operators] def topKPerKey(
+      pairs: DataFrame, // columns: key (long), id (long), sim (double)
+      k: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val partial = pairs.select(col("key").cast("long"),
+        col("id").cast("long"), col("sim").cast("double"))
+      .where(col("sim").isNotNull) // zero-norm vectors have no similarity
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // worst element first: smallest sim, then largest id
+        val ord = Ordering.by[(Long, Double), (Double, Long)] {
+          case (id, sim) => (-sim, id)
+        }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (key, id, sim) =>
+          val h = heaps.getOrElseUpdate(key,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+          if (h.size < k) h.enqueue((id, sim))
+          else {
+            val (wid, wsim) = h.head
+            if (sim > wsim || (sim == wsim && id < wid)) {
+              h.dequeue(); h.enqueue((id, sim))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (key, h) =>
+          h.iterator.map { case (id, sim) => (key, id, sim) }
+        }
+      }
+      .toDF("key", "id", "sim")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("sim").desc, col("id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Exact brute-force cosine top-k neighbors for every vector.
     * Output: (query_id, neighbor_id, rank) — rank 1..k by cosine desc,
-    * ties broken by neighbor_id asc (deterministic). */
+    * ties broken by neighbor_id asc (deterministic). Vectors are
+    * pre-normalized once, so each pair costs one dot product; ranking is
+    * two-phase (bounded heaps, then exact window over survivors). */
   def bruteForceTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       roundSim: Int = 4): DataFrame = {
-    val a = df.select(col(idCol).as("query_id"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_b"))
-    val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), roundSim))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      normalized(col(vecCol)).as("u"))
+    val a = base.select(col("id").as("key"), col("u").as("u_a"))
+    val b = base.select(col("id").as("id"), col("u").as("u_b"))
+    val pairs = a.join(b, col("key") =!= col("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    topKPerKey(pairs, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"))
   }
 
   /** LSH-bucketed approximate top-k: L independent random-hyperplane
@@ -48,25 +99,29 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4,
       dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      normalized(col(vecCol)).as("u"))
+    // candidates carry IDS ONLY through the bucket join + dedup; vectors
+    // re-attach afterwards (fat arrays never ride the candidate shuffle)
     val sigs = base.select(
-      col("id"), col("v"),
+      col("id"),
       posexplode(array((0 until tables).map(t =>
-        rhpSignature(col("v"), bits, dim, seed = 1000L + t)): _*)))
+        rhpSignature(col("u"), bits, dim, seed = 1000L + t)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
-    val a = sigs.select(col("table"), col("bucket"),
-      col("id").as("query_id"), col("v").as("v_a"))
-    val b = sigs.select(col("table"), col("bucket"),
-      col("id").as("neighbor_id"), col("v").as("v_b"))
-    val cands = a.join(b, Seq("table", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    val cands = sigs.select(col("table"), col("bucket"), col("id").as("key"))
+      .join(sigs.select(col("table"), col("bucket"), col("id")),
+        Seq("table", "bucket"))
+      .where(col("key") =!= col("id"))
+      .dropDuplicates("key", "id")
+      .select("key", "id")
+    val scored = cands
+      .join(base.select(col("id").as("key"), col("u").as("u_a")), Seq("key"))
+      .join(base.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
+      .select("key", "id", "sim")
+    topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
   }
 }
