@@ -19,15 +19,17 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count without materializing the array (regexp_count of
+    * non-space runs ≡ size(tokens(c))). */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
 
-  /** BPE-ish subword count: word chunks, numbers, and punctuation runs
-    * counted separately — a cheap deterministic proxy for a real BPE
-    * tokenizer's token count. */
+  /** BPE-ish subword count: alnum chunks count as one token each,
+    * punctuation counts per character — a cheap deterministic proxy for
+    * a real BPE tokenizer's token count. Counted via regexp_count (no
+    * array materialization; ≡ splitting at every alnum/non-alnum
+    * boundary and dropping blanks). */
   def bpeishTokenCount(c: Column): Column =
-    size(filter(
-      split(c, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => length(trim(t)) > 0))
+    regexp_count(c, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"))
 
   /** Word-level n-gram shingles: array of space-joined n-token windows.
     * Documents with fewer than n tokens yield a single shingle of the

@@ -32,9 +32,11 @@ object Upsert {
 
   /** Upsert `updates` into `target` keyed by `keys`.
     *
-    * @param orderBy newest-wins ordering among duplicate keys inside
-    *   `updates` (descending = winner). Defaults to input arrival order
-    *   via monotonically_increasing_id (stable for a single narrow batch,
+    * @param orderBy winner selection among duplicate keys inside
+    *   `updates`: a plain column ⇒ LARGEST value wins (newest-wins); an
+    *   explicit `.asc`/`.desc` sort order ⇒ first row under that
+    *   ordering wins. Defaults to input arrival order via
+    *   monotonically_increasing_id (stable for a single narrow batch,
     *   mirroring the reference's "last row in the batch wins").
     */
   def upsert(
@@ -46,12 +48,23 @@ object Upsert {
     val cols = target.columns.toSeq
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
 
-    val ord = orderBy.getOrElse(monotonically_increasing_id())
-    val tagged = updates.withColumn("__graft_ord", ord)
+    // a SortOrder can't be projected as a value — strip it and keep its
+    // direction for the window ordering instead
+    import org.apache.spark.sql.GraftColumnBridge
+    val (ordValue, firstWinsAsc) = orderBy match {
+      case Some(c) => GraftColumnBridge.unwrapSortOrder(c) match {
+        case Some((child, asc)) => (child, asc)
+        case None => (c, false)
+      }
+      case None => (monotonically_increasing_id(), false)
+    }
+    val tagged = updates.withColumn("__graft_ord", ordValue)
     val keyed = tagged.where(!coalesce(anyNullKey, lit(false)))
     val nullKeyed = tagged.where(coalesce(anyNullKey, lit(false)))
 
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__graft_ord").desc)
+    val winnerOrd =
+      if (firstWinsAsc) col("__graft_ord").asc else col("__graft_ord").desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(winnerOrd)
     val winners = keyed
       .withColumn("__graft_rn", row_number().over(w))
       .where(col("__graft_rn") === 1)

@@ -226,6 +226,18 @@ object RelationalQueries extends QueryPack {
         .select("cust", "id_a", "id_b")
     }),
 
+    // Exact interpolated percentiles per group (duration-analysis
+    // surface of SURVEY §2.6); rounded so interpolation ulps can't
+    // diverge from the oracle's quantile_cont.
+    "q19_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
     // Portable pivot via conditional aggregation (the implied
     // internal/external split of SURVEY §2.6).
     "q18_pivot" -> ((s, dir) => {
@@ -355,6 +367,12 @@ object RelationalQueries extends QueryPack {
         | AND a.o_orderkey < b.o_orderkey
         | AND epoch_us(a.o_orderdate) <= epoch_us(b.o_orderdate) + 604800000000
         | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 604800000000""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q18_pivot" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

@@ -10,4 +10,21 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→catalyst conversion. Unlike [[expression]] (a lazy
+    * wrapper that the analyzer won't descend into when planted via a
+    * function-registry builder), this produces a real catalyst tree whose
+    * Unresolved* nodes the analyzer resolves normally. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** If the column is a sort order (`col.asc` / `col.desc`), return its
+    * child column and whether the direction is ascending. The sort
+    * wrapper lives at the ColumnNode layer in Spark 4, not in the lazily
+    * converted catalyst expression. */
+  def unwrapSortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
+    case internal.SortOrder(child, direction, _, _) =>
+      Some((Column(child), direction == internal.SortOrder.Ascending))
+    case _ => None
+  }
 }

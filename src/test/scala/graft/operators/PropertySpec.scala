@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.functions.{Normalize, TextFunctions}
+
+/** Property-style checks (SURVEY §5.2) over scalacheck-generated data:
+  * upsert idempotence, promote conservation, sanitize legality, jaccard
+  * bounds. Sampling is explicit (fixed seeds, a few rounds per property)
+  * because each case builds Spark jobs — minSuccessful=100 would be all
+  * scheduler overhead. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default.withSize(30), Seed(seed)).get
+
+  private val rowGen: Gen[List[(String, Int)]] = Gen.listOf(for {
+    k <- Gen.choose(0, 8)
+    v <- Gen.choose(0, 1000)
+  } yield (s"k$k", v))
+
+  test("property: upsert idempotence — upsert(upsert(t,b),b) == upsert(t,b)") {
+    (1L to 4L).foreach { s =>
+      val t = sample(rowGen, s).toDF("id", "v")
+      val b = sample(rowGen, s + 100).toDF("id", "v")
+      val ord = Some(col("v").asc)
+      val once = Upsert.upsert(t, b, Seq("id"), ord)
+      val twice = Upsert.upsert(once, b, Seq("id"), ord)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+        s"seed $s")
+    }
+  }
+
+  test("property: upsert preserves key uniqueness of a unique target") {
+    (1L to 4L).foreach { s =>
+      val t = Seq(("k1", -1), ("k2", -2)).toDF("id", "v")
+      val b = sample(rowGen, s).toDF("id", "v")
+      val out = Upsert.upsert(t, b, Seq("id"), Some(col("v").asc))
+      assert(Constraints.uniqueViolations(out, Seq("id")).count() === 0,
+        s"seed $s")
+    }
+  }
+
+  test("property: promote conservation + gate exactness") {
+    (1L to 4L).foreach { s =>
+      val sRows = sample(rowGen, s)
+      if (sRows.nonEmpty) {
+        val staging = sRows.zipWithIndex
+          .map { case ((k, v), i) => (s"id$i", k, v) }.toDF("id", "fk", "v")
+        val parentKeys = sample(Gen.someOf(0 to 8), s + 7).toList
+        val parent = parentKeys.map(k => (s"k$k", 1)).toDF("pk", "x")
+        val res = Merge.promote(staging, parent, "fk", "pk",
+          staging.limit(0), Seq("id"))
+        val covered = res.main.select("id").union(res.staging.select("id"))
+        assert(covered.exceptAll(staging.select("id")).isEmpty, s"seed $s")
+        assert(staging.select("id").exceptAll(covered).isEmpty, s"seed $s")
+        assert(res.main.join(parent.select(col("pk").as("fk")),
+          Seq("fk"), "left_anti").isEmpty, s"seed $s")
+      }
+    }
+  }
+
+  test("property: sanitize output is legal charset, ≤255 chars, nonempty") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('/', '\\', ':', '*', '?', '"', '<', '>', '|', ' ', '.')))
+      .map(_.mkString)
+    (1L to 3L).foreach { s =>
+      val strs = sample(Gen.nonEmptyListOf(strGen), s)
+      val out = strs.toDF("s")
+        .select(Normalize.sanitizeName(col("s")).as("n")).as[String].collect()
+      assert(out.forall(_.length <= 255))
+      assert(out.forall(x => !x.exists("\\/:*?\"<>|".contains(_))))
+      assert(out.forall(_.nonEmpty))
+    }
+  }
+
+  test("property: jaccard(x,x)=1 for nonempty token sets") {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    val texts = sample(Gen.nonEmptyListOf(textGen), 11L)
+    val jSelf = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(Dedup.jaccardArrays(
+        array_distinct(TextFunctions.wordShingles(col("text"), 1)),
+        array_distinct(TextFunctions.wordShingles(col("text"), 1))).as("j"))
+      .as[Double].collect()
+    assert(jSelf.forall(_ === 1.0))
+  }
+}
