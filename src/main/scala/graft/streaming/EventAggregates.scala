@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the events stream: watermarked windowed
+  * aggregation (late-data bounded state) and custom sessionization state
+  * via flatMapGroupsWithState — the streaming counterparts of
+  * q10_time_bucket and q14_sessionize.
+  *
+  * State posture at scale: the windowed agg's state is bounded by the
+  * watermark horizon (Spark drops windows older than watermark − lateness);
+  * the session state is one small struct per active (user) key, emitted
+  * and dropped on inactivity timeout — no unbounded growth.
+  */
+object EventAggregates {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastSeen: Long,
+      nEvents: Long, totalValue: Double)
+
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value: Double)
+
+  /** Hourly tumbling-window counts per event type with a 1-hour
+    * watermark: events later than that are dropped, bounding state. */
+  def hourlyCounts(events: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sessionization with explicit state: sessions close after `gapMs` of
+    * event-time inactivity. In-batch gaps close inline; trailing sessions
+    * close via EventTimeTimeout when the WATERMARK passes lastSeen + gap
+    * (watermark-driven — no idle micro-batches, unlike a processing-time
+    * timeout which keeps the query triggering forever). One output row
+    * per CLOSED session. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      lateness: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionStart, s.lastSeen,
+              s.nEvents, s.totalValue))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L // µs like the batch analog
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs * 1000L =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.sessionStart, s.lastSeen,
+                    s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event-time watermark passes inactivity gap
+              state.setTimeoutTimestamp(s.lastSeen / 1000L + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventAggregates._
+
+class EventAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked hourly windowed aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+    q.processAllAvailable()
+    val out = spark.table("hourly")
+      .select("window_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    q.stop()
+    assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L)))
+    assert(out.contains((ts("2024-01-01 11:00:00"), "view", 1L)))
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyCounts(input.toDF(), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    input.addData(Event(2, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // straggler for the long-closed 10:00 window → must be dropped
+    input.addData(Event(3, ts("2024-01-01 10:20:00"), 1, "click", 9.0))
+    q.processAllAvailable()
+    val out = spark.table("late")
+      .select("window_start", "n_events")
+      .as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    assert(out(ts("2024-01-01 10:00:00")) === 1L) // straggler excluded
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // two sessions for user 1 in ONE batch (gap > 30 min closes first)
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+      Event(3, ts("2024-01-01 12:00:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[SessionOut].collect()
+    assert(closed.length === 1)
+    assert(closed(0).n_events === 2)
+    assert(closed(0).total_value === 3.0)
+    assert(closed(0).session_start_us ===
+      ts("2024-01-01 10:00:00").getTime * 1000)
+
+    // advance the watermark via another user → user 1's trailing
+    // session times out on event time and emits
+    input.addData(Event(4, ts("2024-01-01 15:00:00"), 2, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(5, ts("2024-01-01 15:00:01"), 2, "click", 1.0))
+    q.processAllAvailable()
+    val all = spark.table("sessions").as[SessionOut].collect()
+    q.stop()
+    val trailing = all.filter(s => s.user_id == 1 &&
+      s.session_start_us == ts("2024-01-01 12:00:00").getTime * 1000)
+    assert(trailing.length === 1)
+    assert(trailing(0).n_events === 1)
+  }
+}
