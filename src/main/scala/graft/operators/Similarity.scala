@@ -87,6 +87,62 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means centroids partition
+    * the corpus into nLists cells; each query probes its nProbe nearest
+    * cells and re-ranks exactly inside them. The classic ANN index
+    * shape: candidates ≈ n·(nProbe/nLists) per query instead of n.
+    *
+    * Vectors are unit-normalized first so euclidean k-means cells align
+    * with cosine neighborhoods. Centroids train on (a sample of) the
+    * corpus — at 100 TB, train on a 1-10M row sample, then a single
+    * broadcast-join pass assigns cells.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = df.select(col(idCol).cast("long").as("id"),
+        normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull)
+    val vecs = base.withColumn("features", array_to_vector(col("u")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("id"), col("u"), col("prediction").as("cell"))
+
+    // tiny centroid table (nLists rows) → broadcast; each query ranks
+    // its nProbe nearest cells by dot product with the centroid
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val probeW = Window.partitionBy(col("id"))
+      .orderBy(col("cdist").desc, col("cell").asc)
+    val probes = base.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dot(col("u"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .where(col("prank") <= nProbe)
+      .select(col("id").as("key"), col("u").as("u_a"), col("cell"))
+
+    val scored = probes
+      .join(assigned.select(col("cell"), col("id"), col("u").as("u_b")),
+        Seq("cell"))
+      .where(col("key") =!= col("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
+      .select("key", "id", "sim")
+    topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** LSH-bucketed approximate top-k: L independent random-hyperplane
     * tables of `bits` bits; candidate pairs share a bucket in ≥1 table;
     * exact cosine re-rank of candidates. Recall < 1 by construction —

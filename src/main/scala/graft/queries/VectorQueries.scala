@@ -46,6 +46,12 @@ object VectorQueries extends QueryPack {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, bits = 4, tables = 8, dim = 64)),
 
+    // IVF ANN (k-means cells + nProbe probing; rows-only — centroid
+    // training is engine-specific; recall asserted in SimilaritySpec).
+    "q45_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 4)),
+
     // Approximate distinct (HLL) per label — rows-only (sketch internals
     // engine-specific), exactness window asserted in tests.
     "q44_approx_distinct" -> ((s, dir) =>

@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+
+/** DataSource V2 source for Zoom-shaped meeting JSONL fixtures — the
+  * offline analog of the reference's paginated REST scan (S1/S5,
+  * src/zoom/extract.py:27-47,106-131), demonstrating the full custom-
+  * source contract:
+  *
+  *  - one InputPartition per file — the reference's pagination/chunking
+  *    becomes Spark's partition parallelism (T6);
+  *  - `SupportsPushDownFilters`: `start_time` range predicates (the
+  *    from/to window the reference pushes into API params,
+  *    extract.py:123-127) are evaluated inside the reader — rows outside
+  *    the window never reach Spark;
+  *  - `SupportsPushDownRequiredColumns`: column pruning into the reader
+  *    (the reference's project-only-uuid, extract.py:130);
+  *  - rate limiting would live in the partition reader (token bucket per
+  *    executor, honoring Retry-After — extract.py:33-37); offline reads
+  *    need none.
+  *
+  * Usage: `spark.read.format("graft.sources.ZoomMeetingSource")
+  *   .load(dir)` — schema is the fixed meeting-doc schema
+  * (model/Schemas.meetingSchema).
+  */
+class ZoomMeetingSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.meetingSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ZoomMeetingTable(properties.get("path"))
+}
+
+private[sources] class ZoomMeetingTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"zoom_meetings($path)"
+  override def schema(): StructType = Schemas.meetingSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZoomScanBuilder(if (path != null) path else options.get("path"))
+}
+
+private[sources] class ZoomScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Schemas.meetingSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept start_time range predicates (ISO strings compare
+    // lexicographically) — everything else stays with Spark
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("start_time", _: String) => true
+      case GreaterThanOrEqual("start_time", _: String) => true
+      case LessThan("start_time", _: String) => true
+      case LessThanOrEqual("start_time", _: String) => true
+      case IsNotNull("start_time") => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ZoomScan(path, pushed, required)
+}
+
+private[sources] class ZoomScan(path: String, filters: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZoomMeetingScan(pushed=[${filters.mkString(", ")}], " +
+      s"columns=[${required.fieldNames.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files =
+      if (fs.isDirectory(p))
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+      else Array(path)
+    files.sorted.map(f => ZoomFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZoomReaderFactory(filters, required)
+}
+
+private[sources] final case class ZoomFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class ZoomReaderFactory(filters: Array[Filter],
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ZoomPartitionReader(p.asInstanceOf[ZoomFilePartition].file,
+      filters, required)
+}
+
+private[sources] class ZoomPartitionReader(file: String,
+    filters: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val fs = new Path(file)
+    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val lines = scala.io.Source.fromInputStream(
+    fs.open(new Path(file)), "UTF-8").getLines()
+  private var current: InternalRow = _
+
+  private def passes(startTime: String): Boolean = filters.forall {
+    case GreaterThan("start_time", v: String) =>
+      startTime != null && startTime > v
+    case GreaterThanOrEqual("start_time", v: String) =>
+      startTime != null && startTime >= v
+    case LessThan("start_time", v: String) => startTime != null && startTime < v
+    case LessThanOrEqual("start_time", v: String) =>
+      startTime != null && startTime <= v
+    case IsNotNull("start_time") => startTime != null
+    case _ => true
+  }
+
+  private def field(node: JsonNode, name: String): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else Schemas.meetingSchema(name).dataType match {
+      case LongType => java.lang.Long.valueOf(v.asLong())
+      case org.apache.spark.sql.types.IntegerType =>
+        java.lang.Integer.valueOf(v.asInt())
+      case _ => UTF8String.fromString(v.asText())
+    }
+  }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next().trim
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        val st = Option(node.get("start_time")).filterNot(_.isNull)
+          .map(_.asText()).orNull
+        if (passes(st)) {
+          current = new GenericInternalRow(
+            required.fieldNames.map(field(node, _)).toArray[Any])
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

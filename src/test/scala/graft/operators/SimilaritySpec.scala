@@ -17,6 +17,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) === 2L) // (0,1)·(0.9,0.1)>0, (0,1)·(1,0)=0
   }
 
+  test("ivfTopK recall vs brute force on sf0.001 embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+        nLists = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.3f (probing 6/16 cells)")
+    assert(recall >= 0.5)
+  }
+
   test("lshTopK recall ≥ 0.6 vs brute force on sf0.001 embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths => JPaths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZoomMeetingSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtures(): String = {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    Files.write(JPaths.get(dir, "page1.json"), Seq(
+      """{"id":1,"uuid":"m1","host_id":"h1","topic":"a","start_time":"2025-01-10T10:00:00Z","duration":30,"type":2}""",
+      """{"id":2,"uuid":"m2","host_id":"h1","topic":"b","start_time":"2025-02-10T10:00:00Z","duration":45,"type":2}""")
+      .mkString("\n").getBytes("UTF-8"))
+    Files.write(JPaths.get(dir, "page2.json"), Seq(
+      """{"id":3,"uuid":"m3","host_id":"h2","topic":"c","start_time":"2025-03-10T10:00:00Z","duration":60,"type":8}""")
+      .mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("DSv2 read: one partition per file (pagination analog)") {
+    val df = spark.read.format("graft.sources.ZoomMeetingSource")
+      .load(fixtures())
+    assert(df.count() === 3)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.select("uuid").as[String].collect().sorted ===
+      Array("m1", "m2", "m3"))
+  }
+
+  test("start_time window pushes into the reader; plan shows it") {
+    val df = spark.read.format("graft.sources.ZoomMeetingSource")
+      .load(fixtures())
+      .where(col("start_time") >= "2025-02-01T00:00:00Z" &&
+        col("start_time") < "2025-03-01T00:00:00Z")
+    assert(df.select("uuid").as[String].collect() === Array("m2"))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushed=[") &&
+      scanDesc.contains("GreaterThanOrEqual(start_time"),
+      scanDesc.take(1000))
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format("graft.sources.ZoomMeetingSource")
+      .load(fixtures())
+      .select("uuid", "duration")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns=[uuid, duration]"), scanDesc.take(1000))
+    assert(df.as[(String, Int)].collect().toSet ===
+      Set(("m1", 30), ("m2", 45), ("m3", 60)))
+  }
+
+  test("source composes with the normalize layer") {
+    val raw = spark.read.format("graft.sources.ZoomMeetingSource")
+      .load(fixtures())
+    val norm = Fixtures.normalizeMeetings(raw)
+    assert(norm.where(col("start_time").isNotNull).count() === 3)
+  }
+}
