@@ -226,6 +226,20 @@ object RelationalQueries extends QueryPack {
         .select("cust", "id_a", "id_b")
     }),
 
+    // Top-N per group over an aggregate ("top hosts by meeting hours",
+    // SURVEY §2.6): top-3 customers by decimal-exact revenue per nation.
+    "q28_topn_per_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+      rev.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "revenue", "rnk")
+    }),
+
     // Exact interpolated percentiles per group (duration-analysis
     // surface of SURVEY §2.6); rounded so interpolation ulps can't
     // diverge from the oracle's quantile_cont.
@@ -367,6 +381,17 @@ object RelationalQueries extends QueryPack {
         | AND a.o_orderkey < b.o_orderkey
         | AND epoch_us(a.o_orderdate) <= epoch_us(b.o_orderdate) + 604800000000
         | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 604800000000""".stripMargin,
+    "q28_topn_per_group" ->
+      """SELECT c_nationkey, c_custkey, revenue, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, revenue,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY revenue DESC, c_custkey ASC) AS rnk
+        |  FROM (
+        |    SELECT c_nationkey, c_custkey,
+        |      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    GROUP BY c_nationkey, c_custkey))
+        |WHERE rnk <= 3""".stripMargin,
     "q19_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
