@@ -122,6 +122,10 @@ private[sources] class ZoomPartitionReader(file: String,
     filters: Array[Filter], required: StructType)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
+  // per-reader pacing (live-API analog: page fetches, extract.py:33-37);
+  // file reads need no pacing so the bucket is effectively unlimited —
+  // a live HTTP reader would construct this from options
+  private val limiter = new TokenBucket(ratePerSec = 1e9, burst = 1000)
   private val fs = new Path(file)
     .getFileSystem(new org.apache.hadoop.conf.Configuration())
   private val lines = scala.io.Source.fromInputStream(
@@ -152,6 +156,7 @@ private[sources] class ZoomPartitionReader(file: String,
   }
 
   override def next(): Boolean = {
+    limiter.acquireBlocking()
     while (lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
