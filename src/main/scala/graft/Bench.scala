@@ -19,6 +19,10 @@ object Bench {
       .collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // let the ContextCleaner drop prior queries' broadcasts/shuffles
+        // (they're GC-triggered; a 24g heap GCs too rarely on its own,
+        // and accumulated state bleeds into later timings)
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

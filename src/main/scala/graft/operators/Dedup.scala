@@ -118,6 +118,106 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair graph: every id
+    * maps to its cluster keeper (the minimum id reachable through
+    * pairs). Iterative min-label propagation — each round joins the
+    * current labels across the edge list, halving effective diameter;
+    * convergence in O(log d) rounds (near-dup clusters are tiny, so
+    * `maxIter = 10` covers diameters up to ~2^10).
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, keeper_id) for every id
+    * appearing in a pair (singletons are implicitly their own keeper).
+    *
+    * The pair graph is orders of magnitude smaller than the corpus
+    * (it's the duplicates), so below `localThreshold` pairs a
+    * driver-side union-find answers in one collect — the iterative
+    * distributed propagation only engages for genuinely huge dup sets.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      localThreshold: Long = 5000000L): DataFrame = {
+    val slim = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    if (slim.limit((localThreshold + 1).toInt).count() <= localThreshold)
+      duplicateClustersLocal(slim)
+    else duplicateClustersIterative(slim, maxIter)
+  }
+
+  /** Driver-side union-find over a collected pair list. */
+  private def duplicateClustersLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataset(out).toDF("id", "keeper_id")
+  }
+
+  private def duplicateClustersIterative(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("keeper_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("keeper_id"))
+      val updated = labels.unionByName(neighborLabels)
+        .groupBy(col("id"))
+        .agg(min(col("keeper_id")).as("keeper_id"))
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .where(col("u.keeper_id") =!= col("l.keeper_id"))
+        .limit(1).count()
+      // materialize per round: keeps the lineage from growing
+      // exponentially across iterations
+      labels = updated.localCheckpoint(eager = true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full MinHash dedup: keep one document per near-duplicate cluster
+    * (the smallest id); unpaired documents pass through. */
+  def dedupByMinHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingle: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    // the pair pipeline feeds three consumers (threshold count, cluster
+    // build, anti-join) — materialize it once
+    val pairs = minHashPairs(df, idCol, textCol, shingle, numHashes,
+      rowsPerBand, threshold).localCheckpoint(true)
+    val clusters = duplicateClusters(pairs)
+    val losers = clusters.where(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard of two (already-distinct) arrays. */
   def jaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -87,6 +87,74 @@ object Similarity {
         col("rank"))
   }
 
+  /** Exact top-k via broadcast blocking: the (normalized) corpus is
+    * collected once into a broadcast array; the query side streams per
+    * partition computing dots and a bounded top-k selection in ONE pass
+    * — the n² candidate rows are never materialized, no shuffle of pair
+    * rows at all. Results are identical to [[bruteForceTopK]] (same
+    * normalize → dot → HALF_UP round → (sim desc, id asc) ranking).
+    *
+    * Applicability bound: corpus must fit in a broadcast (~1M × 64-dim
+    * doubles ≈ 512 MB). Beyond that, LSH/IVF are the scale paths.
+    */
+  def bruteForceTopKBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundSim: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull)
+      .as[(Long, Seq[Double])]
+    val corpus: Array[(Long, Array[Double])] =
+      base.collect().map { case (i, u) => (i, u.toArray) }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+
+    base.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (qid, uSeq) =>
+        val u = uSeq.toArray
+        // bounded selection: (sim desc, id asc), worst kept at index k-1
+        val topIds = new Array[Long](k)
+        val topSims = new Array[Double](k)
+        var filled = 0
+        var ci = 0
+        while (ci < cs.length) {
+          val (nid, v) = cs(ci)
+          if (nid != qid) {
+            var dot = 0.0
+            var j = 0
+            while (j < u.length) { dot += u(j) * v(j); j += 1 }
+            // identical rounding to Spark's round(): scala BigDecimal
+            // HALF_UP on the double
+            val sim = BigDecimal(dot)
+              .setScale(roundSim, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            val beatsWorst = filled < k || sim > topSims(filled - 1) ||
+              (sim == topSims(filled - 1) && nid < topIds(filled - 1))
+            if (beatsWorst) {
+              var pos = math.min(filled, k - 1)
+              while (pos > 0 && (sim > topSims(pos - 1) ||
+                  (sim == topSims(pos - 1) && nid < topIds(pos - 1)))) {
+                topSims(pos) = topSims(pos - 1)
+                topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topSims(pos) = sim
+              topIds(pos) = nid
+              if (filled < k) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).map(r => (qid, topIds(r), r + 1))
+      }
+    }.toDF("query_id", "neighbor_id", "rank")
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means centroids partition
     * the corpus into nLists cells; each query probes its nProbe nearest
     * cells and re-ranks exactly inside them. The classic ANN index

@@ -88,7 +88,14 @@ object TextQueries extends QueryPack {
     // SimHash near-dup pairs (rows-only).
     "q39_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)))
+        maxHamming = 8)),
+
+    // Full MinHash dedup: pairs → connected-component clusters → keep
+    // one doc per cluster (rows-only; clustering semantics unit-tested).
+    "q46_minhash_dedup" -> ((s, dir) =>
+      Dedup.dedupByMinHash(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select("doc_id", "source", "n_chars")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.tokens]]. */
   private val toks =

@@ -22,9 +22,11 @@ object VectorQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-3 neighbors (ids+rank only: float
-    // payloads never surface, so hashing is stable).
+    // payloads never surface, so hashing is stable). Broadcast-blocked
+    // single-pass scan — no n² pair rows materialized; identical output
+    // to the join-based formulation (parity-tested in SimilaritySpec).
     "q40_cosine_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+      Similarity.bruteForceTopKBlocked(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3)),
 
     // Embedding near-duplicate pairs above cosine 0.9 (exact all-pairs).

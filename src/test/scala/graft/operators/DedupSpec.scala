@@ -67,6 +67,33 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) < 0.1)
   }
 
+  test("duplicateClusters: chains collapse to the min id") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // chain 1-2-5-9 → keeper 1; pair 11-12 → keeper 11
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L,
+      11L -> 11L, 12L -> 11L))
+  }
+
+  test("duplicateClusters: distributed iterative path agrees with local") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.duplicateClusters(pairs, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === local)
+  }
+
+  test("dedupByMinHash keeps one doc per near-dup cluster") {
+    val out = Dedup.dedupByMinHash(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 1,2,4 are near-dups → keeper 1; 3 and 5 unaffected
+    assert(out === Array(1L, 3L, 5L))
+  }
+
   test("embeddingNearDupPairs exact vs approx (LSH) agree on strong dups") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -17,6 +17,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) === 2L) // (0,1)·(0.9,0.1)>0, (0,1)·(1,0)=0
   }
 
+  test("bruteForceTopKBlocked identical to join-based brute force") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val joined = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val blocked = Similarity
+      .bruteForceTopKBlocked(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked === joined)
+  }
+
   test("ivfTopK recall vs brute force on sf0.001 embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
