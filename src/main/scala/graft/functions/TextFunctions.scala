@@ -36,7 +36,6 @@ object TextFunctions {
     * whole text (so every doc has ≥1 shingle). */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    val joined = concat_ws(" ", toks)
     val nShingles = greatest(size(toks) - (n - 1), lit(1))
     transform(
       sequence(lit(0), nShingles - 1),

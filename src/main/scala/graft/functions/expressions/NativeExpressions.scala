@@ -250,7 +250,11 @@ case class RhpSig(child: Expression, bits: Int, dim: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    // vectors of the wrong dimensionality get signature 0 — identical to
+    // the declarative version, where the zip_with null-padding poisons
+    // every projection and all bits fall to the otherwise(0) branch
+    if (v.numElements() != dim) return java.lang.Long.valueOf(0L)
+    val n = dim
     var out = 0L
     var i = 0
     while (i < bits) {

@@ -42,17 +42,23 @@ object AsOfJoin {
       rightTime: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // timestamps order at micros precision — cast("long") on a timestamp
+    // would truncate to SECONDS and scramble sub-second ordering
+    def ordCol(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
     // side tag 0 = right (sorts first on equal time → inclusive match)
     val taggedRight = right.select(
       (col(key).as(key) +:
-        col(rightTime).cast("long").as("__t") +:
+        ordCol(right, rightTime).as("__t") +:
         lit(0).as("__side") +:
         rightCols.map(c => col(c).as(s"__r_$c"))) ++
         leftCols.filterNot(c => c == key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (col(key).as(key) +:
-        col(leftTime).cast("long").as("__t") +:
+        ordCol(left, leftTime).as("__t") +:
         lit(1).as("__side") +:
         rightCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))) ++

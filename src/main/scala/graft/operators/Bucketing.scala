@@ -27,10 +27,9 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
-  /** True if the physical plan of `df` contains no shuffle exchange —
-    * the check that a bucketed join actually avoided the shuffle. */
-  def isShuffleFree(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan
-    !plan.toString.contains("Exchange hashpartitioning")
-  }
+  /** True if the physical plan of `df` contains no shuffle exchange of
+    * any kind (hash, range, single-partition) — the check that a
+    * bucketed join actually avoided the shuffle. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange ")
 }

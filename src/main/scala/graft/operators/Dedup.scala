@@ -178,13 +178,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts the min label among itself and its neighbors
+      // step 1: each node adopts the min label among itself + neighbors
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("keeper_id"))
-      val updated = labels.unionByName(neighborLabels)
+      val hopped = labels.unionByName(neighborLabels)
         .groupBy(col("id"))
         .agg(min(col("keeper_id")).as("keeper_id"))
+      // step 2: pointer jumping — adopt the label OF my label, halving
+      // remaining chain distance each round (one-hop alone would need
+      // diameter-many rounds, not log-many)
+      val parentOfLabel = hopped
+        .select(col("id").as("keeper_id"), col("keeper_id").as("jump"))
+      val updated = hopped.join(parentOfLabel, Seq("keeper_id"), "left")
+        .select(col("id"),
+          least(col("keeper_id"), coalesce(col("jump"), col("keeper_id")))
+            .as("keeper_id"))
       val changed = updated.alias("u")
         .join(labels.alias("l"), Seq("id"))
         .where(col("u.keeper_id") =!= col("l.keeper_id"))
@@ -195,6 +204,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"duplicateClusters did not converge in $maxIter rounds " +
+        "(hop+jump covers diameter ~2^maxIter; raise maxIter)")
     labels
   }
 

@@ -59,8 +59,6 @@ object BatchEtl {
 
     // ---- constraint surface Postgres enforced declaratively ----
     val userDupes = Constraints.uniqueViolations(users, Seq("id")).count()
-    val orphanParts = Constraints.referentialViolations(
-      participants, "meeting_uuid", meetings, "uuid").count()
 
     // ---- ordered loads (K1-K3) ----
     val newUsers = upsertSnapshot(spark, paths.users, users, Seq("id"))
@@ -69,8 +67,14 @@ object BatchEtl {
     val newParts = upsertSnapshot(spark, paths.participants, participants,
       Seq("meeting_uuid", "user_id"))
 
-    // ---- staging→main recording merge (J1+K5+J2), after meetings ----
+    // FK check runs against the MERGED meeting snapshot — checking the
+    // since-filtered increment would flag every participant of a
+    // previously-loaded meeting as an orphan on incremental runs
     val meetingsNow = spark.read.parquet(paths.meetings)
+    val orphanParts = Constraints.referentialViolations(
+      participants, "meeting_uuid", meetingsNow, "uuid").count()
+
+    // ---- staging→main recording merge (J1+K5+J2), after meetings ----
     if (exists(spark, paths.recordingStaging))
       RecordingStream.promote(spark, paths.recordingStaging, meetingsNow,
         paths.recordings)

@@ -94,9 +94,18 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
     s"ZoomMeetingScan(pushed=[${filters.mkString(", ")}], " +
       s"columns=[${required.fieldNames.mkString(", ")}])"
 
+  // session Hadoop conf captured on the DRIVER (fs.s3a.* etc. from
+  // spark.hadoop.*) and shipped to readers as a plain serializable map —
+  // a fresh Configuration() on the executor would miss all of it
+  private def sessionConfMap: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .hadoopConfiguration.asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(ZoomConf.build(sessionConfMap))
     val files =
       if (fs.isDirectory(p))
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
@@ -105,31 +114,41 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZoomReaderFactory(filters, required)
+    new ZoomReaderFactory(filters, required, sessionConfMap)
+}
+
+private[sources] object ZoomConf {
+  def build(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 private[sources] final case class ZoomFilePartition(file: String)
     extends InputPartition
 
 private[sources] class ZoomReaderFactory(filters: Array[Filter],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, confMap: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ZoomPartitionReader(p.asInstanceOf[ZoomFilePartition].file,
-      filters, required)
+      filters, required, confMap)
 }
 
 private[sources] class ZoomPartitionReader(file: String,
-    filters: Array[Filter], required: StructType)
+    filters: Array[Filter], required: StructType,
+    confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   // per-reader pacing (live-API analog: page fetches, extract.py:33-37);
   // file reads need no pacing so the bucket is effectively unlimited —
   // a live HTTP reader would construct this from options
   private val limiter = new TokenBucket(ratePerSec = 1e9, burst = 1000)
-  private val fs = new Path(file)
-    .getFileSystem(new org.apache.hadoop.conf.Configuration())
-  private val lines = scala.io.Source.fromInputStream(
-    fs.open(new Path(file)), "UTF-8").getLines()
+  private val fs = new Path(file).getFileSystem(ZoomConf.build(confMap))
+  private val stream = fs.open(new Path(file))
+  private val lines =
+    scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
   private var current: InternalRow = _
 
   private def passes(startTime: String): Boolean = filters.forall {
@@ -174,5 +193,5 @@ private[sources] class ZoomPartitionReader(file: String,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = stream.close()
 }

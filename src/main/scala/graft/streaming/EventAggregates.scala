@@ -62,14 +62,22 @@ object EventAggregates {
             Iterator(SessionOut(userId, s.sessionStart, s.lastSeen,
               s.nEvents, s.totalValue))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // Spark does NOT drop watermark-late events for
+            // flatMapGroupsWithState — filter them explicitly, or a
+            // stale event could rewind state below the watermark
+            val wmMs = state.getCurrentWatermarkMs()
+            val sorted = it.toSeq
+              .filter(_.ts.getTime >= wmMs)
+              .sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
               val t = e.ts.getTime * 1000L // µs like the batch analog
               cur match {
                 case Some(s) if t - s.lastSeen <= gapMs * 1000L =>
-                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                  // lastSeen never rewinds on out-of-order events
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.sessionStart, s.lastSeen,
@@ -81,8 +89,11 @@ object EventAggregates {
             }
             cur.foreach { s =>
               state.update(s)
-              // close when event-time watermark passes inactivity gap
-              state.setTimeoutTimestamp(s.lastSeen / 1000L + gapMs)
+              // close when event-time watermark passes inactivity gap;
+              // must stay strictly above the current watermark or Spark
+              // rejects the timeout
+              state.setTimeoutTimestamp(
+                math.max(wmMs + 1, s.lastSeen / 1000L + gapMs))
             }
             closed.reverseIterator
           }
