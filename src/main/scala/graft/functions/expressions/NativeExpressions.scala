@@ -3,7 +3,8 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -159,6 +160,16 @@ private[expressions] object VecAccess {
       s"unsupported vector type $other")
   }
 
+  /** Java accessor snippet for generated code, e.g. `a.getFloat(i)`. */
+  def javaGetter(dt: DataType, arr: String, idx: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($idx)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($idx)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($idx)"
+    case ArrayType(LongType, _) => s"(double) $arr.getLong($idx)"
+    case other => throw new IllegalArgumentException(
+      s"unsupported vector type $other")
+  }
+
   def hasNull(a: ArrayData): Boolean = {
     var i = 0
     val n = a.numElements()
@@ -167,23 +178,64 @@ private[expressions] object VecAccess {
   }
 }
 
-/** Cosine similarity of two numeric arrays in double precision,
-  * left-to-right accumulation; null on length mismatch / null element /
-  * zero norm. Matches VectorFunctions.cosineDeclarative. */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Shared shape of the vector-pair expressions: interpreted path + a
+  * whole-stage-codegen doGenCode emitting the same tight loop (full
+  * codegen — NOT CodegenFallback — so pairwise similarity stays fused
+  * inside the join/projection stage with no per-row virtual calls). */
+sealed trait VectorPairExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val readL = VecAccess.reader(left.dataType)
-  @transient private lazy val readR = VecAccess.reader(right.dataType)
+  /** Emit loop body + result assignment; both arrays verified same
+    * length and null-free, accumulators dot/aa/bb precomputed. Any
+    * locals must come from `ctx.freshName` (several instances of the
+    * expression may share one generated method). */
+  protected def genResult(ctx: CodegenContext, dotV: String, aaV: String,
+      bbV: String, ev: ExprCode): String
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val bad = ctx.freshName("bad")
+      val getA = VecAccess.javaGetter(left.dataType, a, i)
+      val getB = VecAccess.javaGetter(right.dataType, b, i)
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = $b.numElements() != $n;
+         |double $dot = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    final double $x = $getA;
+         |    final double $y = $getB;
+         |    $dot += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${genResult(ctx, dot, aa, bb, ev)}
+         |}
+       """.stripMargin
+    })
+  }
+
+  protected def evalPair(l: Any, r: Any)(
+      result: (Double, Double, Double) => Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (b.numElements() != n || VecAccess.hasNull(a) || VecAccess.hasNull(b))
       return null
+    val readL = VecAccess.reader(left.dataType)
+    val readR = VecAccess.reader(right.dataType)
     var dot = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -191,8 +243,30 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; aa += x * x; bb += y * y
       i += 1
     }
-    val norm = math.sqrt(aa) * math.sqrt(bb)
-    if (norm > 0) java.lang.Double.valueOf(dot / norm) else null
+    result(dot, aa, bb)
+  }
+}
+
+/** Cosine similarity of two numeric arrays in double precision,
+  * left-to-right accumulation; null on length mismatch / null element /
+  * zero norm. Matches VectorFunctions.cosineDeclarative. */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorPairExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalPair(l, r) { (dot, aa, bb) =>
+      val norm = math.sqrt(aa) * math.sqrt(bb)
+      if (norm > 0) java.lang.Double.valueOf(dot / norm) else null
+    }
+
+  override protected def genResult(ctx: CodegenContext, dotV: String,
+      aaV: String, bbV: String, ev: ExprCode): String = {
+    val norm = ctx.freshName("norm")
+    s"""
+       |final double $norm = Math.sqrt($aaV) * Math.sqrt($bbV);
+       |if ($norm > 0) { ${ev.value} = $dotV / $norm; }
+       |else { ${ev.isNull} = true; }
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(
@@ -201,24 +275,14 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Dot product in double precision (left-to-right), null on mismatch. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+    extends VectorPairExpression {
 
-  @transient private lazy val readL = VecAccess.reader(left.dataType)
-  @transient private lazy val readR = VecAccess.reader(right.dataType)
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalPair(l, r)((dot, _, _) => java.lang.Double.valueOf(dot))
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (b.numElements() != n || VecAccess.hasNull(a) || VecAccess.hasNull(b))
-      return null
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += readL(a, i) * readR(b, i); i += 1 }
-    java.lang.Double.valueOf(dot)
-  }
+  override protected def genResult(ctx: CodegenContext, dotV: String,
+      aaV: String, bbV: String, ev: ExprCode): String =
+    s"${ev.value} = $dotV;"
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)

@@ -226,6 +226,21 @@ object RelationalQueries extends QueryPack {
         .select("cust", "id_a", "id_b")
     }),
 
+    // Decorrelated scalar subquery: orders priced above 2× their
+    // customer's average. The comparison is kept in EXACT integer/decimal
+    // arithmetic by multiplying out the division (price·n > 2·total) —
+    // a decimal-divide would round differently per engine.
+    "q29_above_customer_avg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = o.groupBy(col("o_custkey").as("ck"))
+        .agg(sum(dec(col("o_totalprice"))).as("total_dec"),
+          count(lit(1)).as("n_orders"))
+      o.join(stats, col("o_custkey") === col("ck"))
+        .where(dec(col("o_totalprice")) * col("n_orders") >
+          col("total_dec") * 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // Top-N per group over an aggregate ("top hosts by meeting hours",
     // SURVEY §2.6): top-3 customers by decimal-exact revenue per nation.
     "q28_topn_per_group" -> ((s, dir) => {
@@ -381,6 +396,14 @@ object RelationalQueries extends QueryPack {
         | AND a.o_orderkey < b.o_orderkey
         | AND epoch_us(a.o_orderdate) <= epoch_us(b.o_orderdate) + 604800000000
         | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 604800000000""".stripMargin,
+    "q29_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS ck,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey) s ON o.o_custkey = s.ck
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > total_dec * 2""".stripMargin,
     "q28_topn_per_group" ->
       """SELECT c_nationkey, c_custkey, revenue, rnk FROM (
         |  SELECT c_nationkey, c_custkey, revenue,

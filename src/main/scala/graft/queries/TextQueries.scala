@@ -72,7 +72,8 @@ object TextQueries extends QueryPack {
       t(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
-    // BPE-ish token counting (Java-regex lookarounds; rows-only).
+    // BPE-ish token counting (alternation regex — RE2-compatible, so
+    // DuckDB can mirror it exactly).
     "q37_bpeish_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -154,6 +155,10 @@ object TextQueries extends QueryPack {
          |    ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin
     },
+    "q37_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin,
     "q34_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
