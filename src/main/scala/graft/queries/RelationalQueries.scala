@@ -226,6 +226,33 @@ object RelationalQueries extends QueryPack {
         .select("cust", "id_a", "id_b")
     }),
 
+    // Explicit GROUPING SETS (finer than rollup/cube) through the SQL
+    // surface over registered views.
+    "q47_grouping_sets" -> ((s, dir) => {
+      graft.Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))""".stripMargin)
+    }),
+
+    // Sorted array aggregation per group (deterministic collect).
+    "q48_array_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_linenumber")))
+          .as("linenumbers"))),
+
+    // Ordered string aggregation per group.
+    "q49_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), "|")
+          .as("segments"),
+          count(lit(1)).as("n"))),
+
     // Decorrelated scalar subquery: orders priced above 2× their
     // customer's average. The comparison is kept in EXACT integer/decimal
     // arithmetic by multiplying out the division (price·n > 2·total) —
@@ -396,6 +423,21 @@ object RelationalQueries extends QueryPack {
         | AND a.o_orderkey < b.o_orderkey
         | AND epoch_us(a.o_orderdate) <= epoch_us(b.o_orderdate) + 604800000000
         | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 604800000000""".stripMargin,
+    "q47_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))""".stripMargin,
+    "q48_array_agg" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(l_linenumber)) AS linenumbers
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q49_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q29_above_customer_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o JOIN (
