@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Everything here is HASH-based, not RNG-based: the assignment of a row
+  * depends only on its id (and the seed), so splits are reproducible
+  * across runs, cluster sizes, and partitionings — the property that
+  * matters when a 100 TB corpus is re-processed incrementally and rows
+  * must stay in the split they were first assigned to.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) for an id column — the primitive under both
+    * splitting and sampling. */
+  def hashBucket(id: Column, buckets: Int, seed: Long): Column =
+    pmod(xxhash64(id, lit(seed)), lit(buckets.toLong)).cast("int")
+
+  /** Assign each row a named split by hash-weighted buckets.
+    * `weights` maps split name → relative weight (normalized internally;
+    * resolution is 1/10000). Deterministic per (id, seed). */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L,
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    val buckets = 10000
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) =>
+      acc + w / total * buckets
+    }.tail.map(_.round.toInt)
+    val b = hashBucket(col(idCol), buckets, seed)
+    val expr = weights.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, hi)) =>
+        when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic fraction sample: keep ~fraction of rows by id hash. */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val buckets = 1000000
+    df.where(hashBucket(col(idCol), buckets, seed) <
+      (fraction * buckets).round.toInt)
+  }
+
+  /** Stratified deterministic sample: per-stratum fractions (missing
+    * strata default to `defaultFraction`). Hash-based, so repeatable —
+    * unlike `DataFrame.stat.sampleBy`, which is RNG-per-partition. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val buckets = 1000000
+    val b = hashBucket(col(idCol), buckets, seed)
+    val cutoff = fractions.foldLeft(
+      lit((defaultFraction * buckets).round.toInt)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum,
+          lit((f * buckets).round.toInt)).otherwise(acc)
+    }
+    df.where(b < cutoff)
+  }
+}

@@ -96,7 +96,16 @@ object TextQueries extends QueryPack {
     "q46_minhash_dedup" -> ((s, dir) =>
       Dedup.dedupByMinHash(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
-        .select("doc_id", "source", "n_chars")))
+        .select("doc_id", "source", "n_chars")),
+
+    // Deterministic hash-based train/val/test split counts (rows-only:
+    // xxhash64 isn't DuckDB-expressible; determinism + partitioning
+    // invariance asserted in SamplingSpec).
+    "q50_train_split" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplits(t(s, dir, "documents"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.tokens]]. */
   private val toks =
