@@ -238,12 +238,15 @@ object RelationalQueries extends QueryPack {
           |  (o_orderstatus, o_orderpriority))""".stripMargin)
     }),
 
-    // Sorted array aggregation per group (deterministic collect).
+    // Sorted array aggregation per group (deterministic collect). The
+    // array is serialized to a string for the output row — raw
+    // list-valued cells are not reliably hashable by the oracle compare.
     "q48_array_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_list(col("l_linenumber")))
-          .as("linenumbers"))),
+        .agg(concat_ws(",", array_sort(collect_list(col("l_linenumber"))))
+          .as("linenumbers"),
+          size(collect_list(col("l_linenumber"))).as("n_lines"))),
 
     // Ordered string aggregation per group.
     "q49_string_agg" -> ((s, dir) =>
@@ -431,7 +434,8 @@ object RelationalQueries extends QueryPack {
         |  (o_orderstatus, o_orderpriority))""".stripMargin,
     "q48_array_agg" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_linenumber)) AS linenumbers
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+        |  len(list(l_linenumber)) AS n_lines
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q49_string_agg" ->
       """SELECT c_nationkey,
