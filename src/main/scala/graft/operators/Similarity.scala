@@ -179,7 +179,9 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
       .where(col("u").isNotNull)
-    val vecs = base.withColumn("features", array_to_vector(col("u")))
+    // cache: k-means re-scans its input every iteration — without this
+    // the parquet read + normalization reruns maxIter times
+    val vecs = base.withColumn("features", array_to_vector(col("u"))).cache()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .fit(vecs)
     val assigned = model.transform(vecs)

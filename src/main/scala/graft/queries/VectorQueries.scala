@@ -36,6 +36,21 @@ object VectorQueries extends QueryPack {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))),
 
+    // Cross-modal composition: embedding-similar pairs (cosine ≥ 0.4)
+    // verified against the TEXT of the same ids via unigram-set Jaccard
+    // — the semantic-dedup-with-lexical-verification pipeline shape.
+    "q51_crossmodal_pairs" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+      val verified = Dedup.ngramJaccardPairs(
+        pairs.select("id_a", "id_b"), t(s, dir, "documents"),
+        "doc_id", "text", n = 1)
+      pairs.join(verified, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     // Per-vector L2 norm (deterministic per-row arithmetic).
     "q42_vector_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"), col("label"),
@@ -88,6 +103,26 @@ object VectorQueries extends QueryPack {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE CASE WHEN $normA * $normB > 0
          |    THEN $dotAB / ($normA * $normB) END >= 0.9""".stripMargin,
+    "q51_crossmodal_pairs" -> {
+      val toks = "list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0))"
+      s"""WITH grams AS (SELECT doc_id, $toks AS g FROM documents),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN $normA * $normB > 0
+         |      THEN $dotAB / ($normA * $normB) END AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE CASE WHEN $normA * $normB > 0
+         |      THEN $dotAB / ($normA * $normB) END >= 0.4
+         |)
+         |SELECT p.id_a, p.id_b, round(p.cos, 4) AS cosine,
+         |  round(CASE WHEN len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) > 0
+         |    THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |       / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+         |    ELSE 0.0 END, 4) AS jaccard
+         |FROM pairs p
+         |JOIN grams ga ON ga.doc_id = p.id_a
+         |JOIN grams gb ON gb.doc_id = p.id_b""".stripMargin
+    },
     "q42_vector_norms" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
