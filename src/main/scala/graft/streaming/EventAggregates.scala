@@ -27,6 +27,16 @@ object EventAggregates {
   final case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, total_value: Double)
 
+  /** Streaming deduplication bounded by the watermark: re-deliveries of
+    * the same event_id within the lateness horizon are dropped once;
+    * state for an id is evicted when the watermark passes it (so memory
+    * is bounded — the streaming analog of exact dedup, and the
+    * first-line defense the reference gets from idempotent upserts). */
+  def dedupEvents(events: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Hourly tumbling-window counts per event type with a 1-hour
     * watermark: events later than that are dropped, bounding state. */
   def hourlyCounts(events: DataFrame,

@@ -53,6 +53,25 @@ class EventAggregatesSpec extends SparkSpec {
     assert(out(ts("2024-01-01 10:00:00")) === 1L) // straggler excluded
   }
 
+  test("streaming dedup drops re-delivered event ids within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)) // in-batch dup
+    q.processAllAvailable()
+    input.addData( // cross-batch re-delivery of id 1
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0))
+    q.processAllAvailable()
+    val n = spark.table("deduped").count()
+    q.stop()
+    assert(n === 2) // ids 1 and 2, each exactly once
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
