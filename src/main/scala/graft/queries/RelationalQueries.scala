@@ -226,6 +226,19 @@ object RelationalQueries extends QueryPack {
         .select("cust", "id_a", "id_b")
     }),
 
+    // Window-function breadth: lag/lead/ntile/first over event streams.
+    "q53_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).as("quartile"),
+        first(col("event_type")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_type"))
+    }),
+
     // Explicit GROUPING SETS (finer than rollup/cube) through the SQL
     // surface over registered views.
     "q47_grouping_sets" -> ((s, dir) => {
@@ -426,6 +439,15 @@ object RelationalQueries extends QueryPack {
         | AND a.o_orderkey < b.o_orderkey
         | AND epoch_us(a.o_orderdate) <= epoch_us(b.o_orderdate) + 604800000000
         | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 604800000000""".stripMargin,
+    "q53_window_funcs" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -98,6 +98,12 @@ object TextQueries extends QueryPack {
           threshold = 0.5)
         .select("doc_id", "source", "n_chars")),
 
+    // TF-IDF top-3 keywords per document (ln-based idf; score rounded
+    // so libm ulp differences can't flip the oracle compare).
+    "q52_tfidf_top_terms" -> ((s, dir) =>
+      graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id",
+        "text", k = 3)),
+
     // Deterministic hash-based train/val/test split counts (rows-only:
     // xxhash64 isn't DuckDB-expressible; determinism + partitioning
     // invariance asserted in SamplingSpec).
@@ -168,6 +174,25 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish
         |FROM documents""".stripMargin,
+    "q52_tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |           x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), corpus AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, score, rnk FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(corpus.n AS DOUBLE) / dfreq.df), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(CAST(corpus.n AS DOUBLE) / dfreq.df), 6) DESC,
+        |               tf.term ASC) AS rnk
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+        |) WHERE rnk <= 3""".stripMargin,
     "q34_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
