@@ -104,6 +104,32 @@ object TextQueries extends QueryPack {
       graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id",
         "text", k = 3)),
 
+    // Cross-source corpus overlap via the MinHashUnionAgg typed
+    // Aggregator: one union-signature per source, pairwise Jaccard
+    // estimate WITHOUT joining documents (rows-only: hash-based;
+    // estimator accuracy asserted in MinHashUnionAggSpec).
+    "q54_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val k = 64
+      val agg = new graft.functions.MinHashUnionAgg(k)
+      val sigs = t(s, dir, "documents")
+        .select(col("source"),
+          Dedup.minHashSignature(col("text"), 3, k).as("sig"))
+        .as[(String, Seq[Long])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.toColumn.name("usig"))
+        .toDF("source", "usig")
+      val a = sigs.select(col("source").as("src_a"), col("usig").as("ua"))
+      val b = sigs.select(col("source").as("src_b"), col("usig").as("ub"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("est_jaccard", round(
+          aggregate(zip_with(col("ua"), col("ub"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k, 4))
+        .select("src_a", "src_b", "est_jaccard")
+    }),
+
     // Deterministic hash-based train/val/test split counts (rows-only:
     // xxhash64 isn't DuckDB-expressible; determinism + partitioning
     // invariance asserted in SamplingSpec).
