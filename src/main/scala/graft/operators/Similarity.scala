@@ -185,10 +185,15 @@ object Similarity {
     // random init beats kmeans|| here: at index-training scale the ||
     // init's extra passes are pure scheduler overhead (measured 9.5s vs
     // 5.9s for the whole fit on 2k×64), and nProbe probing absorbs the
-    // slightly looser cells (recall asserted in SimilaritySpec)
+    // slightly looser cells (recall asserted in SimilaritySpec).
+    // Training input is canonicalized to ONE sorted partition so the
+    // seeded init — which samples per partition — yields the same
+    // centroids at any parallelism (the train set is a bounded sample
+    // by design; assignment below runs over the fully partitioned data).
+    val trainSet = vecs.repartition(1).sortWithinPartitions("id")
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setInitMode("random")
-      .fit(vecs)
+      .fit(trainSet)
     val assigned = model.transform(vecs)
       .select(col("id"), col("u"), col("prediction").as("cell"))
 
