@@ -89,6 +89,28 @@ object Media {
       features = Array.fill(dim)(rnd.nextFloat()))
   }
 
+  /** STUB — deterministic fake image resize: produces a new MediaFile
+    * whose bytes are a stable function of (input bytes, target size) and
+    * whose metadata reflects the target dimensions. A real
+    * implementation swaps only the byte transform. */
+  def resizeImageStub(w: Int, h: Int)(f: MediaFile): MediaFile = {
+    val seed = java.util.Arrays.hashCode(f.content) ^ (w * 31 + h)
+    val rnd = new scala.util.Random(seed)
+    val resized = Array.fill(math.max(16, f.content.length / 4))(
+      rnd.nextInt().toByte)
+    f.copy(content = resized, width = Some(w), height = Some(h))
+  }
+
+  /** Per-partition resize pass (same distributed shape as decode). */
+  def resizeImages(files: Dataset[MediaFile], w: Int, h: Int):
+      Dataset[MediaFile] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      val resize = resizeImageStub(w, h) _
+      it.map(resize)
+    }
+  }
+
   /** STUB — deterministic fake audio feature extraction. */
   def extractAudioFeaturesStub(dim: Int = 8)(f: MediaFile): AudioFeatures = {
     val h = java.util.Arrays.hashCode(f.content)

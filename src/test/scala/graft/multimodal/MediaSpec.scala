@@ -42,6 +42,28 @@ class MediaSpec extends SparkSpec {
     assert(a.forall(_.sample_rate === 16000))
   }
 
+  test("resize: metadata updated, bytes transformed deterministically") {
+    val out1 = Media.resizeImages(mediaDs, 224, 224).collect()
+      .sortBy(_.media_id)
+    val out2 = Media.resizeImages(mediaDs.repartition(2), 224, 224)
+      .collect().sortBy(_.media_id)
+    assert(out1.forall(f => f.width === Some(224) && f.height === Some(224)))
+    assert(out1.map(_.content.toSeq) === out2.map(_.content.toSeq))
+    assert(out1.forall(_.content.nonEmpty))
+  }
+
+  test("metadata queries prune the binary column at the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    mediaDs.toDF().write.mode("overwrite").parquet(s"$dir/media")
+    val metaOnly = spark.read.parquet(s"$dir/media")
+      .select("media_id", "kind", "path")
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("content"),
+      readSchema) // blob column skipped entirely by the columnar reader
+  }
+
   test("frameSamplePlan: every-nth-frame metadata, capped") {
     val vids = mediaDs.map(f => f.copy(kind = "video",
       duration_ms = Some(10000L)))
