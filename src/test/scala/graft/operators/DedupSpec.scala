@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("iterative clustering converges on a 50-node chain in ≤10 rounds") {
+    // one-hop-only propagation would need 50 rounds; hop+jump must
+    // cover diameter ~2^10 — this chain proves the log-round claim
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain, maxIter = 10,
+        localThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(out.length === 50)
+    assert(out.forall(_._2 === 0L))
+  }
+
   test("dedupByMinHash keeps one doc per near-dup cluster") {
     val out = Dedup.dedupByMinHash(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted
