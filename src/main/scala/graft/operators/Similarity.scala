@@ -191,7 +191,7 @@ object Similarity {
     // centroids at any parallelism (the train set is a bounded sample
     // by design; assignment below runs over the fully partitioned data).
     val trainSet = vecs.repartition(1).sortWithinPartitions("id")
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
       .fit(trainSet)
     val assigned = model.transform(vecs)
