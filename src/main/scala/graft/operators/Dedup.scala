@@ -83,10 +83,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // materialized once: this table feeds banding AND both sides of the
+    // verification join — lazily it would recompute tokenize+shingle+
+    // sign four times
     val withSig = df.select(
       col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingle)).as("shingles"),
       minHashSignature(col(textCol), shingle, numHashes).as("sig"))
+      .localCheckpoint(true)
 
     // candidate generation on (band, bucket, id) ONLY — the fat shingle
     // arrays never enter the candidate shuffle; they re-attach just for
