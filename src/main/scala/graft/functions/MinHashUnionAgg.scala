@@ -19,8 +19,11 @@ class MinHashUnionAgg(numHashes: Int)
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    if (sig == null) return buf // null-text docs contribute nothing
+    require(sig.length >= numHashes,
+      s"signature length ${sig.length} < aggregator width $numHashes")
     var i = 0
-    while (i < numHashes && i < sig.length) {
+    while (i < numHashes) {
       if (sig(i) < buf(i)) buf(i) = sig(i)
       i += 1
     }
@@ -46,9 +49,13 @@ class MinHashUnionAgg(numHashes: Int)
 
 object MinHashUnionAgg {
   /** Estimated Jaccard similarity of two union-signatures: fraction of
-    * agreeing positions (the standard MinHash estimator). */
+    * agreeing positions (the standard MinHash estimator). Positions
+    * still holding the empty-corpus sentinel (Long.MaxValue) never count
+    * as agreement — two empty corpora estimate 0, not 1. */
   def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
     require(a.length == b.length && a.nonEmpty)
-    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    a.zip(b).count { case (x, y) =>
+      x == y && x != Long.MaxValue
+    }.toDouble / a.length
   }
 }

@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Bucket in [0, buckets) for an id column — the primitive under both
-    * splitting and sampling. */
+    * splitting and sampling.
+    *
+    * NULL ids all hash to one bucket (xxhash64 skips null inputs), so
+    * null-id rows are sampled/split all-or-nothing — with no identity
+    * there is no per-row deterministic choice. Synthesize ids (or
+    * filter nulls) before sampling if that matters. */
   def hashBucket(id: Column, buckets: Int, seed: Long): Column =
     pmod(xxhash64(id, lit(seed)), lit(buckets.toLong)).cast("int")
 

@@ -113,6 +113,12 @@ object Similarity {
       base.collect().map { case (i, u) => (i, u.toArray) }.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
 
+    if (k <= 0) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType), StructField("rank", IntegerType))))
+    }
     base.mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (qid, uSeq) =>
@@ -172,25 +178,30 @@ object Similarity {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      trainCap: Int = 25000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val base = df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
       .where(col("u").isNotNull)
-    // cache: k-means re-scans its input every iteration — without this
-    // the parquet read + normalization reruns maxIter times
+    // cache: k-means re-scans its input every iteration, and the probe
+    // pass below reuses the same cached plan
     val vecs = base.withColumn("features", array_to_vector(col("u"))).cache()
     // random init beats kmeans|| here: at index-training scale the ||
     // init's extra passes are pure scheduler overhead (measured 9.5s vs
     // 5.9s for the whole fit on 2k×64), and nProbe probing absorbs the
     // slightly looser cells (recall asserted in SimilaritySpec).
-    // Training input is canonicalized to ONE sorted partition so the
-    // seeded init — which samples per partition — yields the same
-    // centroids at any parallelism (the train set is a bounded sample
-    // by design; assignment below runs over the fully partitioned data).
-    val trainSet = vecs.repartition(1).sortWithinPartitions("id")
+    // The train set is a BOUNDED deterministic sample: the trainCap
+    // lowest-hash ids (stable regardless of corpus size/partitioning),
+    // canonicalized to one sorted partition so the seeded init — which
+    // samples per partition — yields the same centroids at any
+    // parallelism. Assignment below runs over the fully partitioned data.
+    val trainSet = vecs
+      .orderBy(xxhash64(col("id")).asc)
+      .limit(trainCap)
+      .repartition(1).sortWithinPartitions("id")
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
       .fit(trainSet)
@@ -198,16 +209,24 @@ object Similarity {
       .select(col("id"), col("u"), col("prediction").as("cell"))
 
     // tiny centroid table (nLists rows) → broadcast; each query ranks
-    // its nProbe nearest cells by dot product with the centroid
+    // its nProbe nearest cells by the SAME metric k-means assigns with:
+    // argmin ||u-c||² ≡ argmax (u·c − ||c||²/2). Ranking by raw dot
+    // would use a different metric (centroid norms vary by cell) and a
+    // query could fail to probe its own cell — systematic recall loss.
     val spark = df.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
+      .map { case (c, i) =>
+        val arr = c.toArray
+        (i, arr, arr.map(x => x * x).sum / 2.0)
+      }.toSeq
+      .toDF("cell", "centroid", "half_sq_norm")
     val probeW = Window.partitionBy(col("id"))
-      .orderBy(col("cdist").desc, col("cell").asc)
-    val probes = base.crossJoin(broadcast(centroids))
-      .withColumn("cdist", dot(col("u"), col("centroid")))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probes = vecs.select(col("id"), col("u"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cscore",
+        dot(col("u"), col("centroid")) - col("half_sq_norm"))
       .withColumn("prank", row_number().over(probeW))
       .where(col("prank") <= nProbe)
       .select(col("id").as("key"), col("u").as("u_a"), col("cell"))

@@ -22,10 +22,15 @@ object TfIdf {
   def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    // tf feeds both the df aggregation and the final join — materialize
+    // the tokenization once instead of three corpus scans
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // N = ALL documents (incl. zero-token ones) per the tf-idf
+    // definition; parquet count() is metadata-cheap
     val n = docs.count()
     tf.join(broadcast(df), Seq("term"))
       .withColumn("tfidf",

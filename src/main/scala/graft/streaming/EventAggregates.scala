@@ -81,22 +81,53 @@ object EventAggregates {
               .sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
+            // strays: in-watermark events older than the open session's
+            // backward reach (t + gap < sessionStart). They can never
+            // join the open session, but consecutive strays chain into
+            // their own session, closed as soon as the stray run ends.
+            var strayCur: Option[SessionState] = None
+            def closeStray(): Unit = {
+              strayCur.foreach(s => closed ::= SessionOut(userId,
+                s.sessionStart, s.lastSeen, s.nEvents, s.totalValue))
+              strayCur = None
+            }
+            val gapUs = gapMs * 1000L
             sorted.foreach { e =>
-              val t = e.ts.getTime * 1000L // µs like the batch analog
-              cur match {
-                case Some(s) if t - s.lastSeen <= gapMs * 1000L =>
-                  // lastSeen never rewinds on out-of-order events
-                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
-                    nEvents = s.nEvents + 1,
-                    totalValue = s.totalValue + e.value))
-                case Some(s) =>
-                  closed ::= SessionOut(userId, s.sessionStart, s.lastSeen,
-                    s.nEvents, s.totalValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+              // ms-precision epoch scaled to µs units (matches the batch
+              // analog up to Timestamp's millisecond resolution)
+              val t = e.ts.getTime * 1000L
+              if (cur.exists(s => t + gapUs < s.sessionStart)) {
+                strayCur = strayCur match {
+                  case Some(s) if t - s.lastSeen <= gapUs =>
+                    Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                      nEvents = s.nEvents + 1,
+                      totalValue = s.totalValue + e.value))
+                  case other =>
+                    other.foreach(s => closed ::= SessionOut(userId,
+                      s.sessionStart, s.lastSeen, s.nEvents, s.totalValue))
+                    Some(SessionState(t, t, 1, e.value))
+                }
+              } else {
+                closeStray()
+                cur match {
+                  case Some(s) if t - s.lastSeen <= gapUs =>
+                    // merge; start may extend BACKWARD for an
+                    // out-of-order event within the session's reach
+                    cur = Some(s.copy(
+                      sessionStart = math.min(s.sessionStart, t),
+                      lastSeen = math.max(s.lastSeen, t),
+                      nEvents = s.nEvents + 1,
+                      totalValue = s.totalValue + e.value))
+                  case Some(s) =>
+                    closed ::= SessionOut(userId, s.sessionStart, s.lastSeen,
+                      s.nEvents, s.totalValue)
+                    cur = Some(SessionState(t, t, 1, e.value))
+                  case None =>
+                    cur = Some(SessionState(t, t, 1, e.value))
+                }
               }
             }
+            closeStray()
             cur.foreach { s =>
               state.update(s)
               // close when event-time watermark passes inactivity gap;
