@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * exactly what a dedicated sort-merge as-of operator would do):
   *
   *   1. tag both sides, union on (key, time);
-  *   2. window per key ordered by (time, side-tag): `last_value(right
-  *      payload, ignoreNulls)` up to the current row = most recent right
-  *      row at-or-before this left row;
+  *   2. window per key ordered by (time, side-tag): `last_value(STRUCT
+  *      of all right payload columns, ignoreNulls)` up to the current
+  *      row = most recent right row at-or-before this left row. A
+  *      single struct — not one sweep per column — so the attached
+  *      values always come from ONE right row: per-column sweeps would
+  *      backfill a NULL payload cell from an older right row,
+  *      fabricating a combined row that never existed (DuckDB ASOF
+  *      returns the matched row's NULL);
   *   3. keep left rows.
   *
   * This never builds the (left × right-history) product a naive
@@ -48,31 +53,35 @@ object AsOfJoin {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
       case _ => col(c).cast("long")
     }
+    // One struct holding the whole right payload: the sweep either takes
+    // ALL columns from the matched right row or none (left rows carry a
+    // NULL struct, which ignoreNulls skips; a right row whose payload
+    // cells are NULL still carries a non-null struct, so its NULLs
+    // surface instead of being backfilled from an older row).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     // side tag 0 = right (sorts first on equal time → inclusive match)
     val taggedRight = right.select(
       (col(key).as(key) +:
         ordCol(right, rightTime).as("__t") +:
         lit(0).as("__side") +:
-        rightCols.map(c => col(c).as(s"__r_$c"))) ++
+        struct(rightCols.map(c => col(c).as(c)): _*).as("__r") +: Nil) ++
         leftCols.filterNot(c => c == key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (col(key).as(key) +:
         ordCol(left, leftTime).as("__t") +:
         lit(1).as("__side") +:
-        rightCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))) ++
+        lit(null).cast(rStructType).as("__r") +: Nil) ++
         leftCols.filterNot(c => c == key).map(col): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = taggedRight.unionByName(taggedLeft)
-      .select(col("*") +: rightCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w)
-          .as(s"asof_$c")): _*)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     swept.where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"asof_$c")): _*)
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

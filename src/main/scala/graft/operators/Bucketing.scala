@@ -29,7 +29,22 @@ object Bucketing {
 
   /** True if the physical plan of `df` contains no shuffle exchange of
     * any kind (hash, range, single-partition) — the check that a
-    * bucketed join actually avoided the shuffle. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange ")
+    * bucketed join actually avoided the shuffle. Walks the plan tree for
+    * ShuffleExchangeLike nodes (a substring test on "Exchange" would
+    * false-positive on BroadcastExchange, which moves no rows between
+    * reducers and is exactly what a bucketed plan with a broadcast dim
+    * side should contain). */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AdaptiveSparkPlanExec and query stages are leaf nodes to collect()
+    // — recurse into them explicitly or AQE plans always look clean.
+    def hasShuffle(p: SparkPlan): Boolean = p.collectFirst {
+      case _: ShuffleExchangeLike => true
+      case _: ShuffleQueryStageExec => true
+      case a: AdaptiveSparkPlanExec if hasShuffle(a.executedPlan) => true
+    }.isDefined
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

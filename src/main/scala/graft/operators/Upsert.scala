@@ -38,12 +38,20 @@ object Upsert {
     *   ordering wins. Defaults to input arrival order via
     *   monotonically_increasing_id (stable for a single narrow batch,
     *   mirroring the reference's "last row in the batch wins").
+    * @param dedupNullKeyed NULL-keyed rows normally pass through as plain
+    *   inserts every time (Postgres NULL-distinctness — re-running the
+    *   same batch appends guests again, in the reference too). When true,
+    *   null-keyed updates are deduplicated on ALL columns within the
+    *   batch and against the target (null-safe equality), making replay
+    *   of the same batch idempotent for guests as well. Caveat: two
+    *   genuinely distinct rows identical in every column collapse.
     */
   def upsert(
       target: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
-      orderBy: Option[Column] = None): DataFrame = {
+      orderBy: Option[Column] = None,
+      dedupNullKeyed: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "upsert requires at least one key column")
     val cols = target.columns.toSeq
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
@@ -70,9 +78,20 @@ object Upsert {
       .where(col("__graft_rn") === 1)
       .select(cols.map(col): _*)
 
+    val nullInserts0 = nullKeyed.select(cols.map(col): _*)
+    val nullInserts =
+      if (!dedupNullKeyed) nullInserts0
+      else {
+        // replay-idempotent guests: all-column dedup within the batch,
+        // then null-safe anti-join against rows already in the target
+        val nullTarget = target.where(coalesce(anyNullKey, lit(false)))
+        val dd = nullInserts0.dropDuplicates(cols)
+        val cond = cols.map(c => dd(c) <=> nullTarget(c)).reduce(_ && _)
+        dd.join(nullTarget, cond, "left_anti")
+      }
     val untouched = target.join(winners, keys, "left_anti")
     winners
-      .unionByName(nullKeyed.select(cols.map(col): _*))
+      .unionByName(nullInserts)
       .unionByName(untouched)
   }
 
@@ -103,5 +122,36 @@ object Upsert {
       if (fs.exists(dst)) fs.rename(dst, bak)
       fs.rename(tmp, dst)
     }
+  }
+
+  /** Crash-safe snapshot read: the swap in [[writeSnapshots]] has a
+    * window between rename(dst, __prev) and rename(__tmp, dst) where no
+    * primary directory exists — a reader that treats "missing" as
+    * "empty table" there would silently drop the whole snapshot. Fall
+    * back to `<path>__prev` when the primary is absent (mirroring
+    * Bookmark's `.bak` fallback); return None only when neither
+    * generation exists (genuine first run). Read errors on an EXISTING
+    * directory (corruption, permissions) propagate — they must fail
+    * loudly, not read as empty. */
+  def readSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(path + "__prev")
+    if (fs.exists(dst)) Some(spark.read.parquet(path))
+    else if (fs.exists(bak)) Some(spark.read.parquet(path + "__prev"))
+    else None
+  }
+
+  /** True when a readable snapshot generation (primary or `__prev`)
+    * exists at `path`. */
+  def snapshotExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    fs.exists(dst) || fs.exists(new org.apache.hadoop.fs.Path(path + "__prev"))
   }
 }

@@ -21,7 +21,11 @@ import graft.streaming.RecordingStream
   *   users → meetings → participants → recording merge → bookmark commit
   *
   * (participants AFTER meetings because of the FK; the watermark commits
-  * LAST so failures reprocess — safe, all sinks are idempotent upserts).
+  * LAST so failures reprocess. Keyed rows are safe under replay — the
+  * upserts are idempotent on their keys. NULL-keyed guest participants
+  * would bypass the keyed upsert (Postgres NULL-distinctness, same as
+  * the reference), so the participant load enables dedupNullKeyed:
+  * replaying a batch after a mid-run failure does not re-append guests).
   */
 object BatchEtl {
 
@@ -65,7 +69,7 @@ object BatchEtl {
     val newMeetings =
       upsertSnapshot(spark, paths.meetings, meetings, Seq("uuid"))
     val newParts = upsertSnapshot(spark, paths.participants, participants,
-      Seq("meeting_uuid", "user_id"))
+      Seq("meeting_uuid", "user_id"), dedupNullKeyed = true)
 
     // FK check runs against the MERGED meeting snapshot — checking the
     // since-filtered increment would flag every participant of a
@@ -75,7 +79,7 @@ object BatchEtl {
       participants, "meeting_uuid", meetingsNow, "uuid").count()
 
     // ---- staging→main recording merge (J1+K5+J2), after meetings ----
-    if (exists(spark, paths.recordingStaging))
+    if (Upsert.snapshotExists(spark, paths.recordingStaging))
       RecordingStream.promote(spark, paths.recordingStaging, meetingsNow,
         paths.recordings)
 
@@ -85,17 +89,12 @@ object BatchEtl {
   }
 
   private def upsertSnapshot(spark: SparkSession, path: String,
-      updates: DataFrame, keys: Seq[String]): Long = {
-    val target =
-      if (exists(spark, path)) spark.read.parquet(path)
-      else updates.limit(0)
-    val merged = Upsert.upsert(target, updates, keys)
+      updates: DataFrame, keys: Seq[String],
+      dedupNullKeyed: Boolean = false): Long = {
+    val target = Upsert.readSnapshot(spark, path).getOrElse(updates.limit(0))
+    val merged = Upsert.upsert(target, updates, keys,
+      dedupNullKeyed = dedupNullKeyed)
     Upsert.writeSnapshot(merged, path)
     spark.read.parquet(path).count()
-  }
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

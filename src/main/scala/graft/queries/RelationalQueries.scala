@@ -408,7 +408,7 @@ object RelationalQueries extends QueryPack {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
         |), sess AS (
         |  SELECT user_id, event_id,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,

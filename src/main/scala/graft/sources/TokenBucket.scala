@@ -26,8 +26,11 @@ final class TokenBucket(
     last = now
     if (tokens >= 1.0) { tokens -= 1.0; 0L }
     else {
+      // Deduct the token now (balance goes negative) so the token that
+      // accrues during the returned wait is not credited twice — zeroing
+      // here would let a tight acquireBlocking loop run at ~2x the rate.
       val wait = ((1.0 - tokens) * nanosPerToken).toLong
-      tokens = 0.0
+      tokens -= 1.0
       wait
     }
   }

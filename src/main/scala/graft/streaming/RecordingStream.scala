@@ -115,10 +115,10 @@ object RecordingStream {
       stagingPath: String,
       meetings: DataFrame,
       mainPath: String): Unit = {
-    val staging = spark.read.parquet(stagingPath)
-    val main = try spark.read.parquet(mainPath) catch {
-      case _: Exception => staging.limit(0)
-    }
+    val staging = Upsert.readSnapshot(spark, stagingPath)
+      .getOrElse(sys.error(s"promote: no staging snapshot at $stagingPath"))
+    val main = Upsert.readSnapshot(spark, mainPath)
+      .getOrElse(staging.limit(0))
     val res = Merge.promote(staging, meetings, "meeting_uuid", "uuid",
       main, Seq("id"))
     // one transaction: both plans execute before either snapshot swaps
@@ -127,8 +127,10 @@ object RecordingStream {
       res.staging -> stagingPath))
   }
 
+  // Crash-safe: falls back to the __prev generation mid-swap; only a
+  // genuine first run (neither generation on disk) reads as empty —
+  // corruption/permission errors propagate instead of reading as empty.
   private def readSnapshotOr(
       spark: SparkSession, path: String, like: DataFrame): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: Exception => like.limit(0) }
+    Upsert.readSnapshot(spark, path).getOrElse(like.limit(0))
 }

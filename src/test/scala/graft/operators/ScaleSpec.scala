@@ -51,4 +51,21 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_dims_b")
     }
   }
+
+  test("isShuffleFree: broadcast exchange is not a shuffle") {
+    // a scan joined to a broadcast dim moves no rows between reducers —
+    // the plan contains BroadcastExchange but no ShuffleExchange, and
+    // must be reported shuffle-free (substring "Exchange" would lie)
+    val facts = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
+    Bucketing.writeBucketed(facts, "graft_facts_bc", Seq("k"), 4)
+    try {
+      val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
+      val joined = spark.table("graft_facts_bc").join(broadcast(dims), "k")
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastQueryStage"), plan.take(1500))
+      assert(Bucketing.isShuffleFree(joined), plan.take(1500))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_facts_bc")
+  }
 }

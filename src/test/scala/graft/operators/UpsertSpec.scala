@@ -58,4 +58,37 @@ class UpsertSpec extends SparkSpec {
     val twice = Upsert.upsert(once, b, Seq("id"), orderBy = Some(col("v")))
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
+
+  test("dedupNullKeyed makes guest replay idempotent, keeps distinct guests") {
+    // replaying the same batch must not re-append the null-keyed guest,
+    // but a guest differing in any column is a genuine new row
+    val t = Seq(("m1", null, 1), ("m1", "u1", 2)).toDF("muuid", "uid", "d")
+    val b = Seq(("m1", null, 1), ("m1", null, 9)).toDF("muuid", "uid", "d")
+    val once = Upsert.upsert(t, b, Seq("muuid", "uid"), dedupNullKeyed = true)
+    // (m1,null,1) already in target → skipped; (m1,null,9) new → inserted
+    assert(once.count() === 3)
+    val twice = Upsert.upsert(once, b, Seq("muuid", "uid"),
+      dedupNullKeyed = true)
+    assert(twice.count() === 3)
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("readSnapshot falls back to __prev in the mid-swap crash window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val path = s"$dir/tbl"
+    Upsert.writeSnapshot(Seq(("a", 1)).toDF("k", "v"), path)
+    Upsert.writeSnapshot(Seq(("b", 2)).toDF("k", "v"), path) // creates __prev
+    // simulate a crash between rename(dst, __prev) and rename(tmp, dst):
+    // the primary is gone and the last committed generation sits in __prev
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__prev"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__prev"))
+    assert(Upsert.snapshotExists(spark, path))
+    val recovered = Upsert.readSnapshot(spark, path).get
+      .as[(String, Int)].collect()
+    assert(recovered === Array(("b", 2))) // old snapshot, not empty
+    assert(Upsert.readSnapshot(spark, s"$dir/never_written").isEmpty)
+  }
 }

@@ -55,14 +55,17 @@ class BatchEtlSpec extends SparkSpec {
     // watermark committed
     assert(new Bookmark(spark, paths.bookmark).read() === t1)
 
-    // rerun with same inputs (at-least-once replay): no duplicates;
-    // NOTE: null-key guests are append-only under replay in v1 — the
-    // reference has the same behavior (Postgres won't conflict NULLs,
-    // re-inserting guests duplicates them; dedup is a downstream concern)
+    // rerun with same inputs (at-least-once replay): no duplicates.
+    // NULL-keyed guests bypass the keyed upsert (Postgres would re-insert
+    // them), so the participant load runs dedupNullKeyed — replay must
+    // keep the two distinct guests without appending copies.
     val t2 = Instant.parse("2025-03-02T00:00:00Z")
     val r2 = BatchEtl.run(spark, paths, now = t2)
     assert(r2.users === 2)
     assert(r2.meetings === 2)
+    assert(r2.participants === 4) // guests NOT re-appended
+    val p2 = spark.read.parquet(paths.participants)
+    assert(p2.where(p2("user_id").isNull).count() === 2)
     assert(new Bookmark(spark, paths.bookmark).read() === t2)
   }
 }

@@ -69,9 +69,20 @@ def main() -> None:
             print(f"FAIL {name}: rows {len(a)} != {len(b)}")
             n_fail += 1
             continue
+        # The driver's hash compare is dtype-sensitive (e.g. DuckDB SUM(int)
+        # → HUGEINT → float64/object in pandas vs Spark's int64 broke q14 in
+        # r1 despite values being equal). Surface kind mismatches loudly.
+        kind_mismatch = [
+            (c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+            if a[c].dtype.kind != b[c].dtype.kind]
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=True)
+            if kind_mismatch:
+                print(f"FAIL {name}: values equal but dtype kinds differ "
+                      f"(driver hash would mismatch): {kind_mismatch}")
+                n_fail += 1
+                continue
             print(f"PASS {name}: rows={len(a)}")
             n_pass += 1
         except AssertionError as e:
