@@ -85,8 +85,9 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     // materialized once: this table feeds banding AND both sides of the
     // verification join — lazily it would recompute tokenize+shingle+
-    // sign four times
-    val withSig = df.select(
+    // sign four times. Par.spread: signatures are the CPU-heavy stage
+    // and a small parquet scan arrives on 1-2 partitions.
+    val withSig = Par.spread(df).select(
       col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingle)).as("shingles"),
       minHashSignature(col(textCol), shingle, numHashes).as("sig"))
@@ -249,7 +250,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val withSig = Par.spread(df)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
@@ -276,7 +278,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val grams = docs.select(
+    val grams = Par.spread(docs).select(
       col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), n)).as("grams"))
     pairs
@@ -300,7 +302,10 @@ object Dedup {
       approx: Boolean = false,
       lshBits: Int = 12,
       dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread: the exact path is a nested-loop join whose streamed side
+    // inherits the scan's partitioning — 1-2 partitions would serialize
+    // the whole n² cosine pass onto as many cores
+    val base = Par.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
     val pairs =
       if (!approx) {
         val a = base.select(col("id").as("id_a"), col("v").as("v_a"))

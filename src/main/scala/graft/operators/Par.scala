@@ -1,0 +1,23 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism hygiene for compute-heavy per-row stages.
+  *
+  * Small parquet inputs (one file, a few MB) arrive as 1-2 partitions,
+  * so an expensive narrow stage right after the scan — MinHash
+  * signatures, SimHash, per-row dot-product scans — runs on 1-2 of the
+  * cluster's cores. [[spread]] repartitions ONLY when the input has
+  * fewer partitions than the default parallelism; a large table already
+  * carrying hundreds of partitions passes through untouched, so the
+  * 100 TB path never pays a gratuitous full-table shuffle.
+  */
+object Par {
+
+  /** Round-robin repartition to the default parallelism when `df` is
+    * under-partitioned for a CPU-bound downstream stage. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}

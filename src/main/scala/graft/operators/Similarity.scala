@@ -75,8 +75,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       roundSim: Int = 4): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
-      normalized(col(vecCol)).as("u"))
+    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
+      normalized(col(vecCol)).as("u")))
     val a = base.select(col("id").as("key"), col("u").as("u_a"))
     val b = base.select(col("id").as("id"), col("u").as("u_b"))
     val pairs = a.join(b, col("key") =!= col("id"))
@@ -105,9 +105,9 @@ object Similarity {
       roundSim: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long").as("id"),
+    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
-      .where(col("u").isNotNull)
+      .where(col("u").isNotNull))
       .as[(Long, Seq[Double])]
     val corpus: Array[(Long, Array[Double])] =
       base.collect().map { case (i, u) => (i, u.toArray) }.sortBy(_._1)
@@ -121,6 +121,7 @@ object Similarity {
     }
     base.mapPartitions { it =>
       val cs = bc.value
+      val roundStep = math.pow(10.0, -roundSim)
       it.flatMap { case (qid, uSeq) =>
         val u = uSeq.toArray
         // bounded selection: (sim desc, id asc), worst kept at index k-1
@@ -134,6 +135,14 @@ object Similarity {
             var dot = 0.0
             var j = 0
             while (j < u.length) { dot += u(j) * v(j); j += 1 }
+            // Cheap prefilter on the RAW dot before the exact-rounding
+            // BigDecimal (which costs more than the 64-dim dot itself):
+            // rounding moves the value by < halfUlp, so a raw dot more
+            // than one rounding-step below the current worst can neither
+            // beat nor tie it — skip without allocating.
+            val cannotQualify = filled == k &&
+              dot < topSims(filled - 1) - roundStep
+            if (!cannotQualify) {
             // identical rounding to Spark's round(): scala BigDecimal
             // HALF_UP on the double
             val sim = BigDecimal(dot)
@@ -153,6 +162,7 @@ object Similarity {
               topIds(pos) = nid
               if (filled < k) filled += 1
             }
+            }
           }
           ci += 1
         }
@@ -171,6 +181,53 @@ object Similarity {
     * corpus — at 100 TB, train on a 1-10M row sample, then a single
     * broadcast-join pass assigns cells.
     */
+  /** Driver-side Lloyd's k-means over a bounded sample. Index training
+    * is NOT a distributed workload: the sample is capped (trainCap ×
+    * dim × 8 B — 25k × 64 ≈ 13 MB), while a cluster round-trip per
+    * Lloyd iteration costs whole scheduler cycles (the previous Spark
+    * ML fit spent ~4 s of a 5.5 s query training on 2k vectors). The
+    * sample is the trainCap lowest-hash ids — deterministic and
+    * partition-invariant regardless of corpus size or layout. */
+  private def trainCentroids(
+      sample: Array[Array[Double]],
+      nLists: Int,
+      maxIter: Int,
+      seed: Long): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(nLists)
+      .map(i => sample(i).clone()).toArray
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nLists) {
+          var d = 0.0; var j = 0
+          val ctr = centroids(c)
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < nLists) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty cell keeps its previous centroid
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
   def ivfTopK(
       df: DataFrame,
       idCol: String,
@@ -180,59 +237,50 @@ object Similarity {
       nProbe: Int = 4,
       seed: Long = 42L,
       trainCap: Int = 25000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val base = df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
       .where(col("u").isNotNull)
-    // cache: k-means re-scans its input every iteration, and the probe
-    // pass below reuses the same cached plan
-    val vecs = base.withColumn("features", array_to_vector(col("u"))).cache()
-    // random init beats kmeans|| here: at index-training scale the ||
-    // init's extra passes are pure scheduler overhead (measured 9.5s vs
-    // 5.9s for the whole fit on 2k×64), and nProbe probing absorbs the
-    // slightly looser cells (recall asserted in SimilaritySpec).
-    // The train set is a BOUNDED deterministic sample: the trainCap
-    // lowest-hash ids (stable regardless of corpus size/partitioning),
-    // canonicalized to one sorted partition so the seeded init — which
-    // samples per partition — yields the same centroids at any
-    // parallelism. Assignment below runs over the fully partitioned data.
-    val trainSet = vecs
-      .orderBy(xxhash64(col("id")).asc)
+    val vecs = Par.spread(base).cache()
+    // bounded deterministic sample (lowest-hash ids; TakeOrdered — no
+    // full sort at scale), collected and trained on the driver
+    val sample: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
       .limit(trainCap)
-      .repartition(1).sortWithinPartitions("id")
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .fit(trainSet)
-    val assigned = model.transform(vecs)
-      .select(col("id"), col("u"), col("prediction").as("cell"))
+      .select(col("id"), col("u"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val centroids = trainCentroids(sample, nLists, maxIter = 5, seed)
 
-    // tiny centroid table (nLists rows) → broadcast; each query ranks
-    // its nProbe nearest cells by the SAME metric k-means assigns with:
-    // argmin ||u-c||² ≡ argmax (u·c − ||c||²/2). Ranking by raw dot
-    // would use a different metric (centroid norms vary by cell) and a
-    // query could fail to probe its own cell — systematic recall loss.
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        (i, arr, arr.map(x => x * x).sum / 2.0)
-      }.toSeq
-      .toDF("cell", "centroid", "half_sq_norm")
-    val probeW = Window.partitionBy(col("id"))
-      .orderBy(col("cscore").desc, col("cell").asc)
-    val probes = vecs.select(col("id"), col("u"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cscore",
-        dot(col("u"), col("centroid")) - col("half_sq_norm"))
-      .withColumn("prank", row_number().over(probeW))
-      .where(col("prank") <= nProbe)
-      .select(col("id").as("key"), col("u").as("u_a"), col("cell"))
+    // Cell scoring is a PROJECTION, not a join: 16 centroids inline as
+    // literals, scored by the SAME metric k-means assigns with
+    // (argmin ||u-c||² ≡ argmax (u·c − ||c||²/2)); ranking by raw dot
+    // would use a different metric and a query could miss its own cell.
+    // struct comparison gives argmax without any window/shuffle —
+    // (score, -cell) prefers the lower cell id on ties.
+    val cellScores = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      val halfSq = ctr.map(x => x * x).sum / 2.0
+      struct(
+        (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
+        lit(-i).as("neg_cell"))
+    }: _*)
+
+    // assignment: argmax cell per vector — narrow map over the corpus
+    val assigned = vecs
+      .withColumn("best", array_max(cellScores))
+      .select(col("id"), col("u").as("u_b"),
+        (-col("best.neg_cell")).as("cell"))
+
+    // probing: top-nProbe cells per query — also a narrow map (sort the
+    // 16-element struct array desc, slice, explode); no id-window shuffle
+    val probes = vecs
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
+      .select(col("id").as("key"), col("u").as("u_a"),
+        (-col("probe.neg_cell")).as("cell"))
 
     val scored = probes
-      .join(assigned.select(col("cell"), col("id"), col("u").as("u_b")),
+      .join(assigned.select(col("cell"), col("id"), col("u_b")),
         Seq("cell"))
       .where(col("key") =!= col("id"))
       .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
@@ -254,8 +302,8 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4,
       dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
-      normalized(col(vecCol)).as("u"))
+    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
+      normalized(col(vecCol)).as("u")))
     // candidates carry IDS ONLY through the bucket join + dedup; vectors
     // re-attach afterwards (fat arrays never ride the candidate shuffle)
     val sigs = base.select(

@@ -20,7 +20,7 @@ object TfIdf {
 
   /** Per-(doc, term) TF-IDF scores. */
   def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docs.select(col(idCol).as("doc_id"),
+    val terms = Par.spread(docs).select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     // tf feeds both the df aggregation and the final join — materialize
     // the tokenization once instead of three corpus scans
