@@ -33,8 +33,16 @@ object TextFunctions {
 
   /** Word-level n-gram shingles: array of space-joined n-token windows.
     * Documents with fewer than n tokens yield a single shingle of the
-    * whole text (so every doc has ≥1 shingle). */
+    * whole text (so every doc has ≥1 shingle). Native expression —
+    * bit-identical to [[wordShinglesDeclarative]] (parity-tested), one
+    * tight loop per row instead of an interpreted HOF chain. */
   def wordShingles(c: Column, n: Int): Column = {
+    import graft.functions.expressions.{NativeExpressions => NE, WordShinglesExpr}
+    NE.col(WordShinglesExpr(NE.expr(tokens(c)), n))
+  }
+
+  /** HOF reference implementation of [[wordShingles]]. */
+  def wordShinglesDeclarative(c: Column, n: Int): Column = {
     val toks = tokens(c)
     val nShingles = greatest(size(toks) - (n - 1), lit(1))
     transform(

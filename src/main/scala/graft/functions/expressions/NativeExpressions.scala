@@ -147,6 +147,55 @@ case class MinHashSig(
     copy(child = c)
 }
 
+/** Word n-gram shingles over an array<string> of tokens. Matches
+  * TextFunctions.wordShinglesDeclarative exactly: nShingles =
+  * max(numTokens - (n-1), 1); shingle i = concat_ws(" ",
+  * slice(tokens, i+1, n)) — null tokens skipped, an empty window
+  * yields "". NOT deduplicated (callers apply array_distinct, as with
+  * the declarative form). The declarative HOF chain (transform over
+  * sequence + slice + concat_ws) allocates per element through the
+  * interpreted path; this is one tight loop per row. */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val toks = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val nSh = math.max(nTok - (n - 1), 1)
+    val out = new Array[Any](nSh)
+    i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i < nSh) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, nTok)
+      var first = true
+      while (j < end) {
+        if (toks(j) != null) {
+          if (!first) sb.append(' ')
+          sb.append(toks(j).toString); first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}
+
 /** Numeric-array element accessor shared by the vector expressions. */
 private[expressions] object VecAccess {
   /** Returns a reader (arrayData, idx) → double for the element type, or

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operations for the snapshot storage model.
+  *
+  * Incremental upserts ([[Upsert.writeSnapshot]]) rewrite the snapshot
+  * every batch; with many small batches (or many reducers) a table
+  * accumulates files far below the healthy task size. At 100 TB that
+  * is the classic small-file problem: scan parallelism explodes into
+  * footer-reading overhead, and shuffle-map stages schedule tens of
+  * thousands of sub-second tasks. The reference never faces this only
+  * because Postgres compacts pages internally — a parquet-snapshot
+  * engine must do it explicitly.
+  */
+object Maintenance {
+
+  final case class CompactionReport(
+      filesBefore: Long, filesAfter: Long, bytes: Long, compacted: Boolean)
+
+  /** Rewrite the snapshot at `path` into ≈`targetFileBytes` files when
+    * fragmented (average data file under half the target). The rewrite
+    * is a plain coalesce — no shuffle — and commits through the same
+    * crash-safe swap as every other snapshot write. No-op (and no job)
+    * on healthy tables, so it is safe to run after every load. */
+  def compactSnapshot(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val nFiles = dataFiles.size.toLong
+    val healthy =
+      nFiles <= 1 || bytes.toDouble / nFiles >= targetFileBytes / 2.0
+    if (healthy) return CompactionReport(nFiles, nFiles, bytes, false)
+
+    val targetFiles = math.max(1, math.ceil(
+      bytes.toDouble / targetFileBytes).toInt)
+    val compacted = spark.read.parquet(path).coalesce(targetFiles)
+    Upsert.writeSnapshot(compacted, path)
+    val after = fs.listStatus(p).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    CompactionReport(nFiles, after, bytes, true)
+  }
+
+  /** Write `df` as a date/key-partitioned parquet table with rows
+    * sorted inside each file — the layout that makes partition pruning
+    * (the engine's replacement for the reference's B-tree indexes) and
+    * min/max row-group skipping effective at scale. `sortCols` should
+    * lead with the dominant point-lookup/join column. */
+  def writePartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String]): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(
+        (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+    sorted.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Training-data-pipeline operations beyond the round-1 surface, plus
+  * SQL-breadth queries (set ops, correlated subqueries, extended window
+  * functions, exact second moments). All oracle-gated.
+  *
+  * Determinism follows QueryPack's conventions; the statistical moments
+  * (q60) go through EXACT decimal sums first and only convert to double
+  * for the final closed-form formula, so partition-order float
+  * accumulation can never flip a rounded digit.
+  */
+object PipelineQueries extends QueryPack {
+
+  // PII patterns (RE2-compatible — DuckDB mirrors them verbatim)
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val phoneRe = "\\+[0-9][0-9\\-]{7,}[0-9]"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction: scrub emails / URLs / phone numbers before a corpus
+    // ships to training. The synthetic corpus carries no PII, so each
+    // doc gets a deterministic injected contact line first — the query
+    // proves the scrubber, not the generator. Order matters: emails
+    // before URLs (a URL pattern would not eat "x@y.z", but an email
+    // inside a URL query-string must already be gone).
+    "q55_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = concat(col("text"),
+        lit(" contact "), col("lang"), lit("_"), col("doc_id"),
+        lit("@corp.example.com at https://ex.org/d/"), col("doc_id"),
+        lit(" or +1-555-000-"), col("doc_id"))
+      d.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(injected, emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+    }),
+
+    // Contamination check: distinct 5-gram overlap between sources —
+    // the benchmark-leakage sweep (train corpus vs eval set). Shuffle
+    // is on the gram hash; at 100 TB the gram table is the big side and
+    // the eval side broadcasts.
+    "q56_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // materialized once — it feeds both sides of the self-join
+      val grams = d.select(col("source"),
+          explode(array_distinct(wordShingles(col("text"), 5))).as("g"))
+        .distinct()
+        .localCheckpoint(true)
+      grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+    }),
+
+    // Window-function breadth beyond q53: dense_rank / percent_rank /
+    // cume_dist / nth_value per customer over an explicit full frame.
+    "q57_window_rank_breadth" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      o.select(col("o_orderkey"), col("o_custkey"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_best"))
+    }),
+
+    // Set-operation surface: INTERSECT / EXCEPT over yearly customer
+    // activity (ref S2's union+distinct is the only set op computed by
+    // the reference; these complete the family).
+    "q58_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def active(yr: Int) = o
+        .where(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+      val both = active(1996).intersect(active(1997))
+        .select(lit("both").as("tag"), col("o_custkey"))
+      val only96 = active(1996).except(active(1997))
+        .select(lit("only_1996").as("tag"), col("o_custkey"))
+      val only97 = active(1997).except(active(1996))
+        .select(lit("only_1997").as("tag"), col("o_custkey"))
+      both.unionByName(only96).unionByName(only97)
+    }),
+
+    // Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    // decorrelates both into semi/anti joins (q05/q06 prove the join
+    // form; this proves the subquery rewrite).
+    "q59_correlated_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g59_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g59_lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM g59_orders o
+        WHERE EXISTS (SELECT 1 FROM g59_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+          AND NOT EXISTS (SELECT 1 FROM g59_lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')""")
+    }),
+
+    // Exact second moments: stddev of quantity/price and their
+    // correlation per return flag, from EXACT decimal power sums
+    // (Σx, Σx², Σxy) — the closed-form formulas run once on exact
+    // inputs, so the result is partition-order invariant in both
+    // engines (a naive stddev/corr aggregate is not).
+    "q60_stats_moments" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val agg = l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sq"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sqq"),
+          sum(dec(col("l_extendedprice"))).as("sp"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+            .as("spp"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+            .as("sqp"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val varQ = (n * d("sqq") - d("sq") * d("sq")) / (n * (n - 1))
+      val varP = (n * d("spp") - d("sp") * d("sp")) / (n * (n - 1))
+      val cov = (n * d("sqp") - d("sq") * d("sp")) / (n * (n - 1))
+      agg.select(col("l_returnflag"), col("n"),
+        round(sqrt(varQ), 4).as("stddev_qty"),
+        round(sqrt(varP), 4).as("stddev_price"),
+        round(cov / (sqrt(varQ) * sqrt(varP)), 6).as("corr_qty_price"))
+    }),
+
+    // Bigram top-3 per language: n-gram frequency analysis (the
+    // vocabulary-profile pass of a corpus audit).
+    "q61_bigram_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("gram").asc)
+      d.select(col("lang"),
+          explode(wordShingles(lower(col("text")), 2)).as("gram"))
+        .groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+    }),
+
+    // Repetition score: highest single-token share per document — the
+    // degenerate-text filter (boilerplate / keyword-stuffed docs score
+    // high and get dropped before training).
+    "q62_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val freq = d.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("max_tok"),
+          sum(col("cnt")).as("n_toks"))
+      freq.select(col("doc_id"), col("max_tok"), col("n_toks"),
+        round(col("max_tok").cast("double") / col("n_toks").cast("double"),
+          6).as("repetition"))
+    }))
+
+  /** DuckDB mirror of [[graft.functions.TextFunctions.wordShingles]]
+    * over a column expression (docs with < n tokens yield one shingle
+    * of the whole text). */
+  private def shinglesSql(n: Int, textExpr: String = "trim(text)"): String = {
+    val w = s"list_filter(regexp_split_to_array($textExpr, '\\s+')," +
+      " x -> len(x) > 0)"
+    s"""CASE WHEN len($w) < $n THEN [array_to_string($w, ' ')]
+       |ELSE [array_to_string(($w)[i:i+${n - 1}], ' ')
+       |      for i in range(1, len($w) - ${n - 2})] END""".stripMargin
+  }
+
+  override val oracles: Map[String, String] = Map(
+    "q55_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        text || ' contact ' || lang || '_' || doc_id ||
+         |        '@corp.example.com at https://ex.org/d/' || doc_id ||
+         |        ' or +1-555-000-' || doc_id,
+         |        '$emailRe', '<EMAIL>', 'g'),
+         |      '$urlRe', '<URL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin,
+    "q56_contamination" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT source, unnest(list_distinct(${shinglesSql(5)}))
+         |    AS g
+         |  FROM documents
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS shared_grams
+         |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+    "q57_window_rank_breadth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  dense_rank() OVER w AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_best
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q58_setops" ->
+      """WITH a96 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1996),
+        |     a97 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM a96 INTERSECT SELECT o_custkey FROM a97)
+        |UNION ALL
+        |SELECT 'only_1996', o_custkey FROM (
+        |  SELECT o_custkey FROM a96 EXCEPT SELECT o_custkey FROM a97)
+        |UNION ALL
+        |SELECT 'only_1997', o_custkey FROM (
+        |  SELECT o_custkey FROM a97 EXCEPT SELECT o_custkey FROM a96)""".stripMargin,
+    "q59_correlated_exists" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_returnflag = 'R')""".stripMargin,
+    "q60_stats_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1.0))), 4)
+        |    AS stddev_qty,
+        |  round(sqrt((n * spp - sp * sp) / (n * (n - 1.0))), 4)
+        |    AS stddev_price,
+        |  round(((n * sqp - sq * sp) / (n * (n - 1.0))) /
+        |        (sqrt((n * sqq - sq * sq) / (n * (n - 1.0))) *
+        |         sqrt((n * spp - sp * sp) / (n * (n - 1.0)))), 6)
+        |    AS corr_qty_price
+        |FROM a""".stripMargin,
+    "q61_bigram_topk" ->
+      s"""WITH g AS (
+         |  SELECT lang, unnest(${shinglesSql(2, "trim(lower(text))")}) AS gram
+         |  FROM documents
+         |), c AS (
+         |  SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY 1, 2
+         |)
+         |SELECT lang, gram, n,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC)
+         |    AS rnk
+         |FROM c
+         |QUALIFY rnk <= 3""".stripMargin,
+    "q62_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |        '\s+'), x -> len(x) > 0)) AS tok
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, MAX(cnt) AS max_tok, SUM(cnt) AS n_toks
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT doc_id, max_tok, CAST(n_toks AS BIGINT) AS n_toks,
+        |  round(CAST(max_tok AS DOUBLE) / n_toks, 6) AS repetition
+        |FROM agg""".stripMargin)
+}

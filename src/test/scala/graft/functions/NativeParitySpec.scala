@@ -34,6 +34,23 @@ class NativeParitySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("wordShingles native == declarative (n = 1, 2, 5)") {
+    for (n <- Seq(1, 2, 5)) {
+      val diff = docs.select(
+        wordShingles(col("text"), n).as("a"),
+        wordShinglesDeclarative(col("text"), n).as("b"))
+        .where(col("a") =!= col("b")).count()
+      assert(diff === 0, s"n=$n")
+    }
+    // edge shapes: fewer tokens than n, empty, whitespace-only
+    val edge = Seq("one two", "one", "", "   ").toDF("text")
+    val diff = edge.select(
+      wordShingles(col("text"), 5).as("a"),
+      wordShinglesDeclarative(col("text"), 5).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
   test("minHashSignature native == declarative") {
     val diff = docs.select(
       Dedup.minHashSignature(col("text"), 3, 16).as("a"),

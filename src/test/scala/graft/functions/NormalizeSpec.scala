@@ -31,6 +31,17 @@ class NormalizeSpec extends SparkSpec {
     assert(out(4) === "ok name")
   }
 
+  test("T8: double URL-encode matches the reference's quote(quote(id))") {
+    // ref extract.py:141 double-encodes meeting UUIDs starting with '/'
+    // or containing '//' (Zoom API path quirk): '/' → %2F → %252F
+    val df = Seq("/aB1==", "x//y", "plain").toDF("s")
+    val out = df.select(Normalize.doubleUrlEncode($"s").as("e"))
+      .as[String].collect()
+    assert(out(0) === "%252FaB1%253D%253D")
+    assert(out(1) === "x%252F%252Fy")
+    assert(out(2) === "plain")
+  }
+
   test("T2: truncation to 255 chars") {
     val long = "x" * 300
     val out = Seq(long).toDF("s")
