@@ -152,6 +152,42 @@ object PipelineQueries extends QueryPack {
         .where(col("rnk") <= 3)
     }),
 
+    // Multimodal manifest through the Media plumbing: documents' bytes
+    // as opaque binary content with typed metadata, frame-sample plan
+    // from durations — metadata-only outputs, so the oracle can mirror
+    // it (the stubbed decode itself is covered by MediaSpec).
+    "q63_media_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val files = graft.multimodal.Media.fromBytes(
+          d.select(col("doc_id"), col("text").cast("binary").as("bytes")),
+          "doc_id", "bytes", "video")
+        .toDF()
+        .withColumn("duration_ms", length(col("content")).cast("bigint") * 10)
+        .as[graft.multimodal.Media.MediaFile]
+      val manifest = files.toDF().select(col("media_id"),
+        length(col("content")).cast("bigint").as("n_bytes"))
+      graft.multimodal.Media
+        .frameSamplePlan(files, everyMs = 5000L, maxFrames = 4)
+        .join(manifest, Seq("media_id"))
+        .select(col("media_id"), col("n_bytes"), col("frame_idx"),
+          col("frame_ts_ms"))
+    }),
+
+    // Semi-structured property access: per-type stats over a JSON
+    // attribute of the event payload (the reference's in-flight data is
+    // schemaless JSON, SURVEY §1.2 — this is the schema-on-read path).
+    "q64_json_props" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+    }),
+
     // Repetition score: highest single-token share per document — the
     // degenerate-text filter (boilerplate / keyword-stuffed docs score
     // high and get dropped before training).
@@ -273,6 +309,28 @@ object PipelineQueries extends QueryPack {
          |    AS rnk
          |FROM c
          |QUALIFY rnk <= 3""".stripMargin,
+    "q63_media_manifest" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), x AS (
+        |  SELECT media_id, n_bytes,
+        |    unnest(range(0,
+        |      least(CAST(floor(n_bytes * 10 / 5000) AS BIGINT), 3) + 1))
+        |      AS frame_idx
+        |  FROM f
+        |)
+        |SELECT media_id, n_bytes, frame_idx,
+        |  frame_idx * 5000 AS frame_ts_ms
+        |FROM x""".stripMargin,
+    "q64_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q62_repetition" ->
       """WITH f AS (
         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
