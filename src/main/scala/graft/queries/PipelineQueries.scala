@@ -188,6 +188,29 @@ object PipelineQueries extends QueryPack {
           sum(col("k")).as("sum_k"))
     }),
 
+    // Histogram: fixed-width value buckets over the event stream (the
+    // distribution-profile pass; floor arithmetic, not width_bucket, so
+    // both engines bucket identically).
+    "q65_histogram" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Calendar breakdown with HAVING: order volume by year/quarter/
+    // month, keeping only dense months.
+    "q66_date_parts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mon"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("volume"))
+        .where(col("n") > 10)
+    }),
+
     // Repetition score: highest single-token share per document — the
     // degenerate-text filter (boilerplate / keyword-stuffed docs score
     // high and get dropped before training).
@@ -324,6 +347,19 @@ object PipelineQueries extends QueryPack {
         |SELECT media_id, n_bytes, frame_idx,
         |  frame_idx * 5000 AS frame_ts_ms
         |FROM x""".stripMargin,
+    "q65_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q66_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS volume
+        |FROM orders GROUP BY 1, 2, 3
+        |HAVING COUNT(*) > 10""".stripMargin,
     "q64_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
