@@ -14,8 +14,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed JIT/codegen warmup (no table IO — data stays cold) so the
-    // first measured query doesn't absorb JVM startup
+    // first measured query doesn't absorb JVM startup. Exercises the
+    // plan shapes the suite leans on — agg, window, joins (broadcast +
+    // shuffle), explode — so janino/codegen infrastructure, shuffle
+    // writers, and the window operator are all hot before timing starts.
     spark.range(2000000).selectExpr("sum(id * 2)", "count(distinct id % 7)")
+      .collect()
+    val wa = spark.range(100000).selectExpr("id", "id % 100 AS k")
+    val wb = spark.range(100).selectExpr("id AS k", "id * 3 AS v")
+    wa.join(wb, "k").selectExpr("sum(v)").collect()
+    wa.join(org.apache.spark.sql.functions.broadcast(wb), "k")
+      .selectExpr("count(1)").collect()
+    wa.selectExpr("k", "id",
+        "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .where("rn <= 3").selectExpr("count(1)").collect()
+    spark.range(10000)
+      .selectExpr("explode(sequence(0, 9)) AS e").selectExpr("sum(e)")
       .collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

@@ -36,6 +36,15 @@ object GraftFunctions {
       NE.expr(graft.operators.Dedup.minHashSignature(NE.col(es.head),
         shingle = 3, numHashes = 32))),
     "graft_tokens" -> (es => NE.expr(TextFunctions.tokens(NE.col(es.head)))),
+    // graft_shingles(text, n) — n must be a literal int
+    "graft_shingles" -> (es => {
+      val n = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles: n must be an int literal, got $other")
+      }
+      WordShinglesExpr(NE.expr(TextFunctions.tokens(NE.col(es(0)))), n)
+    }),
     "graft_token_count" -> (es =>
       NE.expr(TextFunctions.tokenCount(NE.col(es.head)))),
     "graft_quality" -> (es =>

@@ -30,6 +30,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sqlOut.forall(r => r.getDouble(4) > 0.9999))
   }
 
+  test("graft_shingles matches the Column API; rejects non-literal n") {
+    GraftFunctions.register(spark)
+    val sqlOut = spark.sql(
+      "SELECT graft_shingles('a b c d', 2) AS g").as[Seq[String]].head()
+    assert(sqlOut === Seq("a b", "b c", "c d"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', cast(rand() * 2 as int))")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("graft_minhash returns a 32-long signature in SQL") {
     GraftFunctions.register(spark)
     val sig = spark.sql(
