@@ -1,18 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
     // untimed JIT/codegen warmup (no table IO — data stays cold) so the
     // first measured query doesn't absorb JVM startup. Exercises the
     // plan shapes the suite leans on — agg, window, joins (broadcast +
@@ -22,7 +13,12 @@ object Bench {
       .collect()
     val wa = spark.range(100000).selectExpr("id", "id % 100 AS k")
     val wb = spark.range(100).selectExpr("id AS k", "id * 3 AS v")
+    // a 100-row build side would auto-broadcast — disable the threshold
+    // so this pass genuinely compiles the sort-merge-join path
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     wa.join(wb, "k").selectExpr("sum(v)").collect()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     wa.join(org.apache.spark.sql.functions.broadcast(wb), "k")
       .selectExpr("count(1)").collect()
     wa.selectExpr("k", "id",

@@ -40,11 +40,14 @@ object Bucketing {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // AdaptiveSparkPlanExec and query stages are leaf nodes to collect()
     // — recurse into them explicitly or AQE plans always look clean.
-    def hasShuffle(p: SparkPlan): Boolean = p.collectFirst {
+    // collectWithSubqueries also descends into subquery plans (a scalar
+    // subquery's aggregate shuffles inside innerChildren, which plain
+    // collect() never visits).
+    def hasShuffle(p: SparkPlan): Boolean = p.collectWithSubqueries {
       case _: ShuffleExchangeLike => true
       case _: ShuffleQueryStageExec => true
       case a: AdaptiveSparkPlanExec if hasShuffle(a.executedPlan) => true
-    }.isDefined
+    }.contains(true)
     !hasShuffle(df.queryExecution.executedPlan)
   }
 }

@@ -30,6 +30,11 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // No primary directory — genuine first run, or the mid-swap crash
+    // window where only __prev exists. Either way compaction must not
+    // throw (it is documented safe to run after every load) and must
+    // not touch __prev: the next writeSnapshot/readSnapshot recovers it.
+    if (!fs.exists(p)) return CompactionReport(0, 0, 0, false)
     val dataFiles = fs.listStatus(p).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val bytes = dataFiles.map(_.getLen).sum

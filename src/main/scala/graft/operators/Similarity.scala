@@ -195,16 +195,19 @@ object Similarity {
       seed: Long): Array[Array[Double]] = {
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
-    val centroids = rnd.shuffle(sample.indices.toVector).take(nLists)
+    // a corpus smaller than nLists trains one centroid per vector (the
+    // old Spark ML fit tolerated n < k the same way)
+    val k = math.min(nLists, sample.length)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
       .map(i => sample(i).clone()).toArray
     var iter = 0
     while (iter < maxIter) {
-      val sums = Array.fill(nLists)(new Array[Double](dim))
-      val counts = new Array[Long](nLists)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nLists) {
+        while (c < k) {
           var d = 0.0; var j = 0
           val ctr = centroids(c)
           while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
@@ -216,7 +219,7 @@ object Similarity {
         counts(best) += 1
       }
       var c = 0
-      while (c < nLists) {
+      while (c < k) {
         if (counts(c) > 0) {
           var j = 0
           while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
@@ -250,6 +253,16 @@ object Similarity {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    if (sample.isEmpty) {
+      // no usable vectors (empty table or all zero-norm) → empty result
+      import org.apache.spark.sql.types._
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("rank", IntegerType),
+          StructField("sim", DoubleType))))
+    }
     val centroids = trainCentroids(sample, nLists, maxIter = 5, seed)
 
     // Cell scoring is a PROJECTION, not a join: 16 centroids inline as

@@ -31,6 +31,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(!again.compacted && again.filesBefore === 1)
   }
 
+  test("compactSnapshot is a safe no-op when no primary directory exists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cnone").toString
+    // never-written table
+    val r = Maintenance.compactSnapshot(spark, s"$dir/none")
+    assert(!r.compacted && r.filesBefore === 0)
+    // mid-swap crash window: only __prev exists — must not throw and
+    // must leave __prev untouched for readSnapshot to recover
+    val path = s"$dir/tbl"
+    Upsert.writeSnapshot(Seq((1, "a")).toDF("id", "v"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__prev"))
+    val r2 = Maintenance.compactSnapshot(spark, path)
+    assert(!r2.compacted)
+    assert(Upsert.readSnapshot(spark, path).get.count() === 1)
+  }
+
   test("writePartitioned lays out partition dirs and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val path = s"$dir/events"

@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("ivfTopK tolerates corpora smaller than nLists, and empty input") {
+    // 3 vectors, nLists=16: trains one centroid per vector instead of
+    // indexing past the sample (the removed Spark ML fit tolerated
+    // n < k; the driver-side trainer must too)
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(tiny, "vec_id", "embedding", k = 1,
+        nLists = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 2L && out(2L) === 1L)
+    // empty / all-zero-norm input → empty result, not a crash
+    val zeros = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(zeros, "vec_id", "embedding", k = 1)
+      .count() === 0)
+  }
+
   test("lshTopK recall ≥ 0.6 vs brute force on sf0.001 embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
