@@ -325,17 +325,26 @@ object Similarity {
         rhpSignature(col("u"), bits, dim, seed = 1000L + t)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
-    val cands = sigs.select(col("table"), col("bucket"), col("id").as("key"))
-      .join(sigs.select(col("table"), col("bucket"), col("id")),
+    // Ordered pairs only (lo < hi): halves the dedup shuffle, the
+    // vector re-attach joins, and the dot products. Similarity is
+    // symmetric, so the per-query candidate set is recovered by
+    // mirroring the SCORED pairs afterwards — each query still ranks
+    // every cohabiting neighbor.
+    val cands = sigs.select(col("table"), col("bucket"), col("id").as("lo"))
+      .join(sigs.select(col("table"), col("bucket"), col("id").as("hi")),
         Seq("table", "bucket"))
-      .where(col("key") =!= col("id"))
-      .dropDuplicates("key", "id")
-      .select("key", "id")
-    val scored = cands
-      .join(base.select(col("id").as("key"), col("u").as("u_a")), Seq("key"))
-      .join(base.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .where(col("lo") < col("hi"))
+      .dropDuplicates("lo", "hi")
+      .select("lo", "hi")
+    val scoredOnce = cands
+      .join(base.select(col("id").as("lo"), col("u").as("u_a")), Seq("lo"))
+      .join(base.select(col("id").as("hi"), col("u").as("u_b")), Seq("hi"))
       .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
-      .select("key", "id", "sim")
+      .select("lo", "hi", "sim")
+    val scored = scoredOnce
+      .select(col("lo").as("key"), col("hi").as("id"), col("sim"))
+      .unionByName(scoredOnce
+        .select(col("hi").as("key"), col("lo").as("id"), col("sim")))
     topKPerKey(scored, k)
       .select(col("key").as("query_id"), col("id").as("neighbor_id"),
         col("rank"), col("sim"))
