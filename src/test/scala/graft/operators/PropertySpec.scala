@@ -79,6 +79,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dedupNullKeyed replay idempotence over null-keyed batches") {
+    val nullableGen: Gen[List[(Option[String], Int)]] = Gen.listOf(for {
+      k <- Gen.option(Gen.choose(0, 4).map(i => s"k$i"))
+      v <- Gen.choose(0, 5) // narrow range forces all-column duplicates
+    } yield (k, v))
+    (1L to 4L).foreach { s =>
+      val t = sample(nullableGen, s).map { case (k, v) => (k.orNull, v) }
+        .toDF("id", "v")
+      val b = sample(nullableGen, s + 50).map { case (k, v) => (k.orNull, v) }
+        .toDF("id", "v")
+      val ord = Some(col("v").asc)
+      val once = Upsert.upsert(t, b, Seq("id"), ord, dedupNullKeyed = true)
+      val twice = Upsert.upsert(once, b, Seq("id"), ord,
+        dedupNullKeyed = true)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+        s"seed $s")
+    }
+  }
+
+  test("property: shingle count law — size = max(tokens - n + 1, 1)") {
+    val textGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc"))
+      .map(_.mkString(" "))
+    (1L to 3L).foreach { s =>
+      val texts = sample(Gen.nonEmptyListOf(textGen), s)
+      for (n <- Seq(1, 2, 5)) {
+        val rows = texts.toDF("text").select(
+          size(TextFunctions.tokens(col("text"))).as("nt"),
+          size(TextFunctions.wordShingles(col("text"), n)).as("ns"))
+          .as[(Int, Int)].collect()
+        assert(rows.forall { case (nt, ns) =>
+          ns === math.max(nt - (n - 1), 1) }, s"seed $s n=$n")
+      }
+    }
+  }
+
   test("property: jaccard(x,x)=1 for nonempty token sets") {
     val textGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
       .map(_.mkString(" "))
