@@ -21,6 +21,8 @@ object EventAggregates {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class TextEvent(event_id: Long, ts: Timestamp, text: String)
+
   final case class SessionState(sessionStart: Long, lastSeen: Long,
       nEvents: Long, totalValue: Double)
 
@@ -36,6 +38,21 @@ object EventAggregates {
       lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming NEAR-duplicate suppression: drop events whose `textCol`
+    * simhashes to a signature already seen inside the watermark — the
+    * streaming analog of the batch SimHash dedup (exact-signature
+    * collision; a full banded near-dup would need stream-stream
+    * self-join state). State is one 8-byte signature per distinct text
+    * within the watermark horizon, expired by event time. */
+  def dedupNearText(events: DataFrame, textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__sig",
+        graft.functions.TextFunctions.simHash(col(textCol)))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
 
   /** Hourly tumbling-window counts per event type with a 1-hour
     * watermark: events later than that are dropped, bounding state. */

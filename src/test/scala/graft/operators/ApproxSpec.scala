@@ -20,6 +20,20 @@ class ApproxSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("percentile_approx within 1% of the exact median at scale accuracy") {
+    // the sketch-quantile scale path (q19's exact percentiles are the
+    // correctness oracle; this bounds the approximate variant's error)
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"))
+      .head()
+    val exact = row.getDouble(0)
+    val approx = row.getDouble(1)
+    assert(math.abs(approx - exact) / exact <= 0.01,
+      s"exact=$exact approx=$approx")
+  }
+
   test("higher precision (rsd) tightens the estimate") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val row = li.agg(

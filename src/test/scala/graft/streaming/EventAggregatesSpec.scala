@@ -72,6 +72,26 @@ class EventAggregatesSpec extends SparkSpec {
     assert(n === 2) // ids 1 and 2, each exactly once
   }
 
+  test("streaming near-dup suppression drops same-signature texts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TextEvent]
+    val q = dedupNearText(input.toDF(), "text", lateness = "1 hour")
+      .writeStream.format("memory").queryName("neardedup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      TextEvent(1, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+      TextEvent(2, ts("2024-01-01 10:01:00"), "the quick brown fox"))
+    q.processAllAvailable()
+    input.addData( // cross-batch duplicate text + one genuinely new text
+      TextEvent(3, ts("2024-01-01 10:02:00"), "the quick brown fox"),
+      TextEvent(4, ts("2024-01-01 10:03:00"), "a completely different doc"))
+    q.processAllAvailable()
+    val kept = spark.table("neardedup").as[TextEvent].collect()
+      .map(_.event_id).sorted
+    q.stop()
+    assert(kept === Array(1L, 4L)) // one per distinct signature
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
