@@ -271,11 +271,12 @@ object Similarity {
     // would use a different metric and a query could miss its own cell.
     // struct comparison gives argmax without any window/shuffle —
     // (score, -cell) prefers the lower cell id on ties.
-    val cellScores = array(centroids.zipWithIndex.map { case (ctr, i) =>
-      val halfSq = ctr.map(x => x * x).sum / 2.0
-      struct(
-        (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
-        lit(-i).as("neg_cell"))
+    val cellScores = array(centroids.zipWithIndex.toIndexedSeq.map {
+      case (ctr, i) =>
+        val halfSq = ctr.map(x => x * x).sum / 2.0
+        struct(
+          (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
+          lit(-i).as("neg_cell"))
     }: _*)
 
     // assignment: argmax cell per vector — narrow map over the corpus

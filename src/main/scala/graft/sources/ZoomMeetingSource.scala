@@ -107,7 +107,7 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
     val p = new Path(path)
     val fs = p.getFileSystem(ZoomConf.build(sessionConfMap))
     val files =
-      if (fs.isDirectory(p))
+      if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
       else Array(path)
     files.sorted.map(f => ZoomFilePartition(f): InputPartition)
