@@ -211,6 +211,24 @@ object PipelineQueries extends QueryPack {
         .where(col("n") > 10)
     }),
 
+    // Incrementally-maintained rollup: the orders fact split into two
+    // batches, aggregated independently, merged via partial-state
+    // combine — must equal the oracle's single full GROUP BY. The
+    // materialized-view refresh path (merge cost ∝ |groups|, not
+    // |history|).
+    "q67_incremental_rollup" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      import graft.operators.IncrementalAgg.Stat
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("k"),
+        col("o_orderkey").as("v"))
+      val stats = Seq(Stat("v"))
+      val even = IncrementalAgg.aggregateBatch(
+        o.where(col("v") % 2 === 0), Seq("k"), stats)
+      val odd = IncrementalAgg.aggregateBatch(
+        o.where(col("v") % 2 =!= 0), Seq("k"), stats)
+      IncrementalAgg.merge(even, odd, Seq("k"), stats)
+    }),
+
     // Repetition score: highest single-token share per document — the
     // degenerate-text filter (boilerplate / keyword-stuffed docs score
     // high and get dropped before training).
@@ -360,6 +378,13 @@ object PipelineQueries extends QueryPack {
         |    AS volume
         |FROM orders GROUP BY 1, 2, 3
         |HAVING COUNT(*) > 10""".stripMargin,
+    "q67_incremental_rollup" ->
+      """SELECT o_orderpriority AS k,
+        |  COUNT(o_orderkey) AS v__count,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS v__sum,
+        |  MIN(o_orderkey) AS v__min,
+        |  MAX(o_orderkey) AS v__max
+        |FROM orders GROUP BY 1""".stripMargin,
     "q64_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
