@@ -37,6 +37,24 @@ class IncrementalAggSpec extends SparkSpec {
     assert(avgA === 2.0)
   }
 
+  test("incremental distinct via HLL sketch union == single-pass estimate") {
+    // the sketch path for the one aggregate IncrementalAgg excludes:
+    // per-batch hll_sketch_agg states hll_union_agg-merged give the
+    // SAME estimate as one pass over the union (sketches deterministic)
+    val b1 = (1L to 4000L).map(i => i % 997).toDF("v")
+    val b2 = (1L to 4000L).map(i => i % 1499).toDF("v")
+    val full = b1.unionByName(b2)
+      .selectExpr("hll_sketch_estimate(hll_sketch_agg(v)) AS est")
+      .as[Long].head()
+    val merged = b1.selectExpr("hll_sketch_agg(v) AS sk")
+      .unionByName(b2.selectExpr("hll_sketch_agg(v) AS sk"))
+      .selectExpr("hll_sketch_estimate(hll_union_agg(sk)) AS est")
+      .as[Long].head()
+    assert(merged === full)
+    // and the estimate is close to the true distinct count (1499)
+    assert(math.abs(merged - 1499L).toDouble / 1499 <= 0.05, s"est=$merged")
+  }
+
   test("merge shuffles state rows, not history: new group appears, old kept") {
     val state = Seq(("a", 3L, 6L, 1L, 3L), ("b", 1L, 10L, 10L, 10L))
       .toDF("k", "v__count", "v__sum", "v__min", "v__max")
