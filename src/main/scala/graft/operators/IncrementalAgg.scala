@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *    those need sketches or full recompute);
   *  - append-only semantics: updates/deletes to history require
   *    recompute (or retraction rows, out of scope);
-  *  - exactly-once via the same crash-safe snapshot swap as Upsert.
+  *  - UNLIKE the keyed upsert, the merge is NOT idempotent (sum-of-sums
+  *    double-counts a replayed batch), so at-least-once replay needs
+  *    the batch-id guard: pass `batchId` to [[refresh]] and an
+  *    already-applied batch is skipped. The marker commits in the same
+  *    crash-safe swap as the state itself (it is a column of the
+  *    state), so marker and data can never disagree.
   */
 object IncrementalAgg {
 
@@ -70,16 +75,37 @@ object IncrementalAgg {
       .agg(cs.head, cs.tail: _*)
   }
 
+  private val BatchIdCol = "__last_batch_id"
+
   /** One refresh cycle against a snapshot path: read state (if any),
-    * aggregate the new batch, merge, swap. Returns the new state. */
+    * aggregate the new batch, merge, swap. Returns the new state.
+    *
+    * @param batchId replay guard: when set, the id rides in the state
+    *   snapshot (same atomic swap — marker and data cannot disagree)
+    *   and a refresh whose id equals the stored one is a no-op. Callers
+    *   with at-least-once upstreams (BatchEtl-style bookmark replay)
+    *   MUST pass it — the merge itself double-counts replays. */
   def refresh(spark: SparkSession, statePath: String, batch: DataFrame,
-      groupCols: Seq[String], stats: Seq[Stat]): DataFrame = {
+      groupCols: Seq[String], stats: Seq[Stat],
+      batchId: Option[String] = None): DataFrame = {
+    val prior = Upsert.readSnapshot(spark, statePath)
+    val alreadyApplied = (prior, batchId) match {
+      case (Some(state), Some(id)) if state.columns.contains(BatchIdCol) =>
+        !state.limit(1).where(col(BatchIdCol) === id).isEmpty
+      case _ => false
+    }
+    if (alreadyApplied) return prior.get.drop(BatchIdCol)
+
     val batchAgg = aggregateBatch(batch, groupCols, stats)
-    val merged = Upsert.readSnapshot(spark, statePath) match {
+    val merged = prior.map(_.drop(BatchIdCol)) match {
       case Some(state) => merge(state, batchAgg, groupCols, stats)
       case None => batchAgg
     }
-    Upsert.writeSnapshot(merged, statePath)
-    spark.read.parquet(statePath)
+    val stamped = batchId match {
+      case Some(id) => merged.withColumn(BatchIdCol, lit(id))
+      case None => merged
+    }
+    Upsert.writeSnapshot(stamped, statePath)
+    spark.read.parquet(statePath).drop(BatchIdCol)
   }
 }

@@ -62,10 +62,17 @@ object Maintenance {
       path: String,
       partitionCols: Seq[String],
       sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    // Repartition on the partition columns FIRST: without it every
+    // upstream task writes one file into every partition dir it
+    // touches (tasks x partitions files — the exact fragmentation
+    // compactSnapshot exists to undo). Hashing the partition cols
+    // lands each partition value in one task → one file per dir.
+    val clustered = df.repartition(partitionCols.map(col): _*)
     val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(
-        (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(
+        (partitionCols ++ sortCols).map(col): _*)
     sorted.write
       .mode("overwrite")
       .partitionBy(partitionCols: _*)

@@ -15,9 +15,23 @@ import org.apache.spark.sql.DataFrame
 object Par {
 
   /** Round-robin repartition to the default parallelism when `df` is
-    * under-partitioned for a CPU-bound downstream stage. */
+    * under-partitioned for a CPU-bound downstream stage.
+    *
+    * Shuffled inputs pass through untouched WITHOUT probing the
+    * partition count: under AQE, `df.rdd` materializes the upstream
+    * shuffle stages just to read `getNumPartitions`, and that discarded
+    * execution would run again in the real query. A shuffled input is
+    * already sized by spark.sql.shuffle.partitions anyway; only narrow
+    * (scan-pipeline) plans — where `.rdd` builds lazily with no jobs —
+    * are probed and spread. */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val shuffled = df.queryExecution.sparkPlan.collectFirst {
+      case _: ShuffleExchangeLike => true
+    }.isDefined
+    if (shuffled) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 }

@@ -239,7 +239,8 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L,
-      trainCap: Int = 25000): DataFrame = {
+      trainCap: Int = 25000,
+      literalCellThreshold: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
       .where(col("u").isNotNull)
@@ -265,33 +266,56 @@ object Similarity {
     }
     val centroids = trainCentroids(sample, nLists, maxIter = 5, seed)
 
-    // Cell scoring is a PROJECTION, not a join: 16 centroids inline as
-    // literals, scored by the SAME metric k-means assigns with
+    // Cells are scored by the SAME metric k-means assigns with
     // (argmin ||u-c||² ≡ argmax (u·c − ||c||²/2)); ranking by raw dot
     // would use a different metric and a query could miss its own cell.
-    // struct comparison gives argmax without any window/shuffle —
-    // (score, -cell) prefers the lower cell id on ties.
-    val cellScores = array(centroids.zipWithIndex.toIndexedSeq.map {
-      case (ctr, i) =>
-        val halfSq = ctr.map(x => x * x).sum / 2.0
-        struct(
-          (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
-          lit(-i).as("neg_cell"))
-    }: _*)
-
-    // assignment: argmax cell per vector — narrow map over the corpus
-    val assigned = vecs
-      .withColumn("best", array_max(cellScores))
-      .select(col("id"), col("u").as("u_b"),
-        (-col("best.neg_cell")).as("cell"))
-
-    // probing: top-nProbe cells per query — also a narrow map (sort the
-    // 16-element struct array desc, slice, explode); no id-window shuffle
-    val probes = vecs
-      .withColumn("probe",
-        explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
-      .select(col("id").as("key"), col("u").as("u_a"),
-        (-col("probe.neg_cell")).as("cell"))
+    // Two physical strategies with identical semantics (ties → lower
+    // cell id):
+    //  - small indexes: centroids inline as literals, struct-argmax /
+    //    sorted-slice — pure narrow projections, zero extra shuffles;
+    //  - large indexes (literals would blow past janino's method/
+    //    constant-pool limits and knock the projection off codegen):
+    //    broadcast centroid table + crossJoin + id-window rank. The
+    //    assignment is the rank-1 probe (same metric), so one ranking
+    //    serves both.
+    val dim = sample.head.length
+    val (assigned, probes) =
+      if (centroids.length * dim <= literalCellThreshold) {
+        val cellScores = array(centroids.zipWithIndex.toIndexedSeq.map {
+          case (ctr, i) =>
+            val halfSq = ctr.map(x => x * x).sum / 2.0
+            struct(
+              (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
+              lit(-i).as("neg_cell"))
+        }: _*)
+        val a = vecs
+          .withColumn("best", array_max(cellScores))
+          .select(col("id"), col("u").as("u_b"),
+            (-col("best.neg_cell")).as("cell"))
+        val p = vecs
+          .withColumn("probe",
+            explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
+          .select(col("id").as("key"), col("u").as("u_a"),
+            (-col("probe.neg_cell")).as("cell"))
+        (a, p)
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val centroidDf = centroids.zipWithIndex.toIndexedSeq
+          .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum / 2.0) }
+          .toDF("cell", "centroid", "half_sq_norm")
+        val probeW = Window.partitionBy(col("id"))
+          .orderBy(col("cscore").desc, col("cell").asc)
+        val ranked = vecs.crossJoin(broadcast(centroidDf))
+          .withColumn("cscore",
+            dot(col("u"), col("centroid")) - col("half_sq_norm"))
+          .withColumn("prank", row_number().over(probeW))
+        val a = ranked.where(col("prank") === 1)
+          .select(col("id"), col("u").as("u_b"), col("cell"))
+        val p = ranked.where(col("prank") <= nProbe)
+          .select(col("id").as("key"), col("u").as("u_a"), col("cell"))
+        (a, p)
+      }
 
     val scored = probes
       .join(assigned.select(col("cell"), col("id"), col("u_b")),
@@ -337,11 +361,15 @@ object Similarity {
       .where(col("lo") < col("hi"))
       .dropDuplicates("lo", "hi")
       .select("lo", "hi")
+    // materialized once (minHashPairs' idiom): both union branches read
+    // it — lazily, Catalyst would re-execute the joins and dot products
+    // in each branch and the halving would be fiction
     val scoredOnce = cands
       .join(base.select(col("id").as("lo"), col("u").as("u_a")), Seq("lo"))
       .join(base.select(col("id").as("hi"), col("u").as("u_b")), Seq("hi"))
       .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
       .select("lo", "hi", "sim")
+      .localCheckpoint(true)
     val scored = scoredOnce
       .select(col("lo").as("key"), col("hi").as("id"), col("sim"))
       .unionByName(scoredOnce

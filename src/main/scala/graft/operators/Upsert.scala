@@ -118,9 +118,21 @@ object Upsert {
       val fs = dst.getFileSystem(hadoopConf)
       val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
       val bak = new org.apache.hadoop.fs.Path(path + "__prev")
-      if (fs.exists(bak)) fs.delete(bak, true)
-      if (fs.exists(dst)) fs.rename(dst, bak)
-      fs.rename(tmp, dst)
+      if (fs.exists(dst)) {
+        // normal swap: every crash point leaves a committed generation
+        // readable (dst until the mid-swap rename, then __prev)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        fs.rename(dst, bak)
+        fs.rename(tmp, dst)
+      } else {
+        // recovery write (prior run crashed mid-swap; __prev holds the
+        // only committed generation, which this plan was read FROM).
+        // Commit the new primary FIRST, clean up after — deleting
+        // __prev before tmp→dst lands would leave a crash window with
+        // NO generation on disk, i.e. silent total loss.
+        fs.rename(tmp, dst)
+        if (fs.exists(bak)) fs.delete(bak, true)
+      }
     }
   }
 

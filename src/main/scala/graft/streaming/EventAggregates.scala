@@ -44,15 +44,24 @@ object EventAggregates {
     * streaming analog of the batch SimHash dedup (exact-signature
     * collision; a full banded near-dup would need stream-stream
     * self-join state). State is one 8-byte signature per distinct text
-    * within the watermark horizon, expired by event time. */
+    * within the watermark horizon, expired by event time.
+    *
+    * NULL texts carry no content to compare, so they BYPASS the dedup
+    * (dropDuplicates would treat all NULL keys as equal and silently
+    * keep one per horizon). All-whitespace/empty texts share the empty
+    * signature and deliberately DO collapse — empty docs are mutual
+    * duplicates by content. */
   def dedupNearText(events: DataFrame, textCol: String,
-      lateness: String = "1 hour"): DataFrame =
-    events
+      lateness: String = "1 hour"): DataFrame = {
+    val withSig = events
       .withColumn("__sig",
         graft.functions.TextFunctions.simHash(col(textCol)))
       .withWatermark("ts", lateness)
+    withSig.where(col("__sig").isNotNull)
       .dropDuplicatesWithinWatermark("__sig")
+      .unionByName(withSig.where(col("__sig").isNull))
       .drop("__sig")
+  }
 
   /** Hourly tumbling-window counts per event type with a 1-hour
     * watermark: events later than that are dropped, bounding state. */

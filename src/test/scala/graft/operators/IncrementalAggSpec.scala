@@ -37,6 +37,25 @@ class IncrementalAggSpec extends SparkSpec {
     assert(avgA === 2.0)
   }
 
+  test("batchId guard makes at-least-once replay safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iagg2").toString
+    val path = s"$dir/rollup"
+    val b1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    IncrementalAgg.refresh(spark, path, b1, Seq("k"), stats,
+      batchId = Some("batch-1"))
+    // replay of the SAME batch (bookmark not yet advanced) → no-op
+    val replayed = IncrementalAgg.refresh(spark, path, b1, Seq("k"), stats,
+      batchId = Some("batch-1"))
+    assert(replayed.where($"k" === "a").select("v__count")
+      .as[Long].head() === 1L)
+    // a genuinely new batch applies
+    val b2 = Seq(("a", 5L)).toDF("k", "v")
+    val after = IncrementalAgg.refresh(spark, path, b2, Seq("k"), stats,
+      batchId = Some("batch-2"))
+    assert(after.where($"k" === "a")
+      .select("v__count", "v__sum").as[(Long, Long)].head() === ((2L, 6L)))
+  }
+
   test("incremental distinct via HLL sketch union == single-pass estimate") {
     // the sketch path for the one aggregate IncrementalAgg excludes:
     // per-batch hll_sketch_agg states hll_union_agg-merged give the

@@ -39,6 +39,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("ivfTopK broadcast-join path == literal-projection path") {
+    // same index, two physical strategies: forcing the broadcast path
+    // (threshold 0) must reproduce the literal path bit-for-bit
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val lit = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+        nLists = 16, nProbe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val bcast = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+        nLists = 16, nProbe = 4, literalCellThreshold = 0)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(bcast === lit)
+  }
+
   test("ivfTopK tolerates corpora smaller than nLists, and empty input") {
     // 3 vectors, nLists=16: trains one centroid per vector instead of
     // indexing past the sample (the removed Spark ML fit tolerated

@@ -73,6 +73,24 @@ class UpsertSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("recovery write from a __prev-only state commits before cleanup") {
+    // after a mid-swap crash only __prev exists; the next write must
+    // land the new primary FIRST and delete __prev after — deleting
+    // first would open a window with NO generation on disk
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    val path = s"$dir/tbl"
+    Upsert.writeSnapshot(Seq(("old", 1)).toDF("k", "v"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__prev"))
+    // recovery-cycle write (reads would have come from __prev)
+    Upsert.writeSnapshot(Seq(("new", 2)).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).as[(String, Int)].collect()
+      === Array(("new", 2)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__prev")))
+  }
+
   test("readSnapshot falls back to __prev in the mid-swap crash window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
     val path = s"$dir/tbl"

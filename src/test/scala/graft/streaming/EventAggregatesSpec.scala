@@ -92,6 +92,23 @@ class EventAggregatesSpec extends SparkSpec {
     assert(kept === Array(1L, 4L)) // one per distinct signature
   }
 
+  test("near-dup suppression: null texts bypass the dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TextEvent]
+    val q = dedupNearText(input.toDF(), "text", lateness = "1 hour")
+      .writeStream.format("memory").queryName("neardedup_null")
+      .outputMode(OutputMode.Append()).start()
+    input.addData( // two null-text events: NOT duplicates of each other
+      TextEvent(1, ts("2024-01-01 10:00:00"), null),
+      TextEvent(2, ts("2024-01-01 10:01:00"), null),
+      TextEvent(3, ts("2024-01-01 10:02:00"), "real text"))
+    q.processAllAvailable()
+    val kept = spark.table("neardedup_null").as[TextEvent].collect()
+      .map(_.event_id).sorted
+    q.stop()
+    assert(kept === Array(1L, 2L, 3L)) // both nulls kept
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
