@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan regression guards for the scale posture PLANS_r2.md
+  * documents: pushdown reaching the scan, pruned read schemas, dim
+  * broadcasts, partial aggregation. A refactor that silently loses one
+  * of these would still pass the value-based oracle — these fail it. */
+class PlanPostureSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicate AND projection pushdown reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(800))
+    // pruned ReadSchema: quantities+keys only, no returnflag/linestatus
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint"), p.take(800))
+    assert(!p.contains("l_returnflag"), "scan reads unused columns")
+  }
+
+  test("q03: star joins broadcast the dimension sides") {
+    val p = plan("q03_star_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "dim-fact star join fell back to sort-merge")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine present)") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate operators around one exchange = partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q23: priority selection keeps the priority table broadcast") {
+    val p = plan("q23_priority_top1")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+  }
+}
