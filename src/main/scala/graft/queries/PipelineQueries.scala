@@ -188,6 +188,40 @@ object PipelineQueries extends QueryPack {
           sum(col("k")).as("sum_k"))
     }),
 
+    // FULL OUTER join surface: per-day order volume vs event volume —
+    // days present on either side survive with nulls coalesced.
+    "q68_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("ym"), "full_outer")
+        .select(col("ym"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
+    // NOT IN with NULLs — SQL three-valued logic: a NULL in the
+    // subquery list makes NOT IN never-true, so only the NOT-IN branch
+    // with a null-free list returns rows. Both engines must agree.
+    "q69_not_in_nulls" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g69_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g69_orders")
+      s.sql("""
+        SELECT c_custkey, 'no_urgent_orders' AS tag
+        FROM g69_customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM g69_orders
+           WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT c_custkey, 'null_poisoned' AS tag
+        FROM g69_customer
+        WHERE c_custkey NOT IN
+          (SELECT nullif(o_custkey, o_custkey) FROM g69_orders)""")
+    }),
+
     // Histogram: fixed-width value buckets over the event stream (the
     // distribution-profile pass; floor arithmetic, not width_bucket, so
     // both engines bucket identically).
@@ -365,6 +399,29 @@ object PipelineQueries extends QueryPack {
         |SELECT media_id, n_bytes, frame_idx,
         |  frame_idx * 5000 AS frame_ts_ms
         |FROM x""".stripMargin,
+    "q68_full_outer" ->
+      """WITH o AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), e AS (
+        |  SELECT strftime(ts, '%Y-%m') AS ym, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT COALESCE(o.ym, e.ym) AS ym,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_events, 0) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.ym = e.ym""".stripMargin,
+    "q69_not_in_nulls" ->
+      """SELECT c_custkey, 'no_urgent_orders' AS tag
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, 'null_poisoned' AS tag
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, o_custkey) FROM orders)""".stripMargin,
     "q65_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n
