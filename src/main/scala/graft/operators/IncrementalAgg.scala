@@ -82,16 +82,20 @@ object IncrementalAgg {
     *
     * @param batchId replay guard: when set, the id rides in the state
     *   snapshot (same atomic swap — marker and data cannot disagree)
-    *   and a refresh whose id equals the stored one is a no-op. Callers
-    *   with at-least-once upstreams (BatchEtl-style bookmark replay)
-    *   MUST pass it — the merge itself double-counts replays. */
+    *   and a refresh whose id is ≤ the stored one (string comparison)
+    *   is a no-op. Ids MUST be monotonically increasing in their
+    *   lexicographic order — ISO timestamps or zero-padded sequence
+    *   numbers — so both the immediate crash-replay AND a late
+    *   redelivery of an older batch are skipped. Callers with
+    *   at-least-once upstreams (BatchEtl-style bookmark replay) MUST
+    *   pass it — the merge itself double-counts replays. */
   def refresh(spark: SparkSession, statePath: String, batch: DataFrame,
       groupCols: Seq[String], stats: Seq[Stat],
       batchId: Option[String] = None): DataFrame = {
     val prior = Upsert.readSnapshot(spark, statePath)
     val alreadyApplied = (prior, batchId) match {
       case (Some(state), Some(id)) if state.columns.contains(BatchIdCol) =>
-        !state.limit(1).where(col(BatchIdCol) === id).isEmpty
+        !state.limit(1).where(col(BatchIdCol) >= id).isEmpty
       case _ => false
     }
     if (alreadyApplied) return prior.get.drop(BatchIdCol)

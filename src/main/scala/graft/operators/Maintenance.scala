@@ -57,18 +57,44 @@ object Maintenance {
     * (the engine's replacement for the reference's B-tree indexes) and
     * min/max row-group skipping effective at scale. `sortCols` should
     * lead with the dominant point-lookup/join column. */
+  /** @param filesPerPartition write parallelism per partition value.
+    *   1 (default) → one task and one file per dir — right for many
+    *   modest partitions. For a LARGE or skewed partition (one date
+    *   holding hundreds of GB) a single task is a straggler/OOM: raise
+    *   this and rows salt across up to `filesPerPartition` tasks per
+    *   value (deterministic hash of the sort columns; the range
+    *   partitioner's sampled boundaries make the file count
+    *   approximate — between 2 and `filesPerPartition` per fat
+    *   partition, never the single-task straggler). */
   def writePartitioned(
       df: org.apache.spark.sql.DataFrame,
       path: String,
       partitionCols: Seq[String],
-      sortCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.col
+      sortCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     // Repartition on the partition columns FIRST: without it every
     // upstream task writes one file into every partition dir it
     // touches (tasks x partitions files — the exact fragmentation
     // compactSnapshot exists to undo). Hashing the partition cols
-    // lands each partition value in one task → one file per dir.
-    val clustered = df.repartition(partitionCols.map(col): _*)
+    // lands each partition value in `filesPerPartition` task(s).
+    val clustered =
+      if (partitionCols.isEmpty) df
+      else if (filesPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
+      else {
+        val saltSrc = if (sortCols.nonEmpty) sortCols else df.columns.toSeq
+        val salt = pmod(xxhash64(saltSrc.map(col): _*),
+          lit(filesPerPartition.toLong))
+        // repartitionByRange with an EXPLICIT count: range boundaries
+        // separate distinct (partition, salt) combos into distinct
+        // tasks deterministically, and the explicit count keeps AQE
+        // from coalescing the salted spread back into one partition
+        // (which plain repartition(cols) allows)
+        val n = math.max(
+          df.sparkSession.sparkContext.defaultParallelism,
+          filesPerPartition)
+        df.repartitionByRange(n, partitionCols.map(col) :+ salt: _*)
+      }
     val sorted =
       if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(

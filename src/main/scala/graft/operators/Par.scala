@@ -27,10 +27,19 @@ object Par {
   def spread(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val shuffled = df.queryExecution.sparkPlan.collectFirst {
+    val plan = df.queryExecution.sparkPlan
+    // collectWithSubqueries: a shuffle inside a scalar subquery would
+    // otherwise slip past and the .rdd probe would execute its stages
+    val shuffled = plan.collectWithSubqueries {
       case _: ShuffleExchangeLike => true
-    }.isDefined
-    if (shuffled) df
+    }.contains(true)
+    if (shuffled) {
+      // static partition count from the plan root — no execution; a
+      // shuffled input sized below the cluster (small
+      // spark.sql.shuffle.partitions, explicit coalesce) still spreads
+      val n = plan.outputPartitioning.numPartitions
+      if (n > 0 && n < target) df.repartition(target) else df
+    }
     else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }

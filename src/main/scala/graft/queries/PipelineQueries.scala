@@ -188,8 +188,8 @@ object PipelineQueries extends QueryPack {
           sum(col("k")).as("sum_k"))
     }),
 
-    // FULL OUTER join surface: per-day order volume vs event volume —
-    // days present on either side survive with nulls coalesced.
+    // FULL OUTER join surface: per-month order volume vs event volume —
+    // months present on either side survive with nulls coalesced.
     "q68_full_outer" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))

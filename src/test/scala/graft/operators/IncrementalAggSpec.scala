@@ -54,6 +54,11 @@ class IncrementalAggSpec extends SparkSpec {
       batchId = Some("batch-2"))
     assert(after.where($"k" === "a")
       .select("v__count", "v__sum").as[(Long, Long)].head() === ((2L, 6L)))
+    // LATE redelivery of the older batch (ids are monotonic): skipped
+    val late = IncrementalAgg.refresh(spark, path, b1, Seq("k"), stats,
+      batchId = Some("batch-1"))
+    assert(late.where($"k" === "a")
+      .select("v__count", "v__sum").as[(Long, Long)].head() === ((2L, 6L)))
   }
 
   test("incremental distinct via HLL sketch union == single-pass estimate") {

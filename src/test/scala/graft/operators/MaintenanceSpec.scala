@@ -65,4 +65,22 @@ class MaintenanceSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(!scan.contains("2025-01-01"), scan.take(800))
   }
+
+  test("writePartitioned filesPerPartition salts a large partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_salt").toString
+    val path = s"$dir/fat"
+    // one fat partition value: salt must spread it over multiple files
+    val df = (1 to 4000).map(i => ("2025-01-01", i.toLong)).toDF("day", "id")
+    Maintenance.writePartitioned(df, path, Seq("day"), Seq("id"),
+      filesPerPartition = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/day=2025-01-01"))
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    // range boundaries are sample-based: spread is approximate (2..4
+    // files) — the property that matters is NOT one straggler task
+    assert(files >= 2 && files <= 4, s"expected 2..4 salted files, got $files")
+    assert(spark.read.parquet(path).count() === 4000)
+  }
 }

@@ -11,6 +11,9 @@ class PlanPostureSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(q: String): String = {
+    // default maxMetadataStringLength (100) truncates ReadSchema before
+    // later columns appear — the negative assert below would be vacuous
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     val df = SparkEntry.queries(q)(spark, sf)
     df.queryExecution.executedPlan.toString
   }
