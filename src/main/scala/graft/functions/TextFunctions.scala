@@ -50,8 +50,16 @@ object TextFunctions {
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
 
-  /** Character n-grams of the raw string (whitespace collapsed). */
+  /** Character n-grams of the raw string (whitespace collapsed).
+    * Native expression, parity-tested against [[charNgramsDeclarative]]. */
   def charNgrams(c: Column, n: Int): Column = {
+    import graft.functions.expressions.{CharNgramsExpr, NativeExpressions => NE}
+    NE.col(CharNgramsExpr(
+      NE.expr(regexp_replace(trim(c), "\\s+", " ")), n))
+  }
+
+  /** HOF reference implementation of [[charNgrams]]. */
+  def charNgramsDeclarative(c: Column, n: Int): Column = {
     val s = regexp_replace(trim(c), "\\s+", " ")
     val cnt = greatest(length(s) - (n - 1), lit(1))
     array_distinct(transform(

@@ -196,6 +196,40 @@ case class WordShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Distinct character n-grams of a (pre-collapsed) string. Matches
+  * TextFunctions.charNgramsDeclarative: cnt = max(len - (n-1), 1);
+  * gram i = substring(s, i, n) (SQL code-point semantics via
+  * UTF8String.substringSQL — NOT Java UTF-16 units); first-occurrence
+  * order preserved like array_distinct. Whitespace collapsing happens
+  * in the composed child expression (Spark's own trim/regexp_replace)
+  * so the two formulations share it verbatim. */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val cnt = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    var i = 1
+    while (i <= cnt) {
+      seen.add(s.substringSQL(i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNgramsExpr =
+    copy(child = c)
+}
+
 /** Numeric-array element accessor shared by the vector expressions. */
 private[expressions] object VecAccess {
   /** Returns a reader (arrayData, idx) → double for the element type, or

@@ -263,6 +263,21 @@ object PipelineQueries extends QueryPack {
       IncrementalAgg.merge(even, odd, Seq("k"), stats)
     }),
 
+    // Character-3-gram Jaccard between consecutive docs: the
+    // tokenization-robust near-dup primitive (char grams survive
+    // punctuation/spacing edits that break word shingles).
+    "q70_char_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val grams = d.select(col("doc_id"),
+        charNgrams(col("text"), 3).as("g"))
+      val pairs = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+        .join(grams.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_a"))
+      pairs.select(col("id_a"), col("id_b"),
+        round(graft.operators.Dedup.jaccardArrays(col("g_a"), col("g_b")), 4)
+          .as("jaccard"))
+    }),
+
     // Repetition score: highest single-token share per document — the
     // degenerate-text filter (boilerplate / keyword-stuffed docs score
     // high and get dropped before training).
@@ -449,6 +464,21 @@ object PipelineQueries extends QueryPack {
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
         |    AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
+    "q70_char_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(s, i, 3) for i in
+        |      range(1, greatest(len(s) - 2, 1) + 1)]) AS g
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(trim(text), '\s+', ' ', 'g') AS s
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+        |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |    ELSE 0.0 END, 4) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q62_repetition" ->
       """WITH f AS (
         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (

@@ -51,6 +51,22 @@ class NativeParitySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("charNgrams native == declarative (n = 2, 3)") {
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(
+        charNgrams(col("text"), n).as("a"),
+        charNgramsDeclarative(col("text"), n).as("b"))
+        .where(col("a") =!= col("b")).count()
+      assert(diff === 0, s"n=$n")
+    }
+    val edge = Seq("ab", "a", "", "  spaced   out  ").toDF("text")
+    val diff = edge.select(
+      charNgrams(col("text"), 3).as("a"),
+      charNgramsDeclarative(col("text"), 3).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
   test("minHashSignature native == declarative") {
     val diff = docs.select(
       Dedup.minHashSignature(col("text"), 3, 16).as("a"),
