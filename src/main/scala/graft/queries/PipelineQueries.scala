@@ -222,6 +222,17 @@ object PipelineQueries extends QueryPack {
           (SELECT nullif(o_custkey, o_custkey) FROM g69_orders)""")
     }),
 
+    // Global ordered top-k with pagination: ORDER BY + LIMIT + OFFSET
+    // under a unique tie-break. Physically TakeOrderedAndProject — the
+    // per-partition top-(k+offset) + single merge that never sorts the
+    // full table.
+    "q71_order_limit_offset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .offset(5)
+        .limit(20)),
+
     // Histogram: fixed-width value buckets over the event stream (the
     // distribution-profile pass; floor arithmetic, not width_bucket, so
     // both engines bucket identically).
@@ -414,6 +425,11 @@ object PipelineQueries extends QueryPack {
         |SELECT media_id, n_bytes, frame_idx,
         |  frame_idx * 5000 AS frame_ts_ms
         |FROM x""".stripMargin,
+    "q71_order_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 5""".stripMargin,
     "q68_full_outer" ->
       """WITH o AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders
