@@ -211,12 +211,27 @@ case class CharNgramsExpr(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // one forward walk recording each code point's byte offset —
+    // substringSQL per gram would re-scan from byte 0 every time
+    // (O(len²) on long documents)
     val len = s.numChars()
+    val starts = new Array[Int](len + 1)
+    var b = 0
+    var c = 0
+    while (b < bytes.length) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(len) = bytes.length
     val cnt = math.max(len - (n - 1), 1)
     val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
-    var i = 1
-    while (i <= cnt) {
-      seen.add(s.substringSQL(i, n))
+    var i = 0
+    while (i < cnt) {
+      val from = starts(i)
+      val to = starts(math.min(i + n, len))
+      seen.add(UTF8String.fromBytes(bytes, from, to - from))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -82,16 +82,17 @@ object IncrementalAgg {
     *
     * @param batchId replay guard: when set, the id rides in the state
     *   snapshot (same atomic swap — marker and data cannot disagree)
-    *   and a refresh whose id is ≤ the stored one (string comparison)
-    *   is a no-op. Ids MUST be monotonically increasing in their
-    *   lexicographic order — ISO timestamps or zero-padded sequence
-    *   numbers — so both the immediate crash-replay AND a late
-    *   redelivery of an older batch are skipped. Callers with
-    *   at-least-once upstreams (BatchEtl-style bookmark replay) MUST
-    *   pass it — the merge itself double-counts replays. */
+    *   and a refresh whose id is ≤ the stored one is a no-op, covering
+    *   both the immediate crash-replay and a late redelivery of an
+    *   older batch. Ids are NUMERIC (epoch millis, sequence numbers) —
+    *   numeric comparison has no lexicographic footgun where
+    *   "batch-10" < "batch-9" would silently drop a genuinely new
+    *   batch. Callers with at-least-once upstreams (BatchEtl-style
+    *   bookmark replay) MUST pass it — the merge itself double-counts
+    *   replays. */
   def refresh(spark: SparkSession, statePath: String, batch: DataFrame,
       groupCols: Seq[String], stats: Seq[Stat],
-      batchId: Option[String] = None): DataFrame = {
+      batchId: Option[Long] = None): DataFrame = {
     val prior = Upsert.readSnapshot(spark, statePath)
     val alreadyApplied = (prior, batchId) match {
       case (Some(state), Some(id)) if state.columns.contains(BatchIdCol) =>

@@ -62,17 +62,16 @@ object Maintenance {
     *   modest partitions. For a LARGE or skewed partition (one date
     *   holding hundreds of GB) a single task is a straggler/OOM: raise
     *   this and rows salt across up to `filesPerPartition` tasks per
-    *   value (deterministic hash of the sort columns; the range
-    *   partitioner's sampled boundaries make the file count
-    *   approximate — between 2 and `filesPerPartition` per fat
-    *   partition, never the single-task straggler). */
+    *   value (round-robin by source partition — immune to data skew;
+    *   hash collisions make the per-dir file count approximate, but a
+    *   fat partition never funnels through a single straggler task). */
   def writePartitioned(
       df: org.apache.spark.sql.DataFrame,
       path: String,
       partitionCols: Seq[String],
       sortCols: Seq[String],
       filesPerPartition: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod}
     // Repartition on the partition columns FIRST: without it every
     // upstream task writes one file into every partition dir it
     // touches (tasks x partitions files — the exact fragmentation
@@ -82,18 +81,20 @@ object Maintenance {
       if (partitionCols.isEmpty) df
       else if (filesPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
       else {
-        val saltSrc = if (sortCols.nonEmpty) sortCols else df.columns.toSeq
-        val salt = pmod(xxhash64(saltSrc.map(col): _*),
+        // Row-level round-robin salt (monotonic id cycles within every
+        // source partition), not a data hash: value skew inside a fat
+        // partition (all rows sharing the dominant sort key) would
+        // collapse a data-derived salt back to one task — the very
+        // straggler this exists to prevent. The explicit partition
+        // count keeps AQE from coalescing the spread away, and hash
+        // repartition avoids repartitionByRange's extra sampling pass
+        // over the full input.
+        val salt = pmod(monotonically_increasing_id(),
           lit(filesPerPartition.toLong))
-        // repartitionByRange with an EXPLICIT count: range boundaries
-        // separate distinct (partition, salt) combos into distinct
-        // tasks deterministically, and the explicit count keeps AQE
-        // from coalescing the salted spread back into one partition
-        // (which plain repartition(cols) allows)
         val n = math.max(
           df.sparkSession.sparkContext.defaultParallelism,
           filesPerPartition)
-        df.repartitionByRange(n, partitionCols.map(col) :+ salt: _*)
+        df.repartition(n, partitionCols.map(col) :+ salt: _*)
       }
     val sorted =
       if (sortCols.isEmpty) clustered

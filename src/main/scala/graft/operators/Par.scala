@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism hygiene for compute-heavy per-row stages.
   *
@@ -14,33 +16,41 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
+  /** Is the plan a pure narrow pipeline over leaves (scan / project /
+    * filter / generate / alias) with no subquery expressions? Only such
+    * plans may be probed with `df.rdd`: anything carrying a shuffle or
+    * a subquery would EXECUTE work during the probe (under AQE,
+    * `Dataset.rdd` materializes shuffle stages), and the physical plan
+    * cannot be inspected safely pre-execution (subquery expressions
+    * still hold logical plans at the `sparkPlan` stage). */
+  private def narrowNoSubquery(p: LogicalPlan): Boolean = {
+    val noSubq = !p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))
+    noSubq && (p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+        p.children.forall(narrowNoSubquery)
+      case _ => false
+    })
+  }
+
   /** Round-robin repartition to the default parallelism when `df` is
     * under-partitioned for a CPU-bound downstream stage.
     *
-    * Shuffled inputs pass through untouched WITHOUT probing the
-    * partition count: under AQE, `df.rdd` materializes the upstream
-    * shuffle stages just to read `getNumPartitions`, and that discarded
-    * execution would run again in the real query. A shuffled input is
-    * already sized by spark.sql.shuffle.partitions anyway; only narrow
-    * (scan-pipeline) plans — where `.rdd` builds lazily with no jobs —
-    * are probed and spread. */
+    * Narrow scan pipelines are probed via `df.rdd` (lazy — no jobs run
+    * for a shuffle-free plan) and spread when under-partitioned. Plans
+    * containing aggregates/joins/subqueries are never probed (the probe
+    * would execute their shuffle stages once and the real query again);
+    * they already shuffle into `spark.sql.shuffle.partitions`
+    * partitions, so they are spread only when that conf is sized below
+    * the cluster's parallelism. */
   def spread(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val plan = df.queryExecution.sparkPlan
-    // collectWithSubqueries: a shuffle inside a scalar subquery would
-    // otherwise slip past and the .rdd probe would execute its stages
-    val shuffled = plan.collectWithSubqueries {
-      case _: ShuffleExchangeLike => true
-    }.contains(true)
-    if (shuffled) {
-      // static partition count from the plan root — no execution; a
-      // shuffled input sized below the cluster (small
-      // spark.sql.shuffle.partitions, explicit coalesce) still spreads
-      val n = plan.outputPartitioning.numPartitions
-      if (n > 0 && n < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (narrowNoSubquery(df.queryExecution.optimizedPlan)) {
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    } else {
+      val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+      if (shufflePartitions < target) df.repartition(target) else df
     }
-    else if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
   }
 }

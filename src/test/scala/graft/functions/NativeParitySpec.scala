@@ -59,7 +59,10 @@ class NativeParitySpec extends SparkSpec {
         .where(col("a") =!= col("b")).count()
       assert(diff === 0, s"n=$n")
     }
-    val edge = Seq("ab", "a", "", "  spaced   out  ").toDF("text")
+    // multibyte code points exercise the byte-offset walk (UTF-8 2-3
+    // byte chars must slice identically to substring's SQL semantics)
+    val edge = Seq("ab", "a", "", "  spaced   out  ",
+      "héllo wörld ünïcode", "日本語のテキスト です").toDF("text")
     val diff = edge.select(
       charNgrams(col("text"), 3).as("a"),
       charNgramsDeclarative(col("text"), 3).as("b"))

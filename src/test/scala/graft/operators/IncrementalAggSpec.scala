@@ -42,21 +42,22 @@ class IncrementalAggSpec extends SparkSpec {
     val path = s"$dir/rollup"
     val b1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
     IncrementalAgg.refresh(spark, path, b1, Seq("k"), stats,
-      batchId = Some("batch-1"))
+      batchId = Some(9L))
     // replay of the SAME batch (bookmark not yet advanced) → no-op
     val replayed = IncrementalAgg.refresh(spark, path, b1, Seq("k"), stats,
-      batchId = Some("batch-1"))
+      batchId = Some(9L))
     assert(replayed.where($"k" === "a").select("v__count")
       .as[Long].head() === 1L)
-    // a genuinely new batch applies
+    // a genuinely new batch applies — numeric ids have no lexicographic
+    // trap (10 > 9, where the string "batch-10" < "batch-9")
     val b2 = Seq(("a", 5L)).toDF("k", "v")
     val after = IncrementalAgg.refresh(spark, path, b2, Seq("k"), stats,
-      batchId = Some("batch-2"))
+      batchId = Some(10L))
     assert(after.where($"k" === "a")
       .select("v__count", "v__sum").as[(Long, Long)].head() === ((2L, 6L)))
-    // LATE redelivery of the older batch (ids are monotonic): skipped
+    // LATE redelivery of the older batch: skipped
     val late = IncrementalAgg.refresh(spark, path, b1, Seq("k"), stats,
-      batchId = Some("batch-1"))
+      batchId = Some(9L))
     assert(late.where($"k" === "a")
       .select("v__count", "v__sum").as[(Long, Long)].head() === ((2L, 6L)))
   }
