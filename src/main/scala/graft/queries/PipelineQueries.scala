@@ -233,6 +233,34 @@ object PipelineQueries extends QueryPack {
         .offset(5)
         .limit(20)),
 
+    // Date arithmetic breadth: day deltas, month shifts, month-end
+    // snapping — all surfaced as strings/ints per the determinism
+    // conventions (never raw DATE columns).
+    "q72_date_arith" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"),
+        datediff(lit("1998-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_98"),
+        date_format(add_months(col("o_orderdate").cast("date"), 3),
+          "yyyy-MM-dd").as("plus3mo"),
+        date_format(last_day(col("o_orderdate").cast("date")),
+          "yyyy-MM-dd").as("month_end"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+    }),
+
+    // Edit distance (Levenshtein) between consecutive docs' prefixes —
+    // the char-level near-dup verification primitive (prefix-bounded:
+    // full-document DP is quadratic in length by construction).
+    "q73_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      d.select(col("doc_id").as("id_a"), col("p").as("p_a"))
+        .join(d.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("p").as("p_b")), Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("p_a"), col("p_b")).as("edit_dist"))
+    }),
+
     // Histogram: fixed-width value buckets over the event stream (the
     // distribution-profile pass; floor arithmetic, not width_bucket, so
     // both engines bucket identically).
@@ -425,6 +453,23 @@ object PipelineQueries extends QueryPack {
         |SELECT media_id, n_bytes, frame_idx,
         |  frame_idx * 5000 AS frame_ts_ms
         |FROM x""".stripMargin,
+    "q72_date_arith" ->
+      """SELECT o_orderkey,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+        |    AS days_to_98,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+        |    '%Y-%m-%d') AS plus3mo,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+        |    AS month_end,
+        |  dayofmonth(o_orderdate) AS dom
+        |FROM orders""".stripMargin,
+    "q73_edit_distance" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.p, b.p) AS edit_dist
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q71_order_limit_offset" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
