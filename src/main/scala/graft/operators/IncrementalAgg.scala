@@ -94,8 +94,16 @@ object IncrementalAgg {
       groupCols: Seq[String], stats: Seq[Stat],
       batchId: Option[Long] = None): DataFrame = {
     val prior = Upsert.readSnapshot(spark, statePath)
+    // guard only against a LONG-typed marker: a state stamped by a
+    // different id scheme (e.g. a legacy string column) cannot be
+    // ordered against the numeric id — comparing would throw under
+    // ANSI or silently disarm; treat it as absent and re-arm from this
+    // refresh instead
     val alreadyApplied = (prior, batchId) match {
-      case (Some(state), Some(id)) if state.columns.contains(BatchIdCol) =>
+      case (Some(state), Some(id))
+          if state.columns.contains(BatchIdCol) &&
+            state.schema(BatchIdCol).dataType ==
+              org.apache.spark.sql.types.LongType =>
         !state.limit(1).where(col(BatchIdCol) >= id).isEmpty
       case _ => false
     }

@@ -62,16 +62,17 @@ object Maintenance {
     *   modest partitions. For a LARGE or skewed partition (one date
     *   holding hundreds of GB) a single task is a straggler/OOM: raise
     *   this and rows salt across up to `filesPerPartition` tasks per
-    *   value (round-robin by source partition — immune to data skew;
-    *   hash collisions make the per-dir file count approximate, but a
-    *   fat partition never funnels through a single straggler task). */
+    *   value (all-column hash — retry-deterministic and immune to
+    *   sort-key skew; hash collisions make the per-dir file count
+    *   approximate, but a fat partition never funnels through a
+    *   single straggler task). */
   def writePartitioned(
       df: org.apache.spark.sql.DataFrame,
       path: String,
       partitionCols: Seq[String],
       sortCols: Seq[String],
       filesPerPartition: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     // Repartition on the partition columns FIRST: without it every
     // upstream task writes one file into every partition dir it
     // touches (tasks x partitions files — the exact fragmentation
@@ -81,15 +82,18 @@ object Maintenance {
       if (partitionCols.isEmpty) df
       else if (filesPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
       else {
-        // Row-level round-robin salt (monotonic id cycles within every
-        // source partition), not a data hash: value skew inside a fat
-        // partition (all rows sharing the dominant sort key) would
-        // collapse a data-derived salt back to one task — the very
-        // straggler this exists to prevent. The explicit partition
-        // count keeps AQE from coalescing the spread away, and hash
-        // repartition avoids repartitionByRange's extra sampling pass
-        // over the full input.
-        val salt = pmod(monotonically_increasing_id(),
+        // Row-level salt = hash of ALL columns: deterministic under
+        // stage retries — a nondeterministic salt (monotonic id /
+        // rand) as a repartition key silently duplicates or drops rows
+        // when a lost executor forces recomputation (the SPARK-23207
+        // class of bug; Spark local-sorts only its own round-robin
+        // repartition). Hashing every column also survives dominant-
+        // sort-key skew: only full-row duplicates collapse to one
+        // salt, and those carry no ordering information to lose. The
+        // explicit partition count keeps AQE from coalescing the
+        // spread away; hash repartition avoids repartitionByRange's
+        // extra sampling pass.
+        val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
           lit(filesPerPartition.toLong))
         val n = math.max(
           df.sparkSession.sparkContext.defaultParallelism,

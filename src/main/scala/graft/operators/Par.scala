@@ -27,10 +27,24 @@ object Par {
     val noSubq = !p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))
     noSubq && (p match {
       case _: LeafNode => true
-      case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+      case r: Repartition if !r.shuffle => // coalesce — narrow
+        p.children.forall(narrowNoSubquery)
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+          _: Union | _: LocalLimit | _: GlobalLimit | _: Sample =>
         p.children.forall(narrowNoSubquery)
       case _ => false
     })
+  }
+
+  /** Largest EXPLICIT repartition count in the plan, if any — a plan
+    * the user already spread to ≥ target must not be reshuffled. */
+  private def explicitRepartition(p: LogicalPlan): Option[Int] = {
+    val counts = p.collect {
+      case r: Repartition if r.shuffle => r.numPartitions
+      case r: RepartitionByExpression if r.optNumPartitions.isDefined =>
+        r.optNumPartitions.get
+    }
+    if (counts.isEmpty) None else Some(counts.max)
   }
 
   /** Round-robin repartition to the default parallelism when `df` is
@@ -46,8 +60,13 @@ object Par {
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (narrowNoSubquery(df.queryExecution.optimizedPlan)) {
+    val plan = df.queryExecution.optimizedPlan
+    if (narrowNoSubquery(plan)) {
+      // includes coalesce/union/limit chains: the probe stays lazy —
+      // an explicitly coalesced input still spreads
       if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    } else if (explicitRepartition(plan).exists(_ >= target)) {
+      df // user already spread it wider than the cluster — keep
     } else {
       val shufflePartitions = spark.sessionState.conf.numShufflePartitions
       if (shufflePartitions < target) df.repartition(target) else df

@@ -251,9 +251,15 @@ object PipelineQueries extends QueryPack {
     // Edit distance (Levenshtein) between consecutive docs' prefixes —
     // the char-level near-dup verification primitive (prefix-bounded:
     // full-document DP is quadratic in length by construction).
+    // Non-ASCII is stripped first in BOTH engines: DuckDB's
+    // levenshtein counts BYTES while Spark counts code points, so the
+    // oracle only agrees on ASCII input — made explicit rather than
+    // relying on the fixture happening to be ASCII.
     "q73_edit_distance" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^\\x20-\\x7E]", ""),
+            1, 40).as("p"))
       d.select(col("doc_id").as("id_a"), col("p").as("p_a"))
         .join(d.select((col("doc_id") - 1).as("id_a"),
           col("doc_id").as("id_b"), col("p").as("p_b")), Seq("id_a"))
@@ -465,7 +471,10 @@ object PipelineQueries extends QueryPack {
         |FROM orders""".stripMargin,
     "q73_edit_distance" ->
       """WITH p AS (
-        |  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^\x20-\x7E]', '', 'g'), 1, 40)
+        |      AS p
+        |  FROM documents
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  levenshtein(a.p, b.p) AS edit_dist

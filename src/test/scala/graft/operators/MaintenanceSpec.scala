@@ -78,8 +78,8 @@ class MaintenanceSpec extends SparkSpec {
     val files = fs.listStatus(
       new org.apache.hadoop.fs.Path(s"$path/day=2025-01-01"))
       .count(f => f.getPath.getName.endsWith(".parquet"))
-    // range boundaries are sample-based: spread is approximate (2..4
-    // files) — the property that matters is NOT one straggler task
+    // hash collisions make the spread approximate (2..4 files) — the
+    // property that matters is NOT one straggler task
     assert(files >= 2 && files <= 4, s"expected 2..4 salted files, got $files")
     assert(spark.read.parquet(path).count() === 4000)
   }
