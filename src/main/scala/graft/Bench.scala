@@ -17,8 +17,8 @@ object Bench {
     // so this pass genuinely compiles the sort-merge-join path
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    wa.join(wb, "k").selectExpr("sum(v)").collect()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    try wa.join(wb, "k").selectExpr("sum(v)").collect()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     wa.join(org.apache.spark.sql.functions.broadcast(wb), "k")
       .selectExpr("count(1)").collect()
     wa.selectExpr("k", "id",

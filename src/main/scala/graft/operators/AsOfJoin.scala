@@ -82,6 +82,6 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     swept.where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

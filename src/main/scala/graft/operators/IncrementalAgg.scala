@@ -62,6 +62,8 @@ object IncrementalAgg {
   def aggregateBatch(batch: DataFrame, groupCols: Seq[String],
       stats: Seq[Stat]): DataFrame = {
     val cs = stats.flatMap(aggCols)
+    require(cs.nonEmpty,
+      "at least one aggregate required (stats empty or all flags false)")
     batch.groupBy(groupCols.map(col): _*).agg(cs.head, cs.tail: _*)
   }
 
@@ -70,6 +72,8 @@ object IncrementalAgg {
   def merge(state: DataFrame, batchAgg: DataFrame, groupCols: Seq[String],
       stats: Seq[Stat]): DataFrame = {
     val cs = stats.flatMap(mergeCols)
+    require(cs.nonEmpty,
+      "at least one aggregate required (stats empty or all flags false)")
     state.unionByName(batchAgg)
       .groupBy(groupCols.map(col): _*)
       .agg(cs.head, cs.tail: _*)

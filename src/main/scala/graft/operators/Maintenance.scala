@@ -20,10 +20,20 @@ object Maintenance {
       filesBefore: Long, filesAfter: Long, bytes: Long, compacted: Boolean)
 
   /** Rewrite the snapshot at `path` into ≈`targetFileBytes` files when
-    * fragmented (average data file under half the target). The rewrite
-    * is a plain coalesce — no shuffle — and commits through the same
-    * crash-safe swap as every other snapshot write. No-op (and no job)
-    * on healthy tables, so it is safe to run after every load. */
+    * fragmented. "Fragmented" = the file count exceeds twice the ideal
+    * count (`ceil(bytes / targetFileBytes)`) — a count-based test, not a
+    * mean-size one, because one healthy 128 MB file plus hundreds of
+    * 1 KB fragments averages fine while still scheduling hundreds of
+    * footer-read tasks. The rewrite is a plain coalesce — no shuffle —
+    * and commits through the same crash-safe swap as every other
+    * snapshot write. No-op (and no job) on healthy tables, so it is
+    * safe to run after every load.
+    *
+    * Flat snapshot tables only: a partitioned layout (subdirectories
+    * from [[writePartitioned]]) is not a snapshot table — its commit
+    * unit is the directory tree, not the swap pair — so this throws
+    * rather than silently no-opping; re-run [[writePartitioned]] with a
+    * higher per-file target to compact those. */
   def compactSnapshot(
       spark: SparkSession,
       path: String,
@@ -35,12 +45,17 @@ object Maintenance {
     // throw (it is documented safe to run after every load) and must
     // not touch __prev: the next writeSnapshot/readSnapshot recovers it.
     if (!fs.exists(p)) return CompactionReport(0, 0, 0, false)
-    val dataFiles = fs.listStatus(p).toSeq
+    val entries = fs.listStatus(p).toSeq
+    require(!entries.exists(_.isDirectory),
+      s"compactSnapshot: $path contains subdirectories — partitioned " +
+        "tables are compacted by rewriting via writePartitioned, not here")
+    val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val bytes = dataFiles.map(_.getLen).sum
     val nFiles = dataFiles.size.toLong
-    val healthy =
-      nFiles <= 1 || bytes.toDouble / nFiles >= targetFileBytes / 2.0
+    val idealFiles = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong)
+    val healthy = nFiles <= 1 || nFiles < 2 * idealFiles
     if (healthy) return CompactionReport(nFiles, nFiles, bytes, false)
 
     val targetFiles = math.max(1, math.ceil(

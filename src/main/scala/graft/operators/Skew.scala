@@ -30,8 +30,16 @@ object Skew {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // Salt = hash of ALL probe columns: deterministic under stage
+    // retries. A nondeterministic salt (monotonic id / rand) in a
+    // shuffle key silently duplicates or drops rows when a lost
+    // executor recomputes different values (SPARK-23207 class).
+    // Full-row duplicates collapse onto one salt, which only matters
+    // if a single key's rows are ALL identical — then salting cannot
+    // help anyway (the rows are indistinguishable).
     val scattered = skewed.withColumn("__graft_salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*),
+        lit(salt.toLong)).cast("int"))
     val replicated = build.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     scattered
