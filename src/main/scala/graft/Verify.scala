@@ -38,8 +38,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Derived-invariant oracles read the engine's own dump back into
+    // DuckDB (recompute exact similarity for reported pairs, enforce
+    // recall floors / error bounds) — the {{GRAFT_OUT}} placeholder
+    // resolves to this run's output directory at dump time, so the SQL
+    // the driver executes carries concrete absolute paths.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{{GRAFT_OUT}}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

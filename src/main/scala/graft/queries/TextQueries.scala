@@ -86,10 +86,19 @@ object TextQueries extends QueryPack {
           shingle = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
-    // SimHash near-dup pairs (rows-only).
-    "q39_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)),
+    // SimHash near-dup pairs, each verified with the exact unigram-set
+    // Jaccard of the pair — the hamming column is engine-specific
+    // (xxhash64 simhash), but the jaccard column lets the DuckDB oracle
+    // recompute and hash-check the verification values.
+    "q39_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 8)
+      pairs
+        .join(Dedup.ngramJaccardPairs(pairs.select("id_a", "id_b"), d,
+          "doc_id", "text", n = 1), Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
 
     // Full MinHash dedup: pairs → connected-component clusters → keep
     // one doc per cluster (rows-only; clustering semantics unit-tested).
@@ -231,5 +240,203 @@ object TextQueries extends QueryPack {
          |       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
          |    ELSE 0.0 END, 4) AS jaccard
          |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1""".stripMargin
-    })
+    },
+
+    // ----- round-3 additions: full mirror for the fingerprint, and
+    // derived-invariant oracles (DuckDB re-reads the engine's own dump
+    // via {{GRAFT_OUT}} and recomputes every verifiable column; guards
+    // collapse the result to zero rows on any invariant violation, so
+    // the driver's row/hash compare fails loudly). The xxhash64-seeded
+    // signatures themselves stay engine-specific — what IS checked:
+    // every reported pair's exact Jaccard (bit-for-bit), thresholds,
+    // pair ordering, and completeness floors.
+
+    // Full independent mirror: the rolling hash is plain modular
+    // arithmetic over code points, foldable with list_reduce.
+    "q36_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(s, ''),
+        |                     c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> (acc * 31 + cp) % 1000000007)
+        |  END AS fp
+        |FROM norm""".stripMargin,
+
+    // Derived invariant: every reported pair's 3-shingle Jaccard is
+    // recomputed exactly and must be >= the 0.5 threshold with
+    // id_a < id_b; completeness guard: identical-text pairs can never
+    // be missed (identical signatures always share every band bucket).
+    "q38_minhash_pairs" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q38_minhash_pairs")}),
+         |$grams3Cte,
+         |truth AS (
+         |  SELECT o.id_a, o.id_b, round($jacAB, 4) AS jaccard
+         |  FROM out o
+         |  JOIN grams a ON a.doc_id = o.id_a
+         |  JOIN grams b ON b.doc_id = o.id_b
+         |  WHERE o.id_a < o.id_b AND $jacAB >= 0.5
+         |),
+         |missed AS (
+         |  SELECT 1 FROM documents x JOIN documents y
+         |    ON x.doc_id < y.doc_id AND x.text = y.text
+         |  LEFT JOIN out o ON o.id_a = x.doc_id AND o.id_b = y.doc_id
+         |  WHERE o.id_a IS NULL
+         |),
+         |guard AS (SELECT 1 AS ok WHERE NOT EXISTS (SELECT * FROM missed))
+         |SELECT t.id_a, t.id_b, t.jaccard FROM truth t CROSS JOIN guard""".stripMargin,
+
+    // Derived invariant: hamming is engine-specific but range-checked;
+    // the unigram Jaccard column is recomputed exactly; identical-text
+    // pairs (simhash-identical, hamming 0) must all be present.
+    "q39_simhash_pairs" -> {
+      val g = "list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0))"
+      val jac = """CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+                  |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  |       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                  |    ELSE 0.0 END""".stripMargin
+      s"""WITH out AS (SELECT * FROM ${outGlob("q39_simhash_pairs")}),
+         |grams AS (SELECT doc_id, $g AS g FROM documents),
+         |truth AS (
+         |  SELECT o.id_a, o.id_b, o.hamming, round($jac, 4) AS jaccard
+         |  FROM out o
+         |  JOIN grams a ON a.doc_id = o.id_a
+         |  JOIN grams b ON b.doc_id = o.id_b
+         |  WHERE o.id_a < o.id_b AND o.hamming BETWEEN 0 AND 8
+         |),
+         |missed AS (
+         |  SELECT 1 FROM documents x JOIN documents y
+         |    ON x.doc_id < y.doc_id AND x.text = y.text
+         |  LEFT JOIN out o ON o.id_a = x.doc_id AND o.id_b = y.doc_id
+         |  WHERE o.id_a IS NULL
+         |),
+         |guard AS (SELECT 1 AS ok WHERE NOT EXISTS (SELECT * FROM missed))
+         |SELECT t.id_a, t.id_b, t.hamming, t.jaccard
+         |FROM truth t CROSS JOIN guard""".stripMargin
+    },
+
+    // Derived invariant for keep-one-per-cluster dedup: keepers must
+    // exist in `documents` with matching payload columns, be unique,
+    // include at most one doc per exact text, and every DROPPED doc
+    // must have a genuine 3-shingle near-duplicate partner (>= 0.5) —
+    // a doc may only be dropped after a verified pair put it in a
+    // cluster. (Two keepers MAY be true near-dups: LSH recall < 1.)
+    "q46_minhash_dedup" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q46_minhash_dedup")}),
+         |$grams3Cte,
+         |dropped AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN out o ON o.doc_id = d.doc_id WHERE o.doc_id IS NULL
+         |),
+         |orphan_drop AS (
+         |  SELECT 1 FROM dropped dr JOIN grams a ON a.doc_id = dr.doc_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM grams b WHERE b.doc_id <> a.doc_id
+         |      AND $jacAB >= 0.5)
+         |),
+         |dup_keeper AS (
+         |  SELECT 1 FROM out x JOIN documents dx ON dx.doc_id = x.doc_id
+         |  JOIN out y ON x.doc_id < y.doc_id
+         |  JOIN documents dy ON dy.doc_id = y.doc_id
+         |  WHERE dx.text = dy.text
+         |),
+         |guard AS (SELECT 1 AS ok
+         |  WHERE NOT EXISTS (SELECT * FROM orphan_drop)
+         |    AND NOT EXISTS (SELECT * FROM dup_keeper)
+         |    AND (SELECT count(*) FROM out)
+         |        = (SELECT count(DISTINCT doc_id) FROM out))
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN out o ON o.doc_id = d.doc_id
+         |CROSS JOIN guard""".stripMargin,
+
+    // Derived invariant: per-(split,lang) counts must sum to the exact
+    // per-lang totals, split labels are constrained to the weight set,
+    // and each split's global size sits within 4 sigma + rounding slack
+    // of its 0.8/0.1/0.1 target.
+    "q50_train_split" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q50_train_split")}),
+         |lang_tot AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |lang_sum AS (SELECT lang, sum(n_docs) AS s FROM out GROUP BY lang),
+         |lang_bad AS (
+         |  SELECT 1 FROM lang_tot t
+         |  LEFT JOIN lang_sum s ON s.lang = t.lang
+         |  WHERE s.s IS NULL OR s.s <> t.n
+         |),
+         |n_total AS (SELECT count(*) AS n FROM documents),
+         |split_tot AS (SELECT split, sum(n_docs) AS s FROM out GROUP BY split),
+         |split_bad AS (
+         |  SELECT 1 FROM split_tot st CROSS JOIN n_total
+         |  JOIN (VALUES ('train', 0.8), ('val', 0.1), ('test', 0.1)) w(split, p)
+         |    ON w.split = st.split
+         |  WHERE abs(st.s - w.p * n_total.n)
+         |        > 4 * sqrt(n_total.n * w.p * (1 - w.p)) + 2
+         |),
+         |guard AS (SELECT 1 AS ok
+         |  WHERE NOT EXISTS (SELECT * FROM lang_bad)
+         |    AND NOT EXISTS (SELECT * FROM split_bad))
+         |SELECT o.split, o.lang, o.n_docs FROM out o CROSS JOIN guard
+         |WHERE o.split IN ('train', 'val', 'test')""".stripMargin,
+
+    // Derived invariant: the MinHash union-sketch estimate must sit
+    // within 0.25 of the true source-level 3-shingle Jaccard (k=64 =>
+    // sigma <= 0.0625; bound is 4 sigma), every source pair must be
+    // present exactly once, ordered src_a < src_b.
+    "q54_source_overlap" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q54_source_overlap")}),
+         |$grams3Cte,
+         |srcset AS (
+         |  SELECT d.source, list(DISTINCT s.s) AS gs
+         |  FROM (SELECT doc_id, unnest(g) AS s FROM grams) s
+         |  JOIN documents d ON d.doc_id = s.doc_id
+         |  GROUP BY d.source
+         |),
+         |true_j AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+         |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS tj
+         |  FROM srcset a JOIN srcset b ON a.source < b.source
+         |),
+         |n_src AS (SELECT count(DISTINCT source) AS n FROM documents),
+         |guard AS (SELECT 1 AS ok FROM n_src
+         |  WHERE (SELECT count(*) FROM out) = n * (n - 1) / 2)
+         |SELECT o.src_a, o.src_b, o.est_jaccard
+         |FROM out o JOIN true_j t ON t.src_a = o.src_a AND t.src_b = o.src_b
+         |CROSS JOIN guard
+         |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin)
+
+  /** `read_parquet` over the engine's own dump of `name` — the
+    * {{GRAFT_OUT}} token is replaced with the absolute output dir by
+    * [[graft.Verify]] when it writes oracle_sql.json. */
+  private def outGlob(name: String): String =
+    s"read_parquet('{{GRAFT_OUT}}/$name/*.parquet')"
+
+  /** DuckDB mirror of `array_distinct(wordShingles(text, 3))` as a CTE
+    * named `grams` (column `g`): non-empty whitespace tokens, 3-token
+    * windows (short docs collapse to one whole-doc shingle), distinct.
+    * Bit-for-bit parity with WordShinglesExpr is relied on by the
+    * q38/q46/q54 invariant oracles. */
+  private def grams3Cte: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ')
+      |      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS g
+      |  FROM tok
+      |)""".stripMargin
+
+  /** Exact Jaccard between `a.g` and `b.g` gram lists. */
+  private def jacAB: String =
+    """CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+      |  THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+      |  ELSE 0.0 END""".stripMargin
 }

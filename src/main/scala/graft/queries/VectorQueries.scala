@@ -126,5 +126,82 @@ object VectorQueries extends QueryPack {
     "q42_vector_norms" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin,
+
+    // ----- round-3 derived-invariant oracles: DuckDB re-reads the
+    // engine's dump ({{GRAFT_OUT}}, substituted by graft.Verify),
+    // recomputes the exact cosine for every reported pair with the
+    // engine's own arithmetic (unit-normalize in double, then dot),
+    // re-derives the rank ordering, and gates on a recall floor vs the
+    // exact top-k — any violation empties the result and fails the
+    // driver's row/hash compare. The bucketing/centroid internals stay
+    // engine-specific; the *reported values* are fully verified.
+    "q43_lsh_topk" -> annTopKInvariant("q43_lsh_topk", k = 3, recallFloor = 0.60),
+    "q45_ivf_topk" -> annTopKInvariant("q45_ivf_topk", k = 3, recallFloor = 0.50),
+
+    // Derived invariant: n_rows must equal the exact per-label count;
+    // the HLL estimate must sit within max(5, 15%) of the exact
+    // distinct count (default rsd 0.05 => 3 sigma with slack).
+    "q44_approx_distinct" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q44_approx_distinct")}),
+         |exact AS (
+         |  SELECT label, count(DISTINCT vec_id) AS d, count(*) AS n
+         |  FROM embeddings GROUP BY label
+         |)
+         |SELECT o.label, o.approx_vecs, e.n AS n_rows
+         |FROM out o JOIN exact e ON e.label = o.label
+         |WHERE abs(o.approx_vecs - e.d) <= greatest(5, 0.15 * e.d)""".stripMargin)
+
+  private def outGlob(name: String): String =
+    s"read_parquet('{{GRAFT_OUT}}/$name/*.parquet')"
+
+  /** Derived-invariant oracle for an approximate top-k dump with
+    * columns (query_id, neighbor_id, rank, sim):
+    *  - `sim` recomputed exactly (unit-normalize in double, then dot,
+    *    round 4 — the engine's arithmetic order);
+    *  - `rank` re-derived over the reported rows by (sim desc, id asc);
+    *  - recall vs the exact top-k must clear `recallFloor`.
+    */
+  private def annTopKInvariant(
+      name: String, k: Int, recallFloor: Double): String =
+    s"""WITH out AS (SELECT * FROM ${outGlob(name)}),
+       |nrm AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                     CAST(embedding AS DOUBLE[])))) AS u
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                              CAST(embedding AS DOUBLE[]))) > 0
+       |),
+       |sims AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(list_dot_product(a.u, b.u), 4) AS sim
+       |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+       |),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rnk
+       |    FROM sims) WHERE rnk <= $k
+       |),
+       |hits AS (
+       |  SELECT count(*) AS h FROM exact e
+       |  JOIN out o ON o.query_id = e.query_id
+       |            AND o.neighbor_id = e.neighbor_id
+       |),
+       |guard AS (
+       |  SELECT 1 AS ok FROM hits
+       |  WHERE CAST(h AS DOUBLE)
+       |        / greatest((SELECT count(*) FROM exact), 1) >= $recallFloor
+       |)
+       |SELECT o.query_id, o.neighbor_id,
+       |  row_number() OVER (PARTITION BY o.query_id
+       |    ORDER BY s.sim DESC, o.neighbor_id ASC) AS rank,
+       |  s.sim
+       |FROM out o
+       |JOIN sims s ON s.query_id = o.query_id
+       |           AND s.neighbor_id = o.neighbor_id
+       |CROSS JOIN guard""".stripMargin
 }
