@@ -361,19 +361,22 @@ object Similarity {
       .where(col("lo") < col("hi"))
       .dropDuplicates("lo", "hi")
       .select("lo", "hi")
-    // materialized once (minHashPairs' idiom): both union branches read
-    // it — lazily, Catalyst would re-execute the joins and dot products
-    // in each branch and the halving would be fiction
-    val scoredOnce = cands
+    // score each ordered pair once, then mirror it with a single explode
+    // — one narrow operator instead of the previous checkpoint + union
+    // (two consumers of a shared subplan forced an eager checkpoint so
+    // the joins/dots wouldn't run twice; explode has one consumer, so
+    // nothing re-executes and the plan drops a materialization barrier
+    // and a whole union arm)
+    val scored = cands
       .join(base.select(col("id").as("lo"), col("u").as("u_a")), Seq("lo"))
       .join(base.select(col("id").as("hi"), col("u").as("u_b")), Seq("hi"))
       .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
-      .select("lo", "hi", "sim")
-      .localCheckpoint(true)
-    val scored = scoredOnce
-      .select(col("lo").as("key"), col("hi").as("id"), col("sim"))
-      .unionByName(scoredOnce
-        .select(col("hi").as("key"), col("lo").as("id"), col("sim")))
+      .select(explode(array(
+        struct(col("lo").as("key"), col("hi").as("id"), col("sim")),
+        struct(col("hi").as("key"), col("lo").as("id"), col("sim"))))
+        .as("p"))
+      .select(col("p.key").as("key"), col("p.id").as("id"),
+        col("p.sim").as("sim"))
     topKPerKey(scored, k)
       .select(col("key").as("query_id"), col("id").as("neighbor_id"),
         col("rank"), col("sim"))

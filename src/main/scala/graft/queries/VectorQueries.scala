@@ -56,18 +56,22 @@ object VectorQueries extends QueryPack {
       t(s, dir, "embeddings").select(col("vec_id"), col("label"),
         round(VectorFunctions.norm(col("embedding")), 6).as("l2_norm"))),
 
-    // ANN: LSH-bucketed approximate top-3 (rows-only; recall vs brute
-    // force asserted in SimilaritySpec). bits/tables tuned to this
-    // corpus's wide neighbor angles (~70°): wide buckets, many tables.
+    // ANN: LSH-bucketed approximate top-3 (oracle: derived-invariant
+    // sim/rank re-check + recall floor). bits/tables tuned to this
+    // corpus's wide neighbor angles (~70°, per-bit agreement ~0.61):
+    // wide buckets (3 bits) + many tables ⇒ catch probability ≈
+    // 1−(1−0.61³)⁸ ≈ 0.87 for the hardest pairs.
     "q43_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, bits = 4, tables = 8, dim = 64)),
+        k = 3, bits = 3, tables = 8, dim = 64)),
 
-    // IVF ANN (k-means cells + nProbe probing; rows-only — centroid
-    // training is engine-specific; recall asserted in SimilaritySpec).
+    // IVF ANN (k-means cells + nProbe probing; oracle: derived-invariant
+    // sim/rank re-check + recall floor). nProbe 10/16: wide neighbor
+    // angles spread true neighbors across cells, so deep probing is the
+    // right recall trade on this corpus.
     "q45_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nLists = 16, nProbe = 4)),
+        k = 3, nLists = 16, nProbe = 10)),
 
     // Approximate distinct (HLL) per label — rows-only (sketch internals
     // engine-specific), exactness window asserted in tests.
@@ -136,8 +140,11 @@ object VectorQueries extends QueryPack {
     // exact top-k — any violation empties the result and fails the
     // driver's row/hash compare. The bucketing/centroid internals stay
     // engine-specific; the *reported values* are fully verified.
-    "q43_lsh_topk" -> annTopKInvariant("q43_lsh_topk", k = 3, recallFloor = 0.60),
-    "q45_ivf_topk" -> annTopKInvariant("q45_ivf_topk", k = 3, recallFloor = 0.50),
+    // Floors sit ~0.13 under the measured recalls (0.885 / 0.915 at
+    // sf0.001, tuned bits=3/tables=8 and nProbe=10) — tight enough to
+    // catch a broken index, loose enough for corpus-to-corpus drift.
+    "q43_lsh_topk" -> annTopKInvariant("q43_lsh_topk", k = 3, recallFloor = 0.75),
+    "q45_ivf_topk" -> annTopKInvariant("q45_ivf_topk", k = 3, recallFloor = 0.75),
 
     // Derived invariant: n_rows must equal the exact per-label count;
     // the HLL estimate must sit within max(5, 15%) of the exact
