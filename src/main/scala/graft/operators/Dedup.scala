@@ -294,13 +294,26 @@ object Dedup {
     * `approx = false` ⇒ exact all-pairs (quadratic — for verification and
     * small partitions); `approx = true` ⇒ random-hyperplane LSH bucketing
     * first (the 100 TB path), then exact cosine verify inside buckets. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    *
+    * `approx = false` (the oracle baseline) scores ALL ordered pairs —
+    * quadratic by construction. `approx = true` is the scale path:
+    * multi-table random-hyperplane LSH — a candidate pair must share a
+    * bucket in ≥ 1 of `lshTables` tables; only candidates are scored.
+    * Candidates carry IDS ONLY through the bucket join + dedup (the
+    * lshTopK discipline — fat vectors never ride the candidate
+    * shuffle); vectors re-attach for scoring. Catch probability for a
+    * pair at angle θ is 1−(1−(1−θ/π)^bits)^tables — defaults are tuned
+    * for wide-angle (≈0.4 cosine) near-dups: (1−(1−0.63³)¹²) ≈ 0.97.
+    */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       approx: Boolean = false,
-      lshBits: Int = 12,
+      lshBits: Int = 3,
+      lshTables: Int = 12,
       dim: Int = 64): DataFrame = {
     // spread: the exact path is a nested-loop join whose streamed side
     // inherits the scan's partitioning — 1-2 partitions would serialize
@@ -312,12 +325,25 @@ object Dedup {
         val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val sig = base.withColumn("bucket",
-          VectorFunctions.rhpSignature(col("v"), lshBits, dim, seed = 7L))
-        val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-        val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-        a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+        val sigs = base.select(
+          col("id"),
+          posexplode(array((0 until lshTables).map(t =>
+            VectorFunctions.rhpSignature(col("v"), lshBits, dim,
+              seed = 7L + t)): _*)))
+          .withColumnRenamed("pos", "table")
+          .withColumnRenamed("col", "bucket")
+        val cands = sigs.select(col("table"), col("bucket"),
+            col("id").as("id_a"))
+          .join(sigs.select(col("table"), col("bucket"),
+            col("id").as("id_b")), Seq("table", "bucket"))
+          .where(col("id_a") < col("id_b"))
           .dropDuplicates("id_a", "id_b")
+          .select("id_a", "id_b")
+        cands
+          .join(base.select(col("id").as("id_a"), col("v").as("v_a")),
+            Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("v").as("v_b")),
+            Seq("id_b"))
       }
     pairs
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))

@@ -1,0 +1,170 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{Merge, Upsert}
+import graft.streaming.EventAggregates
+import graft.streaming.EventAggregates.Event
+
+/** Driver gates for the STREAMING paths (SURVEY §2.7).
+  *
+  * The streaming operators were previously covered only by unit tests —
+  * these queries run the real Structured Streaming machinery
+  * (MemoryStream micro-batches, flatMapGroupsWithState, foreachBatch
+  * snapshot upserts, the promote transaction) to completion inside a
+  * batch query, so their results flow through the DuckDB hash gate like
+  * every batch operator:
+  *
+  *  - q75: event stream fed in 4 micro-batches through the fMGWS
+  *    sessionizer (+ watermark-advancing sentinel batches to flush
+  *    trailing sessions) — oracle is an independent SQL gaps-and-islands
+  *    sessionization, so stream ≡ batch is hash-checked by the driver.
+  *  - q76: the webhook→staging→promote loop — micro-batched idempotent
+  *    staging upserts WITH a deliberate redelivery of a whole batch,
+  *    then the J1+K5+J2 promote transaction committed through the
+  *    crash-safe snapshot swap; the promoted main table read back from
+  *    disk must equal a plain semi-join, proving the loop is
+  *    exactly-once end to end.
+  *
+  * Money values ride as whole cents (`round(value*100)`) so double
+  * accumulation inside streaming state is exact integer arithmetic —
+  * order-independent, hash-stable vs DuckDB's BIGINT sums.
+  */
+object StreamReplayQueries extends QueryPack {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Session gap: 30 min, matching q14. */
+  private val GapMs = 30L * 60 * 1000
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stream_sessions" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
+      // whole-cent values: exact double arithmetic in streaming state
+      val evs = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), round(col("value") * 100, 0).as("value"))
+        .as[Event]
+        .collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = EventAggregates.sessionize(input.toDS(), GapMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // 4 micro-batches in event-time order: sessions must survive
+        // batch boundaries through the keyed state store
+        val n = evs.length
+        val chunks = if (n == 0) Seq(evs) else evs.grouped(math.max(1, (n + 3) / 4)).toSeq
+        chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        // sentinel batches: advance the watermark far past every
+        // session's inactivity deadline (batch 1), then trigger the
+        // event-time timeouts that emit trailing sessions (batch 2)
+        val maxTs = evs.iterator.map(_.ts.getTime).foldLeft(0L)(math.max)
+        val flushTs = maxTs + GapMs + 60L * 60 * 1000
+        input.addData(Event(-1L, new java.sql.Timestamp(flushTs), -1L, "flush", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(-2L, new java.sql.Timestamp(flushTs + 1000), -1L, "flush", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+    }),
+
+    "q76_stream_promote" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft_promote_").toString
+      val staging = s"$wh/staging"
+      val main = s"$wh/main"
+      val evs = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), round(col("value") * 100, 0).as("value"))
+        .as[Event]
+        .collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      // K4: foreachBatch idempotent upsert into the staging snapshot,
+      // exactly RecordingStream.start's sink shape
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val cur = Upsert.readSnapshot(sp, staging).getOrElse(batch.limit(0))
+          Upsert.writeSnapshot(
+            Upsert.upsert(cur, batch, Seq("event_id"),
+              orderBy = Some(struct(col("ts"), col("event_id")))), staging)
+          ()
+        }
+        .start()
+      try {
+        val n = evs.length
+        val chunks = if (n == 0) Seq(evs) else evs.grouped(math.max(1, (n + 2) / 3)).toSeq
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          input.addData(c.toIndexedSeq); q.processAllAvailable()
+          if (i == 1) { // at-least-once delivery: replay a whole batch
+            input.addData(c.toIndexedSeq); q.processAllAvailable()
+          }
+        }
+      } finally q.stop()
+      // J1+K5+J2 promote transaction: parent gate = BUILDING-segment
+      // customers; both output plans execute before either snapshot
+      // swaps, then main is read back from DISK — the gate covers the
+      // commit path, not just the plan
+      val parked = Upsert.readSnapshot(s, staging)
+        .getOrElse(sys.error(s"no staging snapshot at $staging"))
+      val parent = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val res = Merge.promote(parked, parent, "user_id", "c_custkey",
+        parked.limit(0), Seq("event_id"))
+      Upsert.writeSnapshots(Seq(res.main -> main, res.staging -> staging))
+      Upsert.readSnapshot(s, main)
+        .getOrElse(sys.error(s"no main snapshot at $main"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("long").as("cents"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+    // Independent gaps-and-islands sessionization: 30-min gap over
+    // ms-truncated event times (the streaming state keys on
+    // Timestamp.getTime — millisecond precision — scaled to µs).
+    "q75_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) * 1000 AS es,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, es, cents,
+        |    CASE WHEN lag(es) OVER w IS NULL THEN 1
+        |         WHEN es - lag(es) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+        |), sess AS (
+        |  SELECT user_id, es, cents,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(es) AS session_start_us, MAX(es) AS session_end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // The promoted main table must be exactly the parent-gated events —
+    // no duplicates from the replayed batch, nothing lost across the
+    // micro-batch snapshot swaps.
+    "q76_stream_promote" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  CAST(round(e.value * 100) AS BIGINT) AS cents
+        |FROM events e
+        |WHERE e.user_id IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+}

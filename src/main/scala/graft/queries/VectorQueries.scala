@@ -78,7 +78,18 @@ object VectorQueries extends QueryPack {
     "q44_approx_distinct" -> ((s, dir) =>
       t(s, dir, "embeddings").groupBy(col("label"))
         .agg(approx_count_distinct(col("vec_id")).as("approx_vecs"),
-          count(lit(1)).as("n_rows"))))
+          count(lit(1)).as("n_rows"))),
+
+    // Scale-path near-dup: multi-table RHP-LSH candidates + exact
+    // cosine verify — the gated exercise of
+    // embeddingNearDupPairs(approx = true) (q41/q51 gate only the
+    // quadratic exact path). Threshold 0.4 = where this corpus's
+    // near-dups actually live (no pairs exist above 0.9).
+    "q74_neardup_approx" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, approx = true)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"))))
 
   private val dotAB =
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
@@ -145,6 +156,39 @@ object VectorQueries extends QueryPack {
     // catch a broken index, loose enough for corpus-to-corpus drift.
     "q43_lsh_topk" -> annTopKInvariant("q43_lsh_topk", k = 3, recallFloor = 0.75),
     "q45_ivf_topk" -> annTopKInvariant("q45_ivf_topk", k = 3, recallFloor = 0.75),
+
+    // Derived invariant: every reported pair's cosine recomputed
+    // exactly (raw-vector arithmetic, the engine's cosine()) and must
+    // clear the 0.4 threshold with id_a < id_b; recall floor 0.75 vs
+    // the full exact pair set (measured ~0.97: boundary pairs at
+    // cosine 0.4 have per-bit agreement 0.63, 1−(1−0.63³)¹² ≈ 0.97).
+    "q74_neardup_approx" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q74_neardup_approx")}),
+         |exact AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE CASE WHEN $normA * $normB > 0
+         |    THEN $dotAB / ($normA * $normB) END >= 0.4
+         |),
+         |hits AS (
+         |  SELECT count(*) AS h FROM exact e
+         |  JOIN out o ON o.id_a = e.id_a AND o.id_b = e.id_b
+         |),
+         |guard AS (
+         |  SELECT 1 AS ok FROM hits
+         |  WHERE CAST(h AS DOUBLE)
+         |        / greatest((SELECT count(*) FROM exact), 1) >= 0.75
+         |)
+         |SELECT o.id_a, o.id_b,
+         |  round(CASE WHEN $normA * $normB > 0
+         |    THEN $dotAB / ($normA * $normB) END, 4) AS cosine
+         |FROM out o
+         |JOIN embeddings a ON a.vec_id = o.id_a
+         |JOIN embeddings b ON b.vec_id = o.id_b
+         |CROSS JOIN guard
+         |WHERE o.id_a < o.id_b
+         |  AND CASE WHEN $normA * $normB > 0
+         |    THEN $dotAB / ($normA * $normB) END >= 0.4""".stripMargin,
 
     // Derived invariant: n_rows must equal the exact per-label count;
     // the HLL estimate must sit within max(5, 15%) of the exact

@@ -55,10 +55,17 @@ private[sources] class ZoomMeetingTable(path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZoomScanBuilder(if (path != null) path else options.get("path"))
+    new ZoomScanBuilder(if (path != null) path else options.get("path"),
+      // S1's rate-limit contract (extract.py:33-37): each partition
+      // reader paces its fetches through a token bucket. Off (unlimited)
+      // by default for file fixtures; a live HTTP reader sets
+      // ratePerSec/burst read options.
+      options.getDouble("ratePerSec", 0.0),
+      options.getInt("burst", 1))
 }
 
-private[sources] class ZoomScanBuilder(path: String)
+private[sources] class ZoomScanBuilder(path: String,
+    ratePerSec: Double = 0.0, burst: Int = 1)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -83,11 +90,13 @@ private[sources] class ZoomScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ZoomScan(path, pushed, required)
+  override def build(): Scan =
+    new ZoomScan(path, pushed, required, ratePerSec, burst)
 }
 
 private[sources] class ZoomScan(path: String, filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, ratePerSec: Double = 0.0, burst: Int = 1)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -114,7 +123,8 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZoomReaderFactory(filters, required, sessionConfMap)
+    new ZoomReaderFactory(filters, required, sessionConfMap, ratePerSec,
+      burst)
 }
 
 private[sources] object ZoomConf {
@@ -129,22 +139,27 @@ private[sources] final case class ZoomFilePartition(file: String)
     extends InputPartition
 
 private[sources] class ZoomReaderFactory(filters: Array[Filter],
-    required: StructType, confMap: Map[String, String])
+    required: StructType, confMap: Map[String, String],
+    ratePerSec: Double, burst: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ZoomPartitionReader(p.asInstanceOf[ZoomFilePartition].file,
-      filters, required, confMap)
+      filters, required, confMap, ratePerSec, burst)
 }
 
 private[sources] class ZoomPartitionReader(file: String,
     filters: Array[Filter], required: StructType,
-    confMap: Map[String, String])
+    confMap: Map[String, String],
+    ratePerSec: Double = 0.0, burst: Int = 1)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  // per-reader pacing (live-API analog: page fetches, extract.py:33-37);
-  // file reads need no pacing so the bucket is effectively unlimited —
-  // a live HTTP reader would construct this from options
-  private val limiter = new TokenBucket(ratePerSec = 1e9, burst = 1000)
+  // per-reader pacing (live-API analog: page fetches, extract.py:33-37).
+  // ratePerSec <= 0 ⇒ unlimited (file fixtures); a positive rate paces
+  // every fetch through the token bucket, the S1 contract a live HTTP
+  // reader inherits unchanged.
+  private val limiter =
+    if (ratePerSec > 0) new TokenBucket(ratePerSec, math.max(burst, 1))
+    else new TokenBucket(ratePerSec = 1e9, burst = 1000)
   private val fs = new Path(file).getFileSystem(ZoomConf.build(confMap))
   private val stream = fs.open(new Path(file))
   private val lines =

@@ -118,4 +118,18 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(approx.subsetOf(exact)) // no false positives after verify
   }
+
+  test("approx near-dup recall ≥ 0.9 vs exact on sf0.001 embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, approx = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact)) // verify step kills false positives
+    val recall = (exact & approx).size.toDouble / math.max(exact.size, 1)
+    info(f"approx near-dup recall = $recall%.3f (${exact.size} true pairs)")
+    assert(recall >= 0.9)
+  }
 }

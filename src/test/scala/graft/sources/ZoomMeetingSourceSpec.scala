@@ -30,6 +30,26 @@ class ZoomMeetingSourceSpec extends SparkSpec {
       Array("m1", "m2", "m3"))
   }
 
+  test("ratePerSec option paces the partition reader (S1 rate limit)") {
+    // 3 rows at 20 rows/s with burst 1: the 2 post-burst fetches must
+    // wait ~50 ms each ⇒ ≥ ~100 ms wall; unlimited read is instant.
+    // Deterministic TokenBucket timing itself is covered with a fake
+    // clock in TokenBucketSpec; this asserts the OPTION actually
+    // reaches the reader, with generous margins (≥60 ms) against CI
+    // scheduling noise.
+    val dir = fixtures()
+    val t0 = System.nanoTime()
+    val n = spark.read.format("graft.sources.ZoomMeetingSource")
+      .option("ratePerSec", "20").option("burst", "1")
+      .load(dir).count()
+    val pacedMs = (System.nanoTime() - t0) / 1e6
+    assert(n === 3)
+    // 2 files read in parallel: page1 (2 rows ⇒ 1 post-burst wait of
+    // 50 ms), page2 (1 row ⇒ free burst token) — ≥ 50 ms minus jitter
+    assert(pacedMs >= 40.0,
+      s"paced read returned in $pacedMs ms — option did not reach reader")
+  }
+
   test("start_time window pushes into the reader; plan shows it") {
     val df = spark.read.format("graft.sources.ZoomMeetingSource")
       .load(fixtures())
