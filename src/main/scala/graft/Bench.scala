@@ -35,12 +35,15 @@ object Bench {
     // that executes warm in ~4 s). Warming on the tiny sf compiles the
     // same plans for cents, so the measured numbers below reflect
     // steady-state execution — what a resident engine actually does —
-    // not one-off compiler latency. The measured sf's data stays cold.
+    // not one-off compiler latency. The measured sf's data stays cold
+    // (except when the measured dir IS sf0.001 — then warming on it is
+    // still correct: steady-state timing is the point, and skipping the
+    // warmup there would silently fold ~20 s of one-off codegen into
+    // the smallest sf's numbers).
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
       Option(p).map(_.resolve("sf0.001"))
-        .filter(d => java.nio.file.Files.isDirectory(d) &&
-          d.toString != java.nio.file.Paths.get(sfDir).toAbsolutePath.toString)
+        .filter(d => java.nio.file.Files.isDirectory(d))
         .map(_.toString)
     }
     warmDir.foreach { d =>

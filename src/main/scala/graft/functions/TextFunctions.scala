@@ -164,9 +164,12 @@ object TextFunctions {
     NE.col(Fingerprint64(NE.expr(c)))
   }
 
-  /** HOF reference implementation of [[fingerprint]] (parity-tested). */
+  /** HOF reference implementation of [[fingerprint]] (parity-tested).
+    * Same explicit whitespace class as the native expression — see
+    * Fingerprint64's scaladoc for why String.trim / `\s` are avoided. */
   def fingerprintDeclarative(c: Column): Column = {
-    val s = regexp_replace(trim(c), "\\s+", " ")
+    val s = regexp_replace(
+      regexp_replace(c, "[ \t\n\r\f]+", " "), "^ | $", "")
     val chars = split(s, "")
     aggregate(
       chars,

@@ -437,7 +437,12 @@ case class RhpSig(child: Expression, bits: Int, dim: Int, seed: Long)
 /** Polynomial rolling-hash fingerprint of a string (whitespace collapsed):
   * h = fold(h*31 + codepoint mod 1e9+7). Matches
   * TextFunctions.fingerprintDeclarative (which uses `ascii` per char =
-  * first-codepoint, identical for BMP text). */
+  * first-codepoint, identical for BMP text).
+  *
+  * Normalization uses an EXPLICIT whitespace class (space \t \n \r \f),
+  * collapse-then-strip — not String.trim (strips all chars <= U+0020)
+  * and not `\s` (Java includes \x0B, RE2 does not): the DuckDB oracle
+  * must reproduce the normalization byte-for-byte. */
 case class Fingerprint64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -446,7 +451,8 @@ case class Fingerprint64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-      .trim.replaceAll("\\s+", " ")
+      .replaceAll("[ \t\n\r\f]+", " ")
+      .replaceAll("^ | $", "")
     var acc = 0L
     var i = 0
     while (i < s.length) {

@@ -290,10 +290,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`.
-    * `approx = false` ⇒ exact all-pairs (quadratic — for verification and
-    * small partitions); `approx = true` ⇒ random-hyperplane LSH bucketing
-    * first (the 100 TB path), then exact cosine verify inside buckets. */
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     *
     * `approx = false` (the oracle baseline) scores ALL ordered pairs —
@@ -302,9 +298,17 @@ object Dedup {
     * bucket in ≥ 1 of `lshTables` tables; only candidates are scored.
     * Candidates carry IDS ONLY through the bucket join + dedup (the
     * lshTopK discipline — fat vectors never ride the candidate
-    * shuffle); vectors re-attach for scoring. Catch probability for a
-    * pair at angle θ is 1−(1−(1−θ/π)^bits)^tables — defaults are tuned
-    * for wide-angle (≈0.4 cosine) near-dups: (1−(1−0.63³)¹²) ≈ 0.97.
+    * shuffle); vectors re-attach for scoring.
+    *
+    * Catch probability for a pair at angle θ is 1−(1−(1−θ/π)^bits)^tables.
+    * `lshBits`/`lshTables` ≤ 0 ⇒ tuned from `threshold`: the deepest
+    * bits whose table count for ~0.97 recall at the threshold angle
+    * stays ≤ 16, then tables sized to that target. High thresholds get
+    * deep bits and real pruning (random-pair candidate rate ≈
+    * tables/2^bits: ~1.5% at threshold 0.9); low thresholds (wide
+    * angles, per-bit agreement near 1/2) force shallow bits — there
+    * RHP-LSH prunes weakly by geometry, and the exact path may be the
+    * honest choice below ~0.5.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -312,8 +316,8 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       approx: Boolean = false,
-      lshBits: Int = 3,
-      lshTables: Int = 12,
+      lshBits: Int = 0,
+      lshTables: Int = 0,
       dim: Int = 64): DataFrame = {
     // spread: the exact path is a nested-loop join whose streamed side
     // inherits the scan's partitioning — 1-2 partitions would serialize
@@ -325,10 +329,21 @@ object Dedup {
         val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
+        val pBit = 1.0 -
+          math.acos(math.max(-1.0, math.min(threshold, 0.9999))) / math.Pi
+        def tablesFor(b: Int): Int =
+          math.ceil(math.log(0.03) / math.log(1 - math.pow(pBit, b))).toInt
+        val bits =
+          if (lshBits > 0) lshBits
+          else (3 to 16).takeWhile(b => tablesFor(b) <= 16).lastOption
+            .getOrElse(3)
+        val tables =
+          if (lshTables > 0) lshTables
+          else math.min(math.max(tablesFor(bits), 1), 16)
         val sigs = base.select(
           col("id"),
-          posexplode(array((0 until lshTables).map(t =>
-            VectorFunctions.rhpSignature(col("v"), lshBits, dim,
+          posexplode(array((0 until tables).map(t =>
+            VectorFunctions.rhpSignature(col("v"), bits, dim,
               seed = 7L + t)): _*)))
           .withColumnRenamed("pos", "table")
           .withColumnRenamed("col", "bucket")

@@ -30,16 +30,29 @@ object Skew {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // Salt = hash of ALL probe columns: deterministic under stage
-    // retries. A nondeterministic salt (monotonic id / rand) in a
+    // Salt = hash of the probe's hashable columns: deterministic under
+    // stage retries. A nondeterministic salt (monotonic id / rand) in a
     // shuffle key silently duplicates or drops rows when a lost
     // executor recomputes different values (SPARK-23207 class).
     // Full-row duplicates collapse onto one salt, which only matters
     // if a single key's rows are ALL identical — then salting cannot
-    // help anyway (the rows are indistinguishable).
+    // help anyway (the rows are indistinguishable). MapType columns are
+    // excluded (Spark forbids hashing maps); if nothing else is
+    // hashable the probe rows are indistinguishable anyway and the
+    // join-key hash alone keeps the expression well-formed.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = skewed.schema.fields.toIndexedSeq.collect {
+      case f if !hasMap(f.dataType) => col(f.name)
+    }
+    val saltSrc = if (hashable.nonEmpty) hashable else IndexedSeq(col(key))
     val scattered = skewed.withColumn("__graft_salt",
-      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*),
-        lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(saltSrc: _*), lit(salt.toLong)).cast("int"))
     val replicated = build.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     scattered

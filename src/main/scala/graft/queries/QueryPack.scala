@@ -39,4 +39,11 @@ trait QueryPack {
   protected def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   protected def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** `read_parquet` over the engine's own dump of `name` — the
+    * {{GRAFT_OUT}} token is replaced with the absolute output dir by
+    * [[graft.Verify]] when it writes oracle_sql.json. Derived-invariant
+    * oracles read this to recompute/guard the engine's reported values. */
+  protected def outGlob(name: String): String =
+    s"read_parquet('{{GRAFT_OUT}}/$name/*.parquet')"
 }

@@ -128,10 +128,17 @@ object StreamReplayQueries extends QueryPack {
       val res = Merge.promote(parked, parent, "user_id", "c_custkey",
         parked.limit(0), Seq("event_id"))
       Upsert.writeSnapshots(Seq(res.main -> main, res.staging -> staging))
-      Upsert.readSnapshot(s, main)
+      // materialize the disk read-back, then remove the temp workspace —
+      // the query runs 3+ times per bench/verify cycle and would
+      // otherwise strand a full staging+main snapshot in /tmp each time
+      val out = Upsert.readSnapshot(s, main)
         .getOrElse(sys.error(s"no main snapshot at $main"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value").cast("long").as("cents"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }))
 
   override val oracles: Map[String, String] = Map(

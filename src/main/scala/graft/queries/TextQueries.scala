@@ -8,9 +8,12 @@ import graft.operators.Dedup
 
 /** Text-analysis + deduplication surface over the `documents` table —
   * the training-data-pipeline operators (langid, quality scoring, token
-  * counting, fingerprinting, exact/fuzzy dedup). Hash-based signatures
-  * (minhash/simhash/fingerprint) are not DuckDB-expressible ⇒ rows-only
-  * driver check + golden-value unit tests in DedupSpec/TextFunctionsSpec.
+  * counting, fingerprinting, exact/fuzzy dedup). Every query is driver-
+  * gated: most via full DuckDB mirrors; the xxhash64-seeded signature
+  * queries (minhash/simhash) via derived-invariant oracles that re-read
+  * the engine's dump and recompute every verifiable column (exact
+  * Jaccards, thresholds, ordering, completeness floors). Golden-value
+  * unit tests in DedupSpec/TextFunctionsSpec cover the hash internals.
   */
 object TextQueries extends QueryPack {
 
@@ -67,7 +70,8 @@ object TextQueries extends QueryPack {
           round(col("jaccard"), 4).as("jaccard"))
     }),
 
-    // Rolling-hash fingerprint (rows-only: hash not oracle-expressible).
+    // Rolling-hash fingerprint (full DuckDB mirror: the hash is plain
+    // modular arithmetic, foldable with list_reduce).
     "q36_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
@@ -79,8 +83,8 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           bpeishTokenCount(col("text")).as("n_bpeish"))),
 
-    // MinHash+LSH near-dup pairs (rows-only; determinism + recall vs
-    // exact Jaccard covered in DedupSpec).
+    // MinHash+LSH near-dup pairs (derived-invariant oracle: exact
+    // Jaccard re-check + completeness; recall covered in DedupSpec).
     "q38_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingle = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
@@ -92,7 +96,12 @@ object TextQueries extends QueryPack {
     // recompute and hash-check the verification values.
     "q39_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // materialize once: `pairs` feeds both the join's left side and
+      // the Jaccard-verify candidate list — without the checkpoint the
+      // banded self-join subplan executes twice (projections differ, so
+      // no exchange reuse)
       val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 8)
+        .localCheckpoint()
       pairs
         .join(Dedup.ngramJaccardPairs(pairs.select("id_a", "id_b"), d,
           "doc_id", "text", n = 1), Seq("id_a", "id_b"))
@@ -101,7 +110,8 @@ object TextQueries extends QueryPack {
     }),
 
     // Full MinHash dedup: pairs → connected-component clusters → keep
-    // one doc per cluster (rows-only; clustering semantics unit-tested).
+    // one doc per cluster (derived-invariant oracle: keeper uniqueness +
+    // every drop justified by a true near-dup partner).
     "q46_minhash_dedup" -> ((s, dir) =>
       Dedup.dedupByMinHash(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
@@ -115,8 +125,9 @@ object TextQueries extends QueryPack {
 
     // Cross-source corpus overlap via the MinHashUnionAgg typed
     // Aggregator: one union-signature per source, pairwise Jaccard
-    // estimate WITHOUT joining documents (rows-only: hash-based;
-    // estimator accuracy asserted in MinHashUnionAggSpec).
+    // estimate WITHOUT joining documents (derived-invariant oracle:
+    // estimate within 4σ of the true source Jaccard; accuracy also
+    // asserted in MinHashUnionAggSpec).
     "q54_source_overlap" -> ((s, dir) => {
       import s.implicits._
       val k = 64
@@ -139,9 +150,9 @@ object TextQueries extends QueryPack {
         .select("src_a", "src_b", "est_jaccard")
     }),
 
-    // Deterministic hash-based train/val/test split counts (rows-only:
-    // xxhash64 isn't DuckDB-expressible; determinism + partitioning
-    // invariance asserted in SamplingSpec).
+    // Deterministic hash-based train/val/test split counts (derived-
+    // invariant oracle: per-lang conservation + binomial size bounds;
+    // determinism + partitioning invariance asserted in SamplingSpec).
     "q50_train_split" -> ((s, dir) =>
       graft.operators.Sampling.assignSplits(t(s, dir, "documents"),
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -252,10 +263,15 @@ object TextQueries extends QueryPack {
     // pair ordering, and completeness floors.
 
     // Full independent mirror: the rolling hash is plain modular
-    // arithmetic over code points, foldable with list_reduce.
+    // arithmetic over code points, foldable with list_reduce. The
+    // whitespace normalization is an explicit class + collapse-then-
+    // strip, byte-identical to Fingerprint64 (DuckDB trim() strips
+    // spaces only and RE2's \s lacks \x0B — neither matches Java).
     "q36_fingerprint" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS s
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'),
+        |                   '^ | $', '', 'g') AS s
         |  FROM documents
         |)
         |SELECT doc_id,
@@ -295,14 +311,10 @@ object TextQueries extends QueryPack {
     // pairs (simhash-identical, hamming 0) must all be present.
     "q39_simhash_pairs" -> {
       val g = "list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0))"
-      val jac = """CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
-                  |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                  |       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
-                  |    ELSE 0.0 END""".stripMargin
       s"""WITH out AS (SELECT * FROM ${outGlob("q39_simhash_pairs")}),
          |grams AS (SELECT doc_id, $g AS g FROM documents),
          |truth AS (
-         |  SELECT o.id_a, o.id_b, o.hamming, round($jac, 4) AS jaccard
+         |  SELECT o.id_a, o.id_b, o.hamming, round($jacAB, 4) AS jaccard
          |  FROM out o
          |  JOIN grams a ON a.doc_id = o.id_a
          |  JOIN grams b ON b.doc_id = o.id_b
@@ -384,7 +396,8 @@ object TextQueries extends QueryPack {
     // Derived invariant: the MinHash union-sketch estimate must sit
     // within 0.25 of the true source-level 3-shingle Jaccard (k=64 =>
     // sigma <= 0.0625; bound is 4 sigma), every source pair must be
-    // present exactly once, ordered src_a < src_b.
+    // present exactly once (DISTINCT-counted, so a duplicated pair
+    // cannot mask a missing one), ordered src_a < src_b.
     "q54_source_overlap" ->
       s"""WITH out AS (SELECT * FROM ${outGlob("q54_source_overlap")}),
          |$grams3Cte,
@@ -402,17 +415,13 @@ object TextQueries extends QueryPack {
          |),
          |n_src AS (SELECT count(DISTINCT source) AS n FROM documents),
          |guard AS (SELECT 1 AS ok FROM n_src
-         |  WHERE (SELECT count(*) FROM out) = n * (n - 1) / 2)
+         |  WHERE (SELECT count(*) FROM out) = n * (n - 1) / 2
+         |    AND (SELECT count(DISTINCT src_a || '|' || src_b) FROM out)
+         |        = n * (n - 1) / 2)
          |SELECT o.src_a, o.src_b, o.est_jaccard
          |FROM out o JOIN true_j t ON t.src_a = o.src_a AND t.src_b = o.src_b
          |CROSS JOIN guard
          |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin)
-
-  /** `read_parquet` over the engine's own dump of `name` — the
-    * {{GRAFT_OUT}} token is replaced with the absolute output dir by
-    * [[graft.Verify]] when it writes oracle_sql.json. */
-  private def outGlob(name: String): String =
-    s"read_parquet('{{GRAFT_OUT}}/$name/*.parquet')"
 
   /** DuckDB mirror of `array_distinct(wordShingles(text, 3))` as a CTE
     * named `grams` (column `g`): non-empty whitespace tokens, 3-token

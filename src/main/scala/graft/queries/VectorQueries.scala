@@ -84,7 +84,8 @@ object VectorQueries extends QueryPack {
     // cosine verify — the gated exercise of
     // embeddingNearDupPairs(approx = true) (q41/q51 gate only the
     // quadratic exact path). Threshold 0.4 = where this corpus's
-    // near-dups actually live (no pairs exist above 0.9).
+    // near-dups actually live (no pairs exist above 0.9); bits/tables
+    // auto-tune from the threshold (3 bits / 13 tables here).
     "q74_neardup_approx" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.4, approx = true)
@@ -161,7 +162,7 @@ object VectorQueries extends QueryPack {
     // exactly (raw-vector arithmetic, the engine's cosine()) and must
     // clear the 0.4 threshold with id_a < id_b; recall floor 0.75 vs
     // the full exact pair set (measured ~0.97: boundary pairs at
-    // cosine 0.4 have per-bit agreement 0.63, 1−(1−0.63³)¹² ≈ 0.97).
+    // cosine 0.4 have per-bit agreement 0.63, 1−(1−0.63³)¹³ ≈ 0.98).
     "q74_neardup_approx" ->
       s"""WITH out AS (SELECT * FROM ${outGlob("q74_neardup_approx")}),
          |exact AS (
@@ -202,9 +203,6 @@ object VectorQueries extends QueryPack {
          |SELECT o.label, o.approx_vecs, e.n AS n_rows
          |FROM out o JOIN exact e ON e.label = o.label
          |WHERE abs(o.approx_vecs - e.d) <= greatest(5, 0.15 * e.d)""".stripMargin)
-
-  private def outGlob(name: String): String =
-    s"read_parquet('{{GRAFT_OUT}}/$name/*.parquet')"
 
   /** Derived-invariant oracle for an approximate top-k dump with
     * columns (query_id, neighbor_id, rank, sim):

@@ -56,11 +56,15 @@ class TextFunctionsSpec extends SparkSpec {
   test("fingerprint: deterministic, whitespace-normalized, golden value") {
     def poly(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
-    val out = Seq("hello world", "hello   world", "hello worlds").toDF("s")
+    val out = Seq("hello world", "hello   world", "hello worlds",
+      "\thello \n world\r\n").toDF("s")
       .select(fingerprint($"s").as("f")).as[Long].collect()
     assert(out(0) === poly("hello world"))
     assert(out(0) === out(1)) // collapse internal whitespace
     assert(out(0) !== out(2))
+    // edge tabs/newlines strip like spaces — the explicit-class
+    // normalization the DuckDB q36 mirror reproduces byte-for-byte
+    assert(out(3) === out(0))
   }
 
   test("simHash: identical→0 hamming, similar→small, disjoint→large") {
