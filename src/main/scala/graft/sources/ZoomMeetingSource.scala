@@ -31,9 +31,13 @@ import graft.model.Schemas
   *    the window never reach Spark;
   *  - `SupportsPushDownRequiredColumns`: column pruning into the reader
   *    (the reference's project-only-uuid, extract.py:130);
-  *  - rate limiting would live in the partition reader (token bucket per
-  *    executor, honoring Retry-After — extract.py:33-37); offline reads
-  *    need none.
+  *  - rate limiting lives in the partition reader (TokenBucket pacing
+  *    behind the `ratePerSec`/`burst` read options); a live HTTP reader
+  *    additionally composes [[graft.sources.TokenManager]] (S11 OAuth,
+  *    per-executor singleton) and [[graft.sources.PagedFetcher]] (the
+  *    429/Retry-After + next_page_token loop, extract.py:33-48) in
+  *    place of the file stream — the scan/pushdown machinery here is
+  *    transport-agnostic.
   *
   * Usage: `spark.read.format("graft.sources.ZoomMeetingSource")
   *   .load(dir)` — schema is the fixed meeting-doc schema
