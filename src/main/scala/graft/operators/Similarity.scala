@@ -19,7 +19,7 @@ object Similarity {
   /** Unit-normalize a vector column (double elements); zero vectors
     * normalize to null. Done ONCE per row so pairwise similarity is a
     * plain dot product (3× fewer flops than cosine per pair). */
-  private def normalized(v: Column): Column = {
+  private[operators] def normalized(v: Column): Column = {
     val n = sqrt(dot(v, v))
     when(n > 0, transform(v, x => x.cast("double") / n))
   }

@@ -90,7 +90,23 @@ object VectorQueries extends QueryPack {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.4, approx = true)
         .select(col("id_a"), col("id_b"),
-          round(col("cosine"), 4).as("cosine"))))
+          round(col("cosine"), 4).as("cosine"))),
+
+    // Semantic clustering: deterministic seed-medoid assignment (k
+    // lowest-id vectors as seeds, rounded-cosine argmax) — the IVF
+    // assignment machinery under a FULL hash oracle instead of a
+    // derived invariant (no RNG anywhere, so DuckDB replays it
+    // exactly).
+    "q77_cluster_assign" -> ((s, dir) =>
+      graft.operators.Clustering.assignToSeeds(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)),
+
+    // Corpus-balance profile per cluster (count + exact-decimal mean
+    // similarity) — the stats a curation pipeline samples against.
+    "q78_cluster_profile" -> ((s, dir) =>
+      graft.operators.Clustering.profile(
+        graft.operators.Clustering.assignToSeeds(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16))))
 
   private val dotAB =
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
@@ -191,6 +207,24 @@ object VectorQueries extends QueryPack {
          |  AND CASE WHEN $normA * $normB > 0
          |    THEN $dotAB / ($normA * $normB) END >= 0.4""".stripMargin,
 
+    // Full mirror of the seed-medoid assignment: same normalization,
+    // same rounded dot, same (sim desc, seed_id asc) argmax — no
+    // engine-specific values anywhere, so the hash must match exactly.
+    "q77_cluster_assign" ->
+      s"""WITH $nrmCte,
+         |$clusterAssignCte
+         |SELECT vec_id, seed_id, sim FROM assign""".stripMargin,
+
+    // Full mirror of the per-cluster profile; the mean rides an exact
+    // DECIMAL(18,4) sum so summation order cannot move the hash.
+    "q78_cluster_profile" ->
+      s"""WITH $nrmCte,
+         |$clusterAssignCte
+         |SELECT seed_id, count(*) AS n_members,
+         |  round(CAST(SUM(CAST(sim AS DECIMAL(18,4))) AS DOUBLE)
+         |        / count(*), 6) AS mean_sim
+         |FROM assign GROUP BY seed_id""".stripMargin,
+
     // Derived invariant: n_rows must equal the exact per-label count;
     // the HLL estimate must sit within max(5, 15%) of the exact
     // distinct count (default rsd 0.05 => 3 sigma with slack).
@@ -204,6 +238,37 @@ object VectorQueries extends QueryPack {
          |FROM out o JOIN exact e ON e.label = o.label
          |WHERE abs(o.approx_vecs - e.d) <= greatest(5, 0.15 * e.d)""".stripMargin)
 
+  /** Unit-normalized embeddings as a CTE named `nrm` (column `u`) —
+    * per-element double division, the engine's arithmetic order;
+    * zero-norm vectors dropped (they normalize to null engine-side). */
+  private def nrmCte: String =
+    """nrm AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS u
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                              CAST(embedding AS DOUBLE[]))) > 0
+      |)""".stripMargin
+
+  /** Seed-medoid assignment over `nrm` as a CTE named `assign`
+    * (vec_id, seed_id, sim) — mirrors Clustering.assignToSeeds(k=16):
+    * seeds = 16 lowest ids, argmax by (round(dot,4) desc, seed asc). */
+  private def clusterAssignCte: String =
+    """seeds AS (SELECT vec_id AS seed_id, u AS su FROM nrm
+      |  ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT n.vec_id, s.seed_id,
+      |    round(list_dot_product(n.u, s.su), 4) AS sim
+      |  FROM nrm n CROSS JOIN seeds s),
+      |assign AS (
+      |  SELECT vec_id, seed_id, sim FROM (
+      |    SELECT vec_id, seed_id, sim,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY sim DESC, seed_id ASC) AS rnk
+      |    FROM scored) WHERE rnk = 1)""".stripMargin
+
   /** Derived-invariant oracle for an approximate top-k dump with
     * columns (query_id, neighbor_id, rank, sim):
     *  - `sim` recomputed exactly (unit-normalize in double, then dot,
@@ -214,15 +279,7 @@ object VectorQueries extends QueryPack {
   private def annTopKInvariant(
       name: String, k: Int, recallFloor: Double): String =
     s"""WITH out AS (SELECT * FROM ${outGlob(name)}),
-       |nrm AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                                     CAST(embedding AS DOUBLE[])))) AS u
-       |  FROM embeddings
-       |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                              CAST(embedding AS DOUBLE[]))) > 0
-       |),
+       |$nrmCte,
        |sims AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    round(list_dot_product(a.u, b.u), 4) AS sim
