@@ -340,13 +340,20 @@ object Dedup {
         val tables =
           if (lshTables > 0) lshTables
           else math.min(math.max(tablesFor(bits), 1), 16)
-        val sigs = base.select(
+        // materialize once: `mat` feeds the signature pass AND both
+        // vector re-attaches (3 scans otherwise), `sigs` feeds both
+        // sides of the bucket self-join (the differing projections
+        // defeat exchange reuse, so without the checkpoint every
+        // signature is computed twice)
+        val mat = base.localCheckpoint(true)
+        val sigs = mat.select(
           col("id"),
           posexplode(array((0 until tables).map(t =>
             VectorFunctions.rhpSignature(col("v"), bits, dim,
               seed = 7L + t)): _*)))
           .withColumnRenamed("pos", "table")
           .withColumnRenamed("col", "bucket")
+          .localCheckpoint(true)
         val cands = sigs.select(col("table"), col("bucket"),
             col("id").as("id_a"))
           .join(sigs.select(col("table"), col("bucket"),
@@ -355,9 +362,9 @@ object Dedup {
           .dropDuplicates("id_a", "id_b")
           .select("id_a", "id_b")
         cands
-          .join(base.select(col("id").as("id_a"), col("v").as("v_a")),
+          .join(mat.select(col("id").as("id_a"), col("v").as("v_a")),
             Seq("id_a"))
-          .join(base.select(col("id").as("id_b"), col("v").as("v_b")),
+          .join(mat.select(col("id").as("id_b"), col("v").as("v_b")),
             Seq("id_b"))
       }
     pairs
