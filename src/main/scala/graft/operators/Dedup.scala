@@ -340,12 +340,35 @@ object Dedup {
         val tables =
           if (lshTables > 0) lshTables
           else math.min(math.max(tablesFor(bits), 1), 16)
+        // Expected candidate rate for a RANDOM pair ≈ tables / 2^bits.
+        // When it approaches 1, LSH "pruning" admits nearly every pair
+        // while still paying the signature + bucket-join machinery —
+        // strictly worse than the exact nested-loop pass. Auto-tuned
+        // callers fall back to exact there; explicitly pinned
+        // bits/tables are honored (the caller opted into the plumbing)
+        // with a warning.
+        val candRate = tables.toDouble / (1L << math.min(bits, 62))
+        val pinned = lshBits > 0 || lshTables > 0
+        if (candRate >= 0.5) {
+          val log = org.slf4j.LoggerFactory.getLogger(getClass)
+          log.warn(
+            s"embeddingNearDupPairs: LSH candidate rate ~${"%.2f".format(
+                math.min(candRate, 1.0))} at threshold $threshold " +
+              s"($bits bits / $tables tables)" +
+              (if (pinned) " — pinned params honored despite weak pruning"
+               else " — falling back to the exact path"))
+          if (!pinned)
+            return embeddingNearDupPairs(df, idCol, vecCol, threshold,
+              approx = false, dim = dim)
+        }
         // materialize once: `mat` feeds the signature pass AND both
         // vector re-attaches (3 scans otherwise), `sigs` feeds both
         // sides of the bucket self-join (the differing projections
         // defeat exchange reuse, so without the checkpoint every
-        // signature is computed twice)
-        val mat = base.localCheckpoint(true)
+        // signature is computed twice). DISK_ONLY: fat vectors must
+        // not camp in executor block MEMORY alongside the shuffle.
+        val mat = base.persist(
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val sigs = mat.select(
           col("id"),
           posexplode(array((0 until tables).map(t =>

@@ -301,6 +301,8 @@ object VectorQueries extends QueryPack {
        |  SELECT 1 AS ok FROM hits
        |  WHERE CAST(h AS DOUBLE)
        |        / greatest((SELECT count(*) FROM exact), 1) >= $recallFloor
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM out GROUP BY query_id HAVING count(*) > $k)
        |)
        |SELECT o.query_id, o.neighbor_id,
        |  row_number() OVER (PARTITION BY o.query_id

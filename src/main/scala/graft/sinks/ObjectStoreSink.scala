@@ -84,18 +84,24 @@ object ObjectStoreSink {
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confMap.foreach { case (k, v) => conf.set(k, v) }
-        // one FS per scheme for the whole partition
+        // one FS per (scheme, authority) for the whole partition —
+        // scheme alone would alias s3a://bucketA and s3a://bucketB to
+        // whichever store resolved first (Hadoop then throws "Wrong FS"
+        // on the other's paths)
         val fsCache = scala.collection.mutable.Map.empty[String, FileSystem]
-        def fsFor(uri: String): FileSystem =
-          fsCache.getOrElseUpdate(new java.net.URI(uri).getScheme + "",
-            new Path(uri).getFileSystem(conf))
+        def fsFor(uri: String): FileSystem = {
+          val u = new java.net.URI(uri)
+          val cacheKey = u.getScheme + "://" +
+            Option(u.getAuthority).getOrElse("")
+          fsCache.getOrElseUpdate(cacheKey, new Path(uri).getFileSystem(conf))
+        }
         it.map { case (id, key, bytes) =>
           val n = if (bytes == null) 0L else bytes.length.toLong
           val primaryUri = s"$primary/$key"
           val status =
             try putObject(fsFor(primary), primaryUri, bytes, overwrite)
             catch {
-              case e: java.io.IOException =>
+              case scala.util.control.NonFatal(e) =>
                 s"error: ${e.getMessage}"
             }
           // secondary is best-effort (handler.py:90-95): any failure
@@ -105,7 +111,7 @@ object ObjectStoreSink {
             try {
               putObject(fsFor(base), uri, bytes, overwrite)
               Some(uri)
-            } catch { case _: java.io.IOException => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
           }
           UploadManifest(id, key,
             if (status.startsWith("error")) null else primaryUri,
@@ -115,20 +121,34 @@ object ObjectStoreSink {
       }
   }
 
-  /** Write bytes at `uri` via tmp+rename; returns "ok" or "exists". */
+  /** Write bytes at `uri` via tmp+rename; returns "ok" or "exists".
+    *
+    * The tmp path carries a per-attempt UUID suffix so speculative or
+    * retried tasks uploading the same key never interleave writes on a
+    * shared tmp object or race each other's rename. With
+    * `overwrite = true` the delete-then-rename leaves a window where no
+    * object exists at the key — that is the documented trade for
+    * replaceability; `overwrite = false` (the default) has no such
+    * window because an existing key is never touched. */
   private def putObject(
       fs: FileSystem, uri: String, bytes: Array[Byte],
       overwrite: Boolean): String = {
     val target = new Path(uri)
     if (!overwrite && fs.exists(target)) return "exists"
-    val tmp = new Path(uri + ".__tmp")
+    val tmp = new Path(uri + ".__tmp-" + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
-    try out.write(if (bytes == null) Array.emptyByteArray else bytes)
-    finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"rename failed for $uri")
-    "ok"
+    try {
+      try out.write(if (bytes == null) Array.emptyByteArray else bytes)
+      finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename failed for $uri")
+      "ok"
+    } finally {
+      // a failed attempt must not strand its uniquely-named tmp object
+      try if (fs.exists(tmp)) fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private def stripTrailingSlash(s: String): String =

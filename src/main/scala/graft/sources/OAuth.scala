@@ -102,18 +102,27 @@ object TokenManager {
   val DefaultTtlMs: Long = 55L * 60 * 1000
 
   private val instances =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), TokenManager]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      TokenManager]
 
-  /** Executor-singleton accessor: one manager per (endpoint, clientId)
-    * per JVM, however many partition readers ask. Live readers resolve
-    * their manager here from read options inside `createReader`. */
+  /** Executor-singleton accessor: one manager per (endpoint, clientId,
+    * secret-hash) per JVM, however many partition readers ask. The
+    * secret participates in the key as a SHA-256 digest (never stored
+    * in clear), so a credential rotation under the same clientId picks
+    * up a fresh manager instead of silently reusing stale credentials
+    * until JVM restart. Live readers resolve their manager here from
+    * read options inside `createReader`. */
   def forEndpoint(
       tokenEndpoint: String,
       clientId: String,
       clientSecret: String,
-      transport: HttpTransport): TokenManager =
-    instances.computeIfAbsent((tokenEndpoint, clientId),
+      transport: HttpTransport): TokenManager = {
+    val secretHash = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(clientSecret.getBytes("UTF-8")))
+    instances.computeIfAbsent((tokenEndpoint, clientId, secretHash),
       _ => new TokenManager(tokenEndpoint, clientId, clientSecret, transport))
+  }
 }
 
 /** Paginated REST fetch loop (S1's live contract) — the engine analog
