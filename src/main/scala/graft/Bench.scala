@@ -51,16 +51,36 @@ object Bench {
         try fn(spark, d).count() catch { case _: Throwable => () }
       }
     }
+    // Release every cache/checkpoint block between timed runs: several
+    // operators return eagerly-materialized cached results (the
+    // persist-hygiene contract), and a repeat run would otherwise be
+    // served from the previous run's cache — a bogus near-zero time.
+    def releaseAll(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    // Median of 3 runs per query: round-4 single-shot numbers showed
+    // >1.7× phantom regressions in untouched code (VERDICT r4 #3) —
+    // at ~1 s per query the run-to-run variance IS the signal unless
+    // medianed out.
+    val runsPerQuery = 3
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        // let the ContextCleaner drop prior queries' broadcasts/shuffles
-        // (they're GC-triggered; a 24g heap GCs too rarely on its own,
-        // and accumulated state bleeds into later timings)
-        System.gc()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to runsPerQuery).map { _ =>
+          releaseAll()
+          // let the ContextCleaner drop prior runs' broadcasts/shuffles
+          // (they're GC-triggered; a 24g heap GCs too rarely on its
+          // own, and accumulated state bleeds into later timings)
+          System.gc()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(runsPerQuery / 2)
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
     // ANN quality alongside speed: recall@3 of the approximate indexes
     // vs the exact result at THIS sf (untimed; the driver reads it from
     // the same JSON line).
@@ -81,8 +101,18 @@ object Bench {
       if (recalls.isEmpty) ""
       else recalls.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString(",\"recall\":{", ",", "}")
+    // Executed-path tags for the near-dup gates: a deterministic replay
+    // of the routing decision each gated query makes, so a silent
+    // exact-path reroute (round 4's q74) is visible in this JSON.
+    import graft.queries.VectorQueries.{Q74LshBits, Q74LshTables, Q74Threshold}
+    val paths = Seq(
+      "q41_embedding_neardup" -> "exact", // approx = false by construction
+      "q74_neardup_approx" -> graft.operators.Dedup.approxPathDecision(
+        Q74Threshold, Q74LshBits, Q74LshTables))
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString(",\"path\":{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

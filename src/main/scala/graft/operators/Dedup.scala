@@ -21,6 +21,31 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Eagerly materialize a (small) `result` into a CacheManager-backed
+    * cache, then release the fat `intermediates` it was built from.
+    *
+    * Persist lifecycle contract for the dedup operators: candidate
+    * generation persists wide intermediates (vectors, signatures,
+    * shingle sets) because several subplans consume them within one
+    * action; those blocks must NOT outlive the call — in a long-lived
+    * session repeated invocations would accumulate executor/disk blocks
+    * until shutdown. So the final pair/keeper table (orders of magnitude
+    * smaller than the corpus: it is the duplicates) is counted into its
+    * own cache first, then every intermediate is unpersisted.
+    * `Dataset.unpersist` is non-cascading, so the result cache survives;
+    * lineage is intact (plain persist, no checkpoint truncation), so a
+    * lost block recomputes correctly. Callers that are done with the
+    * result may `unpersist()` it; leaving it cached costs only the
+    * small pair table. */
+  private[operators] def materializeAndRelease(
+      result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // one pass fills the result cache (and the intermediates')
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact dedup: keep one row per distinct value of `keyCols`, winner =
     * smallest `keepBy` (deterministic). */
   def exact(df: DataFrame, keyCols: Seq[String], keepBy: Column): DataFrame = {
@@ -83,15 +108,17 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // materialized once: this table feeds banding AND both sides of the
+    // cached once: this table feeds banding AND both sides of the
     // verification join — lazily it would recompute tokenize+shingle+
-    // sign four times. Par.spread: signatures are the CPU-heavy stage
-    // and a small parquet scan arrives on 1-2 partitions.
+    // sign four times. Persist (not checkpoint): CacheManager sharing
+    // with intact lineage, released via materializeAndRelease below.
+    // Par.spread: signatures are the CPU-heavy stage and a small
+    // parquet scan arrives on 1-2 partitions.
     val withSig = Par.spread(df).select(
       col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingle)).as("shingles"),
       minHashSignature(col(textCol), shingle, numHashes).as("sig"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate generation on (band, bucket, id) ONLY — the fat shingle
     // arrays never enter the candidate shuffle; they re-attach just for
@@ -113,7 +140,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val grams = withSig.select(col("id"), col("shingles"))
-    candidates
+    val verified = candidates
       .join(grams.select(col("id").as("id_a"), col("shingles").as("sh_a")),
         Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("shingles").as("sh_b")),
@@ -121,6 +148,7 @@ object Dedup {
       .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(verified, withSig)
   }
 
   /** Connected components over a near-duplicate pair graph: every id
@@ -174,12 +202,20 @@ object Dedup {
 
   private def duplicateClustersIterative(
       pairs: DataFrame, maxIter: Int): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("keeper_id", col("id"))
+    // RDD ids of the previous round's localCheckpoint blocks. A
+    // checkpointed Dataset cannot release them via Dataset.unpersist
+    // (CacheManager never saw them), so each round records the id delta
+    // and drops the prior round's blocks once the new checkpoint is
+    // data-backed — without this, every iteration leaks a full label
+    // table into executor storage for the session lifetime.
+    var prevCkptIds: Set[Int] = Set.empty
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -204,8 +240,14 @@ object Dedup {
         .where(col("u.keeper_id") =!= col("l.keeper_id"))
         .limit(1).count()
       // materialize per round: keeps the lineage from growing
-      // exponentially across iterations
+      // exponentially across iterations (checkpoint, not persist — the
+      // point is lineage truncation)
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       labels = updated.localCheckpoint(eager = true)
+      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = newIds
       converged = changed == 0
       iter += 1
     }
@@ -225,13 +267,18 @@ object Dedup {
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    // the pair pipeline feeds three consumers (threshold count, cluster
-    // build, anti-join) — materialize it once
+    // minHashPairs returns an already-cached pair table (it feeds three
+    // consumers here: the size probe, the cluster build, the anti-join)
     val pairs = minHashPairs(df, idCol, textCol, shingle, numHashes,
-      rowsPerBand, threshold).localCheckpoint(true)
+      rowsPerBand, threshold)
     val clusters = duplicateClusters(pairs)
-    val losers = clusters.where(col("id") =!= col("keeper_id"))
-      .select(col("id").as(idCol))
+    // losers (the ids to drop) is the only thing the final anti-join
+    // needs — materialize it and release the pair cache so nothing fat
+    // outlives the call (the returned corpus-sized frame stays lazy)
+    val losers = materializeAndRelease(
+      clusters.where(col("id") =!= col("keeper_id"))
+        .select(col("id").as(idCol)),
+      pairs)
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -309,7 +356,60 @@ object Dedup {
     * angles, per-bit agreement near 1/2) force shallow bits — there
     * RHP-LSH prunes weakly by geometry, and the exact path may be the
     * honest choice below ~0.5.
+    *
+    * FALLBACK SEMANTICS (`approx = true` only): when bits/tables are
+    * auto-tuned and the random-pair candidate rate tables/2^bits
+    * reaches 0.5, LSH admits most pairs while still paying the
+    * signature machinery — strictly worse than the exact pass — so the
+    * call REROUTES to the exact path (logged at WARN). Explicitly
+    * pinned `lshBits`/`lshTables` are always honored (with the same
+    * warning): pinning is the caller's opt-in to the LSH plan, and it
+    * is how q74 keeps the signature/bucket plan under its gate.
+    *
+    * The approx path returns an eagerly materialized, cached result:
+    * the fat vector/signature intermediates are persisted for the
+    * single computing pass and released before return (see
+    * [[materializeAndRelease]] — nothing corpus-sized outlives the
+    * call; callers may `unpersist()` the returned pair table).
     */
+  /** LSH parameter tuning for [[embeddingNearDupPairs]]: resolved
+    * (bits, tables, random-pair candidate rate ≈ tables/2^bits, pinned).
+    * Pinned values (> 0) pass through; the rest tune from `threshold`. */
+  private def tuneLsh(threshold: Double, lshBits: Int, lshTables: Int)
+      : (Int, Int, Double, Boolean) = {
+    val pBit = 1.0 -
+      math.acos(math.max(-1.0, math.min(threshold, 0.9999))) / math.Pi
+    def tablesFor(b: Int): Int =
+      math.ceil(math.log(0.03) / math.log(1 - math.pow(pBit, b))).toInt
+    val bits =
+      if (lshBits > 0) lshBits
+      else (3 to 16).takeWhile(b => tablesFor(b) <= 16).lastOption
+        .getOrElse(3)
+    val tables =
+      if (lshTables > 0) lshTables
+      else math.min(math.max(tablesFor(bits), 1), 16)
+    // Expected candidate rate for a RANDOM pair ≈ tables / 2^bits.
+    // When it approaches 1, LSH "pruning" admits nearly every pair
+    // while still paying the signature + bucket-join machinery —
+    // strictly worse than the exact nested-loop pass. Auto-tuned
+    // callers fall back to exact there; explicitly pinned bits/tables
+    // are honored (the caller opted into the plumbing) with a warning.
+    val candRate = tables.toDouble / (1L << math.min(bits, 62))
+    (bits, tables, candRate, lshBits > 0 || lshTables > 0)
+  }
+
+  /** Which plan `embeddingNearDupPairs(approx = true)` executes for
+    * these parameters: `"lsh"` (signature/bucket candidates) or
+    * `"exact"` (candidate-rate fallback rerouted to the quadratic
+    * pass). Deterministic replay of the routing decision — benchmarks
+    * and correctness runs surface it so a silent reroute (round 4's
+    * q74) is visible in the emitted JSON. */
+  def approxPathDecision(
+      threshold: Double, lshBits: Int = 0, lshTables: Int = 0): String = {
+    val (_, _, candRate, pinned) = tuneLsh(threshold, lshBits, lshTables)
+    if (candRate >= 0.5 && !pinned) "exact" else "lsh"
+  }
+
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -323,32 +423,17 @@ object Dedup {
     // inherits the scan's partitioning — 1-2 partitions would serialize
     // the whole n² cosine pass onto as many cores
     val base = Par.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
-    val pairs =
-      if (!approx) {
-        val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
-        val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
-        a.join(b, col("id_a") < col("id_b"))
-      } else {
-        val pBit = 1.0 -
-          math.acos(math.max(-1.0, math.min(threshold, 0.9999))) / math.Pi
-        def tablesFor(b: Int): Int =
-          math.ceil(math.log(0.03) / math.log(1 - math.pow(pBit, b))).toInt
-        val bits =
-          if (lshBits > 0) lshBits
-          else (3 to 16).takeWhile(b => tablesFor(b) <= 16).lastOption
-            .getOrElse(3)
-        val tables =
-          if (lshTables > 0) lshTables
-          else math.min(math.max(tablesFor(bits), 1), 16)
-        // Expected candidate rate for a RANDOM pair ≈ tables / 2^bits.
-        // When it approaches 1, LSH "pruning" admits nearly every pair
-        // while still paying the signature + bucket-join machinery —
-        // strictly worse than the exact nested-loop pass. Auto-tuned
-        // callers fall back to exact there; explicitly pinned
-        // bits/tables are honored (the caller opted into the plumbing)
-        // with a warning.
-        val candRate = tables.toDouble / (1L << math.min(bits, 62))
-        val pinned = lshBits > 0 || lshTables > 0
+    def score(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    if (!approx) {
+      val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
+      score(a.join(b, col("id_a") < col("id_b")))
+    } else {
+        val (bits, tables, candRate, pinned) =
+          tuneLsh(threshold, lshBits, lshTables)
         if (candRate >= 0.5) {
           val log = org.slf4j.LoggerFactory.getLogger(getClass)
           log.warn(
@@ -361,12 +446,15 @@ object Dedup {
             return embeddingNearDupPairs(df, idCol, vecCol, threshold,
               approx = false, dim = dim)
         }
-        // materialize once: `mat` feeds the signature pass AND both
-        // vector re-attaches (3 scans otherwise), `sigs` feeds both
-        // sides of the bucket self-join (the differing projections
-        // defeat exchange reuse, so without the checkpoint every
-        // signature is computed twice). DISK_ONLY: fat vectors must
+        // cached once: `mat` feeds the signature pass AND both vector
+        // re-attaches (3 scans otherwise), `sigs` feeds both sides of
+        // the bucket self-join (the differing projections defeat
+        // exchange reuse, so without the cache every signature is
+        // computed twice). DISK_ONLY for the vectors: fat arrays must
         // not camp in executor block MEMORY alongside the shuffle.
+        // Both caches are released before return (materializeAndRelease
+        // — the round-4 DISK_ONLY persist fixed the memory concern but
+        // leaked its blocks until session end).
         val mat = base.persist(
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val sigs = mat.select(
@@ -376,7 +464,7 @@ object Dedup {
               seed = 7L + t)): _*)))
           .withColumnRenamed("pos", "table")
           .withColumnRenamed("col", "bucket")
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = sigs.select(col("table"), col("bucket"),
             col("id").as("id_a"))
           .join(sigs.select(col("table"), col("bucket"),
@@ -384,15 +472,12 @@ object Dedup {
           .where(col("id_a") < col("id_b"))
           .dropDuplicates("id_a", "id_b")
           .select("id_a", "id_b")
-        cands
+        val verified = score(cands
           .join(mat.select(col("id").as("id_a"), col("v").as("v_a")),
             Seq("id_a"))
           .join(mat.select(col("id").as("id_b"), col("v").as("v_b")),
-            Seq("id_b"))
+            Seq("id_b")))
+        materializeAndRelease(verified, sigs, mat)
       }
-    pairs
-      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
-      .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
   }
 }

@@ -244,6 +244,9 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
       .where(col("u").isNotNull)
+    // cached: feeds the train-sample collect + cell assignment + probe
+    // expansion; released before return (Dedup.materializeAndRelease —
+    // the cache must not outlive the call in a long-lived session)
     val vecs = Par.spread(base).cache()
     // bounded deterministic sample (lowest-hash ids; TakeOrdered — no
     // full sort at scale), collected and trained on the driver
@@ -256,6 +259,7 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     if (sample.isEmpty) {
       // no usable vectors (empty table or all zero-norm) → empty result
+      vecs.unpersist(blocking = false)
       import org.apache.spark.sql.types._
       return df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -323,9 +327,11 @@ object Similarity {
       .where(col("key") =!= col("id"))
       .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
       .select("key", "id", "sim")
-    topKPerKey(scored, k)
-      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
-        col("rank"), col("sim"))
+    Dedup.materializeAndRelease(
+      topKPerKey(scored, k)
+        .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+          col("rank"), col("sim")),
+      vecs)
   }
 
   /** LSH-bucketed approximate top-k: L independent random-hyperplane

@@ -20,6 +20,15 @@ import graft.operators.{Dedup, Similarity}
   */
 object VectorQueries extends QueryPack {
 
+  /** q74's LSH parameters, shared with Bench so the emitted
+    * executed-path tag replays exactly the routing decision the gated
+    * query made (pinned 3 bits / 13 tables = what auto-tune derives at
+    * threshold 0.4, kept on the LSH plan by pinning). q41 runs exact
+    * by construction (approx = false). */
+  val Q74Threshold: Double = 0.4
+  val Q74LshBits: Int = 3
+  val Q74LshTables: Int = 13
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-3 neighbors (ids+rank only: float
     // payloads never surface, so hashing is stable). Broadcast-blocked
@@ -84,11 +93,19 @@ object VectorQueries extends QueryPack {
     // cosine verify — the gated exercise of
     // embeddingNearDupPairs(approx = true) (q41/q51 gate only the
     // quadratic exact path). Threshold 0.4 = where this corpus's
-    // near-dups actually live (no pairs exist above 0.9); bits/tables
-    // auto-tune from the threshold (3 bits / 13 tables here).
+    // near-dups actually live (no pairs exist above 0.9). bits/tables
+    // are PINNED to the values auto-tune derives for 0.4 (3 bits /
+    // 13 tables): pinned params are honored by design, so this query
+    // keeps the RHP-LSH signature/bucket plan — round 4's candidate-
+    // rate fallback would otherwise reroute it onto the exact path and
+    // the gate would cover nothing approximate (VERDICT r4 #1). The
+    // pruning is weak at this threshold (candidate rate 13/8 ≈ 1.6,
+    // logged at WARN) — exercising the LSH plumbing under the gate is
+    // the point, not pruning.
     "q74_neardup_approx" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.4, approx = true)
+          "embedding", threshold = Q74Threshold, approx = true,
+          lshBits = Q74LshBits, lshTables = Q74LshTables)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))),
 

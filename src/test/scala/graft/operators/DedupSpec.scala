@@ -120,16 +120,42 @@ class DedupSpec extends SparkSpec {
   }
 
   test("approx near-dup recall ≥ 0.9 vs exact on sf0.001 embeddings") {
+    // pinned 3 bits / 13 tables = q74's parameters: keeps the RHP-LSH
+    // signature/bucket plan (auto-tune at threshold 0.4 would reroute
+    // to the exact path, and this test would compare exact to itself)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Dedup
       .embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val approx = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.4, approx = true)
+        threshold = 0.4, approx = true, lshBits = 3, lshTables = 13)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(approx.subsetOf(exact)) // verify step kills false positives
     val recall = (exact & approx).size.toDouble / math.max(exact.size, 1)
     info(f"approx near-dup recall = $recall%.3f (${exact.size} true pairs)")
     assert(recall >= 0.9)
+  }
+
+  test("approx path routing: auto-tune falls back below ~0.5, pins hold") {
+    assert(Dedup.approxPathDecision(0.4) === "exact")
+    assert(Dedup.approxPathDecision(0.9) === "lsh")
+    assert(Dedup.approxPathDecision(0.4, lshBits = 3, lshTables = 13)
+      === "lsh")
+  }
+
+  test("embeddingNearDupPairs(approx) releases every intermediate cache") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, approx = true, lshBits = 3, lshTables = 13)
+    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    // only the materialized result cache survives the call: the
+    // DISK_ONLY vector table and the signature cache are unpersisted
+    // before return (VERDICT r4 "What's wrong" #2)
+    assert(added.size <= 1, s"leaked persistent RDDs: $added")
+    assert(out.count() > 0) // result is materialized and usable
+    out.unpersist(blocking = true)
+    assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty)
   }
 }
