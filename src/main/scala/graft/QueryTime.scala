@@ -13,6 +13,10 @@ object QueryTime {
     val spark = BenchSession.build()
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
+      // release materialized-result caches so every rep re-executes
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       println(f"QT $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -346,8 +346,12 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4,
       dim: Int = 64): DataFrame = {
+    // cached: the normalized corpus feeds the signature pass AND both
+    // vector re-attaches (3 scan+normalize passes otherwise); released
+    // before return via materializeAndRelease
     val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
-      normalized(col(vecCol)).as("u")))
+        normalized(col(vecCol)).as("u")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates carry IDS ONLY through the bucket join + dedup; vectors
     // re-attach afterwards (fat arrays never ride the candidate shuffle)
     val sigs = base.select(
@@ -383,8 +387,10 @@ object Similarity {
         .as("p"))
       .select(col("p.key").as("key"), col("p.id").as("id"),
         col("p.sim").as("sim"))
-    topKPerKey(scored, k)
-      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
-        col("rank"), col("sim"))
+    Dedup.materializeAndRelease(
+      topKPerKey(scored, k)
+        .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+          col("rank"), col("sim")),
+      base)
   }
 }
