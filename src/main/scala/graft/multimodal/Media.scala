@@ -1,22 +1,38 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.operators.ErrorRouter
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape, the
-  * `binaryFile` source — is real and tested; the actual codec work is
-  * STUBBED with deterministic fakes (this container ships no image/audio
-  * libraries), clearly marked below. Swap `decodeImageStub` /
-  * `extractAudioFeaturesStub` for real codecs on a cluster with the
-  * native libs installed; nothing else changes.
+  * Image decode and resize are REAL — `javax.imageio` (PNG/JPEG/GIF/BMP,
+  * JDK built-in, no external codecs needed): [[decodeImage]] reads the
+  * actual pixel grid and emits true width/height/channels plus a
+  * grid-pooled luminance feature vector; [[resizeImage]] re-renders
+  * through `Graphics2D` and re-encodes as PNG. Bytes that are not a
+  * decodable image become dead-letter rows (VALIDATION) instead of
+  * killing the job — the same error-channel shape as
+  * [[graft.operators.ErrorRouter]]. Only the AUDIO feature extractor
+  * remains a clearly-marked deterministic STUB (the JDK ships no
+  * MFCC/DSP stack): its schema, batch shape and per-partition pattern
+  * are real, the numbers are fake.
   *
   * Scale posture: bytes never leave executors (mapPartitions, no
   * collect); metadata-only queries prune the binary column at the parquet
   * scan (columnar storage makes the blob column free to skip); decode
   * parallelism = partition count, controlled by repartition on media_id.
+  * `ImageIO.setUseCache(false)` keeps decode in-memory — no surprise
+  * temp-file I/O on executor-local disk for every image.
   */
 object Media {
 
@@ -35,6 +51,19 @@ object Media {
       height: Int,
       channels: Int,
       features: Array[Float])
+
+  /** Decode envelope: exactly one of (features-carrying fields, error)
+    * is populated — the per-row analog of ErrorRouter's (clean, errors)
+    * split, kept in one Dataset so a single mapPartitions pass covers
+    * both channels. */
+  final case class ImageDecodeResult(
+      media_id: Long,
+      path: String,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      features: Option[Array[Float]],
+      error: Option[String])
 
   final case class AudioFeatures(
       media_id: Long,
@@ -74,44 +103,139 @@ object Media {
       .as[MediaFile]
   }
 
-  /** STUB — deterministic fake image decode. A real implementation
-    * would JNI/FFI into an image codec here; the fake derives a stable
-    * pseudo-decode from the bytes so the pipeline shape (per-partition
-    * batching, fixed feature width, nullability) is fully exercised. */
-  def decodeImageStub(dim: Int = 16)(f: MediaFile): ImageFeatures = {
-    val h = java.util.Arrays.hashCode(f.content)
-    val rnd = new scala.util.Random(h)
-    ImageFeatures(
-      media_id = f.media_id,
-      width = 64 + rnd.nextInt(1024),
-      height = 64 + rnd.nextInt(1024),
-      channels = 3,
-      features = Array.fill(dim)(rnd.nextFloat()))
+  private def readImage(bytes: Array[Byte]): Either[String, BufferedImage] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("undecodable: not a supported image format")
+      else Right(img)
+    } catch {
+      case NonFatal(e) => Left(s"decode failed: ${e.getMessage}")
+    }
+
+  /** REAL image decode (javax.imageio — PNG/JPEG/GIF/BMP/WBMP). The
+    * feature vector is grid-pooled luminance: the image is divided into
+    * a ceil(sqrt(dim))² cell grid and each cell contributes its mean
+    * luma (0.299R+0.587G+0.114B, normalized to [0,1]); the first `dim`
+    * cells, row-major. Deterministic, pixel-derived, and cheap — the
+    * classic pre-embedding thumbnail signature. */
+  def decodeImage(dim: Int = 16)(f: MediaFile): Either[String, ImageFeatures] =
+    readImage(f.content).map { img =>
+      ImageFeatures(
+        media_id = f.media_id,
+        width = img.getWidth,
+        height = img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        features = gridLuminance(img, dim))
+    }
+
+  private def gridLuminance(img: BufferedImage, dim: Int): Array[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt.max(1)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * g / h, g - 1)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * g / w, g - 1)
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val cell = cy * g + cx
+        sums(cell) += luma / 255.0
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(math.min(dim, g * g)) { i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+    }
   }
 
-  /** STUB — deterministic fake image resize: produces a new MediaFile
-    * whose bytes are a stable function of (input bytes, target size) and
-    * whose metadata reflects the target dimensions. A real
-    * implementation swaps only the byte transform. */
-  def resizeImageStub(w: Int, h: Int)(f: MediaFile): MediaFile = {
-    val seed = java.util.Arrays.hashCode(f.content) ^ (w * 31 + h)
-    val rnd = new scala.util.Random(seed)
-    val resized = Array.fill(math.max(16, f.content.length / 4))(
-      rnd.nextInt().toByte)
-    f.copy(content = resized, width = Some(w), height = Some(h))
+  /** REAL image resize: decode, re-render through Graphics2D with
+    * bilinear interpolation, re-encode as PNG. Undecodable input ⇒ Left. */
+  def resizeImage(w: Int, h: Int)(f: MediaFile): Either[String, MediaFile] =
+    readImage(f.content).map { img =>
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, w, h, null)
+      } finally g2.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      f.copy(content = bos.toByteArray, width = Some(w), height = Some(h))
+    }
+
+  /** Decode per partition into the success/error envelope: one decoder
+    * setup per partition (ImageIO cache off — in-memory decode), bytes
+    * stay distributed. */
+  def decodeImages(files: Dataset[MediaFile], dim: Int = 16):
+      Dataset[ImageDecodeResult] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      ImageIO.setUseCache(false) // per-partition init point
+      val decode = decodeImage(dim) _
+      it.map { f =>
+        decode(f) match {
+          case Right(feat) => ImageDecodeResult(f.media_id, f.path,
+            Some(feat.width), Some(feat.height), Some(feat.channels),
+            Some(feat.features), None)
+          case Left(err) => ImageDecodeResult(f.media_id, f.path,
+            None, None, None, None, Some(err))
+        }
+      }
+    }
   }
 
-  /** Per-partition resize pass (same distributed shape as decode). */
+  /** Successful decodes only (the common fast path). */
+  def imageFeatures(files: Dataset[MediaFile], dim: Int = 16):
+      Dataset[ImageFeatures] = {
+    import files.sparkSession.implicits._
+    decodeImages(files, dim)
+      .flatMap(r => r.features.map(fs => ImageFeatures(
+        r.media_id, r.width.get, r.height.get, r.channels.get, fs)))
+  }
+
+  /** ErrorRouter-shaped split: (features, dead-letter). Dead-letter rows
+    * carry error_type=VALIDATION + the decoder's detail, same schema the
+    * streaming dead-letter sink consumes. */
+  def imageFeaturesWithDeadLetter(files: Dataset[MediaFile], dim: Int = 16):
+      (Dataset[ImageFeatures], DataFrame) = {
+    import files.sparkSession.implicits._
+    val decoded = decodeImages(files, dim)
+    val ok = decoded.flatMap(r => r.features.map(fs => ImageFeatures(
+      r.media_id, r.width.get, r.height.get, r.channels.get, fs)))
+    val dead = decoded.toDF()
+      .where(col("error").isNotNull)
+      .select(col("media_id"), col("path"),
+        lit(ErrorRouter.ErrorTypes.find(_ == "VALIDATION").get)
+          .as("error_type"),
+        col("error").as("error_detail"))
+    (ok, dead)
+  }
+
+  /** Per-partition resize pass (same distributed shape as decode);
+    * undecodable inputs are dropped here — use [[decodeImages]] first if
+    * the dead-letter channel matters for the resize pass. */
   def resizeImages(files: Dataset[MediaFile], w: Int, h: Int):
       Dataset[MediaFile] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
-      val resize = resizeImageStub(w, h) _
-      it.map(resize)
+      ImageIO.setUseCache(false)
+      val resize = resizeImage(w, h) _
+      it.flatMap(f => resize(f).toOption)
     }
   }
 
-  /** STUB — deterministic fake audio feature extraction. */
+  /** STUB — deterministic fake audio feature extraction. The JDK has no
+    * DSP/MFCC stack; a real implementation swaps only this function (the
+    * per-partition pattern, schema and batch shape stay). */
   def extractAudioFeaturesStub(dim: Int = 8)(f: MediaFile): AudioFeatures = {
     val h = java.util.Arrays.hashCode(f.content)
     val rnd = new scala.util.Random(h ^ 0x5bd1e995)
@@ -120,18 +244,6 @@ object Media {
       sample_rate = 16000,
       n_frames = 1 + rnd.nextInt(100000),
       mfcc_like = Array.fill(dim)(rnd.nextFloat()))
-  }
-
-  /** Decode/feature-extract per partition: one decoder instance per
-    * partition (the executor-singleton pattern — codecs are expensive to
-    * init), bytes stay distributed. */
-  def imageFeatures(files: Dataset[MediaFile], dim: Int = 16):
-      Dataset[ImageFeatures] = {
-    import files.sparkSession.implicits._
-    files.mapPartitions { it =>
-      val decode = decodeImageStub(dim) _ // per-partition init point
-      it.map(decode)
-    }
   }
 
   def audioFeatures(files: Dataset[MediaFile], dim: Int = 8):
@@ -144,8 +256,8 @@ object Media {
   }
 
   /** Frame sampling plan for video: every nth frame index up to a cap —
-    * pure metadata computation (the decode of each frame is the stub
-    * above on a real cluster). */
+    * pure metadata computation (decoding each sampled frame is the image
+    * path above once frames are extracted). */
   def frameSamplePlan(files: Dataset[MediaFile], everyMs: Long,
       maxFrames: Int): DataFrame = {
     files.toDF()

@@ -4,17 +4,26 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: schema/partitioning/batch shape are real; the
-  * decode is a clearly-marked deterministic stub (no codecs in this
-  * container). */
+/** Multimodal plumbing with REAL javax.imageio decode/resize: the specs
+  * drive committed PNG/JPEG fixtures (a 64×48 RGB gradient) through the
+  * distributed decode path and assert true pixel-derived metadata and
+  * features. Only the audio extractor remains a labeled stub. */
 class MediaSpec extends SparkSpec {
   import spark.implicits._
 
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing test fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** 2 real images (PNG + JPEG of the same gradient) + 1 garbage blob. */
   private def mediaDs = {
-    val df = Seq(
-      (1L, "alpha bytes payload"), (2L, "beta bytes payload"),
-      (3L, "gamma bytes payload")).toDF("id", "s")
-      .select(col("id"), col("s").cast("binary").as("bytes"))
+    val rows = Seq(
+      (1L, fixtureBytes("gradient.png")),
+      (2L, fixtureBytes("gradient.jpg")),
+      (3L, "definitely not an image".getBytes("UTF-8")))
+    val df = rows.toDF("id", "bytes")
     Media.fromBytes(df, "id", "bytes", "image")
   }
 
@@ -26,30 +35,74 @@ class MediaSpec extends SparkSpec {
     assert(rows.forall(_.content.nonEmpty))
   }
 
-  test("image feature extraction: fixed width, deterministic across runs") {
+  test("real decode: committed PNG fixture yields true pixel metadata") {
+    val feats = Media.imageFeatures(mediaDs, dim = 16).collect()
+      .sortBy(_.media_id)
+    // garbage blob (id 3) is excluded from the success channel
+    assert(feats.map(_.media_id).toSeq === Seq(1L, 2L))
+    feats.foreach { f =>
+      assert(f.width === 64 && f.height === 48 && f.channels === 3)
+      assert(f.features.length === 16)
+      assert(f.features.forall(v => v >= 0f && v <= 1f))
+    }
+    // the fixture brightens left→right (red ramp) and top→bottom (green
+    // ramp): each 4×4 grid row must be monotonically increasing, and so
+    // must the column means — real pixels, not a hash fake.
+    val g = feats.head.features.grouped(4).toArray
+    g.foreach(row => assert(row.sliding(2).forall(p => p(1) > p(0)),
+      row.mkString(",")))
+    val colMeans = (0 until 4).map(c => g.map(_(c)).sum / 4)
+    assert(colMeans.sliding(2).forall(p => p(1) > p(0)))
+    // PNG and JPEG of the same image decode to nearly identical features
+    val Array(png, jpg) = feats
+    png.features.zip(jpg.features).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.02f)
+    }
+  }
+
+  test("decode is deterministic across repartitioning") {
     val f1 = Media.imageFeatures(mediaDs, dim = 16).collect()
       .sortBy(_.media_id)
     val f2 = Media.imageFeatures(mediaDs.repartition(2), dim = 16).collect()
       .sortBy(_.media_id)
-    assert(f1.forall(_.features.length === 16))
     assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq))
-    assert(f1.forall(f => f.width >= 64 && f.channels === 3))
   }
 
-  test("audio features: schema and determinism") {
+  test("undecodable bytes route to the VALIDATION dead-letter channel") {
+    val (ok, dead) = Media.imageFeaturesWithDeadLetter(mediaDs, dim = 16)
+    assert(ok.collect().map(_.media_id).toSet === Set(1L, 2L))
+    val d = dead.collect()
+    assert(d.length === 1)
+    val row = d.head
+    assert(row.getAs[Long]("media_id") === 3L)
+    assert(row.getAs[String]("error_type") === "VALIDATION")
+    assert(row.getAs[String]("error_detail").contains("undecodable"))
+  }
+
+  test("real resize: output re-decodes at the target geometry") {
+    val out = Media.resizeImages(mediaDs, 16, 12).collect()
+      .sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L)) // garbage dropped
+    assert(out.forall(f => f.width === Some(16) && f.height === Some(12)))
+    // the resized bytes are themselves a decodable PNG of that size
+    out.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.content))
+      assert(img != null && img.getWidth === 16 && img.getHeight === 12)
+    }
+    // and the gradient survives the resample: left edge darker than right
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.head.content))
+    def luma(rgb: Int): Double =
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    assert(luma(img.getRGB(0, 6)) < luma(img.getRGB(15, 6)))
+  }
+
+  test("audio features (labeled stub): schema and determinism") {
     val a = Media.audioFeatures(mediaDs, dim = 8).collect()
     assert(a.forall(_.mfcc_like.length === 8))
     assert(a.forall(_.sample_rate === 16000))
-  }
-
-  test("resize: metadata updated, bytes transformed deterministically") {
-    val out1 = Media.resizeImages(mediaDs, 224, 224).collect()
-      .sortBy(_.media_id)
-    val out2 = Media.resizeImages(mediaDs.repartition(2), 224, 224)
-      .collect().sortBy(_.media_id)
-    assert(out1.forall(f => f.width === Some(224) && f.height === Some(224)))
-    assert(out1.map(_.content.toSeq) === out2.map(_.content.toSeq))
-    assert(out1.forall(_.content.nonEmpty))
   }
 
   test("metadata queries prune the binary column at the parquet scan") {
