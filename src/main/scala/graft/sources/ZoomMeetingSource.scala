@@ -18,30 +18,34 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.model.Schemas
 
-/** DataSource V2 source for Zoom-shaped meeting JSONL fixtures — the
-  * offline analog of the reference's paginated REST scan (S1/S5,
-  * src/zoom/extract.py:27-47,106-131), demonstrating the full custom-
-  * source contract:
+/** DataSource V2 source for Zoom-shaped meeting docs — the engine's
+  * paginated REST scan (S1/S5, src/zoom/extract.py:27-47,106-131),
+  * demonstrating the full custom-source contract in two transports:
   *
-  *  - one InputPartition per file — the reference's pagination/chunking
-  *    becomes Spark's partition parallelism (T6);
+  *  - **file mode** (`.load(dir)`): one InputPartition per JSONL file —
+  *    the reference's pagination/chunking becomes Spark's partition
+  *    parallelism (T6);
+  *  - **live-API mode** (`.option("apiUrl", …).option("tokenUrl", …)
+  *    .option("clientId", …).option("clientSecret", …).load()`): each
+  *    partition drives [[PagedFetcher]] (429/Retry-After pacing +
+  *    `next_page_token` loop, extract.py:33-48) with Bearer tokens from
+  *    the per-executor [[TokenManager]] singleton (S11 OAuth) over the
+  *    real [[JdkHttpTransport]]. When the query pushes a closed
+  *    `start_time` window, the scan slices it into ONE PARTITION PER DAY
+  *    (the reference's date-range generator S4, extract.py:106-131) so a
+  *    1000-executor cluster fans the backfill out instead of paginating
+  *    serially like the reference.
+  *
+  * Both modes share the scan machinery:
   *  - `SupportsPushDownFilters`: `start_time` range predicates (the
   *    from/to window the reference pushes into API params,
-  *    extract.py:123-127) are evaluated inside the reader — rows outside
-  *    the window never reach Spark;
+  *    extract.py:123-127) are evaluated inside the reader — and, live,
+  *    forwarded as `from`/`to` API params so rows outside the window
+  *    never even cross the wire;
   *  - `SupportsPushDownRequiredColumns`: column pruning into the reader
   *    (the reference's project-only-uuid, extract.py:130);
-  *  - rate limiting lives in the partition reader (TokenBucket pacing
-  *    behind the `ratePerSec`/`burst` read options); a live HTTP reader
-  *    additionally composes [[graft.sources.TokenManager]] (S11 OAuth,
-  *    per-executor singleton) and [[graft.sources.PagedFetcher]] (the
-  *    429/Retry-After + next_page_token loop, extract.py:33-48) in
-  *    place of the file stream — the scan/pushdown machinery here is
-  *    transport-agnostic.
-  *
-  * Usage: `spark.read.format("graft.sources.ZoomMeetingSource")
-  *   .load(dir)` — schema is the fixed meeting-doc schema
-  * (model/Schemas.meetingSchema).
+  *  - TokenBucket pacing behind the `ratePerSec`/`burst` read options
+  *    (per partition reader; live mode paces page fetches).
   */
 class ZoomMeetingSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -52,24 +56,47 @@ class ZoomMeetingSource extends TableProvider {
     new ZoomMeetingTable(properties.get("path"))
 }
 
+/** Live-API connection config resolved from read options (all plain
+  * strings — serializable into the reader factory; the secret never
+  * appears in plan strings, see ZoomScan.description). */
+private[sources] final case class ZoomApiConfig(
+    apiUrl: String,
+    tokenUrl: String,
+    clientId: String,
+    clientSecret: String,
+    itemsField: String,
+    pageSize: Int)
+
 private[sources] class ZoomMeetingTable(path: String)
     extends Table with SupportsRead {
   override def name(): String = s"zoom_meetings($path)"
   override def schema(): StructType = Schemas.meetingSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val live = Option(options.get("apiUrl")).map { apiUrl =>
+      ZoomApiConfig(
+        apiUrl = apiUrl,
+        tokenUrl = options.get("tokenUrl"),
+        clientId = options.get("clientId"),
+        clientSecret = options.get("clientSecret"),
+        itemsField = options.getOrDefault("itemsField", "meetings"),
+        pageSize = options.getInt("pageSize", 300))
+    }
     new ZoomScanBuilder(if (path != null) path else options.get("path"),
       // S1's rate-limit contract (extract.py:33-37): each partition
       // reader paces its fetches through a token bucket. Off (unlimited)
       // by default for file fixtures; a live HTTP reader sets
       // ratePerSec/burst read options.
       options.getDouble("ratePerSec", 0.0),
-      options.getInt("burst", 1))
+      options.getInt("burst", 1),
+      live)
+  }
 }
 
 private[sources] class ZoomScanBuilder(path: String,
-    ratePerSec: Double = 0.0, burst: Int = 1)
+    ratePerSec: Double = 0.0, burst: Int = 1,
+    live: Option[ZoomApiConfig] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -95,16 +122,18 @@ private[sources] class ZoomScanBuilder(path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new ZoomScan(path, pushed, required, ratePerSec, burst)
+    new ZoomScan(path, pushed, required, ratePerSec, burst, live)
 }
 
 private[sources] class ZoomScan(path: String, filters: Array[Filter],
-    required: StructType, ratePerSec: Double = 0.0, burst: Int = 1)
+    required: StructType, ratePerSec: Double = 0.0, burst: Int = 1,
+    live: Option[ZoomApiConfig] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"ZoomMeetingScan(pushed=[${filters.mkString(", ")}], " +
+    s"ZoomMeetingScan(mode=${if (live.isDefined) "live" else "file"}, " +
+      s"pushed=[${filters.mkString(", ")}], " +
       s"columns=[${required.fieldNames.mkString(", ")}])"
 
   // session Hadoop conf captured on the DRIVER (fs.s3a.* etc. from
@@ -116,19 +145,55 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
       .hadoopConfiguration.asScala.map(e => e.getKey -> e.getValue).toMap
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(ZoomConf.build(sessionConfMap))
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-      else Array(path)
-    files.sorted.map(f => ZoomFilePartition(f): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = live match {
+    case Some(_) => planApiPartitions()
+    case None =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(ZoomConf.build(sessionConfMap))
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+        else Array(path)
+      files.sorted.map(f => ZoomFilePartition(f): InputPartition)
+  }
+
+  /** Live scan planning: a closed pushed `start_time` window becomes
+    * one partition per UTC day (S4's date-range chunks → Spark
+    * parallelism); an open/absent window falls back to one serial
+    * pagination partition, exactly the reference's shape. */
+  private def planApiPartitions(): Array[InputPartition] = {
+    val lower = filters.collectFirst {
+      case GreaterThan("start_time", v: String) => v
+      case GreaterThanOrEqual("start_time", v: String) => v
+    }
+    val upper = filters.collectFirst {
+      case LessThan("start_time", v: String) => v
+      case LessThanOrEqual("start_time", v: String) => v
+    }
+    val slices = (lower, upper) match {
+      case (Some(lo), Some(hi)) if lo.length >= 10 && hi.length >= 10 =>
+        try {
+          val d0 = java.time.LocalDate.parse(lo.take(10))
+          val d1 = java.time.LocalDate.parse(hi.take(10))
+          val days = Iterator.iterate(d0)(_.plusDays(1))
+            .takeWhile(!_.isAfter(d1)).toSeq
+          days.map { d =>
+            val from = if (d == d0) lo else s"${d}T00:00:00Z"
+            val to = if (d == d1) hi else s"${d.plusDays(1)}T00:00:00Z"
+            ZoomApiPartition(Some(from), Some(to))
+          }
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            Seq(ZoomApiPartition(lower, upper))
+        }
+      case _ => Seq(ZoomApiPartition(lower, upper))
+    }
+    slices.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZoomReaderFactory(filters, required, sessionConfMap, ratePerSec,
-      burst)
+      burst, live)
 }
 
 private[sources] object ZoomConf {
@@ -142,13 +207,61 @@ private[sources] object ZoomConf {
 private[sources] final case class ZoomFilePartition(file: String)
     extends InputPartition
 
+/** One live-API pagination window: [from, to) forwarded as API params. */
+private[sources] final case class ZoomApiPartition(
+    from: Option[String], to: Option[String]) extends InputPartition
+
+/** Row-level machinery shared by the file and live readers: residual
+  * filter evaluation and JSON→InternalRow projection onto the pruned
+  * schema. */
+private[sources] object ZoomRows {
+  def passes(filters: Array[Filter], startTime: String): Boolean =
+    filters.forall {
+      case GreaterThan("start_time", v: String) =>
+        startTime != null && startTime > v
+      case GreaterThanOrEqual("start_time", v: String) =>
+        startTime != null && startTime >= v
+      case LessThan("start_time", v: String) =>
+        startTime != null && startTime < v
+      case LessThanOrEqual("start_time", v: String) =>
+        startTime != null && startTime <= v
+      case IsNotNull("start_time") => startTime != null
+      case _ => true
+    }
+
+  private def field(node: JsonNode, name: String): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else Schemas.meetingSchema(name).dataType match {
+      case LongType => java.lang.Long.valueOf(v.asLong())
+      case org.apache.spark.sql.types.IntegerType =>
+        java.lang.Integer.valueOf(v.asInt())
+      case _ => UTF8String.fromString(v.asText())
+    }
+  }
+
+  def startTimeOf(node: JsonNode): String =
+    Option(node.get("start_time")).filterNot(_.isNull).map(_.asText()).orNull
+
+  def toRow(node: JsonNode, required: StructType): InternalRow =
+    new GenericInternalRow(
+      required.fieldNames.map(field(node, _)).toArray[Any])
+}
+
 private[sources] class ZoomReaderFactory(filters: Array[Filter],
     required: StructType, confMap: Map[String, String],
-    ratePerSec: Double, burst: Int)
+    ratePerSec: Double, burst: Int,
+    live: Option[ZoomApiConfig] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ZoomPartitionReader(p.asInstanceOf[ZoomFilePartition].file,
-      filters, required, confMap, ratePerSec, burst)
+    p match {
+      case api: ZoomApiPartition =>
+        new ZoomApiPartitionReader(live.get, api, filters, required,
+          ratePerSec, burst)
+      case f: ZoomFilePartition =>
+        new ZoomPartitionReader(f.file, filters, required, confMap,
+          ratePerSec, burst)
+    }
 }
 
 private[sources] class ZoomPartitionReader(file: String,
@@ -170,40 +283,14 @@ private[sources] class ZoomPartitionReader(file: String,
     scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
   private var current: InternalRow = _
 
-  private def passes(startTime: String): Boolean = filters.forall {
-    case GreaterThan("start_time", v: String) =>
-      startTime != null && startTime > v
-    case GreaterThanOrEqual("start_time", v: String) =>
-      startTime != null && startTime >= v
-    case LessThan("start_time", v: String) => startTime != null && startTime < v
-    case LessThanOrEqual("start_time", v: String) =>
-      startTime != null && startTime <= v
-    case IsNotNull("start_time") => startTime != null
-    case _ => true
-  }
-
-  private def field(node: JsonNode, name: String): Any = {
-    val v = node.get(name)
-    if (v == null || v.isNull) null
-    else Schemas.meetingSchema(name).dataType match {
-      case LongType => java.lang.Long.valueOf(v.asLong())
-      case org.apache.spark.sql.types.IntegerType =>
-        java.lang.Integer.valueOf(v.asInt())
-      case _ => UTF8String.fromString(v.asText())
-    }
-  }
-
   override def next(): Boolean = {
     limiter.acquireBlocking()
     while (lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
         val node = mapper.readTree(line)
-        val st = Option(node.get("start_time")).filterNot(_.isNull)
-          .map(_.asText()).orNull
-        if (passes(st)) {
-          current = new GenericInternalRow(
-            required.fieldNames.map(field(node, _)).toArray[Any])
+        if (ZoomRows.passes(filters, ZoomRows.startTimeOf(node))) {
+          current = ZoomRows.toRow(node, required)
           return true
         }
       }
@@ -213,4 +300,53 @@ private[sources] class ZoomPartitionReader(file: String,
 
   override def get(): InternalRow = current
   override def close(): Unit = stream.close()
+}
+
+/** Live partition reader: one paginated window over real HTTP. Tokens
+  * come from the per-executor [[TokenManager]] singleton (1000 tasks ≠
+  * 1000 grants); [[PagedFetcher]] owns 429/Retry-After and the
+  * 401-invalidate-regrant-once recovery; the token bucket paces page
+  * fetches (not rows). Pages are pulled lazily — a LIMIT that stops
+  * consuming rows stops fetching pages. */
+private[sources] class ZoomApiPartitionReader(cfg: ZoomApiConfig,
+    part: ZoomApiPartition, filters: Array[Filter], required: StructType,
+    ratePerSec: Double = 0.0, burst: Int = 1)
+    extends PartitionReader[InternalRow] {
+  private val transport = new JdkHttpTransport()
+  private val tokens = TokenManager.forEndpoint(
+    cfg.tokenUrl, cfg.clientId, cfg.clientSecret, transport)
+  private val limiter =
+    if (ratePerSec > 0) new TokenBucket(ratePerSec, math.max(burst, 1))
+    else new TokenBucket(ratePerSec = 1e9, burst = 1000)
+  private val params = Map("page_size" -> cfg.pageSize.toString) ++
+    part.from.map("from" -> _) ++ part.to.map("to" -> _)
+  private val pages =
+    PagedFetcher.pages(cfg.apiUrl, params, tokens, transport)
+  private var items: Iterator[JsonNode] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (items.hasNext) {
+        val node = items.next()
+        // residual row filter: the API already got from/to, but slice
+        // boundaries are day-granular — enforce the exact predicate here
+        if (ZoomRows.passes(filters, ZoomRows.startTimeOf(node))) {
+          current = ZoomRows.toRow(node, required)
+          return true
+        }
+      } else if (pages.hasNext) {
+        limiter.acquireBlocking() // pace page fetches, extract.py:33-37
+        val page = pages.next()
+        val arr = page.get(cfg.itemsField)
+        items =
+          if (arr == null || !arr.isArray) Iterator.empty
+          else arr.elements().asScala
+      } else return false
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
