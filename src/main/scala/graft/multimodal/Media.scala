@@ -15,17 +15,19 @@ import graft.operators.ErrorRouter
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition.
   *
-  * Image decode and resize are REAL — `javax.imageio` (PNG/JPEG/GIF/BMP,
-  * JDK built-in, no external codecs needed): [[decodeImage]] reads the
-  * actual pixel grid and emits true width/height/channels plus a
-  * grid-pooled luminance feature vector; [[resizeImage]] re-renders
-  * through `Graphics2D` and re-encodes as PNG. Bytes that are not a
-  * decodable image become dead-letter rows (VALIDATION) instead of
-  * killing the job — the same error-channel shape as
-  * [[graft.operators.ErrorRouter]]. Only the AUDIO feature extractor
-  * remains a clearly-marked deterministic STUB (the JDK ships no
-  * MFCC/DSP stack): its schema, batch shape and per-partition pattern
-  * are real, the numbers are fake.
+  * Image decode/resize and audio decode are REAL, JDK-only:
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) for [[decodeImage]] — true
+  * width/height/channels plus a grid-pooled luminance feature vector —
+  * and [[resizeImage]] re-rendering through `Graphics2D`;
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM) for [[decodeAudio]] — true
+  * sample rate/frame count plus per-window RMS-energy features.
+  * Bytes that are not decodable (garbage, or compressed codecs the JDK
+  * does not ship: mp3/aac/video containers) become dead-letter rows
+  * (VALIDATION) instead of killing the job — the same error-channel
+  * shape as [[graft.operators.ErrorRouter]]. Nothing here is stubbed;
+  * the one semantic simplification is that audio features are RMS
+  * energy per window, not MFCC (the JDK has no DSP stack — swapping in
+  * an MFCC implementation changes only [[decodeAudio]]'s feature math).
   *
   * Scale posture: bytes never leave executors (mapPartitions, no
   * collect); metadata-only queries prune the binary column at the parquet
@@ -69,7 +71,16 @@ object Media {
       media_id: Long,
       sample_rate: Int,
       n_frames: Int,
-      mfcc_like: Array[Float])
+      features: Array[Float])
+
+  /** Audio analog of [[ImageDecodeResult]]. */
+  final case class AudioDecodeResult(
+      media_id: Long,
+      path: String,
+      sample_rate: Option[Int],
+      n_frames: Option[Int],
+      features: Option[Array[Float]],
+      error: Option[String])
 
   /** Read a directory of binary files through Spark's binaryFile source
     * (the offline analog of the webhook's S10 binary transfer). */
@@ -233,26 +244,99 @@ object Media {
     }
   }
 
-  /** STUB — deterministic fake audio feature extraction. The JDK has no
-    * DSP/MFCC stack; a real implementation swaps only this function (the
-    * per-partition pattern, schema and batch shape stay). */
-  def extractAudioFeaturesStub(dim: Int = 8)(f: MediaFile): AudioFeatures = {
-    val h = java.util.Arrays.hashCode(f.content)
-    val rnd = new scala.util.Random(h ^ 0x5bd1e995)
-    AudioFeatures(
-      media_id = f.media_id,
-      sample_rate = 16000,
-      n_frames = 1 + rnd.nextInt(100000),
-      mfcc_like = Array.fill(dim)(rnd.nextFloat()))
+  /** REAL audio decode (javax.sound.sampled — WAV/AIFF/AU PCM, JDK
+    * built-in). Converts to signed 16-bit PCM, channel-averages to
+    * mono, and pools the signal into `dim` equal windows of RMS energy
+    * (each in [0,1]) — the audio analog of [[decodeImage]]'s luminance
+    * grid. True sample rate and frame count from the stream header.
+    * Compressed codecs (mp3/aac) are not in the JDK ⇒ Left ⇒
+    * dead-letter, same contract as undecodable images. */
+  def decodeAudio(dim: Int = 8)(f: MediaFile): Either[String, AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(f.content))
+      val src = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(target, in)
+      val bytes = try pcm.readAllBytes() finally pcm.close()
+      val ch = target.getChannels
+      val nFrames = bytes.length / (2 * ch)
+      if (nFrames == 0) Left("undecodable: empty audio stream")
+      else {
+        val samples = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          samples(i) = acc / ch
+          i += 1
+        }
+        val feats = Array.tabulate(dim) { w =>
+          val lo = (w.toLong * nFrames / dim).toInt
+          val hi = ((w + 1).toLong * nFrames / dim).toInt.max(lo + 1)
+            .min(nFrames)
+          var ss = 0.0
+          var j = lo
+          while (j < hi) { ss += samples(j) * samples(j); j += 1 }
+          math.sqrt(ss / (hi - lo)).toFloat
+        }
+        Right(AudioFeatures(f.media_id, src.getSampleRate.toInt, nFrames,
+          feats))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        Left("undecodable: not a supported audio format")
+      case NonFatal(e) => Left(s"decode failed: ${e.getMessage}")
+    }
+
+  /** Decode per partition into the success/error envelope. */
+  def decodeAudioFiles(files: Dataset[MediaFile], dim: Int = 8):
+      Dataset[AudioDecodeResult] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      val decode = decodeAudio(dim) _
+      it.map { f =>
+        decode(f) match {
+          case Right(a) => AudioDecodeResult(f.media_id, f.path,
+            Some(a.sample_rate), Some(a.n_frames), Some(a.features), None)
+          case Left(err) => AudioDecodeResult(f.media_id, f.path,
+            None, None, None, Some(err))
+        }
+      }
+    }
   }
 
+  /** Successful audio decodes only. */
   def audioFeatures(files: Dataset[MediaFile], dim: Int = 8):
       Dataset[AudioFeatures] = {
     import files.sparkSession.implicits._
-    files.mapPartitions { it =>
-      val extract = extractAudioFeaturesStub(dim) _
-      it.map(extract)
-    }
+    decodeAudioFiles(files, dim).flatMap(r => r.features.map(fs =>
+      AudioFeatures(r.media_id, r.sample_rate.get, r.n_frames.get, fs)))
+  }
+
+  /** ErrorRouter-shaped split for audio: (features, dead-letter). */
+  def audioFeaturesWithDeadLetter(files: Dataset[MediaFile], dim: Int = 8):
+      (Dataset[AudioFeatures], DataFrame) = {
+    import files.sparkSession.implicits._
+    val decoded = decodeAudioFiles(files, dim)
+    val ok = decoded.flatMap(r => r.features.map(fs =>
+      AudioFeatures(r.media_id, r.sample_rate.get, r.n_frames.get, fs)))
+    val dead = decoded.toDF()
+      .where(col("error").isNotNull)
+      .select(col("media_id"), col("path"),
+        lit("VALIDATION").as("error_type"),
+        col("error").as("error_detail"))
+    (ok, dead)
   }
 
   /** Frame sampling plan for video: every nth frame index up to a cap —

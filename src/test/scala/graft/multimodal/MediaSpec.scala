@@ -99,10 +99,34 @@ class MediaSpec extends SparkSpec {
     assert(luma(img.getRGB(0, 6)) < luma(img.getRGB(15, 6)))
   }
 
-  test("audio features (labeled stub): schema and determinism") {
-    val a = Media.audioFeatures(mediaDs, dim = 8).collect()
-    assert(a.forall(_.mfcc_like.length === 8))
-    assert(a.forall(_.sample_rate === 16000))
+  test("real audio decode: committed WAV fixture yields true PCM features") {
+    // 0.25s of a 440Hz sine at 8kHz mono 16-bit, amplitude 12000/32768
+    val rows = Seq(
+      (10L, fixtureBytes("tone.wav")),
+      (11L, "not audio at all".getBytes("UTF-8")))
+    val ds = Media.fromBytes(rows.toDF("id", "bytes"), "id", "bytes", "audio")
+    val (ok, dead) = Media.audioFeaturesWithDeadLetter(ds, dim = 8)
+    val a = ok.collect()
+    assert(a.map(_.media_id).toSeq === Seq(10L))
+    val t = a.head
+    assert(t.sample_rate === 8000)   // true header rate, not a fake
+    assert(t.n_frames === 2000)      // true frame count
+    assert(t.features.length === 8)
+    // RMS of a sine at amplitude 0.366 is ~0.259 in every window
+    t.features.foreach(v => assert(v > 0.2f && v < 0.32f, v))
+    assert(t.features.max - t.features.min < 0.05f) // steady tone
+    val d = dead.collect()
+    assert(d.length === 1 && d.head.getAs[Long]("media_id") === 11L)
+    assert(d.head.getAs[String]("error_detail").contains("undecodable"))
+  }
+
+  test("audio decode is deterministic across repartitioning") {
+    val ds = Media.fromBytes(
+      Seq((10L, fixtureBytes("tone.wav"))).toDF("id", "bytes"),
+      "id", "bytes", "audio")
+    val f1 = Media.audioFeatures(ds, dim = 8).collect().head
+    val f2 = Media.audioFeatures(ds.repartition(2), dim = 8).collect().head
+    assert(f1.features.toSeq === f2.features.toSeq)
   }
 
   test("metadata queries prune the binary column at the parquet scan") {

@@ -46,4 +46,21 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(1200))
   }
+
+  test("q74: the gated plan IS the LSH signature/bucket path " +
+      "(round-4 silent-reroute regression guard)") {
+    // routing decision: pinned params keep LSH even where pruning is
+    // weak; auto-tune at the same threshold falls back to exact — both
+    // directions of the documented fallback semantics
+    assert(graft.operators.Dedup.approxPathDecision(
+      VectorQueries.Q74Threshold, VectorQueries.Q74LshBits,
+      VectorQueries.Q74LshTables) === "lsh")
+    assert(graft.operators.Dedup.approxPathDecision(
+      VectorQueries.Q74Threshold) === "exact")
+    // and the executed plan really contains the signature explode — the
+    // exact path has no Generate/posexplode anywhere
+    val p = plan("q74_neardup_approx")
+    assert(p.contains("posexplode") || p.contains("Generate"),
+      "q74 plan lost the LSH signature explode — rerouted to exact?")
+  }
 }
