@@ -221,6 +221,27 @@ class LoopbackHttpSpec extends SparkSpec {
     assert(!serve429Once.get && !expireTokenOnce.get)
   }
 
+  test("live scan paces page fetches through the token bucket") {
+    // 6 meetings / page_size 2 = 3 page fetches in ONE partition (no
+    // pushed window); ratePerSec=10, burst=1 ⇒ fetch 1 rides the burst
+    // token, fetches 2 and 3 each wait ~100 ms. Lower bound only — no
+    // upper bound, so scheduler jitter cannot flake the test.
+    val df = spark.read.format("graft.sources.ZoomMeetingSource")
+      .option("apiUrl", s"$base/v2/meetings")
+      .option("tokenUrl", s"$base/oauth/token")
+      .option("clientId", clientId)
+      .option("clientSecret", clientSecret)
+      .option("pageSize", "2")
+      .option("ratePerSec", "10")
+      .option("burst", "1")
+      .load()
+    assert(df.rdd.getNumPartitions === 1) // serial pagination, no window
+    val t0 = System.nanoTime()
+    assert(df.count() === 6)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 150.0, s"unpaced: $elapsedMs ms for 3 page fetches")
+  }
+
   test("live DSv2 scan: residual time-of-day predicate is enforced " +
       "reader-side on top of day-granular slices") {
     val df = spark.read.format("graft.sources.ZoomMeetingSource")
