@@ -213,22 +213,27 @@ object Media {
         r.media_id, r.width.get, r.height.get, r.channels.get, fs)))
   }
 
-  /** ErrorRouter-shaped split: (features, dead-letter). Dead-letter rows
-    * carry error_type=VALIDATION + the decoder's detail, same schema the
-    * streaming dead-letter sink consumes. */
+  /** Dead-letter projection of a decode envelope: error_type=VALIDATION
+    * + the decoder's detail, same schema the streaming dead-letter sink
+    * consumes (error taxonomy: [[ErrorRouter.ErrorTypes]]). */
+  private def deadLetterOf(decoded: DataFrame): DataFrame = decoded
+    .where(col("error").isNotNull)
+    .select(col("media_id"), col("path"),
+      lit("VALIDATION").as("error_type"),
+      col("error").as("error_detail"))
+
+  /** ErrorRouter-shaped split: (features, dead-letter). Both channels
+    * derive lazily from one envelope — same contract as
+    * [[ErrorRouter.route]]: consuming both in separate actions re-runs
+    * the decode pass; callers writing both at scale should persist
+    * [[decodeImages]]' output themselves and split it. */
   def imageFeaturesWithDeadLetter(files: Dataset[MediaFile], dim: Int = 16):
       (Dataset[ImageFeatures], DataFrame) = {
     import files.sparkSession.implicits._
     val decoded = decodeImages(files, dim)
     val ok = decoded.flatMap(r => r.features.map(fs => ImageFeatures(
       r.media_id, r.width.get, r.height.get, r.channels.get, fs)))
-    val dead = decoded.toDF()
-      .where(col("error").isNotNull)
-      .select(col("media_id"), col("path"),
-        lit(ErrorRouter.ErrorTypes.find(_ == "VALIDATION").get)
-          .as("error_type"),
-        col("error").as("error_detail"))
-    (ok, dead)
+    (ok, deadLetterOf(decoded.toDF()))
   }
 
   /** Per-partition resize pass (same distributed shape as decode);
@@ -324,19 +329,16 @@ object Media {
       AudioFeatures(r.media_id, r.sample_rate.get, r.n_frames.get, fs)))
   }
 
-  /** ErrorRouter-shaped split for audio: (features, dead-letter). */
+  /** ErrorRouter-shaped split for audio: (features, dead-letter); same
+    * one-envelope/two-lazy-channels contract as
+    * [[imageFeaturesWithDeadLetter]]. */
   def audioFeaturesWithDeadLetter(files: Dataset[MediaFile], dim: Int = 8):
       (Dataset[AudioFeatures], DataFrame) = {
     import files.sparkSession.implicits._
     val decoded = decodeAudioFiles(files, dim)
     val ok = decoded.flatMap(r => r.features.map(fs =>
       AudioFeatures(r.media_id, r.sample_rate.get, r.n_frames.get, fs)))
-    val dead = decoded.toDF()
-      .where(col("error").isNotNull)
-      .select(col("media_id"), col("path"),
-        lit("VALIDATION").as("error_type"),
-        col("error").as("error_detail"))
-    (ok, dead)
+    (ok, deadLetterOf(decoded.toDF()))
   }
 
   /** Frame sampling plan for video: every nth frame index up to a cap —

@@ -165,6 +165,11 @@ object Dedup {
     * (it's the duplicates), so below `localThreshold` pairs a
     * driver-side union-find answers in one collect — the iterative
     * distributed propagation only engages for genuinely huge dup sets.
+    *
+    * Lifecycle: the iterative path returns a CHECKPOINT-BACKED frame
+    * (one label row per id in executor storage). Consume it, then call
+    * [[releaseCheckpoint]] to drop the blocks — [[dedupByMinHash]]
+    * does this internally; direct callers own the release.
     */
   def duplicateClusters(
       pairs: DataFrame,
@@ -200,22 +205,42 @@ object Dedup {
     spark.createDataset(out).toDF("id", "keeper_id")
   }
 
+  /** The RDD backing a `localCheckpoint`ed Dataset. Checkpoint blocks
+    * are invisible to the CacheManager, so `Dataset.unpersist` cannot
+    * release them — this extracts the exact RDD handle instead.
+    * Deliberately matches ONLY a bare LogicalRDD root (what
+    * localCheckpoint returns), never a LogicalRDD buried inside a
+    * larger plan that some other owner may still need. */
+  private def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Release the executor blocks behind a checkpoint-backed frame
+    * returned by [[duplicateClusters]]' iterative path (no-op for the
+    * driver-path result). Call after the derived result is
+    * materialized. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
   private def duplicateClustersIterative(
       pairs: DataFrame, maxIter: Int): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("keeper_id", col("id"))
-    // RDD ids of the previous round's localCheckpoint blocks. A
-    // checkpointed Dataset cannot release them via Dataset.unpersist
-    // (CacheManager never saw them), so each round records the id delta
-    // and drops the prior round's blocks once the new checkpoint is
-    // data-backed — without this, every iteration leaks a full label
-    // table into executor storage for the session lifetime.
-    var prevCkptIds: Set[Int] = Set.empty
+    // The previous round's localCheckpoint RDD: dropped once the new
+    // checkpoint is data-backed — without this, every iteration leaks a
+    // full label table into executor storage for the session lifetime.
+    // Tracked by direct handle (checkpointRdd), NOT by diffing the
+    // global getPersistentRDDs map: a snapshot diff would race with any
+    // concurrent job that persists between the two snapshots and
+    // force-unpersist an RDD this loop does not own.
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -242,12 +267,9 @@ object Dedup {
       // materialize per round: keeps the lineage from growing
       // exponentially across iterations (checkpoint, not persist — the
       // point is lineage truncation)
-      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       labels = updated.localCheckpoint(eager = true)
-      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevCkptIds = newIds
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = checkpointRdd(labels)
       converged = changed == 0
       iter += 1
     }
@@ -279,6 +301,9 @@ object Dedup {
       clusters.where(col("id") =!= col("keeper_id"))
         .select(col("id").as(idCol)),
       pairs)
+    // iterative-path clusters are checkpoint-backed: drop the final
+    // round's blocks now that losers is materialized (driver path: no-op)
+    releaseCheckpoint(clusters)
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -180,7 +180,7 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
           days.map { d =>
             val from = if (d == d0) lo else s"${d}T00:00:00Z"
             val to = if (d == d1) hi else s"${d.plusDays(1)}T00:00:00Z"
-            ZoomApiPartition(Some(from), Some(to))
+            ZoomApiPartition(Some(from), Some(to), toExclusive = d != d1)
           }
         } catch {
           case _: java.time.format.DateTimeParseException =>
@@ -207,9 +207,16 @@ private[sources] object ZoomConf {
 private[sources] final case class ZoomFilePartition(file: String)
     extends InputPartition
 
-/** One live-API pagination window: [from, to) forwarded as API params. */
+/** One live-API pagination window, forwarded as from/to API params.
+  * `toExclusive` marks interior day slices: their upper bound is the
+  * next slice's lower bound, so the reader must treat it half-open —
+  * an API with inclusive from/to semantics would otherwise return a
+  * meeting at exactly midnight to BOTH adjacent slices (duplicate
+  * rows). The final slice carries the query's own pushed upper bound,
+  * whose strictness the global residual filter already enforces. */
 private[sources] final case class ZoomApiPartition(
-    from: Option[String], to: Option[String]) extends InputPartition
+    from: Option[String], to: Option[String],
+    toExclusive: Boolean = false) extends InputPartition
 
 /** Row-level machinery shared by the file and live readers: residual
   * filter evaluation and JSON→InternalRow projection onto the pruned
@@ -330,8 +337,15 @@ private[sources] class ZoomApiPartitionReader(cfg: ZoomApiConfig,
       if (items.hasNext) {
         val node = items.next()
         // residual row filter: the API already got from/to, but slice
-        // boundaries are day-granular — enforce the exact predicate here
-        if (ZoomRows.passes(filters, ZoomRows.startTimeOf(node))) {
+        // boundaries are day-granular — enforce the exact pushed
+        // predicate AND this slice's own half-open bounds (a midnight
+        // meeting must land in exactly one adjacent slice)
+        val st = ZoomRows.startTimeOf(node)
+        val inSlice =
+          if (st == null) part.from.isEmpty && part.to.isEmpty // unbounded
+          else part.from.forall(st >= _) &&
+            part.to.forall(to => if (part.toExclusive) st < to else st <= to)
+        if (inSlice && ZoomRows.passes(filters, st)) {
           current = ZoomRows.toRow(node, required)
           return true
         }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Multimodal plumbing with REAL javax.imageio decode/resize: the specs
-  * drive committed PNG/JPEG fixtures (a 64×48 RGB gradient) through the
-  * distributed decode path and assert true pixel-derived metadata and
-  * features. Only the audio extractor remains a labeled stub. */
+/** Multimodal plumbing with REAL JDK-only codecs: javax.imageio for
+  * image decode/resize (a committed 64×48 RGB gradient PNG/JPEG) and
+  * javax.sound.sampled for audio (a committed 440Hz sine WAV) — true
+  * pixel/PCM-derived metadata and features, distributed, with
+  * dead-letter routing for undecodable bytes. */
 class MediaSpec extends SparkSpec {
   import spark.implicits._
 

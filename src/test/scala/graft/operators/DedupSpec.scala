@@ -82,9 +82,17 @@ class DedupSpec extends SparkSpec {
       .toDF("id_a", "id_b")
     val local = Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().toMap
-    val dist = Dedup.duplicateClusters(pairs, localThreshold = 0L)
-      .as[(Long, Long)].collect().toMap
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val distDf = Dedup.duplicateClusters(pairs, localThreshold = 0L)
+    val dist = distDf.as[(Long, Long)].collect().toMap
     assert(dist === local)
+    // the iterative result is checkpoint-backed: exactly the final
+    // round's blocks are live, and releaseCheckpoint drops them
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore + 1)
+    Dedup.releaseCheckpoint(distDf)
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore)
+    // driver-path result is not checkpoint-backed: release is a no-op
+    Dedup.releaseCheckpoint(Dedup.duplicateClusters(pairs))
   }
 
   test("iterative clustering converges on a 50-node chain in ≤10 rounds") {

@@ -28,15 +28,20 @@ class LoopbackHttpSpec extends SparkSpec {
   private val clientId = "graft-client"
   private val clientSecret = "graft-secret"
 
-  /** (id, uuid, topic, start_time) — 2 meetings/day over 3 UTC days. */
+  /** (id, uuid, topic, start_time) — 2 meetings/day over 3 UTC days,
+    * plus one at EXACTLY midnight (107): the boundary shared by two
+    * adjacent day slices. An inclusive-from/to API (this server)
+    * returns it to both slices — the reader's half-open slice residual
+    * must emit it exactly once, and the exact-equality assertions
+    * below are the duplicate-row regression test. */
   private val meetings: Seq[(Long, String, String, String)] =
-    for {
+    (for {
       (day, d) <- Seq("2024-01-10", "2024-01-11", "2024-01-12").zipWithIndex
       (hour, h) <- Seq("09", "15").zipWithIndex
     } yield {
       val id = 101L + d * 2 + h
       (id, s"u$id", s"Mtg $id", s"${day}T$hour:00:00Z")
-    }
+    }) :+ ((107L, "u107", "Mtg 107", "2024-01-11T00:00:00Z"))
 
   // --- server state -------------------------------------------------
   private val grantCount = new AtomicInteger(0)
@@ -174,15 +179,15 @@ class LoopbackHttpSpec extends SparkSpec {
       sleeper = ms => sleeps += ms).toList // recording sleeper: no wall wait
     val ids = pages.flatMap(_.get("meetings").elements().asScala
       .map(_.get("id").asLong()))
-    assert(ids.sorted === meetings.map(_._1).sorted) // all 6, 3 pages of 2
-    assert(pages.size === 3)
+    assert(ids.sorted === meetings.map(_._1).sorted) // all 7, 4 pages
+    assert(pages.size === 4)
     assert(sleeps.toSeq === Seq(1000L)) // one 429, Retry-After: 1 honored
     assert(tm.grantCount === grantsBefore + 2) // initial + post-401 re-grant
     val meetingStatuses = statuses.asScala.collect {
       case ("/v2/meetings", st) => st }.toSeq
     assert(meetingStatuses.count(_ == 429) === 1)
     assert(meetingStatuses.count(_ == 401) === 1)
-    assert(meetingStatuses.count(_ == 200) === 3)
+    assert(meetingStatuses.count(_ == 200) === 4)
   }
 
   test("live DSv2 scan: date-sliced partitions, pushdown, pruning and " +
@@ -222,9 +227,9 @@ class LoopbackHttpSpec extends SparkSpec {
   }
 
   test("live scan paces page fetches through the token bucket") {
-    // 6 meetings / page_size 2 = 3 page fetches in ONE partition (no
+    // 7 meetings / page_size 2 = 4 page fetches in ONE partition (no
     // pushed window); ratePerSec=10, burst=1 ⇒ fetch 1 rides the burst
-    // token, fetches 2 and 3 each wait ~100 ms. Lower bound only — no
+    // token, fetches 2-4 each wait ~100 ms. Lower bound only — no
     // upper bound, so scheduler jitter cannot flake the test.
     val df = spark.read.format("graft.sources.ZoomMeetingSource")
       .option("apiUrl", s"$base/v2/meetings")
@@ -237,9 +242,9 @@ class LoopbackHttpSpec extends SparkSpec {
       .load()
     assert(df.rdd.getNumPartitions === 1) // serial pagination, no window
     val t0 = System.nanoTime()
-    assert(df.count() === 6)
+    assert(df.count() === 7)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
-    assert(elapsedMs >= 150.0, s"unpaced: $elapsedMs ms for 3 page fetches")
+    assert(elapsedMs >= 150.0, s"unpaced: $elapsedMs ms for 4 page fetches")
   }
 
   test("live DSv2 scan: residual time-of-day predicate is enforced " +
@@ -254,7 +259,9 @@ class LoopbackHttpSpec extends SparkSpec {
         col("start_time") <= "2024-01-11T12:00:00Z")
       .select("id", "start_time")
     // morning meeting of day 1 (09:00 < 12:00) and afternoon of day 2
-    // (15:00 > 12:00) are excluded by the residual row filter
-    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(102L, 103L))
+    // (15:00 > 12:00) are excluded by the residual row filter; the
+    // midnight meeting (107) is in-window and appears exactly once
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(102L, 103L, 107L))
   }
 }
