@@ -65,14 +65,19 @@ private[sources] final case class ZoomApiConfig(
     clientId: String,
     clientSecret: String,
     itemsField: String,
-    pageSize: Int)
+    pageSize: Int,
+    startTime: String = "1970-01-01T00:00:00Z")
 
 private[sources] class ZoomMeetingTable(path: String)
     extends Table with SupportsRead {
   override def name(): String = s"zoom_meetings($path)"
   override def schema(): StructType = Schemas.meetingSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // MICRO_BATCH_READ requires the live-API options; toMicroBatchStream
+    // raises a clear error for file mode (capabilities are table-level,
+    // options arrive at scan time)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val live = Option(options.get("apiUrl")).map { apiUrl =>
       ZoomApiConfig(
@@ -81,7 +86,9 @@ private[sources] class ZoomMeetingTable(path: String)
         clientId = options.get("clientId"),
         clientSecret = options.get("clientSecret"),
         itemsField = options.getOrDefault("itemsField", "meetings"),
-        pageSize = options.getInt("pageSize", 300))
+        pageSize = options.getInt("pageSize", 300),
+        startTime = options.getOrDefault("startTime",
+          "1970-01-01T00:00:00Z"))
     }
     new ZoomScanBuilder(if (path != null) path else options.get("path"),
       // S1's rate-limit contract (extract.py:33-37): each partition
@@ -194,6 +201,19 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new ZoomReaderFactory(filters, required, sessionConfMap, ratePerSec,
       burst, live)
+
+  /** Live incremental micro-batch stream (see [[ZoomMicroBatchStream]]):
+    * the reference's poll-with-bookmark loop as a checkpointed
+    * Structured Streaming source. Live-API options required. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    live match {
+      case Some(cfg) => new ZoomMicroBatchStream(cfg, required, filters,
+        ratePerSec, burst, cfg.startTime)
+      case None => throw new IllegalArgumentException(
+        "streaming read requires the live-API options " +
+          "(apiUrl/tokenUrl/clientId/clientSecret); file mode is batch-only")
+    }
 }
 
 private[sources] object ZoomConf {

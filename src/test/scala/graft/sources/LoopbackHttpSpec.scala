@@ -43,6 +43,11 @@ class LoopbackHttpSpec extends SparkSpec {
       (id, s"u$id", s"Mtg $id", s"${day}T$hour:00:00Z")
     }) :+ ((107L, "u107", "Mtg 107", "2024-01-11T00:00:00Z"))
 
+  /** Meetings appended mid-test (the streaming spec grows the corpus
+    * between micro-batches); served alongside the fixed list. */
+  private val extraMeetings =
+    new ConcurrentLinkedQueue[(Long, String, String, String)]()
+
   // --- server state -------------------------------------------------
   private val grantCount = new AtomicInteger(0)
   /** All unexpired grants stay valid (real OAuth semantics — a new grant
@@ -108,7 +113,8 @@ class LoopbackHttpSpec extends SparkSpec {
       else {
         val from = p.getOrElse("from", "")
         val to = p.getOrElse("to", "~") // '~' sorts after any ISO string
-        val inWindow = meetings.filter(m => m._4 >= from && m._4 <= to)
+        val inWindow = (meetings ++ extraMeetings.asScala)
+          .filter(m => m._4 >= from && m._4 <= to)
         val pageSize = p.getOrElse("page_size", "300").toInt
         val offset = p.get("next_page_token").map(_.toInt).getOrElse(0)
         val page = inWindow.slice(offset, offset + pageSize)
@@ -245,6 +251,41 @@ class LoopbackHttpSpec extends SparkSpec {
     assert(df.count() === 7)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 150.0, s"unpaced: $elapsedMs ms for 4 page fetches")
+  }
+
+  test("live micro-batch stream: checkpointed incremental windows, " +
+      "exactly-once across batches over a real socket") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = spark.readStream.format("graft.sources.ZoomMeetingSource")
+      .option("apiUrl", s"$base/v2/meetings")
+      .option("tokenUrl", s"$base/oauth/token")
+      .option("clientId", clientId)
+      .option("clientSecret", clientSecret)
+      .option("pageSize", "3")
+      .option("startTime", "2024-01-01T00:00:00Z")
+      .load()
+      .select("id", "start_time")
+      .writeStream.format("memory").queryName("zoom_live_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // terminates: offset only advances on data
+      val first = spark.sql("SELECT id FROM zoom_live_stream")
+        .collect().map(_.getLong(0)).sorted
+      assert(first.toSeq === meetings.map(_._1).sorted)
+      // the corpus grows between micro-batches — the bookmark offset
+      // must pick up ONLY the new window, exactly once
+      extraMeetings.add((201L, "u201", "Mtg 201", "2024-01-13T09:00:00Z"))
+      extraMeetings.add((202L, "u202", "Mtg 202", "2024-01-13T15:00:00Z"))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT id FROM zoom_live_stream")
+        .collect().map(_.getLong(0)).sorted
+      assert(all.toSeq === (meetings.map(_._1) ++ Seq(201L, 202L)).sorted)
+    } finally {
+      q.stop()
+      extraMeetings.clear()
+    }
   }
 
   test("live DSv2 scan: residual time-of-day predicate is enforced " +
