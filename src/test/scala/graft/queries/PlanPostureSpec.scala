@@ -47,6 +47,22 @@ class PlanPostureSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q01: whole-stage codegen spans exist (no silent interpreted " +
+      "fallback on the core agg path)") {
+    // AQE wraps unexecuted stages, hiding WholeStageCodegen from the
+    // debug traversal — disable it for this one structural probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      val s = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      // "Found N WholeStageCodegen subtrees" — zero would mean Spark
+      // silently dropped to interpreted and the plan string wouldn't say
+      assert(!s.contains("Found 0 WholeStageCodegen"), s.take(300))
+      assert(s.contains("WholeStageCodegen"), s.take(300))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q74: the gated plan IS the LSH signature/bucket path " +
       "(round-4 silent-reroute regression guard)") {
     // routing decision: pinned params keep LSH even where pruning is

@@ -257,7 +257,12 @@ class LoopbackHttpSpec extends SparkSpec {
       "exactly-once across batches over a real socket") {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_ckpt").toString
-    val q = spark.readStream.format("graft.sources.ZoomMeetingSource")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_out").toString
+    // parquet sink (not memory): fault-tolerant, so the restart half of
+    // this test can recover from the same checkpoint
+    def startQuery() = spark.readStream
+      .format("graft.sources.ZoomMeetingSource")
       .option("apiUrl", s"$base/v2/meetings")
       .option("tokenUrl", s"$base/oauth/token")
       .option("clientId", clientId)
@@ -266,22 +271,37 @@ class LoopbackHttpSpec extends SparkSpec {
       .option("startTime", "2024-01-01T00:00:00Z")
       .load()
       .select("id", "start_time")
-      .writeStream.format("memory").queryName("zoom_live_stream")
+      .writeStream.format("parquet")
+      .option("path", outDir)
       .option("checkpointLocation", ckpt)
       .start()
+    def sinkIds(): Seq[Long] = spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    val q = startQuery()
     try {
       q.processAllAvailable() // terminates: offset only advances on data
-      val first = spark.sql("SELECT id FROM zoom_live_stream")
-        .collect().map(_.getLong(0)).sorted
-      assert(first.toSeq === meetings.map(_._1).sorted)
+      assert(sinkIds() === meetings.map(_._1).sorted)
       // the corpus grows between micro-batches — the bookmark offset
       // must pick up ONLY the new window, exactly once
       extraMeetings.add((201L, "u201", "Mtg 201", "2024-01-13T09:00:00Z"))
       extraMeetings.add((202L, "u202", "Mtg 202", "2024-01-13T15:00:00Z"))
       q.processAllAvailable()
-      val all = spark.sql("SELECT id FROM zoom_live_stream")
-        .collect().map(_.getLong(0)).sorted
-      assert(all.toSeq === (meetings.map(_._1) ++ Seq(201L, 202L)).sorted)
+      assert(sinkIds() === (meetings.map(_._1) ++ Seq(201L, 202L)).sorted)
+
+      // RESTART from the same checkpoint: the committed bookmark must
+      // survive — nothing replays, and post-restart data arrives once
+      q.stop()
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        extraMeetings.add((203L, "u203", "Mtg 203", "2024-01-14T09:00:00Z"))
+        q2.processAllAvailable()
+        // global exactly-once: every id appears EXACTLY once across the
+        // whole run, including across the restart boundary
+        assert(sinkIds() ===
+          (meetings.map(_._1) ++ Seq(201L, 202L, 203L)).sorted)
+      } finally q2.stop()
     } finally {
       q.stop()
       extraMeetings.clear()
