@@ -66,7 +66,8 @@ private[sources] final case class ZoomApiConfig(
     clientSecret: String,
     itemsField: String,
     pageSize: Int,
-    startTime: String = "1970-01-01T00:00:00Z")
+    startTime: String = "1970-01-01T00:00:00Z",
+    maxWindowPerBatchMs: Long = Long.MaxValue)
 
 private[sources] class ZoomMeetingTable(path: String)
     extends Table with SupportsRead {
@@ -88,7 +89,9 @@ private[sources] class ZoomMeetingTable(path: String)
         itemsField = options.getOrDefault("itemsField", "meetings"),
         pageSize = options.getInt("pageSize", 300),
         startTime = options.getOrDefault("startTime",
-          "1970-01-01T00:00:00Z"))
+          "1970-01-01T00:00:00Z"),
+        maxWindowPerBatchMs =
+          options.getLong("maxWindowPerBatchMs", Long.MaxValue))
     }
     new ZoomScanBuilder(if (path != null) path else options.get("path"),
       // S1's rate-limit contract (extract.py:33-37): each partition
@@ -105,9 +108,17 @@ private[sources] class ZoomScanBuilder(path: String,
     ratePerSec: Double = 0.0, burst: Int = 1,
     live: Option[ZoomApiConfig] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schemas.meetingSchema
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each partition reader emits at most `limit` rows
+    * and STOPS FETCHING (lazy pages ⇒ a LIMIT 10 against a year of
+    * live API data fetches one page, not a year). Partially pushed:
+    * Spark keeps its global limit on top of the per-partition caps. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept start_time range predicates (ISO strings compare
@@ -129,19 +140,20 @@ private[sources] class ZoomScanBuilder(path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new ZoomScan(path, pushed, required, ratePerSec, burst, live)
+    new ZoomScan(path, pushed, required, ratePerSec, burst, live, limit)
 }
 
 private[sources] class ZoomScan(path: String, filters: Array[Filter],
     required: StructType, ratePerSec: Double = 0.0, burst: Int = 1,
-    live: Option[ZoomApiConfig] = None)
+    live: Option[ZoomApiConfig] = None, limit: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ZoomMeetingScan(mode=${if (live.isDefined) "live" else "file"}, " +
       s"pushed=[${filters.mkString(", ")}], " +
-      s"columns=[${required.fieldNames.mkString(", ")}])"
+      s"columns=[${required.fieldNames.mkString(", ")}]" +
+      (if (limit >= 0) s", limit=$limit" else "") + ")"
 
   // session Hadoop conf captured on the DRIVER (fs.s3a.* etc. from
   // spark.hadoop.*) and shipped to readers as a plain serializable map —
@@ -200,7 +212,7 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZoomReaderFactory(filters, required, sessionConfMap, ratePerSec,
-      burst, live)
+      burst, live, limit)
 
   /** Live incremental micro-batch stream (see [[ZoomMicroBatchStream]]):
     * the reference's poll-with-bookmark loop as a checkpointed
@@ -209,7 +221,7 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     live match {
       case Some(cfg) => new ZoomMicroBatchStream(cfg, required, filters,
-        ratePerSec, burst, cfg.startTime)
+        ratePerSec, burst, cfg.startTime, cfg.maxWindowPerBatchMs)
       case None => throw new IllegalArgumentException(
         "streaming read requires the live-API options " +
           "(apiUrl/tokenUrl/clientId/clientSecret); file mode is batch-only")
@@ -278,10 +290,10 @@ private[sources] object ZoomRows {
 private[sources] class ZoomReaderFactory(filters: Array[Filter],
     required: StructType, confMap: Map[String, String],
     ratePerSec: Double, burst: Int,
-    live: Option[ZoomApiConfig] = None)
+    live: Option[ZoomApiConfig] = None, limit: Int = -1)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    p match {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = p match {
       case api: ZoomApiPartition =>
         new ZoomApiPartitionReader(live.get, api, filters, required,
           ratePerSec, burst)
@@ -289,6 +301,20 @@ private[sources] class ZoomReaderFactory(filters: Array[Filter],
         new ZoomPartitionReader(f.file, filters, required, confMap,
           ratePerSec, burst)
     }
+    if (limit < 0) inner else new LimitedReader(inner, limit)
+  }
+}
+
+/** Per-partition LIMIT cap: stops pulling from the wrapped reader (and
+  * therefore stops fetching pages/lines) after `limit` rows. */
+private[sources] class LimitedReader(
+    inner: PartitionReader[InternalRow], limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var emitted = 0
+  override def next(): Boolean =
+    emitted < limit && inner.next() && { emitted += 1; true }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 private[sources] class ZoomPartitionReader(file: String,

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -53,7 +53,9 @@ private[sources] class ZoomMicroBatchStream(
     filters: Array[Filter],
     ratePerSec: Double,
     burst: Int,
-    startTimeIso: String) extends MicroBatchStream {
+    startTimeIso: String,
+    maxWindowPerBatchMs: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val transport = new JdkHttpTransport()
   private def tokens: TokenManager = TokenManager.forEndpoint(
@@ -74,7 +76,18 @@ private[sources] class ZoomMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     ZoomMsOffset(json.toLong)
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  /** Admission-controlled offset advance: probe the API for new items,
+    * but never advance more than `maxWindowPerBatchMs` past the batch
+    * start — an initial backfill from a years-old bookmark becomes a
+    * sequence of bounded micro-batches instead of one colossal one
+    * (the time-offset analog of maxOffsetsPerTrigger). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMs0 = start.asInstanceOf[ZoomMsOffset].ms
+    known = math.max(known, startMs0)
     // API param at whole-second granularity (see ZoomStreamPartitionReader
     // .isoFloorSec): sub-second ISO strings break lexicographic servers
     val probeFrom = isoOf(math.floorDiv(known, 1000L) * 1000L)
@@ -92,9 +105,16 @@ private[sources] class ZoomMicroBatchStream(
         }
       }
     }
-    if (maxMs >= known) known = maxMs + 1 // half-open: next window excludes it
+    if (maxMs >= known) {
+      val uncapped = maxMs + 1 // half-open: next window excludes maxMs
+      known =
+        if (maxWindowPerBatchMs == Long.MaxValue) uncapped
+        else math.min(uncapped, known + maxWindowPerBatchMs)
+    }
     ZoomMsOffset(known)
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def planInputPartitions(start: Offset, end: Offset):
       Array[InputPartition] = {

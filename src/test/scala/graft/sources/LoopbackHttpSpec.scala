@@ -308,6 +308,57 @@ class LoopbackHttpSpec extends SparkSpec {
     }
   }
 
+  test("limit pushdown stops page fetching (LIMIT 3 fetches 2 pages, " +
+      "not 4)") {
+    statuses.clear()
+    val df = spark.read.format("graft.sources.ZoomMeetingSource")
+      .option("apiUrl", s"$base/v2/meetings")
+      .option("tokenUrl", s"$base/oauth/token")
+      .option("clientId", clientId)
+      .option("clientSecret", clientSecret)
+      .option("pageSize", "2")
+      .load()
+      .limit(3)
+    assert(df.queryExecution.executedPlan.toString.contains("limit=3"))
+    assert(df.collect().length === 3)
+    val fetched = statuses.asScala.count {
+      case ("/v2/meetings", 200) => true; case _ => false }
+    assert(fetched <= 2, s"LIMIT 3 should stop after 2 pages, saw $fetched")
+  }
+
+  test("live micro-batch stream: admission control caps the backfill " +
+      "window per batch") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ac_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ac_out").toString
+    val q = spark.readStream.format("graft.sources.ZoomMeetingSource")
+      .option("apiUrl", s"$base/v2/meetings")
+      .option("tokenUrl", s"$base/oauth/token")
+      .option("clientId", clientId)
+      .option("clientSecret", clientSecret)
+      .option("pageSize", "3")
+      .option("startTime", "2024-01-10T00:00:00Z")
+      .option("maxWindowPerBatchMs", (24L * 3600 * 1000).toString) // 1 day
+      .load()
+      .select("id", "start_time")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // completeness: the whole 3-day backfill arrives...
+      val ids = spark.read.parquet(outDir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === meetings.map(_._1).sorted)
+      // ...but split across >= 2 bounded micro-batches, not one big one
+      val rowBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(rowBatches >= 2,
+        s"1-day cap over 3 days should take >= 2 batches, saw $rowBatches")
+    } finally q.stop()
+  }
+
   test("live DSv2 scan: residual time-of-day predicate is enforced " +
       "reader-side on top of day-granular slices") {
     val df = spark.read.format("graft.sources.ZoomMeetingSource")
