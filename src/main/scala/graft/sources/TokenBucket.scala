@@ -41,3 +41,12 @@ final class TokenBucket(
     if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
   }
 }
+
+object TokenBucket {
+  /** The reader-side convention: a positive rate paces, anything else
+    * yields an effectively unlimited bucket (file fixtures, unset
+    * options). One definition instead of a copy per reader. */
+  def orUnlimited(ratePerSec: Double, burst: Int): TokenBucket =
+    if (ratePerSec > 0) new TokenBucket(ratePerSec, math.max(burst, 1))
+    else new TokenBucket(ratePerSec = 1e9, burst = 1000)
+}

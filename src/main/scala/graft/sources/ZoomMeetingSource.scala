@@ -90,8 +90,13 @@ private[sources] class ZoomMeetingTable(path: String)
         pageSize = options.getInt("pageSize", 300),
         startTime = options.getOrDefault("startTime",
           "1970-01-01T00:00:00Z"),
-        maxWindowPerBatchMs =
-          options.getLong("maxWindowPerBatchMs", Long.MaxValue))
+        maxWindowPerBatchMs = {
+          val mw = options.getLong("maxWindowPerBatchMs", Long.MaxValue)
+          require(mw > 0,
+            s"maxWindowPerBatchMs must be > 0 (got $mw); omit the option " +
+              "for an unbounded window")
+          mw
+        })
     }
     new ZoomScanBuilder(if (path != null) path else options.get("path"),
       // S1's rate-limit contract (extract.py:33-37): each partition
@@ -221,7 +226,7 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     live match {
       case Some(cfg) => new ZoomMicroBatchStream(cfg, required, filters,
-        ratePerSec, burst, cfg.startTime, cfg.maxWindowPerBatchMs)
+        ratePerSec, burst)
       case None => throw new IllegalArgumentException(
         "streaming read requires the live-API options " +
           "(apiUrl/tokenUrl/clientId/clientSecret); file mode is batch-only")
@@ -282,9 +287,64 @@ private[sources] object ZoomRows {
   def startTimeOf(node: JsonNode): String =
     Option(node.get("start_time")).filterNot(_.isNull).map(_.asText()).orNull
 
+  /** Lenient ISO → epoch ms: Instant first, zone-offset forms
+    * ("…+01:00") via OffsetDateTime; None when absent/unparseable. */
+  def epochMsOf(iso: String): Option[Long] =
+    if (iso == null) None
+    else
+      try Some(java.time.Instant.parse(iso).toEpochMilli)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try Some(java.time.OffsetDateTime.parse(iso).toInstant.toEpochMilli)
+          catch { case _: java.time.format.DateTimeParseException => None }
+      }
+
+  /** API window params at WHOLE-SECOND granularity: a sub-second ISO
+    * string ("…00.001Z") sorts lexicographically BEFORE the same second
+    * ("…00Z"), so a string-comparing server would silently exclude
+    * boundary items. Floor the from, ceil the to — the server may send
+    * up to a second of extra rows; numeric residual filters trim them. */
+  def isoFloorSec(ms: Long): String =
+    java.time.Instant.ofEpochMilli(math.floorDiv(ms, 1000L) * 1000L).toString
+  def isoCeilSec(ms: Long): String =
+    if (ms == Long.MaxValue) "9999-12-31T00:00:00Z"
+    else java.time.Instant.ofEpochMilli(
+      math.floorDiv(ms + 999L, 1000L) * 1000L).toString
+
   def toRow(node: JsonNode, required: StructType): InternalRow =
     new GenericInternalRow(
       required.fieldNames.map(field(node, _)).toArray[Any])
+}
+
+/** Shared page-drain for the live readers and the streaming probe: one
+  * lazy iterator of item nodes over [[PagedFetcher]] pages, pacing each
+  * page fetch through the given [[TokenBucket]]. Stopping consumption
+  * stops fetching. */
+private[sources] class PagedItems(
+    cfg: ZoomApiConfig,
+    params: Map[String, String],
+    limiter: TokenBucket,
+    tokens: TokenManager,
+    transport: HttpTransport) extends Iterator[JsonNode] {
+  private val pages = PagedFetcher.pages(cfg.apiUrl,
+    params + ("page_size" -> cfg.pageSize.toString), tokens, transport)
+  private var items: Iterator[JsonNode] = Iterator.empty
+
+  override def hasNext: Boolean = {
+    while (!items.hasNext && pages.hasNext) {
+      limiter.acquireBlocking() // pace page fetches, extract.py:33-37
+      val arr = pages.next().get(cfg.itemsField)
+      items =
+        if (arr == null || !arr.isArray) Iterator.empty
+        else arr.elements().asScala
+    }
+    items.hasNext
+  }
+
+  override def next(): JsonNode = {
+    if (!hasNext) throw new NoSuchElementException("pages exhausted")
+    items.next()
+  }
 }
 
 private[sources] class ZoomReaderFactory(filters: Array[Filter],
@@ -323,13 +383,8 @@ private[sources] class ZoomPartitionReader(file: String,
     ratePerSec: Double = 0.0, burst: Int = 1)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  // per-reader pacing (live-API analog: page fetches, extract.py:33-37).
-  // ratePerSec <= 0 ⇒ unlimited (file fixtures); a positive rate paces
-  // every fetch through the token bucket, the S1 contract a live HTTP
-  // reader inherits unchanged.
-  private val limiter =
-    if (ratePerSec > 0) new TokenBucket(ratePerSec, math.max(burst, 1))
-    else new TokenBucket(ratePerSec = 1e9, burst = 1000)
+  // per-reader pacing (live-API analog: page fetches, extract.py:33-37)
+  private val limiter = TokenBucket.orUnlimited(ratePerSec, burst)
   private val fs = new Path(file).getFileSystem(ZoomConf.build(confMap))
   private val stream = fs.open(new Path(file))
   private val lines =
@@ -368,43 +423,30 @@ private[sources] class ZoomApiPartitionReader(cfg: ZoomApiConfig,
   private val transport = new JdkHttpTransport()
   private val tokens = TokenManager.forEndpoint(
     cfg.tokenUrl, cfg.clientId, cfg.clientSecret, transport)
-  private val limiter =
-    if (ratePerSec > 0) new TokenBucket(ratePerSec, math.max(burst, 1))
-    else new TokenBucket(ratePerSec = 1e9, burst = 1000)
-  private val params = Map("page_size" -> cfg.pageSize.toString) ++
-    part.from.map("from" -> _) ++ part.to.map("to" -> _)
-  private val pages =
-    PagedFetcher.pages(cfg.apiUrl, params, tokens, transport)
-  private var items: Iterator[JsonNode] = Iterator.empty
+  private val items = new PagedItems(cfg,
+    Map.empty[String, String] ++
+      part.from.map("from" -> _) ++ part.to.map("to" -> _),
+    TokenBucket.orUnlimited(ratePerSec, burst), tokens, transport)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (true) {
-      if (items.hasNext) {
-        val node = items.next()
-        // residual row filter: the API already got from/to, but slice
-        // boundaries are day-granular — enforce the exact pushed
-        // predicate AND this slice's own half-open bounds (a midnight
-        // meeting must land in exactly one adjacent slice)
-        val st = ZoomRows.startTimeOf(node)
-        val inSlice =
-          if (st == null) part.from.isEmpty && part.to.isEmpty // unbounded
-          else part.from.forall(st >= _) &&
-            part.to.forall(to => if (part.toExclusive) st < to else st <= to)
-        if (inSlice && ZoomRows.passes(filters, st)) {
-          current = ZoomRows.toRow(node, required)
-          return true
-        }
-      } else if (pages.hasNext) {
-        limiter.acquireBlocking() // pace page fetches, extract.py:33-37
-        val page = pages.next()
-        val arr = page.get(cfg.itemsField)
-        items =
-          if (arr == null || !arr.isArray) Iterator.empty
-          else arr.elements().asScala
-      } else return false
+    while (items.hasNext) {
+      val node = items.next()
+      // residual row filter: the API already got from/to, but slice
+      // boundaries are day-granular — enforce the exact pushed
+      // predicate AND this slice's own half-open bounds (a midnight
+      // meeting must land in exactly one adjacent slice)
+      val st = ZoomRows.startTimeOf(node)
+      val inSlice =
+        if (st == null) part.from.isEmpty && part.to.isEmpty // unbounded
+        else part.from.forall(st >= _) &&
+          part.to.forall(to => if (part.toExclusive) st < to else st <= to)
+      if (inSlice && ZoomRows.passes(filters, st)) {
+        current = ZoomRows.toRow(node, required)
+        return true
+      }
     }
-    false // unreachable
+    false
   }
 
   override def get(): InternalRow = current

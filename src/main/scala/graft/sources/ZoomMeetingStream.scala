@@ -1,8 +1,5 @@
 package graft.sources
 
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
@@ -22,16 +19,28 @@ import org.apache.spark.sql.types.StructType
   *    executor-side reader enforces the bound NUMERICALLY (epoch ms,
   *    never string-compares mixed-precision ISO), so an item landing on
   *    a batch boundary is emitted exactly once;
-  *  - [[latestOffset]] probes the API from the current high-water mark
-  *    and advances to max(item start_time) + 1 ms — when the API has
-  *    nothing new the offset does NOT advance, so `processAllAvailable`
-  *    terminates and the engine schedules no empty batches. The probe
-  *    re-pages the pending window on the driver (metadata-cheap here; a
-  *    production API with an `order by start_time desc, limit 1` form
-  *    would make it O(1));
-  *  - auth, pagination, 429/Retry-After and pacing are the same
-  *    [[TokenManager]]/[[PagedFetcher]]/TokenBucket stack the batch
-  *    live mode uses, over the same real [[JdkHttpTransport]].
+  *  - ADMISSION CONTROL (`maxWindowPerBatchMs`): the offset never
+  *    advances more than the cap past the batch start, so a years-old
+  *    bookmark backfills as bounded micro-batches (the time-offset
+  *    analog of maxOffsetsPerTrigger). The probe is WINDOW-BOUNDED
+  *    (from AND to params — never re-pages the whole pending corpus
+  *    per trigger) and when a capped window is empty a second probe
+  *    finds where data resumes and jumps the offset there in one
+  *    data-bearing batch — sparse history does not schedule per-gap
+  *    empty batches;
+  *  - the driver probe paces through the same TokenBucket contract as
+  *    the partition readers (`ratePerSec`/`burst`), so a tight trigger
+  *    loop cannot busy-poll the API from the driver;
+  *  - auth, pagination, 429/Retry-After are the same
+  *    [[TokenManager]]/[[PagedFetcher]] stack as the batch live mode,
+  *    over the same real [[JdkHttpTransport]].
+  *
+  * Timestamp contract: `start_time` IS the offset field. Items with a
+  * null or unparseable `start_time` cannot be ordered into a window and
+  * are DROPPED by the streaming source (the batch live mode emits
+  * null-start_time rows on unbounded scans — streaming cannot, by
+  * construction). Zone-offset forms ("…+01:00") are accepted via
+  * OffsetDateTime fallback.
   *
   * Determinism contract: replaying a committed window assumes the API
   * returns a stable item set for PAST windows (true for Zoom-style
@@ -43,7 +52,7 @@ private[sources] final case class ZoomMsOffset(ms: Long) extends Offset {
   override def json(): String = ms.toString
 }
 
-/** One micro-batch window [fromMs, toMs), pre-rendered ISO params. */
+/** One micro-batch window [fromMs, toMs). */
 private[sources] final case class ZoomStreamPartition(
     fromMs: Long, toMs: Long) extends InputPartition
 
@@ -52,24 +61,25 @@ private[sources] class ZoomMicroBatchStream(
     required: StructType,
     filters: Array[Filter],
     ratePerSec: Double,
-    burst: Int,
-    startTimeIso: String,
-    maxWindowPerBatchMs: Long = Long.MaxValue)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    burst: Int) extends MicroBatchStream with SupportsAdmissionControl {
 
   private val transport = new JdkHttpTransport()
   private def tokens: TokenManager = TokenManager.forEndpoint(
     cfg.tokenUrl, cfg.clientId, cfg.clientSecret, transport)
+  // driver-side probe pacing: same contract as the partition readers
+  private val probeLimiter = TokenBucket.orUnlimited(ratePerSec, burst)
 
-  private def msOf(iso: String): Long =
-    java.time.Instant.parse(iso).toEpochMilli
-  private def isoOf(ms: Long): String =
-    java.time.Instant.ofEpochMilli(ms).toString
-
-  private val startMs = msOf(startTimeIso)
+  private val startMs = ZoomRows.epochMsOf(cfg.startTime).getOrElse(
+    throw new IllegalArgumentException(
+      s"startTime is not an ISO instant: ${cfg.startTime}"))
   // driver-side high-water mark; re-floored from the engine's
-  // checkpointed offsets via planInputPartitions after a restart
+  // checkpointed offsets on every latestOffset/planInputPartitions call
   @volatile private var known: Long = startMs
+
+  private def safeAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (b > 0 && s < a) Long.MaxValue else s
+  }
 
   override def initialOffset(): Offset = ZoomMsOffset(startMs)
 
@@ -80,41 +90,62 @@ private[sources] class ZoomMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  /** Admission-controlled offset advance: probe the API for new items,
-    * but never advance more than `maxWindowPerBatchMs` past the batch
-    * start — an initial backfill from a years-old bookmark becomes a
-    * sequence of bounded micro-batches instead of one colossal one
-    * (the time-offset analog of maxOffsetsPerTrigger). */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startMs0 = start.asInstanceOf[ZoomMsOffset].ms
-    known = math.max(known, startMs0)
-    // API param at whole-second granularity (see ZoomStreamPartitionReader
-    // .isoFloorSec): sub-second ISO strings break lexicographic servers
-    val probeFrom = isoOf(math.floorDiv(known, 1000L) * 1000L)
-    val pages = PagedFetcher.pages(cfg.apiUrl,
-      Map("page_size" -> cfg.pageSize.toString, "from" -> probeFrom),
-      tokens, transport)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Paced, window-bounded probe: items in [fromMs, toMs) from the API
+    * (params rendered at whole-second granularity — see the reader),
+    * folded to (found, minMs, maxMs) over the in-window items.
+    * `stopAtFirst` stops paging at the first in-window item — the
+    * gap-resume probe only needs SOME resume point, not the scan of the
+    * whole remaining corpus (the batch fetch over the resulting window
+    * captures everything the probe's early exit skipped). */
+  private def probeWindow(fromMs: Long, toMs: Long,
+      stopAtFirst: Boolean): (Boolean, Long, Long) = {
+    val params = Map("from" -> ZoomRows.isoFloorSec(fromMs)) ++
+      (if (toMs == Long.MaxValue) Map.empty[String, String]
+       else Map("to" -> ZoomRows.isoCeilSec(toMs)))
+    val items = new PagedItems(cfg, params, probeLimiter, tokens, transport)
+    var found = false
+    var minMs = Long.MaxValue
     var maxMs = Long.MinValue
-    pages.foreach { page =>
-      val arr = page.get(cfg.itemsField)
-      if (arr != null && arr.isArray) arr.elements().asScala.foreach { n =>
-        val st = ZoomRows.startTimeOf(n)
-        if (st != null) {
-          val ms = try msOf(st) catch { case _: Exception => Long.MinValue }
-          if (ms >= known && ms > maxMs) maxMs = ms
-        }
+    var stop = false
+    while (!stop && items.hasNext) {
+      val ms = ZoomRows.epochMsOf(ZoomRows.startTimeOf(items.next()))
+        .getOrElse(Long.MinValue)
+      if (ms >= fromMs && ms < toMs) {
+        found = true
+        if (ms < minMs) minMs = ms
+        if (ms > maxMs) maxMs = ms
+        if (stopAtFirst) stop = true
       }
     }
-    if (maxMs >= known) {
-      val uncapped = maxMs + 1 // half-open: next window excludes maxMs
-      known =
-        if (maxWindowPerBatchMs == Long.MaxValue) uncapped
-        else math.min(uncapped, known + maxWindowPerBatchMs)
+    (found, minMs, maxMs)
+  }
+
+  /** Admission-controlled offset advance. Dense window: advance to
+    * max-in-window + 1 (≤ start + cap). Empty capped window: one
+    * gap-resume probe jumps the offset to first-item + cap so the next
+    * batch spans the gap AND carries data. No pending data: no advance
+    * (processAllAvailable terminates, no empty batches scheduled). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    known = math.max(known, start.asInstanceOf[ZoomMsOffset].ms)
+    val cap = cfg.maxWindowPerBatchMs // validated > 0 at option parse
+    val capEnd = if (cap == Long.MaxValue) Long.MaxValue
+      else safeAdd(known, cap)
+    val (found, _, maxMs) =
+      probeWindow(known, capEnd, stopAtFirst = false)
+    if (found) {
+      known = maxMs + 1 // half-open: next window excludes maxMs
+    } else if (capEnd != Long.MaxValue) {
+      // empty capped window — find where data resumes (early exit at the
+      // first item past the window; the batch fetch over the jumped
+      // window picks up whatever the probe didn't scan)
+      val (resumed, resumeMs, _) =
+        probeWindow(capEnd, Long.MaxValue, stopAtFirst = true)
+      if (resumed) known = safeAdd(resumeMs, cap)
     }
     ZoomMsOffset(known)
   }
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def planInputPartitions(start: Offset, end: Offset):
       Array[InputPartition] = {
@@ -141,9 +172,9 @@ private[sources] class ZoomStreamReaderFactory(cfg: ZoomApiConfig,
       burst)
 }
 
-/** Executor-side window reader: same fetch stack as the batch live
-  * reader, but the window bound is enforced on PARSED epoch millis —
-  * [fromMs, toMs) half-open, so batch boundaries never duplicate. */
+/** Executor-side window reader: the shared [[PagedItems]] drain with
+  * the window bound enforced on PARSED epoch millis — [fromMs, toMs)
+  * half-open, so batch boundaries never duplicate. */
 private[sources] class ZoomStreamPartitionReader(cfg: ZoomApiConfig,
     part: ZoomStreamPartition, required: StructType,
     filters: Array[Filter], ratePerSec: Double, burst: Int)
@@ -151,55 +182,24 @@ private[sources] class ZoomStreamPartitionReader(cfg: ZoomApiConfig,
   private val transport = new JdkHttpTransport()
   private val tokens = TokenManager.forEndpoint(
     cfg.tokenUrl, cfg.clientId, cfg.clientSecret, transport)
-  private val limiter =
-    if (ratePerSec > 0) new TokenBucket(ratePerSec, math.max(burst, 1))
-    else new TokenBucket(ratePerSec = 1e9, burst = 1000)
-  // API window params at WHOLE-SECOND granularity: a sub-second ISO
-  // string ("…00.001Z") sorts lexicographically BEFORE the same second
-  // ("…00Z"), so a string-comparing server would silently exclude
-  // boundary items. Floor the from, ceil the to — the server may return
-  // up to a second of extra rows and the numeric filter below trims the
-  // window exactly.
-  private def isoFloorSec(ms: Long): String =
-    java.time.Instant.ofEpochMilli(math.floorDiv(ms, 1000L) * 1000L).toString
-  private def isoCeilSec(ms: Long): String =
-    java.time.Instant.ofEpochMilli(
-      math.floorDiv(ms + 999L, 1000L) * 1000L).toString
-  private val pages = PagedFetcher.pages(cfg.apiUrl,
-    Map("page_size" -> cfg.pageSize.toString,
-      "from" -> isoFloorSec(part.fromMs),
-      "to" -> isoCeilSec(part.toMs)),
-    tokens, transport)
-  private var items: Iterator[JsonNode] = Iterator.empty
+  private val items = new PagedItems(cfg,
+    Map("from" -> ZoomRows.isoFloorSec(part.fromMs),
+      "to" -> ZoomRows.isoCeilSec(part.toMs)),
+    TokenBucket.orUnlimited(ratePerSec, burst), tokens, transport)
   private var current: InternalRow = _
 
-  private def inWindow(st: String): Boolean =
-    st != null && {
-      try {
-        val ms = java.time.Instant.parse(st).toEpochMilli
-        ms >= part.fromMs && ms < part.toMs
-      } catch { case _: Exception => false }
-    }
-
   override def next(): Boolean = {
-    while (true) {
-      if (items.hasNext) {
-        val node = items.next()
-        val st = ZoomRows.startTimeOf(node)
-        if (inWindow(st) && ZoomRows.passes(filters, st)) {
-          current = ZoomRows.toRow(node, required)
-          return true
-        }
-      } else if (pages.hasNext) {
-        limiter.acquireBlocking()
-        val page = pages.next()
-        val arr = page.get(cfg.itemsField)
-        items =
-          if (arr == null || !arr.isArray) Iterator.empty
-          else arr.elements().asScala
-      } else return false
+    while (items.hasNext) {
+      val node = items.next()
+      val st = ZoomRows.startTimeOf(node)
+      val inWindow = ZoomRows.epochMsOf(st)
+        .exists(ms => ms >= part.fromMs && ms < part.toMs)
+      if (inWindow && ZoomRows.passes(filters, st)) {
+        current = ZoomRows.toRow(node, required)
+        return true
+      }
     }
-    false // unreachable
+    false
   }
 
   override def get(): InternalRow = current

@@ -51,6 +51,7 @@ class PlanPostureSpec extends SparkSpec {
       "fallback on the core agg path)") {
     // AQE wraps unexecuted stages, hiding WholeStageCodegen from the
     // debug traversal — disable it for this one structural probe
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
@@ -60,7 +61,7 @@ class PlanPostureSpec extends SparkSpec {
       // silently dropped to interpreted and the plan string wouldn't say
       assert(!s.contains("Found 0 WholeStageCodegen"), s.take(300))
       assert(s.contains("WholeStageCodegen"), s.take(300))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("q74: the gated plan IS the LSH signature/bucket path " +

@@ -338,7 +338,10 @@ class LoopbackHttpSpec extends SparkSpec {
       .option("clientId", clientId)
       .option("clientSecret", clientSecret)
       .option("pageSize", "3")
-      .option("startTime", "2024-01-10T00:00:00Z")
+      // 9 days BEFORE any data: the first capped window is empty and the
+      // gap-resume probe must jump the offset to where data starts
+      // instead of grinding through 9 empty one-day batches
+      .option("startTime", "2024-01-01T00:00:00Z")
       .option("maxWindowPerBatchMs", (24L * 3600 * 1000).toString) // 1 day
       .load()
       .select("id", "start_time")
