@@ -362,6 +362,36 @@ class LoopbackHttpSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxWindowPerBatchMs <= 0 is rejected loudly, not a frozen stream") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ZoomMeetingSource")
+        .option("apiUrl", s"$base/v2/meetings")
+        .option("tokenUrl", s"$base/oauth/token")
+        .option("clientId", clientId)
+        .option("clientSecret", clientSecret)
+        .option("maxWindowPerBatchMs", "0")
+        .load()
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("maxWindowPerBatchMs")), e.toString)
+  }
+
+  test("epochMsOf: lenient ISO parsing (Z, zone offsets, garbage)") {
+    assert(ZoomRows.epochMsOf("2024-01-10T09:00:00Z") ===
+      Some(1704877200000L))
+    // +01:00 form = one hour earlier in UTC
+    assert(ZoomRows.epochMsOf("2024-01-10T09:00:00+01:00") ===
+      Some(1704877200000L - 3600000L))
+    assert(ZoomRows.epochMsOf("2024-01-10T09:00:00.500Z") ===
+      Some(1704877200500L))
+    assert(ZoomRows.epochMsOf(null) === None)
+    assert(ZoomRows.epochMsOf("not a timestamp") === None)
+  }
+
   test("live DSv2 scan: residual time-of-day predicate is enforced " +
       "reader-side on top of day-granular slices") {
     val df = spark.read.format("graft.sources.ZoomMeetingSource")
