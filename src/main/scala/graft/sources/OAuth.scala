@@ -178,29 +178,56 @@ object PagedFetcher {
       }
 
       private def fetchWithRetry(p: Map[String, String]): String = {
-        var attempt = 0
-        var retried401 = false
-        while (true) {
-          attempt += 1
-          val resp = transport.get(url,
-            Map("Authorization" -> s"Bearer ${tokens.getToken()}",
-              "Content-Type" -> "application/json"), p)
-          resp.status match {
-            case s if s / 100 == 2 => return resp.body
-            case 429 if attempt < maxAttempts =>
-              val retryMs = resp.header("Retry-After")
-                .flatMap(v => scala.util.Try(v.toLong).toOption)
-                .getOrElse(60L) * 1000L
-              sleeper(math.min(math.max(retryMs, 0L), maxRetryAfterMs))
-            case 401 if !retried401 =>
-              retried401 = true
-              tokens.invalidate()
-            case s =>
-              throw new java.io.IOException(
-                s"API request failed for $url: HTTP $s (attempt $attempt)")
-          }
-        }
-        throw new IllegalStateException("unreachable")
+        val (resp, attempt) = HttpRetry.get(url, p, tokens, transport,
+          sleeper, maxAttempts, maxRetryAfterMs)
+        if (resp.status / 100 == 2) resp.body
+        else throw new java.io.IOException(
+          s"API request failed for $url: HTTP ${resp.status} " +
+            s"(attempt $attempt)")
       }
     }
+}
+
+/** The shared Bearer-GET retry discipline (extract.py:33-48), factored
+  * so single-object lookups ([[ZoomLookup]]) and pagination
+  * ([[PagedFetcher]]) cannot drift apart:
+  *  - 429 ⇒ sleep `Retry-After` (default 60 s, capped) and retry the
+  *    SAME request, at most `maxAttempts` times;
+  *  - 401 ⇒ invalidate the token manager and retry ONCE with a fresh
+  *    grant;
+  *  - everything else (including 404) returns to the CALLER — a lookup
+  *    interprets 404 as "try the webinar endpoint" (extract.py:164),
+  *    a paginator as a hard error. */
+private[sources] object HttpRetry {
+  /** Returns (final response, attempts made). Never throws on HTTP
+    * status — transport-level failures (connect/timeouts) propagate. */
+  def get(
+      url: String,
+      params: Map[String, String],
+      tokens: TokenManager,
+      transport: HttpTransport,
+      sleeper: Long => Unit = ms => Thread.sleep(ms),
+      maxAttempts: Int = 8,
+      maxRetryAfterMs: Long = 5L * 60 * 1000): (HttpResponse, Int) = {
+    var attempt = 0
+    var retried401 = false
+    while (true) {
+      attempt += 1
+      val resp = transport.get(url,
+        Map("Authorization" -> s"Bearer ${tokens.getToken()}",
+          "Content-Type" -> "application/json"), params)
+      resp.status match {
+        case 429 if attempt < maxAttempts =>
+          val retryMs = resp.header("Retry-After")
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .getOrElse(60L) * 1000L
+          sleeper(math.min(math.max(retryMs, 0L), maxRetryAfterMs))
+        case 401 if !retried401 =>
+          retried401 = true
+          tokens.invalidate()
+        case _ => return (resp, attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

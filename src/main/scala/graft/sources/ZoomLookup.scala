@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-row live HTTP detail lookup with endpoint fallback — the
+  * reference's meeting→webinar fallback (S6,
+  * src/zoom/extract.py:150-170: GET /meetings/{uuid}, on 404 retry
+  * /webinars/{uuid}) as a distributed enrichment operator:
+  *
+  *  - `mapPartitions`: one transport + per-executor [[TokenManager]]
+  *    singleton + one TokenBucket per partition — N keys never mean N
+  *    clients, and lookups pace at `ratePerSec` per partition so a
+  *    100-executor enrichment respects the API budget;
+  *  - the [[HttpRetry]] discipline per request (429/Retry-After
+  *    bounded retries, 401 re-grant-once) — shared with
+  *    [[PagedFetcher]] so single-GET and pagination behavior cannot
+  *    drift;
+  *  - 404 on the primary ⇒ ONE fallback GET (extract.py:164); 404 on
+  *    both ⇒ a NOT_FOUND error row; any other non-2xx ⇒ UNEXPECTED —
+  *    rows, not exceptions: a missing object is a dead-letter metric,
+  *    not a dead job (ErrorRouter taxonomy, error_types.py:4-12);
+  *  - URL templates carry a `{key}` placeholder, URL-encoded (the
+  *    reference double-encodes uuids with '/' — compose with
+  *    [[graft.functions.Normalize]]'s double-encode for that case).
+  *
+  * Returns rows (key, endpoint primary|fallback|null, status, body,
+  * error_type, error_detail); [[split]] separates the channels.
+  */
+object ZoomLookup {
+
+  final case class LookupRow(
+      key: String,
+      endpoint: String,   // "primary" | "fallback" | null on error
+      status: Int,
+      body: String,       // response JSON on success, null on error
+      error_type: String, // null on success
+      error_detail: String)
+
+  /** Live lookup over `keys(keyCol)`. Templates contain `{key}`. */
+  def withFallback(
+      keys: DataFrame,
+      keyCol: String,
+      tokenUrl: String,
+      clientId: String,
+      clientSecret: String,
+      primaryTemplate: String,
+      fallbackTemplate: Option[String],
+      ratePerSec: Double = 0.0,
+      burst: Int = 1): Dataset[LookupRow] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col(keyCol).cast("string")).as[String].mapPartitions { it =>
+      val transport = new JdkHttpTransport()
+      val tokens = TokenManager.forEndpoint(
+        tokenUrl, clientId, clientSecret, transport)
+      val limiter = TokenBucket.orUnlimited(ratePerSec, burst)
+      def url(template: String, key: String): String = template.replace(
+        "{key}", java.net.URLEncoder.encode(key, "UTF-8"))
+      it.map { key =>
+        limiter.acquireBlocking()
+        val (primary, _) = HttpRetry.get(
+          url(primaryTemplate, key), Map.empty, tokens, transport)
+        if (primary.status / 100 == 2)
+          LookupRow(key, "primary", primary.status, primary.body, null, null)
+        else if (primary.status == 404 && fallbackTemplate.isDefined) {
+          limiter.acquireBlocking()
+          val (fb, _) = HttpRetry.get(
+            url(fallbackTemplate.get, key), Map.empty, tokens, transport)
+          if (fb.status / 100 == 2)
+            LookupRow(key, "fallback", fb.status, fb.body, null, null)
+          else if (fb.status == 404)
+            LookupRow(key, null, 404, null, "NOT_FOUND",
+              s"$key: 404 on primary and fallback")
+          else
+            LookupRow(key, null, fb.status, null, "UNEXPECTED",
+              s"$key: HTTP ${fb.status} on fallback")
+        } else if (primary.status == 404)
+          LookupRow(key, null, 404, null, "NOT_FOUND",
+            s"$key: 404 on primary (no fallback configured)")
+        else
+          LookupRow(key, null, primary.status, null, "UNEXPECTED",
+            s"$key: HTTP ${primary.status} on primary")
+      }
+    }
+  }
+
+  /** ErrorRouter-shaped split: (enriched, dead-letter). Same
+    * one-pass-per-channel contract as Media's splits — persist the
+    * lookup result when consuming both channels at scale (each lookup
+    * is a real HTTP call, twice as expensive to repeat as a decode). */
+  def split(rows: Dataset[LookupRow]): (DataFrame, DataFrame) = {
+    val df = rows.toDF()
+    (df.where(col("error_type").isNull)
+        .select("key", "endpoint", "status", "body"),
+      df.where(col("error_type").isNotNull)
+        .select("key", "status", "error_type", "error_detail"))
+  }
+}

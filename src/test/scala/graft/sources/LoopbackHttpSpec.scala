@@ -136,6 +136,35 @@ class LoopbackHttpSpec extends SparkSpec {
       }
     })
 
+    // per-object detail endpoints for the S6 lookup-with-fallback:
+    // meetings exist for EVEN ids; odd ids divisible by 3 are webinars;
+    // everything else is 404 on both (extract.py:150-170 shape)
+    def lastSegment(ex: HttpExchange): String = {
+      val p = ex.getRequestURI.getPath
+      p.substring(p.lastIndexOf('/') + 1)
+    }
+    def authed(ex: HttpExchange): Boolean = {
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("").stripPrefix("Bearer ")
+      bearer.nonEmpty && validTokens.contains(bearer)
+    }
+    s.createContext("/v2/meeting_detail/", (ex: HttpExchange) => {
+      val id = lastSegment(ex)
+      if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
+      else if (id.toLongOption.exists(_ % 2 == 0))
+        respond(ex, 200,
+          s"""{"id":$id,"uuid":"u$id","topic":"Mtg $id","type":2}""")
+      else respond(ex, 404, """{"error":"meeting not found"}""")
+    })
+    s.createContext("/v2/webinar_detail/", (ex: HttpExchange) => {
+      val id = lastSegment(ex)
+      if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
+      else if (id.toLongOption.exists(i => i % 2 == 1 && i % 3 == 0))
+        respond(ex, 200,
+          s"""{"id":$id,"uuid":"w$id","topic":"Web $id","type":5}""")
+      else respond(ex, 404, """{"error":"webinar not found"}""")
+    })
+
     s.setExecutor(Executors.newFixedThreadPool(8))
     s.start()
     s
@@ -360,6 +389,31 @@ class LoopbackHttpSpec extends SparkSpec {
       assert(rowBatches >= 2,
         s"1-day cap over 3 days should take >= 2 batches, saw $rowBatches")
     } finally q.stop()
+  }
+
+  test("live per-key lookup with webinar fallback over a real socket " +
+      "(S6: meeting 404 -> webinar, both 404 -> dead letter)") {
+    val keys = spark.range(1, 7).toDF("id") // 1..6
+    val rows = ZoomLookup.withFallback(keys, "id",
+      s"$base/oauth/token", clientId, clientSecret,
+      s"$base/v2/meeting_detail/{key}",
+      Some(s"$base/v2/webinar_detail/{key}"))
+    val (ok, dead) = ZoomLookup.split(rows)
+    val byKey = ok.collect().map(r =>
+      r.getAs[String]("key") -> r).toMap
+    // even ids resolve on the primary endpoint
+    Seq("2", "4", "6").foreach { k =>
+      assert(byKey(k).getAs[String]("endpoint") === "primary")
+      assert(byKey(k).getAs[String]("body").contains("\"type\":2"))
+    }
+    // 3 is a webinar: 404 on primary, resolved by the fallback
+    assert(byKey("3").getAs[String]("endpoint") === "fallback")
+    assert(byKey("3").getAs[String]("body").contains("\"type\":5"))
+    assert(byKey.keySet === Set("2", "3", "4", "6"))
+    // 1 and 5 are 404 on BOTH -> NOT_FOUND dead letters, job survives
+    val deadRows = dead.collect().map(r =>
+      r.getAs[String]("key") -> r.getAs[String]("error_type")).toMap
+    assert(deadRows === Map("1" -> "NOT_FOUND", "5" -> "NOT_FOUND"))
   }
 
   test("maxWindowPerBatchMs <= 0 is rejected loudly, not a frozen stream") {
