@@ -85,6 +85,48 @@ object ZoomLookup {
     }
   }
 
+  /** Live 1:N child fetch per key — the reference's per-meeting
+    * participants pagination (S7, extract.py: GET
+    * /meetings/{uuid}/participants, paged). One [[PagedItems]] drain
+    * per key inside one mapPartitions pass; emits (key, body) per
+    * child item. Keys whose endpoint 404s yield zero children (a
+    * meeting with no participant report), other failures propagate —
+    * children of a key are all-or-nothing, matching the reference's
+    * loader transaction. */
+  def children(
+      keys: DataFrame,
+      keyCol: String,
+      tokenUrl: String,
+      clientId: String,
+      clientSecret: String,
+      urlTemplate: String,
+      itemsField: String = "participants",
+      pageSize: Int = 300,
+      ratePerSec: Double = 0.0,
+      burst: Int = 1): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col(keyCol).cast("string")).as[String].mapPartitions { it =>
+      val transport = new JdkHttpTransport()
+      val tokens = TokenManager.forEndpoint(
+        tokenUrl, clientId, clientSecret, transport)
+      val limiter = TokenBucket.orUnlimited(ratePerSec, burst)
+      it.flatMap { key =>
+        val url = urlTemplate.replace(
+          "{key}", java.net.URLEncoder.encode(key, "UTF-8"))
+        val cfg = ZoomApiConfig(url, tokenUrl, clientId, clientSecret,
+          itemsField, pageSize)
+        try new PagedItems(cfg, Map.empty, limiter, tokens, transport)
+          .map(node => (key, node.toString)).toVector
+        catch {
+          // 404 = no participant report for this key ⇒ zero children
+          case e: java.io.IOException if e.getMessage.contains("404") =>
+            Vector.empty
+        }
+      }
+    }.toDF("key", "body")
+  }
+
   /** ErrorRouter-shaped split: (enriched, dead-letter). Same
     * one-pass-per-channel contract as Media's splits — persist the
     * lookup result when consuming both channels at scale (each lookup

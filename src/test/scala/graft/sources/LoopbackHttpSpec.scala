@@ -165,6 +165,26 @@ class LoopbackHttpSpec extends SparkSpec {
       else respond(ex, 404, """{"error":"webinar not found"}""")
     })
 
+    // 1:N participants per meeting (S7): 3 children for even ids,
+    // paginated by page_size; 404 for odd ids (no participant report)
+    s.createContext("/v2/meeting_participants/", (ex: HttpExchange) => {
+      val id = lastSegment(ex)
+      if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
+      else if (id.toLongOption.exists(_ % 2 == 0)) {
+        val p = queryParams(ex)
+        val all = (1 to 3).map(i =>
+          s"""{"id":"p${id}_$i","user_email":"p$i@x.test","duration":$i}""")
+        val pageSize = p.getOrElse("page_size", "300").toInt
+        val offset = p.get("next_page_token").map(_.toInt).getOrElse(0)
+        val page = all.slice(offset, offset + pageSize)
+        val npt = if (offset + pageSize < all.size)
+          (offset + pageSize).toString else ""
+        respond(ex, 200,
+          s"""{"page_size":$pageSize,"next_page_token":"$npt",""" +
+            s""""participants":[${page.mkString(",")}]}""")
+      } else respond(ex, 404, """{"error":"no participant report"}""")
+    })
+
     s.setExecutor(Executors.newFixedThreadPool(8))
     s.start()
     s
@@ -414,6 +434,19 @@ class LoopbackHttpSpec extends SparkSpec {
     val deadRows = dead.collect().map(r =>
       r.getAs[String]("key") -> r.getAs[String]("error_type")).toMap
     assert(deadRows === Map("1" -> "NOT_FOUND", "5" -> "NOT_FOUND"))
+  }
+
+  test("live 1:N child fetch paginates per key over a real socket " +
+      "(S7 participants: 404 = zero children, not a dead job)") {
+    val keys = spark.range(1, 5).toDF("id") // 1..4; odd ids have no report
+    val kids = ZoomLookup.children(keys, "id",
+      s"$base/oauth/token", clientId, clientSecret,
+      s"$base/v2/meeting_participants/{key}", pageSize = 2)
+    val rows = kids.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_._1).toSet === Set("2", "4")) // odd keys: no children
+    assert(rows.count(_._1 == "2") === 3) // paged as 2 + 1
+    assert(rows.count(_._1 == "4") === 3)
+    assert(rows.filter(_._1 == "2").forall(_._2.contains("\"p2_")))
   }
 
   test("maxWindowPerBatchMs <= 0 is rejected loudly, not a frozen stream") {
