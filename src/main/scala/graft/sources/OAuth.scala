@@ -181,12 +181,19 @@ object PagedFetcher {
         val (resp, attempt) = HttpRetry.get(url, p, tokens, transport,
           sleeper, maxAttempts, maxRetryAfterMs)
         if (resp.status / 100 == 2) resp.body
-        else throw new java.io.IOException(
-          s"API request failed for $url: HTTP ${resp.status} " +
-            s"(attempt $attempt)")
+        else throw new HttpStatusException(resp.status, url, attempt)
       }
     }
 }
+
+/** Non-2xx terminal response from the retry loop, with the status
+  * carried STRUCTURALLY — callers branch on `status` (e.g. 404 ⇒
+  * webinar fallback / zero children), never by parsing the message.
+  * Still an IOException so existing propagation contracts hold. */
+final class HttpStatusException(
+    val status: Int, url: String, attempt: Int)
+    extends java.io.IOException(
+      s"API request failed for $url: HTTP $status (attempt $attempt)")
 
 /** The shared Bearer-GET retry discipline (extract.py:33-48), factored
   * so single-object lookups ([[ZoomLookup]]) and pagination

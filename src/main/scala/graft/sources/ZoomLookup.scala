@@ -55,34 +55,58 @@ object ZoomLookup {
       val tokens = TokenManager.forEndpoint(
         tokenUrl, clientId, clientSecret, transport)
       val limiter = TokenBucket.orUnlimited(ratePerSec, burst)
-      def url(template: String, key: String): String = template.replace(
-        "{key}", java.net.URLEncoder.encode(key, "UTF-8"))
       it.map { key =>
-        limiter.acquireBlocking()
-        val (primary, _) = HttpRetry.get(
-          url(primaryTemplate, key), Map.empty, tokens, transport)
-        if (primary.status / 100 == 2)
-          LookupRow(key, "primary", primary.status, primary.body, null, null)
-        else if (primary.status == 404 && fallbackTemplate.isDefined) {
+        if (key == null)
+          // null keys exist upstream (S6 keeps null uuids) — a row in
+          // the VALIDATION channel, never an executor NPE
+          LookupRow(null, null, 0, null, "VALIDATION", "null lookup key")
+        else {
           limiter.acquireBlocking()
-          val (fb, _) = HttpRetry.get(
-            url(fallbackTemplate.get, key), Map.empty, tokens, transport)
-          if (fb.status / 100 == 2)
-            LookupRow(key, "fallback", fb.status, fb.body, null, null)
-          else if (fb.status == 404)
-            LookupRow(key, null, 404, null, "NOT_FOUND",
-              s"$key: 404 on primary and fallback")
-          else
-            LookupRow(key, null, fb.status, null, "UNEXPECTED",
-              s"$key: HTTP ${fb.status} on fallback")
-        } else if (primary.status == 404)
-          LookupRow(key, null, 404, null, "NOT_FOUND",
-            s"$key: 404 on primary (no fallback configured)")
-        else
-          LookupRow(key, null, primary.status, null, "UNEXPECTED",
-            s"$key: HTTP ${primary.status} on primary")
+          val (primary, _) = HttpRetry.get(
+            renderUrl(primaryTemplate, key), Map.empty, tokens, transport)
+          if (primary.status / 100 == 2)
+            LookupRow(key, "primary", primary.status, primary.body, null,
+              null)
+          else if (primary.status == 404 && fallbackTemplate.isDefined) {
+            limiter.acquireBlocking()
+            val (fb, _) = HttpRetry.get(
+              renderUrl(fallbackTemplate.get, key), Map.empty, tokens,
+              transport)
+            if (fb.status / 100 == 2)
+              LookupRow(key, "fallback", fb.status, fb.body, null, null)
+            else errorRow(key, fb.status, "fallback")
+          } else errorRow(key, primary.status, "primary")
+        }
       }
     }
+  }
+
+  /** Path-SEGMENT encoding: URLEncoder is form encoding (space → '+',
+    * which servers decode as a literal plus in a path); re-encode the
+    * few divergent characters per RFC 3986. */
+  private def pathSegment(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+      .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+
+  private def renderUrl(template: String, key: String): String =
+    template.replace("{key}", pathSegment(key))
+
+  /** Dead-letter rows carry the reference's error taxonomy
+    * (error_types.py / [[graft.operators.ErrorRouter.ErrorTypes]]) so
+    * replay can target the retryable classes: RATE_LIMIT (429 survived
+    * the bounded retries) and AUTHENTICATION/AUTHORIZATION are
+    * re-runnable; NOT_FOUND is a data fact; UNEXPECTED needs triage. */
+  private def errorRow(key: String, status: Int,
+      endpoint: String): LookupRow = {
+    val errType = status match {
+      case 404 => "NOT_FOUND"
+      case 429 => "RATE_LIMIT"
+      case 401 => "AUTHENTICATION"
+      case 403 => "AUTHORIZATION"
+      case _ => "UNEXPECTED"
+    }
+    LookupRow(key, null, status, null, errType,
+      s"$key: HTTP $status on $endpoint")
   }
 
   /** Live 1:N child fetch per key — the reference's per-meeting
@@ -112,16 +136,18 @@ object ZoomLookup {
         tokenUrl, clientId, clientSecret, transport)
       val limiter = TokenBucket.orUnlimited(ratePerSec, burst)
       it.flatMap { key =>
-        val url = urlTemplate.replace(
-          "{key}", java.net.URLEncoder.encode(key, "UTF-8"))
-        val cfg = ZoomApiConfig(url, tokenUrl, clientId, clientSecret,
-          itemsField, pageSize)
-        try new PagedItems(cfg, Map.empty, limiter, tokens, transport)
-          .map(node => (key, node.toString)).toVector
-        catch {
-          // 404 = no participant report for this key ⇒ zero children
-          case e: java.io.IOException if e.getMessage.contains("404") =>
-            Vector.empty
+        if (key == null) Vector.empty // no addressable endpoint — skip
+        else {
+          val cfg = ZoomApiConfig(renderUrl(urlTemplate, key), tokenUrl,
+            clientId, clientSecret, itemsField, pageSize)
+          try new PagedItems(cfg, Map.empty, limiter, tokens, transport)
+            .map(node => (key, node.toString)).toVector
+          catch {
+            // 404 = no participant report for this key ⇒ zero children
+            // (status carried structurally — a 500, or a "404" embedded
+            // in some other message, still fails the task)
+            case e: HttpStatusException if e.status == 404 => Vector.empty
+          }
         }
       }
     }.toDF("key", "body")

@@ -304,10 +304,17 @@ private[sources] object ZoomRows {
     * ("…00Z"), so a string-comparing server would silently exclude
     * boundary items. Floor the from, ceil the to — the server may send
     * up to a second of extra rows; numeric residual filters trim them. */
+  /** Epoch ms of 10000-01-01: beyond this, Instant.toString renders a
+    * "+292278994-…" year form whose leading '+' sorts BEFORE normal
+    * dates lexicographically (and ms+999 can overflow near MaxValue) —
+    * clamp to a sortable far-future sentinel instead. */
+  private val Year10000Ms = 253402300800000L
   def isoFloorSec(ms: Long): String =
-    java.time.Instant.ofEpochMilli(math.floorDiv(ms, 1000L) * 1000L).toString
+    if (ms >= Year10000Ms) "9999-12-31T00:00:00Z"
+    else java.time.Instant.ofEpochMilli(
+      math.floorDiv(ms, 1000L) * 1000L).toString
   def isoCeilSec(ms: Long): String =
-    if (ms == Long.MaxValue) "9999-12-31T00:00:00Z"
+    if (ms >= Year10000Ms) "9999-12-31T00:00:00Z"
     else java.time.Instant.ofEpochMilli(
       math.floorDiv(ms + 999L, 1000L) * 1000L).toString
 

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
@@ -95,29 +97,39 @@ private[sources] class ZoomMicroBatchStream(
   /** Paced, window-bounded probe: items in [fromMs, toMs) from the API
     * (params rendered at whole-second granularity — see the reader),
     * folded to (found, minMs, maxMs) over the in-window items.
-    * `stopAtFirst` stops paging at the first in-window item — the
-    * gap-resume probe only needs SOME resume point, not the scan of the
-    * whole remaining corpus (the batch fetch over the resulting window
-    * captures everything the probe's early exit skipped). */
+    * `stopAtFirstPage` stops paging after the first PAGE carrying an
+    * in-window item — the gap-resume probe only needs a resume point,
+    * not a scan of the whole remaining corpus; taking the min over a
+    * whole page (not the first item) keeps the subsequent jump tight
+    * even when the API's page order is not time-ascending. The batch
+    * fetch over the resulting window captures whatever the early exit
+    * skipped. */
   private def probeWindow(fromMs: Long, toMs: Long,
-      stopAtFirst: Boolean): (Boolean, Long, Long) = {
-    val params = Map("from" -> ZoomRows.isoFloorSec(fromMs)) ++
+      stopAtFirstPage: Boolean): (Boolean, Long, Long) = {
+    val params = Map(
+      "page_size" -> cfg.pageSize.toString,
+      "from" -> ZoomRows.isoFloorSec(fromMs)) ++
       (if (toMs == Long.MaxValue) Map.empty[String, String]
        else Map("to" -> ZoomRows.isoCeilSec(toMs)))
-    val items = new PagedItems(cfg, params, probeLimiter, tokens, transport)
+    val pages = PagedFetcher.pages(cfg.apiUrl, params, tokens, transport)
     var found = false
     var minMs = Long.MaxValue
     var maxMs = Long.MinValue
     var stop = false
-    while (!stop && items.hasNext) {
-      val ms = ZoomRows.epochMsOf(ZoomRows.startTimeOf(items.next()))
-        .getOrElse(Long.MinValue)
-      if (ms >= fromMs && ms < toMs) {
-        found = true
-        if (ms < minMs) minMs = ms
-        if (ms > maxMs) maxMs = ms
-        if (stopAtFirst) stop = true
-      }
+    while (!stop && pages.hasNext) {
+      probeLimiter.acquireBlocking()
+      val arr = pages.next().get(cfg.itemsField)
+      if (arr != null && arr.isArray)
+        arr.elements().asScala.foreach { n =>
+          ZoomRows.epochMsOf(ZoomRows.startTimeOf(n)).foreach { ms =>
+            if (ms >= fromMs && ms < toMs) {
+              found = true
+              if (ms < minMs) minMs = ms
+              if (ms > maxMs) maxMs = ms
+            }
+          }
+        }
+      if (stopAtFirstPage && found) stop = true
     }
     (found, minMs, maxMs)
   }
@@ -133,15 +145,17 @@ private[sources] class ZoomMicroBatchStream(
     val capEnd = if (cap == Long.MaxValue) Long.MaxValue
       else safeAdd(known, cap)
     val (found, _, maxMs) =
-      probeWindow(known, capEnd, stopAtFirst = false)
+      probeWindow(known, capEnd, stopAtFirstPage = false)
     if (found) {
       known = maxMs + 1 // half-open: next window excludes maxMs
-    } else if (capEnd != Long.MaxValue) {
-      // empty capped window — find where data resumes (early exit at the
-      // first item past the window; the batch fetch over the jumped
-      // window picks up whatever the probe didn't scan)
+    } else if (capEnd != Long.MaxValue &&
+        capEnd < System.currentTimeMillis()) {
+      // empty capped HISTORICAL window — find where data resumes and
+      // jump past the gap. Windows reaching into the future are skipped:
+      // they cannot be a gap, only not-yet-arrived data, and probing
+      // them would double idle API polling on every trigger forever.
       val (resumed, resumeMs, _) =
-        probeWindow(capEnd, Long.MaxValue, stopAtFirst = true)
+        probeWindow(capEnd, Long.MaxValue, stopAtFirstPage = true)
       if (resumed) known = safeAdd(resumeMs, cap)
     }
     ZoomMsOffset(known)

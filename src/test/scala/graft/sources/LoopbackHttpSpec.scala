@@ -7,7 +7,6 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReferenc
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
 
@@ -24,7 +23,6 @@ import graft.SparkSpec
   */
 class LoopbackHttpSpec extends SparkSpec {
 
-  private val mapper = new ObjectMapper()
   private val clientId = "graft-client"
   private val clientSecret = "graft-secret"
 
@@ -78,6 +76,31 @@ class LoopbackHttpSpec extends SparkSpec {
         URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
       }.toMap
 
+  private def lastSegment(ex: HttpExchange): String = {
+    val p = ex.getRequestURI.getPath
+    p.substring(p.lastIndexOf('/') + 1)
+  }
+
+  private def authed(ex: HttpExchange): Boolean = {
+    val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse("").stripPrefix("Bearer ")
+    bearer.nonEmpty && validTokens.contains(bearer)
+  }
+
+  /** The one offset-token pagination implementation every paginated
+    * endpoint shares (was three copies). */
+  private def pageJson(itemsJson: Seq[String], p: Map[String, String],
+      field: String): String = {
+    val pageSize = p.getOrElse("page_size", "300").toInt
+    val offset = p.get("next_page_token").map(_.toInt).getOrElse(0)
+    val page = itemsJson.slice(offset, offset + pageSize)
+    val npt =
+      if (offset + pageSize < itemsJson.size) (offset + pageSize).toString
+      else ""
+    s"""{"page_size":$pageSize,"next_page_token":"$npt",""" +
+      s""""$field":[${page.mkString(",")}]}"""
+  }
+
   private lazy val server: HttpServer = {
     val s = HttpServer.create(
       new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
@@ -100,12 +123,10 @@ class LoopbackHttpSpec extends SparkSpec {
     s.createContext("/v2/meetings", (ex: HttpExchange) => {
       val p = queryParams(ex)
       p.get("from").foreach(seenFromParams.add)
-      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .getOrElse("").stripPrefix("Bearer ")
       if (expireTokenOnce.getAndSet(false)) {
         validTokens.clear() // server-side token expiry: re-grant required
         respond(ex, 401, """{"error":"token expired"}""")
-      } else if (bearer.isEmpty || !validTokens.contains(bearer))
+      } else if (!authed(ex))
         respond(ex, 401, """{"error":"invalid token"}""")
       else if (serve429Once.getAndSet(false))
         respond(ex, 429, """{"error":"rate limited"}""",
@@ -115,39 +136,19 @@ class LoopbackHttpSpec extends SparkSpec {
         val to = p.getOrElse("to", "~") // '~' sorts after any ISO string
         val inWindow = (meetings ++ extraMeetings.asScala)
           .filter(m => m._4 >= from && m._4 <= to)
-        val pageSize = p.getOrElse("page_size", "300").toInt
-        val offset = p.get("next_page_token").map(_.toInt).getOrElse(0)
-        val page = inWindow.slice(offset, offset + pageSize)
-        val root = mapper.createObjectNode()
-        root.put("page_size", pageSize)
-        root.put("next_page_token",
-          if (offset + pageSize < inWindow.size) (offset + pageSize).toString
-          else "")
-        val arr = root.putArray("meetings")
-        page.foreach { case (id, uuid, topic, st) =>
-          val m = arr.addObject()
-          m.put("id", id); m.put("uuid", uuid); m.put("host_id", "h1")
-          m.put("topic", topic); m.put("start_time", st)
-          m.put("end_time", st.replace(":00:00Z", ":30:00Z"))
-          m.put("duration", 30); m.put("participants_count", 5)
-          m.put("type", 2)
-        }
-        respond(ex, 200, mapper.writeValueAsString(root))
+          .map { case (id, uuid, topic, st) =>
+            s"""{"id":$id,"uuid":"$uuid","host_id":"h1",""" +
+              s""""topic":"$topic","start_time":"$st",""" +
+              s""""end_time":"${st.replace(":00:00Z", ":30:00Z")}",""" +
+              s""""duration":30,"participants_count":5,"type":2}"""
+          }
+        respond(ex, 200, pageJson(inWindow, p, "meetings"))
       }
     })
 
     // per-object detail endpoints for the S6 lookup-with-fallback:
     // meetings exist for EVEN ids; odd ids divisible by 3 are webinars;
     // everything else is 404 on both (extract.py:150-170 shape)
-    def lastSegment(ex: HttpExchange): String = {
-      val p = ex.getRequestURI.getPath
-      p.substring(p.lastIndexOf('/') + 1)
-    }
-    def authed(ex: HttpExchange): Boolean = {
-      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .getOrElse("").stripPrefix("Bearer ")
-      bearer.nonEmpty && validTokens.contains(bearer)
-    }
     s.createContext("/v2/meeting_detail/", (ex: HttpExchange) => {
       val id = lastSegment(ex)
       if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
@@ -171,17 +172,9 @@ class LoopbackHttpSpec extends SparkSpec {
       val id = lastSegment(ex)
       if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
       else if (id.toLongOption.exists(_ % 2 == 0)) {
-        val p = queryParams(ex)
         val all = (1 to 3).map(i =>
           s"""{"id":"p${id}_$i","user_email":"p$i@x.test","duration":$i}""")
-        val pageSize = p.getOrElse("page_size", "300").toInt
-        val offset = p.get("next_page_token").map(_.toInt).getOrElse(0)
-        val page = all.slice(offset, offset + pageSize)
-        val npt = if (offset + pageSize < all.size)
-          (offset + pageSize).toString else ""
-        respond(ex, 200,
-          s"""{"page_size":$pageSize,"next_page_token":"$npt",""" +
-            s""""participants":[${page.mkString(",")}]}""")
+        respond(ex, 200, pageJson(all, queryParams(ex), "participants"))
       } else respond(ex, 404, """{"error":"no participant report"}""")
     })
 
