@@ -314,7 +314,9 @@ private[sources] object ZoomRows {
     else java.time.Instant.ofEpochMilli(
       math.floorDiv(ms, 1000L) * 1000L).toString
   def isoCeilSec(ms: Long): String =
-    if (ms >= Year10000Ms) "9999-12-31T00:00:00Z"
+    // clamp 999 ms early: ceiling the last sub-second of year 9999
+    // would land exactly on year 10000 and render the '+10000-…' form
+    if (ms >= Year10000Ms - 999L) "9999-12-31T00:00:00Z"
     else java.time.Instant.ofEpochMilli(
       math.floorDiv(ms + 999L, 1000L) * 1000L).toString
 
