@@ -81,11 +81,20 @@ private[sources] class ZoomMeetingTable(path: String)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val live = Option(options.get("apiUrl")).map { apiUrl =>
+      // validate the auth options at scan build: a missing tokenUrl
+      // would otherwise surface as an opaque executor-side NPE deep
+      // inside TokenManager instead of a clear driver-side message
+      def requireOption(key: String): String = {
+        val v = options.get(key)
+        require(v != null && v.nonEmpty,
+          s"live mode (apiUrl set) requires the '$key' read option")
+        v
+      }
       ZoomApiConfig(
         apiUrl = apiUrl,
-        tokenUrl = options.get("tokenUrl"),
-        clientId = options.get("clientId"),
-        clientSecret = options.get("clientSecret"),
+        tokenUrl = requireOption("tokenUrl"),
+        clientId = requireOption("clientId"),
+        clientSecret = requireOption("clientSecret"),
         itemsField = options.getOrDefault("itemsField", "meetings"),
         pageSize = options.getInt("pageSize", 300),
         startTime = options.getOrDefault("startTime",
@@ -204,7 +213,12 @@ private[sources] class ZoomScan(path: String, filters: Array[Filter],
           days.map { d =>
             val from = if (d == d0) lo else s"${d}T00:00:00Z"
             val to = if (d == d1) hi else s"${d.plusDays(1)}T00:00:00Z"
-            ZoomApiPartition(Some(from), Some(to), toExclusive = d != d1)
+            // numeric bounds ONLY for scan-invented day boundaries; the
+            // query's own bounds (first slice's from, last slice's to)
+            // keep Spark's string semantics via ZoomRows.passes
+            ZoomApiPartition(Some(from), Some(to), toExclusive = d != d1,
+              sliceFromMs = if (d == d0) None else ZoomRows.epochMsOf(from),
+              sliceToMs = if (d == d1) None else ZoomRows.epochMsOf(to))
           }
         } catch {
           case _: java.time.format.DateTimeParseException =>
@@ -250,10 +264,20 @@ private[sources] final case class ZoomFilePartition(file: String)
   * an API with inclusive from/to semantics would otherwise return a
   * meeting at exactly midnight to BOTH adjacent slices (duplicate
   * rows). The final slice carries the query's own pushed upper bound,
-  * whose strictness the global residual filter already enforces. */
+  * whose strictness the global residual filter already enforces.
+  *
+  * `sliceFromMs`/`sliceToMs` are the INTERNAL day boundaries as epoch
+  * ms (set only for boundaries this scan invented, never for the
+  * query's own pushed bounds): the reader enforces them numerically,
+  * because a lexicographic check drops sub-second items in the first
+  * second of a day ("…00.500Z" sorts BEFORE "…00Z": '.' < 'Z').
+  * `sliceToMs` is always exclusive (interior boundaries are half-open
+  * by construction). */
 private[sources] final case class ZoomApiPartition(
     from: Option[String], to: Option[String],
-    toExclusive: Boolean = false) extends InputPartition
+    toExclusive: Boolean = false,
+    sliceFromMs: Option[Long] = None,
+    sliceToMs: Option[Long] = None) extends InputPartition
 
 /** Row-level machinery shared by the file and live readers: residual
   * filter evaluation and JSON→InternalRow projection onto the pruned
@@ -444,12 +468,27 @@ private[sources] class ZoomApiPartitionReader(cfg: ZoomApiConfig,
       // residual row filter: the API already got from/to, but slice
       // boundaries are day-granular — enforce the exact pushed
       // predicate AND this slice's own half-open bounds (a midnight
-      // meeting must land in exactly one adjacent slice)
+      // meeting must land in exactly one adjacent slice). Internal day
+      // boundaries are compared NUMERICALLY (epoch ms): a lexicographic
+      // check would drop a sub-second item in the first second of a
+      // day ("…00.500Z" < "…00Z" because '.' < 'Z') that the previous
+      // slice's API window never returned. The query's own pushed
+      // bounds keep Spark's string-column semantics via passes below.
       val st = ZoomRows.startTimeOf(node)
       val inSlice =
         if (st == null) part.from.isEmpty && part.to.isEmpty // unbounded
-        else part.from.forall(st >= _) &&
-          part.to.forall(to => if (part.toExclusive) st < to else st <= to)
+        else if (part.sliceFromMs.isEmpty && part.sliceToMs.isEmpty) true
+        else ZoomRows.epochMsOf(st) match {
+          case Some(ms) =>
+            part.sliceFromMs.forall(ms >= _) &&
+              part.sliceToMs.forall(ms < _)
+          case None =>
+            // unparseable start_time cannot be placed on a day
+            // boundary — fall back to the lexicographic check
+            part.from.forall(st >= _) &&
+              part.to.forall(to =>
+                if (part.toExclusive) st < to else st <= to)
+        }
       if (inSlice && ZoomRows.passes(filters, st)) {
         current = ZoomRows.toRow(node, required)
         return true

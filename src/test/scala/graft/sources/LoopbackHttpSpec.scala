@@ -31,7 +31,11 @@ class LoopbackHttpSpec extends SparkSpec {
     * adjacent day slices. An inclusive-from/to API (this server)
     * returns it to both slices — the reader's half-open slice residual
     * must emit it exactly once, and the exact-equality assertions
-    * below are the duplicate-row regression test. */
+    * below are the duplicate-row regression test. 108 starts at a
+    * SUB-SECOND offset in the first second of a UTC day: it sorts
+    * lexicographically BEFORE the day-boundary string ('.' < 'Z'), so
+    * a string-comparing slice residual silently drops it — the reader
+    * must place it numerically (epoch ms). */
   private val meetings: Seq[(Long, String, String, String)] =
     (for {
       (day, d) <- Seq("2024-01-10", "2024-01-11", "2024-01-12").zipWithIndex
@@ -39,7 +43,8 @@ class LoopbackHttpSpec extends SparkSpec {
     } yield {
       val id = 101L + d * 2 + h
       (id, s"u$id", s"Mtg $id", s"${day}T$hour:00:00Z")
-    }) :+ ((107L, "u107", "Mtg 107", "2024-01-11T00:00:00Z"))
+    }) :+ ((107L, "u107", "Mtg 107", "2024-01-11T00:00:00Z")) :+
+      ((108L, "u108", "Mtg 108", "2024-01-11T00:00:00.500Z"))
 
   /** Meetings appended mid-test (the streaming spec grows the corpus
     * between micro-batches); served alongside the fixed list. */
@@ -132,10 +137,16 @@ class LoopbackHttpSpec extends SparkSpec {
         respond(ex, 429, """{"error":"rate limited"}""",
           Map("Retry-After" -> "1"))
       else {
-        val from = p.getOrElse("from", "")
-        val to = p.getOrElse("to", "~") // '~' sorts after any ISO string
+        // a real API PARSES from/to (it does not string-compare), so
+        // the window check here is numeric: a sub-second item in the
+        // first second of a day belongs to THAT day's window only
+        val fromMs = p.get("from").flatMap(ZoomRows.epochMsOf)
+          .getOrElse(Long.MinValue)
+        val toMs = p.get("to").flatMap(ZoomRows.epochMsOf)
+          .getOrElse(Long.MaxValue)
         val inWindow = (meetings ++ extraMeetings.asScala)
-          .filter(m => m._4 >= from && m._4 <= to)
+          .filter(m => ZoomRows.epochMsOf(m._4)
+            .exists(ms => ms >= fromMs && ms <= toMs))
           .map { case (id, uuid, topic, st) =>
             s"""{"id":$id,"uuid":"$uuid","host_id":"h1",""" +
               s""""topic":"$topic","start_time":"$st",""" +
@@ -275,7 +286,7 @@ class LoopbackHttpSpec extends SparkSpec {
   }
 
   test("live scan paces page fetches through the token bucket") {
-    // 7 meetings / page_size 2 = 4 page fetches in ONE partition (no
+    // 8 meetings / page_size 2 = 4 page fetches in ONE partition (no
     // pushed window); ratePerSec=10, burst=1 ⇒ fetch 1 rides the burst
     // token, fetches 2-4 each wait ~100 ms. Lower bound only — no
     // upper bound, so scheduler jitter cannot flake the test.
@@ -290,7 +301,7 @@ class LoopbackHttpSpec extends SparkSpec {
       .load()
     assert(df.rdd.getNumPartitions === 1) // serial pagination, no window
     val t0 = System.nanoTime()
-    assert(df.count() === 7)
+    assert(df.count() === 8)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 150.0, s"unpaced: $elapsedMs ms for 4 page fetches")
   }
@@ -485,8 +496,26 @@ class LoopbackHttpSpec extends SparkSpec {
       .select("id", "start_time")
     // morning meeting of day 1 (09:00 < 12:00) and afternoon of day 2
     // (15:00 > 12:00) are excluded by the residual row filter; the
-    // midnight meeting (107) is in-window and appears exactly once
+    // midnight meeting (107) is in-window and appears exactly once;
+    // the sub-second meeting (108, 00:00:00.500Z) lands in day 2's
+    // slice and must NOT be dropped by a lexicographic boundary check
     assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
-      Seq(102L, 103L, 107L))
+      Seq(102L, 103L, 107L, 108L))
+  }
+
+  test("live mode without auth options fails loudly at scan build, " +
+      "not with an executor-side NPE") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ZoomMeetingSource")
+        .option("apiUrl", s"$base/v2/meetings")
+        // tokenUrl / clientId / clientSecret deliberately missing
+        .load()
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("requires the 'tokenUrl' read option")),
+      e.toString)
   }
 }
