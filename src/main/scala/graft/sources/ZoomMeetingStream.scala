@@ -26,10 +26,12 @@ import org.apache.spark.sql.types.StructType
   *    bookmark backfills as bounded micro-batches (the time-offset
   *    analog of maxOffsetsPerTrigger). The probe is WINDOW-BOUNDED
   *    (from AND to params — never re-pages the whole pending corpus
-  *    per trigger) and when a capped window is empty a second probe
-  *    finds where data resumes and jumps the offset there in one
-  *    data-bearing batch — sparse history does not schedule per-gap
-  *    empty batches;
+  *    per trigger) and EXISTENCE-ONLY (page_size=1, stops at the first
+  *    in-window item): data pages cross the wire exactly once, in the
+  *    partition reader, not twice (driver probe + executor re-fetch).
+  *    When a capped window is empty a second probe finds where data
+  *    resumes and jumps the offset there in one data-bearing batch —
+  *    sparse history does not schedule per-gap empty batches;
   *  - the driver probe paces through the same TokenBucket contract as
   *    the partition readers (`ratePerSec`/`burst`), so a tight trigger
   *    loop cannot busy-poll the API from the driver;
@@ -96,27 +98,25 @@ private[sources] class ZoomMicroBatchStream(
 
   /** Paced, window-bounded probe: items in [fromMs, toMs) from the API
     * (params rendered at whole-second granularity — see the reader),
-    * folded to (found, minMs, maxMs) over the in-window items.
-    * `stopAtFirstPage` stops paging after the first PAGE carrying an
-    * in-window item — the gap-resume probe only needs a resume point,
-    * not a scan of the whole remaining corpus; taking the min over a
-    * whole page (not the first item) keeps the subsequent jump tight
-    * even when the API's page order is not time-ascending. The batch
-    * fetch over the resulting window captures whatever the early exit
-    * skipped. */
+    * folded to (found, minMs) over the in-window items. Paging stops
+    * at the first PAGE carrying an in-window item — a probe only needs
+    * existence (dense case) or a resume point (gap case), never a scan
+    * of the whole window; taking the min over a whole page (not the
+    * first item) keeps the gap jump tight even when the API's page
+    * order is not time-ascending. `pageSize` is 1 for the existence
+    * probe (one item on the wire, not a full page) and cfg.pageSize
+    * for the gap probe (a fuller page gives a tighter resume min). */
   private def probeWindow(fromMs: Long, toMs: Long,
-      stopAtFirstPage: Boolean): (Boolean, Long, Long) = {
+      pageSize: Int): (Boolean, Long) = {
     val params = Map(
-      "page_size" -> cfg.pageSize.toString,
+      "page_size" -> pageSize.toString,
       "from" -> ZoomRows.isoFloorSec(fromMs)) ++
       (if (toMs == Long.MaxValue) Map.empty[String, String]
        else Map("to" -> ZoomRows.isoCeilSec(toMs)))
     val pages = PagedFetcher.pages(cfg.apiUrl, params, tokens, transport)
     var found = false
     var minMs = Long.MaxValue
-    var maxMs = Long.MinValue
-    var stop = false
-    while (!stop && pages.hasNext) {
+    while (!found && pages.hasNext) {
       probeLimiter.acquireBlocking()
       val arr = pages.next().get(cfg.itemsField)
       if (arr != null && arr.isArray)
@@ -125,37 +125,47 @@ private[sources] class ZoomMicroBatchStream(
             if (ms >= fromMs && ms < toMs) {
               found = true
               if (ms < minMs) minMs = ms
-              if (ms > maxMs) maxMs = ms
             }
           }
         }
-      if (stopAtFirstPage && found) stop = true
     }
-    (found, minMs, maxMs)
+    (found, minMs)
   }
 
-  /** Admission-controlled offset advance. Dense window: advance to
-    * max-in-window + 1 (≤ start + cap). Empty capped window: one
-    * gap-resume probe jumps the offset to first-item + cap so the next
-    * batch spans the gap AND carries data. No pending data: no advance
-    * (processAllAvailable terminates, no empty batches scheduled). */
+  /** Admission-controlled offset advance. Dense window: an
+    * EXISTENCE-ONLY probe (page_size=1, stops at the first in-window
+    * item) admits the batch, and the offset advances to
+    * min(start + cap, now) — the reference's bookmark-to-now loop
+    * (extract.py:196-211). Data pages cross the wire exactly once, in
+    * the partition reader; the probe costs one item. Empty capped
+    * window: one gap-resume probe jumps the offset to first-item + cap
+    * so the next batch spans the gap AND carries data. No pending
+    * data: no advance (processAllAvailable terminates, no empty
+    * batches scheduled).
+    *
+    * The offset never advances past `now`: items with future
+    * start_times are admitted by later triggers once the wall clock
+    * passes them, and items that APPEAR later with start_times before
+    * an already-committed offset are late arrivals for downstream
+    * watermark handling — exactly the reference's bookmark semantics
+    * (it fetches [bookmark, now] once and sets bookmark = now). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     known = math.max(known, start.asInstanceOf[ZoomMsOffset].ms)
     val cap = cfg.maxWindowPerBatchMs // validated > 0 at option parse
     val capEnd = if (cap == Long.MaxValue) Long.MaxValue
       else safeAdd(known, cap)
-    val (found, _, maxMs) =
-      probeWindow(known, capEnd, stopAtFirstPage = false)
-    if (found) {
-      known = maxMs + 1 // half-open: next window excludes maxMs
-    } else if (capEnd != Long.MaxValue &&
-        capEnd < System.currentTimeMillis()) {
+    val nowMs = System.currentTimeMillis()
+    val windowEnd = math.min(capEnd, math.max(nowMs, known))
+    val (exists, _) = probeWindow(known, windowEnd, pageSize = 1)
+    if (exists) {
+      known = windowEnd
+    } else if (capEnd != Long.MaxValue && capEnd < nowMs) {
       // empty capped HISTORICAL window — find where data resumes and
       // jump past the gap. Windows reaching into the future are skipped:
       // they cannot be a gap, only not-yet-arrived data, and probing
       // them would double idle API polling on every trigger forever.
-      val (resumed, resumeMs, _) =
-        probeWindow(capEnd, Long.MaxValue, stopAtFirstPage = true)
+      val (resumed, resumeMs) =
+        probeWindow(capEnd, Long.MaxValue, pageSize = cfg.pageSize)
       if (resumed) known = safeAdd(resumeMs, cap)
     }
     ZoomMsOffset(known)

@@ -47,9 +47,19 @@ class LoopbackHttpSpec extends SparkSpec {
       ((108L, "u108", "Mtg 108", "2024-01-11T00:00:00.500Z"))
 
   /** Meetings appended mid-test (the streaming spec grows the corpus
-    * between micro-batches); served alongside the fixed list. */
+    * between micro-batches); served alongside the fixed list. Their
+    * start_times must be NEAR WALL-NOW: the stream's offset advances
+    * to `now` per data-bearing batch (the reference's bookmark-to-now
+    * loop), so an item appearing later with a start_time before the
+    * committed offset is a late arrival the source does not re-scan. */
   private val extraMeetings =
     new ConcurrentLinkedQueue[(Long, String, String, String)]()
+
+  /** ISO instant just before wall-now: strictly after any committed
+    * offset from an earlier batch, strictly before the next probe's
+    * `now` — the window where a newly-appearing item is admitted. */
+  private def justBeforeNowIso(): String =
+    java.time.Instant.ofEpochMilli(System.currentTimeMillis() - 1).toString
 
   // --- server state -------------------------------------------------
   private val grantCount = new AtomicInteger(0)
@@ -63,6 +73,9 @@ class LoopbackHttpSpec extends SparkSpec {
   /** (path, status) log of every exchange, in arrival order. */
   private val statuses = new ConcurrentLinkedQueue[(String, Int)]()
   private val seenFromParams = new ConcurrentLinkedQueue[String]()
+  /** Meeting items actually serialized onto the wire — the
+    * double-fetch regression counter. */
+  private val itemsServed = new AtomicInteger(0)
 
   private def respond(ex: HttpExchange, status: Int, body: String,
       headers: Map[String, String] = Map.empty): Unit = {
@@ -95,10 +108,11 @@ class LoopbackHttpSpec extends SparkSpec {
   /** The one offset-token pagination implementation every paginated
     * endpoint shares (was three copies). */
   private def pageJson(itemsJson: Seq[String], p: Map[String, String],
-      field: String): String = {
+      field: String, counter: Option[AtomicInteger] = None): String = {
     val pageSize = p.getOrElse("page_size", "300").toInt
     val offset = p.get("next_page_token").map(_.toInt).getOrElse(0)
     val page = itemsJson.slice(offset, offset + pageSize)
+    counter.foreach(_.addAndGet(page.size))
     val npt =
       if (offset + pageSize < itemsJson.size) (offset + pageSize).toString
       else ""
@@ -153,7 +167,8 @@ class LoopbackHttpSpec extends SparkSpec {
               s""""end_time":"${st.replace(":00:00Z", ":30:00Z")}",""" +
               s""""duration":30,"participants_count":5,"type":2}"""
           }
-        respond(ex, 200, pageJson(inWindow, p, "meetings"))
+        respond(ex, 200, pageJson(inWindow, p, "meetings",
+          Some(itemsServed)))
       }
     })
 
@@ -336,9 +351,10 @@ class LoopbackHttpSpec extends SparkSpec {
       q.processAllAvailable() // terminates: offset only advances on data
       assert(sinkIds() === meetings.map(_._1).sorted)
       // the corpus grows between micro-batches — the bookmark offset
-      // must pick up ONLY the new window, exactly once
-      extraMeetings.add((201L, "u201", "Mtg 201", "2024-01-13T09:00:00Z"))
-      extraMeetings.add((202L, "u202", "Mtg 202", "2024-01-13T15:00:00Z"))
+      // must pick up ONLY the new window, exactly once (start_times
+      // near wall-now: the offset is a bookmark-to-now high-water mark)
+      extraMeetings.add((201L, "u201", "Mtg 201", justBeforeNowIso()))
+      extraMeetings.add((202L, "u202", "Mtg 202", justBeforeNowIso()))
       q.processAllAvailable()
       assert(sinkIds() === (meetings.map(_._1) ++ Seq(201L, 202L)).sorted)
 
@@ -348,7 +364,7 @@ class LoopbackHttpSpec extends SparkSpec {
       val q2 = startQuery()
       try {
         q2.processAllAvailable()
-        extraMeetings.add((203L, "u203", "Mtg 203", "2024-01-14T09:00:00Z"))
+        extraMeetings.add((203L, "u203", "Mtg 203", justBeforeNowIso()))
         q2.processAllAvailable()
         // global exactly-once: every id appears EXACTLY once across the
         // whole run, including across the restart boundary
@@ -359,6 +375,41 @@ class LoopbackHttpSpec extends SparkSpec {
       q.stop()
       extraMeetings.clear()
     }
+  }
+
+  test("live micro-batch stream fetches each data page exactly once " +
+      "(driver probe is existence-only: one item on the wire)") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_once_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_once_out").toString
+    itemsServed.set(0)
+    val q = spark.readStream.format("graft.sources.ZoomMeetingSource")
+      .option("apiUrl", s"$base/v2/meetings")
+      .option("tokenUrl", s"$base/oauth/token")
+      .option("clientId", clientId)
+      .option("clientSecret", clientSecret)
+      .option("pageSize", "3")
+      .option("startTime", "2024-01-01T00:00:00Z")
+      .load()
+      .select("id", "start_time")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(outDir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === meetings.map(_._1).sorted)
+      // every meeting crossed the wire exactly ONCE (the reader's
+      // window fetch: pages of 3+3+2) plus ONE item for the driver's
+      // page_size=1 existence probe; idle probes carry zero items.
+      // The old double-fetch design moved 2n+probe items here.
+      assert(itemsServed.get === meetings.size + 1,
+        s"wire carried ${itemsServed.get} items for " +
+          s"${meetings.size} meetings — data pages must cross once")
+    } finally q.stop()
   }
 
   test("limit pushdown stops page fetching (LIMIT 3 fetches 2 pages, " +
