@@ -202,9 +202,10 @@ final class HttpStatusException(
   *    SAME request, at most `maxAttempts` times;
   *  - 401 ⇒ invalidate the token manager and retry ONCE with a fresh
   *    grant;
-  *  - everything else (including 404) returns to the CALLER — a lookup
-  *    interprets 404 as "try the webinar endpoint" (extract.py:164),
-  *    a paginator as a hard error. */
+  *  - everything else (including 400/404) returns to the CALLER — a
+  *    lookup sniffs a 400 body for the webinar-fallback marker
+  *    (extract.py:153-160), a paginator treats any non-2xx as a hard
+  *    error. */
 private[sources] object HttpRetry {
   /** Returns (final response, attempts made). Never throws on HTTP
     * status — transport-level failures (connect/timeouts) propagate. */

@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Per-row live HTTP detail lookup with endpoint fallback — the
   * reference's meeting→webinar fallback (S6,
-  * src/zoom/extract.py:150-170: GET /meetings/{uuid}, on 404 retry
-  * /webinars/{uuid}) as a distributed enrichment operator:
+  * src/zoom/extract.py:135-172) as a distributed enrichment operator:
   *
   *  - `mapPartitions`: one transport + per-executor [[TokenManager]]
   *    singleton + one TokenBucket per partition — N keys never mean N
@@ -16,10 +15,20 @@ import org.apache.spark.sql.functions._
   *    bounded retries, 401 re-grant-once) — shared with
   *    [[PagedFetcher]] so single-GET and pagination behavior cannot
   *    drift;
-  *  - 404 on the primary ⇒ ONE fallback GET (extract.py:164); 404 on
-  *    both ⇒ a NOT_FOUND error row; any other non-2xx ⇒ UNEXPECTED —
-  *    rows, not exceptions: a missing object is a dead-letter metric,
-  *    not a dead job (ErrorRouter taxonomy, error_types.py:4-12);
+  *  - the fallback trigger is the reference's exact protocol
+  *    (extract.py:153-167): HTTP 400 whose JSON `message` contains
+  *    "Can not access webinar info," names a WEBINAR — the fallback id
+  *    is parsed from that message (the token after ", ") and the ONE
+  *    fallback GET uses the PARSED id, not the original key. The
+  *    reference then stamps the webinar payload's uuid back to the
+  *    meeting id (extract.py:164) — here the original key is already
+  *    the row's `key` column, and the end_time/participants_count
+  *    nulling is downstream defaulting (T3, Normalize.withDefault);
+  *  - plain 404 is NOT a fallback trigger (extract.py:151-152 only
+  *    warns and re-raises): it becomes a NOT_FOUND error row; any
+  *    other non-2xx ⇒ taxonomy row — rows, not exceptions: a missing
+  *    object is a dead-letter metric, not a dead job (ErrorRouter
+  *    taxonomy, error_types.py:4-12);
   *  - URL templates carry a `{key}` placeholder, URL-encoded (the
   *    reference double-encodes uuids with '/' — compose with
   *    [[graft.functions.Normalize]]'s double-encode for that case).
@@ -67,19 +76,50 @@ object ZoomLookup {
           if (primary.status / 100 == 2)
             LookupRow(key, "primary", primary.status, primary.body, null,
               null)
-          else if (primary.status == 404 && fallbackTemplate.isDefined) {
-            limiter.acquireBlocking()
-            val (fb, _) = HttpRetry.get(
-              renderUrl(fallbackTemplate.get, key), Map.empty, tokens,
-              transport)
-            if (fb.status / 100 == 2)
-              LookupRow(key, "fallback", fb.status, fb.body, null, null)
-            else errorRow(key, fb.status, "fallback")
-          } else errorRow(key, primary.status, "primary")
+          else {
+            val fallbackId =
+              if (primary.status == 400 && fallbackTemplate.isDefined)
+                webinarIdFrom(primary.body)
+              else None
+            fallbackId match {
+              case Some(wid) =>
+                limiter.acquireBlocking()
+                val (fb, _) = HttpRetry.get(
+                  renderUrl(fallbackTemplate.get, wid), Map.empty, tokens,
+                  transport)
+                if (fb.status / 100 == 2)
+                  LookupRow(key, "fallback", fb.status, fb.body, null, null)
+                else errorRow(key, fb.status, "fallback")
+              case None => errorRow(key, primary.status, "primary")
+            }
+          }
         }
       }
     }
   }
+
+  /** The 400-body marker the API uses when a meeting id is actually a
+    * webinar (extract.py:157: `"Can not access webinar info," in
+    * _message`). */
+  private val WebinarMarker = "Can not access webinar info,"
+
+  /** Parse the webinar id out of a 400 response body, mirroring the
+    * reference byte-for-byte: `message.split(", ")[1]`
+    * (extract.py:158). None when the body is not JSON, has no message,
+    * lacks the marker, or has nothing after the first ", " — the
+    * caller then dead-letters the original 400. */
+  private[sources] def webinarIdFrom(body: String): Option[String] =
+    try {
+      val node =
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val msg = Option(node.get("message")).filterNot(_.isNull)
+        .map(_.asText()).getOrElse("")
+      if (!msg.contains(WebinarMarker)) None
+      else {
+        val parts = msg.split(", ", -1)
+        if (parts.length > 1 && parts(1).nonEmpty) Some(parts(1)) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Path-SEGMENT encoding: URLEncoder is form encoding (space → '+',
     * which servers decode as a literal plus in a path); re-encode the

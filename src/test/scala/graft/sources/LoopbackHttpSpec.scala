@@ -172,23 +172,30 @@ class LoopbackHttpSpec extends SparkSpec {
       }
     })
 
-    // per-object detail endpoints for the S6 lookup-with-fallback:
-    // meetings exist for EVEN ids; odd ids divisible by 3 are webinars;
-    // everything else is 404 on both (extract.py:150-170 shape)
+    // per-object detail endpoints for the S6 lookup-with-fallback,
+    // reproducing the reference protocol (extract.py:150-167): meetings
+    // exist for EVEN ids; odd ids divisible by 3 are webinars and the
+    // MEETING endpoint answers 400 with "Can not access webinar info,
+    // w{id}" — the fallback must parse the webinar id (w3, NOT the
+    // original key 3) out of that message; everything else is 404
     s.createContext("/v2/meeting_detail/", (ex: HttpExchange) => {
       val id = lastSegment(ex)
       if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
       else if (id.toLongOption.exists(_ % 2 == 0))
         respond(ex, 200,
           s"""{"id":$id,"uuid":"u$id","topic":"Mtg $id","type":2}""")
+      else if (id.toLongOption.exists(i => i % 2 == 1 && i % 3 == 0))
+        respond(ex, 400,
+          s"""{"code":3001,"message":"Can not access webinar info, w$id"}""")
       else respond(ex, 404, """{"error":"meeting not found"}""")
     })
     s.createContext("/v2/webinar_detail/", (ex: HttpExchange) => {
-      val id = lastSegment(ex)
+      val id = lastSegment(ex) // webinar ids carry the "w" prefix
       if (!authed(ex)) respond(ex, 401, """{"error":"invalid token"}""")
-      else if (id.toLongOption.exists(i => i % 2 == 1 && i % 3 == 0))
+      else if (id.startsWith("w") && id.drop(1).toLongOption
+          .exists(i => i % 2 == 1 && i % 3 == 0))
         respond(ex, 200,
-          s"""{"id":$id,"uuid":"w$id","topic":"Web $id","type":5}""")
+          s"""{"id":"$id","uuid":"$id","topic":"Web $id","type":5}""")
       else respond(ex, 404, """{"error":"webinar not found"}""")
     })
 
@@ -467,7 +474,8 @@ class LoopbackHttpSpec extends SparkSpec {
   }
 
   test("live per-key lookup with webinar fallback over a real socket " +
-      "(S6: meeting 404 -> webinar, both 404 -> dead letter)") {
+      "(S6: 400 + message names the webinar id, plain 404 -> dead letter)") {
+    statuses.clear()
     val keys = spark.range(1, 7).toDF("id") // 1..6
     val rows = ZoomLookup.withFallback(keys, "id",
       s"$base/oauth/token", clientId, clientSecret,
@@ -481,14 +489,45 @@ class LoopbackHttpSpec extends SparkSpec {
       assert(byKey(k).getAs[String]("endpoint") === "primary")
       assert(byKey(k).getAs[String]("body").contains("\"type\":2"))
     }
-    // 3 is a webinar: 404 on primary, resolved by the fallback
+    // 3 is a webinar: the meeting endpoint answers 400 with
+    // "Can not access webinar info, w3" and the fallback GET must use
+    // the PARSED id w3 — the original key 3 404s on the webinar
+    // endpoint, so success proves the message-sniff protocol
     assert(byKey("3").getAs[String]("endpoint") === "fallback")
     assert(byKey("3").getAs[String]("body").contains("\"type\":5"))
+    assert(byKey("3").getAs[String]("body").contains("w3"))
     assert(byKey.keySet === Set("2", "3", "4", "6"))
-    // 1 and 5 are 404 on BOTH -> NOT_FOUND dead letters, job survives
+    assert(statuses.asScala.exists {
+      case (p, st) => p.endsWith("/webinar_detail/w3") && st == 200
+      case _ => false
+    }, "fallback GET must hit the id parsed from the 400 message")
+    // plain 404 (1, 5) is NOT a fallback trigger: the reference only
+    // sniffs 400 bodies — these dead-letter directly, job survives
     val deadRows = dead.collect().map(r =>
       r.getAs[String]("key") -> r.getAs[String]("error_type")).toMap
     assert(deadRows === Map("1" -> "NOT_FOUND", "5" -> "NOT_FOUND"))
+    assert(!statuses.asScala.exists {
+      case (p, _) => p.endsWith("/webinar_detail/1") ||
+        p.endsWith("/webinar_detail/5")
+      case _ => false
+    }, "plain 404 must not attempt the fallback endpoint")
+  }
+
+  test("webinarIdFrom mirrors the reference's message parse exactly") {
+    assert(ZoomLookup.webinarIdFrom(
+      """{"code":3001,"message":"Can not access webinar info, 987654"}""")
+      === Some("987654"))
+    // split(", ")[1] keeps only the token between the first and second
+    // ", " — same as the reference
+    assert(ZoomLookup.webinarIdFrom(
+      """{"message":"Can not access webinar info, 42, extra"}""")
+      === Some("42"))
+    assert(ZoomLookup.webinarIdFrom(
+      """{"message":"some other 400"}""") === None)
+    assert(ZoomLookup.webinarIdFrom(
+      """{"message":"Can not access webinar info,"}""") === None)
+    assert(ZoomLookup.webinarIdFrom("not json") === None)
+    assert(ZoomLookup.webinarIdFrom("""{"code":3001}""") === None)
   }
 
   test("live 1:N child fetch paginates per key over a real socket " +
