@@ -19,15 +19,21 @@ import graft.operators.ErrorRouter
   * `javax.imageio` (PNG/JPEG/GIF/BMP) for [[decodeImage]] — true
   * width/height/channels plus a grid-pooled luminance feature vector —
   * and [[resizeImage]] re-rendering through `Graphics2D`;
-  * `javax.sound.sampled` (WAV/AIFF/AU PCM) for [[decodeAudio]] — true
-  * sample rate/frame count plus per-window RMS-energy features.
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM) for the audio decoders —
+  * true sample rate/frame count, with three feature extractors over
+  * the same PCM decode: per-window RMS energy ([[decodeAudio]], the
+  * cheap amplitude profile), log-mel spectral energies
+  * ([[decodeAudioMel]]) and MFCC ([[decodeAudioMfcc]]) — the last two
+  * through the pure-JVM FFT + mel filterbank + DCT-II in [[Dsp]], so
+  * real spectral features need no native DSP stack.
+  * Video containers parse structurally through [[Mp4Meta]]
+  * ([[videoMetadata]]): duration, pixel dimensions and codec fourcc
+  * from the ISO-BMFF box tree — parsed container truth without a
+  * frame codec.
   * Bytes that are not decodable (garbage, or compressed codecs the JDK
-  * does not ship: mp3/aac/video containers) become dead-letter rows
-  * (VALIDATION) instead of killing the job — the same error-channel
-  * shape as [[graft.operators.ErrorRouter]]. Nothing here is stubbed;
-  * the one semantic simplification is that audio features are RMS
-  * energy per window, not MFCC (the JDK has no DSP stack — swapping in
-  * an MFCC implementation changes only [[decodeAudio]]'s feature math).
+  * does not ship: mp3/aac) become dead-letter rows (VALIDATION)
+  * instead of killing the job — the same error-channel shape as
+  * [[graft.operators.ErrorRouter]]. Nothing here is stubbed.
   *
   * Scale posture: bytes never leave executors (mapPartitions, no
   * collect); metadata-only queries prune the binary column at the parquet
@@ -250,16 +256,15 @@ object Media {
   }
 
   /** REAL audio decode (javax.sound.sampled — WAV/AIFF/AU PCM, JDK
-    * built-in). Converts to signed 16-bit PCM, channel-averages to
-    * mono, and pools the signal into `dim` equal windows of RMS energy
-    * (each in [0,1]) — the audio analog of [[decodeImage]]'s luminance
-    * grid. True sample rate and frame count from the stream header.
-    * Compressed codecs (mp3/aac) are not in the JDK ⇒ Left ⇒
-    * dead-letter, same contract as undecodable images. */
-  def decodeAudio(dim: Int = 8)(f: MediaFile): Either[String, AudioFeatures] =
+    * built-in): signed 16-bit PCM, channel-averaged to mono samples in
+    * [-1,1], plus the true header sample rate. Compressed codecs
+    * (mp3/aac) are not in the JDK ⇒ Left ⇒ dead-letter, same contract
+    * as undecodable images. */
+  private def readPcmMono(content: Array[Byte])
+      : Either[String, (Array[Double], Int)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(f.content))
+        new ByteArrayInputStream(content))
       val src = in.getFormat
       val target = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -286,17 +291,7 @@ object Media {
           samples(i) = acc / ch
           i += 1
         }
-        val feats = Array.tabulate(dim) { w =>
-          val lo = (w.toLong * nFrames / dim).toInt
-          val hi = ((w + 1).toLong * nFrames / dim).toInt.max(lo + 1)
-            .min(nFrames)
-          var ss = 0.0
-          var j = lo
-          while (j < hi) { ss += samples(j) * samples(j); j += 1 }
-          math.sqrt(ss / (hi - lo)).toFloat
-        }
-        Right(AudioFeatures(f.media_id, src.getSampleRate.toInt, nFrames,
-          feats))
+        Right((samples, src.getSampleRate.toInt))
       }
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException =>
@@ -304,12 +299,59 @@ object Media {
       case NonFatal(e) => Left(s"decode failed: ${e.getMessage}")
     }
 
-  /** Decode per partition into the success/error envelope. */
-  def decodeAudioFiles(files: Dataset[MediaFile], dim: Int = 8):
-      Dataset[AudioDecodeResult] = {
+  /** RMS-energy features: the signal pooled into `dim` equal windows
+    * of RMS (each in [0,1]) — the audio analog of [[decodeImage]]'s
+    * luminance grid, cheapest amplitude profile. */
+  def decodeAudio(dim: Int = 8)(f: MediaFile): Either[String, AudioFeatures] =
+    readPcmMono(f.content).map { case (samples, sr) =>
+      val nFrames = samples.length
+      val feats = Array.tabulate(dim) { w =>
+        val lo = (w.toLong * nFrames / dim).toInt
+        val hi = ((w + 1).toLong * nFrames / dim).toInt.max(lo + 1)
+          .min(nFrames)
+        var ss = 0.0
+        var j = lo
+        while (j < hi) { ss += samples(j) * samples(j); j += 1 }
+        math.sqrt(ss / (hi - lo)).toFloat
+      }
+      AudioFeatures(f.media_id, sr, nFrames, feats)
+    }
+
+  /** REAL log-mel spectral features: the PCM decode above →
+    * [[Dsp.logMelSpectrogram]] (Hamming frames, FFT, triangular mel
+    * filterbank) → time-mean pooled to one `nMels` vector per file.
+    * Peak bin index maps to a physical frequency via
+    * [[Dsp.melFilterCentersHz]]. */
+  def decodeAudioMel(nMels: Int = 26)(f: MediaFile)
+      : Either[String, AudioFeatures] =
+    readPcmMono(f.content).flatMap { case (samples, sr) =>
+      val mel = Dsp.logMelSpectrogram(samples, sr.toDouble, nMels)
+      if (mel.isEmpty)
+        Left("undecodable: shorter than one 25 ms analysis window")
+      else Right(AudioFeatures(f.media_id, sr, samples.length,
+        Dsp.meanPool(mel)))
+    }
+
+  /** REAL MFCC features: log-mel frames → DCT-II, first `nCoef`
+    * coefficients (c0 = overall log energy), time-mean pooled — the
+    * standard compact audio signature for dedup/quality filtering. */
+  def decodeAudioMfcc(nMels: Int = 26, nCoef: Int = 13)(f: MediaFile)
+      : Either[String, AudioFeatures] =
+    readPcmMono(f.content).flatMap { case (samples, sr) =>
+      val m = Dsp.mfcc(samples, sr.toDouble, nMels, nCoef)
+      if (m.isEmpty)
+        Left("undecodable: shorter than one 25 ms analysis window")
+      else Right(AudioFeatures(f.media_id, sr, samples.length,
+        Dsp.meanPool(m)))
+    }
+
+  /** Decode per partition into the success/error envelope with any of
+    * the audio feature extractors. */
+  private def audioEnvelope(files: Dataset[MediaFile],
+      decode: MediaFile => Either[String, AudioFeatures])
+      : Dataset[AudioDecodeResult] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
-      val decode = decodeAudio(dim) _
       it.map { f =>
         decode(f) match {
           case Right(a) => AudioDecodeResult(f.media_id, f.path,
@@ -321,24 +363,105 @@ object Media {
     }
   }
 
-  /** Successful audio decodes only. */
-  def audioFeatures(files: Dataset[MediaFile], dim: Int = 8):
-      Dataset[AudioFeatures] = {
-    import files.sparkSession.implicits._
-    decodeAudioFiles(files, dim).flatMap(r => r.features.map(fs =>
+  private def audioOk(decoded: Dataset[AudioDecodeResult])
+      : Dataset[AudioFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap(r => r.features.map(fs =>
       AudioFeatures(r.media_id, r.sample_rate.get, r.n_frames.get, fs)))
   }
+
+  /** Decode per partition into the success/error envelope (RMS). */
+  def decodeAudioFiles(files: Dataset[MediaFile], dim: Int = 8):
+      Dataset[AudioDecodeResult] =
+    audioEnvelope(files, decodeAudio(dim))
+
+  /** Successful audio decodes only (RMS features). */
+  def audioFeatures(files: Dataset[MediaFile], dim: Int = 8):
+      Dataset[AudioFeatures] =
+    audioOk(decodeAudioFiles(files, dim))
 
   /** ErrorRouter-shaped split for audio: (features, dead-letter); same
     * one-envelope/two-lazy-channels contract as
     * [[imageFeaturesWithDeadLetter]]. */
   def audioFeaturesWithDeadLetter(files: Dataset[MediaFile], dim: Int = 8):
       (Dataset[AudioFeatures], DataFrame) = {
-    import files.sparkSession.implicits._
     val decoded = decodeAudioFiles(files, dim)
-    val ok = decoded.flatMap(r => r.features.map(fs =>
-      AudioFeatures(r.media_id, r.sample_rate.get, r.n_frames.get, fs)))
-    (ok, deadLetterOf(decoded.toDF()))
+    (audioOk(decoded), deadLetterOf(decoded.toDF()))
+  }
+
+  /** Log-mel features with the dead-letter channel. */
+  def melFeaturesWithDeadLetter(files: Dataset[MediaFile], nMels: Int = 26):
+      (Dataset[AudioFeatures], DataFrame) = {
+    val decoded = audioEnvelope(files, decodeAudioMel(nMels))
+    (audioOk(decoded), deadLetterOf(decoded.toDF()))
+  }
+
+  /** MFCC features with the dead-letter channel. */
+  def mfccFeaturesWithDeadLetter(files: Dataset[MediaFile],
+      nMels: Int = 26, nCoef: Int = 13):
+      (Dataset[AudioFeatures], DataFrame) = {
+    val decoded = audioEnvelope(files, decodeAudioMfcc(nMels, nCoef))
+    (audioOk(decoded), deadLetterOf(decoded.toDF()))
+  }
+
+  /** Video analog of [[ImageDecodeResult]]: parsed ISO-BMFF container
+    * truth (no frame decode — see [[Mp4Meta]]). */
+  final case class VideoMetaResult(
+      media_id: Long,
+      path: String,
+      brand: Option[String],
+      duration_ms: Option[Long],
+      width: Option[Int],
+      height: Option[Int],
+      codec: Option[String],
+      error: Option[String])
+
+  /** REAL video container parse per partition ([[Mp4Meta]]): duration,
+    * dimensions and codec fourcc from the MP4 box structure — parsed
+    * metadata, not path metadata. Non-BMFF bytes get the same
+    * VALIDATION dead-letter contract as undecodable images/audio. */
+  def videoMetadata(files: Dataset[MediaFile]): Dataset[VideoMetaResult] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.map { f =>
+        Mp4Meta.parse(f.content) match {
+          case Right(m) => VideoMetaResult(f.media_id, f.path,
+            Some(m.brand), Some(m.duration_ms), m.width, m.height,
+            m.codec, None)
+          case Left(err) => VideoMetaResult(f.media_id, f.path,
+            None, None, None, None, None, Some(err))
+        }
+      }
+    }
+  }
+
+  /** ErrorRouter-shaped split for video metadata. */
+  def videoMetadataWithDeadLetter(files: Dataset[MediaFile]):
+      (Dataset[VideoMetaResult], DataFrame) = {
+    import files.sparkSession.implicits._
+    val decoded = videoMetadata(files)
+    (decoded.filter((r: VideoMetaResult) => r.error.isEmpty),
+      deadLetterOf(decoded.toDF()))
+  }
+
+  /** Enrich video MediaFiles with PARSED duration/dimensions so the
+    * frame-sample plan runs on container truth instead of caller-
+    * supplied values; unparseable files keep their original metadata
+    * (and surface on [[videoMetadata]]'s dead-letter channel). */
+  def withParsedVideoMeta(files: Dataset[MediaFile]): Dataset[MediaFile] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.map { f =>
+        if (f.kind != "video") f
+        else Mp4Meta.parse(f.content) match {
+          case Right(m) => f.copy(
+            width = m.width.orElse(f.width),
+            height = m.height.orElse(f.height),
+            duration_ms = Some(m.duration_ms))
+          case Left(_) => f
+        }
+      }
+    }
   }
 
   /** Frame sampling plan for video: every nth frame index up to a cap —

@@ -121,6 +121,63 @@ class MediaSpec extends SparkSpec {
     assert(d.head.getAs[String]("error_detail").contains("undecodable"))
   }
 
+  test("real log-mel features: the committed 440 Hz fixture peaks in " +
+      "the mel bin whose center is nearest 440 Hz") {
+    val rows = Seq(
+      (10L, fixtureBytes("tone.wav")),
+      (11L, "not audio at all".getBytes("UTF-8")))
+    val ds = Media.fromBytes(rows.toDF("id", "bytes"), "id", "bytes", "audio")
+    val (ok, dead) = Media.melFeaturesWithDeadLetter(ds, nMels = 26)
+    val a = ok.collect()
+    assert(a.map(_.media_id).toSeq === Seq(10L))
+    val t = a.head
+    assert(t.sample_rate === 8000 && t.n_frames === 2000)
+    assert(t.features.length === 26)
+    val centers = Dsp.melFilterCentersHz(26, 8000.0)
+    val peak = t.features.indexOf(t.features.max)
+    val nearest = centers.indices.minBy(i => math.abs(centers(i) - 440.0))
+    // REAL spectral analysis: the tone lands in the physically correct
+    // filter, not just "some features came out"
+    assert(peak === nearest,
+      s"peak bin $peak (${centers(peak)} Hz) should be $nearest " +
+        s"(${centers(nearest)} Hz)")
+    assert(dead.collect().map(_.getAs[Long]("media_id")).toSeq === Seq(11L))
+  }
+
+  test("real mfcc features: finite, 13 coefficients, repartition-" +
+      "invariant; sub-window audio dead-letters") {
+    val ds = Media.fromBytes(
+      Seq((10L, fixtureBytes("tone.wav"))).toDF("id", "bytes"),
+      "id", "bytes", "audio")
+    val f1 = Media.mfccFeaturesWithDeadLetter(ds)._1.collect().head
+    assert(f1.features.length === 13)
+    assert(f1.features.forall(v => !v.isNaN && !v.isInfinite))
+    val f2 = Media.mfccFeaturesWithDeadLetter(ds.repartition(2))._1
+      .collect().head
+    assert(f1.features.toSeq === f2.features.toSeq)
+    // audio shorter than one 25 ms analysis window cannot be framed:
+    // VALIDATION dead letter, not an exception or a NaN vector
+    val shortWav = {
+      val n = 50 // 50 samples @ 8 kHz = 6.25 ms
+      val data = new Array[Byte](n * 2)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+        false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val tiny = Media.fromBytes(
+      Seq((12L, shortWav)).toDF("id", "bytes"), "id", "bytes", "audio")
+    val (ok, dead) = Media.mfccFeaturesWithDeadLetter(tiny)
+    assert(ok.collect().isEmpty)
+    val d = dead.collect()
+    assert(d.length === 1 &&
+      d.head.getAs[String]("error_detail").contains("25 ms"))
+  }
+
   test("audio decode is deterministic across repartitioning") {
     val ds = Media.fromBytes(
       Seq((10L, fixtureBytes("tone.wav"))).toDF("id", "bytes"),
@@ -140,6 +197,43 @@ class MediaSpec extends SparkSpec {
       .getOrElse("")
     assert(readSchema.nonEmpty && !readSchema.contains("content"),
       readSchema) // blob column skipped entirely by the columnar reader
+  }
+
+  test("real video container parse: committed MP4 fixture yields " +
+      "parsed duration/dims/codec; garbage dead-letters") {
+    val rows = Seq(
+      (20L, fixtureBytes("tiny.mp4")),
+      (21L, "definitely not a video".getBytes("UTF-8")))
+    val ds = Media.fromBytes(rows.toDF("id", "bytes"), "id", "bytes", "video")
+    val (ok, dead) = Media.videoMetadataWithDeadLetter(ds)
+    val v = ok.collect()
+    assert(v.map(_.media_id).toSeq === Seq(20L))
+    val m = v.head
+    // parsed CONTAINER truth, not path metadata: mvhd duration at
+    // timescale 1000, tkhd 16.16 dims, stsd sample-entry fourcc
+    assert(m.brand === Some("isom"))
+    assert(m.duration_ms === Some(5000L))
+    assert(m.width === Some(320) && m.height === Some(240))
+    assert(m.codec === Some("avc1"))
+    val d = dead.collect()
+    assert(d.length === 1 && d.head.getAs[Long]("media_id") === 21L)
+    assert(d.head.getAs[String]("error_type") === "VALIDATION")
+    assert(d.head.getAs[String]("error_detail").contains("undecodable"))
+  }
+
+  test("withParsedVideoMeta feeds parsed duration into frameSamplePlan") {
+    val ds = Media.fromBytes(
+      Seq((20L, fixtureBytes("tiny.mp4"))).toDF("id", "bytes"),
+      "id", "bytes", "video")
+    // no caller-supplied duration: the plan can only come from the parse
+    assert(ds.collect().head.duration_ms === None)
+    val enriched = Media.withParsedVideoMeta(ds)
+    val e = enriched.collect().head
+    assert(e.duration_ms === Some(5000L))
+    assert(e.width === Some(320) && e.height === Some(240))
+    val plan = Media.frameSamplePlan(enriched, everyMs = 1000, maxFrames = 10)
+    val ts = plan.select("frame_ts_ms").as[Long].collect().sorted
+    assert(ts === Array(0L, 1000L, 2000L, 3000L, 4000L, 5000L))
   }
 
   test("frameSamplePlan: every-nth-frame metadata, capped") {
