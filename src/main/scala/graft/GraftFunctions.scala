@@ -47,6 +47,8 @@ object GraftFunctions {
     }),
     "graft_token_count" -> (es =>
       NE.expr(TextFunctions.tokenCount(NE.col(es.head)))),
+    "graft_norm" -> (es =>
+      NE.expr(graft.functions.VectorFunctions.norm(NE.col(es.head)))),
     "graft_quality" -> (es =>
       NE.expr(TextFunctions.qualityScore(NE.col(es.head)))),
     "graft_langid" -> (es => NE.expr(TextFunctions.langId(NE.col(es.head)))),

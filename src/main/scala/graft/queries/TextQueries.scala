@@ -72,9 +72,19 @@ object TextQueries extends QueryPack {
 
     // Rolling-hash fingerprint (full DuckDB mirror: the hash is plain
     // modular arithmetic, foldable with list_reduce).
-    "q36_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+    // Routed through the SQL SURFACE on purpose: graft_fingerprint
+    // resolves via GraftFunctions' registered builder to the same
+    // native Fingerprint64 expression the Column API builds, so this
+    // gate covers the SQL resolution path end-to-end — a registry or
+    // builder bug would hash-mismatch here, not hide behind an
+    // untested registration (it builds the identical expression tree,
+    // so the physical plan is unchanged).
+    "q36_fingerprint" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("g36_documents")
+      s.sql(
+        "SELECT doc_id, graft_fingerprint(text) AS fp FROM g36_documents")
+    }),
 
     // BPE-ish token counting (alternation regex — RE2-compatible, so
     // DuckDB can mirror it exactly).

@@ -60,10 +60,17 @@ object VectorQueries extends QueryPack {
           round(col("jaccard"), 4).as("jaccard"))
     }),
 
-    // Per-vector L2 norm (deterministic per-row arithmetic).
-    "q42_vector_norms" -> ((s, dir) =>
-      t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-        round(VectorFunctions.norm(col("embedding")), 6).as("l2_norm"))),
+    // Per-vector L2 norm (deterministic per-row arithmetic). Routed
+    // through the SQL surface (graft_norm → VectorFunctions.norm, the
+    // identical expression tree) so the registry's resolution path is
+    // oracle-gated alongside q36 — see TextQueries q36 for rationale.
+    "q42_vector_norms" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("g42_embeddings")
+      s.sql("""SELECT vec_id, label,
+              |  round(graft_norm(embedding), 6) AS l2_norm
+              |FROM g42_embeddings""".stripMargin)
+    }),
 
     // ANN: LSH-bucketed approximate top-3 (oracle: derived-invariant
     // sim/rank re-check + recall floor). bits/tables tuned to this
