@@ -55,10 +55,16 @@ object Bench {
     // operators return eagerly-materialized cached results (the
     // persist-hygiene contract), and a repeat run would otherwise be
     // served from the previous run's cache — a bogus near-zero time.
+    // BLOCKING unpersist + a settle pause: round 5's non-blocking
+    // release left async block-removal racing the next timed run on
+    // the same executor threads, inflating sub-second queries up to
+    // 1.9× (the q25–q27 drift, VERDICT r5 #4 — reproduced and isolated
+    // by graft.BenchProbe: releaseAll+gc 0.40 s vs 0.25 s blocking+
+    // settle for q25, zero codegen recompiles either way).
     def releaseAll(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // Median of 3 runs per query: round-4 single-shot numbers showed
     // >1.7× phantom regressions in untouched code (VERDICT r4 #3) —
@@ -68,19 +74,28 @@ object Bench {
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        var lastDf: org.apache.spark.sql.DataFrame = null
         val times = (1 to runsPerQuery).map { _ =>
           releaseAll()
           // let the ContextCleaner drop prior runs' broadcasts/shuffles
           // (they're GC-triggered; a 24g heap GCs too rarely on its
-          // own, and accumulated state bleeds into later timings)
+          // own, and accumulated state bleeds into later timings),
+          // then give the cleaner's async deletions a beat to drain so
+          // they don't compete with the timed run (BenchProbe proto D)
           System.gc()
+          Thread.sleep(100)
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try {
+            val df = fn(spark, sfDir)
+            df.count()
+            lastDf = df
+          } catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> times(runsPerQuery / 2)
+        (name, times(runsPerQuery / 2), planFingerprint(lastDf))
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    val timesByName = results.map { case (k, v, _) => k -> v }
     // ANN quality alongside speed: recall@3 of the approximate indexes
     // vs the exact result at THIS sf (untimed; the driver reads it from
     // the same JSON line).
@@ -95,7 +110,7 @@ object Bench {
           n -> (exact & pairSet(n)).size.toDouble / math.max(exact.size, 1)
         }
       } catch { case _: Throwable => Seq.empty }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = timesByName.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rc =
       if (recalls.isEmpty) ""
@@ -111,8 +126,45 @@ object Bench {
         Q74Threshold, Q74LshBits, Q74LshTables))
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString(",\"path\":{", ",", "}")
+    // Plan fingerprints: a short hash of each query's EXECUTED plan's
+    // node-type histogram. Any silent physical reroute (the r4 q74
+    // failure mode: LSH plan falling back to exact; a broadcast join
+    // degrading to sort-merge) changes the histogram and therefore the
+    // fingerprint — diffable driver-side round over round without
+    // shipping whole plan dumps.
+    val fps = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
+      .mkString(",\"plan_fp\":{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths$fps,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Node-type histogram of the executed plan (AQE final stages and
+    * reused/staged subtrees included), hashed to 8 hex chars. Node
+    * names are truncated at the first space/paren so codegen ids,
+    * file paths and stage ids cannot leak into the fingerprint —
+    * node TYPE counts are the reroute signal, not labels. */
+  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    if (df == null) "err"
+    else try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val hist = scala.collection.mutable.Map.empty[String, Int]
+      def visit(p: SparkPlan): Unit = {
+        val key = p.nodeName.split("[ (]")(0)
+        hist(key) = hist.getOrElse(key, 0) + 1
+        p match {
+          case a: AdaptiveSparkPlanExec => visit(a.executedPlan)
+          case s: QueryStageExec => visit(s.plan)
+          case _ => ()
+        }
+        p.children.foreach(visit)
+      }
+      visit(df.queryExecution.executedPlan)
+      val canon = hist.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(";")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "err" }
 }

@@ -115,6 +115,15 @@ object StreamReplayQueries extends QueryPack {
         .collect()
         .sortBy(e => (e.ts.getTime, e.event_id))
       val input = MemoryStream[Event]
+      // Gate-sized shuffle partitioning for the snapshot cycles (same
+      // rationale as q75's state-store sizing): every upsert window
+      // and snapshot write at 32 partitions is pure per-file overhead
+      // at this input size — 8 keeps multi-partition semantics under
+      // test at a quarter of the commit cost. Restored after the body
+      // (the returned result is already localCheckpoint-materialized).
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       // K4: foreachBatch idempotent upsert into the staging snapshot,
       // exactly RecordingStream.start's sink shape
       val q = input.toDF().writeStream
@@ -128,14 +137,22 @@ object StreamReplayQueries extends QueryPack {
         }
         .start()
       try {
+        // TWO staging commit cycles (was 3 + a separate replay cycle —
+        // VERDICT r5 Next #6): cycle 1 stages the first half; cycle 2
+        // delivers the second half PLUS a full redelivery of the first
+        // half. The redelivery crosses the commit boundary, so the
+        // idempotent upsert must dedup against the ON-DISK snapshot —
+        // exactly the at-least-once contract the extra cycle used to
+        // cover, at half the snapshot-commit cost.
         val n = evs.length
-        val chunks = if (n == 0) Seq(evs) else evs.grouped(math.max(1, (n + 2) / 3)).toSeq
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          input.addData(c.toIndexedSeq); q.processAllAvailable()
-          if (i == 1) { // at-least-once delivery: replay a whole batch
-            input.addData(c.toIndexedSeq); q.processAllAvailable()
-          }
-        }
+        val chunks = if (n == 0) Seq(evs)
+          else evs.grouped(math.max(1, (n + 1) / 2)).toSeq
+        val first = chunks.head
+        val rest = chunks.drop(1).flatten
+        input.addData(first.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData((rest ++ first).toIndexedSeq)
+        q.processAllAvailable()
       } finally q.stop()
       // J1+K5+J2 promote transaction: parent gate = BUILDING-segment
       // customers; both output plans execute before either snapshot
@@ -159,6 +176,7 @@ object StreamReplayQueries extends QueryPack {
       val p = new org.apache.hadoop.fs.Path(wh)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }))
 
   override val oracles: Map[String, String] = Map(
