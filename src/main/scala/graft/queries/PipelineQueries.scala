@@ -155,7 +155,8 @@ object PipelineQueries extends QueryPack {
     // Multimodal manifest through the Media plumbing: documents' bytes
     // as opaque binary content with typed metadata, frame-sample plan
     // from durations — metadata-only outputs, so the oracle can mirror
-    // it (the stubbed decode itself is covered by MediaSpec).
+    // it (real decode is covered by MediaSpec/DspSpec/Mp4MetaSpec and
+    // the q79 gate below).
     "q63_media_manifest" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
@@ -172,6 +173,45 @@ object PipelineQueries extends QueryPack {
         .join(manifest, Seq("media_id"))
         .select(col("media_id"), col("n_bytes"), col("frame_idx"),
           col("frame_ts_ms"))
+    }),
+
+    // The ISO-BMFF parser under the DuckDB gate: each document becomes
+    // a minimal-but-real MP4 (ftyp + moov/mvhd + one 320x240 avc1
+    // trak) built DECLARATIVELY from hex constants + the row's
+    // n_chars spliced in as the mvhd duration (big-endian u32 via
+    // hex/lpad/unhex — whole-stage-codegen'd binary construction, no
+    // UDF). Media.videoMetadata then parses duration/dims/codec back
+    // out distributed, and the oracle recomputes every field from
+    // n_chars alone — a full hash gate over Mp4Meta's box walk.
+    // Constants generated by tools/make_tiny_mp4.py (same builders as
+    // the committed tiny.mp4 fixture).
+    "q79_video_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ftypHex = "000000146674797069736F6D0000020069736F6D"
+      val moovHdrHex = "000001106D6F6F76"
+      val mvhdPrefixHex =
+        "0000006C6D766864000000000000000000000000000003E8"
+      val mvhdSuffixHex =
+        "000100000100000000000000000000000001000000000000000000000000" +
+        "000000010000000000000000000000000000400000000000000000000000" +
+        "0000000000000000000000000000000000000002"
+      val trakHex =
+        "0000009C7472616B0000005C746B68640000000000000000000000000000" +
+        "000100000000000013880000000000000000000000000000000000010000" +
+        "000000000000000000000000000100000000000000000000000000004000" +
+        "00000140000000F00000000000386D646961000000306D696E6600000028" +
+        "7374626C0000002073747364000000000000000100000010617663310000" +
+        "000000000000"
+      val mp4 = d.select(col("doc_id"), concat(
+        unhex(lit(ftypHex)), unhex(lit(moovHdrHex)),
+        unhex(lit(mvhdPrefixHex)),
+        unhex(lpad(hex(col("n_chars") * 10), 8, "0")),
+        unhex(lit(mvhdSuffixHex)), unhex(lit(trakHex))).as("bytes"))
+      val files = graft.multimodal.Media.fromBytes(
+        mp4, "doc_id", "bytes", "video")
+      graft.multimodal.Media.videoMetadata(files).toDF()
+        .select(col("media_id").as("doc_id"), col("brand"),
+          col("duration_ms"), col("width"), col("height"), col("codec"))
     }),
 
     // Semi-structured property access: per-type stats over a JSON
@@ -527,6 +567,16 @@ object PipelineQueries extends QueryPack {
         |  MIN(o_orderkey) AS v__min,
         |  MAX(o_orderkey) AS v__max
         |FROM orders GROUP BY 1""".stripMargin,
+    // Full mirror from n_chars alone: the engine must round-trip
+    // n_chars*10 through real MP4 bytes (mvhd duration u32 at
+    // timescale 1000) and parse back the constant trak's dims/codec.
+    "q79_video_meta" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+        |  CAST(320 AS INTEGER) AS width, CAST(240 AS INTEGER) AS height,
+        |  'avc1' AS codec
+        |FROM documents""".stripMargin,
+
     "q64_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
