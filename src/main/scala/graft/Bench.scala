@@ -106,7 +106,7 @@ object Bench {
             .select("query_id", "neighbor_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
         val exact = pairSet("q40_cosine_topk")
-        Seq("q43_lsh_topk", "q45_ivf_topk").map { n =>
+        Seq("q43_lsh_topk", "q45_ivf_topk", "q80_sq8_topk").map { n =>
           n -> (exact & pairSet(n)).size.toDouble / math.max(exact.size, 1)
         }
       } catch { case _: Throwable => Seq.empty }

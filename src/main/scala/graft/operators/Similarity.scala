@@ -334,6 +334,133 @@ object Similarity {
       vecs)
   }
 
+  /** Per-vector affine int8 quantization of a unit-normalized vector:
+    * q[i] = round((v[i]−min)/scale) in 0..255 (one BYTE per element —
+    * 8× smaller than the double vector), plus the (min, scale, Σq)
+    * needed to reconstruct dots:
+    *   dot(a,b) ≈ d·ma·mb + ma·sb·Σqb + mb·sa·Σqa + sa·sb·Σ(qa·qb)
+    * where the per-pair work is the integer MAC Σ(qa·qb) — exact in
+    * Long, so reconstruction error is bounded by quantization alone
+    * (≤ ~1e-3 per element on unit vectors). */
+  private[operators] def quantizeSq8(u: Array[Double])
+      : (Array[Byte], Double, Double, Long) = {
+    var mn = Double.MaxValue
+    var mx = Double.MinValue
+    var i = 0
+    while (i < u.length) {
+      val x = u(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx > mn) (mx - mn) / 255.0 else 1.0
+    val q = new Array[Byte](u.length)
+    var s = 0L
+    i = 0
+    while (i < u.length) {
+      val v = math.min(255, math.max(0,
+        math.round((u(i) - mn) / scale).toInt))
+      q(i) = v.toByte
+      s += v
+      i += 1
+    }
+    (q, mn, scale, s)
+  }
+
+  /** SQ8 approximate top-k: the broadcast-blocked scan of
+    * [[bruteForceTopKBlocked]] with the resident index QUANTIZED to
+    * int8 — the memory-bound ANN path. 1M × 64-dim doubles is a
+    * ~512 MB broadcast; quantized it is ~64 MB, so the blocked scan
+    * stays broadcastable an order of magnitude further up the corpus
+    * before LSH/IVF must take over.
+    *
+    * Two phases: (1) candidate generation — each query scans the
+    * quantized index with reconstructed dots (integer MACs) and keeps
+    * the top k·overFetch by (approx sim desc, id asc); (2) exact
+    * re-rank — candidates travel as IDS ONLY, true vectors re-attach
+    * by join, exact rounded dots rank the final top-k. Output matches
+    * lshTopK/ivfTopK: (query_id, neighbor_id, rank, sim). Recall < 1
+    * only where quantization error reorders neighbors past the
+    * over-fetch horizon — recall-tested vs brute force in
+    * SimilaritySpec. */
+  def sq8TopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      overFetch: Int = 4,
+      roundSim: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
+        normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val typed = base.as[(Long, Seq[Double])]
+    val index: Array[(Long, Array[Byte], Double, Double, Long)] = typed
+      .mapPartitions(_.map { case (id, u) =>
+        val (q, mn, sc, s) = quantizeSq8(u.toArray)
+        (id, q, mn, sc, s)
+      })
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    val m = math.max(k * math.max(overFetch, 1), k)
+
+    val cands = typed.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (qid, uSeq) =>
+        val (qq, qmin, qscale, qsum) = quantizeSq8(uSeq.toArray)
+        val d = qq.length
+        // bounded selection by (approx sim desc, id asc)
+        val topIds = new Array[Long](m)
+        val topSims = new Array[Double](m)
+        var filled = 0
+        var ci = 0
+        while (ci < cs.length) {
+          val (cid, cq, cmin, cscale, csum) = cs(ci)
+          if (cid != qid) {
+            var mac = 0L
+            var j = 0
+            while (j < d) {
+              mac += (qq(j) & 0xff).toLong * (cq(j) & 0xff).toLong
+              j += 1
+            }
+            val sim = d * qmin * cmin + qmin * cscale * csum +
+              cmin * qscale * qsum + qscale * cscale * mac
+            val beatsWorst = filled < m || sim > topSims(filled - 1) ||
+              (sim == topSims(filled - 1) && cid < topIds(filled - 1))
+            if (beatsWorst) {
+              var pos = math.min(filled, m - 1)
+              while (pos > 0 && (sim > topSims(pos - 1) ||
+                  (sim == topSims(pos - 1) && cid < topIds(pos - 1)))) {
+                topSims(pos) = topSims(pos - 1)
+                topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topSims(pos) = sim
+              topIds(pos) = cid
+              if (filled < m) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).map(r => (qid, topIds(r)))
+      }
+    }.toDF("key", "id")
+
+    val scored = cands
+      .join(base.select(col("id").as("key"), col("u").as("u_a")),
+        Seq("key"))
+      .join(base.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    Dedup.materializeAndRelease(
+      topKPerKey(scored, k)
+        .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+          col("rank"), col("sim")),
+      base)
+  }
+
   /** LSH-bucketed approximate top-k: L independent random-hyperplane
     * tables of `bits` bits; candidate pairs share a bucket in ≥1 table;
     * exact cosine re-rank of candidates. Recall < 1 by construction —

@@ -89,6 +89,17 @@ object VectorQueries extends QueryPack {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nLists = 16, nProbe = 10)),
 
+    // SQ8 ANN: int8-quantized broadcast index (8× smaller resident
+    // footprint than the double vectors) generates candidates by
+    // integer-MAC reconstructed dots with 4× over-fetch; exact re-rank
+    // on re-attached true vectors. Oracle: same derived-invariant
+    // sim/rank re-check + recall floor as q43/q45. Quantization error
+    // on unit vectors is ~1e-3, so measured recall is ~1.0; the floor
+    // matches the other ANN gates.
+    "q80_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, overFetch = 4)),
+
     // Approximate distinct (HLL) per label — rows-only (sketch internals
     // engine-specific), exactness window asserted in tests.
     "q44_approx_distinct" -> ((s, dir) =>
@@ -197,6 +208,9 @@ object VectorQueries extends QueryPack {
     // catch a broken index, loose enough for corpus-to-corpus drift.
     "q43_lsh_topk" -> annTopKInvariant("q43_lsh_topk", k = 3, recallFloor = 0.75),
     "q45_ivf_topk" -> annTopKInvariant("q45_ivf_topk", k = 3, recallFloor = 0.75),
+    // SQ8's quantization error is bounded (no bucketing randomness), so
+    // its floor sits higher than the LSH/IVF gates.
+    "q80_sq8_topk" -> annTopKInvariant("q80_sq8_topk", k = 3, recallFloor = 0.9),
 
     // Derived invariant: every reported pair's cosine recomputed
     // exactly (raw-vector arithmetic, the engine's cosine()) and must

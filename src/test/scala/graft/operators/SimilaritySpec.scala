@@ -27,6 +27,47 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked === joined)
   }
 
+  test("sq8TopK: near-perfect recall vs brute force; deterministic " +
+      "across repartitioning") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(emb, "vec_id", "embedding", k = 3,
+        overFetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq8).size.toDouble / exact.size
+    info(f"SQ8 recall@3 = $recall%.3f (int8 index, 4x over-fetch)")
+    // quantization error on unit vectors is ~1e-3 per element — with a
+    // 4x over-fetch the exact re-rank recovers essentially everything
+    assert(recall >= 0.95)
+    val repart = Similarity.sq8TopK(emb.repartition(7), "vec_id",
+        "embedding", k = 3, overFetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(repart === sq8) // layout-invariant
+  }
+
+  test("quantizeSq8 reconstructs dots within quantization error") {
+    val rnd = new scala.util.Random(3)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    (1 to 20).foreach { _ =>
+      val a = unit(); val b = unit()
+      val exact = a.zip(b).map { case (x, y) => x * y }.sum
+      val (qa, ma, sa, suma) = Similarity.quantizeSq8(a)
+      val (qb, mb, sb, sumb) = Similarity.quantizeSq8(b)
+      var mac = 0L
+      (0 until 64).foreach(i =>
+        mac += (qa(i) & 0xff).toLong * (qb(i) & 0xff).toLong)
+      val approx = 64 * ma * mb + ma * sb * sumb + mb * sa * suma +
+        sa * sb * mac
+      assert(math.abs(approx - exact) < 0.01,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("ivfTopK recall vs brute force on sf0.001 embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
