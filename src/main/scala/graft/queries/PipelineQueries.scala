@@ -175,6 +175,17 @@ object PipelineQueries extends QueryPack {
           col("frame_ts_ms"))
     }),
 
+    // Token-window chunking — the context-window prep step of a
+    // training pipeline: 64-token windows stepping 48 (16-token
+    // overlap), every token in >= 1 chunk, chunk ids = (doc_id,
+    // chunk_idx). Narrow per-row pipeline (tokenize -> sequence ->
+    // explode -> slice), no shuffle; the oracle mirrors the window
+    // math with DuckDB list slicing.
+    "q81_chunk_windows" -> ((s, dir) =>
+      graft.operators.Chunking.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)),
+
     // The ISO-BMFF parser under the DuckDB gate: each document becomes
     // a minimal-but-real MP4 (ftyp + moov/mvhd + one 320x240 avc1
     // trak) built DECLARATIVELY from hex constants + the row's
@@ -567,6 +578,28 @@ object PipelineQueries extends QueryPack {
         |  MIN(o_orderkey) AS v__min,
         |  MAX(o_orderkey) AS v__max
         |FROM orders GROUP BY 1""".stripMargin,
+    // Full mirror of the 64/48 window math with 1-based inclusive list
+    // slicing; chunk count = 1 when n <= 64 else ceil((n-64)/48)+1.
+    "q81_chunk_windows" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0
+        |), idx AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, CAST(CASE WHEN n <= 64 THEN 1
+        |      ELSE ceil((n - 64) / 48.0) + 1 END AS BIGINT))) AS chunk_idx
+        |  FROM c
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+        |    ' ') AS chunk_text,
+        |  least(64, n - chunk_idx * 48) AS n_tokens
+        |FROM idx""".stripMargin,
+
     // Full mirror from n_chars alone: the engine must round-trip
     // n_chars*10 through real MP4 bytes (mvhd duration u32 at
     // timescale 1000) and parse back the constant trak's dims/codec.
