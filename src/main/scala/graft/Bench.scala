@@ -149,6 +149,12 @@ object Bench {
     else try {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // the timed runs used count(), which executes a REWRITTEN
+      // aggregate QueryExecution — df's own adaptive plan would still
+      // be un-executed (executedPlan == initialPlan, zero query
+      // stages) and a runtime reroute invisible. Drive df's own plan
+      // to its final stages once, untimed, then read the histogram.
+      df.queryExecution.toRdd.count()
       val hist = scala.collection.mutable.Map.empty[String, Int]
       def visit(p: SparkPlan): Unit = {
         val key = p.nodeName.split("[ (]")(0)

@@ -75,7 +75,10 @@ object ScaleUp {
           }.toIndexedSeq: _*)
         }.reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"SCALED $t -> ${out.count()} rows")
+      // count from the WRITTEN files (metadata-only footer scan) — a
+      // count on `out` would re-execute the whole N-way shifted union
+      val written = spark.read.parquet(s"$dst/$t.parquet").count()
+      println(s"SCALED $t -> $written rows")
     }
     spark.stop()
   }

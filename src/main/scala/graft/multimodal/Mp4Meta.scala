@@ -78,7 +78,12 @@ object Mp4Meta {
     * duration | v1: u64×2 times, u32 timescale, u64 duration). */
   private def durationMsOf(bytes: Array[Byte], mvhd: Box): Long = {
     val p = mvhd.payloadStart
+    if (p >= mvhd.payloadEnd) throw new Malformed("empty mvhd")
     val version = bytes(p) & 0xff
+    // bound the reads to THIS box's payload: an undersized mvhd must
+    // dead-letter, not silently read the sibling box's bytes
+    val needed = if (version == 1) 32 else 20
+    if (p + needed > mvhd.payloadEnd) throw new Malformed("truncated mvhd")
     val (timescale, duration) =
       if (version == 1) (u32(bytes, p + 20), u64(bytes, p + 24))
       else (u32(bytes, p + 12), u32(bytes, p + 16))

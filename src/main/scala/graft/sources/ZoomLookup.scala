@@ -103,6 +103,11 @@ object ZoomLookup {
     * _message`). */
   private val WebinarMarker = "Can not access webinar info,"
 
+  /** Shared parser: ObjectMapper construction is heavyweight and
+    * instances are thread-safe for readTree (same pattern as OAuth /
+    * the source readers). */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Parse the webinar id out of a 400 response body, mirroring the
     * reference byte-for-byte: `message.split(", ")[1]`
     * (extract.py:158). None when the body is not JSON, has no message,
@@ -110,8 +115,7 @@ object ZoomLookup {
     * caller then dead-letters the original 400. */
   private[sources] def webinarIdFrom(body: String): Option[String] =
     try {
-      val node =
-        new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val node = mapper.readTree(body)
       val msg = Option(node.get("message")).filterNot(_.isNull)
         .map(_.asText()).getOrElse("")
       if (!msg.contains(WebinarMarker)) None

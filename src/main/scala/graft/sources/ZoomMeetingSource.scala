@@ -67,7 +67,8 @@ private[sources] final case class ZoomApiConfig(
     itemsField: String,
     pageSize: Int,
     startTime: String = "1970-01-01T00:00:00Z",
-    maxWindowPerBatchMs: Long = Long.MaxValue)
+    maxWindowPerBatchMs: Long = Long.MaxValue,
+    visibilityLagMs: Long = 0L)
 
 private[sources] class ZoomMeetingTable(path: String)
     extends Table with SupportsRead {
@@ -105,6 +106,12 @@ private[sources] class ZoomMeetingTable(path: String)
             s"maxWindowPerBatchMs must be > 0 (got $mw); omit the option " +
               "for an unbounded window")
           mw
+        },
+        visibilityLagMs = {
+          val lag = options.getLong("visibilityLagMs", 0L)
+          require(lag >= 0,
+            s"visibilityLagMs must be >= 0 (got $lag)")
+          lag
         })
     }
     new ZoomScanBuilder(if (path != null) path else options.get("path"),

@@ -26,12 +26,19 @@ import org.apache.spark.sql.types.StructType
   *    bookmark backfills as bounded micro-batches (the time-offset
   *    analog of maxOffsetsPerTrigger). The probe is WINDOW-BOUNDED
   *    (from AND to params — never re-pages the whole pending corpus
-  *    per trigger) and EXISTENCE-ONLY (page_size=1, stops at the first
-  *    in-window item): data pages cross the wire exactly once, in the
-  *    partition reader, not twice (driver probe + executor re-fetch).
-  *    When a capped window is empty a second probe finds where data
-  *    resumes and jumps the offset there in one data-bearing batch —
-  *    sparse history does not schedule per-gap empty batches;
+  *    per trigger) and EXISTENCE-ONLY (stops paging at the first
+  *    in-window item, ≤ one page per trigger): data pages cross the
+  *    wire exactly once, in the partition reader, not twice (driver
+  *    probe + executor re-fetch). When a capped window is empty a
+  *    second probe finds where data resumes and jumps the offset
+  *    there in one data-bearing batch — sparse history does not
+  *    schedule per-gap empty batches;
+  *  - VISIBILITY LAG (`visibilityLagMs`, default 0): the offset stays
+  *    `lag` behind the wall clock, so items the API indexes late
+  *    (e.g. meetings listed only after they END) become visible
+  *    before the offset passes their start_time. Lag 0 = the
+  *    reference's exact bookmark-to-now semantics, INCLUDING its loss
+  *    window for late-visible items (see latestOffset);
   *  - the driver probe paces through the same TokenBucket contract as
   *    the partition readers (`ratePerSec`/`burst`), so a tight trigger
   *    loop cannot busy-poll the API from the driver;
@@ -103,13 +110,14 @@ private[sources] class ZoomMicroBatchStream(
     * existence (dense case) or a resume point (gap case), never a scan
     * of the whole window; taking the min over a whole page (not the
     * first item) keeps the gap jump tight even when the API's page
-    * order is not time-ascending. `pageSize` is 1 for the existence
-    * probe (one item on the wire, not a full page) and cfg.pageSize
-    * for the gap probe (a fuller page gives a tighter resume min). */
-  private def probeWindow(fromMs: Long, toMs: Long,
-      pageSize: Int): (Boolean, Long) = {
+    * order is not time-ascending. Full cfg.pageSize pages on purpose:
+    * the from param is floored to the offset's second, so items from
+    * the boundary second re-appear out-of-window — a full first page
+    * absorbs them in ONE paced request, where a 1-item page would pay
+    * one HTTP round trip per boundary item on every trigger. */
+  private def probeWindow(fromMs: Long, toMs: Long): (Boolean, Long) = {
     val params = Map(
-      "page_size" -> pageSize.toString,
+      "page_size" -> cfg.pageSize.toString,
       "from" -> ZoomRows.isoFloorSec(fromMs)) ++
       (if (toMs == Long.MaxValue) Map.empty[String, String]
        else Map("to" -> ZoomRows.isoCeilSec(toMs)))
@@ -133,39 +141,46 @@ private[sources] class ZoomMicroBatchStream(
   }
 
   /** Admission-controlled offset advance. Dense window: an
-    * EXISTENCE-ONLY probe (page_size=1, stops at the first in-window
-    * item) admits the batch, and the offset advances to
-    * min(start + cap, now) — the reference's bookmark-to-now loop
-    * (extract.py:196-211). Data pages cross the wire exactly once, in
-    * the partition reader; the probe costs one item. Empty capped
-    * window: one gap-resume probe jumps the offset to first-item + cap
-    * so the next batch spans the gap AND carries data. No pending
-    * data: no advance (processAllAvailable terminates, no empty
-    * batches scheduled).
+    * EXISTENCE-ONLY probe (stops paging at the first in-window item)
+    * admits the batch, and the offset advances to
+    * min(start + cap, now − visibilityLag) — the reference's
+    * bookmark-to-now loop (extract.py:196-211). Data pages cross the
+    * wire exactly once, in the partition reader; the probe costs at
+    * most one page. Empty capped window: one gap-resume probe jumps
+    * the offset to first-item + cap so the next batch spans the gap
+    * AND carries data. No pending data: no advance
+    * (processAllAvailable terminates, no empty batches scheduled).
     *
-    * The offset never advances past `now`: items with future
-    * start_times are admitted by later triggers once the wall clock
-    * passes them, and items that APPEAR later with start_times before
-    * an already-committed offset are late arrivals for downstream
-    * watermark handling — exactly the reference's bookmark semantics
-    * (it fetches [bookmark, now] once and sets bookmark = now). */
+    * VISIBILITY LAG: the offset never advances past
+    * `now − visibilityLagMs`. With the default lag 0 this is exactly
+    * the reference's bookmark semantics (fetch [bookmark, now], set
+    * bookmark = now) — and shares its loss window: an item that
+    * becomes API-visible LATER with a start_time before the committed
+    * offset is never emitted. Meeting-report APIs list a meeting only
+    * after it ends, so callers should set `visibilityLagMs` ≥ the
+    * maximum meeting duration + indexing delay — items then become
+    * visible before the offset passes their start_time, and the lag
+    * window is re-scanned by construction. Items with future
+    * start_times are admitted once the (lagged) clock passes them. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     known = math.max(known, start.asInstanceOf[ZoomMsOffset].ms)
     val cap = cfg.maxWindowPerBatchMs // validated > 0 at option parse
     val capEnd = if (cap == Long.MaxValue) Long.MaxValue
       else safeAdd(known, cap)
-    val nowMs = System.currentTimeMillis()
-    val windowEnd = math.min(capEnd, math.max(nowMs, known))
-    val (exists, _) = probeWindow(known, windowEnd, pageSize = 1)
+    // effective "now": everything at or past this instant may still be
+    // invisible to the API — the offset must not cross it
+    val effNow = System.currentTimeMillis() - cfg.visibilityLagMs
+    val windowEnd = math.min(capEnd, math.max(effNow, known))
+    val (exists, _) = probeWindow(known, windowEnd)
     if (exists) {
       known = windowEnd
-    } else if (capEnd != Long.MaxValue && capEnd < nowMs) {
+    } else if (capEnd != Long.MaxValue && capEnd < effNow) {
       // empty capped HISTORICAL window — find where data resumes and
-      // jump past the gap. Windows reaching into the future are skipped:
-      // they cannot be a gap, only not-yet-arrived data, and probing
-      // them would double idle API polling on every trigger forever.
-      val (resumed, resumeMs) =
-        probeWindow(capEnd, Long.MaxValue, pageSize = cfg.pageSize)
+      // jump past the gap. Windows reaching into the (lagged) future
+      // are skipped: they cannot be a gap, only not-yet-visible data,
+      // and probing them would double idle API polling on every
+      // trigger forever.
+      val (resumed, resumeMs) = probeWindow(capEnd, Long.MaxValue)
       if (resumed) known = safeAdd(resumeMs, cap)
     }
     ZoomMsOffset(known)

@@ -99,6 +99,10 @@ class Mp4MetaSpec extends AnyFunSuite {
     lying.putInt(9999)
     lying.put("moov".getBytes("ISO-8859-1"))
     assert(Mp4Meta.parse(ftyp() ++ lying.array()).isLeft)
+    // an UNDERSIZED mvhd (well-formed box, payload too small for its
+    // version's fields) must dead-letter, not read the sibling box
+    val tinyMvhd = box("mvhd", new Array[Byte](8)) // v0 needs 20
+    assert(Mp4Meta.parse(ftyp() ++ box("moov", tinyMvhd)).isLeft)
     // audio-only container: no dims, codec still reported
     val audioTrak = box("trak",
       box("mdia", box("minf", box("stbl", stsd("mp4a")))))

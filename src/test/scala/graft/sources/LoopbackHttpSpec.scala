@@ -385,7 +385,7 @@ class LoopbackHttpSpec extends SparkSpec {
   }
 
   test("live micro-batch stream fetches each data page exactly once " +
-      "(driver probe is existence-only: one item on the wire)") {
+      "(driver probe is existence-only: at most one page on the wire)") {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_once_ckpt").toString
     val outDir = java.nio.file.Files
@@ -410,13 +410,63 @@ class LoopbackHttpSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(ids === meetings.map(_._1).sorted)
       // every meeting crossed the wire exactly ONCE (the reader's
-      // window fetch: pages of 3+3+2) plus ONE item for the driver's
-      // page_size=1 existence probe; idle probes carry zero items.
-      // The old double-fetch design moved 2n+probe items here.
-      assert(itemsServed.get === meetings.size + 1,
+      // window fetch: pages of 3+3+2) plus AT MOST ONE page (3 items
+      // at this pageSize) for the driver's existence probe; idle
+      // probes carry zero items. The old double-fetch design moved
+      // 2n + a probe here.
+      assert(itemsServed.get === meetings.size + 3,
         s"wire carried ${itemsServed.get} items for " +
-          s"${meetings.size} meetings — data pages must cross once")
+          s"${meetings.size} meetings — data pages must cross once, " +
+          "probe at most one page")
     } finally q.stop()
+  }
+
+  test("visibilityLagMs holds the offset behind the clock so " +
+      "late-visible items are admitted, not lost") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_lag_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_lag_out").toString
+    def startQuery(lagMs: Long) = spark.readStream
+      .format("graft.sources.ZoomMeetingSource")
+      .option("apiUrl", s"$base/v2/meetings")
+      .option("tokenUrl", s"$base/oauth/token")
+      .option("clientId", clientId)
+      .option("clientSecret", clientSecret)
+      .option("pageSize", "3")
+      .option("startTime", "2024-01-01T00:00:00Z")
+      .option("visibilityLagMs", lagMs.toString)
+      .load()
+      .select("id", "start_time")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def sinkIds(): Seq[Long] = spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val q = startQuery(10L * 60 * 1000) // 10-minute visibility lag
+    try {
+      q.processAllAvailable()
+      // historical fixtures are far older than the lag: all delivered
+      assert(sinkIds() === meetings.map(_._1).sorted)
+      // an item whose start_time is INSIDE the lag window: the offset
+      // must not pass it — a meeting-report API might not list it yet
+      extraMeetings.add((301L, "u301", "Mtg 301", justBeforeNowIso()))
+      q.processAllAvailable()
+      assert(!sinkIds().contains(301L),
+        "item inside the visibility-lag window must not be admitted yet")
+    } finally q.stop()
+    // restart from the SAME checkpoint without the lag: the item's
+    // start_time is ahead of the committed offset, so it arrives now —
+    // the lag held the offset back instead of losing the item
+    val q2 = startQuery(0)
+    try {
+      q2.processAllAvailable()
+      assert(sinkIds() === (meetings.map(_._1) :+ 301L).sorted)
+    } finally {
+      q2.stop()
+      extraMeetings.clear()
+    }
   }
 
   test("limit pushdown stops page fetching (LIMIT 3 fetches 2 pages, " +
