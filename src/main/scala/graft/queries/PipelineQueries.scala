@@ -175,6 +175,17 @@ object PipelineQueries extends QueryPack {
           col("frame_ts_ms"))
     }),
 
+    // Greedy sequence packing — chunking's sibling: documents
+    // concatenate in doc-id order into 64-token-capacity training
+    // sequences, sharded into 8 hash buckets (the shard is the
+    // parallel unit; the per-shard fold is sequential by nature).
+    // Oracle: the same greedy fold as a recursive CTE stepping every
+    // bucket one document per iteration.
+    "q82_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packGreedy(
+        t(s, dir, "documents"), "doc_id", "text",
+        capacity = 64, nBuckets = 8)),
+
     // Token-window chunking — the context-window prep step of a
     // training pipeline: 64-token windows stepping 48 (16-token
     // overlap), every token in >= 1 chunk, chunk ids = (doc_id,
@@ -578,6 +589,32 @@ object PipelineQueries extends QueryPack {
         |  MIN(o_orderkey) AS v__min,
         |  MAX(o_orderkey) AS v__max
         |FROM orders GROUP BY 1""".stripMargin,
+    // Full mirror of the greedy fold: a recursive CTE advances every
+    // bucket one document per step, threading (fill, seq_id) exactly
+    // like the engine's per-bucket fold.
+    "q82_pack_sequences" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT CAST(doc_id % 8 AS INTEGER) AS bucket, doc_id,
+        |    CAST(least(len(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0)), 64) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT bucket, rn, doc_id, n, n AS fill,
+        |    CAST(0 AS BIGINT) AS seq_id
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.bucket, d.rn, d.doc_id, d.n,
+        |    CASE WHEN p.fill + d.n <= 64 THEN p.fill + d.n ELSE d.n END,
+        |    CASE WHEN p.fill + d.n <= 64 THEN p.seq_id ELSE p.seq_id + 1
+        |      END
+        |  FROM docs d JOIN pack p
+        |    ON d.bucket = p.bucket AND d.rn = p.rn + 1
+        |)
+        |SELECT bucket, seq_id, doc_id, n AS n_tokens FROM pack""".stripMargin,
+
     // Full mirror of the 64/48 window math with 1-based inclusive list
     // slicing; chunk count = 1 when n <= 64 else ceil((n-64)/48)+1.
     "q81_chunk_windows" ->
