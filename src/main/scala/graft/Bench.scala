@@ -72,6 +72,7 @@ object Bench {
     // medianed out.
     val runsPerQuery = 3
     val wall0 = System.nanoTime()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         var lastDf: org.apache.spark.sql.DataFrame = null
@@ -89,8 +90,15 @@ object Bench {
             val df = fn(spark, sfDir)
             df.count()
             lastDf = df
-          } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            // sentinel, not elapsed-to-exception: a crashing query must
+            // read as FAILED in the JSON, not as "fast" (ADVICE r6 #4)
+            errors(name) = e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+                .take(160)
+            -1.0
+          }
         }.sorted
         (name, times(runsPerQuery / 2), planFingerprint(lastDf))
     }
@@ -134,8 +142,12 @@ object Bench {
     // shipping whole plan dumps.
     val fps = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString(",\"plan_fp\":{", ",", "}")
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths$fps,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths$fps$errs,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -37,8 +37,13 @@ object ScaleUp {
       else df
     }
 
-    def base(t: String, key: String): Long =
-      load(t).agg(max(col(key))).collect()(0).getLong(0) + 1L
+    def base(t: String, key: String): Long = {
+      // max() of an empty table is null, and a non-Long key would CCE:
+      // fail with a clear message instead of an opaque NPE mid-scale-up
+      val m = load(t).agg(max(col(key))).collect()(0).getAs[Number](0)
+      require(m != null, s"ScaleUp: source table $t is empty ($key)")
+      m.longValue() + 1L
+    }
 
     val custBase = base("customer", "c_custkey")
     val ordBase = base("orders", "o_orderkey")

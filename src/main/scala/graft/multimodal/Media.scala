@@ -414,6 +414,10 @@ object Media {
       width: Option[Int],
       height: Option[Int],
       codec: Option[String],
+      frame_count: Option[Long],
+      fps: Option[Double],
+      media_timescale: Option[Long],
+      language: Option[String],
       error: Option[String])
 
   /** REAL video container parse per partition ([[Mp4Meta]]): duration,
@@ -427,9 +431,11 @@ object Media {
         Mp4Meta.parse(f.content) match {
           case Right(m) => VideoMetaResult(f.media_id, f.path,
             Some(m.brand), Some(m.duration_ms), m.width, m.height,
-            m.codec, None)
+            m.codec, m.frame_count, m.fps, m.media_timescale,
+            m.language, None)
           case Left(err) => VideoMetaResult(f.media_id, f.path,
-            None, None, None, None, None, Some(err))
+            None, None, None, None, None, None, None, None, None,
+            Some(err))
         }
       }
     }

@@ -23,7 +23,11 @@ object Mp4Meta {
       duration_ms: Long,    // mvhd duration scaled to milliseconds
       width: Option[Int],   // first video trak's tkhd width (integer px)
       height: Option[Int],
-      codec: Option[String]) // stsd first sample-entry fourcc, e.g. avc1
+      codec: Option[String], // stsd first sample-entry fourcc, e.g. avc1
+      frame_count: Option[Long],     // Σ stts sample_count (video trak)
+      fps: Option[Double],           // frames / (Σ count·delta / mdhd ts)
+      media_timescale: Option[Long], // video trak's mdhd timescale
+      language: Option[String])      // mdhd ISO-639-2/T code, e.g. "eng"
 
   private final case class Box(tpe: String, payloadStart: Int,
       payloadEnd: Int)
@@ -88,6 +92,11 @@ object Mp4Meta {
       if (version == 1) (u32(bytes, p + 20), u64(bytes, p + 24))
       else (u32(bytes, p + 12), u32(bytes, p + 16))
     if (timescale <= 0) throw new Malformed("mvhd timescale 0")
+    // a v1 duration is an attacker-controlled u64: duration*1000 past
+    // Long.MaxValue would silently wrap to a bogus (possibly negative)
+    // duration_ms — dead-letter it like every other malformed field
+    if (duration < 0 || duration > Long.MaxValue / 1000L)
+      throw new Malformed("implausible mvhd duration")
     duration * 1000L / timescale
   }
 
@@ -106,6 +115,55 @@ object Mp4Meta {
     val p = stsd.payloadStart
     if (p + 16 > stsd.payloadEnd || u32(bytes, p + 4) == 0) None
     else Some(fourcc(bytes, p + 12))
+  }
+
+  /** mdhd: media timescale, media duration (in timescale units) and
+    * the packed ISO-639-2/T language. v0 puts (ts u32, dur u32, lang
+    * u16) at payload offsets 12/16/20; v1 (64-bit times) at 20/24/32. */
+  private def mdhdOf(bytes: Array[Byte], mdhd: Box):
+      (Long, Long, Option[String]) = {
+    val p = mdhd.payloadStart
+    if (p >= mdhd.payloadEnd) throw new Malformed("empty mdhd")
+    val version = bytes(p) & 0xff
+    val needed = if (version == 1) 34 else 22
+    if (p + needed > mdhd.payloadEnd) throw new Malformed("truncated mdhd")
+    val (ts, dur, langOff) =
+      if (version == 1) (u32(bytes, p + 20), u64(bytes, p + 24), p + 32)
+      else (u32(bytes, p + 12), u32(bytes, p + 16), p + 20)
+    if (ts <= 0) throw new Malformed("mdhd timescale 0")
+    if (dur < 0) throw new Malformed("implausible mdhd duration")
+    val packed = (((bytes(langOff) & 0xff) << 8) |
+      (bytes(langOff + 1) & 0xff)) & 0x7fff
+    // three 5-bit chars biased by 0x60; 0 (unset) or any char outside
+    // a-z means "no language recorded", not a parse failure
+    val chars = Seq(10, 5, 0).map(s => (((packed >> s) & 0x1f) + 0x60).toChar)
+    val lang =
+      if (chars.forall(c => c >= 'a' && c <= 'z')) Some(chars.mkString)
+      else None
+    (ts, dur, lang)
+  }
+
+  /** stts (decoding time-to-sample): entries of (sample_count,
+    * sample_delta). Frame count = Σ count; total media units =
+    * Σ count·delta — with the media timescale this yields fps. */
+  private def sttsOf(bytes: Array[Byte], stts: Box): (Long, Long) = {
+    val p = stts.payloadStart
+    if (p + 8 > stts.payloadEnd) throw new Malformed("truncated stts")
+    val n = u32(bytes, p + 4)
+    if (p + 8 + n * 8 > stts.payloadEnd)
+      throw new Malformed("stts entry count exceeds box")
+    var frames = 0L
+    var units = 0L
+    var i = 0L
+    while (i < n) {
+      val off = (p + 8 + i * 8).toInt
+      val count = u32(bytes, off)
+      val delta = u32(bytes, off + 4)
+      frames = math.addExact(frames, count)
+      units = math.addExact(units, math.multiplyExact(count, delta))
+      i += 1
+    }
+    (frames, units)
   }
 
   /** Parse container metadata. Requires a well-formed box stream with
@@ -129,21 +187,37 @@ object Mp4Meta {
         .filter(_.tpe == "trak")
       val perTrak = traks.map { trak =>
         val dims = child(bytes, trak, "tkhd").map(dimsOf(bytes, _))
+        val mdia = child(bytes, trak, "mdia")
+        val stbl = for {
+          m <- mdia
+          minf <- child(bytes, m, "minf")
+          sb <- child(bytes, minf, "stbl")
+        } yield sb
         val codec = for {
-          mdia <- child(bytes, trak, "mdia")
-          minf <- child(bytes, mdia, "minf")
-          stbl <- child(bytes, minf, "stbl")
-          stsd <- child(bytes, stbl, "stsd")
+          sb <- stbl
+          stsd <- child(bytes, sb, "stsd")
           c <- codecOf(bytes, stsd)
         } yield c
-        (dims, codec)
+        val mdhd = mdia.flatMap(child(bytes, _, "mdhd"))
+          .map(mdhdOf(bytes, _))
+        val stts = stbl.flatMap(child(bytes, _, "stts"))
+          .map(sttsOf(bytes, _))
+        (dims, codec, mdhd, stts)
       }
       val visual = perTrak.find(_._1.exists(d => d._1 > 0 && d._2 > 0))
       val dims = visual.flatMap(_._1)
       val codec = visual.flatMap(_._2)
         .orElse(perTrak.flatMap(_._2).headOption)
+      val mdhd = visual.flatMap(_._3)
+      val stts = visual.flatMap(_._4)
+      val frameCount = stts.map(_._1)
+      val fps = for {
+        (frames, units) <- stts if frames > 0 && units > 0
+        (ts, _, _) <- mdhd
+      } yield frames.toDouble * ts / units
       Right(VideoMeta(brand, durationMs,
-        dims.map(_._1), dims.map(_._2), codec))
+        dims.map(_._1), dims.map(_._2), codec,
+        frameCount, fps, mdhd.map(_._1), mdhd.flatMap(_._3)))
     } catch {
       case m: Malformed => Left(s"undecodable: ${m.getMessage}")
       case _: IndexOutOfBoundsException =>

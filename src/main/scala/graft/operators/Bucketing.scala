@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table helpers: pre-shuffle fact tables ON WRITE so repeated
@@ -19,13 +20,25 @@ object Bucketing {
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a PREVIOUS session's managed-table dir survives in the warehouse
+    // while the fresh in-memory catalog has no entry for it — then
+    // CREATE fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
+    // Clear the stale location (default-db managed tables live at
+    // <warehouse>/<lowercased name>).
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** True if the physical plan of `df` contains no shuffle exchange of
     * any kind (hash, range, single-partition) — the check that a

@@ -49,4 +49,68 @@ object Merge {
       newMain.select(mainKeys.map(col): _*), mainKeys, "left_anti")
     PromoteResult(newMain, remaining)
   }
+
+  /** What a partition-scoped promote committed (empty touched set ⇒
+    * nothing gated in, nothing written). */
+  final case class PromotePartitionedResult(
+      main: Upsert.PartitionedCommit, staging: Upsert.PartitionedCommit)
+
+  /** [[promote]] over partition-scoped snapshot tables: both the main
+    * upsert and the staging delete rewrite ONLY the partition
+    * directories holding promoted rows. Write cost per cycle is
+    * proportional to the promoted batch, not to the accumulated main
+    * table — the at-scale form of the promote transaction (the flat
+    * [[promote]] + [[Upsert.writeSnapshots]] pair rewrites both tables
+    * in full every cycle).
+    *
+    * Same two-phase commit ordering as the flat pair: both output
+    * plans execute against the CURRENT generations before any
+    * partition dir swaps ([[Upsert.writeSnapshotsPartitioned]]).
+    *
+    * Semantics note vs [[promote]]: the staging-side delete anti-joins
+    * against the new main restricted to TOUCHED partitions. A parked
+    * row in an untouched partition whose key already exists in main
+    * (possible only when an already-promoted key is redelivered AND
+    * its parent has since vanished from `parent`) stays parked instead
+    * of being dropped — it re-promotes (idempotently) whenever its
+    * parent reappears. Keys must not migrate partitions (see the
+    * contract in [[Upsert]]'s partition-scoped section).
+    *
+    * @param schema       full staging/main row schema including
+    *                     `partitionCol` (pins partition-column typing;
+    *                     both tables share the row shape, as in the
+    *                     reference's staging/main pair)
+    * @param partitionCol partition column of BOTH snapshot tables */
+  def promotePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      stagingPath: String,
+      parent: DataFrame,
+      fk: String,
+      parentKey: String,
+      mainPath: String,
+      mainKeys: Seq[String],
+      partitionCol: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxTouchedPartitions: Int = 10000): Option[PromotePartitionedResult] = {
+    val staging = Upsert.readPartitionedSnapshot(spark, stagingPath, schema)
+      .getOrElse(sys.error(s"promotePartitioned: no staging snapshot at $stagingPath"))
+    val parentKeys = parent.select(col(parentKey).as(fk))
+    val promoted = staging.join(parentKeys, Seq(fk), "left_semi")
+    val touched = promoted.select(col(partitionCol)).distinct()
+      .limit(maxTouchedPartitions + 1).collect().map(_.get(0)).toSeq
+    require(touched.size <= maxTouchedPartitions,
+      s"promotePartitioned: promoted rows touch > $maxTouchedPartitions " +
+        s"partitions of $partitionCol")
+    if (touched.isEmpty) return None // nothing gated in this cycle
+    val filter = Upsert.touchedFilter(partitionCol, touched)
+    val mainPruned = Upsert.readPartitionedSnapshot(spark, mainPath, schema)
+      .map(_.where(filter)).getOrElse(promoted.limit(0))
+    val newMainTouched = Upsert.upsert(mainPruned, promoted, mainKeys)
+    val remaining = staging.where(filter).join(
+      newMainTouched.select(mainKeys.map(col): _*), mainKeys, "left_anti")
+    val Seq(mainCommit, stagingCommit) = Upsert.writeSnapshotsPartitioned(Seq(
+      Upsert.PartitionedWrite(newMainTouched, mainPath, partitionCol, touched),
+      Upsert.PartitionedWrite(remaining, stagingPath, partitionCol, touched)))
+    Some(PromotePartitionedResult(mainCommit, stagingCommit))
+  }
 }

@@ -209,31 +209,47 @@ object PipelineQueries extends QueryPack {
     // the committed tiny.mp4 fixture).
     "q79_video_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // three per-row splices into constant box hex (tools/
+      // make_tiny_mp4.py): mvhd duration = n_chars*10 (ms at moov
+      // timescale 1000), mdhd duration = n_chars*40 media units, stts
+      // sample_count = n_chars frames at delta 40 — so the parser must
+      // hand back frame_count = n_chars and fps = 1000*n/(40n) = 25.0
       val ftypHex = "000000146674797069736F6D0000020069736F6D"
-      val moovHdrHex = "000001106D6F6F76"
+      val moovHdrHex = "000001486D6F6F76"
       val mvhdPrefixHex =
         "0000006C6D766864000000000000000000000000000003E8"
       val mvhdSuffixHex =
         "000100000100000000000000000000000001000000000000000000000000" +
         "000000010000000000000000000000000000400000000000000000000000" +
         "0000000000000000000000000000000000000002"
-      val trakHex =
-        "0000009C7472616B0000005C746B68640000000000000000000000000000" +
+      val trakPreMdhdDurHex =
+        "000000D47472616B0000005C746B68640000000000000000000000000000" +
         "000100000000000013880000000000000000000000000000000000010000" +
         "000000000000000000000000000100000000000000000000000000004000" +
-        "00000140000000F00000000000386D646961000000306D696E6600000028" +
-        "7374626C0000002073747364000000000000000100000010617663310000" +
-        "000000000000"
+        "00000140000000F00000000000706D646961000000206D64686400000000" +
+        "0000000000000000000003E8"
+      val trakMidHex = // mdhd language "eng" … stts header + entry_count 1
+        "15C70000000000486D696E66000000407374626C00000020737473640000" +
+        "000000000001000000106176633100000000000000000000001873747473" +
+        "0000000000000001"
+      val trakPostHex = "00000028" // stts sample_delta = 40
       val mp4 = d.select(col("doc_id"), concat(
         unhex(lit(ftypHex)), unhex(lit(moovHdrHex)),
         unhex(lit(mvhdPrefixHex)),
         unhex(lpad(hex(col("n_chars") * 10), 8, "0")),
-        unhex(lit(mvhdSuffixHex)), unhex(lit(trakHex))).as("bytes"))
+        unhex(lit(mvhdSuffixHex)),
+        unhex(lit(trakPreMdhdDurHex)),
+        unhex(lpad(hex(col("n_chars") * 40), 8, "0")),
+        unhex(lit(trakMidHex)),
+        unhex(lpad(hex(col("n_chars")), 8, "0")),
+        unhex(lit(trakPostHex))).as("bytes"))
       val files = graft.multimodal.Media.fromBytes(
         mp4, "doc_id", "bytes", "video")
       graft.multimodal.Media.videoMetadata(files).toDF()
         .select(col("media_id").as("doc_id"), col("brand"),
-          col("duration_ms"), col("width"), col("height"), col("codec"))
+          col("duration_ms"), col("width"), col("height"), col("codec"),
+          col("frame_count"), col("fps"), col("media_timescale"),
+          col("language"))
     }),
 
     // Semi-structured property access: per-type stats over a JSON
@@ -644,7 +660,11 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id, 'isom' AS brand,
         |  CAST(n_chars * 10 AS BIGINT) AS duration_ms,
         |  CAST(320 AS INTEGER) AS width, CAST(240 AS INTEGER) AS height,
-        |  'avc1' AS codec
+        |  'avc1' AS codec,
+        |  CAST(n_chars AS BIGINT) AS frame_count,
+        |  CAST(25.0 AS DOUBLE) AS fps,
+        |  CAST(1000 AS BIGINT) AS media_timescale,
+        |  'eng' AS language
         |FROM documents""".stripMargin,
 
     "q64_json_props" ->

@@ -125,14 +125,18 @@ object StreamReplayQueries extends QueryPack {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
       // K4: foreachBatch idempotent upsert into the staging snapshot,
-      // exactly RecordingStream.start's sink shape
+      // exactly RecordingStream.start's PARTITION-SCOPED sink shape
+      // (partitionByStartDate): the staging table is date-partitioned
+      // and each micro-batch rewrites only the date dirs it touches —
+      // the at-scale write posture (cost ∝ batch, not table), here run
+      // under the same oracle as the flat path it replaced (r6 weak
+      // mark: full-snapshot write amplification).
       val q = input.toDF().writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
-          val cur = Upsert.readSnapshot(sp, staging).getOrElse(batch.limit(0))
-          Upsert.writeSnapshot(
-            Upsert.upsert(cur, batch, Seq("event_id"),
-              orderBy = Some(struct(col("ts"), col("event_id")))), staging)
+          val b = batch.withColumn("p_date", to_date(col("ts")))
+          Upsert.upsertPartitioned(sp, staging, b, Seq("event_id"),
+            "p_date", orderBy = Some(struct(col("ts"), col("event_id"))))
           ()
         }
         .start()
@@ -154,21 +158,21 @@ object StreamReplayQueries extends QueryPack {
         input.addData((rest ++ first).toIndexedSeq)
         q.processAllAvailable()
       } finally q.stop()
-      // J1+K5+J2 promote transaction: parent gate = BUILDING-segment
-      // customers; both output plans execute before either snapshot
-      // swaps, then main is read back from DISK — the gate covers the
-      // commit path, not just the plan
-      val parked = Upsert.readSnapshot(s, staging)
-        .getOrElse(sys.error(s"no staging snapshot at $staging"))
+      // J1+K5+J2 promote transaction, partition-scoped: parent gate =
+      // BUILDING-segment customers; both output plans execute before
+      // any partition dir swaps, then main is read back from DISK —
+      // the gate covers the commit path, not just the plan
+      val pSchema = org.apache.spark.sql.Encoders.product[Event].schema
+        .add("p_date", org.apache.spark.sql.types.DateType)
       val parent = t(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING")
-      val res = Merge.promote(parked, parent, "user_id", "c_custkey",
-        parked.limit(0), Seq("event_id"))
-      Upsert.writeSnapshots(Seq(res.main -> main, res.staging -> staging))
+      Merge.promotePartitioned(s, staging, parent, "user_id", "c_custkey",
+        main, Seq("event_id"), "p_date", pSchema)
+        .getOrElse(sys.error("q76: promote transaction wrote nothing"))
       // materialize the disk read-back, then remove the temp workspace —
       // the query runs 3+ times per bench/verify cycle and would
       // otherwise strand a full staging+main snapshot in /tmp each time
-      val out = Upsert.readSnapshot(s, main)
+      val out = Upsert.readPartitionedSnapshot(s, main, pSchema)
         .getOrElse(sys.error(s"no main snapshot at $main"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value").cast("long").as("cents"))

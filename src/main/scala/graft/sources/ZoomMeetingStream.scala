@@ -181,7 +181,14 @@ private[sources] class ZoomMicroBatchStream(
       // and probing them would double idle API polling on every
       // trigger forever.
       val (resumed, resumeMs) = probeWindow(capEnd, Long.MaxValue)
-      if (resumed) known = safeAdd(resumeMs, cap)
+      // Clamp the jump to the lagged clock: an unclamped resume+cap
+      // near the present would advance the committed offset INTO the
+      // visibility-lag window, permanently dropping items that become
+      // API-visible later (the invariant above: offset ≤ effNow). The
+      // max(effNow, resumeMs+1) keeps the resume item itself deliverable
+      // even when it sits at/inside the lag boundary.
+      if (resumed) known = math.min(
+        safeAdd(resumeMs, cap), math.max(effNow, safeAdd(resumeMs, 1)))
     }
     ZoomMsOffset(known)
   }

@@ -79,14 +79,31 @@ object RecordingStream {
         concat(col("file_type"), lit("."), col("file_extension"))))
   }
 
+  /** Partition column added to the staging/main row in partitioned
+    * mode: the recording's start date — immutable for a given
+    * recording id (the key-to-partition stability contract of
+    * [[Upsert.upsertPartitioned]]), and the natural pruning axis: a
+    * micro-batch of webhooks touches the last day or two, so each
+    * commit rewrites 1-2 date directories of a table that may span
+    * years. A null `recording_start` (unparseable timestamp) lands in
+    * the Hive default partition — still a single directory. */
+  val PartitionCol = "part_date"
+
   /** Start the streaming query: JSON events under `inDir` → staging
-    * parquet snapshot at `stagingPath` via idempotent upsert on id. */
+    * parquet snapshot at `stagingPath` via idempotent upsert on id.
+    *
+    * @param partitionByStartDate false ⇒ flat snapshot, full rewrite
+    *   per batch (gate-sized tables). true ⇒ the staging table is
+    *   date-partitioned ([[PartitionCol]]) and each micro-batch
+    *   rewrites only the partitions it touches — the at-scale posture
+    *   (per-batch write cost ∝ batch, not table). */
   def start(
       spark: SparkSession,
       inDir: String,
       stagingPath: String,
       checkpointDir: String,
-      deadLetterDir: Option[String] = None): StreamingQuery = {
+      deadLetterDir: Option[String] = None,
+      partitionByStartDate: Boolean = false): StreamingQuery = {
     val events = spark.readStream
       .schema(Schemas.webhookSchema)
       .json(inDir)
@@ -95,36 +112,70 @@ object RecordingStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val (files, dead) = flattenEvents(batch)
-        val selected = selectPreferred(s, files)
+        val selected0 = selectPreferred(s, files)
           .drop("category") // one row per (meeting, category) winner
         deadLetterDir.foreach(d =>
           dead.write.mode("append").json(d))
-        val staging = readSnapshotOr(s, stagingPath, selected)
-        Upsert.writeSnapshot(
-          Upsert.upsert(staging, selected, Seq("id"),
-            orderBy = Some(col("event_ts"))), stagingPath)
+        if (partitionByStartDate) {
+          val selected = selected0
+            .withColumn(PartitionCol, to_date(col("recording_start")))
+          Upsert.upsertPartitioned(s, stagingPath, selected, Seq("id"),
+            PartitionCol, orderBy = Some(col("event_ts")))
+        } else {
+          val staging = readSnapshotOr(s, stagingPath, selected0)
+          Upsert.writeSnapshot(
+            Upsert.upsert(staging, selected0, Seq("id"),
+              orderBy = Some(col("event_ts"))), stagingPath)
+        }
         ()
       }
       .start()
   }
 
+  /** Row schema of the partitioned staging/main tables, derived by
+    * planning the transform over an empty frame (no job runs) — keeps
+    * the partitioned read's schema pinned without a hand-maintained
+    * duplicate of the transform's output shape. */
+  def partitionedStagingSchema(
+      spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      Schemas.webhookSchema)
+    val (files, _) = flattenEvents(empty)
+    selectPreferred(spark, files)
+      .drop("category")
+      .withColumn(PartitionCol, to_date(col("recording_start")))
+      .schema
+  }
+
   /** Periodic staging→main reconcile (the reference's merge_recordings
-    * task): promote staged recordings whose meeting has arrived. */
+    * task): promote staged recordings whose meeting has arrived.
+    * In partitioned mode ([[start]]'s `partitionByStartDate`) both
+    * sides of the transaction rewrite only the date partitions holding
+    * promoted rows. */
   def promote(
       spark: SparkSession,
       stagingPath: String,
       meetings: DataFrame,
-      mainPath: String): Unit = {
-    val staging = Upsert.readSnapshot(spark, stagingPath)
-      .getOrElse(sys.error(s"promote: no staging snapshot at $stagingPath"))
-    val main = Upsert.readSnapshot(spark, mainPath)
-      .getOrElse(staging.limit(0))
-    val res = Merge.promote(staging, meetings, "meeting_uuid", "uuid",
-      main, Seq("id"))
-    // one transaction: both plans execute before either snapshot swaps
-    // (the new staging's anti-join scans the old main's files)
-    Upsert.writeSnapshots(Seq(res.main -> mainPath,
-      res.staging -> stagingPath))
+      mainPath: String,
+      partitionByStartDate: Boolean = false): Unit = {
+    if (partitionByStartDate) {
+      Merge.promotePartitioned(spark, stagingPath, meetings,
+        "meeting_uuid", "uuid", mainPath, Seq("id"), PartitionCol,
+        partitionedStagingSchema(spark))
+      ()
+    } else {
+      val staging = Upsert.readSnapshot(spark, stagingPath)
+        .getOrElse(sys.error(s"promote: no staging snapshot at $stagingPath"))
+      val main = Upsert.readSnapshot(spark, mainPath)
+        .getOrElse(staging.limit(0))
+      val res = Merge.promote(staging, meetings, "meeting_uuid", "uuid",
+        main, Seq("id"))
+      // one transaction: both plans execute before either snapshot swaps
+      // (the new staging's anti-join scans the old main's files)
+      Upsert.writeSnapshots(Seq(res.main -> mainPath,
+        res.staging -> stagingPath))
+    }
   }
 
   // Crash-safe: falls back to the __prev generation mid-swap; only a

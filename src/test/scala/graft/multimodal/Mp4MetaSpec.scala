@@ -88,6 +88,96 @@ class Mp4MetaSpec extends AnyFunSuite {
     assert(m.duration_ms === 3000L)
   }
 
+  /** mdhd with the given version: timescale/duration/packed language. */
+  private def mdhd(version: Int, timescale: Int, duration: Long,
+      lang: String): Array[Byte] = {
+    val packed = lang.foldLeft(0)((a, c) => (a << 5) | (c - 0x60))
+    if (version == 1) {
+      val p = ByteBuffer.allocate(36)
+      p.put(1.toByte)
+      p.position(4 + 8 + 8) // flags + creation/modification u64s
+      p.putInt(timescale)
+      p.putLong(duration)
+      p.putShort(packed.toShort)
+      box("mdhd", p.array())
+    } else {
+      val p = ByteBuffer.allocate(24)
+      p.position(12)
+      p.putInt(timescale)
+      p.putInt(duration.toInt)
+      p.putShort(packed.toShort)
+      box("mdhd", p.array())
+    }
+  }
+
+  private def stts(entries: (Int, Int)*): Array[Byte] = {
+    val p = ByteBuffer.allocate(8 + entries.length * 8)
+    p.position(4)
+    p.putInt(entries.length)
+    entries.foreach { case (c, d) => p.putInt(c); p.putInt(d) }
+    box("stts", p.array())
+  }
+
+  test("v0 mdhd + multi-entry stts: frame count, fps, timescale, lang") {
+    // 90 frames at delta 1000 + 10 at delta 500: 100 frames over
+    // 95000 units at timescale 30000 → fps = 100*30000/95000
+    val trak = box("trak", tkhdV1(640, 480) ++
+      box("mdia", mdhd(0, 30000, 95000L, "eng") ++
+        box("minf", box("stbl",
+          stsd("avc1") ++ stts((90, 1000), (10, 500))))))
+    val m = Mp4Meta.parse(
+      ftyp() ++ box("moov", mvhdV1(1000, 5000L) ++ trak)).toOption.get
+    assert(m.frame_count === Some(100L))
+    assert(m.fps === Some(100.0 * 30000 / 95000))
+    assert(m.media_timescale === Some(30000L))
+    assert(m.language === Some("eng"))
+  }
+
+  test("v1 mdhd parses 64-bit duration and offset-32 language") {
+    val trak = box("trak", tkhdV1(640, 480) ++
+      box("mdia", mdhd(1, 90000, 450000L, "deu") ++
+        box("minf", box("stbl", stsd("hvc1") ++ stts((125, 3600))))))
+    val m = Mp4Meta.parse(
+      ftyp() ++ box("moov", mvhdV1(1000, 5000L) ++ trak)).toOption.get
+    assert(m.media_timescale === Some(90000L))
+    assert(m.language === Some("deu"))
+    assert(m.frame_count === Some(125L))
+    assert(m.fps === Some(125.0 * 90000 / (125L * 3600)))
+  }
+
+  test("absent mdhd/stts and unset language degrade to None, not Left") {
+    // minimalV1 has no mdhd/stts at all
+    val m = Mp4Meta.parse(minimalV1).toOption.get
+    assert(m.frame_count === None && m.fps === None &&
+      m.media_timescale === None && m.language === None)
+    // language 0 (unset) and an empty stts: fields None, parse fine
+    val trak = box("trak", tkhdV1(64, 48) ++
+      box("mdia", mdhd(0, 1000, 1000L, "```") ++ // packed 0
+        box("minf", box("stbl", stsd("avc1") ++ stts()))))
+    val m2 = Mp4Meta.parse(
+      ftyp() ++ box("moov", mvhdV1(1000, 1000L) ++ trak)).toOption.get
+    assert(m2.language === None)
+    assert(m2.frame_count === Some(0L) && m2.fps === None)
+    // truncated mdhd (payload too small for v0 fields) must dead-letter
+    val badTrak = box("trak", tkhdV1(64, 48) ++
+      box("mdia", box("mdhd", new Array[Byte](8)) ++
+        box("minf", box("stbl", stsd("avc1")))))
+    assert(Mp4Meta.parse(
+      ftyp() ++ box("moov", mvhdV1(1000, 1000L) ++ badTrak)).isLeft)
+    // stts entry count exceeding its box must dead-letter
+    val lyingStts = {
+      val p = ByteBuffer.allocate(8)
+      p.position(4)
+      p.putInt(100000) // claims 100k entries in an 8-byte payload
+      box("stts", p.array())
+    }
+    val lyingTrak = box("trak", tkhdV1(64, 48) ++
+      box("mdia", mdhd(0, 1000, 1000L, "eng") ++
+        box("minf", box("stbl", stsd("avc1") ++ lyingStts))))
+    assert(Mp4Meta.parse(
+      ftyp() ++ box("moov", mvhdV1(1000, 1000L) ++ lyingTrak)).isLeft)
+  }
+
   test("garbage, truncation and structural lies are Left, not throws") {
     assert(Mp4Meta.parse("definitely not a video".getBytes).isLeft)
     assert(Mp4Meta.parse(Array.emptyByteArray).isLeft)

@@ -29,7 +29,28 @@ def mvhd_v0(timescale: int, duration: int) -> bytes:
     return box(b"mvhd", bytes(p))
 
 
-def trak(width: int, height: int, fourcc: bytes) -> bytes:
+def mdhd_v0(timescale: int, duration: int, lang: str) -> bytes:
+    # ver/flags + creation + modification + timescale + duration +
+    # packed ISO-639-2/T language + pre_defined
+    packed = 0
+    for c in lang:
+        packed = (packed << 5) | (ord(c) - 0x60)
+    p = bytearray(24)
+    struct.pack_into(">I", p, 12, timescale)
+    struct.pack_into(">I", p, 16, duration & 0xFFFFFFFF)
+    struct.pack_into(">H", p, 20, packed)
+    return box(b"mdhd", bytes(p))
+
+
+def stts(entries) -> bytes:
+    p = bytes(4) + struct.pack(">I", len(entries))
+    for count, delta in entries:
+        p += struct.pack(">II", count, delta)
+    return box(b"stts", p)
+
+
+def trak(width: int, height: int, fourcc: bytes,
+         n_frames: int = 125, frame_delta: int = 40) -> bytes:
     t = bytearray(84)
     struct.pack_into(">I", t, 12, 1)           # track_id
     struct.pack_into(">I", t, 20, 5000)        # duration (ticks)
@@ -41,8 +62,11 @@ def trak(width: int, height: int, fourcc: bytes) -> bytes:
     tkhd = box(b"tkhd", bytes(t))
     entry = struct.pack(">I", 16) + fourcc + bytes(8)
     stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-    return box(b"trak",
-               tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsd))))
+    # media timescale 1000, duration = frames*delta, one stts run:
+    # fps parses back as frames*1000/(frames*delta) = 1000/delta
+    mdhd = mdhd_v0(1000, n_frames * frame_delta, "eng")
+    stbl = box(b"stbl", stsd + stts([(n_frames, frame_delta)]))
+    return box(b"trak", tkhd + box(b"mdia", mdhd + box(b"minf", stbl)))
 
 
 def main() -> None:
@@ -53,19 +77,29 @@ def main() -> None:
         f.write(data)
     print(f"wrote {path} ({len(data)} bytes)")
 
-    # q79's constants: mvhd with duration spliced in by the query, the
-    # trak fully constant. The mvhd prefix runs up to (and excluding)
-    # the 4-byte big-endian duration at payload offset 16; the suffix
-    # is everything after it.
+    # q79's constants: three per-row values spliced into constant hex —
+    # the mvhd duration (n_chars*10 ms at timescale 1000), the mdhd
+    # duration (n_chars*40 media units) and the stts sample_count
+    # (n_chars frames at delta 40 → fps 25.0). Each splice point is
+    # located via a distinct sentinel.
     mv = mvhd_v0(1000, 0xDEADBEEF)
     d = mv.index(struct.pack(">I", 0xDEADBEEF))
-    tr = trak(320, 240, b"avc1")
+    tr = trak(320, 240, b"avc1", n_frames=0xCAFEBABE & 0x7FFFFFFF,
+              frame_delta=40)
+    # mdhd duration = n_frames*40 mod 2^32; recompute the sentinel value
+    md_sentinel = struct.pack(">I", ((0xCAFEBABE & 0x7FFFFFFF) * 40)
+                              & 0xFFFFFFFF)
+    st_sentinel = struct.pack(">I", 0xCAFEBABE & 0x7FFFFFFF)
+    m = tr.index(md_sentinel)
+    s = tr.index(st_sentinel, m + 4)
     moov_hdr = struct.pack(">I", 8 + len(mv) + len(tr)) + b"moov"
     print("FTYP_HEX =", ftyp().hex().upper())
     print("MOOV_HDR_HEX =", moov_hdr.hex().upper())
     print("MVHD_PREFIX_HEX =", mv[:d].hex().upper())
     print("MVHD_SUFFIX_HEX =", mv[d + 4:].hex().upper())
-    print("TRAK_HEX =", tr.hex().upper())
+    print("TRAK_PRE_MDHD_DUR_HEX =", tr[:m].hex().upper())
+    print("TRAK_MID_HEX =", tr[m + 4:s].hex().upper())
+    print("TRAK_POST_STTS_COUNT_HEX =", tr[s + 4:].hex().upper())
 
 
 if __name__ == "__main__":
