@@ -71,9 +71,17 @@ object Bench {
     // at ~1 s per query the run-to-run variance IS the signal unless
     // medianed out.
     val runsPerQuery = 3
+    // local-iteration filter (unset in driver runs): comma-separated
+    // query names — bench only those, plus the steady-state runner
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val wall0 = System.nanoTime()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         var lastDf: org.apache.spark.sql.DataFrame = null
         val times = (1 to runsPerQuery).map { _ =>
@@ -103,7 +111,20 @@ object Bench {
         (name, times(runsPerQuery / 2), planFingerprint(lastDf))
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val timesByName = results.map { case (k, v, _) => k -> v }
+    // q76 steady-state companion number (untimed in `total`): ONE
+    // resident MemoryStream query reused across 3 runs, so the ~1 s of
+    // per-fresh-query janino codegen the gated q76 pays is excluded —
+    // this is the engine's per-cycle cost, the number a resident
+    // deployment sees. Row-count asserted against the gated run's rows.
+    val steady: Option[(Double, Long)] =
+      try {
+        releaseAll(); System.gc(); Thread.sleep(100)
+        val (times, rows) = graft.queries.StreamReplayQueries
+          .steadyStatePromote(spark, sfDir, runs = 3)
+        Some((times.sorted.apply(times.length / 2), rows))
+      } catch { case _: Throwable => None }
+    val timesByName = results.map { case (k, v, _) => k -> v } ++
+      steady.map { case (t, _) => "q76_stream_promote_steady" -> t }
     // ANN quality alongside speed: recall@3 of the approximate indexes
     // vs the exact result at THIS sf (untimed; the driver reads it from
     // the same JSON line).
@@ -146,8 +167,12 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
+    // promoted-row count of the steady-state run — must equal the gated
+    // q76's row count at the same sf (diffable driver-side)
+    val steadyRows = steady.map { case (_, r) => s""","q76_steady_rows":$r""" }
+      .getOrElse("")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths$fps$errs,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rc$paths$fps$errs$steadyRows,"runs_per_query":$runsPerQuery,"wall_sec":$wallSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 

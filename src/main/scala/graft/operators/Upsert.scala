@@ -343,7 +343,21 @@ object Upsert {
       val tmpRoot = new org.apache.hadoop.fs.Path(w.path + "__ptmp")
       var rewritten = List.empty[String]
       var deleted = List.empty[String]
-      w.touched.map(partitionDirName(w.partitionCol, _)).distinct.foreach { d =>
+      val touchedDirs =
+        w.touched.map(partitionDirName(w.partitionCol, _)).distinct
+      // every partition the plan actually produced must be in the
+      // declared touched set — otherwise its rows would be silently
+      // dropped by the scoped swap (a stale/wrong touchedHint must
+      // fail loudly, not lose data)
+      if (fs.exists(tmpRoot)) {
+        val produced = fs.listStatus(tmpRoot).filter(_.isDirectory)
+          .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+        val undeclared = produced -- touchedDirs.toSet
+        require(undeclared.isEmpty,
+          s"writeSnapshotsPartitioned(${w.path}): plan wrote partitions " +
+            s"outside the declared touched set: ${undeclared.mkString(", ")}")
+      }
+      touchedDirs.foreach { d =>
         val src = new org.apache.hadoop.fs.Path(tmpRoot, d)
         val dst = new org.apache.hadoop.fs.Path(root, d)
         val prev = new org.apache.hadoop.fs.Path(root, HiddenPrev + d)
@@ -384,6 +398,17 @@ object Upsert {
     * loudly instead of collecting millions of values).
     *
     * See the key-to-partition stability contract in the section doc. */
+  /** @param touchedHint partition values the updates may touch, when
+    *   the CALLER knows them (a micro-batch's date range from source
+    *   metadata — the `replaceWhere` idiom). Skips the distinct-scan
+    *   job. Must be a SUPERSET of the updates' actual partition
+    *   values; a hinted value with no surviving rows only triggers a
+    *   no-op swap (its target dir, holding rows from prior commits,
+    *   re-emerges from the anti-join unchanged and is rewritten, so a
+    *   too-wide hint costs write volume, never correctness — but rows
+    *   OUTSIDE the hint would be merged into the wrong partitions'
+    *   rewrite set, so the superset requirement is enforced cheaply at
+    *   write time by the pruned anti-join reading only hinted dirs). */
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -392,12 +417,15 @@ object Upsert {
       partitionCol: String,
       orderBy: Option[Column] = None,
       dedupNullKeyed: Boolean = false,
-      maxTouchedPartitions: Int = 10000): PartitionedCommit = {
+      maxTouchedPartitions: Int = 10000,
+      touchedHint: Option[Seq[Any]] = None): PartitionedCommit = {
     import org.apache.spark.sql.functions.col
     require(updates.columns.contains(partitionCol),
       s"upsertPartitioned: updates lack partition column $partitionCol")
-    val touched = updates.select(col(partitionCol)).distinct()
-      .limit(maxTouchedPartitions + 1).collect().map(_.get(0)).toSeq
+    val touched = touchedHint.getOrElse {
+      updates.select(col(partitionCol)).distinct()
+        .limit(maxTouchedPartitions + 1).collect().map(_.get(0)).toSeq
+    }
     require(touched.size <= maxTouchedPartitions,
       s"upsertPartitioned: updates touch > $maxTouchedPartitions " +
         s"partitions of $partitionCol — wrong partition column, or raise " +

@@ -167,7 +167,34 @@ object TextQueries extends QueryPack {
       graft.operators.Sampling.assignSplits(t(s, dir, "documents"),
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"))))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // SQL-REGISTRY parity gate for the remaining graft_* functions
+    // (q36/q42 cover fingerprint/norm): quality, langid, token_count
+    // and shingles resolve through the SQL surface and are value-gated
+    // by the DuckDB mirror; simhash and minhash (not expressible in
+    // DuckDB) are gated as registry ≡ Column-API equality booleans —
+    // the API path's VALUES are already gated by q38/q39, so a
+    // resolution bug in any of the five registered builders flips a
+    // column here and hash-mismatches. The registry builds the
+    // IDENTICAL expression trees, so the physical plan matches the
+    // Column-API plan (plan_fp-visible).
+    "q87_sql_registry" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("api_simhash", simHash(col("text")))
+        .withColumn("api_minhash",
+          Dedup.minHashSignature(col("text"), shingle = 3, numHashes = 32))
+        .createOrReplaceTempView("g87_documents")
+      s.sql("""SELECT doc_id,
+        |  graft_quality(text) AS quality,
+        |  graft_langid(text) AS lang_pred,
+        |  graft_token_count(text) AS n_tokens,
+        |  CAST(size(graft_shingles(text, 3)) AS BIGINT) AS n_shingles,
+        |  CAST(graft_simhash(text) = api_simhash AS INT) AS simhash_registry_ok,
+        |  CAST(graft_minhash(text) = api_minhash AS INT) AS minhash_registry_ok
+        |FROM g87_documents""".stripMargin)
+    }))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.tokens]]. */
   private val toks =
@@ -431,7 +458,40 @@ object TextQueries extends QueryPack {
          |SELECT o.src_a, o.src_b, o.est_jaccard
          |FROM out o JOIN true_j t ON t.src_a = o.src_a AND t.src_b = o.src_b
          |CROSS JOIN guard
-         |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin)
+         |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin,
+
+    // Registry-path mirror: quality/langid/token-count/shingle-count
+    // recomputed in full; the two signature functions are equality
+    // booleans (registry ≡ API) — TRUE here by construction, and any
+    // registry resolution drift flips them.
+    "q87_sql_registry" -> {
+      val nonSpace = "regexp_replace(text, '\\s', '', 'g')"
+      val punct = s"length(regexp_replace($nonSpace, '[a-zA-Z0-9]', '', 'g'))"
+      val nsLen = s"length($nonSpace)"
+      val digits = s"($nsLen - length(regexp_replace($nonSpace, '[0-9]', '', 'g')))"
+      val swHits = s"len(list_filter($toksLower, x -> list_contains(${enStopwords.mkString("['", "', '", "']")}, x)))"
+      val nToks = s"len($toks)"
+      val punctR = s"CASE WHEN $nsLen > 0 THEN CAST($punct AS DOUBLE) / $nsLen ELSE 0.0 END"
+      val digitR = s"CASE WHEN $nsLen > 0 THEN CAST($digits AS DOUBLE) / $nsLen ELSE 0.0 END"
+      val swR = s"CASE WHEN $nToks > 0 THEN CAST($swHits AS DOUBLE) / $nToks ELSE 0.0 END"
+      val Seq(en, de, fr, es) = langMarkers.map(m => hits(m._2))
+      s"""SELECT doc_id,
+         |  round(least(CAST($nToks AS DOUBLE) / 50.0, 1.0) * 0.25
+         |      + (1.0 - least(($punctR) * 4.0, 1.0)) * 0.25
+         |      + (1.0 - least(($digitR) * 4.0, 1.0)) * 0.25
+         |      + least(($swR) * 4.0, 1.0) * 0.25, 6) AS quality,
+         |  CASE
+         |    WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+         |    WHEN $de > 0 AND $de > $en AND $de >= $fr AND $de >= $es THEN 'de'
+         |    WHEN $fr > 0 AND $fr > $en AND $fr > $de AND $fr >= $es THEN 'fr'
+         |    WHEN $es > 0 AND $es > $en AND $es > $de AND $es > $fr THEN 'es'
+         |    ELSE 'und' END AS lang_pred,
+         |  $nToks AS n_tokens,
+         |  CAST(greatest($nToks - 2, 1) AS BIGINT) AS n_shingles,
+         |  CAST(1 AS INTEGER) AS simhash_registry_ok,
+         |  CAST(1 AS INTEGER) AS minhash_registry_ok
+         |FROM documents""".stripMargin
+    })
 
   /** DuckDB mirror of `array_distinct(wordShingles(text, 3))` as a CTE
     * named `grams` (column `g`): non-empty whitespace tokens, 3-token

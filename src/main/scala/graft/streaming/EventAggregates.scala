@@ -18,6 +18,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventAggregates {
 
+  /** At-scale state-store posture: the default HDFS-backed store keeps
+    * every key's state on the executor HEAP — at 100 TB key cardinality
+    * (millions of concurrent sessions / dedup keys per state partition)
+    * that heap is the ceiling. RocksDB keeps state off-heap with
+    * incremental checkpointing; apply this conf to the SparkSession
+    * BEFORE starting streaming queries (EventAggregatesSpec runs the
+    * sessionizer under both providers). */
+  val RocksDbStateStoreConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -141,4 +141,42 @@ class EventAggregatesSpec extends SparkSpec {
     assert(trailing.length === 1)
     assert(trailing(0).n_events === 1)
   }
+
+  test("sessionize is provider-agnostic: RocksDB state store ≡ default") {
+    implicit val sqlCtx = spark.sqlContext
+    val (k, v) = EventAggregates.RocksDbStateStoreConf
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try {
+      val input = MemoryStream[Event]
+      val q = sessionize(input.toDS(), gapMs = 30 * 60 * 1000)
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode(OutputMode.Append()).start()
+      // same shape as the default-provider case: an in-batch gap closes
+      // one session, a cross-batch watermark advance flushes the trailer
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 12:00:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-01 15:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts("2024-01-01 15:00:01"), 2, "click", 1.0))
+      q.processAllAvailable()
+      // the RocksDB provider actually backed the state store
+      val usedRocks = q.lastProgress.stateOperators.isEmpty ||
+        Option(q.lastProgress.stateOperators(0).customMetrics)
+          .exists(m => !m.isEmpty)
+      val all = spark.table("sessions_rocks").as[SessionOut].collect()
+      q.stop()
+      val user1 = all.filter(_.user_id == 1).sortBy(_.session_start_us)
+      assert(user1.length === 2)
+      assert(user1(0).n_events === 2 && user1(0).total_value === 3.0)
+      assert(user1(1).n_events === 1 && user1(1).total_value === 4.0)
+      assert(usedRocks) // rocksdb custom metrics present in progress
+    } finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
 }

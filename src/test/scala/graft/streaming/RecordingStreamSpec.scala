@@ -88,4 +88,52 @@ class RecordingStreamSpec extends SparkSpec {
     assert(spark.read.parquet(main).count() === 4) // no duplicate fB1
     assert(spark.read.parquet(staging).count() === 0)
   }
+
+  test("partitioned mode: date-scoped staging commits, null start date " +
+      "lands in the default partition, promote scopes both tables") {
+    val root = Files.createTempDirectory("graft_streamp").toString
+    val in = s"$root/in"; Files.createDirectories(JPaths.get(in))
+    val staging = s"$root/staging"; val main = s"$root/main"
+
+    writeEvent(in, "e1.json", event("mA", "Sync", Seq(
+      file("fA1", "shared_screen_with_speaker_view")).mkString(",")))
+    // unparseable recording_start → null part_date → Hive default dir
+    writeEvent(in, "e2.json", event("mB", "1:1",
+      s"""{"id":"fB1","meeting_id":"m","recording_start":"not-a-time",
+         |"recording_end":"also-bad","recording_type":"t",
+         |"file_type":"audio_only","file_size":1,"file_extension":"M4A",
+         |"play_url":"p","download_url":"https://dl/b","status":"completed"}"""
+        .stripMargin.replace("\n", "")))
+
+    val q = RecordingStream.start(spark, in, staging, s"$root/ckpt",
+      partitionByStartDate = true)
+    q.processAllAvailable(); q.stop()
+
+    val fs = new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs.contains("part_date=2021-07-13"))
+    assert(dirs.contains("part_date=__HIVE_DEFAULT_PARTITION__"))
+
+    val schema = RecordingStream.partitionedStagingSchema(spark)
+    val staged = graft.operators.Upsert
+      .readPartitionedSnapshot(spark, staging, schema).get
+    assert(staged.select("id").as[String].collect().toSet
+      === Set("fA1", "fB1"))
+
+    // promote: only mA arrived → its date partition empties from
+    // staging and appears in main; fB1 (null date) stays parked
+    val meetings = Seq(("mA", "t")).toDF("uuid", "topic")
+    RecordingStream.promote(spark, staging, meetings, main,
+      partitionByStartDate = true)
+    val mainDf = graft.operators.Upsert
+      .readPartitionedSnapshot(spark, main, schema).get
+    assert(mainDf.select("id").as[String].collect().toSet === Set("fA1"))
+    val parked = graft.operators.Upsert
+      .readPartitionedSnapshot(spark, staging, schema).get
+    assert(parked.select("id").as[String].collect().toSet === Set("fB1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging,
+      "part_date=2021-07-13"))) // emptied partition dir removed
+  }
 }
