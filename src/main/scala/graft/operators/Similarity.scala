@@ -481,10 +481,11 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates carry IDS ONLY through the bucket join + dedup; vectors
     // re-attach afterwards (fat arrays never ride the candidate shuffle)
-    val sigs = base.select(
-      col("id"),
-      posexplode(array((0 until tables).map(t =>
-        rhpSignature(col("u"), bits, dim, seed = 1000L + t)): _*)))
+    val sigArr = base.select(col("id"),
+        array((0 until tables).map(t =>
+          rhpSignature(col("u"), bits, dim, seed = 1000L + t)): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigArr.select(col("id"), posexplode(col("sig")))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
     // Ordered pairs only (lo < hi): halves the dedup shuffle, the
@@ -492,11 +493,22 @@ object Similarity {
     // symmetric, so the per-query candidate set is recovered by
     // mirroring the SCORED pairs afterwards — each query still ranks
     // every cohabiting neighbor.
+    // Cross-table dedup is FIRST-COLLISION-TABLE (as in
+    // Dedup.embeddingNearDupPairs): keep a pair only in the first table
+    // where its signatures agree — a row-local filter over broadcast
+    // per-id signature arrays, replacing the global dropDuplicates
+    // whose hash-aggregate spilled ~20 GB at the sf1.0 smoke.
     val cands = sigs.select(col("table"), col("bucket"), col("id").as("lo"))
       .join(sigs.select(col("table"), col("bucket"), col("id").as("hi")),
         Seq("table", "bucket"))
       .where(col("lo") < col("hi"))
-      .dropDuplicates("lo", "hi")
+      .join(sigArr.select(col("id").as("lo"), col("sig").as("sig_a")),
+        Seq("lo"))
+      .join(sigArr.select(col("id").as("hi"), col("sig").as("sig_b")),
+        Seq("hi"))
+      .where(array_position(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x <=> y),
+        true) === col("table") + 1)
       .select("lo", "hi")
     // score each ordered pair once, then mirror it with a single explode
     // — one narrow operator instead of the previous checkpoint + union
@@ -518,6 +530,6 @@ object Similarity {
       topKPerKey(scored, k)
         .select(col("key").as("query_id"), col("id").as("neighbor_id"),
           col("rank"), col("sim")),
-      base)
+      sigArr, base)
   }
 }
