@@ -61,6 +61,51 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the rows of `batch` that survive against
+    * an accumulated `corpus` — drop a batch row when its content
+    * already exists in the corpus, and keep only the lowest-id copy of
+    * each content within the batch itself. This is the ingest-time
+    * shape of exact dedup (dedupe each arriving increment against
+    * history without re-deduping history — refresh cost ∝ batch, like
+    * [[graft.operators.IncrementalAgg]] for aggregates and
+    * `Upsert.upsertPartitioned` for storage).
+    *
+    * Scale posture: the corpus side enters the join as 8-byte
+    * `xxhash64` content hashes ONLY (projected before the exchange —
+    * document bodies never ride the corpus shuffle); batch contents
+    * re-attach to verify candidate matches content-for-content, so a
+    * hash collision can never drop a unique document. The second join
+    * back to `batch` is id-keyed, so all original batch columns
+    * survive untouched. */
+  def incrementalExact(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    // corpus → (hash, content): hash keys the shuffle; content is
+    // needed once per matching hash group for collision verification.
+    // Distinct BEFORE the join: corpus duplicates would fan out.
+    val corpusKeys = corpus
+      .select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__ct"))
+      .distinct()
+    val batchKeys = batch
+      .select(col(idCol).as("__id"), col(textCol).as("__bt"))
+      .withColumn("__h", xxhash64(col("__bt")))
+    // batch ids whose content truly exists in the corpus (hash match
+    // AND content match — collisions survive)
+    val seenIds = batchKeys.join(corpusKeys, Seq("__h"))
+      .where(col("__bt") <=> col("__ct"))
+      .select(col("__id"))
+    // within-batch winner: lowest id per content
+    val winners = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(textCol)).orderBy(col(idCol).asc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    winners.join(seenIds.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Deterministic MinHash parameters: k universal-hash functions
     * h_i(x) = (a_i·x + b_i) mod p over base xxhash64 shingle hashes. */
   private val minhashPrime = 2038074743L

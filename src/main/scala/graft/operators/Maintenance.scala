@@ -30,10 +30,9 @@ object Maintenance {
     * safe to run after every load.
     *
     * Flat snapshot tables only: a partitioned layout (subdirectories
-    * from [[writePartitioned]]) is not a snapshot table — its commit
-    * unit is the directory tree, not the swap pair — so this throws
-    * rather than silently no-opping; re-run [[writePartitioned]] with a
-    * higher per-file target to compact those. */
+    * from [[writePartitioned]] / [[Upsert.upsertPartitioned]]) commits
+    * per DIRECTORY, so this throws rather than silently no-opping —
+    * use [[compactPartitionedSnapshot]] for those. */
   def compactSnapshot(
       spark: SparkSession,
       path: String,
@@ -47,8 +46,8 @@ object Maintenance {
     if (!fs.exists(p)) return CompactionReport(0, 0, 0, false)
     val entries = fs.listStatus(p).toSeq
     require(!entries.exists(_.isDirectory),
-      s"compactSnapshot: $path contains subdirectories — partitioned " +
-        "tables are compacted by rewriting via writePartitioned, not here")
+      s"compactSnapshot: $path contains subdirectories — use " +
+        "compactPartitionedSnapshot for partitioned tables")
     val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val bytes = dataFiles.map(_.getLen).sum
@@ -65,6 +64,63 @@ object Maintenance {
     val after = fs.listStatus(p).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
     CompactionReport(nFiles, after, bytes, true)
+  }
+
+  /** Per-directory compaction for PARTITION-SCOPED snapshot tables
+    * ([[Upsert.upsertPartitioned]]'s layout): each fragmented partition
+    * dir is rewritten to ≈`targetFileBytes` files and committed through
+    * the same crash-safe per-dir swap the upsert path uses (write to a
+    * sibling staging dir, rename via the hidden `_prev.` generation).
+    * Fragmentation test and no-op behavior match [[compactSnapshot]],
+    * applied per dir — healthy dirs schedule no job and their files
+    * stay byte-identical. Fragmentation arises here when a commit's
+    * write parallelism exceeded one task per partition value
+    * (`filesPerPartition` salting, AQE splits) or after many
+    * `touchedHint` no-op rewrites at low row counts. */
+  def compactPartitionedSnapshot(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, CompactionReport] = {
+    Upsert.repairPartitionedSnapshot(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    dirs.map { d =>
+      val dirPath = new Path(root, d)
+      val dataFiles = fs.listStatus(dirPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = dataFiles.map(_.getLen).sum
+      val nFiles = dataFiles.length.toLong
+      val idealFiles = math.max(1L,
+        math.ceil(bytes.toDouble / targetFileBytes).toLong)
+      val healthy = nFiles <= 1 || nFiles < 2 * idealFiles
+      if (healthy) d -> CompactionReport(nFiles, nFiles, bytes, false)
+      else {
+        val targetFiles = math.max(1,
+          math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        // dir files carry no partition column — the rewrite is a plain
+        // flat read/coalesce/write of THIS dir only
+        val tmp = new Path(path + "__ptmp", d)
+        spark.read.parquet(dirPath.toString).coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val prev = new Path(root, Upsert.HiddenPrev + d)
+        if (fs.exists(prev)) fs.delete(prev, true)
+        fs.rename(dirPath, prev)
+        fs.rename(tmp, dirPath)
+        fs.delete(prev, true)
+        val after = fs.listStatus(dirPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .toLong
+        d -> CompactionReport(nFiles, after, bytes, true)
+      }
+    }.toMap match { case reports =>
+      val tmpRoot = new Path(path + "__ptmp")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      reports
+    }
   }
 
   /** Write `df` as a date/key-partitioned parquet table with rows

@@ -231,12 +231,19 @@ object Similarity {
     centroids
   }
 
+  /** @param nLists cell count; 0 ⇒ auto-size to max(16, ⌈√n⌉) from a
+    *   corpus count — the standard IVF sizing that keeps probe cost
+    *   n·nProbe·(n/nLists) ≈ n^1.5 instead of n² as the corpus grows
+    *   (the sf1.0 smoke's q45 cliff: fixed gate-pinned nLists at 10×
+    *   data quadruples the candidate join). Gates pin explicit values
+    *   so the oracle sees a stable plan; auto is the production
+    *   default posture. */
   def ivfTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nLists: Int = 16,
+      nLists: Int = 0,
       nProbe: Int = 4,
       seed: Long = 42L,
       trainCap: Int = 25000,
@@ -244,10 +251,15 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
         normalized(col(vecCol)).as("u"))
       .where(col("u").isNotNull)
-    // cached: feeds the train-sample collect + cell assignment + probe
-    // expansion; released before return (Dedup.materializeAndRelease —
-    // the cache must not outlive the call in a long-lived session)
+    // cached: feeds the (auto-sizing count +) train-sample collect +
+    // cell assignment + probe expansion; released before return
+    // (Dedup.materializeAndRelease — the cache must not outlive the
+    // call in a long-lived session)
     val vecs = Par.spread(base).cache()
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(
+        vecs.count().toDouble)).toInt)
     // bounded deterministic sample (lowest-hash ids; TakeOrdered — no
     // full sort at scale), collected and trained on the driver
     val sample: Array[Array[Double]] = vecs
@@ -268,7 +280,7 @@ object Similarity {
           StructField("rank", IntegerType),
           StructField("sim", DoubleType))))
     }
-    val centroids = trainCentroids(sample, nLists, maxIter = 5, seed)
+    val centroids = trainCentroids(sample, lists, maxIter = 5, seed)
 
     // Cells are scored by the SAME metric k-means assigns with
     // (argmin ||u-c||² ≡ argmax (u·c − ||c||²/2)); ranking by raw dot

@@ -230,8 +230,8 @@ object Upsert {
   final case class PartitionedCommit(
       path: String, rewritten: Seq[String], deleted: Seq[String])
 
-  private val HiddenPrev = "_prev."
-  private val HiddenDel = "_del."
+  private[operators] val HiddenPrev = "_prev."
+  private[operators] val HiddenDel = "_del."
 
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 

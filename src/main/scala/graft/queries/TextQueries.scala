@@ -169,6 +169,17 @@ object TextQueries extends QueryPack {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // Incremental exact dedup: the second half of the corpus arrives
+    // as a batch and dedups against the already-ingested first half —
+    // refresh cost ∝ batch; corpus bodies never ride the shuffle.
+    "q88_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.where(col("doc_id") % 2 === 0) // already ingested
+      val batch = d.where(col("doc_id") % 2 === 1)  // arriving increment
+      Dedup.incrementalExact(batch, corpus, "text", "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // SQL-REGISTRY parity gate for the remaining graft_* functions
     // (q36/q42 cover fingerprint/norm): quality, langid, token_count
     // and shingles resolve through the SQL surface and are value-gated
@@ -459,6 +470,16 @@ object TextQueries extends QueryPack {
          |FROM out o JOIN true_j t ON t.src_a = o.src_a AND t.src_b = o.src_b
          |CROSS JOIN guard
          |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin,
+
+    // Survivors = odd-id docs whose text is not among even-id docs'
+    // texts, lowest odd id per text.
+    "q88_incremental_dedup" ->
+      """SELECT b.doc_id, b.n_chars FROM documents b
+        |WHERE b.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+        |  AND b.doc_id = (SELECT min(b2.doc_id) FROM documents b2
+        |                  WHERE b2.doc_id % 2 = 1 AND b2.text = b.text)""".stripMargin,
 
     // Registry-path mirror: quality/langid/token-count/shingle-count
     // recomputed in full; the two signature functions are equality

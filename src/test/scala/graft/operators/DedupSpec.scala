@@ -29,6 +29,33 @@ class DedupSpec extends SparkSpec {
     assert(g(0)._2 === 1L && g(0)._3 === 2L)
   }
 
+  test("incrementalExact dedups a batch against corpus and itself") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // exists in corpus → dropped
+      (11L, "fresh"),         // survives
+      (12L, "fresh"),         // in-batch copy of 11 → dropped
+      (13L, "brand new"),     // survives
+      (14L, null.asInstanceOf[String]), // null content: kept (no match)
+      (15L, null.asInstanceOf[String])) // in-batch null copy → dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, corpus, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted
+      === Array(11L, 13L, 14L))
+    assert(out.columns.toSeq === batch.columns.toSeq) // all cols survive
+    // idempotent: survivors re-deduped against corpus∪survivors = ∅
+    val again = Dedup.incrementalExact(
+      out, corpus.unionByName(out), "text", "doc_id")
+    assert(again.isEmpty)
+    // null content against a corpus that HAS a null: null-safe match
+    val nullCorpus = Seq((3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(
+      Seq((20L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      nullCorpus, "text", "doc_id").isEmpty)
+  }
+
   test("minHashPairs finds planted near-dup, skips unrelated docs") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
         shingle = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)

@@ -80,6 +80,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85)
   }
 
+  test("ivfTopK auto-sizes nLists to ~sqrt(n) and stays deterministic") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // nLists=0 (the production default): 500 vectors → ceil(sqrt) = 23
+    // cells; the result must be valid top-k and run-to-run identical
+    val a = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val b = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.forall { case (q, n, r, _) =>
+      q != n && r >= 1 && r <= 3 })
+  }
+
   test("ivfTopK broadcast-join path == literal-projection path") {
     // same index, two physical strategies: forcing the broadcast path
     // (threshold 0) must reproduce the literal path bit-for-bit
