@@ -68,13 +68,15 @@ object Merge {
     * partition dir swaps ([[Upsert.writeSnapshotsPartitioned]]).
     *
     * Semantics note vs [[promote]]: the staging-side delete anti-joins
-    * against the new main restricted to TOUCHED partitions. A parked
-    * row in an untouched partition whose key already exists in main
-    * (possible only when an already-promoted key is redelivered AND
-    * its parent has since vanished from `parent`) stays parked instead
-    * of being dropped — it re-promotes (idempotently) whenever its
-    * parent reappears. Keys must not migrate partitions (see the
-    * contract in [[Upsert]]'s partition-scoped section).
+    * against THIS CYCLE'S PROMOTED keys (not the full new main — which
+    * would execute the whole main-upsert plan a second time just to
+    * project its keys). A parked row whose key already exists in main
+    * but was not promoted this cycle (possible only when an
+    * already-promoted key is redelivered AND its parent has since
+    * vanished from `parent`) stays parked instead of being dropped —
+    * it re-promotes (idempotently) whenever its parent reappears.
+    * Keys must not migrate partitions (see the contract in [[Upsert]]'s
+    * partition-scoped section).
     *
     * @param schema       full staging/main row schema including
     *                     `partitionCol` (pins partition-column typing;
@@ -107,10 +109,12 @@ object Merge {
       .map(_.where(filter)).getOrElse(promoted.limit(0))
     val newMainTouched = Upsert.upsert(mainPruned, promoted, mainKeys)
     val remaining = staging.where(filter).join(
-      newMainTouched.select(mainKeys.map(col): _*), mainKeys, "left_anti")
+      promoted.select(mainKeys.map(col): _*), mainKeys, "left_anti")
+    // both paths were just repaired by their readPartitionedSnapshot
     val Seq(mainCommit, stagingCommit) = Upsert.writeSnapshotsPartitioned(Seq(
       Upsert.PartitionedWrite(newMainTouched, mainPath, partitionCol, touched),
-      Upsert.PartitionedWrite(remaining, stagingPath, partitionCol, touched)))
+      Upsert.PartitionedWrite(remaining, stagingPath, partitionCol, touched)),
+      skipRepair = true)
     Some(PromotePartitionedResult(mainCommit, stagingCommit))
   }
 }

@@ -319,12 +319,16 @@ object Upsert {
     * swap. Only `touched` partitions are rewritten or deleted; every
     * other partition directory is untouched on disk. */
   def writeSnapshotsPartitioned(
-      writes: Seq[PartitionedWrite]): Seq[PartitionedCommit] = {
+      writes: Seq[PartitionedWrite],
+      skipRepair: Boolean = false): Seq[PartitionedCommit] = {
     import org.apache.spark.sql.functions.col
     // Phase 1: execute every plan into per-table __ptmp staging.
     writes.foreach { w =>
       val spark = w.df.sparkSession
-      repairPartitionedSnapshot(spark, w.path)
+      // skipRepair: callers that just went through
+      // readPartitionedSnapshot (which repairs) can skip the second
+      // listing — repair is idempotent, this is purely a listing saver
+      if (!skipRepair) repairPartitionedSnapshot(spark, w.path)
       // Cluster on the partition column first — without it every
       // upstream task writes a file into every partition dir it
       // touches (tasks × partitions fragmentation).
@@ -435,8 +439,10 @@ object Upsert {
       case None => updates.limit(0)
     }
     val result = upsert(pruned, updates, keys, orderBy, dedupNullKeyed)
+    // the readPartitionedSnapshot above already repaired this path
     writeSnapshotsPartitioned(
-      Seq(PartitionedWrite(result, path, partitionCol, touched))).head
+      Seq(PartitionedWrite(result, path, partitionCol, touched)),
+      skipRepair = true).head
   }
 
   /** Partition-pruning predicate for a touched-value set (null-aware:
