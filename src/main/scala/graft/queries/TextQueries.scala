@@ -180,6 +180,27 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Count-min-sketch heavy hitters: exact top-20 tokens priced by the
+    // 64 KB sketch; derived-invariant oracle re-derives the exact
+    // counts + ranking and enforces the CMS one-sided error bound
+    // (est ≥ exact always; ≤ exact + 8N/width here — generous vs the
+    // e/width·N theoretical bound so the gate is deterministic).
+    "q89_cms_heavy_hitters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(explode(tokens(col("text"))).as("token"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("exact_n").desc, col("token").asc)
+      val top = exact
+        .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+        .withColumn("rnk", row_number().over(w))
+      val sk = graft.operators.Sketches.buildSketch(toks, "token")
+      val est = graft.operators.Sketches
+        .estimateCounts(s, top.select("token"), "token", sk)
+      top.join(est, "token")
+        .select(col("rnk"), col("token"), col("exact_n"), col("est_n"))
+    }),
+
     // SQL-REGISTRY parity gate for the remaining graft_* functions
     // (q36/q42 cover fingerprint/norm): quality, langid, token_count
     // and shingles resolve through the SQL surface and are value-gated
@@ -470,6 +491,24 @@ object TextQueries extends QueryPack {
          |FROM out o JOIN true_j t ON t.src_a = o.src_a AND t.src_b = o.src_b
          |CROSS JOIN guard
          |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin,
+
+    // Re-derives exact token counts + ranking and keeps an engine row
+    // only when its exact count matches and its estimate sits inside
+    // the CMS one-sided bound — any violation drops rows and fails the
+    // hash compare.
+    "q89_cms_heavy_hitters" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q89_cms_heavy_hitters")}),
+         |tok AS (SELECT unnest($toks) AS token FROM documents),
+         |exact AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+         |ranked AS (SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token) AS rnk
+         |  FROM exact),
+         |total AS (SELECT COUNT(*) AS n_total FROM tok)
+         |SELECT o.rnk, o.token, o.exact_n, o.est_n
+         |FROM out o JOIN ranked r ON o.token = r.token CROSS JOIN total t
+         |WHERE o.rnk = r.rnk AND o.exact_n = r.n
+         |  AND o.est_n >= r.n
+         |  AND o.est_n <= r.n + CAST(ceil(8.0 * t.n_total / 2048) AS BIGINT)""".stripMargin,
 
     // Survivors = odd-id docs whose text is not among even-id docs'
     // texts, lowest odd id per text.
