@@ -53,7 +53,9 @@ object GraftFunctions {
       NE.expr(TextFunctions.qualityScore(NE.col(es.head)))),
     "graft_langid" -> (es => NE.expr(TextFunctions.langId(NE.col(es.head)))),
     "graft_sanitize" -> (es =>
-      NE.expr(graft.functions.Normalize.sanitizeName(NE.col(es.head)))))
+      NE.expr(graft.functions.Normalize.sanitizeName(NE.col(es.head)))),
+    "graft_nfc" -> (es =>
+      NE.expr(TextFunctions.nfcNormalize(NE.col(es.head)))))
 
   /** Register all graft_* functions on a live session. */
   def register(spark: SparkSession): Unit =

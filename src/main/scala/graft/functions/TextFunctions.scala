@@ -155,6 +155,16 @@ object TextFunctions {
 
   // ---- fingerprinting ---------------------------------------------------
 
+  /** Unicode NFC normalization — run before any content hash
+    * (fingerprint/minhash/simhash/exact dedup) so canonically
+    * equivalent strings (é composed vs e + combining acute) merge.
+    * Native expression wrapping `java.text.Normalizer`; mirrored
+    * exactly by DuckDB's `nfc_normalize` (the q90 gate). */
+  def nfcNormalize(c: Column): Column = {
+    import graft.functions.expressions.{NativeExpressions => NE, NfcNormalize}
+    NE.col(NfcNormalize(NE.expr(c)))
+  }
+
   /** Polynomial rolling-hash document fingerprint over the
     * whitespace-normalized text: h = Σ h*31 + codepoint (mod 1e9+7).
     * Native Catalyst expression (tight loop); the declarative HOF

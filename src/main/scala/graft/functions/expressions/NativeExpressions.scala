@@ -466,3 +466,30 @@ case class Fingerprint64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Fingerprint64 =
     copy(child = c)
 }
+
+/** Unicode NFC normalization (java.text.Normalizer) — the
+  * normalize-before-hash step of a dedup pipeline: visually identical
+  * strings with different codepoint sequences (é as U+00E9 vs
+  * e+U+0301) must fingerprint/minhash identically or every dedup
+  * operator under-merges. NFC (not NFKC) so compatibility characters
+  * (ligatures, full-width forms) are preserved — and so the DuckDB
+  * oracle (`nfc_normalize`) mirrors it exactly. Already-normalized
+  * text (the common case) short-circuits via `isNormalized` without
+  * allocating. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(
+        s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}

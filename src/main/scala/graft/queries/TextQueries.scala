@@ -17,6 +17,13 @@ import graft.operators.Dedup
   */
 object TextQueries extends QueryPack {
 
+  /** q90's decomposed test prefix: e + COMBINING ACUTE (U+0301), the
+    * U+FB01 ligature, U+212B ANGSTROM SIGN — NFC must compose the
+    * first, keep the second, map the third to U+00C5. Shared between
+    * the Spark literal and the DuckDB oracle so both see identical
+    * bytes. */
+  private val NfcPrefix = "Cafe\u0301 \uFB01lter \u212B "
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T5 explode + word count over the corpus.
     "q30_explode_wordcount" -> ((s, dir) => {
@@ -178,6 +185,21 @@ object TextQueries extends QueryPack {
       val batch = d.where(col("doc_id") % 2 === 1)  // arriving increment
       Dedup.incrementalExact(batch, corpus, "text", "doc_id")
         .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // Unicode NFC normalization — the normalize-before-hash dedup step,
+    // value-gated against DuckDB's nfc_normalize. Each doc's text gets
+    // a deterministic DECOMPOSED prefix ("e"+U+0301, the U+FB01
+    // ligature, U+212B Angstrom sign): NFC must compose é, preserve
+    // the ligature (NFC, not NFKC) and map U+212B → U+00C5, and the
+    // changed flag proves normalization actually fired per row.
+    "q90_nfc_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val decorated = concat(lit(NfcPrefix),
+        substring(col("text"), 1, 40))
+      d.select(col("doc_id"),
+        nfcNormalize(decorated).as("norm_text"),
+        (decorated =!= nfcNormalize(decorated)).cast("int").as("changed"))
     }),
 
     // Count-min-sketch heavy hitters: exact top-20 tokens priced by the
@@ -491,6 +513,15 @@ object TextQueries extends QueryPack {
          |FROM out o JOIN true_j t ON t.src_a = o.src_a AND t.src_b = o.src_b
          |CROSS JOIN guard
          |WHERE abs(o.est_jaccard - t.tj) <= 0.25""".stripMargin,
+
+    // Same decomposed prefix, DuckDB's own nfc_normalize — engine and
+    // oracle must agree byte-for-byte on the composed result.
+    "q90_nfc_normalize" ->
+      s"""SELECT doc_id,
+         |  nfc_normalize('$NfcPrefix' || substr(text, 1, 40)) AS norm_text,
+         |  CAST(('$NfcPrefix' || substr(text, 1, 40)) !=
+         |    nfc_normalize('$NfcPrefix' || substr(text, 1, 40)) AS INT) AS changed
+         |FROM documents""".stripMargin,
 
     // Re-derives exact token counts + ranking and keeps an engine row
     // only when its exact count matches and its estimate sits inside

@@ -85,4 +85,29 @@ class TextFunctionsSpec extends SparkSpec {
     // hello | , | world | ! | x2  (boundaries only at alnum/non-alnum)
     assert(out === 5)
   }
+
+  test("nfcNormalize composes, preserves compatibility chars, " +
+      "unifies fingerprints") {
+    val rows = Seq(
+      ("e\u0301", "composes"),   // e + combining acute -> U+00E9
+      ("\uFB01", "ligature"),    // NFC keeps the fi ligature (NFKC expands)
+      ("\u212B", "angstrom"),    // ANGSTROM SIGN -> U+00C5
+      ("plain ascii", "identity"),
+      (null.asInstanceOf[String], "null")).toDF("s", "why")
+    val out = rows.select($"why", nfcNormalize($"s").as("n"))
+      .as[(String, String)].collect().toMap
+    assert(out("composes") === "\u00E9")
+    assert(out("ligature") === "\uFB01")
+    assert(out("angstrom") === "\u00C5")
+    assert(out("identity") === "plain ascii")
+    assert(out("null") === null)
+    // the point of the operator: canonically equivalent spellings hash
+    // identically after normalization
+    val fps = Seq("Caf\u00E9", "Cafe\u0301").toDF("s")
+      .select(fingerprint(nfcNormalize($"s"))).as[Long].collect()
+    assert(fps(0) === fps(1))
+    val fpsRaw = Seq("Caf\u00E9", "Cafe\u0301").toDF("s")
+      .select(fingerprint($"s")).as[Long].collect()
+    assert(fpsRaw(0) !== fpsRaw(1)) // and differently WITHOUT it
+  }
 }
