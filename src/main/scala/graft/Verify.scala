@@ -19,7 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (comma-separated substrings), mirroring
+    // SPARK_GRAFT_BENCH_ONLY; unset in driver runs → full dump. The
+    // oracle json is filtered identically so tools/check.py compares
+    // exactly the dumped set.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,6 +53,7 @@ object Verify {
     // the driver executes carries concrete absolute paths.
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
+      .filter(kv => selected(kv._1))
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("{{GRAFT_OUT}}", outAbs))}" }
       .mkString("{", ",", "}")

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-level data skipping: a per-file min/max/rowcount manifest plus a
+  * range-pruned scan — the parquet-snapshot engine's replacement for the
+  * reference's secondary B-tree indexes (`sql/create_tables.sql:78-81`
+  * indexes `meetings(start_time)` so range scans touch only matching
+  * pages; here per-FILE statistics let a range scan open only matching
+  * files).
+  *
+  * This is the Delta/Iceberg file-statistics idea re-expressed over
+  * plain parquet directories: the manifest lives INSIDE the table dir
+  * under an underscore-prefixed name, which Spark's file index (and
+  * DuckDB's globber) already ignore, so the table keeps reading
+  * normally with or without stats.
+  *
+  * Scale posture at 100 TB:
+  *  - the manifest is metadata-scale — one row per data file (100 TB at
+  *    healthy 512 MB files ≈ 200k rows, a few MB of parquet), built by
+  *    one distributed pass over the table (`_metadata.file_path`
+  *    group-by: partial aggregation per scan task, no fat shuffle);
+  *  - pruning evaluates the range predicate ON THE MANIFEST and
+  *    collects only the surviving file PATHS to the driver — the same
+  *    cardinality every Spark file index already materializes
+  *    driver-side, not data;
+  *  - row-group/page skipping inside the surviving files still comes
+  *    free from the parquet reader (the layout writers in
+  *    [[Maintenance.writePartitioned]] / [[ZOrder.writeZOrdered]] sort
+  *    within files precisely so both levels bite).
+  *
+  * Parquet footers already hold per-column min/max — but reading 200k
+  * footers per query IS the small-metadata problem at scale (one round
+  * trip per file from the driver); the manifest amortizes that into one
+  * columnar read, exactly the argument Delta's stats collection makes.
+  */
+object DataSkipping {
+
+  /** Manifest directory name under the table path. The leading
+    * underscore makes every parquet reader skip it as a data source. */
+  val ManifestDir = "_graft_stats"
+
+  /** One range predicate for pruning: `lower <= col <= upper`
+    * (inclusive both ends; pass the same bounds to the residual filter
+    * so pruned-scan results are exactly `WHERE col BETWEEN lo AND hi`). */
+  final case class ColRange(colName: String, lower: Column, upper: Column)
+
+  final case class PruneReport(filesTotal: Long, filesRead: Long) {
+    def filesSkipped: Long = filesTotal - filesRead
+  }
+
+  final case class PrunedScan(df: DataFrame, report: PruneReport)
+
+  private def manifestPath(tablePath: String) =
+    s"$tablePath/$ManifestDir"
+
+  /** Compute the per-file stats manifest for `statsCols` as a DataFrame:
+    * `(file, n_rows, min__<c>, max__<c>, nonnull__<c> ...)`. One
+    * distributed scan; the group-by key is the hidden
+    * `_metadata.file_path` column so the aggregation is partial-final
+    * with at most one group per file per task. */
+  def buildManifest(
+      spark: SparkSession,
+      tablePath: String,
+      statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "buildManifest: statsCols must be non-empty")
+    val df = spark.read.parquet(tablePath)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min__$c"),
+          max(col(c)).as(s"max__$c"),
+          count(col(c)).as(s"nonnull__$c"))
+      }
+    df.select(col("_metadata.file_path").as("file") +: statsCols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build and persist the manifest under `<tablePath>/_graft_stats`.
+    * Coalesced to one file — it is metadata-scale by construction. */
+  def writeManifest(
+      spark: SparkSession,
+      tablePath: String,
+      statsCols: Seq[String]): Unit =
+    buildManifest(spark, tablePath, statsCols)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(manifestPath(tablePath))
+
+  def readManifest(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(manifestPath(tablePath))
+
+  /** True if a stats manifest exists for `tablePath`. */
+  def hasManifest(spark: SparkSession, tablePath: String): Boolean = {
+    val p = new Path(manifestPath(tablePath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** A file can contain a row matching `lo <= c <= hi` only if it has
+    * any non-null value and its [min, max] intersects [lo, hi]. An
+    * all-null file has NULL min/max — the three-valued comparison then
+    * yields NULL and the file is (correctly) pruned. */
+  private def mayMatch(r: ColRange): Column =
+    col(s"nonnull__${r.colName}") > 0 &&
+      col(s"max__${r.colName}") >= r.lower &&
+      col(s"min__${r.colName}") <= r.upper
+
+  /** Range-pruned scan of `tablePath`: open only files whose manifest
+    * stats intersect EVERY range, then apply the exact row-level
+    * residual filter — so the result equals
+    * `SELECT * FROM table WHERE AND_i(col_i BETWEEN lo_i AND hi_i)`
+    * regardless of how sharp the file pruning was. Requires
+    * [[writeManifest]] to have covered every pruning column; stale
+    * manifests (table rewritten after stats) would be silently wrong,
+    * so callers that rewrite tables must re-run [[writeManifest]] —
+    * the snapshot writers here commit whole directories, which drops
+    * the manifest with the old generation. */
+  def prunedScan(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[ColRange]): PrunedScan = {
+    require(ranges.nonEmpty, "prunedScan: at least one range required")
+    val m = readManifest(spark, tablePath)
+    ranges.foreach { r =>
+      require(m.columns.contains(s"min__${r.colName}"),
+        s"prunedScan: manifest has no stats for column ${r.colName} — " +
+          "rebuild with writeManifest including it")
+    }
+    val total = m.count()
+    val files = m.where(ranges.map(mayMatch).reduce(_ && _))
+      .select("file").collect().map(_.getString(0))
+    val residual = ranges
+      .map(r => col(r.colName) >= r.lower && col(r.colName) <= r.upper)
+      .reduce(_ && _)
+    val df =
+      if (files.isEmpty) {
+        // preserve the table schema for downstream plans; one footer read
+        val schema: StructType = spark.read.parquet(tablePath).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else spark.read.parquet(files.toIndexedSeq: _*).where(residual)
+    PrunedScan(df, PruneReport(total, files.length.toLong))
+  }
+}

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, Merge, Skew, Upsert}
+import graft.operators.{BloomPrune, Bucketing, DataSkipping, Merge, Skew, Upsert, ZOrder}
 
 /** Driver gates for the SCALE-POSTURE operators (SURVEY §4) that were
   * previously covered only by unit tests (VERDICT r6 "What's missing" #3
@@ -25,6 +25,14 @@ import graft.operators.{Bucketing, Merge, Skew, Upsert}
   *  - q86: partition-scoped promote transaction
   *    ([[Merge.promotePartitioned]]) — both sides of the staging→main
   *    transaction read back from DISK after partition-dir swaps.
+  *  - q91: [[DataSkipping]] file-stats pruning — a range scan over a
+  *    sorted layout must SKIP files (asserted in-gate) and still return
+  *    exactly the DuckDB filter result via the residual predicate.
+  *  - q92: [[ZOrder]] Morton layout — a 2-D box scan over the z-ordered
+  *    table must skip files while returning exactly the box contents.
+  *  - q93: [[BloomPrune]] — the fact side must shrink at the bloom
+  *    probe (asserted in-gate) and the pruned join must still equal the
+  *    plain join under the oracle (no false negatives).
   */
 object ScaleQueries extends QueryPack {
 
@@ -125,6 +133,92 @@ object ScaleQueries extends QueryPack {
       val p = new org.apache.hadoop.fs.Path(wh)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out
+    }),
+
+    // File-stats data skipping: lineitem laid out sorted by ship date,
+    // per-file min/max manifest built, then a one-year range scan must
+    // OPEN fewer files than the table holds (the skip is the gate) and
+    // still aggregate to exactly the DuckDB full-filter result — the
+    // residual predicate guarantees value equality no matter how the
+    // range partitioner cut the files.
+    "q91_filestats_pruning" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q91_").toString
+      val path = s"$wh/lineitem_by_shipdate"
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(path)
+      DataSkipping.writeManifest(s, path, Seq("l_shipdate"))
+      val scan = DataSkipping.prunedScan(s, path, Seq(DataSkipping.ColRange(
+        "l_shipdate",
+        ts("1997-01-01"), ts("1997-12-31"))))
+      require(scan.report.filesSkipped > 0,
+        s"q91: manifest pruning opened every file (${scan.report})")
+      val out = scan.df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
+    // Z-order layout: orders clustered along the Morton curve of
+    // (o_custkey, o_orderdate); a box selective in BOTH dimensions must
+    // skip files (asserted) and return exactly the box rows. The
+    // custkey bound derives from the data with integer-only arithmetic
+    // (max*2 div 5) so Spark and DuckDB compute the identical cutoff.
+    "q92_zorder_scan" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q92_").toString
+      val path = s"$wh/orders_zorder"
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      ZOrder.writeZOrdered(o, path, Seq("o_custkey", "o_orderdate"),
+        targetFiles = 16)
+      DataSkipping.writeManifest(s, path, Seq("o_custkey", "o_orderdate"))
+      val maxCust = o.agg(max(col("o_custkey"))).head().getLong(0)
+      val custHi = maxCust * 2 / 5
+      val scan = DataSkipping.prunedScan(s, path, Seq(
+        DataSkipping.ColRange("o_custkey", lit(1L), lit(custHi)),
+        DataSkipping.ColRange("o_orderdate",
+          ts("1995-01-01"), ts("1995-12-31"))))
+      require(scan.report.filesSkipped > 0,
+        s"q92: z-order box scan opened every file (${scan.report})")
+      val out = scan.df
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
+    // Bloom-pruned join: the MACHINERY customer segment's key sketch
+    // must reject most event rows BEFORE the join shuffle (asserted
+    // in-gate), and the pruned join must aggregate to exactly the plain
+    // join's result — bloom filters have no false negatives, so pruning
+    // is value-transparent for inner joins at any fpp.
+    "q93_bloom_pruned_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val fact = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).as("cents"))
+      val bf = BloomPrune.keyFilter(dim, "c_custkey")
+      val kept = fact
+        .where(BloomPrune.mightContain(col("user_id"), bf)).count()
+      val total = fact.count()
+      require(kept < total,
+        s"q93: bloom probe pruned nothing ($kept of $total fact rows kept)")
+      BloomPrune.bloomPrunedJoin(fact, dim, "user_id", "c_custkey")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          countDistinct(col("user_id")).as("n_users"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -156,5 +250,28 @@ object ScaleQueries extends QueryPack {
         |SELECT 'staging' AS side, o_orderkey, o_custkey, o_totalprice
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM customer c
-        |                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin)
+        |                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "q91_filestats_pruning" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q92_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1
+        |      AND (SELECT (max(o_custkey) * 2) // 5 FROM orders)
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                      AND TIMESTAMP '1995-12-31 00:00:00'""".stripMargin,
+    "q93_bloom_pruned_join" ->
+      """SELECT user_id % 10 AS user_bucket, COUNT(*) AS n_events,
+        |  CAST(SUM(round(value * 100)) AS BIGINT) AS total_cents,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY user_id % 10""".stripMargin)
 }
