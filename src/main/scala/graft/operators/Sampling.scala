@@ -78,4 +78,29 @@ object Sampling {
     }
     df.where(b < cutoff)
   }
+
+  /** EXACT-size deterministic stratified sample: the `k` rows of each
+    * stratum whose `md5(key)` sorts first — hash order is uniform over
+    * the keys, so this is an unbiased fixed-size draw that is fully
+    * reproducible (same rows at any parallelism, any engine that agrees
+    * on md5). The fraction-based samplers above can't promise exact
+    * per-stratum counts; this one can, at the cost of a per-stratum
+    * window sort — shuffle on the stratum column only, rank state is a
+    * single counter per stratum. A dominant stratum is the usual window
+    * skew case: pre-filter or split it before asking for exact-k.
+    * `rankCol` (1..k, hash order) is kept — it is the reproducible
+    * "which draw" label. */
+  def stratifiedTopK(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      k: Int,
+      rankCol: String = "draw_rank"): DataFrame = {
+    require(k > 0, "stratifiedTopK: k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn(rankCol, row_number().over(w))
+      .where(col(rankCol) <= k)
+  }
 }

@@ -319,6 +319,55 @@ object RelationalQueries extends QueryPack {
       e.groupBy(col("user_id"))
         .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
           cnt("error"), count(lit(1)).as("n_total"))
+    }),
+
+    // HLL++ approximate distinct next to the exact count, gated by a
+    // derived-invariant oracle: the exact side must match DuckDB's and
+    // the sketch estimate must sit inside a generous error band
+    // (5×rsd, floor 5 — HLL++ at rsd 0.02 is far tighter in practice).
+    // HLL register-max merges are commutative/idempotent, so the
+    // estimate is identical at any parallelism — no determinism pinning
+    // needed. This sketch is THE count-distinct at 100 TB: fixed-size
+    // state vs a distinct-shuffle of the keys themselves.
+    "q94_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_nd"))
+    }),
+
+    // Approximate percentiles (GK sketch). Unlike HLL/CMS the sketch IS
+    // insertion-order-sensitive, so the gate pins determinism by hash-
+    // clustering each group into one partition and sorting inside it —
+    // the summaries then see one deterministic stream per group at any
+    // parallelism. (Production callers skip the pinning and accept
+    // rank-bounded nondeterminism; the oracle checks exactly that rank
+    // bound: each reported value must be a real data value whose rank
+    // is within ±1% of the target percentile.)
+    "q95_approx_quantiles" -> ((s, dir) => {
+      val pinned = t(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .repartition(8, col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("value"))
+      pinned.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          lit(1000)).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          posexplode(col("qs")).as(Seq("pi", "qv")))
+    }),
+
+    // Exact-k deterministic stratified sample: per market segment, the
+    // 5 customers whose md5(custkey) sorts first — fully value-gated
+    // because DuckDB computes the identical md5 order.
+    "q96_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedTopK(
+        t(s, dir, "customer")
+          .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal"),
+        "c_mktsegment", "c_custkey", k = 5)
+        .select("c_mktsegment", "draw_rank", "c_custkey", "c_name",
+          "c_acctbal")
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -497,5 +546,51 @@ object RelationalQueries extends QueryPack {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
         |  COUNT(*) AS n_total
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // Derived-invariant: the exact side must equal DuckDB's count, and
+    // the HLL estimate must land inside 5×rsd (floor 5) of it — a
+    // violating row drops out and fails the hash compare.
+    "q94_approx_distinct" ->
+      s"""WITH out AS (SELECT * FROM ${outGlob("q94_approx_distinct")}),
+         |exact AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS nd
+         |          FROM lineitem GROUP BY l_returnflag)
+         |SELECT o.l_returnflag, o.exact_nd, o.approx_nd
+         |FROM out o JOIN exact e ON o.l_returnflag = e.l_returnflag
+         |WHERE o.exact_nd = e.nd
+         |  AND abs(o.approx_nd - e.nd) <=
+         |      greatest(5, CAST(ceil(0.10 * e.nd) AS BIGINT))""".stripMargin,
+
+    // Derived-invariant: every reported quantile must be an actual data
+    // value of its group whose rank sits within ±1% (+1 row cushion) of
+    // the target percentile — 10× the sketch's configured 1/1000 bound,
+    // so the gate is deterministic while still catching a broken sketch.
+    "q95_approx_quantiles" ->
+      s"""WITH out AS (SELECT *,
+         |    CASE pi WHEN 0 THEN 0.25 WHEN 1 THEN 0.50
+         |            WHEN 2 THEN 0.75 ELSE 0.95 END AS p
+         |  FROM ${outGlob("q95_approx_quantiles")}),
+         |chk AS (SELECT o.event_type, o.n, o.pi, o.qv, o.p,
+         |    (SELECT COUNT(*) FROM events e
+         |     WHERE e.event_type = o.event_type AND e.value < o.qv) AS cnt_lt,
+         |    (SELECT COUNT(*) FROM events e
+         |     WHERE e.event_type = o.event_type AND e.value <= o.qv) AS cnt_le,
+         |    EXISTS (SELECT 1 FROM events e
+         |     WHERE e.event_type = o.event_type AND e.value = o.qv) AS is_member,
+         |    (SELECT COUNT(*) FROM events e
+         |     WHERE e.event_type = o.event_type) AS n_true
+         |  FROM out o)
+         |SELECT event_type, n, pi, qv FROM chk
+         |WHERE n = n_true AND is_member
+         |  AND cnt_lt <= (p + 0.01) * n + 1
+         |  AND cnt_le >= (p - 0.01) * n - 1""".stripMargin,
+
+    "q96_stratified_sample" ->
+      """SELECT c_mktsegment, draw_rank, c_custkey, c_name, c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+        |          AS draw_rank
+        |      FROM customer) t
+        |WHERE draw_rank <= 5""".stripMargin)
 }

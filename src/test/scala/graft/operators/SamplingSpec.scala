@@ -47,4 +47,24 @@ class SamplingSpec extends SparkSpec {
     val frKept = byLang.getOrElse("fr", 0L).toDouble / totals("fr")
     assert(frKept > 0.25 && frKept < 0.75) // ~half
   }
+
+  test("stratifiedTopK: exact k per stratum, partition-invariant") {
+    val k = 7
+    val out = Sampling.stratifiedTopK(docs, "lang", "doc_id", k)
+    val sizes = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    totals.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(k.toLong, n),
+        s"stratum $lang: expected min($k, $n), got ${sizes(lang)}")
+    }
+    assert(out.agg(org.apache.spark.sql.functions.max("draw_rank"))
+      .head().getInt(0) <= k)
+    // identical rows at any input partitioning — the property hash
+    // ordering buys over RNG sampling
+    val one = Sampling.stratifiedTopK(docs.repartition(1), "lang", "doc_id", k)
+    val many = Sampling.stratifiedTopK(docs.repartition(13), "lang", "doc_id", k)
+    assert(one.exceptAll(many).isEmpty && many.exceptAll(one).isEmpty)
+  }
 }
