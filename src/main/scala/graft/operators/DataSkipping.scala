@@ -43,6 +43,14 @@ object DataSkipping {
     * underscore makes every parquet reader skip it as a data source. */
   val ManifestDir = "_graft_stats"
 
+  /** Where a partition-scoped commit parks the previous manifest: the
+    * swap rewrites individual partition DIRS, so a root-level manifest
+    * would otherwise survive stale — silently wrong pruning. Commits
+    * rename it here atomically ([[invalidateManifest]]); readers only
+    * honor [[ManifestDir]], and [[refreshManifestPartitioned]] consumes
+    * the parked copy to rebuild stats ∝ touched partitions. */
+  val StaleManifestDir = "_graft_stats_stale"
+
   /** One range predicate for pruning: `lower <= col <= upper`
     * (inclusive both ends; pass the same bounds to the residual filter
     * so pruned-scan results are exactly `WHERE col BETWEEN lo AND hi`). */
@@ -65,9 +73,12 @@ object DataSkipping {
   def buildManifest(
       spark: SparkSession,
       tablePath: String,
-      statsCols: Seq[String]): DataFrame = {
+      statsCols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(tablePath), statsCols)
+
+  /** The per-file stats aggregation over an already-opened scan. */
+  private def statsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "buildManifest: statsCols must be non-empty")
-    val df = spark.read.parquet(tablePath)
     val aggs = count(lit(1)).as("n_rows") +:
       statsCols.flatMap { c =>
         Seq(min(col(c)).as(s"min__$c"),
@@ -97,6 +108,73 @@ object DataSkipping {
   def hasManifest(spark: SparkSession, tablePath: String): Boolean = {
     val p = new Path(manifestPath(tablePath))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Park the live manifest as stale (atomic rename) — called by
+    * partition-scoped commits whose per-dir swaps would otherwise leave
+    * a root manifest silently stale. Readers honor only the live name,
+    * so between commit and [[refreshManifestPartitioned]] a pruned scan
+    * fails loudly (no manifest) instead of pruning wrongly. Returns
+    * true if a manifest was parked. */
+  def invalidateManifest(spark: SparkSession, tablePath: String): Boolean = {
+    val live = new Path(manifestPath(tablePath))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) false
+    else {
+      val stale = new Path(s"$tablePath/$StaleManifestDir")
+      if (fs.exists(stale)) fs.delete(stale, true)
+      fs.rename(live, stale)
+      true
+    }
+  }
+
+  /** Rebuild the manifest after a partition-scoped commit at stats cost
+    * ∝ TOUCHED partitions (mirroring the commit's own write cost):
+    * keep the parked manifest's rows for untouched files, recompute
+    * stats only for files under `touchedDirs` (Hive-style names, e.g.
+    * `p_year=1995` — [[Upsert.PartitionedCommit]]'s `rewritten` ++
+    * `deleted`), and publish the union as the live manifest. Falls back
+    * to a full [[writeManifest]] when no prior manifest exists (first
+    * build, or a crash between park and publish). */
+  def refreshManifestPartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      touchedDirs: Seq[String],
+      statsCols: Seq[String]): Unit = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new Path(s"$tablePath/$StaleManifestDir")
+    val live = new Path(manifestPath(tablePath))
+    val base =
+      if (fs.exists(stale)) Some(spark.read.parquet(stale.toString))
+      else if (fs.exists(live)) Some(readManifest(spark, tablePath))
+      else None
+    base match {
+      case None => writeManifest(spark, tablePath, statsCols)
+      case Some(m) =>
+        val touchedMatch = touchedDirs
+          .map(d => col("file").contains(s"/$d/"))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        // eager copy: the new manifest overwrites the directory the
+        // kept rows are being read from
+        val kept = m.where(!touchedMatch).localCheckpoint()
+        val liveTouched = touchedDirs
+          .map(d => new Path(root, d))
+          .filter(fs.exists(_))
+          .map(_.toString)
+        val fresh =
+          if (liveTouched.isEmpty) kept
+          else {
+            // basePath keeps the partition column resolvable even
+            // though only the touched dirs are listed/scanned
+            val scan = spark.read
+              .option("basePath", tablePath)
+              .parquet(liveTouched: _*)
+            kept.unionByName(statsOf(scan, statsCols))
+          }
+        fresh.coalesce(1).write.mode("overwrite").parquet(live.toString)
+        if (fs.exists(stale)) fs.delete(stale, true)
+    }
   }
 
   /** A file can contain a row matching `lo <= c <= hi` only if it has
@@ -141,7 +219,11 @@ object DataSkipping {
         val schema: StructType = spark.read.parquet(tablePath).schema
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else spark.read.parquet(files.toIndexedSeq: _*).where(residual)
+      } else
+        // basePath keeps Hive-style partition columns resolvable even
+        // though the read lists pruned LEAF files
+        spark.read.option("basePath", tablePath)
+          .parquet(files.toIndexedSeq: _*).where(residual)
     PrunedScan(df, PruneReport(total, files.length.toLong))
   }
 }

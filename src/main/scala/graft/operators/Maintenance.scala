@@ -88,15 +88,22 @@ object Maintenance {
     val dirs = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
-    dirs.map { d =>
-      val dirPath = new Path(root, d)
-      val dataFiles = fs.listStatus(dirPath)
+    val sized = dirs.map { d =>
+      val dataFiles = fs.listStatus(new Path(root, d))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val bytes = dataFiles.map(_.getLen).sum
       val nFiles = dataFiles.length.toLong
       val idealFiles = math.max(1L,
         math.ceil(bytes.toDouble / targetFileBytes).toLong)
-      val healthy = nFiles <= 1 || nFiles < 2 * idealFiles
+      (d, bytes, nFiles, nFiles <= 1 || nFiles < 2 * idealFiles)
+    }
+    // Rewrites replace files a root-level DataSkipping manifest
+    // describes — park it before the first swap (values are unchanged
+    // by compaction, but file paths/groupings are not). A fully
+    // healthy table is a pure no-op and keeps its manifest live.
+    if (sized.exists(!_._4)) DataSkipping.invalidateManifest(spark, path)
+    sized.map { case (d, bytes, nFiles, healthy) =>
+      val dirPath = new Path(root, d)
       if (healthy) d -> CompactionReport(nFiles, nFiles, bytes, false)
       else {
         val targetFiles = math.max(1,

@@ -340,6 +340,11 @@ object Upsert {
     // Phase 2: swap touched partition dirs, per table.
     writes.map { w =>
       val spark = w.df.sparkSession
+      // A root-level DataSkipping manifest describes files this commit
+      // is about to replace — park it BEFORE any dir swaps so readers
+      // fail loudly (no manifest) rather than prune against stale
+      // stats; refreshManifestPartitioned rebuilds it ∝ touched dirs.
+      DataSkipping.invalidateManifest(spark, w.path)
       val fs = new org.apache.hadoop.fs.Path(w.path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val root = new org.apache.hadoop.fs.Path(w.path)

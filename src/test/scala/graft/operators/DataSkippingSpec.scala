@@ -99,6 +99,55 @@ class DataSkippingSpec extends SparkSpec {
     assert(scan.df.isEmpty)
   }
 
+  test("partition-scoped commit parks the manifest; refresh is ∝ touched") {
+    import org.apache.spark.sql.Row
+    val path = tmp() + "/t"
+    val df = (1 to 300).map(i => (i.toLong, 1995 + i % 3, i * 10L))
+      .toDF("k", "p_year", "v")
+    val years = Seq(1995, 1996, 1997)
+    Upsert.writeSnapshotsPartitioned(Seq(
+      Upsert.PartitionedWrite(df, path, "p_year", years)))
+    DataSkipping.writeManifest(spark, path, Seq("k", "p_year"))
+    val before = DataSkipping.readManifest(spark, path).collect()
+      .map(r => r.getAs[String]("file") -> r).toMap
+
+    // upsert touching only 1996: manifest must be PARKED (stale), and a
+    // pruned scan must fail loudly instead of using stale stats
+    val updates = df.where(col("p_year") === 1996)
+      .withColumn("v", col("v") + 1)
+    Upsert.upsertPartitioned(spark, path, updates, Seq("k"), "p_year")
+    assert(!DataSkipping.hasManifest(spark, path),
+      "stale manifest must not stay live across a partition-dir swap")
+    intercept[Exception] {
+      DataSkipping.prunedScan(spark, path,
+        Seq(DataSkipping.ColRange("k", lit(1L), lit(10L)))).df.count()
+    }
+
+    // incremental refresh: untouched files keep IDENTICAL stats rows;
+    // touched-year rows point at the swapped dir's new files
+    DataSkipping.refreshManifestPartitioned(spark, path,
+      Seq("p_year=1996"), Seq("k", "p_year"))
+    val after = DataSkipping.readManifest(spark, path).collect()
+      .map(r => r.getAs[String]("file") -> r).toMap
+    val untouchedBefore = before.keys.filterNot(_.contains("/p_year=1996/"))
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach { f =>
+      assert(after.contains(f), s"untouched file $f lost its stats row")
+      assert(after(f) == before(f), s"untouched stats row changed for $f")
+    }
+    assert(after.keys.exists(_.contains("/p_year=1996/")))
+    assert(before.keys.filter(_.contains("/p_year=1996/"))
+      .forall(!after.contains(_)), "stale 1996 file rows must be gone")
+
+    // and the refreshed manifest prunes correctly: a 1996-only range
+    val scan = DataSkipping.prunedScan(spark, path,
+      Seq(DataSkipping.ColRange("p_year", lit(1996), lit(1996))))
+    assert(scan.report.filesRead < scan.report.filesTotal)
+    assert(scan.df.count() == 100)
+    assert(scan.df.agg(min("v")).head().getLong(0) % 10 == 1,
+      "refreshed scan must see the upserted values")
+  }
+
   test("missing stats column fails loudly") {
     val path = tmp() + "/t"
     (1 to 10).map(i => (i.toLong, i.toString)).toDF("k", "v")
