@@ -379,9 +379,21 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sig").as("sig_b"))
+    // First-collision dedup (the same exchange-free trick as the
+    // MinHash/embedding paths, but FREE here: both 64-bit sigs ride
+    // the candidate row, so "is this the first band where the two sigs
+    // share a bucket?" is a row-local expression — no broadcast, no
+    // global dropDuplicates hash-aggregate over the candidate set).
+    def bandBucket(sig: Column, b: Int): Column =
+      shiftrightunsigned(sig, b * 16).bitwiseAND(0xFFFFL)
+    val firstSharedBand = (3 to 0 by -1).foldLeft(lit(-1): Column) {
+      (acc, bnd) =>
+        when(bandBucket(col("sig_a"), bnd) === bandBucket(col("sig_b"), bnd),
+          lit(bnd)).otherwise(acc)
+    }
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .where(col("band") === firstSharedBand)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

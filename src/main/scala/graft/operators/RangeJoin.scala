@@ -48,9 +48,15 @@ object RangeJoin {
   }
 
   /** Overlapping-interval pairs: rows (a, b) whose [lo,hi] windows
-    * intersect, blocked by bucket. Pairs deduplicate on the supplied id
-    * columns (an overlap spanning k buckets would otherwise emit k
-    * times). */
+    * intersect, blocked by bucket. An overlap spanning k buckets is
+    * emitted exactly ONCE — in the bucket containing the overlap's
+    * start, `max(aLo, bLo)` (that instant lies inside both intervals,
+    * so both sides exploded that bucket). The filter is row-local —
+    * no global pair-dedup exchange, the same first-collision idea that
+    * de-spilled the LSH candidate paths (truncating division is
+    * monotonic, so the overlap-start bucket is always within both
+    * sides' enumerated ranges, any sign). Assumes `aId`/`bId` identify
+    * their rows uniquely, as before. */
   def intervalOverlap(
       a: DataFrame,
       b: DataFrame,
@@ -69,7 +75,8 @@ object RangeJoin {
         (col(bHi) / bucketWidth).cast("long"))))
     av.join(bv, key :+ "__bucket")
       .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .where(col("__bucket") ===
+        (greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
       .drop("__bucket")
-      .dropDuplicates(aId, bId)
   }
 }
