@@ -1,8 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType}
+
+import graft.functions.expressions.NativeExpressions
 
 /** Z-order (Morton-curve) table layout: cluster rows so that a range
   * predicate on ANY of the z-columns — or a box on several at once —
@@ -37,6 +41,20 @@ import org.apache.spark.sql.types.DateType
 object ZOrder {
 
   final case class ZReport(files: Long)
+
+  /** How raw values map onto the interleave grid. */
+  sealed trait Grid
+  /** Linear between the column's global min and max — one tiny agg, but
+    * a single outlier squashes the useful range into few cells. */
+  case object MinMaxGrid extends Grid
+  /** Histogram-equalized: cells are approximate quantile buckets, so
+    * every cell holds ≈ the same row count regardless of skew or
+    * outliers. Costs one `approxQuantile` pass per column (sketch-
+    * based, driver gets `2^bits − 1` cut points — bits ≤ 8 keeps that
+    * ≤ 255 doubles). Cut points are sketch-derived, which only moves
+    * WHERE rows land on the curve, never their values — layout choice,
+    * not semantics. */
+  case object QuantileGrid extends Grid
 
   /** Interleave `coords` (each an integer Column in `[0, 2^bits)`) into
     * one Morton long: bit b of coordinate i lands at position
@@ -75,24 +93,50 @@ object ZOrder {
     coalesce(scaled, lit(0L))
   }
 
-  /** The z-value Column for `df` over `zCols` — global min/max per
-    * column are computed eagerly here (one driver agg returning
-    * 2·|zCols| scalars). Exposed for specs; most callers want
+  /** Numeric view of a z-column (dates → epoch days). */
+  private def numView(c: Column, dt: DataType): Column = dt match {
+    case DateType => unix_date(c).cast("double")
+    case _ => c.cast("double")
+  }
+
+  /** The z-value Column for `df` over `zCols` — grid statistics (min/
+    * max or quantile cut points) are computed eagerly here (one small
+    * driver-side stats job). Exposed for specs; most callers want
     * [[writeZOrdered]]. */
-  def zValue(df: DataFrame, zCols: Seq[String], bits: Int): Column = {
+  def zValue(df: DataFrame, zCols: Seq[String], bits: Int,
+      grid: Grid = MinMaxGrid): Column = {
     val schema = df.schema
-    val statAggs = zCols.flatMap { c =>
-      val base = schema(c).dataType match {
-        case DateType => unix_date(col(c)).cast("double")
-        case _ => col(c).cast("double")
-      }
-      Seq(min(base), max(base))
-    }
-    val row = df.agg(statAggs.head, statAggs.tail: _*).head()
-    val coords = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
-      val hi = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
-      gridCoord(col(c), schema(c).dataType, lo, hi, bits)
+    val coords = grid match {
+      case MinMaxGrid =>
+        val statAggs = zCols.flatMap { c =>
+          val base = numView(col(c), schema(c).dataType)
+          Seq(min(base), max(base))
+        }
+        val row = df.agg(statAggs.head, statAggs.tail: _*).head()
+        zCols.zipWithIndex.map { case (c, i) =>
+          val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+          val hi = if (row.isNullAt(2 * i + 1)) 0.0
+            else row.getDouble(2 * i + 1)
+          gridCoord(col(c), schema(c).dataType, lo, hi, bits)
+        }
+      case QuantileGrid =>
+        require(bits <= 8,
+          s"QuantileGrid: $bits bits means ${(1 << bits) - 1} cut points " +
+            "per column — cap at 8 bits (255 doubles)")
+        val cells = 1 << bits
+        val probes = (1 until cells).map(_.toDouble / cells).toArray
+        val tmp = zCols.indices.map(i => s"__graft_q$i")
+        val numd = zCols.zip(tmp).foldLeft(df) { case (d, (c, t)) =>
+          d.withColumn(t, numView(col(c), schema(c).dataType))
+        }
+        // one sketch pass over all columns together
+        val cuts = numd.stat.approxQuantile(tmp.toArray, probes, 0.001)
+        zCols.zipWithIndex.map { case (c, i) =>
+          val bucket = NativeExpressions.col(QuantileBucket(
+            NativeExpressions.expr(numView(col(c), schema(c).dataType)),
+            cuts(i)))
+          coalesce(bucket.cast("long"), lit(0L))
+        }
     }
     interleaveBits(coords, bits)
   }
@@ -107,9 +151,10 @@ object ZOrder {
       path: String,
       zCols: Seq[String],
       targetFiles: Int,
-      bits: Int = 16): ZReport = {
+      bits: Int = 16,
+      grid: Grid = MinMaxGrid): ZReport = {
     require(zCols.nonEmpty, "writeZOrdered: zCols must be non-empty")
-    val z = zValue(df, zCols, bits)
+    val z = zValue(df, zCols, bits, grid)
     df.withColumn("__graft_z", z)
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
@@ -122,4 +167,24 @@ object ZOrder {
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     ZReport(files.toLong)
   }
+}
+
+/** Grid cell of a double under sorted quantile cut points: the number
+  * of cuts ≤ the value (binary search per row — 8 probes for 255 cuts,
+  * vs a 255-branch when-chain). Used by [[ZOrder.QuantileGrid]]; a
+  * layout helper, so exact tie placement is a non-issue. */
+case class QuantileBucket(child: Expression, cuts: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_quantile_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    val i = java.util.Arrays.binarySearch(cuts, v)
+    if (i >= 0) i + 1 else -(i + 1)
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantileBucket =
+    copy(child = c)
 }

@@ -78,6 +78,38 @@ class ZOrderSpec extends SparkSpec {
       s"2-D box should skip files: ${zBox.report}")
   }
 
+  test("quantile grid keeps pruning under skew where min/max degenerates") {
+    val base = Files.createTempDirectory("graft_zq_").toString
+    // y: 99.9% of rows in [0,100), a few outliers at 1e9 — a min/max
+    // grid maps the bulk to cell 0 and interleaves nothing useful
+    val skewed = (0 until 10000).map { i =>
+      val y = if (i % 1000 == 999) 1000000000L else ((i / 100) % 100).toLong
+      ((i % 100).toLong, y)
+    }.toDF("x", "y")
+
+    val mm = s"$base/minmax"
+    ZOrder.writeZOrdered(skewed, mm, Seq("x", "y"), targetFiles = 16,
+      bits = 8, grid = ZOrder.MinMaxGrid)
+    DataSkipping.writeManifest(spark, mm, Seq("x", "y"))
+    val qt = s"$base/quantile"
+    ZOrder.writeZOrdered(skewed, qt, Seq("x", "y"), targetFiles = 16,
+      bits = 8, grid = ZOrder.QuantileGrid)
+    DataSkipping.writeManifest(spark, qt, Seq("x", "y"))
+
+    // y-only range over the BULK: the min/max grid collapsed every bulk
+    // row's y coordinate to cell 0 (outliers own the range), so its
+    // curve carries no y information — the quantile grid still does
+    val box = Seq(DataSkipping.ColRange("y", lit(40L), lit(49L)))
+    val mmScan = DataSkipping.prunedScan(spark, mm, box)
+    val qtScan = DataSkipping.prunedScan(spark, qt, box)
+    assert(mmScan.df.count() == qtScan.df.count() && qtScan.df.count() > 0)
+    assert(qtScan.report.filesRead < mmScan.report.filesRead,
+      s"quantile grid should out-prune min/max under skew: " +
+        s"qt=${qtScan.report} mm=${mmScan.report}")
+    assert(qtScan.report.filesRead < qtScan.report.filesTotal / 2,
+      s"quantile grid should prune most files: ${qtScan.report}")
+  }
+
   test("timestamp and skewed columns survive grid normalization") {
     val path = Files.createTempDirectory("graft_z_").toString + "/t"
     val df = (1 to 300).map { i =>
