@@ -168,21 +168,37 @@ object Dedup {
     // candidate generation on (band, bucket, id) ONLY — the fat shingle
     // arrays never enter the candidate shuffle; they re-attach just for
     // the verification join on the (much smaller) deduped pair set
-    val banded = withSig.select(
+    val bandArr = withSig.select(
       col("id"),
-      posexplode(array((0 until numBands).map(b =>
+      array((0 until numBands).map(b =>
         xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)
+        .as("bands"))
+    val banded = bandArr.select(col("id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
+    // First-collision dedup (same construction as the embedding-LSH
+    // path below): a pair sharing k band buckets surfaces k times from
+    // the self-join; keep ONLY the row from the first shared band via a
+    // row-local filter over the attached per-id band-bucket arrays
+    // (numBands longs each) — no global dropDuplicates hash-aggregate
+    // over the candidate explosion. Catalyst broadcasts the compact
+    // band table when it fits and degrades to a shuffle join beyond
+    // that — never worse than the exchange+aggregate it replaces.
     val candidates = banded.select(col("band"), col("bucket"),
         col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .join(bandArr.select(col("id").as("id_a"), col("bands").as("bands_a")),
+        Seq("id_a"))
+      .join(bandArr.select(col("id").as("id_b"), col("bands").as("bands_b")),
+        Seq("id_b"))
+      .where(array_position(
+        zip_with(col("bands_a"), col("bands_b"), (x, y) => x <=> y),
+        true) === col("band") + 1)
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
 
     val grams = withSig.select(col("id"), col("shingles"))
     val verified = candidates
