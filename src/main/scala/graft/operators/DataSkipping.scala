@@ -1,9 +1,16 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.expressions.NativeExpressions
 
 /** File-level data skipping: a per-file min/max/rowcount manifest plus a
   * range-pruned scan — the parquet-snapshot engine's replacement for the
@@ -119,6 +126,15 @@ object DataSkipping {
   def invalidateManifest(spark: SparkSession, tablePath: String): Boolean = {
     val live = new Path(manifestPath(tablePath))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bloom sidecars have no incremental-refresh path yet — delete
+    // them outright so a post-commit lookup fails loudly (no index)
+    // and the caller rebuilds, rather than probing dead files
+    val root = new Path(tablePath)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("_graft_bloom__"))
+        .foreach(s => fs.delete(s.getPath, true))
     if (!fs.exists(live)) false
     else {
       val stale = new Path(s"$tablePath/$StaleManifestDir")
@@ -226,4 +242,128 @@ object DataSkipping {
           .parquet(files.toIndexedSeq: _*).where(residual)
     PrunedScan(df, PruneReport(total, files.length.toLong))
   }
+
+  // ---- per-file bloom index: point-lookup skipping -----------------------
+  //
+  // Min/max stats only prune point lookups when the layout is SORTED by
+  // the lookup column; a fact table laid out by date leaves its id
+  // column scattered, and every file's [min,max] spans the id space.
+  // A per-file bloom of the id column prunes those lookups anyway —
+  // the engine's replacement for the reference's point-lookup B-trees
+  // (`sql/create_tables.sql:78-81`; `get_meeting_by_id`-style access,
+  // `src/api/client.py:141-166`), and the same construction as Delta's
+  // bloom filter indexes. Sidecars live under `_graft_bloom__<col>`
+  // (reader-ignored), one row per file: (file, n_keys, bloom bytes).
+  // At 100 TB the index is read DISTRIBUTED and only surviving file
+  // paths reach the driver; per-file blooms are sized from each file's
+  // actual distinct-ish key count, so total index bytes ≈
+  // 1.2 B/key·ln(1/fpp)/ln²2 — ~1.2 MB per 1M-key file at 1 %.
+
+  private def bloomPath(tablePath: String, keyCol: String) =
+    s"$tablePath/_graft_bloom__$keyCol"
+
+  /** Build + persist the per-file bloom index for `keyCol` (integral or
+    * string). One pass: cluster rows by file (hash repartition on the
+    * file path — each task streams whole files), buffer each file's
+    * keys once to size its filter exactly, emit (file, n_keys, bloom).
+    * Memory bound per task ≈ one file's keys (8 B each) — the same
+    * order as a shuffle buffer for that file. */
+  def writeBloomIndex(
+      spark: SparkSession,
+      tablePath: String,
+      keyCol: String,
+      fpp: Double = 0.01): Unit = {
+    val keyed = spark.read.parquet(tablePath)
+      .select(col("_metadata.file_path").as("file"), col(keyCol).as("k"))
+      .where(col("k").isNotNull)
+      .repartition(col("file"))
+      .sortWithinPartitions("file")
+    import spark.implicits._
+    val rows = keyed.mapPartitions { it =>
+      // partitions are sorted by file: fold consecutive runs
+      new Iterator[(String, Long, Array[Byte])] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): (String, Long, Array[Byte]) = {
+          val file = buf.head.getString(0)
+          val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+          while (buf.hasNext && buf.head.getString(0) == file)
+            keys += buf.next().get(1)
+          val bf = BloomFilter.create(math.max(keys.length, 1L), fpp)
+          keys.foreach {
+            case s: String => bf.putString(s)
+            case n: Number => bf.putLong(n.longValue())
+            case other => throw new IllegalArgumentException(
+              s"bloom index does not support key ${other.getClass}")
+          }
+          val bos = new ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (file, keys.length.toLong, bos.toByteArray)
+        }
+      }
+    }.toDF("file", "n_keys", "bloom")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(bloomPath(tablePath, keyCol))
+  }
+
+  def hasBloomIndex(
+      spark: SparkSession, tablePath: String, keyCol: String): Boolean = {
+    val p = new Path(bloomPath(tablePath, keyCol))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Point-lookup scan: open only files whose bloom MIGHT contain one
+    * of `values`, then apply the exact `isin` residual — result equals
+    * `WHERE keyCol IN (values)` at any fpp (blooms have no false
+    * negatives; false positives only open extra files whose rows the
+    * residual drops). The index is filtered DISTRIBUTED (the probe is a
+    * native expression over the bloom-bytes column); only surviving
+    * paths reach the driver. */
+  def pointLookupScan(
+      spark: SparkSession,
+      tablePath: String,
+      keyCol: String,
+      values: Seq[Any]): PrunedScan = {
+    require(values.nonEmpty, "pointLookupScan: at least one value")
+    val idx = spark.read.parquet(bloomPath(tablePath, keyCol))
+    val total = idx.count()
+    val probe = NativeExpressions.col(BloomAnyMightContain(
+      NativeExpressions.expr(col("bloom")), values.toArray))
+    val files = idx.where(probe).select("file").collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty) {
+        val schema: StructType = spark.read.parquet(tablePath).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      } else
+        spark.read.option("basePath", tablePath)
+          .parquet(files.toIndexedSeq: _*)
+          .where(col(keyCol).isin(values: _*))
+    PrunedScan(df, PruneReport(total, files.length.toLong))
+  }
+}
+
+/** True if the row's serialized bloom might contain ANY of `values`
+  * (integral or string, matching what [[DataSkipping.writeBloomIndex]]
+  * put). Deserializes one filter per INDEX row — index rows are files,
+  * not data, so this is metadata-scale work. */
+case class BloomAnyMightContain(child: Expression, values: Array[Any])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_any_might_contain"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bf = BloomFilter.readFrom(
+      new ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    values.exists {
+      case s: String => bf.mightContainString(s)
+      case n: Number => bf.mightContainLong(n.longValue())
+      case other => throw new IllegalArgumentException(
+        s"bloom probe does not support ${other.getClass}")
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomAnyMightContain =
+    copy(child = c)
 }

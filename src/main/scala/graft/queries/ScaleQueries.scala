@@ -33,6 +33,10 @@ import graft.operators.{BloomPrune, Bucketing, DataSkipping, Merge, Skew, Upsert
   *  - q93: [[BloomPrune]] — the fact side must shrink at the bloom
   *    probe (asserted in-gate) and the pruned join must still equal the
   *    plain join under the oracle (no false negatives).
+  *  - q97: [[DataSkipping.pointLookupScan]] — per-file bloom sidecars
+  *    must skip files for point lookups on a column the layout is NOT
+  *    sorted by (where min/max stats are useless), returning exactly
+  *    the IN-list rows.
   */
 object ScaleQueries extends QueryPack {
 
@@ -219,6 +223,36 @@ object ScaleQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           sum(col("cents")).cast("long").as("total_cents"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Point-lookup file skipping: orders laid out by DATE, so orderkey
+    // is scattered and every file's [min,max] spans the whole key
+    // space — min/max stats cannot prune these lookups, the per-file
+    // bloom sidecar can (the engine's point-lookup B-tree analog). The
+    // 5 probed keys are chosen by md5 hash order, which DuckDB mirrors
+    // exactly; the gate asserts files were skipped AND all keys found.
+    "q97_bloom_point_lookup" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q97_").toString
+      val path = s"$wh/orders_by_date"
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      o.repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(path)
+      DataSkipping.writeBloomIndex(s, path, "o_orderkey")
+      val keys = o.select(col("o_orderkey"))
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        .limit(5).collect().map(_.getLong(0)).toSeq
+      val scan = DataSkipping.pointLookupScan(s, path, "o_orderkey", keys)
+      require(scan.report.filesSkipped > 0,
+        s"q97: bloom sidecar pruned nothing (${scan.report})")
+      val out = scan.df
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint()
+      require(out.count() == 5, s"q97: expected 5 lookup rows")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -273,5 +307,11 @@ object ScaleQueries extends QueryPack {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE c_mktsegment = 'MACHINERY'
-        |GROUP BY user_id % 10""".stripMargin)
+        |GROUP BY user_id % 10""".stripMargin,
+    "q97_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+        |  LIMIT 5)""".stripMargin)
 }

@@ -148,6 +148,58 @@ class DataSkippingSpec extends SparkSpec {
       "refreshed scan must see the upserted values")
   }
 
+  test("bloom index prunes point lookups on a scatter column") {
+    val path = tmp() + "/t"
+    // laid out by d; k is scattered, so min/max can't prune k-lookups
+    (1 to 2000).map(i => (i.toLong, (i * 977 % 2000).toLong, s"v$i"))
+      .toDF("d", "k", "v")
+      .repartitionByRange(10, col("d"))
+      .sortWithinPartitions("d")
+      .write.parquet(path)
+    DataSkipping.writeBloomIndex(spark, path, "k")
+    assert(DataSkipping.hasBloomIndex(spark, path, "k"))
+
+    val keys = Seq(3L, 977L, 1500L)
+    val scan = DataSkipping.pointLookupScan(spark, path, "k", keys)
+    assert(scan.report.filesTotal == 10)
+    assert(scan.report.filesRead < 10,
+      s"bloom sidecar should skip files: ${scan.report}")
+    val got = scan.df.select("k").as[Long].collect().sorted.toSeq
+    assert(got == keys.sorted, s"expected exactly $keys, got $got")
+
+    // absent key: residual guarantees zero rows even through FP files
+    val none = DataSkipping.pointLookupScan(spark, path, "k", Seq(999999L))
+    assert(none.df.isEmpty)
+  }
+
+  test("bloom index supports string keys") {
+    val path = tmp() + "/t"
+    (1 to 500).map(i => (i.toLong, s"user_${i * 13 % 500}"))
+      .toDF("seq", "uid")
+      .repartitionByRange(5, col("seq"))
+      .write.parquet(path)
+    DataSkipping.writeBloomIndex(spark, path, "uid")
+    val scan = DataSkipping.pointLookupScan(spark, path, "uid",
+      Seq("user_7", "user_123"))
+    assert(scan.df.count() == 2)
+    assert(scan.report.filesRead < scan.report.filesTotal)
+  }
+
+  test("partitioned commit drops bloom sidecars with the stats manifest") {
+    val path = tmp() + "/t"
+    val df = (1 to 200).map(i => (i.toLong, 2000 + i % 2, s"p$i"))
+      .toDF("k", "p_year", "v")
+    Upsert.writeSnapshotsPartitioned(Seq(
+      Upsert.PartitionedWrite(df, path, "p_year", Seq(2000, 2001))))
+    DataSkipping.writeBloomIndex(spark, path, "k")
+    assert(DataSkipping.hasBloomIndex(spark, path, "k"))
+    val updates = df.where(col("p_year") === 2000)
+      .withColumn("v", lit("changed"))
+    Upsert.upsertPartitioned(spark, path, updates, Seq("k"), "p_year")
+    assert(!DataSkipping.hasBloomIndex(spark, path, "k"),
+      "stale bloom sidecar must not survive a partition-dir swap")
+  }
+
   test("missing stats column fails loudly") {
     val path = tmp() + "/t"
     (1 to 10).map(i => (i.toLong, i.toString)).toDF("k", "v")
