@@ -126,15 +126,21 @@ object DataSkipping {
   def invalidateManifest(spark: SparkSession, tablePath: String): Boolean = {
     val live = new Path(manifestPath(tablePath))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bloom sidecars have no incremental-refresh path yet — delete
-    // them outright so a post-commit lookup fails loudly (no index)
-    // and the caller rebuilds, rather than probing dead files
+    // bloom sidecars park the same way (live → stale rename): a
+    // post-commit lookup fails loudly (no live index) instead of
+    // probing dead files, and refreshBloomIndexPartitioned rebuilds
+    // from the parked copy ∝ touched dirs
     val root = new Path(tablePath)
     if (fs.exists(root))
       fs.listStatus(root)
         .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("_graft_bloom__"))
-        .foreach(s => fs.delete(s.getPath, true))
+          s.getPath.getName.startsWith(BloomDirPrefix))
+        .foreach { s =>
+          val staleB = new Path(root,
+            StaleBloomDirPrefix + s.getPath.getName.stripPrefix(BloomDirPrefix))
+          if (fs.exists(staleB)) fs.delete(staleB, true)
+          fs.rename(s.getPath, staleB)
+        }
     if (!fs.exists(live)) false
     else {
       val stale = new Path(s"$tablePath/$StaleManifestDir")
@@ -259,8 +265,14 @@ object DataSkipping {
   // actual distinct-ish key count, so total index bytes ≈
   // 1.2 B/key·ln(1/fpp)/ln²2 — ~1.2 MB per 1M-key file at 1 %.
 
+  private[operators] val BloomDirPrefix = "_graft_bloom__"
+  private[operators] val StaleBloomDirPrefix = "_graft_bloom_stale__"
+
   private def bloomPath(tablePath: String, keyCol: String) =
-    s"$tablePath/_graft_bloom__$keyCol"
+    s"$tablePath/$BloomDirPrefix$keyCol"
+
+  private def staleBloomPath(tablePath: String, keyCol: String) =
+    s"$tablePath/$StaleBloomDirPrefix$keyCol"
 
   /** Build + persist the per-file bloom index for `keyCol` (integral or
     * string). One pass: cluster rows by file (hash repartition on the
@@ -272,8 +284,16 @@ object DataSkipping {
       spark: SparkSession,
       tablePath: String,
       keyCol: String,
-      fpp: Double = 0.01): Unit = {
-    val keyed = spark.read.parquet(tablePath)
+      fpp: Double = 0.01): Unit =
+    bloomRowsOf(spark.read.parquet(tablePath), keyCol, fpp)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(bloomPath(tablePath, keyCol))
+
+  /** The (file, n_keys, bloom) rows for an already-opened scan. */
+  private def bloomRowsOf(
+      scan: DataFrame, keyCol: String, fpp: Double): DataFrame = {
+    val spark = scan.sparkSession
+    val keyed = scan
       .select(col("_metadata.file_path").as("file"), col(keyCol).as("k"))
       .where(col("k").isNotNull)
       .repartition(col("file"))
@@ -302,8 +322,48 @@ object DataSkipping {
         }
       }
     }.toDF("file", "n_keys", "bloom")
-    rows.coalesce(1).write.mode("overwrite")
-      .parquet(bloomPath(tablePath, keyCol))
+    rows
+  }
+
+  /** Rebuild the bloom index after a partition-scoped commit at cost
+    * ∝ TOUCHED partitions — the bloom analog of
+    * [[refreshManifestPartitioned]]: keep the parked index's rows for
+    * untouched files, rebuild blooms only for files under
+    * `touchedDirs`, publish the union live. Falls back to a full
+    * [[writeBloomIndex]] when no prior index exists. */
+  def refreshBloomIndexPartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      touchedDirs: Seq[String],
+      keyCol: String,
+      fpp: Double = 0.01): Unit = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new Path(staleBloomPath(tablePath, keyCol))
+    val live = new Path(bloomPath(tablePath, keyCol))
+    val base =
+      if (fs.exists(stale)) Some(spark.read.parquet(stale.toString))
+      else if (fs.exists(live)) Some(spark.read.parquet(live.toString))
+      else None
+    base match {
+      case None => writeBloomIndex(spark, tablePath, keyCol, fpp)
+      case Some(m) =>
+        val touchedMatch = touchedDirs
+          .map(d => col("file").contains(s"/$d/"))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val kept = m.where(!touchedMatch).localCheckpoint()
+        val liveTouched = touchedDirs
+          .map(d => new Path(root, d))
+          .filter(fs.exists(_))
+          .map(_.toString)
+        val fresh =
+          if (liveTouched.isEmpty) kept
+          else kept.unionByName(bloomRowsOf(
+            spark.read.option("basePath", tablePath)
+              .parquet(liveTouched: _*), keyCol, fpp))
+        fresh.coalesce(1).write.mode("overwrite").parquet(live.toString)
+        if (fs.exists(stale)) fs.delete(stale, true)
+    }
   }
 
   def hasBloomIndex(

@@ -185,19 +185,43 @@ class DataSkippingSpec extends SparkSpec {
     assert(scan.report.filesRead < scan.report.filesTotal)
   }
 
-  test("partitioned commit drops bloom sidecars with the stats manifest") {
+  test("partitioned commit parks bloom sidecars; refresh is ∝ touched") {
     val path = tmp() + "/t"
     val df = (1 to 200).map(i => (i.toLong, 2000 + i % 2, s"p$i"))
       .toDF("k", "p_year", "v")
     Upsert.writeSnapshotsPartitioned(Seq(
       Upsert.PartitionedWrite(df, path, "p_year", Seq(2000, 2001))))
     DataSkipping.writeBloomIndex(spark, path, "k")
-    assert(DataSkipping.hasBloomIndex(spark, path, "k"))
+    val before = spark.read.parquet(s"$path/_graft_bloom__k").collect()
+      .map(r => r.getAs[String]("file") ->
+        r.getAs[Array[Byte]]("bloom").toSeq).toMap
+
     val updates = df.where(col("p_year") === 2000)
       .withColumn("v", lit("changed"))
     Upsert.upsertPartitioned(spark, path, updates, Seq("k"), "p_year")
     assert(!DataSkipping.hasBloomIndex(spark, path, "k"),
-      "stale bloom sidecar must not survive a partition-dir swap")
+      "stale bloom sidecar must not stay live across a partition-dir swap")
+
+    DataSkipping.refreshBloomIndexPartitioned(spark, path,
+      Seq("p_year=2000"), "k")
+    assert(DataSkipping.hasBloomIndex(spark, path, "k"))
+    val after = spark.read.parquet(s"$path/_graft_bloom__k").collect()
+      .map(r => r.getAs[String]("file") ->
+        r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    val untouched = before.keys.filter(_.contains("/p_year=2001/"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { f =>
+      assert(after(f) == before(f), s"untouched bloom row changed for $f")
+    }
+    assert(before.keys.filter(_.contains("/p_year=2000/"))
+      .forall(!after.contains(_)), "stale 2000 bloom rows must be gone")
+
+    // refreshed index still answers lookups exactly; both keys are odd
+    // (untouched 2001 partition), so the rewritten file can be skipped
+    val scan = DataSkipping.pointLookupScan(spark, path, "k", Seq(3L, 5L))
+    assert(scan.df.count() == 2)
+    assert(scan.report.filesRead < scan.report.filesTotal,
+      s"2000-partition file should be bloom-skipped: ${scan.report}")
   }
 
   test("missing stats column fails loudly") {
