@@ -124,28 +124,33 @@ object DataSkipping {
     * fails loudly (no manifest) instead of pruning wrongly. Returns
     * true if a manifest was parked. */
   def invalidateManifest(spark: SparkSession, tablePath: String): Boolean = {
-    val live = new Path(manifestPath(tablePath))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE listing decides everything — this runs on every partition-
+    // scoped commit, so the no-index fast path must not pay per-name
+    // existence probes (each is a round trip on object stores)
+    val entries =
+      try fs.listStatus(root)
+      catch { case _: java.io.FileNotFoundException => return false }
     // bloom sidecars park the same way (live → stale rename): a
     // post-commit lookup fails loudly (no live index) instead of
     // probing dead files, and refreshBloomIndexPartitioned rebuilds
     // from the parked copy ∝ touched dirs
-    val root = new Path(tablePath)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(BloomDirPrefix))
-        .foreach { s =>
-          val staleB = new Path(root,
-            StaleBloomDirPrefix + s.getPath.getName.stripPrefix(BloomDirPrefix))
-          if (fs.exists(staleB)) fs.delete(staleB, true)
-          fs.rename(s.getPath, staleB)
-        }
-    if (!fs.exists(live)) false
+    entries
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(BloomDirPrefix))
+      .foreach { s =>
+        val staleB = new Path(root,
+          StaleBloomDirPrefix + s.getPath.getName.stripPrefix(BloomDirPrefix))
+        if (fs.exists(staleB)) fs.delete(staleB, true)
+        fs.rename(s.getPath, staleB)
+      }
+    if (!entries.exists(s => s.isDirectory &&
+        s.getPath.getName == ManifestDir)) false
     else {
       val stale = new Path(s"$tablePath/$StaleManifestDir")
       if (fs.exists(stale)) fs.delete(stale, true)
-      fs.rename(live, stale)
+      fs.rename(new Path(manifestPath(tablePath)), stale)
       true
     }
   }
