@@ -55,7 +55,35 @@ object Upsert {
     require(keys.nonEmpty, "upsert requires at least one key column")
     val cols = target.columns.toSeq
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val (winners, nullInserts0) = batchWinners(updates, keys, orderBy, cols)
+    val nullInserts =
+      if (!dedupNullKeyed) nullInserts0
+      else {
+        // replay-idempotent guests: all-column dedup within the batch,
+        // then null-safe anti-join against rows already in the target
+        val nullTarget = target.where(coalesce(anyNullKey, lit(false)))
+        val dd = nullInserts0.dropDuplicates(cols)
+        val cond = cols.map(c => dd(c) <=> nullTarget(c)).reduce(_ && _)
+        dd.join(nullTarget, cond, "left_anti")
+      }
+    val untouched = target.join(winners, keys, "left_anti")
+    winners
+      .unionByName(nullInserts)
+      .unionByName(untouched)
+  }
 
+  /** The batch-winner rule shared by [[upsert]] and
+    * [[Changelog.changeSet]]: per non-null key, the row that wins under
+    * `orderBy` (default: last in batch order — the reference's "last
+    * row wins", load.py:77-92); NULL-keyed rows are plain inserts
+    * (Postgres NULL-distinctness). Returns (keyedWinners, nullKeyed),
+    * both projected to `cols`. */
+  private[operators] def batchWinners(
+      updates: DataFrame,
+      keys: Seq[String],
+      orderBy: Option[Column],
+      cols: Seq[String]): (DataFrame, DataFrame) = {
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
     // a SortOrder can't be projected as a value — strip it and keep its
     // direction for the window ordering instead
     import org.apache.spark.sql.GraftColumnBridge
@@ -77,22 +105,7 @@ object Upsert {
       .withColumn("__graft_rn", row_number().over(w))
       .where(col("__graft_rn") === 1)
       .select(cols.map(col): _*)
-
-    val nullInserts0 = nullKeyed.select(cols.map(col): _*)
-    val nullInserts =
-      if (!dedupNullKeyed) nullInserts0
-      else {
-        // replay-idempotent guests: all-column dedup within the batch,
-        // then null-safe anti-join against rows already in the target
-        val nullTarget = target.where(coalesce(anyNullKey, lit(false)))
-        val dd = nullInserts0.dropDuplicates(cols)
-        val cond = cols.map(c => dd(c) <=> nullTarget(c)).reduce(_ && _)
-        dd.join(nullTarget, cond, "left_anti")
-      }
-    val untouched = target.join(winners, keys, "left_anti")
-    winners
-      .unionByName(nullInserts)
-      .unionByName(untouched)
+    (winners, nullKeyed.select(cols.map(col): _*))
   }
 
   /** Atomic snapshot write: write to `<path>__tmp`, then swap directories.
