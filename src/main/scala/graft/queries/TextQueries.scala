@@ -248,6 +248,20 @@ object TextQueries extends QueryPack {
         |  CAST(graft_simhash(text) = api_simhash AS INT) AS simhash_registry_ok,
         |  CAST(graft_minhash(text) = api_minhash AS INT) AS minhash_registry_ok
         |FROM g87_documents""".stripMargin)
+    }),
+
+    // Corpus-trained bigram LM scoring (the perplexity-filter step of
+    // an LLM data pipeline): add-k smoothed conditional, per-doc mean
+    // -log2 P over its bigrams. Derived-invariant oracle recomputes
+    // the model and scores in DuckDB and admits a row only when
+    // n_bigrams matches exactly and the score agrees within 1e-6
+    // (double summation order differs across engines at the ulp
+    // level; a broken count/smoothing/vocab would blow the tolerance).
+    "q99_bigram_lm_score" -> ((s, dir) => {
+      graft.operators.LanguageModel.bigramNll(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          col("avg_nll"))
     }))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.tokens]]. */
@@ -582,7 +596,8 @@ object TextQueries extends QueryPack {
          |  CAST(1 AS INTEGER) AS simhash_registry_ok,
          |  CAST(1 AS INTEGER) AS minhash_registry_ok
          |FROM documents""".stripMargin
-    })
+    },
+    "q99_bigram_lm_score" -> q99Oracle)
 
   /** DuckDB mirror of `array_distinct(wordShingles(text, 3))` as a CTE
     * named `grams` (column `g`): non-empty whitespace tokens, 3-token
@@ -609,4 +624,27 @@ object TextQueries extends QueryPack {
       |  THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
       |  ELSE 0.0 END""".stripMargin
+
+  /** q99's oracle, defined here to keep the oracles map readable. */
+  private def q99Oracle: String =
+    s"""WITH out AS (SELECT * FROM ${outGlob("q99_bigram_lm_score")}),
+       |tokarr AS (SELECT doc_id, $toks AS l FROM documents),
+       |bi0 AS (SELECT doc_id,
+       |          unnest([{'p': l[i-1], 't': l[i]}
+       |                  for i in range(2, len(l) + 1)]) AS s
+       |        FROM tokarr),
+       |bi AS (SELECT doc_id, s.p AS prev, s.t AS tok FROM bi0),
+       |ctx AS (SELECT prev, COUNT(*) AS c_n FROM bi GROUP BY prev),
+       |big AS (SELECT prev, tok, COUNT(*) AS b_n FROM bi GROUP BY prev, tok),
+       |v AS (SELECT COUNT(DISTINCT tok) AS vc
+       |      FROM (SELECT unnest(l) AS tok FROM tokarr)),
+       |scored AS (SELECT b.doc_id,
+       |    -log2((g.b_n + 0.5) / (c.c_n + 0.5 * v.vc)) AS nll
+       |  FROM bi b JOIN big g ON b.prev = g.prev AND b.tok = g.tok
+       |  JOIN ctx c ON b.prev = c.prev CROSS JOIN v),
+       |agg AS (SELECT doc_id, COUNT(*) AS n, AVG(nll) AS nll
+       |        FROM scored GROUP BY doc_id)
+       |SELECT o.doc_id, o.n_bigrams, o.avg_nll
+       |FROM out o JOIN agg a ON o.doc_id = a.doc_id
+       |WHERE o.n_bigrams = a.n AND abs(o.avg_nll - a.nll) < 1e-6""".stripMargin
 }
