@@ -80,4 +80,72 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("posexplode") || p.contains("Generate"),
       "q74 plan lost the LSH signature explode — rerouted to exact?")
   }
+
+  test("bloom prune: the probe is a Filter BELOW the join, not after") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.BloomPrune
+    val spark0 = spark
+    import spark0.implicits._
+    // a real file scan: local relations constant-fold the probe away
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp_").toString
+    (1L to 1000L).map(i => (i, i % 50)).toDF("row_id", "fk")
+      .write.parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = (0L until 50L by 5).map(i => (i, s"d$i")).toDF("dk", "dv")
+    val joined = BloomPrune.bloomPrunedJoin(fact, dim, "fk", "dk")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_might_contain"),
+      "probe expression missing from the physical plan")
+    // the probe must appear on the fact SCAN side (below the join):
+    // in the printed tree the join header precedes its children, so
+    // the probe string must occur after the first join operator line
+    val joinAt = math.max(p.indexOf("Join"), 0)
+    assert(p.indexOf("graft_bloom_might_contain") > joinAt,
+      "bloom probe is not under the join subtree")
+  }
+
+  test("manifest build is a partial+final aggregation over the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp_").toString
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+      .repartition(2).write.parquet(s"$dir/t")
+    val m = graft.operators.DataSkipping.buildManifest(
+      spark, s"$dir/t", Seq("k"))
+    val p = m.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"manifest agg lost map-side combine:\n${p.take(800)}")
+  }
+
+  test("q94/q95: sketch aggregates keep partial+final shape; q95 pins " +
+      "its group clustering") {
+    val p94 = plan("q94_approx_distinct")
+    assert(p94.contains("approx_count_distinct"), p94.take(600))
+    assert("HashAggregate".r.findAllIn(p94).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p94).size >= 2, p94.take(900))
+    val p95 = plan("q95_approx_quantiles")
+    assert(p95.contains("percentile_approx"), p95.take(600))
+    assert(p95.contains("hashpartitioning(event_type") &&
+      p95.contains("Sort"),
+      "q95 lost its determinism pinning (repartition+sort)")
+  }
+
+  test("z-order interleave stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // spark.range is a codegen source; a local Seq constant-folds
+      val df = spark.range(100)
+        .select(col("id").as("x"), (col("id") * 3 % 7).as("y"))
+        .select(graft.operators.ZOrder.interleaveBits(
+          Seq(col("x"), col("y")), bits = 8).as("z"))
+      val s = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      assert(!s.contains("Found 0 WholeStageCodegen"), s.take(300))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
