@@ -262,6 +262,26 @@ object TextQueries extends QueryPack {
         t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"),
           col("avg_nll"))
+    }),
+
+    // End-to-end training-data pipeline: quality filter → language
+    // filter → exact dedup (keep smallest id per text) → 64/48 token
+    // chunking — the composition a real corpus run executes, value-
+    // gated as ONE query so a semantics drift in any stage (or in how
+    // stages compose) breaks the hash even though each stage's own
+    // gate still passes. Every stage is the already-gated operator:
+    // q32's quality, q33's langid, q34's dedup rule, q81's window
+    // math; the DuckDB mirror composes those oracles' expressions
+    // verbatim. The filter threshold compares ROUNDED quality (6 dp,
+    // like q32's gated output) so the cross-engine ulp band cannot
+    // flip a boundary doc.
+    "q100_pipeline_e2e" -> ((s, dir) => {
+      val filtered = t(s, dir, "documents")
+        .where(round(qualityScore(col("text")), 6) >= 0.5 &&
+          langId(col("text")) === "en")
+      val deduped = Dedup.exact(filtered, Seq("text"), col("doc_id"))
+      graft.operators.Chunking.chunkTokens(
+        deduped, "doc_id", "text", chunkSize = 64, overlap = 16)
     }))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.tokens]]. */
@@ -597,7 +617,8 @@ object TextQueries extends QueryPack {
          |  CAST(1 AS INTEGER) AS minhash_registry_ok
          |FROM documents""".stripMargin
     },
-    "q99_bigram_lm_score" -> q99Oracle)
+    "q99_bigram_lm_score" -> q99Oracle,
+    "q100_pipeline_e2e" -> q100Oracle)
 
   /** DuckDB mirror of `array_distinct(wordShingles(text, 3))` as a CTE
     * named `grams` (column `g`): non-empty whitespace tokens, 3-token
@@ -647,4 +668,49 @@ object TextQueries extends QueryPack {
        |SELECT o.doc_id, o.n_bigrams, o.avg_nll
        |FROM out o JOIN agg a ON o.doc_id = a.doc_id
        |WHERE o.n_bigrams = a.n AND abs(o.avg_nll - a.nll) < 1e-6""".stripMargin
+
+  /** q100's oracle: q32's quality expression + q33's langid CASE +
+    * q34's keep-min dedup + q81's window math, composed verbatim. */
+  private def q100Oracle: String = {
+    val nonSpace = "regexp_replace(text, '\\s', '', 'g')"
+    val punct = s"length(regexp_replace($nonSpace, '[a-zA-Z0-9]', '', 'g'))"
+    val nsLen = s"length($nonSpace)"
+    val digits = s"($nsLen - length(regexp_replace($nonSpace, '[0-9]', '', 'g')))"
+    val swHits = s"len(list_filter($toksLower, x -> list_contains(${enStopwords.mkString("['", "', '", "']")}, x)))"
+    val nToks = s"len($toks)"
+    val punctR = s"CASE WHEN $nsLen > 0 THEN CAST($punct AS DOUBLE) / $nsLen ELSE 0.0 END"
+    val digitR = s"CASE WHEN $nsLen > 0 THEN CAST($digits AS DOUBLE) / $nsLen ELSE 0.0 END"
+    val swR = s"CASE WHEN $nToks > 0 THEN CAST($swHits AS DOUBLE) / $nToks ELSE 0.0 END"
+    val quality =
+      s"""round(least(CAST($nToks AS DOUBLE) / 50.0, 1.0) * 0.25
+         |      + (1.0 - least(($punctR) * 4.0, 1.0)) * 0.25
+         |      + (1.0 - least(($digitR) * 4.0, 1.0)) * 0.25
+         |      + least(($swR) * 4.0, 1.0) * 0.25, 6)""".stripMargin
+    val Seq(en, de, fr, es) = langMarkers.map(m => hits(m._2))
+    val langEn =
+      s"($en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es)"
+    s"""WITH f AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE $quality >= 0.5 AND $langEn
+       |), d AS (
+       |  SELECT MIN(doc_id) AS doc_id, text FROM f GROUP BY text
+       |), tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> len(x) > 0) AS toks
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0
+       |), idx AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, CAST(CASE WHEN n <= 64 THEN 1
+       |      ELSE ceil((n - 64) / 48.0) + 1 END AS BIGINT))) AS chunk_idx
+       |  FROM c
+       |)
+       |SELECT doc_id, chunk_idx,
+       |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+       |    ' ') AS chunk_text,
+       |  least(64, n - chunk_idx * 48) AS n_tokens
+       |FROM idx""".stripMargin
+  }
 }
