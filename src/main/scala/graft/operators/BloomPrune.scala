@@ -74,8 +74,11 @@ object BloomPrune {
       s"bloomPrunedJoin: $joinType would lose pruned probe rows — " +
         "only inner/left_semi joins are bloom-prunable")
     val bf = keyFilter(dim, dimKey, expectedItems, fpp)
-    fact.where(mightContain(col(factKey), bf))
-      .join(dim, col(factKey) === col(dimKey), joinType)
+    // dataset-qualified refs: bare col(...) === col(...) is an
+    // ambiguous self-reference whenever factKey and dimKey share a
+    // name (the common case for natural join keys)
+    val pruned = fact.where(mightContain(col(factKey), bf))
+    pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
   }
 }
 

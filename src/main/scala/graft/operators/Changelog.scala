@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * inserts — [[Upsert.batchWinners]] is shared code), but an update is
   * reported ONLY when a non-key column actually differs (null-safe
   * comparison). The upsert itself rewrites a matched row regardless;
-  * the changelog of an idempotent redelivery is therefore EMPTY —
-  * exactly the property that makes at-least-once delivery cheap for
+  * a redelivered KEYED batch therefore produces an empty changelog —
+  * the property that makes at-least-once delivery cheap for
   * downstream consumers (replayed batches produce no change volume).
+  * NULL-keyed rows mirror Upsert's Postgres NULL-distinctness: they
+  * re-emit as inserts on every delivery by default; pass
+  * `dedupNullKeyed = true` (the changelog twin of the upsert flag) to
+  * suppress null-keyed rows already present in `current` — then full
+  * redeliveries are change-free for guests too, with the same caveat
+  * that genuinely distinct all-column-identical rows collapse.
   *
   * Scale: one shuffle join of the (batch-sized) winners against
   * `current` on the keys — the same shape as the upsert's own
@@ -40,12 +46,25 @@ object Changelog {
       current: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
-      orderBy: Option[Column] = None): DataFrame = {
+      orderBy: Option[Column] = None,
+      dedupNullKeyed: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "changeSet requires at least one key column")
     val cols = current.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
-    val (winners, nullInserts) =
+    val (winners, nullInserts0) =
       Upsert.batchWinners(updates, keys, orderBy, cols)
+    val nullInserts =
+      if (!dedupNullKeyed) nullInserts0
+      else {
+        // same construction as Upsert.upsert(dedupNullKeyed = true):
+        // all-column dedup within the batch, then null-safe anti-join
+        // against current's null-keyed rows
+        val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+        val nullCurrent = current.where(coalesce(anyNullKey, lit(false)))
+        val dd = nullInserts0.dropDuplicates(cols)
+        val cond = cols.map(c => dd(c) <=> nullCurrent(c)).reduce(_ && _)
+        dd.join(nullCurrent, cond, "left_anti")
+      }
 
     val curPrefixed = current.select(
       keys.map(col) ++ nonKeys.map(c => col(c).as(s"__cur_$c")): _*)

@@ -157,48 +157,94 @@ object DataSkipping {
 
   /** Rebuild the manifest after a partition-scoped commit at stats cost
     * ∝ TOUCHED partitions (mirroring the commit's own write cost):
-    * keep the parked manifest's rows for untouched files, recompute
-    * stats only for files under `touchedDirs` (Hive-style names, e.g.
-    * `p_year=1995` — [[Upsert.PartitionedCommit]]'s `rewritten` ++
-    * `deleted`), and publish the union as the live manifest. Falls back
-    * to a full [[writeManifest]] when no prior manifest exists (first
-    * build, or a crash between park and publish). */
+    * keep the parked manifest's rows for still-valid files, recompute
+    * stats for `touchedDirs` (Hive-style names, e.g. `p_year=1995` —
+    * [[Upsert.PartitionedCommit]]'s `rewritten` ++ `deleted`) AND for
+    * any directory the parked copy turns out not to cover, then
+    * publish the union live.
+    *
+    * SELF-HEALING by construction: kept rows are validated against the
+    * table's ACTUAL file listing (metadata-scale — one listing per
+    * partition dir), so a parked copy that predates OTHER un-refreshed
+    * commits (interleaved compaction, a crash between park and
+    * publish, several commits before one refresh) cannot smuggle dead
+    * file rows into the live manifest, and any dir holding files the
+    * parked copy doesn't know is rescanned in full. Falls back to a
+    * full [[writeManifest]] when no prior manifest exists. Matching is
+    * anchored to the directory component under `tablePath` — a
+    * touched-dir NAME appearing in some ancestor path segment cannot
+    * misclassify files. */
   def refreshManifestPartitioned(
       spark: SparkSession,
       tablePath: String,
       touchedDirs: Seq[String],
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String]): Unit =
+    refreshIndexPartitioned(spark, tablePath, touchedDirs,
+      StaleManifestDir, ManifestDir,
+      fullRebuild = () => writeManifest(spark, tablePath, statsCols),
+      rebuildFor = scan => statsOf(scan, statsCols))
+
+  /** Shared park-consume-validate-publish refresh for the stats
+    * manifest and the bloom sidecars (see [[refreshManifestPartitioned]]
+    * for the semantics). `rebuildFor` maps a basePath-scoped scan of
+    * the dirs needing rebuild to fresh index rows with a `file`
+    * column. */
+  private def refreshIndexPartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      touchedDirs: Seq[String],
+      staleDirName: String,
+      liveDirName: String,
+      fullRebuild: () => Unit,
+      rebuildFor: DataFrame => DataFrame): Unit = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stale = new Path(s"$tablePath/$StaleManifestDir")
-    val live = new Path(manifestPath(tablePath))
+    val stale = new Path(root, staleDirName)
+    val live = new Path(root, liveDirName)
     val base =
       if (fs.exists(stale)) Some(spark.read.parquet(stale.toString))
-      else if (fs.exists(live)) Some(readManifest(spark, tablePath))
+      else if (fs.exists(live)) Some(spark.read.parquet(live.toString))
       else None
     base match {
-      case None => writeManifest(spark, tablePath, statsCols)
+      case None => fullRebuild()
       case Some(m) =>
-        val touchedMatch = touchedDirs
-          .map(d => col("file").contains(s"/$d/"))
-          .reduceOption(_ || _).getOrElse(lit(false))
-        // eager copy: the new manifest overwrites the directory the
-        // kept rows are being read from
-        val kept = m.where(!touchedMatch).localCheckpoint()
-        val liveTouched = touchedDirs
+        // the table's real data files, per partition dir, with paths
+        // qualified exactly as _metadata.file_path reports them
+        val dirs = fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        val filesByDir: Map[String, Set[String]] = dirs.map { d =>
+          d -> fs.listStatus(new Path(root, d))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => fs.makeQualified(f.getPath).toString).toSet
+        }.toMap
+        val baseFiles = m.select("file").collect().map(_.getString(0)).toSet
+        // rescan = the commit's touched dirs, plus any dir holding a
+        // file the parked copy has no row for (an earlier un-refreshed
+        // commit rewrote it)
+        val rescan = touchedDirs.toSet ++
+          filesByDir.collect {
+            case (d, fls) if fls.exists(!baseFiles.contains(_)) => d
+          }
+        val validFiles = filesByDir
+          .filterNot { case (d, _) => rescan.contains(d) }
+          .values.flatten.toSeq
+        import spark.implicits._
+        // eager copy: the publish overwrites the directory the kept
+        // rows are being read from
+        val kept = m.join(validFiles.toDF("file"), Seq("file"), "left_semi")
+          .localCheckpoint()
+        val rescanPaths = rescan.toSeq.sorted
           .map(d => new Path(root, d))
           .filter(fs.exists(_))
           .map(_.toString)
         val fresh =
-          if (liveTouched.isEmpty) kept
-          else {
+          if (rescanPaths.isEmpty) kept
+          else kept.unionByName(rebuildFor(
             // basePath keeps the partition column resolvable even
-            // though only the touched dirs are listed/scanned
-            val scan = spark.read
-              .option("basePath", tablePath)
-              .parquet(liveTouched: _*)
-            kept.unionByName(statsOf(scan, statsCols))
-          }
+            // though only the rescanned dirs are listed
+            spark.read.option("basePath", tablePath)
+              .parquet(rescanPaths: _*)))
         fresh.coalesce(1).write.mode("overwrite").parquet(live.toString)
         if (fs.exists(stale)) fs.delete(stale, true)
     }
@@ -276,8 +322,6 @@ object DataSkipping {
   private def bloomPath(tablePath: String, keyCol: String) =
     s"$tablePath/$BloomDirPrefix$keyCol"
 
-  private def staleBloomPath(tablePath: String, keyCol: String) =
-    s"$tablePath/$StaleBloomDirPrefix$keyCol"
 
   /** Build + persist the per-file bloom index for `keyCol` (integral or
     * string). One pass: cluster rows by file (hash repartition on the
@@ -332,44 +376,19 @@ object DataSkipping {
 
   /** Rebuild the bloom index after a partition-scoped commit at cost
     * ∝ TOUCHED partitions — the bloom analog of
-    * [[refreshManifestPartitioned]]: keep the parked index's rows for
-    * untouched files, rebuild blooms only for files under
-    * `touchedDirs`, publish the union live. Falls back to a full
+    * [[refreshManifestPartitioned]], with the same self-healing
+    * validation against the real file listing. Falls back to a full
     * [[writeBloomIndex]] when no prior index exists. */
   def refreshBloomIndexPartitioned(
       spark: SparkSession,
       tablePath: String,
       touchedDirs: Seq[String],
       keyCol: String,
-      fpp: Double = 0.01): Unit = {
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stale = new Path(staleBloomPath(tablePath, keyCol))
-    val live = new Path(bloomPath(tablePath, keyCol))
-    val base =
-      if (fs.exists(stale)) Some(spark.read.parquet(stale.toString))
-      else if (fs.exists(live)) Some(spark.read.parquet(live.toString))
-      else None
-    base match {
-      case None => writeBloomIndex(spark, tablePath, keyCol, fpp)
-      case Some(m) =>
-        val touchedMatch = touchedDirs
-          .map(d => col("file").contains(s"/$d/"))
-          .reduceOption(_ || _).getOrElse(lit(false))
-        val kept = m.where(!touchedMatch).localCheckpoint()
-        val liveTouched = touchedDirs
-          .map(d => new Path(root, d))
-          .filter(fs.exists(_))
-          .map(_.toString)
-        val fresh =
-          if (liveTouched.isEmpty) kept
-          else kept.unionByName(bloomRowsOf(
-            spark.read.option("basePath", tablePath)
-              .parquet(liveTouched: _*), keyCol, fpp))
-        fresh.coalesce(1).write.mode("overwrite").parquet(live.toString)
-        if (fs.exists(stale)) fs.delete(stale, true)
-    }
-  }
+      fpp: Double = 0.01): Unit =
+    refreshIndexPartitioned(spark, tablePath, touchedDirs,
+      StaleBloomDirPrefix + keyCol, BloomDirPrefix + keyCol,
+      fullRebuild = () => writeBloomIndex(spark, tablePath, keyCol, fpp),
+      rebuildFor = scan => bloomRowsOf(scan, keyCol, fpp))
 
   def hasBloomIndex(
       spark: SparkSession, tablePath: String, keyCol: String): Boolean = {

@@ -143,7 +143,12 @@ object Dedup {
     * shingle → minhash(numHashes) → band into (numHashes/rowsPerBand)
     * bands → bucket-join on (band, hash(band-slice)) → verify true
     * shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b, one row per verified pair. */
+    * id_a < id_b, one row per verified pair.
+    *
+    * Precondition: `idCol` uniquely identifies rows (the universal doc-id
+    * contract here). The first-collision dedup emits one row per id PAIR;
+    * duplicated ids would multiply their pairs' rows — as they would
+    * corrupt the verification join and clustering downstream anyway. */
   def minHashPairs(
       df: DataFrame,
       idCol: String,
@@ -377,7 +382,9 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: 64-bit simhash, candidates via 4
     * 16-bit band buckets (Hamming ≤ 3 guarantees a shared band), verified
-    * by exact Hamming distance ≤ maxHamming. */
+    * by exact Hamming distance ≤ maxHamming. Precondition: `idCol` is
+    * unique per row (see [[minHashPairs]] — same first-collision
+    * contract). */
   def simHashPairs(
       df: DataFrame,
       idCol: String,

@@ -43,11 +43,18 @@ object LanguageModel {
     require(k > 0, "bigramNll: smoothing k must be positive")
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached once: `bi` (tokenize + per-doc lag window — the expensive
+    // shuffle) feeds the context agg, the bigram agg AND the final
+    // per-occurrence score join; `toks` additionally feeds the vocab
+    // scalar. Without the persist each branch re-runs the whole
+    // lineage (the same recompute hazard minHashPairs documents).
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bi = toks
       .withColumn("prev", lag("tok", 1).over(w))
       .where(col("prev").isNotNull)
       .select("doc_id", "prev", "tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val contexts = bi.groupBy("prev").agg(count(lit(1)).as("c_n"))
     val bigrams = bi.groupBy("prev", "tok").agg(count(lit(1)).as("b_n"))
@@ -55,7 +62,7 @@ object LanguageModel {
 
     val nll: Column = -log2(
       (col("b_n") + lit(k)) / (col("c_n") + lit(k * vocab)))
-    bi.join(bigrams, Seq("prev", "tok"))
+    val scored = bi.join(bigrams, Seq("prev", "tok"))
       .join(contexts, Seq("prev"))
       .withColumn("nll", nll)
       .groupBy("doc_id")
@@ -65,5 +72,6 @@ object LanguageModel {
         aggregate(col("__nlls"), lit(0.0), (acc, x) => acc + x) /
           col("n_bigrams"))
       .drop("__nlls")
+    Dedup.materializeAndRelease(scored, toks, bi)
   }
 }

@@ -89,7 +89,12 @@ object Sampling {
     * single counter per stratum. A dominant stratum is the usual window
     * skew case: pre-filter or split it before asking for exact-k.
     * `rankCol` (1..k, hash order) is kept — it is the reproducible
-    * "which draw" label. */
+    * "which draw" label.
+    *
+    * Precondition: `keyCol` uniquely identifies rows within a stratum.
+    * Duplicate key values tie under (md5(key), key) and row_number then
+    * breaks the tie by partition order — the reproducibility promise
+    * only holds for unique keys (synthesize one first otherwise). */
   def stratifiedTopK(
       df: DataFrame,
       strataCol: String,

@@ -46,6 +46,18 @@ class ChangelogSpec extends SparkSpec {
       cs.head.getAs[String]("s") == "guest")
   }
 
+  test("dedupNullKeyed suppresses redelivered null-key inserts") {
+    val cur = Seq((Some(1L), "a"), (None, "guest")).toDF("k", "s")
+    val upd = Seq((Option.empty[Long], "guest"),
+      (Option.empty[Long], "new-guest")).toDF("k", "s")
+    // default mirrors Upsert's NULL-distinctness: both re-emit
+    assert(Changelog.changeSet(cur, upd, Seq("k")).count() == 2)
+    // opt-in dedup: only the genuinely new guest is a change row
+    val dd = Changelog.changeSet(cur, upd, Seq("k"), dedupNullKeyed = true)
+      .collect()
+    assert(dd.length == 1 && dd.head.getAs[String]("s") == "new-guest")
+  }
+
   test("batch last-wins matches upsert's winner") {
     // two updates for k=1 in one batch: the LAST must win both in the
     // upsert and in the changelog's post image

@@ -224,6 +224,47 @@ class DataSkippingSpec extends SparkSpec {
       s"2000-partition file should be bloom-skipped: ${scan.report}")
   }
 
+  test("refresh self-heals across an interleaved un-refreshed rewrite") {
+    val path = tmp() + "/t"
+    val df = (1 to 300).map(i => (i.toLong, 1995 + i % 3, i * 10L))
+      .toDF("k", "p_year", "v")
+    Upsert.writeSnapshotsPartitioned(Seq(
+      Upsert.PartitionedWrite(df, path, "p_year", Seq(1995, 1996, 1997))))
+    DataSkipping.writeManifest(spark, path, Seq("k", "p_year"))
+
+    // commit #1 rewrites 1995 and parks the manifest; NO refresh runs
+    Upsert.upsertPartitioned(spark, path,
+      df.where(col("p_year") === 1995).withColumn("v", col("v") + 1),
+      Seq("k"), "p_year")
+    // commit #2 rewrites 1996; the already-parked (pre-#1) copy stays
+    Upsert.upsertPartitioned(spark, path,
+      df.where(col("p_year") === 1996).withColumn("v", col("v") + 2),
+      Seq("k"), "p_year")
+
+    // refresh is told only about commit #2's dirs — it must detect
+    // that 1995's files are unknown to the parked copy and rescan
+    // that dir as well, never publishing rows for dead files
+    DataSkipping.refreshManifestPartitioned(spark, path,
+      Seq("p_year=1996"), Seq("k", "p_year"))
+    val m = DataSkipping.readManifest(spark, path)
+    val files = m.select("file").collect().map(_.getString(0))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        new java.net.URI(f))), s"manifest row references dead file $f")
+    }
+    // full coverage: every live data file has a manifest row
+    val scan = DataSkipping.prunedScan(spark, path,
+      Seq(DataSkipping.ColRange("k", lit(1L), lit(300L))))
+    assert(scan.df.count() == 300)
+    assert(scan.report.filesTotal == files.length.toLong)
+    // and the refreshed stats see both commits' values
+    val scan95 = DataSkipping.prunedScan(spark, path,
+      Seq(DataSkipping.ColRange("p_year", lit(1995), lit(1995))))
+    assert(scan95.df.agg(min("v")).head().getLong(0) % 10 == 1)
+  }
+
   test("missing stats column fails loudly") {
     val path = tmp() + "/t"
     (1 to 10).map(i => (i.toLong, i.toString)).toDF("k", "v")
