@@ -58,6 +58,17 @@ object DataSkipping {
     * the parked copy to rebuild stats ∝ touched partitions. */
   val StaleManifestDir = "_graft_stats_stale"
 
+  /** Marker file created by every index writer. Commits probe THIS one
+    * fixed name (a single `getFileStatus`) before paying the root
+    * listing that finds manifests/sidecars to park — on an object
+    * store, listing a root with 10k partition dirs is a PAGED walk per
+    * commit, while the marker probe is one round trip. Never-indexed
+    * tables (the common fact-table steady state) therefore pay ~zero
+    * coherence cost per commit. The marker persists once any index has
+    * existed; a lingering marker after index removal costs one extra
+    * listing per commit, never correctness. */
+  val IndexMarker = "_graft_indexed"
+
   /** One range predicate for pruning: `lower <= col <= upper`
     * (inclusive both ends; pass the same bounds to the residual filter
     * so pruned-scan results are exactly `WHERE col BETWEEN lo AND hi`). */
@@ -102,11 +113,21 @@ object DataSkipping {
   def writeManifest(
       spark: SparkSession,
       tablePath: String,
-      statsCols: Seq[String]): Unit =
+      statsCols: Seq[String]): Unit = {
     buildManifest(spark, tablePath, statsCols)
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(manifestPath(tablePath))
+    touchIndexMarker(spark, tablePath)
+  }
+
+  /** Create the commit-probe marker (see [[IndexMarker]]). */
+  private def touchIndexMarker(
+      spark: SparkSession, tablePath: String): Unit = {
+    val p = new Path(s"$tablePath/$IndexMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
 
   def readManifest(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(manifestPath(tablePath))
@@ -126,9 +147,11 @@ object DataSkipping {
   def invalidateManifest(spark: SparkSession, tablePath: String): Boolean = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ONE listing decides everything — this runs on every partition-
-    // scoped commit, so the no-index fast path must not pay per-name
-    // existence probes (each is a round trip on object stores)
+    // Fast path: one fixed-name probe. Tables that never had an index
+    // (the steady state for most fact tables) skip the root listing
+    // entirely — a listing over many partition dirs is a paged walk
+    // on object stores, paid per commit otherwise.
+    if (!fs.exists(new Path(root, IndexMarker))) return false
     val entries =
       try fs.listStatus(root)
       catch { case _: java.io.FileNotFoundException => return false }
@@ -333,10 +356,12 @@ object DataSkipping {
       spark: SparkSession,
       tablePath: String,
       keyCol: String,
-      fpp: Double = 0.01): Unit =
+      fpp: Double = 0.01): Unit = {
     bloomRowsOf(spark.read.parquet(tablePath), keyCol, fpp)
       .coalesce(1).write.mode("overwrite")
       .parquet(bloomPath(tablePath, keyCol))
+    touchIndexMarker(spark, tablePath)
+  }
 
   /** The (file, n_keys, bloom) rows for an already-opened scan. */
   private def bloomRowsOf(
