@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.Files
+
 import graft.functions.Normalize
 import graft.operators.{Constraints, Merge, PrioritySelect, Upsert}
+import graft.sources.Formats
 
 /** The reference's load/merge/select operators (SURVEY §2.3-2.5) exercised
   * relationally over the driver testdata, each with a DuckDB oracle:
@@ -81,6 +84,56 @@ object EtlQueries extends QueryPack {
         Normalize.sanitizeName(
           concat(col("source"), lit("/doc:"), col("doc_id").cast("string")))
           .as("safe_name"))
+    }),
+
+    // CSV round-trip under HOSTILE content: the corpus text is benign,
+    // so each row gets a deterministic prefix holding a comma, an
+    // RFC-4180 doubled quote, and an embedded NEWLINE — the three
+    // things Spark's default CSV options do NOT round-trip. The gate
+    // value is read back FROM THE CSV; the oracle recomputes the
+    // decorated text from parquet, so any mutation in the quote/
+    // escape/multiLine/whitespace path hash-mismatches.
+    "q101_csv_roundtrip" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q101_").toString
+      val decorated = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        concat(lit(" a,\"b\"\nc "), substring(col("text"), 1, 40), lit(" "))
+          .as("text"))
+      Formats.writeCsv(decorated, s"$wh/docs_csv")
+      val back = Formats.readCsv(s, s"$wh/docs_csv", decorated.schema)
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back
+    }),
+
+    // JSON Lines round-trip with the same hostile prefix (the JSON
+    // encoder must escape the quote and newline itself; files stay
+    // line-splittable, unlike multiLine CSV).
+    "q102_jsonl_roundtrip" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q102_").toString
+      val decorated = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        concat(lit("a,\"b\"\nc "), substring(col("text"), 1, 40))
+          .as("text"))
+      Formats.writeJsonl(decorated, s"$wh/docs_jsonl")
+      val back = Formats.readJsonl(s, s"$wh/docs_jsonl", decorated.schema)
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back
+    }),
+
+    // ORC round-trip: full-fidelity columnar interchange.
+    "q103_orc_roundtrip" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q103_").toString
+      val src = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      Formats.writeOrc(src, s"$wh/docs_orc")
+      val back = Formats.readOrc(s, s"$wh/docs_orc").localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back
     }))
 
   // Staging = orders (unique id, like the reference's recording.id);
@@ -140,5 +193,18 @@ object EtlQueries extends QueryPack {
         |       THEN 'unknown'
         |       ELSE substr(regexp_replace(source || '/doc:' || CAST(doc_id AS VARCHAR), '[\\/:*?"<>|]', '_', 'g'), 1, 255)
         |  END AS safe_name
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // The oracle recomputes the decorated text straight from parquet:
+    // whatever survives the CSV writer+reader must equal it exactly —
+    // leading/trailing spaces, comma, doubled quote, embedded newline.
+    "q101_csv_roundtrip" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ' a,"b"' || chr(10) || 'c ' || substr(text, 1, 40) || ' ' AS text
+        |FROM documents""".stripMargin,
+    "q102_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars,
+        |  'a,"b"' || chr(10) || 'c ' || substr(text, 1, 40) AS text
+        |FROM documents""".stripMargin,
+    "q103_orc_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents")
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Bucketing, Changelog, DataSkipping, Merge, Skew, Upsert, ZOrder}
+import graft.operators.{BloomPrune, Bucketing, Changelog, DataSkipping, Merge, Skew, Upsert, Versioned, ZOrder}
 
 /** Driver gates for the SCALE-POSTURE operators (SURVEY §4) that were
   * previously covered only by unit tests (VERDICT r6 "What's missing" #3
@@ -282,6 +282,34 @@ object ScaleQueries extends QueryPack {
       val updates = modified.unionByName(fresh).unionByName(redelivered)
       Changelog.changeSet(o, updates, Seq("o_orderkey"))
         .select("op", "o_orderkey", "o_orderstatus", "o_totalprice", "o_year")
+    }),
+
+    // Time travel over generational snapshots: commit the base table as
+    // gen 0, commit the upserted table as gen 1, then read BOTH back
+    // from disk — gen 0 must still be exactly the original rows after
+    // the second commit (the property a swap destroys), latest must be
+    // the merged view. Both generations are value-gated in one output.
+    "q104_time_travel" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q104_").toString
+      val path = s"$wh/orders_versioned"
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val c0 = Versioned.commit(o, path)
+      val updates = o.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val c1 = Versioned.commit(Upsert.upsert(o, updates, Seq("o_orderkey")),
+        path)
+      require(c0.gen == 0 && c1.gen == 1,
+        s"q104: unexpected generation numbers ($c0, $c1)")
+      require(Versioned.generations(s, path) == Seq(0L, 1L))
+      val out = Versioned.read(s, path, Some(0L))
+        .withColumn("gen", lit(0))
+        .unionByName(Versioned.read(s, path).withColumn("gen", lit(1)))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -356,5 +384,15 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT 'update_post', o_orderkey, 'U', o_totalprice * 2,
         |  year(o_orderdate)
-        |FROM orders WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+        |FROM orders WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    "q104_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS gen
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE o_orderstatus END,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END,
+        |  1 AS gen
+        |FROM orders""".stripMargin)
 }
