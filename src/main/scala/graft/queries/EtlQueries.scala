@@ -124,6 +124,37 @@ object EtlQueries extends QueryPack {
       back
     }),
 
+    // Dead-letter JSONL ingest: three unparseable lines are planted in
+    // the feed; the read must quarantine EXACTLY those lines verbatim
+    // (kind='bad') while every well-formed row survives untouched —
+    // PERMISSIVE's silent nulls and FAILFAST's stopped world are both
+    // wrong at scale. The oracle knows the planted garbage as
+    // constants, so a swallowed or mangled line hash-mismatches.
+    "q105_jsonl_deadletter" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q105_").toString
+      val path = s"$wh/feed"
+      val src = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Formats.writeJsonl(src, path)
+      val corrupt = Seq("{\"doc_id\": ", "not json at all", "{]")
+      val p = new org.apache.hadoop.fs.Path(s"$path/part-corrupt.json")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val os = fs.create(p, true)
+      os.write(corrupt.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      os.close()
+      val r = Formats.readJsonlDeadLetter(s, path, src.schema)
+      val out = r.good
+        .select(lit("good").as("kind"), col("doc_id"), col("lang"),
+          col("n_chars"), lit("").as("raw"))
+        .unionByName(r.bad.select(lit("bad").as("kind"),
+          lit(-1L).as("doc_id"), lit("").as("lang"),
+          lit(-1L).as("n_chars"), col("raw")))
+        .localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(wh)
+      fs.delete(root, true)
+      out
+    }),
+
     // ORC round-trip: full-fidelity columnar interchange.
     "q103_orc_roundtrip" -> ((s, dir) => {
       val wh = Files.createTempDirectory("graft_q103_").toString
@@ -206,5 +237,11 @@ object EtlQueries extends QueryPack {
         |  'a,"b"' || chr(10) || 'c ' || substr(text, 1, 40) AS text
         |FROM documents""".stripMargin,
     "q103_orc_roundtrip" ->
-      "SELECT doc_id, lang, source, n_chars FROM documents")
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    "q105_jsonl_deadletter" ->
+      """SELECT 'good' AS kind, doc_id, lang, n_chars, '' AS raw
+        |FROM documents
+        |UNION ALL
+        |SELECT 'bad', -1, '', -1, x FROM (VALUES
+        |  ('{"doc_id": '), ('not json at all'), ('{]')) t(x)""".stripMargin)
 }

@@ -25,7 +25,6 @@ object Formats {
     "quote" -> "\"",
     "escape" -> "\"",          // RFC-4180 doubled quotes
     "nullValue" -> "\\N",      // distinguish null from empty string
-    "emptyValue" -> "\"\"",
     "ignoreLeadingWhiteSpace" -> "false",
     "ignoreTrailingWhiteSpace" -> "false")
 
@@ -57,4 +56,64 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** A read split into parseable rows and a dead-letter side. */
+  final case class DeadLetterRead(good: DataFrame, bad: DataFrame)
+
+  private val CorruptCol = "__graft_corrupt"
+
+  /** JSONL read that routes unparseable lines to a dead-letter frame
+    * (`raw` = the offending line verbatim) instead of nulling them
+    * silently (PERMISSIVE's default) or killing the job (FAILFAST) —
+    * the same quarantine posture as the engine's ingest dead-letter
+    * path (`ErrorRouter`): at 100 TB a feed WILL contain garbage and
+    * neither losing it silently nor stopping the world is acceptable.
+    * Note Spark requires the corrupt column to be materialized via a
+    * checkpoint-like barrier before filtering on it — a plain filter
+    * over the lazy column throws `_corrupt_record`-referencing errors;
+    * the eager `cache` here is documented Spark behavior, bounded by
+    * the batch being read. */
+  def readJsonlDeadLetter(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): DeadLetterRead = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema
+      .add(CorruptCol, org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+    DeadLetterRead(
+      good = raw.where(col(CorruptCol).isNull)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*),
+      bad = raw.where(col(CorruptCol).isNotNull)
+        .select(col(CorruptCol).as("raw")))
+  }
+
+  /** CSV twin of [[readJsonlDeadLetter]] (malformed = wrong column
+    * count / unclosed quote; the raw line lands in `raw`). */
+  def readCsvDeadLetter(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): DeadLetterRead = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema
+      .add(CorruptCol, org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .options(csvOpts)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    DeadLetterRead(
+      good = raw.where(col(CorruptCol).isNull)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*),
+      bad = raw.where(col(CorruptCol).isNotNull)
+        .select(col(CorruptCol).as("raw")))
+  }
 }
