@@ -72,6 +72,50 @@ object Upsert {
       .unionByName(untouched)
   }
 
+  /** Schema-evolving upsert (the `mergeSchema` MERGE story): columns
+    * present only in `updates` are added to the result with NULL for
+    * pre-existing rows; columns present only in `target` survive with
+    * NULL on the update rows. Evolution is WIDENING-only by design —
+    * a shared column whose type differs is a pipeline bug and fails
+    * loudly rather than silently casting (the reference's Postgres
+    * tables reject type drift the same way; `sql/create_tables.sql`).
+    * After alignment the semantics are exactly [[upsert]]'s. */
+  def upsertEvolve(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      orderBy: Option[Column] = None): DataFrame = {
+    val tCols = target.columns.toSeq
+    val uCols = updates.columns.toSeq
+    keys.foreach { k =>
+      require(tCols.contains(k) && uCols.contains(k),
+        s"upsertEvolve: key column $k must exist on both sides")
+    }
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val uTypes = updates.schema.map(f => f.name -> f.dataType).toMap
+    val shared = tCols.filter(uTypes.contains)
+    shared.foreach { c =>
+      require(tTypes(c) == uTypes(c),
+        s"upsertEvolve: column $c changes type " +
+          s"${tTypes(c).catalogString} -> ${uTypes(c).catalogString} — " +
+          "widening adds columns, it never rewrites types")
+    }
+    // evolved column order: target's columns, then new ones in the
+    // updates' order — stable and append-only, the layout parquet
+    // mergeSchema produces
+    val newCols = uCols.filterNot(tTypes.contains)
+    val alignedTarget = newCols.foldLeft(target) { (df, c) =>
+      df.withColumn(c, lit(null).cast(uTypes(c)))
+    }
+    val missingInUpdates = tCols.filterNot(uTypes.contains)
+    val alignedUpdates0 = missingInUpdates.foldLeft(updates) { (df, c) =>
+      df.withColumn(c, lit(null).cast(tTypes(c)))
+    }
+    val order = tCols ++ newCols
+    upsert(alignedTarget.select(order.map(col): _*),
+      alignedUpdates0.select(order.map(col): _*), keys, orderBy)
+  }
+
   /** The batch-winner rule shared by [[upsert]] and
     * [[Changelog.changeSet]]: per non-null key, the row that wins under
     * `orderBy` (default: last in batch order — the reference's "last

@@ -155,6 +155,23 @@ object EtlQueries extends QueryPack {
       out
     }),
 
+    // Schema-evolving upsert: the update batch carries a NEW column;
+    // pre-existing rows surface it as NULL (blanked for the hash gate),
+    // updated rows carry the value — the mergeSchema MERGE story.
+    // Type drift on shared columns fails loudly (UpsertSpec).
+    "q106_upsert_evolve" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = o.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("priority_flag", lit("X"))
+      Upsert.upsertEvolve(o, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          coalesce(col("priority_flag"), lit("")).as("priority_flag"))
+    }),
+
     // ORC round-trip: full-fidelity columnar interchange.
     "q103_orc_roundtrip" -> ((s, dir) => {
       val wh = Files.createTempDirectory("graft_q103_").toString
@@ -243,5 +260,13 @@ object EtlQueries extends QueryPack {
         |FROM documents
         |UNION ALL
         |SELECT 'bad', -1, '', -1, x FROM (VALUES
-        |  ('{"doc_id": '), ('not json at all'), ('{]')) t(x)""".stripMargin)
+        |  ('{"doc_id": '), ('not json at all'), ('{]')) t(x)""".stripMargin,
+    "q106_upsert_evolve" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE '' END AS priority_flag
+        |FROM orders""".stripMargin)
 }

@@ -358,6 +358,37 @@ object RelationalQueries extends QueryPack {
           posexplode(col("qs")).as(Seq("pi", "qv")))
     }),
 
+    // Whole-table aggregate COLUMN pruning: an unfiltered count/min/max
+    // over a 16-column fact table must read exactly the two aggregated
+    // columns — at 100 TB the difference between scanning 2 narrow
+    // column chunks and the whole table. Asserted in-gate from the
+    // executed plan's ReadSchema. (Parquet FOOTER-stats aggregate
+    // pushdown — SPARK-34952's PushedAggregation — was evaluated and
+    // does not fire in this Spark build on either the parquet or the
+    // ORC DSv2 path with its conf enabled, for any combination of
+    // COUNT(*)/MIN/MAX over plain long columns; column pruning is the
+    // pushdown that IS observable, so it is what the gate pins.)
+    "q107_agg_prune" -> ((s, dir) => {
+      val prevMeta = s.conf.get("spark.sql.maxMetadataStringLength", "100")
+      // default metadata truncation (100 chars) cuts ReadSchema short
+      s.conf.set("spark.sql.maxMetadataStringLength", "4000")
+      try {
+        val df = t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_linenumber")).as("min_line"),
+          max(col("l_linenumber")).as("max_line"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains(
+          "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+          s"q107: aggregate scan reads more than its columns:\n" +
+            plan.take(800))
+        df.localCheckpoint()
+      } finally
+        s.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
+    }),
+
     // Exact-k deterministic stratified sample: per market segment, the
     // 5 customers whose md5(custkey) sorts first — fully value-gated
     // because DuckDB computes the identical md5 order.
@@ -592,5 +623,11 @@ object RelationalQueries extends QueryPack {
         |          ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
         |          AS draw_rank
         |      FROM customer) t
-        |WHERE draw_rank <= 5""".stripMargin)
+        |WHERE draw_rank <= 5""".stripMargin,
+
+    "q107_agg_prune" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line
+        |FROM lineitem""".stripMargin)
 }

@@ -109,4 +109,29 @@ class UpsertSpec extends SparkSpec {
     assert(recovered === Array(("b", 2))) // old snapshot, not empty
     assert(Upsert.readSnapshot(spark, s"$dir/never_written").isEmpty)
   }
+
+  test("upsertEvolve adds new columns, nulls old rows, rejects type drift") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 25.0, "X"), (3L, "c", 30.0, "Y"))
+      .toDF("k", "s", "v", "flag")
+    val out = Upsert.upsertEvolve(target, updates, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "s", "v", "flag"))
+    val byKey = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getDouble(2), Option(r.getString(3)))).toMap
+    assert(byKey(1L) == (("a", 10.0, None)), "old row gets NULL new col")
+    assert(byKey(2L) == (("B", 25.0, Some("X"))))
+    assert(byKey(3L) == (("c", 30.0, Some("Y"))))
+    // a column the updates DROP survives as null on updated rows
+    val narrow = Seq((2L, 99.0)).toDF("k", "v")
+    val out2 = Upsert.upsertEvolve(target, narrow, Seq("k"))
+    val r2 = out2.where(col("k") === 2).head()
+    assert(r2.isNullAt(out2.columns.indexOf("s")) &&
+      r2.getDouble(out2.columns.indexOf("v")) == 99.0)
+    // shared-column type drift fails loudly
+    val drift = Seq((2L, 5, 25.0)).toDF("k", "s", "v") // s: int, was string
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertEvolve(target, drift, Seq("k"))
+    }
+    assert(e.getMessage.contains("changes type"))
+  }
 }
