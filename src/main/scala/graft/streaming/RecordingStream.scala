@@ -96,14 +96,25 @@ object RecordingStream {
     *   per batch (gate-sized tables). true ⇒ the staging table is
     *   date-partitioned ([[PartitionCol]]) and each micro-batch
     *   rewrites only the partitions it touches — the at-scale posture
-    *   (per-batch write cost ∝ batch, not table). */
+    *   (per-batch write cost ∝ batch, not table).
+    * @param maintainStatsCols non-empty ⇒ (partitioned mode only) the
+    *   staging table's [[graft.operators.DataSkipping]] manifest over
+    *   these columns is kept LIVE across commits: the commit parks it,
+    *   and the loop immediately refreshes it ∝ the touched partitions
+    *   — downstream pruned scans never observe a stale or missing
+    *   manifest between batches. Cost: one metadata-scale refresh per
+    *   batch over the 1-2 dirs the batch rewrote. */
   def start(
       spark: SparkSession,
       inDir: String,
       stagingPath: String,
       checkpointDir: String,
       deadLetterDir: Option[String] = None,
-      partitionByStartDate: Boolean = false): StreamingQuery = {
+      partitionByStartDate: Boolean = false,
+      maintainStatsCols: Seq[String] = Nil): StreamingQuery = {
+    require(maintainStatsCols.isEmpty || partitionByStartDate,
+      "maintainStatsCols requires partitionByStartDate (a flat swap " +
+        "replaces the whole dir — rebuild the manifest after promote)")
     val events = spark.readStream
       .schema(Schemas.webhookSchema)
       .json(inDir)
@@ -119,8 +130,12 @@ object RecordingStream {
         if (partitionByStartDate) {
           val selected = selected0
             .withColumn(PartitionCol, to_date(col("recording_start")))
-          Upsert.upsertPartitioned(s, stagingPath, selected, Seq("id"),
-            PartitionCol, orderBy = Some(col("event_ts")))
+          val commit = Upsert.upsertPartitioned(s, stagingPath, selected,
+            Seq("id"), PartitionCol, orderBy = Some(col("event_ts")))
+          if (maintainStatsCols.nonEmpty)
+            graft.operators.DataSkipping.refreshManifestPartitioned(
+              s, stagingPath, commit.rewritten ++ commit.deleted,
+              maintainStatsCols)
         } else {
           val staging = readSnapshotOr(s, stagingPath, selected0)
           Upsert.writeSnapshot(

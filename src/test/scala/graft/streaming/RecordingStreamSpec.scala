@@ -136,4 +136,42 @@ class RecordingStreamSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging,
       "part_date=2021-07-13"))) // emptied partition dir removed
   }
+
+  test("maintainStatsCols keeps the staging manifest live across commits") {
+    import graft.operators.DataSkipping
+    val root = Files.createTempDirectory("graft_streamm").toString
+    val in = s"$root/in"; Files.createDirectories(JPaths.get(in))
+    val staging = s"$root/staging"
+
+    writeEvent(in, "e1.json", event("mA", "Sync", Seq(
+      file("fA1", "shared_screen_with_speaker_view")).mkString(",")))
+    val q = RecordingStream.start(spark, in, staging, s"$root/ckpt",
+      partitionByStartDate = true, maintainStatsCols = Seq("id"))
+    q.processAllAvailable()
+
+    assert(DataSkipping.hasManifest(spark, staging),
+      "manifest must be live after the first commit")
+    val before = DataSkipping.readManifest(spark, staging).count()
+    assert(before >= 1)
+
+    // a second batch (redelivery + a new meeting) commits again; the
+    // manifest must STILL be live and cover every current file
+    writeEvent(in, "e2.json", event("mC", "Retro", Seq(
+      file("fC1", "audio_only")).mkString(",")))
+    q.processAllAvailable(); q.stop()
+
+    assert(DataSkipping.hasManifest(spark, staging),
+      "manifest must be refreshed, not left parked, after every commit")
+    val m = DataSkipping.readManifest(spark, staging)
+    val files = m.select("file").collect().map(_.getString(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val schema = RecordingStream.partitionedStagingSchema(spark)
+    val live = graft.operators.Upsert
+      .readPartitionedSnapshot(spark, staging, schema).get
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(files == live,
+      s"manifest coverage drifted: manifest=$files live=$live")
+  }
 }
