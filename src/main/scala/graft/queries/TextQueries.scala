@@ -240,13 +240,18 @@ object TextQueries extends QueryPack {
         .withColumn("api_minhash",
           Dedup.minHashSignature(col("text"), shingle = 3, numHashes = 32))
         .createOrReplaceTempView("g87_documents")
-      s.sql("""SELECT doc_id,
+      s.sql(s"""SELECT doc_id,
         |  graft_quality(text) AS quality,
         |  graft_langid(text) AS lang_pred,
         |  graft_token_count(text) AS n_tokens,
         |  CAST(size(graft_shingles(text, 3)) AS BIGINT) AS n_shingles,
         |  CAST(graft_simhash(text) = api_simhash AS INT) AS simhash_registry_ok,
-        |  CAST(graft_minhash(text) = api_minhash AS INT) AS minhash_registry_ok
+        |  CAST(graft_minhash(text) = api_minhash AS INT) AS minhash_registry_ok,
+        |  graft_nfc('$NfcPrefix' || substring(text, 1, 20)) AS nfc_text,
+        |  graft_sanitize(source || '/' || CAST(doc_id AS STRING)) AS safe_name,
+        |  CAST(size(graft_tokens(text)) AS BIGINT) AS n_tok2,
+        |  round(graft_cosine(array(1.0D, 2.0D, 2.0D), array(2.0D, 1.0D, 2.0D)), 10) AS cos_const,
+        |  round(graft_dot(array(1.0D, 2.0D, 2.0D), array(2.0D, 1.0D, 2.0D)), 10) AS dot_const
         |FROM g87_documents""".stripMargin)
     }),
 
@@ -614,7 +619,14 @@ object TextQueries extends QueryPack {
          |  $nToks AS n_tokens,
          |  CAST(greatest($nToks - 2, 1) AS BIGINT) AS n_shingles,
          |  CAST(1 AS INTEGER) AS simhash_registry_ok,
-         |  CAST(1 AS INTEGER) AS minhash_registry_ok
+         |  CAST(1 AS INTEGER) AS minhash_registry_ok,
+         |  nfc_normalize('$NfcPrefix' || substr(text, 1, 20)) AS nfc_text,
+         |  substr(regexp_replace(source || '/' || CAST(doc_id AS VARCHAR),
+         |    '[\\/:*?"<>|]', '_', 'g'), 1, 255) AS safe_name,
+         |  $nToks AS n_tok2,
+         |  round((1.0*2.0 + 2.0*1.0 + 2.0*2.0) /
+         |    (sqrt(1.0+4.0+4.0) * sqrt(4.0+1.0+4.0)), 10) AS cos_const,
+         |  round(1.0*2.0 + 2.0*1.0 + 2.0*2.0, 10) AS dot_const
          |FROM documents""".stripMargin
     },
     "q99_bigram_lm_score" -> q99Oracle,
