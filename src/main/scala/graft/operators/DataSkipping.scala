@@ -114,11 +114,15 @@ object DataSkipping {
       spark: SparkSession,
       tablePath: String,
       statsCols: Seq[String]): Unit = {
+    // marker FIRST: a crash between index publish and marker would
+    // otherwise leave an index the commit fast-path never parks —
+    // silently stale pruning. The reverse crash (marker, no index)
+    // only costs commits one extra listing.
+    touchIndexMarker(spark, tablePath)
     buildManifest(spark, tablePath, statsCols)
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(manifestPath(tablePath))
-    touchIndexMarker(spark, tablePath)
   }
 
   /** Create the commit-probe marker (see [[IndexMarker]]). */
@@ -197,15 +201,22 @@ object DataSkipping {
     * anchored to the directory component under `tablePath` — a
     * touched-dir NAME appearing in some ancestor path segment cannot
     * misclassify files. */
+  /** @param assumeSerialCommits true ⇒ skip the self-healing listing
+    *   validation and trust that the parked copy is exactly one commit
+    *   old. ONLY correct for a single writer that refreshes after
+    *   EVERY commit (the streaming loop); cost drops to ∝ touched
+    *   dirs. Default false = validate against the real listing. */
   def refreshManifestPartitioned(
       spark: SparkSession,
       tablePath: String,
       touchedDirs: Seq[String],
-      statsCols: Seq[String]): Unit =
+      statsCols: Seq[String],
+      assumeSerialCommits: Boolean = false): Unit =
     refreshIndexPartitioned(spark, tablePath, touchedDirs,
       StaleManifestDir, ManifestDir,
       fullRebuild = () => writeManifest(spark, tablePath, statsCols),
-      rebuildFor = scan => statsOf(scan, statsCols))
+      rebuildFor = scan => statsOf(scan, statsCols),
+      assumeSerialCommits = assumeSerialCommits)
 
   /** Shared park-consume-validate-publish refresh for the stats
     * manifest and the bloom sidecars (see [[refreshManifestPartitioned]]
@@ -219,7 +230,8 @@ object DataSkipping {
       staleDirName: String,
       liveDirName: String,
       fullRebuild: () => Unit,
-      rebuildFor: DataFrame => DataFrame): Unit = {
+      rebuildFor: DataFrame => DataFrame,
+      assumeSerialCommits: Boolean = false): Unit = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stale = new Path(root, staleDirName)
@@ -231,32 +243,48 @@ object DataSkipping {
     base match {
       case None => fullRebuild()
       case Some(m) =>
-        // the table's real data files, per partition dir, with paths
-        // qualified exactly as _metadata.file_path reports them
-        val dirs = fs.listStatus(root).filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filterNot(n => n.startsWith("_") || n.startsWith("."))
-        val filesByDir: Map[String, Set[String]] = dirs.map { d =>
-          d -> fs.listStatus(new Path(root, d))
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .map(f => fs.makeQualified(f.getPath).toString).toSet
-        }.toMap
-        val baseFiles = m.select("file").collect().map(_.getString(0)).toSet
-        // rescan = the commit's touched dirs, plus any dir holding a
-        // file the parked copy has no row for (an earlier un-refreshed
-        // commit rewrote it)
-        val rescan = touchedDirs.toSet ++
-          filesByDir.collect {
-            case (d, fls) if fls.exists(!baseFiles.contains(_)) => d
-          }
-        val validFiles = filesByDir
-          .filterNot { case (d, _) => rescan.contains(d) }
-          .values.flatten.toSeq
         import spark.implicits._
-        // eager copy: the publish overwrites the directory the kept
-        // rows are being read from
-        val kept = m.join(validFiles.toDF("file"), Seq("file"), "left_semi")
-          .localCheckpoint()
+        val qualRoot = fs.makeQualified(root).toString
+        val (kept, rescan) =
+          if (assumeSerialCommits) {
+            // single-writer loop that refreshes after EVERY commit:
+            // the parked copy is exactly one commit old, so only the
+            // declared touched dirs can be stale — no validation
+            // listing needed (cost strictly ∝ touched dirs). Matching
+            // anchored to the dir component under the table root.
+            val touchedMatch = touchedDirs
+              .map(d => col("file").startsWith(s"$qualRoot/$d/"))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            (m.where(!touchedMatch).localCheckpoint(), touchedDirs.toSet)
+          } else {
+            // SELF-HEALING general path: validate the parked rows
+            // against the table's real file listing (one per-dir
+            // listing pass — same order as the commit's own partition
+            // discovery), so a parked copy predating OTHER
+            // un-refreshed commits cannot smuggle dead rows, and dirs
+            // it does not cover are rescanned in full.
+            val dirs = fs.listStatus(root).filter(_.isDirectory)
+              .map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith("."))
+            val filesByDir: Map[String, Set[String]] = dirs.map { d =>
+              d -> fs.listStatus(new Path(root, d))
+                .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+                .map(f => fs.makeQualified(f.getPath).toString).toSet
+            }.toMap
+            val baseFiles =
+              m.select("file").collect().map(_.getString(0)).toSet
+            val rescanAll = touchedDirs.toSet ++
+              filesByDir.collect {
+                case (d, fls) if fls.exists(!baseFiles.contains(_)) => d
+              }
+            val validFiles = filesByDir
+              .filterNot { case (d, _) => rescanAll.contains(d) }
+              .values.flatten.toSeq
+            // eager copy: the publish overwrites the directory the
+            // kept rows are being read from
+            (m.join(validFiles.toDF("file"), Seq("file"), "left_semi")
+              .localCheckpoint(), rescanAll)
+          }
         val rescanPaths = rescan.toSeq.sorted
           .map(d => new Path(root, d))
           .filter(fs.exists(_))
@@ -268,6 +296,9 @@ object DataSkipping {
             // though only the rescanned dirs are listed
             spark.read.option("basePath", tablePath)
               .parquet(rescanPaths: _*)))
+        // marker before publish — a refreshed table must stay visible
+        // to the commit fast-path even if the original marker is lost
+        touchIndexMarker(spark, tablePath)
         fresh.coalesce(1).write.mode("overwrite").parquet(live.toString)
         if (fs.exists(stale)) fs.delete(stale, true)
     }
@@ -357,10 +388,10 @@ object DataSkipping {
       tablePath: String,
       keyCol: String,
       fpp: Double = 0.01): Unit = {
+    touchIndexMarker(spark, tablePath) // first — see writeManifest
     bloomRowsOf(spark.read.parquet(tablePath), keyCol, fpp)
       .coalesce(1).write.mode("overwrite")
       .parquet(bloomPath(tablePath, keyCol))
-    touchIndexMarker(spark, tablePath)
   }
 
   /** The (file, n_keys, bloom) rows for an already-opened scan. */
@@ -409,11 +440,13 @@ object DataSkipping {
       tablePath: String,
       touchedDirs: Seq[String],
       keyCol: String,
-      fpp: Double = 0.01): Unit =
+      fpp: Double = 0.01,
+      assumeSerialCommits: Boolean = false): Unit =
     refreshIndexPartitioned(spark, tablePath, touchedDirs,
       StaleBloomDirPrefix + keyCol, BloomDirPrefix + keyCol,
       fullRebuild = () => writeBloomIndex(spark, tablePath, keyCol, fpp),
-      rebuildFor = scan => bloomRowsOf(scan, keyCol, fpp))
+      rebuildFor = scan => bloomRowsOf(scan, keyCol, fpp),
+      assumeSerialCommits = assumeSerialCommits)
 
   def hasBloomIndex(
       spark: SparkSession, tablePath: String, keyCol: String): Boolean = {

@@ -85,14 +85,35 @@ object Upsert {
       updates: DataFrame,
       keys: Seq[String],
       orderBy: Option[Column] = None): DataFrame = {
+    // column matching must follow the session's resolution rules:
+    // under default case-INsensitive analysis, an updates column
+    // `Flag` IS target's `flag` — treating it as new would null the
+    // target's values via withColumn's case-insensitive replace and
+    // dodge the type-drift guard
+    val caseSensitive = target.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def normName(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val tCols = target.columns.toSeq
-    val uCols = updates.columns.toSeq
+    val tByNorm = tCols.map(c => normName(c) -> c).toMap
+    require(tByNorm.size == tCols.size,
+      "upsertEvolve: target columns collide under the session's " +
+        "case-insensitive resolution")
+    // canonicalize updates onto the target's spellings for shared cols
+    val updatesAligned = updates.columns.foldLeft(updates) { (df, c) =>
+      tByNorm.get(normName(c)).filter(_ != c)
+        .map(tc => df.withColumnRenamed(c, tc)).getOrElse(df)
+    }
+    val uCols = updatesAligned.columns.toSeq
+    require(uCols.map(normName).distinct.size == uCols.size,
+      "upsertEvolve: updates columns collide under the session's " +
+        "case-insensitive resolution")
     keys.foreach { k =>
       require(tCols.contains(k) && uCols.contains(k),
         s"upsertEvolve: key column $k must exist on both sides")
     }
     val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
-    val uTypes = updates.schema.map(f => f.name -> f.dataType).toMap
+    val uTypes = updatesAligned.schema.map(f => f.name -> f.dataType).toMap
     val shared = tCols.filter(uTypes.contains)
     shared.foreach { c =>
       require(tTypes(c) == uTypes(c),
@@ -108,8 +129,8 @@ object Upsert {
       df.withColumn(c, lit(null).cast(uTypes(c)))
     }
     val missingInUpdates = tCols.filterNot(uTypes.contains)
-    val alignedUpdates0 = missingInUpdates.foldLeft(updates) { (df, c) =>
-      df.withColumn(c, lit(null).cast(tTypes(c)))
+    val alignedUpdates0 = missingInUpdates.foldLeft(updatesAligned) {
+      (df, c) => df.withColumn(c, lit(null).cast(tTypes(c)))
     }
     val order = tCols ++ newCols
     upsert(alignedTarget.select(order.map(col): _*),

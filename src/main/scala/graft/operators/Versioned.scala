@@ -20,7 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reuses the next free number; stray uncommitted dirs are cleaned by
   * retention). Resolving "latest" = max committed generation needs one
   * root listing plus one marker probe per candidate — metadata-scale,
-  * no rename races, no read-modify-write on a shared pointer.
+  * no rename races, no shared pointer FILE to read-modify-write.
+  *
+  * SINGLE WRITER per table, like every snapshot committer here (the
+  * same contract Upsert's partitioned commits state): generation
+  * numbering is list-then-write, so two CONCURRENT committers could
+  * pick the same number. The marker write guards the publish — a
+  * second committer landing on a number whose marker already exists
+  * fails loudly instead of double-publishing — but coordination of
+  * concurrent writers belongs to the caller (readers are always safe:
+  * they only ever resolve fully-committed generations).
   *
   * Scale: each commit writes the FULL dataframe — this is the
   * versioned analog of the flat snapshot, sized for dimension/curated
@@ -71,16 +80,22 @@ object Versioned {
     val next = if (present.isEmpty) 0L else present.max + 1L
     val dir = genDir(root, next)
     df.write.mode("overwrite").parquet(dir.toString)
-    fs.create(new Path(dir, CommitMarker), true).close()
+    val marker = new Path(dir, CommitMarker)
+    require(!fs.exists(marker),
+      s"Versioned.commit: generation $next at $tablePath was committed " +
+        "concurrently — this table requires a single writer")
+    fs.create(marker, true).close()
     // retention: committed gens beyond the window, and uncommitted
     // debris older than the retention floor
     val committed = generations(spark, tablePath)
     val floor = committed.takeRight(retain).headOption.getOrElse(next)
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { p =>
-      p.getName.stripPrefix("gen=").toLongOption.foreach { g =>
-        if (g < floor) fs.delete(p, true)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("gen=")) // NEVER delete foreign dirs
+      .foreach { p =>
+        p.getName.stripPrefix("gen=").toLongOption.foreach { g =>
+          if (g < floor) fs.delete(p, true)
+        }
       }
-    }
     Commit(next, dir.toString)
   }
 

@@ -223,16 +223,17 @@ object TextQueries extends QueryPack {
         .select(col("rnk"), col("token"), col("exact_n"), col("est_n"))
     }),
 
-    // SQL-REGISTRY parity gate for the remaining graft_* functions
-    // (q36/q42 cover fingerprint/norm): quality, langid, token_count
-    // and shingles resolve through the SQL surface and are value-gated
-    // by the DuckDB mirror; simhash and minhash (not expressible in
-    // DuckDB) are gated as registry ≡ Column-API equality booleans —
-    // the API path's VALUES are already gated by q38/q39, so a
-    // resolution bug in any of the five registered builders flips a
-    // column here and hash-mismatches. The registry builds the
-    // IDENTICAL expression trees, so the physical plan matches the
-    // Column-API plan (plan_fp-visible).
+    // SQL-REGISTRY parity gate. Coverage across gates: q36 gates
+    // graft_fingerprint and q42 graft_norm through the SQL surface;
+    // THIS query gates the other eleven registered builders —
+    // quality/langid/token_count/shingles/nfc/sanitize/tokens value-
+    // mirrored in DuckDB, cosine/dot on constant vectors against the
+    // identical SQL arithmetic, simhash/minhash (not expressible in
+    // DuckDB) as registry ≡ Column-API equality booleans (the API
+    // path's VALUES are gated by q38/q39). A resolution bug in any
+    // registered builder flips a column here and hash-mismatches. The
+    // registry builds the IDENTICAL expression trees, so the physical
+    // plan matches the Column-API plan (plan_fp-visible).
     "q87_sql_registry" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
       t(s, dir, "documents")

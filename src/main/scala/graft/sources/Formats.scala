@@ -67,49 +67,47 @@ object Formats {
     * silently (PERMISSIVE's default) or killing the job (FAILFAST) —
     * the same quarantine posture as the engine's ingest dead-letter
     * path (`ErrorRouter`): at 100 TB a feed WILL contain garbage and
-    * neither losing it silently nor stopping the world is acceptable.
-    * Note Spark requires the corrupt column to be materialized via a
-    * checkpoint-like barrier before filtering on it — a plain filter
-    * over the lazy column throws `_corrupt_record`-referencing errors;
-    * the eager `cache` here is documented Spark behavior, bounded by
-    * the batch being read. */
+    * neither losing it silently nor stopping the world is acceptable. */
   def readJsonlDeadLetter(
       spark: SparkSession,
       path: String,
-      schema: StructType): DeadLetterRead = {
-    import org.apache.spark.sql.functions.col
-    val withCorrupt = schema
-      .add(CorruptCol, org.apache.spark.sql.types.StringType)
-    val raw = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      .cache()
-    DeadLetterRead(
-      good = raw.where(col(CorruptCol).isNull)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*),
-      bad = raw.where(col(CorruptCol).isNotNull)
-        .select(col(CorruptCol).as("raw")))
-  }
+      schema: StructType): DeadLetterRead =
+    splitCorrupt(schema) { withCorrupt =>
+      spark.read
+        .schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .json(path)
+    }
 
   /** CSV twin of [[readJsonlDeadLetter]] (malformed = wrong column
     * count / unclosed quote; the raw line lands in `raw`). */
   def readCsvDeadLetter(
       spark: SparkSession,
       path: String,
-      schema: StructType): DeadLetterRead = {
+      schema: StructType): DeadLetterRead =
+    splitCorrupt(schema) { withCorrupt =>
+      spark.read
+        .options(csvOpts)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .schema(withCorrupt)
+        .csv(path)
+    }
+
+  /** Shared split: Spark forbids filtering directly on the lazy
+    * corrupt column (it only materializes with the row), so the split
+    * goes through an EAGER localCheckpoint of the raw read — which
+    * also means no cached blocks outlive this call (a plain cache()
+    * here would pin the feed in executor storage with no handle for
+    * the caller to release). */
+  private def splitCorrupt(schema: StructType)(
+      read: StructType => DataFrame): DeadLetterRead = {
     import org.apache.spark.sql.functions.col
     val withCorrupt = schema
       .add(CorruptCol, org.apache.spark.sql.types.StringType)
-    val raw = spark.read
-      .options(csvOpts)
-      .option("multiLine", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .schema(withCorrupt)
-      .csv(path)
-      .cache()
+    val raw = read(withCorrupt).localCheckpoint()
     DeadLetterRead(
       good = raw.where(col(CorruptCol).isNull)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*),

@@ -133,9 +133,12 @@ object RecordingStream {
           val commit = Upsert.upsertPartitioned(s, stagingPath, selected,
             Seq("id"), PartitionCol, orderBy = Some(col("event_ts")))
           if (maintainStatsCols.nonEmpty)
+            // this loop is the single writer and refreshes after every
+            // commit, so the serial fast path applies: refresh cost is
+            // strictly ∝ the 1-2 dirs this batch rewrote, no listing
             graft.operators.DataSkipping.refreshManifestPartitioned(
               s, stagingPath, commit.rewritten ++ commit.deleted,
-              maintainStatsCols)
+              maintainStatsCols, assumeSerialCommits = true)
         } else {
           val staging = readSnapshotOr(s, stagingPath, selected0)
           Upsert.writeSnapshot(
