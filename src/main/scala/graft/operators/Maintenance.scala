@@ -130,6 +130,62 @@ object Maintenance {
     }
   }
 
+  final case class TableHealth(
+      files: Long,
+      bytes: Long,
+      partitions: Long,
+      smallFiles: Long,        // below smallFileBytes
+      smallFileFraction: Double,
+      maxFileBytes: Long,
+      medianFileBytes: Long,
+      recommendCompaction: Boolean)
+
+  /** One-listing health diagnostic for a flat or partitioned snapshot
+    * table — the operational question behind [[compactSnapshot]] and
+    * the file-skipping indexes: is this table's layout still healthy,
+    * or is it sliding into the small-file regime? Pure metadata (file
+    * statuses only — no data read, no Spark job), so it is safe to
+    * call on every maintenance tick even at 100 TB; the decision
+    * thresholds mirror [[compactSnapshot]]'s fragmentation test. */
+  def healthReport(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 16L * 1024 * 1024): TableHealth = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return TableHealth(0, 0, 0, 0, 0.0, 0, 0, recommendCompaction = false)
+    val entries = fs.listStatus(root)
+    val dirs = entries.filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val fileSizes: Array[Long] =
+      if (dirs.isEmpty)
+        entries.filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).map(_.getLen)
+      else dirs.flatMap(d => fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen))
+    if (fileSizes.isEmpty)
+      return TableHealth(0, 0, dirs.length.toLong, 0, 0.0, 0, 0,
+        recommendCompaction = false)
+    val sorted = fileSizes.sorted
+    val bytes = fileSizes.sum
+    val small = fileSizes.count(_ < smallFileBytes).toLong
+    val idealFiles = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong)
+    TableHealth(
+      files = fileSizes.length.toLong,
+      bytes = bytes,
+      partitions = dirs.length.toLong,
+      smallFiles = small,
+      smallFileFraction = small.toDouble / fileSizes.length,
+      maxFileBytes = sorted.last,
+      medianFileBytes = sorted(sorted.length / 2),
+      recommendCompaction =
+        fileSizes.length > 1 && fileSizes.length >= 2 * idealFiles)
+  }
+
   /** Write `df` as a date/key-partitioned parquet table with rows
     * sorted inside each file — the layout that makes partition pruning
     * (the engine's replacement for the reference's B-tree indexes) and

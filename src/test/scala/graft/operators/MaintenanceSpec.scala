@@ -117,4 +117,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.compactPartitionedSnapshot(spark, path)
       .values.forall(!_.compacted))
   }
+
+  test("healthReport: flags fragmentation, pure metadata, both layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    // flat healthy: one file
+    val flat = s"$dir/flat"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(flat)
+    val h1 = Maintenance.healthReport(spark, flat)
+    assert(h1.files == 1 && !h1.recommendCompaction)
+    assert(h1.partitions == 0 && h1.bytes > 0)
+
+    // flat fragmented: many tiny files vs a tiny target
+    val frag = s"$dir/frag"
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(20).write.parquet(frag)
+    val h2 = Maintenance.healthReport(spark, frag,
+      targetFileBytes = 1L << 30, smallFileBytes = 1L << 30)
+    assert(h2.files == 20)
+    assert(h2.smallFileFraction == 1.0)
+    assert(h2.recommendCompaction, s"20 files vs 1 ideal: $h2")
+    assert(h2.medianFileBytes <= h2.maxFileBytes)
+
+    // partitioned layout counts dirs and their files
+    val part = s"$dir/part"
+    (1 to 200).map(i => (i.toLong, i % 4, s"v$i")).toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(part)
+    val h3 = Maintenance.healthReport(spark, part)
+    assert(h3.partitions == 4 && h3.files >= 4)
+
+    // missing table: a friendly zero, not an exception
+    val h4 = Maintenance.healthReport(spark, s"$dir/nope")
+    assert(h4.files == 0 && !h4.recommendCompaction)
+  }
 }
