@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * Caveats by design:
   *  - only algebraic aggregates (no count-distinct / percentiles —
   *    those need sketches or full recompute);
-  *  - append-only semantics: updates/deletes to history require
-  *    recompute (or retraction rows, out of scope);
+  *  - [[merge]]/[[refresh]] are append-only; UPDATES to history flow
+  *    through [[applyChangeSet]] instead, which consumes
+  *    [[Changelog.changeSet]]'s retraction rows (count/sum only —
+  *    min/max are not retraction-algebraic);
   *  - UNLIKE the keyed upsert, the merge is NOT idempotent (sum-of-sums
   *    double-counts a replayed batch), so at-least-once replay needs
   *    the batch-id guard: pass `batchId` to [[refresh]] and an
@@ -124,5 +126,47 @@ object IncrementalAgg {
     }
     Upsert.writeSnapshot(stamped, statePath)
     spark.read.parquet(statePath).drop(BatchIdCol)
+  }
+
+  /** Maintain the view through an UPDATE-carrying delta — the
+    * retraction path the append-only [[merge]] cannot express: consume
+    * [[Changelog.changeSet]] rows, where `insert`/`update_post`
+    * contribute +1 and `update_pre` retracts (−count, −sum), then
+    * merge as usual. A group whose rows all leave it (every update
+    * moved them elsewhere) nets to count 0 and VANISHES from the
+    * state rather than lingering as a zero row.
+    *
+    * Only count/sum are retraction-algebraic: subtracting the current
+    * min's value says nothing about the next min without the full
+    * group. Maintaining min/max under updates needs a recompute of the
+    * touched groups (or a mergeable sketch) — rejected loudly here.
+    * Counts count non-null values of the stat column, mirroring
+    * [[aggregateBatch]]'s `count(col)` semantics exactly. */
+  def applyChangeSet(
+      state: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      stats: Seq[Stat]): DataFrame = {
+    require(stats.nonEmpty && stats.forall(s => !s.min && !s.max),
+      "applyChangeSet: min/max are not retraction-algebraic — drop them " +
+        "from the maintained view or recompute the touched groups")
+    require(stats.forall(_.count),
+      "applyChangeSet: count is required to detect emptied groups")
+    val sign = when(col(Changelog.OpCol) === Changelog.OpUpdatePre, -1L)
+      .otherwise(1L)
+    val cs = stats.flatMap { s =>
+      val c = col(s.col)
+      Seq(sum(when(c.isNotNull, sign).otherwise(0L))
+        .as(s"${s.col}__count")) ++
+        (if (s.sum) Seq(sum(c * sign).as(s"${s.col}__sum")) else Nil)
+    }
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(cs.head, cs.tail: _*)
+    val merged = merge(state, delta, groupCols, stats)
+    // emptied groups vanish; count(col) semantics make count==0 the
+    // authoritative emptiness signal for every maintained stat
+    val anyRows = stats.map(s => col(s"${s.col}__count") > 0)
+      .reduce(_ || _)
+    merged.where(anyRows)
   }
 }

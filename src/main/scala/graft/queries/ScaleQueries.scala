@@ -284,6 +284,37 @@ object ScaleQueries extends QueryPack {
         .select("op", "o_orderkey", "o_orderstatus", "o_totalprice", "o_year")
     }),
 
+    // Retraction-aware incremental view maintenance: a grouped
+    // count/sum view is maintained through an UPDATE-carrying
+    // changelog — update_pre rows RETRACT (rows migrate between
+    // status groups, including into a group that did not exist), and
+    // the maintained view must equal a from-scratch recompute over
+    // the upserted table (the DuckDB mirror). Exact decimal sums keep
+    // the comparison deterministic.
+    "q108_incremental_view" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+      def withDec(df: DataFrame) = df.withColumn("price_dec",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val cur = withDec(base)
+      val updates = withDec(base
+        .where(col("o_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val stats = Seq(graft.operators.IncrementalAgg.Stat(
+        "price_dec", min = false, max = false))
+      val state0 = graft.operators.IncrementalAgg.aggregateBatch(
+        cur, Seq("o_orderstatus"), stats)
+      val changes = Changelog.changeSet(cur, updates, Seq("o_orderkey"))
+      graft.operators.IncrementalAgg.applyChangeSet(
+        state0, changes, Seq("o_orderstatus"), stats)
+        .select(col("o_orderstatus"),
+          col("price_dec__count").as("n_orders"),
+          col("price_dec__sum").cast("double").as("total_price"))
+    }),
+
     // Time travel over generational snapshots: commit the base table as
     // gen 0, commit the upserted table as gen 1, then read BOTH back
     // from disk — gen 0 must still be exactly the original rows after
@@ -385,6 +416,17 @@ object ScaleQueries extends QueryPack {
         |SELECT 'update_post', o_orderkey, 'U', o_totalprice * 2,
         |  year(o_orderdate)
         |FROM orders WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    "q108_incremental_view" ->
+      """WITH up AS (SELECT
+        |    CASE WHEN o_orderkey % 2 = 0 AND year(o_orderdate) = 1995
+        |         THEN 'U' ELSE o_orderstatus END AS st,
+        |    CAST(CASE WHEN o_orderkey % 2 = 0 AND year(o_orderdate) = 1995
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
+        |  CAST(SUM(p) AS DOUBLE) AS total_price
+        |FROM up GROUP BY st""".stripMargin,
     "q104_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS gen
         |FROM orders

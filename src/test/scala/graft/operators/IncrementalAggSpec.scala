@@ -92,4 +92,39 @@ class IncrementalAggSpec extends SparkSpec {
       ("b", 2L, 12L, 2L, 10L),
       ("z", 1L, 99L, 99L, 99L)))
   }
+
+  test("applyChangeSet: retractions, group migration, emptied groups") {
+    val stats = Seq(IncrementalAgg.Stat("v", min = false, max = false))
+    val cur = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "g", "v")
+    val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats)
+    // update moves id=3 out of b (b empties), id=2 changes value,
+    // id=9 is a brand-new row in a brand-new group
+    val updates = Seq((2L, "a", 25L), (3L, "c", 30L), (9L, "d", 5L))
+      .toDF("id", "g", "v")
+    val changes = Changelog.changeSet(cur, updates, Seq("id"))
+    val view = IncrementalAgg.applyChangeSet(state, changes, Seq("g"), stats)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // ground truth: recompute over the upserted table
+    val truth = IncrementalAgg.aggregateBatch(
+      Upsert.upsert(cur, updates, Seq("id")), Seq("g"), stats)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(view == truth, s"view=$view truth=$truth")
+    assert(!view.exists(_._1 == "b"), "emptied group must vanish")
+    assert(view.exists(_._1 == "c") && view.exists(_._1 == "d"))
+  }
+
+  test("applyChangeSet rejects min/max and count-less stats") {
+    val cur = Seq((1L, "a", 1L)).toDF("id", "g", "v")
+    val ch = Changelog.changeSet(cur, cur, Seq("id"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyChangeSet(cur.limit(0), ch, Seq("g"),
+        Seq(IncrementalAgg.Stat("v")))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyChangeSet(cur.limit(0), ch, Seq("g"),
+        Seq(IncrementalAgg.Stat("v", count = false, min = false,
+          max = false)))
+    }
+  }
 }
