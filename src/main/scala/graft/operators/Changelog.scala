@@ -37,17 +37,26 @@ object Changelog {
   val OpInsert = "insert"
   val OpUpdatePre = "update_pre"
   val OpUpdatePost = "update_post"
+  val OpDelete = "delete"
 
   /** The change rows that upserting `updates` into `current` (keyed by
     * `keys`, batch winner chosen by `orderBy`) produces. Output columns:
     * `op` plus `current`'s columns; `update_pre` carries the OLD image,
-    * `update_post`/`insert` the new. */
+    * `update_post`/`insert` the new.
+    *
+    * @param emitDeletes false (default) for UPSERT deltas — an upsert
+    *   never deletes, and a batch is a partial view of the table, so
+    *   "key absent from the batch" means nothing. true when `updates`
+    *   is a COMPLETE after-image (a generation diff,
+    *   [[Versioned.diff]]): keyed rows of `current` absent from it are
+    *   emitted as `delete` rows carrying the old image. */
   def changeSet(
       current: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
       orderBy: Option[Column] = None,
-      dedupNullKeyed: Boolean = false): DataFrame = {
+      dedupNullKeyed: Boolean = false,
+      emitDeletes: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "changeSet requires at least one key column")
     val cols = current.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
@@ -84,10 +93,37 @@ object Changelog {
     val post = changed.select(cols.map(col): _*)
       .withColumn(OpCol, lit(OpUpdatePost))
 
-    inserts
+    val base = inserts
       .unionByName(nullInserts.withColumn(OpCol, lit(OpInsert)))
       .unionByName(pre)
       .unionByName(post)
-      .select((OpCol +: cols).map(col): _*)
+    val withDeletes =
+      if (!emitDeletes) base
+      else {
+        val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+        val deletes = current
+          .where(!coalesce(anyNullKey, lit(false)))
+          .join(winners.select(keys.map(col): _*), keys, "left_anti")
+          .withColumn(OpCol, lit(OpDelete))
+        base.unionByName(deletes)
+      }
+    withDeletes.select((OpCol +: cols).map(col): _*)
   }
+
+  /** Row-level diff between two committed generations of a
+    * [[Versioned]] table: `insert` / `update_pre` / `update_post` /
+    * `delete` rows transforming `fromGen` into `toGen` — "what changed
+    * between corpus versions", the audit/repro question generational
+    * snapshots exist to answer. One keys-shuffle join between the two
+    * generations. */
+  def generationDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      fromGen: Long,
+      toGen: Long,
+      keys: Seq[String]): DataFrame =
+    changeSet(
+      Versioned.read(spark, tablePath, Some(fromGen)),
+      Versioned.read(spark, tablePath, Some(toGen)),
+      keys, emitDeletes = true)
 }

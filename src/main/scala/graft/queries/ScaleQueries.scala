@@ -315,6 +315,33 @@ object ScaleQueries extends QueryPack {
           col("price_dec__sum").cast("double").as("total_price"))
     }),
 
+    // Generation diff: the row-level delta between two committed
+    // versions of a table — deletes (keys absent from the after-image),
+    // updates (pre+post), inserts — the audit question time travel
+    // exists to answer, value-mirrored in full.
+    "q109_generation_diff" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q109_").toString
+      val path = s"$wh/orders_gen"
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      Versioned.commit(o, path)
+      val isUpd = col("o_orderkey") % 2 === 0
+      val next = o.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_orderstatus",
+          when(isUpd, lit("U")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(isUpd, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1))
+      Versioned.commit(next, path)
+      val out = Changelog.generationDiff(s, path, 0L, 1L, Seq("o_orderkey"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Time travel over generational snapshots: commit the base table as
     // gen 0, commit the upserted table as gen 1, then read BOTH back
     // from disk — gen 0 must still be exactly the original rows after
@@ -427,6 +454,19 @@ object ScaleQueries extends QueryPack {
         |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
         |  CAST(SUM(p) AS DOUBLE) AS total_price
         |FROM up GROUP BY st""".stripMargin,
+    "q109_generation_diff" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT 'delete' AS op, o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'update_pre', o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, 'U', o_totalprice * 2
+        |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + m + 1, o_orderstatus, o_totalprice
+        |FROM orders, mx WHERE o_orderkey % 5 = 0""".stripMargin,
     "q104_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS gen
         |FROM orders

@@ -71,6 +71,27 @@ class ChangelogSpec extends SparkSpec {
     assert(up.head.getAs[String]("s") == "last")
   }
 
+  test("emitDeletes surfaces vanished keys; generationDiff end-to-end") {
+    val next = Seq((1L, "a", 10.0), (3L, "C", 31.0), (9L, "z", 90.0))
+      .toDF("k", "s", "v") // 2 deleted, 3 updated, 9 inserted, 1 same
+    val cs = Changelog.changeSet(current, next, Seq("k"),
+      emitDeletes = true)
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[Long]("k")))
+      .toSet
+    assert(cs == Set(("delete", 2L), ("update_pre", 3L),
+      ("update_post", 3L), ("insert", 9L)))
+
+    // the same via two committed generations
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gdiff").toString + "/t"
+    Versioned.commit(current, path)
+    Versioned.commit(next, path)
+    val diff = Changelog.generationDiff(spark, path, 0L, 1L, Seq("k"))
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[Long]("k")))
+      .toSet
+    assert(diff == cs)
+  }
+
   test("applying the changelog reproduces the upsert result") {
     val updates = Seq(
       (1L, "A", 11.0), (3L, "c", 30.0), (7L, "g", 70.0))
