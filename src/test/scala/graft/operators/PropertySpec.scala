@@ -126,4 +126,65 @@ class PropertySpec extends SparkSpec {
       .as[Double].collect()
     assert(jSelf.forall(_ === 1.0))
   }
+
+  // unique-keyed frames: the changelog/evolve contracts assume unique
+  // ids, so generate per-key value maps rather than raw row lists
+  private val keyedGen: Gen[Map[String, Int]] = Gen.mapOf(for {
+    k <- Gen.choose(0, 8)
+    v <- Gen.choose(0, 1000)
+  } yield (s"k$k", v))
+
+  test("property: apply(changeSet) == upsert for unique-keyed frames") {
+    (1L to 4L).foreach { seed =>
+      val cur = sample(keyedGen, seed).toSeq.toDF("id", "v")
+      val upd = sample(keyedGen, seed + 100).toSeq.toDF("id", "v")
+      val cs = Changelog.changeSet(cur, upd, Seq("id"))
+      val applied = cur
+        .join(cs.where(col("op") === "update_pre").select("id"),
+          Seq("id"), "left_anti")
+        .unionByName(cs.where(col("op").isin("insert", "update_post"))
+          .drop("op"))
+      val upserted = Upsert.upsert(cur, upd, Seq("id"))
+      assert(applied.exceptAll(upserted).isEmpty &&
+        upserted.exceptAll(applied).isEmpty, s"seed $seed")
+      // and a self-redelivery always yields an empty changelog
+      assert(Changelog.changeSet(cur, cur, Seq("id")).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("property: incremental view through changes == recompute") {
+    val stats = Seq(IncrementalAgg.Stat("v", min = false, max = false))
+    (1L to 4L).foreach { seed =>
+      val cur = sample(keyedGen, seed).toSeq
+        .map { case (k, v) => (k, s"g${v % 3}", v.toLong) }
+        .toDF("id", "g", "v")
+      val upd = sample(keyedGen, seed + 200).toSeq
+        .map { case (k, v) => (k, s"g${v % 3}", v.toLong) }
+        .toDF("id", "g", "v")
+      if (!cur.isEmpty) {
+        val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats)
+        val view = IncrementalAgg.applyChangeSet(state,
+          Changelog.changeSet(cur, upd, Seq("id")), Seq("g"), stats)
+        val truth = IncrementalAgg.aggregateBatch(
+          Upsert.upsert(cur, upd, Seq("id")), Seq("g"), stats)
+        assert(view.exceptAll(truth).isEmpty &&
+          truth.exceptAll(view).isEmpty, s"seed $seed")
+      }
+    }
+  }
+
+  test("property: generation diff applied forward reproduces the target") {
+    (1L to 4L).foreach { seed =>
+      val a = sample(keyedGen, seed).toSeq.toDF("id", "v")
+      val b = sample(keyedGen, seed + 300).toSeq.toDF("id", "v")
+      val d = Changelog.changeSet(a, b, Seq("id"), emitDeletes = true)
+      val rebuilt = a
+        .join(d.where(col("op").isin("update_pre", "delete")).select("id"),
+          Seq("id"), "left_anti")
+        .unionByName(d.where(col("op").isin("insert", "update_post"))
+          .drop("op"))
+      assert(rebuilt.exceptAll(b).isEmpty && b.exceptAll(rebuilt).isEmpty,
+        s"seed $seed")
+    }
+  }
 }
