@@ -47,9 +47,13 @@ object Changelog {
     * @param emitDeletes false (default) for UPSERT deltas — an upsert
     *   never deletes, and a batch is a partial view of the table, so
     *   "key absent from the batch" means nothing. true when `updates`
-    *   is a COMPLETE after-image (a generation diff,
-    *   [[Versioned.diff]]): keyed rows of `current` absent from it are
-    *   emitted as `delete` rows carrying the old image. */
+    *   is a COMPLETE after-image ([[generationDiff]]): keyed rows of
+    *   `current` absent from it are emitted as `delete` rows carrying
+    *   the old image, and NULL-keyed rows of `current` with no
+    *   all-column match in the after-image delete likewise (pair with
+    *   `dedupNullKeyed = true` so unchanged null-keyed rows emit
+    *   nothing — identical after-images then diff to empty; identical
+    *   all-column duplicates collapse, the usual null-key caveat). */
   def changeSet(
       current: DataFrame,
       updates: DataFrame,
@@ -101,11 +105,22 @@ object Changelog {
       if (!emitDeletes) base
       else {
         val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
-        val deletes = current
+        val keyedDeletes = current
           .where(!coalesce(anyNullKey, lit(false)))
           .join(winners.select(keys.map(col): _*), keys, "left_anti")
           .withColumn(OpCol, lit(OpDelete))
-        base.unionByName(deletes)
+        // null-keyed rows have no key identity — a row "survives" only
+        // if the after-image holds an all-column match (null-safe)
+        val nullCurrent = current.where(coalesce(anyNullKey, lit(false)))
+        val nullAfter = updates
+          .where(coalesce(keys.map(updates(_).isNull).reduce(_ || _),
+            lit(false)))
+        val nullCond = cols
+          .map(c => nullCurrent(c) <=> nullAfter(c)).reduce(_ && _)
+        val nullDeletes = nullCurrent
+          .join(nullAfter, nullCond, "left_anti")
+          .withColumn(OpCol, lit(OpDelete))
+        base.unionByName(keyedDeletes).unionByName(nullDeletes)
       }
     withDeletes.select((OpCol +: cols).map(col): _*)
   }
@@ -125,5 +140,5 @@ object Changelog {
     changeSet(
       Versioned.read(spark, tablePath, Some(fromGen)),
       Versioned.read(spark, tablePath, Some(toGen)),
-      keys, emitDeletes = true)
+      keys, dedupNullKeyed = true, emitDeletes = true)
 }

@@ -60,20 +60,35 @@ object IncrementalAgg {
       (if (s.max) Seq(max(col(s"${s.col}__max")).as(s"${s.col}__max"))
        else Nil)
 
-  /** Aggregate one batch into the partial-state shape. */
+  /** Physical row count per group — distinct from `count(col)`, which
+    * skips NULLs: only a true row count can tell an emptied group from
+    * a group whose stat values are all NULL. Opt-in (the append-only
+    * path keeps its historical state shape); REQUIRED for
+    * update-maintained views ([[applyChangeSet]]). */
+  val RowsCol = "__rows"
+
+  /** Aggregate one batch into the partial-state shape.
+    * @param trackRows also maintain [[RowsCol]]. */
   def aggregateBatch(batch: DataFrame, groupCols: Seq[String],
-      stats: Seq[Stat]): DataFrame = {
-    val cs = stats.flatMap(aggCols)
+      stats: Seq[Stat], trackRows: Boolean = false): DataFrame = {
+    val cs = (if (trackRows) Seq(count(lit(1)).as(RowsCol)) else Nil) ++
+      stats.flatMap(aggCols)
     require(cs.nonEmpty,
       "at least one aggregate required (stats empty or all flags false)")
     batch.groupBy(groupCols.map(col): _*).agg(cs.head, cs.tail: _*)
   }
 
   /** Merge an aggregated batch into the stored state (both in the
-    * partial-state shape). */
+    * partial-state shape; [[RowsCol]] sums through when both sides
+    * carry it). */
   def merge(state: DataFrame, batchAgg: DataFrame, groupCols: Seq[String],
       stats: Seq[Stat]): DataFrame = {
-    val cs = stats.flatMap(mergeCols)
+    val rows =
+      if (state.columns.contains(RowsCol) &&
+          batchAgg.columns.contains(RowsCol))
+        Seq(sum(col(RowsCol)).as(RowsCol))
+      else Nil
+    val cs = rows ++ stats.flatMap(mergeCols)
     require(cs.nonEmpty,
       "at least one aggregate required (stats empty or all flags false)")
     state.unionByName(batchAgg)
@@ -128,20 +143,20 @@ object IncrementalAgg {
     spark.read.parquet(statePath).drop(BatchIdCol)
   }
 
-  /** Maintain the view through an UPDATE-carrying delta — the
+  /** Maintain the view through an UPDATE/DELETE-carrying delta — the
     * retraction path the append-only [[merge]] cannot express: consume
     * [[Changelog.changeSet]] rows, where `insert`/`update_post`
-    * contribute +1 and `update_pre` retracts (−count, −sum), then
-    * merge as usual. A group whose rows all leave it (every update
-    * moved them elsewhere) nets to count 0 and VANISHES from the
-    * state rather than lingering as a zero row.
+    * contribute +1 and `update_pre`/`delete` retract (−rows, −count,
+    * −sum), then merge as usual. A group whose rows all leave it nets
+    * to zero PHYSICAL rows and VANISHES from the state — [[RowsCol]]
+    * (not `count(col)`, which is 0 for an all-NULL group that a
+    * from-scratch recompute would keep) is the emptiness signal, so
+    * the state MUST be built with `aggregateBatch(trackRows = true)`.
     *
     * Only count/sum are retraction-algebraic: subtracting the current
     * min's value says nothing about the next min without the full
     * group. Maintaining min/max under updates needs a recompute of the
-    * touched groups (or a mergeable sketch) — rejected loudly here.
-    * Counts count non-null values of the stat column, mirroring
-    * [[aggregateBatch]]'s `count(col)` semantics exactly. */
+    * touched groups (or a mergeable sketch) — rejected loudly here. */
   def applyChangeSet(
       state: DataFrame,
       changes: DataFrame,
@@ -150,23 +165,22 @@ object IncrementalAgg {
     require(stats.nonEmpty && stats.forall(s => !s.min && !s.max),
       "applyChangeSet: min/max are not retraction-algebraic — drop them " +
         "from the maintained view or recompute the touched groups")
-    require(stats.forall(_.count),
-      "applyChangeSet: count is required to detect emptied groups")
-    val sign = when(col(Changelog.OpCol) === Changelog.OpUpdatePre, -1L)
+    require(state.columns.contains(RowsCol),
+      s"applyChangeSet: state lacks $RowsCol — build it with " +
+        "aggregateBatch(trackRows = true); emptied groups cannot be told " +
+        "from all-NULL groups otherwise")
+    val retract = Seq(Changelog.OpUpdatePre, Changelog.OpDelete)
+    val sign = when(col(Changelog.OpCol).isin(retract: _*), -1L)
       .otherwise(1L)
-    val cs = stats.flatMap { s =>
+    val cs = Seq(sum(sign).as(RowsCol)) ++ stats.flatMap { s =>
       val c = col(s.col)
-      Seq(sum(when(c.isNotNull, sign).otherwise(0L))
-        .as(s"${s.col}__count")) ++
+      (if (s.count)
+        Seq(sum(when(c.isNotNull, sign).otherwise(0L))
+          .as(s"${s.col}__count")) else Nil) ++
         (if (s.sum) Seq(sum(c * sign).as(s"${s.col}__sum")) else Nil)
     }
     val delta = changes.groupBy(groupCols.map(col): _*)
       .agg(cs.head, cs.tail: _*)
-    val merged = merge(state, delta, groupCols, stats)
-    // emptied groups vanish; count(col) semantics make count==0 the
-    // authoritative emptiness signal for every maintained stat
-    val anyRows = stats.map(s => col(s"${s.col}__count") > 0)
-      .reduce(_ || _)
-    merged.where(anyRows)
+    merge(state, delta, groupCols, stats).where(col(RowsCol) > 0)
   }
 }

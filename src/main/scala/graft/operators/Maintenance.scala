@@ -19,6 +19,17 @@ object Maintenance {
   final case class CompactionReport(
       filesBefore: Long, filesAfter: Long, bytes: Long, compacted: Boolean)
 
+  /** THE fragmentation test, shared by both compactors and
+    * [[healthReport]]: more than twice the ideal file count for the
+    * byte volume (count-based — see [[compactSnapshot]]'s doc for why
+    * a mean-size test lies). */
+  private def fragmented(
+      nFiles: Long, bytes: Long, targetFileBytes: Long): Boolean = {
+    val idealFiles = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong)
+    nFiles > 1 && nFiles >= 2 * idealFiles
+  }
+
   /** Rewrite the snapshot at `path` into ≈`targetFileBytes` files when
     * fragmented. "Fragmented" = the file count exceeds twice the ideal
     * count (`ceil(bytes / targetFileBytes)`) — a count-based test, not a
@@ -52,10 +63,8 @@ object Maintenance {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val bytes = dataFiles.map(_.getLen).sum
     val nFiles = dataFiles.size.toLong
-    val idealFiles = math.max(1L,
-      math.ceil(bytes.toDouble / targetFileBytes).toLong)
-    val healthy = nFiles <= 1 || nFiles < 2 * idealFiles
-    if (healthy) return CompactionReport(nFiles, nFiles, bytes, false)
+    if (!fragmented(nFiles, bytes, targetFileBytes))
+      return CompactionReport(nFiles, nFiles, bytes, false)
 
     val targetFiles = math.max(1, math.ceil(
       bytes.toDouble / targetFileBytes).toInt)
@@ -93,9 +102,7 @@ object Maintenance {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val bytes = dataFiles.map(_.getLen).sum
       val nFiles = dataFiles.length.toLong
-      val idealFiles = math.max(1L,
-        math.ceil(bytes.toDouble / targetFileBytes).toLong)
-      (d, bytes, nFiles, nFiles <= 1 || nFiles < 2 * idealFiles)
+      (d, bytes, nFiles, !fragmented(nFiles, bytes, targetFileBytes))
     }
     // Rewrites replace files a root-level DataSkipping manifest
     // describes — park it before the first swap (values are unchanged
@@ -156,34 +163,40 @@ object Maintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       return TableHealth(0, 0, 0, 0, 0.0, 0, 0, recommendCompaction = false)
-    val entries = fs.listStatus(root)
-    val dirs = entries.filter(s => s.isDirectory &&
-      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    val fileSizes: Array[Long] =
-      if (dirs.isEmpty)
-        entries.filter(f => f.isFile &&
-          f.getPath.getName.endsWith(".parquet")).map(_.getLen)
-      else dirs.flatMap(d => fs.listStatus(d.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen))
+    // recursive walk: multi-column partitioned layouts nest
+    // (col1=X/col2=Y/...), so a one-level listing would report an
+    // empty "healthy" table for exactly the fragmented cases this
+    // diagnostic exists to catch. Leaf dirs (those holding data
+    // files) are the partition count.
+    var leafDirs = 0L
+    def walk(p: Path, isRoot: Boolean): Array[Long] = {
+      val entries = fs.listStatus(p)
+      val files = entries.filter(f => f.isFile &&
+        f.getPath.getName.endsWith(".parquet")).map(_.getLen)
+      if (!isRoot && files.nonEmpty) leafDirs += 1
+      files ++ entries
+        .filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(d => walk(d.getPath, isRoot = false))
+    }
+    val fileSizes: Array[Long] = walk(root, isRoot = true)
     if (fileSizes.isEmpty)
-      return TableHealth(0, 0, dirs.length.toLong, 0, 0.0, 0, 0,
+      return TableHealth(0, 0, leafDirs, 0, 0.0, 0, 0,
         recommendCompaction = false)
     val sorted = fileSizes.sorted
     val bytes = fileSizes.sum
     val small = fileSizes.count(_ < smallFileBytes).toLong
-    val idealFiles = math.max(1L,
-      math.ceil(bytes.toDouble / targetFileBytes).toLong)
     TableHealth(
       files = fileSizes.length.toLong,
       bytes = bytes,
-      partitions = dirs.length.toLong,
+      partitions = leafDirs,
       smallFiles = small,
       smallFileFraction = small.toDouble / fileSizes.length,
       maxFileBytes = sorted.last,
       medianFileBytes = sorted(sorted.length / 2),
       recommendCompaction =
-        fileSizes.length > 1 && fileSizes.length >= 2 * idealFiles)
+        fragmented(fileSizes.length.toLong, bytes, targetFileBytes))
   }
 
   /** Write `df` as a date/key-partitioned parquet table with rows

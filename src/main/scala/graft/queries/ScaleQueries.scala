@@ -306,7 +306,7 @@ object ScaleQueries extends QueryPack {
       val stats = Seq(graft.operators.IncrementalAgg.Stat(
         "price_dec", min = false, max = false))
       val state0 = graft.operators.IncrementalAgg.aggregateBatch(
-        cur, Seq("o_orderstatus"), stats)
+        cur, Seq("o_orderstatus"), stats, trackRows = true)
       val changes = Changelog.changeSet(cur, updates, Seq("o_orderkey"))
       graft.operators.IncrementalAgg.applyChangeSet(
         state0, changes, Seq("o_orderstatus"), stats)

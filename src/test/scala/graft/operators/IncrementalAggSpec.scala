@@ -97,13 +97,15 @@ class IncrementalAggSpec extends SparkSpec {
     val stats = Seq(IncrementalAgg.Stat("v", min = false, max = false))
     val cur = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
       .toDF("id", "g", "v")
-    val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats)
+    val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats,
+      trackRows = true)
     // update moves id=3 out of b (b empties), id=2 changes value,
     // id=9 is a brand-new row in a brand-new group
     val updates = Seq((2L, "a", 25L), (3L, "c", 30L), (9L, "d", 5L))
       .toDF("id", "g", "v")
     val changes = Changelog.changeSet(cur, updates, Seq("id"))
     val view = IncrementalAgg.applyChangeSet(state, changes, Seq("g"), stats)
+      .drop(IncrementalAgg.RowsCol)
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     // ground truth: recompute over the upserted table
     val truth = IncrementalAgg.aggregateBatch(
@@ -114,17 +116,35 @@ class IncrementalAggSpec extends SparkSpec {
     assert(view.exists(_._1 == "c") && view.exists(_._1 == "d"))
   }
 
-  test("applyChangeSet rejects min/max and count-less stats") {
+  test("applyChangeSet rejects min/max and rowless state") {
     val cur = Seq((1L, "a", 1L)).toDF("id", "g", "v")
     val ch = Changelog.changeSet(cur, cur, Seq("id"))
+    val stats0 = Seq(IncrementalAgg.Stat("v", min = false, max = false))
     intercept[IllegalArgumentException] {
-      IncrementalAgg.applyChangeSet(cur.limit(0), ch, Seq("g"),
-        Seq(IncrementalAgg.Stat("v")))
+      IncrementalAgg.applyChangeSet(
+        IncrementalAgg.aggregateBatch(cur, Seq("g"), stats0,
+          trackRows = true),
+        ch, Seq("g"), Seq(IncrementalAgg.Stat("v")))
     }
-    intercept[IllegalArgumentException] {
-      IncrementalAgg.applyChangeSet(cur.limit(0), ch, Seq("g"),
-        Seq(IncrementalAgg.Stat("v", count = false, min = false,
-          max = false)))
+    intercept[IllegalArgumentException] { // state without __rows
+      IncrementalAgg.applyChangeSet(
+        IncrementalAgg.aggregateBatch(cur, Seq("g"), stats0),
+        ch, Seq("g"), stats0)
     }
+  }
+
+  test("applyChangeSet: deletes retract; all-NULL groups survive") {
+    val stats = Seq(IncrementalAgg.Stat("v", min = false, max = false))
+    val cur = Seq((1L, "a", Some(10L)), (2L, "b", Option.empty[Long]))
+      .toDF("id", "g", "v")
+    val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats,
+      trackRows = true)
+    // generation-style delta deleting id=1 entirely
+    val next = cur.where($"id" =!= 1L)
+    val ch = Changelog.changeSet(cur, next, Seq("id"), emitDeletes = true)
+    val view = IncrementalAgg.applyChangeSet(state, ch, Seq("g"), stats)
+      .select("g").as[String].collect().toSet
+    assert(view == Set("b"),
+      "deleted group must vanish; the all-NULL-valued group must survive")
   }
 }

@@ -162,9 +162,11 @@ class PropertySpec extends SparkSpec {
         .map { case (k, v) => (k, s"g${v % 3}", v.toLong) }
         .toDF("id", "g", "v")
       if (!cur.isEmpty) {
-        val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats)
+        val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats,
+          trackRows = true)
         val view = IncrementalAgg.applyChangeSet(state,
           Changelog.changeSet(cur, upd, Seq("id")), Seq("g"), stats)
+          .drop(IncrementalAgg.RowsCol)
         val truth = IncrementalAgg.aggregateBatch(
           Upsert.upsert(cur, upd, Seq("id")), Seq("g"), stats)
         assert(view.exceptAll(truth).isEmpty &&
