@@ -244,17 +244,23 @@ object DataSkipping {
       case None => fullRebuild()
       case Some(m) =>
         import spark.implicits._
-        val qualRoot = fs.makeQualified(root).toString
         val (kept, rescan) =
           if (assumeSerialCommits) {
             // single-writer loop that refreshes after EVERY commit:
             // the parked copy is exactly one commit old, so only the
             // declared touched dirs can be stale — no validation
-            // listing needed (cost strictly ∝ touched dirs). Matching
-            // anchored to the dir component under the table root.
-            val touchedMatch = touchedDirs
-              .map(d => col("file").startsWith(s"$qualRoot/$d/"))
-              .reduceOption(_ || _).getOrElse(lit(false))
+            // listing needed (cost strictly ∝ touched dirs). Match on
+            // the file's immediate parent-dir NAME extracted from the
+            // manifest's own strings: scheme/authority-insensitive by
+            // construction (a qualified-root prefix compare can keep
+            // stale rows when the writer's URI rendering differs from
+            // fs.makeQualified), and exact because manifest files live
+            // only at root/<partition dir>/<file>.
+            val parentName =
+              regexp_extract(col("file"), "([^/]+)/[^/]*$", 1)
+            val touchedMatch =
+              if (touchedDirs.isEmpty) lit(false)
+              else parentName.isin(touchedDirs: _*)
             (m.where(!touchedMatch).localCheckpoint(), touchedDirs.toSet)
           } else {
             // SELF-HEALING general path: validate the parked rows

@@ -121,7 +121,9 @@ object Sketches {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(sketch)
     candidates.select(col(stringCol).cast("string")).as[String]
-      .map(x => (x, bc.value.estimate(x)))
+      // null is absence on the probe side too, mirroring
+      // CountMinAgg.reduce — estimate(null) would NPE in the hash
+      .map(x => (x, if (x == null) 0L else bc.value.estimate(x)))
       .toDF(stringCol, "est_n")
   }
 }

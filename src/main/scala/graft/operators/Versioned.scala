@@ -22,14 +22,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * root listing plus one marker probe per candidate — metadata-scale,
   * no rename races, no shared pointer FILE to read-modify-write.
   *
-  * SINGLE WRITER per table, like every snapshot committer here (the
-  * same contract Upsert's partitioned commits state): generation
-  * numbering is list-then-write, so two CONCURRENT committers could
-  * pick the same number. The marker write guards the publish — a
-  * second committer landing on a number whose marker already exists
-  * fails loudly instead of double-publishing — but coordination of
-  * concurrent writers belongs to the caller (readers are always safe:
-  * they only ever resolve fully-committed generations).
+  * CONCURRENT COMMITTERS are arbitrated by an atomic claim: before
+  * writing any data, a committer reserves its generation number by
+  * exclusively creating `gen=<n>/_graft_claim` (`fs.create` with
+  * overwrite=false — the same exclusive-create primitive HDFS lease
+  * recovery and object-store if-none-match puts provide). A loser of
+  * the race gets FileAlreadyExists and retries the next number, so two
+  * committers never write into the same directory and a committed
+  * generation can never be overwritten by a racer (the pre-claim
+  * list-then-write design could silently lose a committed generation
+  * when both writers picked the same number). Retention never removes
+  * a claimed-but-uncommitted directory until it is older than
+  * [[StaleClaimMs]], so an in-flight writer's directory survives a
+  * concurrent committer's cleanup; a crashed writer's debris is
+  * reclaimed after the TTL. Readers are always safe: they only ever
+  * resolve fully-committed generations.
   *
   * Scale: each commit writes the FULL dataframe — this is the
   * versioned analog of the flat snapshot, sized for dimension/curated
@@ -40,6 +47,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Versioned {
 
   val CommitMarker = "_graft_committed"
+
+  /** Exclusive-create reservation file: claiming `gen=<n>/_graft_claim`
+    * with overwrite=false is the CAS that serializes concurrent
+    * committers onto distinct generation numbers. */
+  val ClaimMarker = "_graft_claim"
+
+  /** A claimed-but-uncommitted generation younger than this is treated
+    * as an in-flight concurrent writer and protected from retention;
+    * older ones are crashed-writer debris and reclaimed. */
+  val StaleClaimMs: Long = 60L * 60L * 1000L
 
   final case class Commit(gen: Long, path: String)
 
@@ -71,29 +88,53 @@ object Versioned {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
-    // next free number past every dir present — committed or not, so a
-    // crashed writer's leftover is never overwritten concurrently
+    // start past every dir present — committed or not, so a crashed
+    // writer's leftover is never overwritten — then CAS-claim the
+    // number BEFORE any data write: exclusive create of the claim file
+    // arbitrates racing committers onto distinct directories
     val present = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
       .flatMap(n => if (n.startsWith("gen="))
         n.stripPrefix("gen=").toLongOption else None)
-    val next = if (present.isEmpty) 0L else present.max + 1L
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"Versioned.commit: could not claim a generation at $tablePath " +
+          s"after $attempts attempts — runaway concurrent committers?")
+      try {
+        fs.create(new Path(genDir(root, next), ClaimMarker), false).close()
+        claimed = true
+      } catch {
+        // another committer holds this number — take the next one
+        case _: java.io.IOException => next += 1
+      }
+    }
     val dir = genDir(root, next)
-    df.write.mode("overwrite").parquet(dir.toString)
-    val marker = new Path(dir, CommitMarker)
-    require(!fs.exists(marker),
-      s"Versioned.commit: generation $next at $tablePath was committed " +
-        "concurrently — this table requires a single writer")
-    fs.create(marker, true).close()
+    // append, not overwrite: the directory (holding our claim file)
+    // already exists and is exclusively ours; overwrite would delete
+    // the claim and reopen the race window
+    df.write.mode("append").parquet(dir.toString)
+    fs.create(new Path(dir, CommitMarker), true).close()
     // retention: committed gens beyond the window, and uncommitted
-    // debris older than the retention floor
+    // debris older than the retention floor — but NEVER an in-flight
+    // concurrent writer's claimed dir (younger than StaleClaimMs)
     val committed = generations(spark, tablePath)
     val floor = committed.takeRight(retain).headOption.getOrElse(next)
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("gen=")) // NEVER delete foreign dirs
       .foreach { p =>
         p.getName.stripPrefix("gen=").toLongOption.foreach { g =>
-          if (g < floor) fs.delete(p, true)
+          if (g < floor) {
+            val claim = new Path(p, ClaimMarker)
+            val inFlight = !fs.exists(new Path(p, CommitMarker)) &&
+              fs.exists(claim) &&
+              System.currentTimeMillis() -
+                fs.getFileStatus(claim).getModificationTime < StaleClaimMs
+            if (!inFlight) fs.delete(p, true)
+          }
         }
       }
     Commit(next, dir.toString)

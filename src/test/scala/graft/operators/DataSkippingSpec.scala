@@ -148,6 +148,52 @@ class DataSkippingSpec extends SparkSpec {
       "refreshed scan must see the upserted values")
   }
 
+  test("serial-commit fast path drops touched rows under foreign URI rendering") {
+    val path = tmp() + "/t"
+    val df = (1 to 300).map(i => (i.toLong, 1995 + i % 3, i * 10L))
+      .toDF("k", "p_year", "v")
+    Upsert.writeSnapshotsPartitioned(Seq(
+      Upsert.PartitionedWrite(df, path, "p_year", Seq(1995, 1996, 1997))))
+    DataSkipping.writeManifest(spark, path, Seq("k", "p_year"))
+    val updates = df.where(col("p_year") === 1996)
+      .withColumn("v", col("v") + 1)
+    Upsert.upsertPartitioned(spark, path, updates, Seq("k"), "p_year")
+    // rewrite the PARKED copy's file strings to a different scheme
+    // rendering (file:///x → file:/x) — as a manifest written on a
+    // filesystem whose qualified-URI rendering differs would look. A
+    // root-prefix compare would keep the dead 1996 rows; the
+    // parent-dir-name match must still drop them.
+    val stale = s"$path/${DataSkipping.StaleManifestDir}"
+    val native = spark.read.parquet(stale).select("file")
+      .head().getString(0)
+    // flip whichever rendering _metadata.file_path produced to the other
+    val (from, to) =
+      if (native.startsWith("file:///")) ("^file:///", "file:/")
+      else ("^file:/", "file:///")
+    val parked = spark.read.parquet(stale)
+      .withColumn("file", regexp_replace(col("file"), from, to))
+      .localCheckpoint()
+    val deadRows96 = parked.collect().map(_.getAs[String]("file"))
+      .filter(_.contains("/p_year=1996/")).toSet
+    assert(deadRows96.nonEmpty, "sanity: parked copy covers 1996")
+    parked.coalesce(1).write.mode("overwrite").parquet(stale)
+    DataSkipping.refreshManifestPartitioned(spark, path,
+      Seq("p_year=1996"), Seq("k", "p_year"), assumeSerialCommits = true)
+    val files96 = DataSkipping.readManifest(spark, path).collect()
+      .map(_.getAs[String]("file")).filter(_.contains("/p_year=1996/"))
+    assert(files96.nonEmpty)
+    assert(files96.forall(!deadRows96.contains(_)),
+      "rewritten (dead) 1996 rows must be dropped by the fast path")
+    assert(files96.distinct.length == files96.length,
+      "dead parked rows must not survive alongside fresh ones")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files96.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(f))),
+        s"manifest row points at dead file $f")
+    }
+  }
+
   test("bloom index prunes point lookups on a scatter column") {
     val path = tmp() + "/t"
     // laid out by d; k is scattered, so min/max can't prune k-lookups

@@ -53,4 +53,13 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("estimateCounts treats null candidates as absence, like build") {
+    val sk = Sketches.buildSketch(corpus, "w")
+    val cands = Seq(Some("alpha"), None, Some("gamma")).toDF("w")
+    val got = Sketches.estimateCounts(spark, cands, "w", sk).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got(Some("alpha")) === 100L)
+    assert(got(None) === 0L, "null probes estimate 0, mirroring reduce")
+  }
 }

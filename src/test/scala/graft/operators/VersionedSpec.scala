@@ -64,6 +64,63 @@ class VersionedSpec extends SparkSpec {
     assert(fs.exists(new Path(s"$path/gen=1")), "torn dir left for floor cleanup")
   }
 
+  test("claimed in-flight generation is skipped and survives retention") {
+    val path = tmp()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "s"), path)
+    // simulate a concurrent writer mid-commit: gen=1 holds a fresh
+    // claim, no data, no commit marker
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(s"$path/gen=1/${Versioned.ClaimMarker}"), false).close()
+    val c = Versioned.commit(Seq((2L, "b")).toDF("k", "s"), path, retain = 1)
+    assert(c.gen == 2, "claimed number must not be reused")
+    assert(Versioned.generations(spark, path) == Seq(2L))
+    assert(fs.exists(new Path(s"$path/gen=1/${Versioned.ClaimMarker}")),
+      "in-flight claimed dir below the floor must survive retention")
+    assert(!fs.exists(new Path(s"$path/gen=0")),
+      "committed dir below the floor is retired")
+  }
+
+  test("stale claim debris below the floor is reclaimed") {
+    val path = tmp()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "s"), path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new Path(s"$path/gen=1/${Versioned.ClaimMarker}")
+    fs.create(claim, false).close()
+    val old = System.currentTimeMillis() - Versioned.StaleClaimMs - 1000L
+    fs.setTimes(claim, old, old)
+    Versioned.commit(Seq((2L, "b")).toDF("k", "s"), path, retain = 1)
+    assert(!fs.exists(new Path(s"$path/gen=1")),
+      "crashed writer's stale claim is reclaimed once below the floor")
+  }
+
+  test("concurrent committers land on distinct generations, none lost") {
+    val path = tmp()
+    val threads = 4
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val commits = Await.result(
+        Future.sequence((0 until threads).map { i =>
+          Future(Versioned.commit(
+            Seq((i.toLong, s"writer$i")).toDF("k", "s"), path, retain = 100))
+        }), 2.minutes)
+      assert(commits.map(_.gen).distinct.size == threads,
+        "every committer must claim a distinct generation")
+      assert(Versioned.generations(spark, path).size == threads)
+      // every writer's payload is readable back, intact, at its gen
+      commits.foreach { c =>
+        val row = Versioned.read(spark, path, Some(c.gen))
+          .as[(Long, String)].head()
+        assert(row._2.startsWith("writer"), s"gen ${c.gen} torn: $row")
+      }
+    } finally pool.shutdown()
+  }
+
   test("never-committed table fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Versioned.read(spark, tmp())
