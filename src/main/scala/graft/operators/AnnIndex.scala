@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Persisted ANN index: the IVF/SQ8 structures of [[Similarity]] as a
+  * table sidecar instead of a per-query cost.
+  *
+  * `Similarity.ivfTopK` / `sq8TopK` re-train centroids, re-assign the
+  * whole corpus, and re-quantize inside EVERY call — correct, but at
+  * 100 TB an index is a persisted artifact refreshed ∝ touched
+  * partitions, exactly the posture the bloom/stats sidecars already
+  * have ([[DataSkipping.writeBloomIndex]] /
+  * `refreshBloomIndexPartitioned`). [[writeIndex]] pays the training +
+  * assignment + quantization ONCE into `_graft_ann__<col>/`;
+  * [[ivfTopKIndexed]] / [[sq8TopKIndexed]] then answer queries reading
+  * ONLY the sidecar (never the raw vector column), and
+  * [[refreshIndexPartitioned]] re-indexes just the partitions a
+  * partition-scoped commit touched.
+  *
+  * Sidecar layout under `<tablePath>/_graft_ann__<vecCol>/`:
+  *  - `rows/part=<dir>/` — one Hive partition per SOURCE partition dir
+  *    (`part = "__root__"` for files directly under the table root):
+  *    (file, id, cell, u, q, q_min, q_scale, q_sum) — the unit-normalized
+  *    vector, its IVF cell, and its SQ8 codes. Storing `u` here is what
+  *    lets the query phase skip the base table entirely (the posture of
+  *    FAISS-style on-disk indexes, which keep full vectors for exact
+  *    re-rank); the rows are clustered by source partition so a refresh
+  *    swaps whole subdirectories, write cost ∝ touched partitions.
+  *  - `centroids/` — (cell, centroid), metadata-scale.
+  *  - `meta/` — (dim, n_lists, seed, train_cap), one row.
+  *
+  * Exactness contract: write-time cell assignment and query-time
+  * probing share [[Similarity.cellPlans]], and quantization shares
+  * [[Similarity.quantizeSq8]] / [[Similarity.sq8CandidateScan]], so on
+  * an unchanged table the indexed variants return BIT-IDENTICAL results
+  * to their per-call counterparts (spec-asserted) — the index changes
+  * WHEN work happens, never WHAT is computed.
+  *
+  * Commit integration: partition-scoped committers park the sidecar
+  * (live → `_graft_ann_stale__<col>`) via
+  * [[DataSkipping.invalidateManifest]], so a post-commit query fails
+  * loudly ("no index") instead of reading stale cells;
+  * [[refreshIndexPartitioned]] un-parks and re-indexes ∝ touched dirs.
+  * Centroids are NOT retrained on refresh — the standard IVF posture
+  * (cells drift from optimal as data drifts; retrain by re-running
+  * [[writeIndex]] on whatever cadence recall monitoring dictates).
+  * Single writer per table, like every committer here.
+  */
+object AnnIndex {
+
+  val DirPrefix = "_graft_ann__"
+  val StaleDirPrefix = "_graft_ann_stale__"
+  private val TmpDirPrefix = "_graft_ann_tmp__"
+
+  /** `part` value for rows whose files sit directly under the table
+    * root (unpartitioned tables). */
+  val RootPart = "__root__"
+
+  def indexDir(tablePath: String, vecCol: String): String =
+    s"$tablePath/$DirPrefix$vecCol"
+
+  private def rowsDir(tablePath: String, vecCol: String): String =
+    s"${indexDir(tablePath, vecCol)}/rows"
+
+  /** True if a LIVE (not parked) index exists for `vecCol`. */
+  def hasIndex(spark: SparkSession, tablePath: String, vecCol: String): Boolean = {
+    val p = new Path(indexDir(tablePath, vecCol))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Source partition-dir name of a file path: the immediate parent
+    * component (scheme/authority-insensitive — matching is on the dir
+    * NAME, the same contract as DataSkipping's serial-commit path), or
+    * [[RootPart]] for files directly under the table root. */
+  private def partOf(file: Column, rootName: String): Column = {
+    val parent = regexp_extract(file, "([^/]+)/[^/]*$", 1)
+    when(parent === rootName, lit(RootPart)).otherwise(parent)
+  }
+
+  /** (file, id, u, part) projection of a table scan — the input shape
+    * [[assignQuantize]] consumes. */
+  private def baseOf(
+      scan: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rootName: String): DataFrame =
+    scan.select(
+        col("_metadata.file_path").as("file"),
+        col(idCol).cast("long").as("id"),
+        Similarity.normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull)
+      .withColumn("part", partOf(col("file"), rootName))
+
+  /** Assign IVF cells (via the shared [[Similarity.cellPlans]], so
+    * write-time assignment ≡ query-time rank-1 probe) and quantize SQ8
+    * codes for every row of `base`. */
+  private def assignQuantize(
+      base: DataFrame, // (file, id, u, part)
+      centroids: Array[Array[Double]],
+      literalCellThreshold: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val (assigned, _) = Similarity.cellPlans(
+      base.select(col("id"), col("u")), centroids,
+      nProbe = 1, literalCellThreshold)
+    base.join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .select(col("part"), col("file"), col("id"), col("cell"), col("u"))
+      .as[(String, String, Long, Int, Seq[Double])]
+      .mapPartitions(_.map { case (part, file, id, cell, u) =>
+        val (q, mn, sc, s) = Similarity.quantizeSq8(u.toArray)
+        (part, file, id, cell, u, q, mn, sc, s)
+      })
+      .toDF("part", "file", "id", "cell", "u", "q",
+        "q_min", "q_scale", "q_sum")
+  }
+
+  /** Build and publish the index sidecar for `tablePath`.`vecCol`.
+    * Training follows [[Similarity.ivfTopK]] exactly (deterministic
+    * lowest-hash sample, driver-side Lloyd's, same seed/maxIter), so an
+    * index built with the same (nLists, seed, trainCap) yields
+    * [[ivfTopKIndexed]] results identical to a fresh `ivfTopK` call.
+    * Publish is staged: written under `_graft_ann_tmp__`, then swapped
+    * in whole — readers never see a half-built index.
+    *
+    * @param nLists 0 ⇒ auto-size to max(16, ⌈√n⌉), as ivfTopK. */
+  def writeIndex(
+      spark: SparkSession,
+      tablePath: String,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 0,
+      seed: Long = 42L,
+      trainCap: Int = 25000,
+      literalCellThreshold: Int = 4096): Unit = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootName = root.getName
+    val base = Par.spread(
+      baseOf(spark.read.parquet(tablePath), idCol, vecCol, rootName)).cache()
+    try {
+      val n = base.count()
+      require(n > 0,
+        s"AnnIndex.writeIndex: no usable vectors in $tablePath.$vecCol")
+      // the id is the index key: candidate re-attach and self-exclusion
+      // are id-keyed, so duplicates would silently corrupt results
+      val dup = base.groupBy("id").count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"AnnIndex.writeIndex: $idCol must be unique in $tablePath")
+      val lists =
+        if (nLists > 0) nLists
+        else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val sample: Array[Array[Double]] = base
+        .orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(trainCap)
+        .select(col("id"), col("u"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      val centroids =
+        Similarity.trainCentroids(sample, lists, maxIter = 5, seed)
+
+      val tmp = new Path(root, TmpDirPrefix + vecCol)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      assignQuantize(base, centroids, literalCellThreshold)
+        .write.partitionBy("part").parquet(new Path(tmp, "rows").toString)
+      import spark.implicits._
+      centroids.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
+      Seq((sample.head.length, lists, seed, trainCap))
+        .toDF("dim", "n_lists", "seed", "train_cap")
+        .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
+
+      val live = new Path(root, DirPrefix + vecCol)
+      val stale = new Path(root, StaleDirPrefix + vecCol)
+      if (fs.exists(stale)) fs.delete(stale, true)
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"AnnIndex.writeIndex: publish rename failed for $live")
+      // let partition-scoped commits know there is an index to park
+      DataSkipping.touchIndexMarker(spark, tablePath)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Centroids of the live index, cell-ordered. Fails loudly when the
+    * index is absent or parked by an un-refreshed commit. */
+  private def readCentroids(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String): Array[Array[Double]] = {
+    require(hasIndex(spark, tablePath, vecCol),
+      s"AnnIndex: no live index for $vecCol at $tablePath — writeIndex " +
+        "first (or refreshIndexPartitioned after a partition-scoped commit)")
+    spark.read.parquet(s"${indexDir(tablePath, vecCol)}/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** IVF top-k reading ONLY the sidecar: probes rank the persisted
+    * centroids (same [[Similarity.cellPlans]] scoring), candidates come
+    * from the persisted cell assignment, exact re-rank uses the
+    * persisted unit vectors. On an unchanged table, bit-identical to
+    * `Similarity.ivfTopK(df, id, vec, k, nLists, nProbe)` with the
+    * index's own (nLists, seed) — no training, no corpus re-assignment,
+    * no base-table scan in the query path. */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    val (_, probes) = Similarity.cellPlans(
+      rows.select(col("id"), col("u")), centroids, nProbe,
+      literalCellThreshold)
+    val scored = probes
+      .join(rows.select(col("cell"), col("id"), col("u").as("u_b")),
+        Seq("cell"))
+      .where(col("key") =!= col("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), 4))
+      .select("key", "id", "sim")
+    Similarity.topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** SQ8 top-k reading ONLY the sidecar: the quantized index is
+    * COLLECTED (not recomputed — the per-call corpus quantization pass
+    * is the cost this sidecar amortizes), candidates come from the
+    * shared [[Similarity.sq8CandidateScan]], exact re-rank re-attaches
+    * the persisted unit vectors. Bit-identical to `Similarity.sq8TopK`
+    * on an unchanged table. */
+  def sq8TopKIndexed(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      overFetch: Int = 4,
+      roundSim: Int = 4): DataFrame = {
+    require(hasIndex(spark, tablePath, vecCol),
+      s"AnnIndex: no live index for $vecCol at $tablePath")
+    import spark.implicits._
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    val index: Array[(Long, Array[Byte], Double, Double, Long)] = rows
+      .select(col("id"), col("q"), col("q_min"), col("q_scale"),
+        col("q_sum"))
+      .as[(Long, Array[Byte], Double, Double, Long)]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    val m = math.max(k * math.max(overFetch, 1), k)
+    val typed = Par.spread(rows.select(col("id"), col("u")))
+      .as[(Long, Seq[Double])]
+    val cands = Similarity.sq8CandidateScan(typed, bc, m)
+    val scored = cands
+      .join(rows.select(col("id").as("key"), col("u").as("u_a")),
+        Seq("key"))
+      .join(rows.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    Similarity.topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Hive-layout percent-decoding of `part=` child names — decoding
+    * only; encoding stays Spark's job (refresh swaps adopt whatever
+    * child names the fresh partitioned write produced). */
+  private def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
+
+  /** Re-index ∝ touched partitions after a partition-scoped commit:
+    * un-park the sidecar if a commit parked it, recompute rows for
+    * `touchedDirs` (Hive-style names, `Upsert.PartitionedCommit`'s
+    * `rewritten ++ deleted`) against the EXISTING centroids, and swap
+    * only those `rows/part=` subdirectories — untouched subdirs stay
+    * byte-identical.
+    *
+    * With `validate = true` (default), recorded per-partition file
+    * names are checked against the table's real listing (one per-dir
+    * listing pass, metadata-scale; names compared, never URI
+    * renderings) and any drifted or vanished partition is rebuilt too —
+    * the same self-healing the bloom/stats refresh has. `validate =
+    * false` trusts the caller's touched list (the serial single-writer
+    * loop), cost strictly ∝ touched dirs. */
+  def refreshIndexPartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      idCol: String,
+      vecCol: String,
+      touchedDirs: Seq[String],
+      validate: Boolean = true,
+      literalCellThreshold: Int = 4096): Unit = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(root, DirPrefix + vecCol)
+    val stale = new Path(root, StaleDirPrefix + vecCol)
+    if (fs.exists(stale)) {
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(stale, live),
+        s"AnnIndex.refresh: could not un-park $stale")
+    }
+    require(fs.exists(live),
+      s"AnnIndex.refresh: no index (live or parked) for $vecCol at " +
+        s"$tablePath — writeIndex first")
+    val rowsRoot = new Path(live, "rows")
+    val rootName = root.getName
+
+    var rebuild = touchedDirs.toSet
+    if (validate) {
+      val recorded: Map[String, Set[String]] =
+        spark.read.parquet(rowsRoot.toString)
+          .select(col("part"), col("file")).distinct().collect()
+          .map(r => (r.getString(0), new Path(r.getString(1)).getName))
+          .groupBy(_._1).map { case (p, fl) => p -> fl.map(_._2).toSet }
+      val actual: Map[String, Set[String]] = fs.listStatus(root)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .map { d =>
+          d -> fs.listStatus(new Path(root, d))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.getName).toSet
+        }.toMap
+      rebuild ++= actual.collect {
+        case (d, a) if recorded.getOrElse(d, Set.empty[String]) != a => d
+      }
+      rebuild ++= recorded.keySet
+        .filterNot(_ == RootPart).filterNot(actual.contains)
+    }
+    if (rebuild.isEmpty) return
+    require(!rebuild.contains(RootPart),
+      "AnnIndex.refresh covers partitioned tables; rebuild an " +
+        "unpartitioned table's index with writeIndex")
+
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val children: Map[String, Path] = fs.listStatus(rowsRoot)
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("part="))
+      .map(p => unescapePathName(p.getName.stripPrefix("part=")) -> p)
+      .toMap
+    rebuild.toSeq.sorted.foreach { d =>
+      val dataDir = new Path(root, d)
+      if (!fs.exists(dataDir)) {
+        children.get(d).foreach(fs.delete(_, true))
+      } else {
+        val scan = spark.read.option("basePath", tablePath)
+          .parquet(dataDir.toString)
+        val fresh = assignQuantize(
+          baseOf(scan, idCol, vecCol, rootName), centroids,
+          literalCellThreshold)
+        val tmp = new Path(root, TmpDirPrefix + vecCol + "_refresh")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        fresh.write.partitionBy("part").parquet(tmp.toString)
+        children.get(d).foreach(fs.delete(_, true))
+        // adopt whatever child name (escaping) the fresh write produced;
+        // an all-null/zero-norm partition legitimately produces none
+        fs.listStatus(tmp).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("part="))
+          .foreach { c =>
+            val dst = new Path(rowsRoot, c.getName)
+            if (fs.exists(dst)) fs.delete(dst, true)
+            require(fs.rename(c, dst),
+              s"AnnIndex.refresh: swap failed for $dst")
+          }
+        fs.delete(tmp, true)
+      }
+    }
+  }
+}

@@ -125,8 +125,10 @@ object DataSkipping {
       .parquet(manifestPath(tablePath))
   }
 
-  /** Create the commit-probe marker (see [[IndexMarker]]). */
-  private def touchIndexMarker(
+  /** Create the commit-probe marker (see [[IndexMarker]]). Also used by
+    * [[AnnIndex.writeIndex]] — ANN sidecars park through the same
+    * commit hook. */
+  private[operators] def touchIndexMarker(
       spark: SparkSession, tablePath: String): Unit = {
     val p = new Path(s"$tablePath/$IndexMarker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,6 +173,19 @@ object DataSkipping {
           StaleBloomDirPrefix + s.getPath.getName.stripPrefix(BloomDirPrefix))
         if (fs.exists(staleB)) fs.delete(staleB, true)
         fs.rename(s.getPath, staleB)
+      }
+    // ANN sidecars likewise: a post-commit ivfTopKIndexed/sq8TopKIndexed
+    // fails loudly instead of probing stale cells/codes;
+    // AnnIndex.refreshIndexPartitioned un-parks and re-indexes ∝ touched
+    entries
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(AnnIndex.DirPrefix))
+      .foreach { s =>
+        val staleA = new Path(root,
+          AnnIndex.StaleDirPrefix +
+            s.getPath.getName.stripPrefix(AnnIndex.DirPrefix))
+        if (fs.exists(staleA)) fs.delete(staleA, true)
+        fs.rename(s.getPath, staleA)
       }
     if (!entries.exists(s => s.isDirectory &&
         s.getPath.getName == ManifestDir)) false

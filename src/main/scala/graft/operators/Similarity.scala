@@ -188,7 +188,7 @@ object Similarity {
     * ML fit spent ~4 s of a 5.5 s query training on 2k vectors). The
     * sample is the trainCap lowest-hash ids — deterministic and
     * partition-invariant regardless of corpus size or layout. */
-  private def trainCentroids(
+  private[operators] def trainCentroids(
       sample: Array[Array[Double]],
       nLists: Int,
       maxIter: Int,
@@ -229,6 +229,71 @@ object Similarity {
       iter += 1
     }
     centroids
+  }
+
+  /** Cell-assignment and probe-expansion plans over `vecs` (id, u) for
+    * a fixed centroid set — the single source of truth for IVF cell
+    * semantics, shared by the per-call [[ivfTopK]] and the persisted
+    * [[AnnIndex]] (write-time assignment and query-time probing MUST
+    * agree bit-for-bit or a borderline vector lands in one cell and is
+    * probed in another).
+    *
+    * Cells are scored by the SAME metric k-means assigns with
+    * (argmin ||u-c||² ≡ argmax (u·c − ||c||²/2)); ranking by raw dot
+    * would use a different metric and a query could miss its own cell.
+    * Two physical strategies with identical semantics (ties → lower
+    * cell id):
+    *  - small indexes: centroids inline as literals, struct-argmax /
+    *    sorted-slice — pure narrow projections, zero extra shuffles;
+    *  - large indexes (literals would blow past janino's method/
+    *    constant-pool limits and knock the projection off codegen):
+    *    broadcast centroid table + crossJoin + id-window rank. The
+    *    assignment is the rank-1 probe (same metric), so one ranking
+    *    serves both.
+    *
+    * @return (assigned: (id, u_b, cell), probes: (key, u_a, cell)) */
+  private[operators] def cellPlans(
+      vecs: DataFrame, // columns: id (long), u (array<double>, unit-norm)
+      centroids: Array[Array[Double]],
+      nProbe: Int,
+      literalCellThreshold: Int): (DataFrame, DataFrame) = {
+    val dim = centroids.head.length
+    if (centroids.length * dim <= literalCellThreshold) {
+      val cellScores = array(centroids.zipWithIndex.toIndexedSeq.map {
+        case (ctr, i) =>
+          val halfSq = ctr.map(x => x * x).sum / 2.0
+          struct(
+            (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
+            lit(-i).as("neg_cell"))
+      }: _*)
+      val a = vecs
+        .withColumn("best", array_max(cellScores))
+        .select(col("id"), col("u").as("u_b"),
+          (-col("best.neg_cell")).as("cell"))
+      val p = vecs
+        .withColumn("probe",
+          explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
+        .select(col("id").as("key"), col("u").as("u_a"),
+          (-col("probe.neg_cell")).as("cell"))
+      (a, p)
+    } else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val centroidDf = centroids.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum / 2.0) }
+        .toDF("cell", "centroid", "half_sq_norm")
+      val probeW = Window.partitionBy(col("id"))
+        .orderBy(col("cscore").desc, col("cell").asc)
+      val ranked = vecs.crossJoin(broadcast(centroidDf))
+        .withColumn("cscore",
+          dot(col("u"), col("centroid")) - col("half_sq_norm"))
+        .withColumn("prank", row_number().over(probeW))
+      val a = ranked.where(col("prank") === 1)
+        .select(col("id"), col("u").as("u_b"), col("cell"))
+      val p = ranked.where(col("prank") <= nProbe)
+        .select(col("id").as("key"), col("u").as("u_a"), col("cell"))
+      (a, p)
+    }
   }
 
   /** @param nLists cell count; 0 ⇒ auto-size to max(16, ⌈√n⌉) from a
@@ -282,56 +347,8 @@ object Similarity {
     }
     val centroids = trainCentroids(sample, lists, maxIter = 5, seed)
 
-    // Cells are scored by the SAME metric k-means assigns with
-    // (argmin ||u-c||² ≡ argmax (u·c − ||c||²/2)); ranking by raw dot
-    // would use a different metric and a query could miss its own cell.
-    // Two physical strategies with identical semantics (ties → lower
-    // cell id):
-    //  - small indexes: centroids inline as literals, struct-argmax /
-    //    sorted-slice — pure narrow projections, zero extra shuffles;
-    //  - large indexes (literals would blow past janino's method/
-    //    constant-pool limits and knock the projection off codegen):
-    //    broadcast centroid table + crossJoin + id-window rank. The
-    //    assignment is the rank-1 probe (same metric), so one ranking
-    //    serves both.
-    val dim = sample.head.length
     val (assigned, probes) =
-      if (centroids.length * dim <= literalCellThreshold) {
-        val cellScores = array(centroids.zipWithIndex.toIndexedSeq.map {
-          case (ctr, i) =>
-            val halfSq = ctr.map(x => x * x).sum / 2.0
-            struct(
-              (dot(col("u"), typedLit(ctr.toSeq)) - lit(halfSq)).as("s"),
-              lit(-i).as("neg_cell"))
-        }: _*)
-        val a = vecs
-          .withColumn("best", array_max(cellScores))
-          .select(col("id"), col("u").as("u_b"),
-            (-col("best.neg_cell")).as("cell"))
-        val p = vecs
-          .withColumn("probe",
-            explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
-          .select(col("id").as("key"), col("u").as("u_a"),
-            (-col("probe.neg_cell")).as("cell"))
-        (a, p)
-      } else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val centroidDf = centroids.zipWithIndex.toIndexedSeq
-          .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum / 2.0) }
-          .toDF("cell", "centroid", "half_sq_norm")
-        val probeW = Window.partitionBy(col("id"))
-          .orderBy(col("cscore").desc, col("cell").asc)
-        val ranked = vecs.crossJoin(broadcast(centroidDf))
-          .withColumn("cscore",
-            dot(col("u"), col("centroid")) - col("half_sq_norm"))
-          .withColumn("prank", row_number().over(probeW))
-        val a = ranked.where(col("prank") === 1)
-          .select(col("id"), col("u").as("u_b"), col("cell"))
-        val p = ranked.where(col("prank") <= nProbe)
-          .select(col("id").as("key"), col("u").as("u_a"), col("cell"))
-        (a, p)
-      }
+      cellPlans(vecs, centroids, nProbe, literalCellThreshold)
 
     val scored = probes
       .join(assigned.select(col("cell"), col("id"), col("u_b")),
@@ -379,46 +396,19 @@ object Similarity {
     (q, mn, scale, s)
   }
 
-  /** SQ8 approximate top-k: the broadcast-blocked scan of
-    * [[bruteForceTopKBlocked]] with the resident index QUANTIZED to
-    * int8 — the memory-bound ANN path. 1M × 64-dim doubles is a
-    * ~512 MB broadcast; quantized it is ~64 MB, so the blocked scan
-    * stays broadcastable an order of magnitude further up the corpus
-    * before LSH/IVF must take over.
-    *
-    * Two phases: (1) candidate generation — each query scans the
-    * quantized index with reconstructed dots (integer MACs) and keeps
-    * the top k·overFetch by (approx sim desc, id asc); (2) exact
-    * re-rank — candidates travel as IDS ONLY, true vectors re-attach
-    * by join, exact rounded dots rank the final top-k. Output matches
-    * lshTopK/ivfTopK: (query_id, neighbor_id, rank, sim). Recall < 1
-    * only where quantization error reorders neighbors past the
-    * over-fetch horizon — recall-tested vs brute force in
-    * SimilaritySpec. */
-  def sq8TopK(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      overFetch: Int = 4,
-      roundSim: Int = 4): DataFrame = {
-    val spark = df.sparkSession
+  /** The SQ8 candidate scan shared by the per-call [[sq8TopK]] and the
+    * persisted [[AnnIndex.sq8TopKIndexed]]: each query quantizes itself,
+    * scans the broadcast quantized index with reconstructed dots
+    * (integer MACs), and keeps the top `m` by (approx sim desc, id asc).
+    * Output: (key = query id, id = candidate id). */
+  private[operators] def sq8CandidateScan(
+      typed: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      bc: org.apache.spark.broadcast.Broadcast[
+        Array[(Long, Array[Byte], Double, Double, Long)]],
+      m: Int): DataFrame = {
+    val spark = typed.sparkSession
     import spark.implicits._
-    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
-        normalized(col(vecCol)).as("u"))
-      .where(col("u").isNotNull))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val typed = base.as[(Long, Seq[Double])]
-    val index: Array[(Long, Array[Byte], Double, Double, Long)] = typed
-      .mapPartitions(_.map { case (id, u) =>
-        val (q, mn, sc, s) = quantizeSq8(u.toArray)
-        (id, q, mn, sc, s)
-      })
-      .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(index)
-    val m = math.max(k * math.max(overFetch, 1), k)
-
-    val cands = typed.mapPartitions { it =>
+    typed.mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (qid, uSeq) =>
         val (qq, qmin, qscale, qsum) = quantizeSq8(uSeq.toArray)
@@ -459,6 +449,47 @@ object Similarity {
         (0 until filled).map(r => (qid, topIds(r)))
       }
     }.toDF("key", "id")
+  }
+
+  /** SQ8 approximate top-k: the broadcast-blocked scan of
+    * [[bruteForceTopKBlocked]] with the resident index QUANTIZED to
+    * int8 — the memory-bound ANN path. 1M × 64-dim doubles is a
+    * ~512 MB broadcast; quantized it is ~64 MB, so the blocked scan
+    * stays broadcastable an order of magnitude further up the corpus
+    * before LSH/IVF must take over.
+    *
+    * Two phases: (1) candidate generation — each query scans the
+    * quantized index with reconstructed dots (integer MACs) and keeps
+    * the top k·overFetch by (approx sim desc, id asc); (2) exact
+    * re-rank — candidates travel as IDS ONLY, true vectors re-attach
+    * by join, exact rounded dots rank the final top-k. Output matches
+    * lshTopK/ivfTopK: (query_id, neighbor_id, rank, sim). Recall < 1
+    * only where quantization error reorders neighbors past the
+    * over-fetch horizon — recall-tested vs brute force in
+    * SimilaritySpec. */
+  def sq8TopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      overFetch: Int = 4,
+      roundSim: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
+        normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val typed = base.as[(Long, Seq[Double])]
+    val index: Array[(Long, Array[Byte], Double, Double, Long)] = typed
+      .mapPartitions(_.map { case (id, u) =>
+        val (q, mn, sc, s) = quantizeSq8(u.toArray)
+        (id, q, mn, sc, s)
+      })
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    val m = math.max(k * math.max(overFetch, 1), k)
+    val cands = sq8CandidateScan(typed, bc, m)
 
     val scored = cands
       .join(base.select(col("id").as("key"), col("u").as("u_a")),

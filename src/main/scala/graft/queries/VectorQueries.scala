@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AnnIndex, Dedup, Similarity}
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -127,6 +127,37 @@ object VectorQueries extends QueryPack {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))),
 
+    // Persisted-index ANN (the lifecycle q45 lacks): build the
+    // _graft_ann__ sidecar ONCE (training + assignment + quantization),
+    // then answer from it — ivfTopKIndexed shares cellPlans with
+    // ivfTopK, so with the same (nLists, nProbe) this output is
+    // hash-identical to q45's (spec-asserted in AnnIndexSpec; the
+    // oracle re-verifies every reported value + recall independently).
+    // The in-gate require proves the QUERY phase scans only the
+    // sidecar: at 100 TB the corpus pass happens at index-build/refresh
+    // time (∝ touched partitions), never per query.
+    "q110_ivf_indexed" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q110")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val out = AnnIndex.ivfTopKIndexed(s, tablePath, "embedding",
+        k = 3, nProbe = 10)
+      requireSidecarOnly(out)
+      out
+    }),
+
+    // SQ8 from the persisted sidecar: quantized codes are READ (the
+    // per-call corpus quantization pass is what the sidecar amortizes),
+    // candidates via the shared sq8CandidateScan — hash-identical to
+    // q80 (spec-asserted), same derived-invariant oracle.
+    "q111_sq8_indexed" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q111")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val out = AnnIndex.sq8TopKIndexed(s, tablePath, "embedding",
+        k = 3, overFetch = 4)
+      requireSidecarOnly(out)
+      out
+    }),
+
     // Semantic clustering: deterministic seed-medoid assignment (k
     // lowest-id vectors as seeds, rounded-cosine argmax) — the IVF
     // assignment machinery under a FULL hash oracle instead of a
@@ -142,6 +173,30 @@ object VectorQueries extends QueryPack {
       graft.operators.Clustering.profile(
         graft.operators.Clustering.assignToSeeds(
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 16))))
+
+  /** Materialize the embeddings table as a directory (the sidecar
+    * needs a table root it can own) and return its path. Fresh temp
+    * per call — gates must not share index state across runs. */
+  private def annTable(
+      s: SparkSession, dir: String, tag: String): String = {
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_").toString + "/embeddings"
+    t(s, dir, "embeddings").write.parquet(path)
+    path
+  }
+
+  /** The indexed-ANN contract, asserted in-gate: every file scan in the
+    * query plan reads the `_graft_ann__` sidecar — the base table's
+    * raw vector column is never touched at query time. */
+  private def requireSidecarOnly(out: DataFrame): Unit = {
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.contains(AnnIndex.DirPrefix)),
+      s"ANN query phase must scan only the index sidecar, got: $scans")
+  }
 
   private val dotAB =
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
@@ -211,6 +266,11 @@ object VectorQueries extends QueryPack {
     // SQ8's quantization error is bounded (no bucketing randomness), so
     // its floor sits higher than the LSH/IVF gates.
     "q80_sq8_topk" -> annTopKInvariant("q80_sq8_topk", k = 3, recallFloor = 0.9),
+    // The persisted-index variants compute the same values as q45/q80
+    // (shared cellPlans/quantization — hash-identical, spec-asserted),
+    // so they carry the same derived-invariant oracles and floors.
+    "q110_ivf_indexed" -> annTopKInvariant("q110_ivf_indexed", k = 3, recallFloor = 0.75),
+    "q111_sq8_indexed" -> annTopKInvariant("q111_sq8_indexed", k = 3, recallFloor = 0.9),
 
     // Derived invariant: every reported pair's cosine recomputed
     // exactly (raw-vector arithmetic, the engine's cosine()) and must

@@ -1,0 +1,171 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[AnnIndex]]: the persisted IVF/SQ8 sidecar must change WHEN work
+  * happens, never WHAT is computed — indexed queries are bit-identical
+  * to their per-call counterparts, read only the sidecar, park on
+  * partition-scoped commits, and refresh ∝ touched partitions. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ann_").toString
+
+  /** Deterministic synthetic corpus: `n` vectors of dim 8 in 3
+    * partitions, clustered around 4 rough directions so IVF cells are
+    * meaningful. */
+  private def corpus(n: Int): DataFrame =
+    (1 to n).map { i =>
+      val g = i % 4
+      val v = (0 until 8).map { j =>
+        val bias = if (j % 4 == g) 4.0 else 0.0
+        bias + math.sin(i * 31 + j * 7) // deterministic jitter
+      }
+      (i.toLong, i % 3, v)
+    }.toDF("id", "p", "vec")
+
+  private def writePartitioned(df: DataFrame, path: String): Unit =
+    Upsert.writeSnapshotsPartitioned(Seq(
+      Upsert.PartitionedWrite(df, path, "p", Seq(0, 1, 2))))
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Int, Double)] =
+    df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  test("ivfTopKIndexed is bit-identical to per-call ivfTopK") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(180), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val indexed = resultSet(
+      AnnIndex.ivfTopKIndexed(spark, path, "vec", k = 3, nProbe = 2))
+    val percall = resultSet(Similarity.ivfTopK(
+      spark.read.parquet(path), "id", "vec", k = 3, nLists = 4, nProbe = 2))
+    assert(indexed == percall)
+    assert(indexed.nonEmpty)
+  }
+
+  test("sq8TopKIndexed is bit-identical to per-call sq8TopK") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(150), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val indexed = resultSet(
+      AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3, overFetch = 4))
+    val percall = resultSet(Similarity.sq8TopK(
+      spark.read.parquet(path), "id", "vec", k = 3, overFetch = 4))
+    assert(indexed == percall)
+    assert(indexed.nonEmpty)
+  }
+
+  test("indexed query plans scan ONLY the sidecar, never the base table") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(120), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    Seq(
+      AnnIndex.ivfTopKIndexed(spark, path, "vec", k = 3, nProbe = 2),
+      AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3)
+    ).foreach { out =>
+      val scans = out.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.nonEmpty)
+      scans.foreach { p =>
+        assert(p.contains(AnnIndex.DirPrefix + "vec"),
+          s"query phase scanned outside the sidecar: $p")
+      }
+    }
+  }
+
+  test("partition-scoped commit parks the index; queries fail loudly") {
+    val path = tmp() + "/t"
+    val data = corpus(120)
+    writePartitioned(data, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    assert(AnnIndex.hasIndex(spark, path, "vec"))
+    val updates = data.where(col("p") === 1)
+      .withColumn("vec", transform(col("vec"), x => x * 2.0))
+    Upsert.upsertPartitioned(spark, path, updates, Seq("id"), "p")
+    assert(!AnnIndex.hasIndex(spark, path, "vec"),
+      "a partition-scoped commit must park the ANN sidecar")
+    intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopKIndexed(spark, path, "vec", k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3)
+    }
+  }
+
+  test("refresh re-indexes touched partitions only; untouched subdirs untouched") {
+    val path = tmp() + "/t"
+    val data = corpus(180)
+    writePartitioned(data, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rowsRoot = new Path(s"${AnnIndex.indexDir(path, "vec")}/rows")
+    def childFiles(child: String): Map[String, Long] =
+      fs.listStatus(new Path(rowsRoot, child)).filter(_.isFile)
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val p0Before = childFiles("part=p%3D0")
+    assert(p0Before.nonEmpty, "sanity: hive-escaped child exists")
+
+    // make ids 7 and 10 (both p=1) identical: after refresh each must
+    // report the other as its rank-1 neighbor at sim 1.0
+    val donor = data.where(col("id") === 10).select("vec")
+      .as[Seq[Double]].head()
+    val updates = data.where(col("p") === 1)
+      .withColumn("vec",
+        when(col("id") === 7, typedLit(donor)).otherwise(col("vec")))
+    val commit = Upsert.upsertPartitioned(spark, path, updates, Seq("id"), "p")
+    assert(commit.rewritten == Seq("p=1"))
+    AnnIndex.refreshIndexPartitioned(spark, path, "id", "vec",
+      commit.rewritten ++ commit.deleted, validate = false)
+
+    assert(AnnIndex.hasIndex(spark, path, "vec"))
+    assert(childFiles("part=p%3D0") == p0Before,
+      "untouched partition's index subdir must stay byte-identical")
+    val m = AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 1)
+      .where(col("query_id").isin(7L, 10L))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m(7L) == ((10L, 1.0)), s"refreshed index must see new vectors: $m")
+    assert(m(10L) == ((7L, 1.0)), s"refreshed index must see new vectors: $m")
+  }
+
+  test("validate=true self-heals undeclared drift and vanished partitions") {
+    val path = tmp() + "/t"
+    val data = corpus(150)
+    writePartitioned(data, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drift behind the index's back: drop partition p=2 entirely and
+    // rewrite p=1's files without declaring either
+    fs.delete(new Path(path, "p=2"), true)
+    val rewritten = data.where(col("p") === 1)
+      .withColumn("vec", transform(col("vec"), x => x * 3.0))
+    fs.delete(new Path(path, "p=1"), true)
+    rewritten.drop("p").write.parquet(s"$path/p=1")
+    AnnIndex.refreshIndexPartitioned(spark, path, "id", "vec",
+      touchedDirs = Seq.empty, validate = true)
+    val parts = spark.read
+      .parquet(s"${AnnIndex.indexDir(path, "vec")}/rows")
+      .select(col("part")).distinct().as[String].collect().toSet
+    assert(parts == Set("p=0", "p=1"),
+      s"vanished partition's rows must be dropped, drifted one rebuilt: $parts")
+    // the rebuilt rows carry the rewritten vectors (norm-invariant check:
+    // stored u is unit-normalized, so compare against fresh normalize)
+    val ids = spark.read
+      .parquet(s"${AnnIndex.indexDir(path, "vec")}/rows")
+      .where(col("part") === "p=1").count()
+    assert(ids == rewritten.count())
+  }
+}
