@@ -1,0 +1,427 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Time travel for PARTITIONED fact tables: a generation is a MANIFEST
+  * of (partition dir → file list), and a commit writes only the
+  * changed partitions' files plus one manifest — the design
+  * [[Versioned]]'s own doc names for the fact-table scale
+  * (`Versioned.scala`: full-copy generations are dimension-scope; facts
+  * version per partition). This is the lakehouse snapshot idea
+  * (Iceberg manifests / Delta log) on plain parquet + parquet
+  * manifests: data files are IMMUTABLE and SHARED across generations —
+  * an untouched partition's manifest rows carry over verbatim, so
+  * storage and write cost are ∝ changed partitions, not table size,
+  * while every retained generation stays readable byte-exact.
+  *
+  * Layout under `tablePath/`:
+  *  - `_graft_vdata/vgen=<n>/<pcol>=<val>/part-*.parquet` — the data
+  *    files COMMIT `n` wrote (Hive layout, so one pinned-schema read
+  *    over any file set restores the partition column AND the
+  *    originating commit via path discovery; a generation's read is ONE
+  *    scan, never a union per source commit).
+  *  - `_graft_gens/gen=<n>/manifest/` — (dir, file) rows; `file` is
+  *    relative to `_graft_vdata`. `schema.ddl` pins the generation's
+  *    schema (partition-column types are never trusted to dir-name
+  *    inference — same posture as [[Upsert.readPartitionedSnapshot]]).
+  *    `_graft_claim` / `_graft_committed` as in [[Versioned]]: the
+  *    claim's exclusive create serializes concurrent committers onto
+  *    distinct numbers, the marker (written LAST) makes a generation
+  *    visible, and retention never touches a fresh claimed-uncommitted
+  *    generation.
+  *
+  * Retention deletes expired generations' MANIFESTS, then
+  * garbage-collects data files no retained manifest references —
+  * cross-generation sharing is respected by construction (a gen-0 file
+  * still referenced by the head generation's manifest survives any
+  * number of retention cycles).
+  *
+  * Readers go through [[read]]/[[readDirs]] (a plain
+  * `spark.read.parquet(tablePath)` sees nothing — all state lives under
+  * underscore dirs, exactly like the index sidecars), and only ever see
+  * fully-committed generations.
+  */
+object FactVersioned {
+
+  val GensDir = "_graft_gens"
+  val DataDir = "_graft_vdata"
+
+  /** Path-discovered commit column in `_graft_vdata` (dropped on read).
+    * Not underscore-prefixed: partition discovery must parse it. */
+  val VGenCol = "vgen"
+
+  /** See [[Versioned.StaleClaimMs]] — same in-flight protection, and
+    * the publication lease: a committer must publish within this of
+    * claiming or concurrent committers may treat it as abandoned. */
+  val StaleClaimMs: Long = Versioned.StaleClaimMs
+
+  /** How long a committer waits for lower-numbered in-flight claims to
+    * resolve before aborting its own commit. */
+  val ResolveTimeoutMs: Long = 60L * 1000L
+
+  final case class Commit(gen: Long, rewrittenDirs: Seq[String])
+
+  /** Roll back an unpublished claim: its metadata dir and staged data. */
+  private def abortClaim(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String,
+      g: Long,
+      genData: Path): Unit = {
+    if (fs.exists(genData)) fs.delete(genData, true)
+    val meta = genMeta(tablePath, g)
+    if (fs.exists(meta)) fs.delete(meta, true)
+  }
+
+  private def gensRoot(t: String) = new Path(t, GensDir)
+  private def dataRoot(t: String) = new Path(t, DataDir)
+  private def genMeta(t: String, g: Long) = new Path(gensRoot(t), s"gen=$g")
+  private def manifestDir(t: String, g: Long) = new Path(genMeta(t, g), "manifest")
+
+  private def fsOf(spark: SparkSession, t: String) =
+    new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed generation numbers, ascending. */
+  def generations(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val fs = fsOf(spark, tablePath)
+    val root = gensRoot(tablePath)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (!n.startsWith("gen=")) None
+        else n.stripPrefix("gen=").toLongOption
+          .filter(_ => fs.exists(new Path(p, Versioned.CommitMarker)))
+      }.sorted.toSeq
+  }
+
+  private def resolveGen(
+      spark: SparkSession, tablePath: String, gen: Option[Long]): Long = {
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    val g = gen.getOrElse(gens.max)
+    require(gens.contains(g),
+      s"generation $g is not committed at $tablePath " +
+        s"(have ${gens.mkString(",")})")
+    g
+  }
+
+  private def readSchema(
+      spark: SparkSession, tablePath: String, g: Long): StructType = {
+    val fs = fsOf(spark, tablePath)
+    val in = fs.open(new Path(genMeta(tablePath, g), "schema.ddl"))
+    val ddl = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    StructType.fromDDL(ddl)
+  }
+
+  /** One pinned-schema scan assembling a generation from its manifest's
+    * file list; `dirs` (None = all) prunes at the FILE level before any
+    * scan — the manifest is the skipping index. */
+  private def readFiles(
+      spark: SparkSession,
+      tablePath: String,
+      g: Long,
+      dirs: Option[Seq[String]]): DataFrame = {
+    val m = spark.read.parquet(manifestDir(tablePath, g).toString)
+    val pruned = dirs match {
+      case Some(ds) if ds.nonEmpty => m.where(col("dir").isin(ds: _*))
+      case Some(_) => m.where(lit(false))
+      case None => m
+    }
+    val data = dataRoot(tablePath).toString
+    val files = pruned.select("file").collect().map(r => s"$data/${r.getString(0)}")
+    val schema = readSchema(spark, tablePath, g)
+    if (files.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.schema(schema.add(VGenCol, LongType))
+        .option("basePath", data)
+        .parquet(files.toIndexedSeq: _*)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Read a generation (default: latest committed). */
+  def read(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long] = None): DataFrame =
+    readFiles(spark, tablePath, resolveGen(spark, tablePath, gen), None)
+
+  /** Read only `dirs` of a generation — file-pruned via the manifest. */
+  def readDirs(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long],
+      dirs: Seq[String]): DataFrame =
+    readFiles(spark, tablePath, resolveGen(spark, tablePath, gen), Some(dirs))
+
+  /** Commit a new generation whose `touched` partitions' content is
+    * exactly `content` (a touched value absent from `content` is a
+    * partition DELETE); every other partition's manifest rows carry
+    * over verbatim — no data file outside the touched set is written,
+    * read, or copied. */
+  /** @param basisGen the generation `content` was DERIVED from, when it
+    *   was (upsert's read-merge); conflict detection runs against this
+    *   basis, so an intervener committing between the read and the
+    *   claim is caught even when it lands before our claim. None =
+    *   content is independent of prior state (pure replace) — the
+    *   claim-time head is the basis. */
+  def replacePartitions(
+      spark: SparkSession,
+      tablePath: String,
+      content: DataFrame,
+      partitionCol: String,
+      touched: Seq[Any],
+      retain: Int = 3,
+      basisGen: Option[Long] = None): Commit = {
+    require(retain >= 1, "retain must keep at least the new generation")
+    require(content.columns.contains(partitionCol),
+      s"content lacks partition column $partitionCol")
+    require(partitionCol != VGenCol && !content.columns.contains(VGenCol),
+      s"column name $VGenCol is reserved by FactVersioned")
+    val fs = fsOf(spark, tablePath)
+    val gRoot = gensRoot(tablePath)
+    if (!fs.exists(gRoot)) fs.mkdirs(gRoot)
+
+    // CAS-claim the generation number (see Versioned.commit)
+    val present = fs.listStatus(gRoot).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => if (n.startsWith("gen="))
+        n.stripPrefix("gen=").toLongOption else None)
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"FactVersioned: could not claim a generation at $tablePath")
+      try {
+        fs.create(new Path(genMeta(tablePath, next), Versioned.ClaimMarker),
+          false).close()
+        claimed = true
+      } catch { case _: java.io.IOException => next += 1 }
+    }
+    // From here to the commit marker, ANY failure must roll the claim
+    // back — a leaked fresh claim would make later committers wait out
+    // the full resolve timeout for a writer that is already dead.
+    val genData = new Path(dataRoot(tablePath), s"$VGenCol=$next")
+    val commit = try {
+      publishClaimed(spark, tablePath, content, partitionCol, touched,
+        basisGen, fs, gRoot, next, genData)
+    } catch {
+      case e: Throwable =>
+        abortClaim(fs, tablePath, next, genData)
+        throw e
+    }
+    retentionSweep(spark, tablePath, retain, next)
+    commit
+  }
+
+  /** The post-claim commit body (staging → linearize → conflict check →
+    * manifest → marker); see [[replacePartitions]]. */
+  private def publishClaimed(
+      spark: SparkSession,
+      tablePath: String,
+      content: DataFrame,
+      partitionCol: String,
+      touched: Seq[Any],
+      basisGen: Option[Long],
+      fs: org.apache.hadoop.fs.FileSystem,
+      gRoot: Path,
+      next: Long,
+      genData: Path): Commit = {
+    val parentAtClaim = generations(spark, tablePath).lastOption
+
+    val touchedDirs =
+      touched.map(v => Upsert.partitionDirName(partitionCol, v)).distinct
+    parentAtClaim.foreach { pg =>
+      val ps = readSchema(spark, tablePath, pg)
+      require(ps.fieldNames.toSet == content.schema.fieldNames.toSet,
+        s"FactVersioned: content schema ${content.schema.fieldNames.toSeq} " +
+          s"does not match generation $pg schema ${ps.fieldNames.toSeq}")
+    }
+
+    // stage this commit's data files under their own vgen dir
+    if (fs.exists(genData)) fs.delete(genData, true) // stale-claim debris
+    content.write.partitionBy(partitionCol).parquet(genData.toString)
+    val stagedDirs =
+      if (!fs.exists(genData)) Array.empty[String]
+      else fs.listStatus(genData).filter(_.isDirectory).map(_.getPath.getName)
+    val undeclared = stagedDirs.toSet -- touchedDirs.toSet
+    require(undeclared.isEmpty,
+      s"FactVersioned: content contains partitions not declared touched: " +
+        s"${undeclared.toSeq.sorted.mkString(",")}")
+
+    // Linearize publication by generation number: every lower-numbered
+    // claim must RESOLVE (commit, abandon, or go stale) before this one
+    // publishes, so the head this commit rebases onto is final. With
+    // that, non-overlapping concurrent writers all land (each rebases
+    // its carried rows over the real new head); overlapping ones abort.
+    // Lease contract: a committer must publish within StaleClaimMs of
+    // claiming or it may be treated as abandoned.
+    val deadline = System.currentTimeMillis() + ResolveTimeoutMs
+    def unresolvedBelow(): Seq[Long] =
+      fs.listStatus(gRoot).filter(_.isDirectory).map(_.getPath)
+        .flatMap { p =>
+          p.getName.stripPrefix("gen=").toLongOption.filter { g =>
+            g < next &&
+              !fs.exists(new Path(p, Versioned.CommitMarker)) && {
+                val claim = new Path(p, Versioned.ClaimMarker)
+                fs.exists(claim) &&
+                  System.currentTimeMillis() -
+                    fs.getFileStatus(claim).getModificationTime < StaleClaimMs
+              }
+          }
+        }.toSeq
+    var pending = unresolvedBelow()
+    while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      pending = unresolvedBelow()
+    }
+    if (pending.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"FactVersioned: generations ${pending.mkString(",")} at $tablePath " +
+          s"stayed in flight past ${ResolveTimeoutMs} ms — aborting commit " +
+          s"$next (retry)")
+
+    val head = generations(spark, tablePath).lastOption
+    val parentGen = basisGen.orElse(parentAtClaim).getOrElse(-1L)
+    if (head.exists(_ > parentGen)) {
+      // someone committed since our basis: their touched dirs are the
+      // dirs whose manifest rows point into their own vgen dir
+      val interveners = generations(spark, tablePath).filter(_ > parentGen)
+      val theirTouched = spark.read.parquet(
+          interveners.map(g => manifestDir(tablePath, g).toString): _*)
+        .where(interveners.map(g =>
+          col("file").startsWith(s"$VGenCol=$g/")).reduce(_ || _))
+        .select("dir").distinct().collect().map(_.getString(0)).toSet
+      val overlap = theirTouched.intersect(touchedDirs.toSet)
+      if (overlap.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"FactVersioned: partitions ${overlap.toSeq.sorted.mkString(",")} " +
+            s"were committed concurrently at $tablePath — retry the upsert " +
+            "against the new head")
+    }
+
+    import spark.implicits._
+    val fresh: Seq[(String, String)] = stagedDirs.toIndexedSeq.flatMap { d =>
+      fs.listStatus(new Path(genData, d))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (d, s"$VGenCol=$next/$d/${f.getPath.getName}"))
+    }
+    // rebase: carry from the RESOLVED head, not the claim-time parent —
+    // a non-overlapping intervener's changes are thereby preserved
+    val carried = head match {
+      case None => spark.emptyDataset[(String, String)].toDF("dir", "file")
+      case Some(pg) =>
+        spark.read.parquet(manifestDir(tablePath, pg).toString)
+          .where(!col("dir").isin(touchedDirs: _*))
+    }
+    carried.unionByName(fresh.toDF("dir", "file"))
+      .coalesce(1).write.parquet(manifestDir(tablePath, next).toString)
+    val ddl = content.schema.toDDL.getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"), true)
+    try out.write(ddl) finally out.close()
+    fs.create(new Path(genMeta(tablePath, next), Versioned.CommitMarker),
+      true).close()
+    Commit(next, stagedDirs.toIndexedSeq.sorted)
+  }
+
+  /** Upsert into the latest generation: touched partitions' new content
+    * = current rows whose key has no update + the updates; commits via
+    * [[replacePartitions]], so only touched partitions are read
+    * (manifest-pruned) or written. Updates must be key-unique. */
+  def upsert(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      retain: Int = 3,
+      maxTouchedPartitions: Int = 10000): Commit = {
+    val touchedRows = updates.select(partitionCol).distinct()
+      .limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"upsert touches more than $maxTouchedPartitions partitions — " +
+        "this is a rewrite, not an incremental commit")
+    val touched = touchedRows.map(_.get(0)).toIndexedSeq
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty)
+      return replacePartitions(spark, tablePath, updates, partitionCol,
+        touched, retain)
+    val basis = gens.max // the head this merge is derived from
+    val touchedDirs =
+      touched.map(v => Upsert.partitionDirName(partitionCol, v))
+    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+    val keep = current.join(
+      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    replacePartitions(spark, tablePath, keep.unionByName(updates),
+      partitionCol, touched, retain, basisGen = Some(basis))
+  }
+
+  /** Expire old generations' metadata, then GC data files no retained
+    * manifest references. In-flight claimed generations (fresh claim,
+    * no marker) are never touched; stale claim debris is reclaimed. */
+  private def retentionSweep(
+      spark: SparkSession,
+      tablePath: String,
+      retain: Int,
+      justCommitted: Long): Unit = {
+    val fs = fsOf(spark, tablePath)
+    val committed = generations(spark, tablePath)
+    val floor = committed.takeRight(retain).headOption.getOrElse(justCommitted)
+    val retained = committed.filter(_ >= floor)
+
+    def inFlight(g: Long): Boolean = {
+      val claim = new Path(genMeta(tablePath, g), Versioned.ClaimMarker)
+      !fs.exists(new Path(genMeta(tablePath, g), Versioned.CommitMarker)) &&
+        fs.exists(claim) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(claim).getModificationTime < StaleClaimMs
+    }
+
+    // expire generation metadata below the floor (committed or debris)
+    fs.listStatus(gensRoot(tablePath)).filter(_.isDirectory).map(_.getPath)
+      .foreach { p =>
+        p.getName.stripPrefix("gen=").toLongOption.foreach { g =>
+          if (g < floor && !inFlight(g)) fs.delete(p, true)
+        }
+      }
+
+    // GC: any data file not referenced by a retained manifest is dead
+    val dRoot = dataRoot(tablePath)
+    if (!fs.exists(dRoot)) return
+    val referenced: Set[String] =
+      if (retained.isEmpty) Set.empty
+      else spark.read.parquet(
+          retained.map(g => manifestDir(tablePath, g).toString): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    fs.listStatus(dRoot).filter(_.isDirectory).map(_.getPath).foreach { vd =>
+      val g = vd.getName.stripPrefix(s"$VGenCol=").toLongOption
+      val skip = g.exists(inFlight)
+      if (!skip) {
+        var live = 0
+        fs.listStatus(vd).filter(_.isDirectory).foreach { sub =>
+          fs.listStatus(sub.getPath).filter(_.isFile).foreach { f =>
+            val rel = s"${vd.getName}/${sub.getPath.getName}/${f.getPath.getName}"
+            if (!referenced.contains(rel)) fs.delete(f.getPath, false)
+            else live += 1
+          }
+          if (fs.listStatus(sub.getPath).isEmpty) fs.delete(sub.getPath, true)
+        }
+        // no partition subdirs left ⇒ only _SUCCESS-style residue; drop it
+        if (fs.exists(vd) && !fs.listStatus(vd).exists(_.isDirectory))
+          fs.delete(vd, true)
+      }
+    }
+  }
+}

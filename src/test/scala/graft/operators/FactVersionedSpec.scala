@@ -1,0 +1,158 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[FactVersioned]]: per-generation partition manifests — commits ∝
+  * changed partitions, byte-exact time travel through file sharing,
+  * GC that respects cross-generation references, and optimistic
+  * concurrency (non-overlapping writers merge, overlapping abort). */
+class FactVersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_factver_").toString + "/t"
+
+  private def fsOf(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def base(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "p", "v")
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("k"), col("p"), col("v"))
+      .as[(Long, Int, Long)].collect().toSet
+
+  test("upsert commits ∝ touched partitions; every generation reads back exactly") {
+    val path = tmp()
+    val v0 = base(90)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p")
+    val updates = Seq((3L, 0, 999L), (91L, 0, 910L)).toDF("k", "p", "v")
+    val c1 = FactVersioned.upsert(spark, path, updates, Seq("k"), "p")
+    assert(c1.gen == 1L && c1.rewrittenDirs == Seq("p=0"))
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+
+    assert(rows(FactVersioned.read(spark, path, Some(0L))) == rows(v0))
+    val expect1 = rows(v0).filterNot(_._1 == 3L) + ((3L, 0, 999L)) + ((91L, 0, 910L))
+    assert(rows(FactVersioned.read(spark, path)) == expect1)
+
+    // commit 1 wrote ONLY the touched partition's files
+    val fs = fsOf(path)
+    val vg1 = new Path(s"$path/${FactVersioned.DataDir}/vgen=1")
+    val dirs1 = fs.listStatus(vg1).filter(_.isDirectory).map(_.getPath.getName)
+    assert(dirs1.toSeq == Seq("p=0"))
+    // untouched partitions are SHARED: both manifests cite identical files
+    def filesOf(g: Long, d: String): Set[String] =
+      spark.read.parquet(s"$path/${FactVersioned.GensDir}/gen=$g/manifest")
+        .where(col("dir") === d).select("file")
+        .as[String].collect().toSet
+    assert(filesOf(0L, "p=1") == filesOf(1L, "p=1"))
+    assert(filesOf(0L, "p=2") == filesOf(1L, "p=2"))
+    assert(filesOf(0L, "p=0").nonEmpty &&
+      filesOf(0L, "p=0").intersect(filesOf(1L, "p=0")).isEmpty)
+  }
+
+  test("retention GCs only unreferenced files; shared gen-0 files survive") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(90), Seq("k"), "p", retain = 2)
+    // five commits all touching ONLY p=0; p=1/p=2 stay on gen-0 files
+    (1 to 5).foreach { i =>
+      FactVersioned.upsert(spark, path,
+        Seq((3L, 0, 1000L + i)).toDF("k", "p", "v"),
+        Seq("k"), "p", retain = 2)
+    }
+    assert(FactVersioned.generations(spark, path) == Seq(4L, 5L))
+    val fs = fsOf(path)
+    // gen-0's p=1/p=2 files still referenced by the head → survive GC
+    val vg0 = new Path(s"$path/${FactVersioned.DataDir}/vgen=0")
+    val kept = fs.listStatus(vg0).filter(_.isDirectory).map(_.getPath.getName)
+    assert(kept.toSet == Set("p=1", "p=2"),
+      s"gen-0 shared partitions must survive, touched one GC'd: ${kept.toSeq}")
+    // old intermediate commits' data (vgen=1..3, all superseded) is gone
+    (1 to 3).foreach { g =>
+      assert(!fs.exists(new Path(s"$path/${FactVersioned.DataDir}/vgen=$g")),
+        s"vgen=$g files are unreferenced and must be GC'd")
+    }
+    // and the head still reads correctly
+    val head = rows(FactVersioned.read(spark, path))
+    assert(head.contains((3L, 0, 1005L)))
+    assert(head.size == 90)
+  }
+
+  test("replacePartitions with absent content deletes a partition in the new gen only") {
+    val path = tmp()
+    val v0 = base(90)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p")
+    FactVersioned.replacePartitions(spark, path,
+      v0.where(col("p") === 99), // empty content for p=2
+      "p", touched = Seq(2))
+    assert(rows(FactVersioned.read(spark, path)) ==
+      rows(v0.where(col("p") =!= 2)))
+    assert(rows(FactVersioned.read(spark, path, Some(0L))) == rows(v0))
+  }
+
+  test("schema drift and undeclared partitions fail loudly") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")
+    intercept[IllegalArgumentException] {
+      FactVersioned.replacePartitions(spark, path,
+        base(30).withColumnRenamed("v", "w"), "p", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      FactVersioned.replacePartitions(spark, path,
+        base(30), "p", touched = Seq(0)) // content also has p=1, p=2
+    }
+    // aborted claims leave no debris blocking the next commit
+    val c = FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 7L)).toDF("k", "p", "v"), Seq("k"), "p")
+    assert(c.gen > 0 && rows(FactVersioned.read(spark, path)).contains((3L, 0, 7L)))
+  }
+
+  test("concurrent disjoint committers both land; overlapping one aborts") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // disjoint: p=0 and p=1 in parallel — both must land, merged
+      val path = tmp()
+      FactVersioned.upsert(spark, path, base(90), Seq("k"), "p")
+      val fa = Future(FactVersioned.upsert(spark, path,
+        Seq((3L, 0, 111L)).toDF("k", "p", "v"), Seq("k"), "p"))
+      val fb = Future(FactVersioned.upsert(spark, path,
+        Seq((4L, 1, 222L)).toDF("k", "p", "v"), Seq("k"), "p"))
+      Await.result(Future.sequence(Seq(fa, fb)), 2.minutes)
+      val head = rows(FactVersioned.read(spark, path))
+      assert(head.contains((3L, 0, 111L)) && head.contains((4L, 1, 222L)),
+        s"non-overlapping concurrent commits must both survive")
+      assert(head.size == 90)
+
+      // overlapping: same partition — exactly one lands, or the loser
+      // aborts with ConcurrentModificationException (never torn state)
+      val path2 = tmp()
+      FactVersioned.upsert(spark, path2, base(90), Seq("k"), "p")
+      val g1 = Future(FactVersioned.upsert(spark, path2,
+        Seq((3L, 0, 111L)).toDF("k", "p", "v"), Seq("k"), "p"))
+      val g2 = Future(FactVersioned.upsert(spark, path2,
+        Seq((6L, 0, 444L)).toDF("k", "p", "v"), Seq("k"), "p"))
+      val results = Await.result(
+        Future.sequence(Seq(g1, g2).map(_.map(Right(_)).recover {
+          case e: java.util.ConcurrentModificationException => Left(e)
+        })), 2.minutes)
+      val landed = results.count(_.isRight)
+      assert(landed >= 1, "at least one overlapping committer must land")
+      val head2 = rows(FactVersioned.read(spark, path2))
+      assert(head2.size == 90, s"no torn state: $landed landed")
+      if (landed == 2)
+        assert(head2.contains((3L, 0, 111L)) && head2.contains((6L, 0, 444L)))
+      else
+        assert(head2.contains((3L, 0, 111L)) || head2.contains((6L, 0, 444L)))
+    } finally pool.shutdown()
+  }
+}
