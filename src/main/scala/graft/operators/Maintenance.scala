@@ -109,31 +109,49 @@ object Maintenance {
     // by compaction, but file paths/groupings are not). A fully
     // healthy table is a pure no-op and keeps its manifest live.
     if (sized.exists(!_._4)) DataSkipping.invalidateManifest(spark, path)
-    sized.map { case (d, bytes, nFiles, healthy) =>
-      val dirPath = new Path(root, d)
-      if (healthy) d -> CompactionReport(nFiles, nFiles, bytes, false)
-      else {
-        val targetFiles = math.max(1,
-          math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        // dir files carry no partition column — the rewrite is a plain
-        // flat read/coalesce/write of THIS dir only
-        val tmp = new Path(path + "__ptmp", d)
-        spark.read.parquet(dirPath.toString).coalesce(targetFiles)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val prev = new Path(root, Upsert.HiddenPrev + d)
-        if (fs.exists(prev)) fs.delete(prev, true)
-        fs.rename(dirPath, prev)
-        fs.rename(tmp, dirPath)
-        fs.delete(prev, true)
-        val after = fs.listStatus(dirPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .toLong
-        d -> CompactionReport(nFiles, after, bytes, true)
-      }
-    }.toMap match { case reports =>
-      val tmpRoot = new Path(path + "__ptmp")
+    val tmpRoot = new Path(
+      path + "__ptmp_" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      sized.map { case (d, bytes, nFiles, healthy) =>
+        val dirPath = new Path(root, d)
+        if (healthy) d -> CompactionReport(nFiles, nFiles, bytes, false)
+        else {
+          val targetFiles = math.max(1,
+            math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          // Compaction is values-preserving ONLY against the exact file
+          // set it read — fingerprint it, stage unlocked, and swap only
+          // if the dir is unchanged under the commit lock. A dir a
+          // concurrent commit touched is SKIPPED this cycle (clobbering
+          // it would throw the commit's fresh files away); the next
+          // maintenance tick re-evaluates it.
+          val fp = CommitLock.fingerprint(spark, path, Seq(d))
+          // dir files carry no partition column — the rewrite is a plain
+          // flat read/coalesce/write of THIS dir only
+          val tmp = new Path(tmpRoot, d)
+          spark.read.parquet(dirPath.toString).coalesce(targetFiles)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val swapped = CommitLock.withLocks(spark, Seq(path)) {
+            if (CommitLock.fingerprint(spark, path, Seq(d)) != fp) false
+            else {
+              val prev = new Path(root, Upsert.HiddenPrev + d)
+              if (fs.exists(prev)) fs.delete(prev, true)
+              fs.rename(dirPath, prev)
+              fs.rename(tmp, dirPath)
+              fs.delete(prev, true)
+              true
+            }
+          }
+          if (!swapped) d -> CompactionReport(nFiles, nFiles, bytes, false)
+          else {
+            val after = fs.listStatus(dirPath)
+              .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .toLong
+            d -> CompactionReport(nFiles, after, bytes, true)
+          }
+        }
+      }.toMap
+    } finally {
       if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-      reports
     }
   }
 

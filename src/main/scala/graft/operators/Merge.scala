@@ -83,6 +83,13 @@ object Merge {
     *                     both tables share the row shape, as in the
     *                     reference's staging/main pair)
     * @param partitionCol partition column of BOTH snapshot tables */
+  /** @param commitRetries optimistic-concurrency retries (see
+    *   [[Upsert.upsertPartitioned]]). The promote's touched set is only
+    *   known after reading staging, so the fingerprint covers EVERY
+    *   partition dir of both tables — a concurrent commit to either
+    *   (e.g. the streaming upsert landing a batch in staging mid-
+    *   promote, whose rows an unguarded staging swap would delete)
+    *   aborts the swap and re-runs the transaction from the new state. */
   def promotePartitioned(
       spark: org.apache.spark.sql.SparkSession,
       stagingPath: String,
@@ -93,28 +100,49 @@ object Merge {
       mainKeys: Seq[String],
       partitionCol: String,
       schema: org.apache.spark.sql.types.StructType,
-      maxTouchedPartitions: Int = 10000): Option[PromotePartitionedResult] = {
-    val staging = Upsert.readPartitionedSnapshot(spark, stagingPath, schema)
-      .getOrElse(sys.error(s"promotePartitioned: no staging snapshot at $stagingPath"))
-    val parentKeys = parent.select(col(parentKey).as(fk))
-    val promoted = staging.join(parentKeys, Seq(fk), "left_semi")
-    val touched = promoted.select(col(partitionCol)).distinct()
-      .limit(maxTouchedPartitions + 1).collect().map(_.get(0)).toSeq
-    require(touched.size <= maxTouchedPartitions,
-      s"promotePartitioned: promoted rows touch > $maxTouchedPartitions " +
-        s"partitions of $partitionCol")
-    if (touched.isEmpty) return None // nothing gated in this cycle
-    val filter = Upsert.touchedFilter(partitionCol, touched)
-    val mainPruned = Upsert.readPartitionedSnapshot(spark, mainPath, schema)
-      .map(_.where(filter)).getOrElse(promoted.limit(0))
-    val newMainTouched = Upsert.upsert(mainPruned, promoted, mainKeys)
-    val remaining = staging.where(filter).join(
-      promoted.select(mainKeys.map(col): _*), mainKeys, "left_anti")
-    // both paths were just repaired by their readPartitionedSnapshot
-    val Seq(mainCommit, stagingCommit) = Upsert.writeSnapshotsPartitioned(Seq(
-      Upsert.PartitionedWrite(newMainTouched, mainPath, partitionCol, touched),
-      Upsert.PartitionedWrite(remaining, stagingPath, partitionCol, touched)),
-      skipRepair = true)
-    Some(PromotePartitionedResult(mainCommit, stagingCommit))
+      maxTouchedPartitions: Int = 10000,
+      commitRetries: Int = 3): Option[PromotePartitionedResult] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val fpStaging = CommitLock.fingerprintAll(spark, stagingPath)
+      val fpMain = CommitLock.fingerprintAll(spark, mainPath)
+      val staging = Upsert.readPartitionedSnapshot(spark, stagingPath, schema)
+        .getOrElse(sys.error(s"promotePartitioned: no staging snapshot at $stagingPath"))
+      val parentKeys = parent.select(col(parentKey).as(fk))
+      val promoted = staging.join(parentKeys, Seq(fk), "left_semi")
+      val touched = promoted.select(col(partitionCol)).distinct()
+        .limit(maxTouchedPartitions + 1).collect().map(_.get(0)).toSeq
+      require(touched.size <= maxTouchedPartitions,
+        s"promotePartitioned: promoted rows touch > $maxTouchedPartitions " +
+          s"partitions of $partitionCol")
+      if (touched.isEmpty) return None // nothing gated in this cycle
+      val filter = Upsert.touchedFilter(partitionCol, touched)
+      val mainPruned = Upsert.readPartitionedSnapshot(spark, mainPath, schema)
+        .map(_.where(filter)).getOrElse(promoted.limit(0))
+      val newMainTouched = Upsert.upsert(mainPruned, promoted, mainKeys)
+      val remaining = staging.where(filter).join(
+        promoted.select(mainKeys.map(col): _*), mainKeys, "left_anti")
+      try {
+        // both paths were just repaired by their readPartitionedSnapshot
+        val Seq(mainCommit, stagingCommit) = Upsert.writeSnapshotsPartitioned(Seq(
+          Upsert.PartitionedWrite(newMainTouched, mainPath, partitionCol, touched),
+          Upsert.PartitionedWrite(remaining, stagingPath, partitionCol, touched)),
+          skipRepair = true,
+          preSwapCheck = () => {
+            if (CommitLock.fingerprintAll(spark, stagingPath) != fpStaging ||
+                CommitLock.fingerprintAll(spark, mainPath) != fpMain)
+              throw new java.util.ConcurrentModificationException(
+                s"promotePartitioned($stagingPath -> $mainPath): a table " +
+                  "changed since the transaction was computed")
+          })
+        return Some(PromotePartitionedResult(mainCommit, stagingCommit))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt > commitRetries) throw e
+          // re-run the transaction against the new state
+      }
+    }
+    sys.error("unreachable")
   }
 }

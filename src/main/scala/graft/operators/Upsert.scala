@@ -343,25 +343,52 @@ object Upsert {
   /** Restore invariants after a possible crash: a `_prev.<dir>` whose
     * primary is missing is a mid-swap casualty — restore it; one whose
     * primary exists is a completed swap's pending cleanup — delete it.
-    * `_del.<dir>` and sibling `__ptmp` residue is always deletable
-    * (both are post-commit cleanup). Cheap (one listing) and
-    * idempotent; run before every read and commit. */
+    * `_del.<dir>` residue is always deletable (post-commit cleanup).
+    * Sibling `__ptmp_*` staging is deleted only once STALE (older than
+    * [[CommitLock.StaleLockMs]]) — a fresh one may belong to a LIVE
+    * concurrent committer still in its staging phase. Cheap (one
+    * listing) and idempotent; run before every read and commit.
+    *
+    * `_prev.`/`_del.` repair runs under the table's [[CommitLock]]: the
+    * `_prev.` window also exists transiently DURING a live writer's
+    * swap, and an unlocked repair racing it could "restore" the old dir
+    * over the new one — under the lock, a live swap finishes first and
+    * the re-listing finds nothing to repair. */
   def repairPartitionedSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpRoot = new org.apache.hadoop.fs.Path(path + "__ptmp")
-    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    // staging residue: legacy exact name always; unique-suffix staging
+    // by TTL (live committers' staging is fresh)
+    val parent = root.getParent
+    if (parent != null && fs.exists(parent)) {
+      val prefix = root.getName + "__ptmp"
+      fs.listStatus(parent).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach { st =>
+          val stale = st.getPath.getName == prefix ||
+            System.currentTimeMillis() -
+              st.getModificationTime > CommitLock.StaleLockMs
+          if (stale) fs.delete(st.getPath, true)
+        }
+    }
     if (!fs.exists(root)) return
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith(HiddenPrev)) {
-        val primary = new org.apache.hadoop.fs.Path(
-          root, name.substring(HiddenPrev.length))
-        if (fs.exists(primary)) fs.delete(st.getPath, true)
-        else fs.rename(st.getPath, primary)
-      } else if (st.isDirectory && name.startsWith(HiddenDel)) {
-        fs.delete(st.getPath, true)
+    def needsRepair(): Boolean = fs.listStatus(root).exists(st =>
+      st.isDirectory && (st.getPath.getName.startsWith(HiddenPrev) ||
+        st.getPath.getName.startsWith(HiddenDel)))
+    if (!needsRepair()) return
+    CommitLock.withLocks(spark, Seq(path)) {
+      // re-list under the lock: a live swap we raced has now finished
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(HiddenPrev)) {
+          val primary = new org.apache.hadoop.fs.Path(
+            root, name.substring(HiddenPrev.length))
+          if (fs.exists(primary)) fs.delete(st.getPath, true)
+          else fs.rename(st.getPath, primary)
+        } else if (st.isDirectory && name.startsWith(HiddenDel)) {
+          fs.delete(st.getPath, true)
+        }
       }
     }
   }
@@ -396,79 +423,109 @@ object Upsert {
     * scans the first table's CURRENT files), THEN all partition dirs
     * swap. Only `touched` partitions are rewritten or deleted; every
     * other partition directory is untouched on disk. */
+  /** @param preSwapCheck runs AFTER the commit locks are held and
+    *   before any directory swap — the optimistic-concurrency
+    *   validation point. Throwing aborts the commit (staging is
+    *   cleaned, no partition dir was touched); [[upsertPartitioned]]
+    *   passes a fingerprint check here and retries on conflict. */
   def writeSnapshotsPartitioned(
       writes: Seq[PartitionedWrite],
-      skipRepair: Boolean = false): Seq[PartitionedCommit] = {
+      skipRepair: Boolean = false,
+      preSwapCheck: () => Unit = () => ()): Seq[PartitionedCommit] = {
     import org.apache.spark.sql.functions.col
-    // Phase 1: execute every plan into per-table __ptmp staging.
-    writes.foreach { w =>
-      val spark = w.df.sparkSession
-      // skipRepair: callers that just went through
-      // readPartitionedSnapshot (which repairs) can skip the second
-      // listing — repair is idempotent, this is purely a listing saver
-      if (!skipRepair) repairPartitionedSnapshot(spark, w.path)
-      // Cluster on the partition column first — without it every
-      // upstream task writes a file into every partition dir it
-      // touches (tasks × partitions fragmentation).
-      w.df.repartition(col(w.partitionCol))
-        .write.mode("overwrite")
-        .partitionBy(w.partitionCol)
-        .parquet(w.path + "__ptmp")
-    }
-    // Phase 2: swap touched partition dirs, per table.
-    writes.map { w =>
-      val spark = w.df.sparkSession
-      // A root-level DataSkipping manifest describes files this commit
-      // is about to replace — park it BEFORE any dir swaps so readers
-      // fail loudly (no manifest) rather than prune against stale
-      // stats; refreshManifestPartitioned rebuilds it ∝ touched dirs.
-      DataSkipping.invalidateManifest(spark, w.path)
-      val fs = new org.apache.hadoop.fs.Path(w.path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val root = new org.apache.hadoop.fs.Path(w.path)
-      if (!fs.exists(root)) fs.mkdirs(root)
-      val tmpRoot = new org.apache.hadoop.fs.Path(w.path + "__ptmp")
-      var rewritten = List.empty[String]
-      var deleted = List.empty[String]
-      val touchedDirs =
-        w.touched.map(partitionDirName(w.partitionCol, _)).distinct
-      // every partition the plan actually produced must be in the
-      // declared touched set — otherwise its rows would be silently
-      // dropped by the scoped swap (a stale/wrong touchedHint must
-      // fail loudly, not lose data)
-      if (fs.exists(tmpRoot)) {
-        val produced = fs.listStatus(tmpRoot).filter(_.isDirectory)
-          .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
-        val undeclared = produced -- touchedDirs.toSet
-        require(undeclared.isEmpty,
-          s"writeSnapshotsPartitioned(${w.path}): plan wrote partitions " +
-            s"outside the declared touched set: ${undeclared.mkString(", ")}")
+    // Phase 1 (UNLOCKED — concurrent committers overlap here): execute
+    // every plan into per-table, PER-COMMIT staging; the unique suffix
+    // keeps two writers' staging apart, and repair only reclaims
+    // staging once stale.
+    val stagings: Seq[(PartitionedWrite, org.apache.hadoop.fs.Path)] =
+      writes.map { w =>
+        val spark = w.df.sparkSession
+        // skipRepair: callers that just went through
+        // readPartitionedSnapshot (which repairs) can skip the second
+        // listing — repair is idempotent, this is purely a listing saver
+        if (!skipRepair) repairPartitionedSnapshot(spark, w.path)
+        val tmpRoot = new org.apache.hadoop.fs.Path(
+          w.path + "__ptmp_" + java.util.UUID.randomUUID().toString.take(8))
+        // Cluster on the partition column first — without it every
+        // upstream task writes a file into every partition dir it
+        // touches (tasks × partitions fragmentation).
+        w.df.repartition(col(w.partitionCol))
+          .write.mode("overwrite")
+          .partitionBy(w.partitionCol)
+          .parquet(tmpRoot.toString)
+        (w, tmpRoot)
       }
-      touchedDirs.foreach { d =>
-        val src = new org.apache.hadoop.fs.Path(tmpRoot, d)
-        val dst = new org.apache.hadoop.fs.Path(root, d)
-        val prev = new org.apache.hadoop.fs.Path(root, HiddenPrev + d)
-        if (fs.exists(src)) {
-          if (fs.exists(dst)) {
-            if (fs.exists(prev)) fs.delete(prev, true)
-            fs.rename(dst, prev)
-            fs.rename(src, dst)
-            fs.delete(prev, true)
-          } else fs.rename(src, dst)
-          rewritten ::= d
-        } else if (fs.exists(dst)) {
-          // the commit emptied this partition: an atomic rename makes
-          // it vanish from readers in one step, then the hidden dir is
-          // cleaned (a crash in between leaves only invisible residue)
-          val del = new org.apache.hadoop.fs.Path(root, HiddenDel + d)
-          if (fs.exists(del)) fs.delete(del, true)
-          fs.rename(dst, del)
-          fs.delete(del, true)
-          deleted ::= d
+    val spark0 = writes.head.df.sparkSession
+    def cleanupStaging(): Unit = stagings.foreach { case (w, tmpRoot) =>
+      val fs = tmpRoot.getFileSystem(
+        w.df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    }
+    // Phase 2 (LOCKED per table, sorted acquisition): validate, then
+    // swap touched partition dirs — rename-only, milliseconds.
+    try {
+      CommitLock.withLocks(spark0, writes.map(_.path)) {
+        preSwapCheck()
+        stagings.map { case (w, tmpRoot) =>
+          val spark = w.df.sparkSession
+          // A root-level DataSkipping manifest describes files this
+          // commit is about to replace — park it BEFORE any dir swaps
+          // so readers fail loudly (no manifest) rather than prune
+          // against stale stats; refreshManifestPartitioned rebuilds
+          // it ∝ touched dirs.
+          DataSkipping.invalidateManifest(spark, w.path)
+          val fs = new org.apache.hadoop.fs.Path(w.path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val root = new org.apache.hadoop.fs.Path(w.path)
+          if (!fs.exists(root)) fs.mkdirs(root)
+          var rewritten = List.empty[String]
+          var deleted = List.empty[String]
+          val touchedDirs =
+            w.touched.map(partitionDirName(w.partitionCol, _)).distinct
+          // every partition the plan actually produced must be in the
+          // declared touched set — otherwise its rows would be silently
+          // dropped by the scoped swap (a stale/wrong touchedHint must
+          // fail loudly, not lose data)
+          if (fs.exists(tmpRoot)) {
+            val produced = fs.listStatus(tmpRoot).filter(_.isDirectory)
+              .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+            val undeclared = produced -- touchedDirs.toSet
+            require(undeclared.isEmpty,
+              s"writeSnapshotsPartitioned(${w.path}): plan wrote partitions " +
+                s"outside the declared touched set: ${undeclared.mkString(", ")}")
+          }
+          touchedDirs.foreach { d =>
+            val src = new org.apache.hadoop.fs.Path(tmpRoot, d)
+            val dst = new org.apache.hadoop.fs.Path(root, d)
+            val prev = new org.apache.hadoop.fs.Path(root, HiddenPrev + d)
+            if (fs.exists(src)) {
+              if (fs.exists(dst)) {
+                if (fs.exists(prev)) fs.delete(prev, true)
+                fs.rename(dst, prev)
+                fs.rename(src, dst)
+                fs.delete(prev, true)
+              } else fs.rename(src, dst)
+              rewritten ::= d
+            } else if (fs.exists(dst)) {
+              // the commit emptied this partition: an atomic rename
+              // makes it vanish from readers in one step, then the
+              // hidden dir is cleaned (a crash in between leaves only
+              // invisible residue)
+              val del = new org.apache.hadoop.fs.Path(root, HiddenDel + d)
+              if (fs.exists(del)) fs.delete(del, true)
+              fs.rename(dst, del)
+              fs.delete(del, true)
+              deleted ::= d
+            }
+          }
+          fs.delete(tmpRoot, true)
+          PartitionedCommit(w.path, rewritten.reverse, deleted.reverse)
         }
       }
-      fs.delete(tmpRoot, true)
-      PartitionedCommit(w.path, rewritten.reverse, deleted.reverse)
+    } catch {
+      case e: Throwable =>
+        cleanupStaging()
+        throw e
     }
   }
 
@@ -496,6 +553,15 @@ object Upsert {
     *   OUTSIDE the hint would be merged into the wrong partitions'
     *   rewrite set, so the superset requirement is enforced cheaply at
     *   write time by the pruned anti-join reading only hinted dirs). */
+  /** @param commitRetries optimistic-concurrency retries: the merge
+    *   and staging run UNLOCKED against a fingerprint of the touched
+    *   partition dirs; under the swap-phase lock the fingerprint is
+    *   re-checked, and a concurrent commit that landed on any touched
+    *   dir aborts the swap and re-runs the merge from the new state
+    *   (bounded; exhaustion throws ConcurrentModificationException).
+    *   Writers on DISJOINT partitions never invalidate each other's
+    *   fingerprints — they merge without retries, serializing only on
+    *   the rename-phase lock. */
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -505,7 +571,8 @@ object Upsert {
       orderBy: Option[Column] = None,
       dedupNullKeyed: Boolean = false,
       maxTouchedPartitions: Int = 10000,
-      touchedHint: Option[Seq[Any]] = None): PartitionedCommit = {
+      touchedHint: Option[Seq[Any]] = None,
+      commitRetries: Int = 3): PartitionedCommit = {
     import org.apache.spark.sql.functions.col
     require(updates.columns.contains(partitionCol),
       s"upsertPartitioned: updates lack partition column $partitionCol")
@@ -517,15 +584,38 @@ object Upsert {
       s"upsertPartitioned: updates touch > $maxTouchedPartitions " +
         s"partitions of $partitionCol — wrong partition column, or raise " +
         "maxTouchedPartitions")
-    val pruned = readPartitionedSnapshot(spark, path, updates.schema) match {
-      case Some(target) => target.where(touchedFilter(partitionCol, touched))
-      case None => updates.limit(0)
+    val touchedDirs = touched.map(partitionDirName(partitionCol, _)).distinct
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // fingerprint BEFORE the read: a commit landing between the two
+      // can only cause a conservative retry, never a stale merge
+      val fp = CommitLock.fingerprint(spark, path, touchedDirs)
+      val pruned = readPartitionedSnapshot(spark, path, updates.schema) match {
+        case Some(target) => target.where(touchedFilter(partitionCol, touched))
+        case None => updates.limit(0)
+      }
+      val result = upsert(pruned, updates, keys, orderBy, dedupNullKeyed)
+      try {
+        // the readPartitionedSnapshot above already repaired this path
+        return writeSnapshotsPartitioned(
+          Seq(PartitionedWrite(result, path, partitionCol, touched)),
+          skipRepair = true,
+          preSwapCheck = () => {
+            val now = CommitLock.fingerprint(spark, path, touchedDirs)
+            if (now != fp)
+              throw new java.util.ConcurrentModificationException(
+                s"upsertPartitioned($path): touched partitions " +
+                  s"${touchedDirs.mkString(",")} changed since the merge " +
+                  "was computed")
+          }).head
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt > commitRetries) throw e
+          // re-run the merge against the new head
+      }
     }
-    val result = upsert(pruned, updates, keys, orderBy, dedupNullKeyed)
-    // the readPartitionedSnapshot above already repaired this path
-    writeSnapshotsPartitioned(
-      Seq(PartitionedWrite(result, path, partitionCol, touched)),
-      skipRepair = true).head
+    sys.error("unreachable")
   }
 
   /** Partition-pruning predicate for a touched-value set (null-aware:
