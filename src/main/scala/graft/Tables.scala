@@ -15,15 +15,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 cannot read
-    // as a timestamp ([PARQUET_TYPE_ILLEGAL]); read it as a raw nanos
-    // long and truncate to micros (floor, matching DuckDB's ns→µs
-    // truncation) so downstream code sees a normal TimestampType.
+    // `events.ts` has been written by the driver as either parquet
+    // TIMESTAMP(NANOS) — which Spark 4 cannot read as a timestamp
+    // ([PARQUET_TYPE_ILLEGAL]), so we read it as a raw nanos long via the
+    // legacy conf and floor-truncate to micros (matching DuckDB's ns→µs
+    // truncation) — or as plain TIMESTAMP_MICROS, which loads directly.
+    // Dispatch on the loaded dtype so either encoding works; anything
+    // else is a named error rather than 18 cryptic downstream failures.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => df
+        case other => throw new IllegalStateException(
+          s"Tables.load: events.ts loaded as $other; expected LongType " +
+          "(nanos-as-long) or TimestampType (micros) — the driver's " +
+          "testdata encoding changed again, update Tables.load")
+      }
+    } else df
   }
 
   /** Register every table as a temp view so Spark SQL mirrors the DuckDB

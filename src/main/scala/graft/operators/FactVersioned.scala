@@ -204,11 +204,12 @@ object FactVersioned {
       attempts += 1
       require(attempts <= 1000,
         s"FactVersioned: could not claim a generation at $tablePath")
-      try {
-        fs.create(new Path(genMeta(tablePath, next), Versioned.ClaimMarker),
-          false).close()
+      // atomicCreate: bare create(overwrite=false) is check-then-act on
+      // LocalFileSystem — same-instant racers could both claim a number
+      if (CommitLock.atomicCreate(fs,
+          new Path(genMeta(tablePath, next), Versioned.ClaimMarker)))
         claimed = true
-      } catch { case _: java.io.IOException => next += 1 }
+      else next += 1
     }
     // From here to the commit marker, ANY failure must roll the claim
     // back — a leaked fresh claim would make later committers wait out

@@ -104,13 +104,13 @@ object Versioned {
       require(attempts <= 1000,
         s"Versioned.commit: could not claim a generation at $tablePath " +
           s"after $attempts attempts — runaway concurrent committers?")
-      try {
-        fs.create(new Path(genDir(root, next), ClaimMarker), false).close()
+      // atomicCreate, not bare fs.create(overwrite=false): the latter is
+      // check-then-act on LocalFileSystem, so same-instant racers could
+      // both claim one number (atomic on HDFS, but the CAS must hold
+      // everywhere the tests run too)
+      if (CommitLock.atomicCreate(fs, new Path(genDir(root, next), ClaimMarker)))
         claimed = true
-      } catch {
-        // another committer holds this number — take the next one
-        case _: java.io.IOException => next += 1
-      }
+      else next += 1 // another committer holds this number — take the next
     }
     val dir = genDir(root, next)
     // append, not overwrite: the directory (holding our claim file)

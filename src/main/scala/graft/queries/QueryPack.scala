@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   *    partitions, decimal summation is exact, and the final double cast
   *    of an exact decimal is identical IEEE rounding in both engines.
   *  - Never output raw TIMESTAMP columns (Spark writes UTC-adjusted
-  *    parquet, DuckDB oracles produce naive timestamps; and the `events`
-  *    table is nanosecond-precision which Spark truncates to micros).
-  *    Output `DATE`, epoch-micros BIGINT, or formatted strings instead.
+  *    parquet, DuckDB oracles produce naive timestamps; `events.ts` is
+  *    micros-precision, with a legacy nanos-as-long fallback handled in
+  *    `Tables.load`). Output `DATE`, epoch-micros BIGINT, or formatted
+  *    strings instead.
   *  - Every computed column is aliased identically in Spark and SQL.
   *  - Window orderings always carry a unique tie-break column.
   */

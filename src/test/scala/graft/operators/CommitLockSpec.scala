@@ -1,0 +1,132 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+
+/** Commit-lock semantics: mutual exclusion, stale-claim handling under
+  * races (the delete-then-create TOCTOU of fixed-name lock breaking —
+  * impossible here by never-reused claim names), and claim cleanup. */
+class CommitLockSpec extends SparkSpec {
+
+  private def tmpDir(): File =
+    Files.createTempDirectory("graft-commitlock").toFile
+
+  /** Plant a claim file (a crashed holder's leftover) whose modtime is
+    * past the stale TTL. Its timestamp component is old, so it sorts
+    * FIRST — without staleness handling it would hold the lock forever. */
+  private def plantStaleLock(table: File): File = {
+    table.mkdirs()
+    val lock = new File(table,
+      CommitLock.LockName + ".claim." + f"${1L}%020d." +
+        java.util.UUID.randomUUID().toString)
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - CommitLock.StaleLockMs - 60000L))
+    lock
+  }
+
+  test("withLocks is mutually exclusive across racing threads") {
+    val table = tmpDir()
+    val inside = new AtomicInteger(0)
+    val maxInside = new AtomicInteger(0)
+    val done = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+    (1 to 8).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          CommitLock.withLocks(spark, Seq(table.getAbsolutePath)) {
+            val n = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, n))
+            Thread.sleep(20)
+            inside.decrementAndGet()
+          }
+          done.incrementAndGet()
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(done.get() === 8, "every racer must eventually acquire")
+    assert(maxInside.get() === 1, "two holders observed inside the lock")
+  }
+
+  test("racing a stale lock: exactly one thread holds at a time and " +
+    "every thread eventually acquires") {
+    val table = tmpDir()
+    plantStaleLock(table)
+    val inside = new AtomicInteger(0)
+    val maxInside = new AtomicInteger(0)
+    val acquisitions = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          CommitLock.withLocks(spark, Seq(table.getAbsolutePath)) {
+            val n = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, n))
+            acquisitions.incrementAndGet()
+            Thread.sleep(50)
+            inside.decrementAndGet()
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(acquisitions.get() === 2)
+    assert(maxInside.get() === 1,
+      "stale-claim handling raced into two simultaneous holders")
+    // Break leaves no tombstone litter and the lock is released.
+    val leftovers = table.listFiles().map(_.getName)
+      .filter(_.startsWith(CommitLock.LockName))
+    assert(leftovers.isEmpty, s"leftover lock artifacts: ${leftovers.toSeq}")
+  }
+
+  test("a stale claim never lets a late contender evict a FRESH holder") {
+    // The fixed-name TOCTOU shape: a contender with a stale view of the
+    // lock state must not remove the live holder's claim. Plant a stale
+    // claim, let one withLocks GC it and hold; while held, a second
+    // contender must queue behind the live claim, not break it.
+    val table = tmpDir()
+    plantStaleLock(table)
+    val holderIn = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val overlap = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(2)
+    pool.submit(new Runnable {
+      def run(): Unit =
+        CommitLock.withLocks(spark, Seq(table.getAbsolutePath)) {
+          holderIn.countDown()
+          release.await(30, TimeUnit.SECONDS)
+          ()
+        }
+    })
+    assert(holderIn.await(30, TimeUnit.SECONDS))
+    // Holder broke the stale lock and now holds a FRESH one. A second
+    // contender arriving with (conceptually) a stale view must not
+    // acquire while the fresh lock is live.
+    val second = pool.submit(new Runnable {
+      def run(): Unit =
+        CommitLock.withLocks(spark, Seq(table.getAbsolutePath)) {
+          overlap.incrementAndGet(); ()
+        }
+    })
+    Thread.sleep(500)
+    assert(overlap.get() === 0, "second contender acquired a live lock")
+    release.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(overlap.get() === 1, "second contender must acquire after release")
+    assert(second.isDone)
+  }
+}
