@@ -270,6 +270,95 @@ object AnnIndex {
         col("rank"), col("sim"))
   }
 
+  /** IVF+SQ8 combined top-k reading ONLY the sidecar, with NO
+    * corpus-sized driver collect anywhere — the at-scale form of
+    * [[sq8TopKIndexed]] (whose broadcast of every row's codes is a
+    * driver OOM at 10⁹⁺ rows).
+    *
+    * Shape: each query probes its `nProbe` nearest cells (persisted
+    * centroids, shared [[Similarity.cellPlans]] scoring), quantizes
+    * ITSELF in-flight (same [[Similarity.quantizeSq8]] the sidecar rows
+    * used, so query codes ≡ persisted codes), then candidates come from
+    * a DISTRIBUTED join against the persisted SQ8 codes on `cell` —
+    * the corpus side flows through a size-adaptive join operator
+    * (broadcast at KB scale, shuffle at TB scale, Catalyst/AQE's call),
+    * never through `collect()`+`broadcast()`. Approximate sims are the
+    * same integer-MAC reconstruction as [[Similarity.sq8CandidateScan]]
+    * (identical formula and double-op order), top-`k·overFetch`
+    * candidates per query by (approx sim desc, id asc), exact re-rank
+    * on persisted unit vectors.
+    *
+    * Exactness contract: with `nProbe` ≥ the index's cell count the
+    * pair universe equals the full scan, so results are BIT-IDENTICAL
+    * to `Similarity.sq8TopK` / [[sq8TopKIndexed]] (spec-asserted); with
+    * `nProbe` < cells, recall trades like IVF (candidates restricted to
+    * probed cells). The only driver collect in this path is the
+    * centroid table — `n_lists` rows, metadata-scale by construction. */
+  def ivfSq8TopKIndexed(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    import spark.implicits._
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    val (_, probes) = Similarity.cellPlans(
+      Par.spread(rows.select(col("id"), col("u"))), centroids, nProbe,
+      literalCellThreshold)
+    // query side quantizes itself per probe row — identical to
+    // sq8CandidateScan's query-side quantization (and to the persisted
+    // codes: quantizeSq8 is deterministic on the same unit vector)
+    val qCoded = probes
+      .select(col("key"), col("cell"), col("u_a"))
+      .as[(Long, Int, Seq[Double])]
+      .mapPartitions(_.map { case (key, cell, u) =>
+        val (q, mn, sc, s) = Similarity.quantizeSq8(u.toArray)
+        (key, cell, q, mn, sc, s)
+      })
+      .toDF("key", "cell", "qa", "mn_a", "sc_a", "s_a")
+    val cCoded = rows.select(col("cell"), col("id"), col("q").as("qb"),
+      col("q_min").as("mn_b"), col("q_scale").as("sc_b"),
+      col("q_sum").as("s_b"))
+    // the candidate scan as a JOIN: pairs are cell-local, corpus codes
+    // shuffle (or broadcast — size-driven) by cell, never collected
+    val approx = qCoded.join(cCoded, Seq("cell"))
+      .where(col("key") =!= col("id"))
+      .select(col("key"), col("qa"), col("mn_a"), col("sc_a"), col("s_a"),
+        col("id"), col("qb"), col("mn_b"), col("sc_b"), col("s_b"))
+      .as[(Long, Array[Byte], Double, Double, Long,
+           Long, Array[Byte], Double, Double, Long)]
+      .mapPartitions(_.map {
+        case (key, qa, mna, sca, sa, id, qb, mnb, scb, sb) =>
+          val d = qa.length
+          var mac = 0L
+          var j = 0
+          while (j < d) {
+            mac += (qa(j) & 0xff).toLong * (qb(j) & 0xff).toLong
+            j += 1
+          }
+          // same formula AND double-op order as sq8CandidateScan
+          val sim = d * mna * mnb + mna * scb * sb +
+            mnb * sca * sa + sca * scb * mac
+          (key, id, sim)
+      })
+      .toDF("key", "id", "sim")
+    val m = math.max(k * math.max(overFetch, 1), k)
+    val cands = Similarity.topKPerKey(approx, m).select("key", "id")
+    val scored = cands
+      .join(rows.select(col("id").as("key"), col("u").as("u_a")),
+        Seq("key"))
+      .join(rows.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    Similarity.topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Hive-layout percent-decoding of `part=` child names — decoding
     * only; encoding stays Spark's job (refresh swaps adopt whatever
     * child names the fresh partitioned write produced). */

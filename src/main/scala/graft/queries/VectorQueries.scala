@@ -158,6 +158,25 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // IVF+SQ8 combined from the persisted sidecar — the 100 TB form of
+    // q111: candidates come from a size-adaptive JOIN of self-quantized
+    // query probes against the persisted cell-bucketed codes, so the
+    // corpus side is NEVER collected to the driver (q111's broadcast of
+    // every row's codes is a driver OOM at 10⁹⁺ rows; here the only
+    // driver collect is the n_lists-row centroid table). In-gate:
+    // scans must read only the sidecar AND the candidate stage must be
+    // a join keyed on `cell` (the structural opposite of a collected
+    // broadcast-variable scan, which has no cell join anywhere).
+    "q116_ivf_sq8_indexed" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q116")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val out = AnnIndex.ivfSq8TopKIndexed(s, tablePath, "embedding",
+        k = 3, nProbe = 10, overFetch = 4)
+      requireSidecarOnly(out)
+      requireCellJoinCandidates(out)
+      out
+    }),
+
     // Semantic clustering: deterministic seed-medoid assignment (k
     // lowest-id vectors as seeds, rounded-cosine argmax) — the IVF
     // assignment machinery under a FULL hash oracle instead of a
@@ -196,6 +215,23 @@ object VectorQueries extends QueryPack {
     require(scans.nonEmpty &&
       scans.forall(_.contains(AnnIndex.DirPrefix)),
       s"ANN query phase must scan only the index sidecar, got: $scans")
+  }
+
+  /** q116's no-corpus-collect contract, asserted structurally: the
+    * candidate stage must be a JOIN keyed on the IVF `cell` column —
+    * size-adaptive (broadcast at KB scale, shuffle at TB scale, the
+    * planner's call), in contrast to the collected-broadcast candidate
+    * scan (sq8TopKIndexed), whose plan contains no cell-keyed join at
+    * all. Together with [[requireSidecarOnly]] this pins the plan shape
+    * whose only driver collect is the n_lists-row centroid table. */
+  private def requireCellJoinCandidates(out: DataFrame): Unit = {
+    val joins = out.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        (j.leftKeys ++ j.rightKeys).map(_.sql.toLowerCase)
+    }
+    require(joins.exists(_.exists(_.contains("cell"))),
+      "IVF+SQ8 candidate generation must be a cell-keyed join " +
+        s"(distributed), got join keys: ${joins.map(_.mkString(","))}")
   }
 
   private val dotAB =
@@ -271,6 +307,10 @@ object VectorQueries extends QueryPack {
     // so they carry the same derived-invariant oracles and floors.
     "q110_ivf_indexed" -> annTopKInvariant("q110_ivf_indexed", k = 3, recallFloor = 0.75),
     "q111_sq8_indexed" -> annTopKInvariant("q111_sq8_indexed", k = 3, recallFloor = 0.9),
+    // IVF pruning (nProbe 10/16) composes with SQ8's bounded
+    // quantization error, so the floor matches the IVF gates (q45/q110),
+    // not the full-scan SQ8 ones.
+    "q116_ivf_sq8_indexed" -> annTopKInvariant("q116_ivf_sq8_indexed", k = 3, recallFloor = 0.75),
 
     // Derived invariant: every reported pair's cosine recomputed
     // exactly (raw-vector arithmetic, the engine's cosine()) and must

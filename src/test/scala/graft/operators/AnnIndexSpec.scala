@@ -63,13 +63,53 @@ class AnnIndexSpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("ivfSq8TopKIndexed probing all cells is bit-identical to sq8TopK " +
+      "(full pair universe) and never collects the corpus") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(150), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    // nProbe = nLists ⇒ every query probes every cell ⇒ the candidate
+    // universe equals the full scan ⇒ bit-parity with the broadcast path
+    val combined = AnnIndex.ivfSq8TopKIndexed(spark, path, "vec",
+      k = 3, nProbe = 4, overFetch = 4)
+    val percall = resultSet(Similarity.sq8TopK(
+      spark.read.parquet(path), "id", "vec", k = 3, overFetch = 4))
+    assert(resultSet(combined) == percall)
+    assert(percall.nonEmpty)
+    // structural no-corpus-collect check: candidates come from a
+    // cell-keyed JOIN (size-adaptive), not a collected broadcast array
+    val joinKeys = combined.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        (j.leftKeys ++ j.rightKeys).map(_.sql.toLowerCase)
+    }
+    assert(joinKeys.exists(_.exists(_.contains("cell"))),
+      s"candidate stage must join on cell, got: $joinKeys")
+  }
+
+  test("ivfSq8TopKIndexed with restricted probes keeps IVF-grade recall") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(180), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val combined = AnnIndex.ivfSq8TopKIndexed(spark, path, "vec",
+        k = 3, nProbe = 2, overFetch = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(
+        spark.read.parquet(path), "id", "vec", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = combined.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.75, s"IVF+SQ8 recall $recall below floor")
+  }
+
   test("indexed query plans scan ONLY the sidecar, never the base table") {
     val path = tmp() + "/t"
     writePartitioned(corpus(120), path)
     AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
     Seq(
       AnnIndex.ivfTopKIndexed(spark, path, "vec", k = 3, nProbe = 2),
-      AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3)
+      AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3),
+      AnnIndex.ivfSq8TopKIndexed(spark, path, "vec", k = 3, nProbe = 2)
     ).foreach { out =>
       val scans = out.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
