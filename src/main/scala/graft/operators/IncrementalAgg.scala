@@ -183,4 +183,93 @@ object IncrementalAgg {
       .agg(cs.head, cs.tail: _*)
     merge(state, delta, groupCols, stats).where(col(RowsCol) > 0)
   }
+
+  /** Maintain a view INCLUDING min/max through an UPDATE/DELETE-carrying
+    * delta — the path [[applyChangeSet]] rejects. Min/max are not
+    * retraction-algebraic (subtracting the current min's value says
+    * nothing about the next min without the full group), so the only
+    * sound incremental move is a recompute scoped to the DIRTY groups —
+    * exactly the groups receiving a retraction (`update_pre`/`delete`).
+    * Inserts never dirty a group: min/max merge algebraically with new
+    * rows (min(state_min, batch_min)), the same merge the append-only
+    * path uses.
+    *
+    * Plan, for result ≡ `aggregateBatch(base, …, trackRows = true)`:
+    *  1. dirty = distinct groups of the retraction rows — bounded by the
+    *     BATCH, not the table;
+    *  2. clean groups: state rows pass through the ordinary append-only
+    *     [[merge]] with the batch's non-dirty rows (all inserts by
+    *     construction — a group with any retraction is dirty);
+    *  3. dirty groups: ALL stats recomputed from `base` (the post-change
+    *     table) restricted to those groups. When the dirty-group count
+    *     is ≤ `maxLiteralDirtyGroups` the restriction is a LITERAL
+    *     null-safe predicate — static partition pruning when the group
+    *     key is (or prefixes) the table's partitioning, so the recompute
+    *     reads only dirty groups' partitions (spec-asserted); beyond the
+    *     cap it falls back to a null-safe semi join (still ∝ dirty
+    *     groups' data through dynamic pruning, never a full-history
+    *     re-aggregation of clean groups).
+    * A dirty group whose rows all vanish has no `base` rows and drops
+    * out of the result — emptiness needs no [[RowsCol]] judgment on the
+    * recompute side, though the state still carries it (required, as in
+    * [[applyChangeSet]], and maintained through the clean-side merge).
+    *
+    * @param base the POST-change base table (the upserted snapshot the
+    *   changelog describes). Pass the pruned/partitioned read — at
+    *   100 TB the literal predicate is what keeps the recompute ∝
+    *   touched groups. */
+  def applyChangeSetWithRecompute(
+      state: DataFrame,
+      changes: DataFrame,
+      base: DataFrame,
+      groupCols: Seq[String],
+      stats: Seq[Stat],
+      maxLiteralDirtyGroups: Int = 10000): DataFrame = {
+    require(stats.nonEmpty, "applyChangeSetWithRecompute: stats empty")
+    require(state.columns.contains(RowsCol),
+      s"applyChangeSetWithRecompute: state lacks $RowsCol — build it " +
+        "with aggregateBatch(trackRows = true)")
+    val retract = Seq(Changelog.OpUpdatePre, Changelog.OpDelete)
+    val dirty = changes.where(col(Changelog.OpCol).isin(retract: _*))
+      .select(groupCols.map(col): _*).distinct()
+
+    val dirtyLit: Option[Array[org.apache.spark.sql.Row]] = {
+      val capped = dirty.limit(maxLiteralDirtyGroups + 1).collect()
+      if (capped.length <= maxLiteralDirtyGroups) Some(capped) else None
+    }
+    // (base-dirty, state-clean, changes-clean) under either strategy
+    val (baseDirty, stateClean, cleanChanges) = dirtyLit match {
+      case Some(rows) =>
+        // OR-of-null-safe-conjunctions literal: partition-prunable and
+        // well-defined under negation (<=> never yields NULL, so the
+        // clean side is exactly the complement, null-keyed groups
+        // included)
+        val isDirty = rows.map { r =>
+          groupCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        (base.where(isDirty), state.where(!isDirty),
+          changes.where(!isDirty))
+      case None =>
+        val d = dirty.select(groupCols.map(c =>
+          col(c).as(s"__dirty_$c")): _*)
+        def cond(df: DataFrame) = groupCols
+          .map(c => df(c) <=> d(s"__dirty_$c")).reduce(_ && _)
+        (base.join(d, cond(base), "left_semi"),
+          state.join(d, cond(state), "left_anti"),
+          changes.join(d, cond(changes), "left_anti"))
+    }
+
+    // clean side: every surviving change row is an insert (groups with
+    // any retraction are dirty), so this IS the append-only merge
+    val cleanAgg =
+      aggregateBatch(cleanChanges, groupCols, stats, trackRows = true)
+    val cleanMerged = merge(stateClean, cleanAgg, groupCols, stats)
+    // dirty side: full recompute from the post-change base, scoped to
+    // dirty groups — vanished groups simply produce no rows
+    val recomputed =
+      aggregateBatch(baseDirty, groupCols, stats, trackRows = true)
+    cleanMerged.unionByName(recomputed)
+  }
 }

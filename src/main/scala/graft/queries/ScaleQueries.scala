@@ -315,6 +315,47 @@ object ScaleQueries extends QueryPack {
           col("price_dec__sum").cast("double").as("total_price"))
     }),
 
+    // Min/max view maintenance under retraction — the path q108's
+    // count/sum algebra cannot express: deletes remove group F's price
+    // extremes and updates retract rows out of their 1995 groups, so
+    // min/max recompute from the post-change table for EXACTLY the
+    // dirty groups (literal null-safe predicate → partition-prunable),
+    // while group 'U' (insert/update_post only) rides the append-only
+    // min/max merge. The maintained view must equal the from-scratch
+    // recompute (the DuckDB mirror).
+    "q112_minmax_retraction" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+      def withDec(df: DataFrame) = df.withColumn("price_dec",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val cur = withDec(base)
+      // after-image: drop every 7th 'F' row (deletes dirty F), move
+      // even-keyed 1995 rows to status U at 2× price (update_pre
+      // dirties their old groups; U itself stays clean — insert-only)
+      val next = withDec(base
+        .where(!(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0))
+        .withColumn("o_orderstatus",
+          when(col("o_year") === 1995 && col("o_orderkey") % 2 === 0, "U")
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_year") === 1995 && col("o_orderkey") % 2 === 0,
+            col("o_totalprice") * 2).otherwise(col("o_totalprice"))))
+      val stats = Seq(graft.operators.IncrementalAgg.Stat("price_dec"))
+      val state0 = graft.operators.IncrementalAgg.aggregateBatch(
+        cur, Seq("o_orderstatus"), stats, trackRows = true)
+      val changes = Changelog.changeSet(cur, next, Seq("o_orderkey"),
+        dedupNullKeyed = true, emitDeletes = true)
+      graft.operators.IncrementalAgg.applyChangeSetWithRecompute(
+        state0, changes, next, Seq("o_orderstatus"), stats)
+        .select(col("o_orderstatus"),
+          col("price_dec__count").as("n_orders"),
+          col("price_dec__sum").cast("double").as("total_price"),
+          col("price_dec__min").cast("double").as("min_price"),
+          col("price_dec__max").cast("double").as("max_price"))
+    }),
+
     // Generation diff: the row-level delta between two committed
     // versions of a table — deletes (keys absent from the after-image),
     // updates (pre+post), inserts — the audit question time travel
@@ -497,6 +538,20 @@ object ScaleQueries extends QueryPack {
         |  FROM orders)
         |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
         |  CAST(SUM(p) AS DOUBLE) AS total_price
+        |FROM up GROUP BY st""".stripMargin,
+    "q112_minmax_retraction" ->
+      """WITH up AS (SELECT
+        |    CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |         THEN 'U' ELSE o_orderstatus END AS st,
+        |    CAST(CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+        |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
+        |  CAST(SUM(p) AS DOUBLE) AS total_price,
+        |  CAST(MIN(p) AS DOUBLE) AS min_price,
+        |  CAST(MAX(p) AS DOUBLE) AS max_price
         |FROM up GROUP BY st""".stripMargin,
     "q109_generation_diff" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)

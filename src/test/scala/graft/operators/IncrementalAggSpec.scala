@@ -133,6 +133,79 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("applyChangeSetWithRecompute: min/max view ≡ from-scratch under " +
+      "updates, deletes, migration, null keys — both strategies") {
+    val stats = Seq(IncrementalAgg.Stat("v"))
+    val cur = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, Some("a"), 30L),
+      (4L, Some("b"), 5L), (5L, Some("b"), 50L),
+      (6L, Option.empty[String], 7L), (7L, Some("c"), 70L)
+    ).toDF("id", "g", "v")
+    val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats,
+      trackRows = true)
+    // delete the max of a (min/max must recompute), delete ALL of c
+    // (group vanishes), migrate id=4 b→d (b dirtied, d clean insert),
+    // update the null-keyed group's value (null-keyed dirty group),
+    // fresh insert into clean-new group e
+    val next = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 20L),
+      (4L, Some("d"), 5L), (5L, Some("b"), 50L),
+      (6L, Option.empty[String], 9L), (8L, Some("e"), 80L)
+    ).toDF("id", "g", "v")
+    val changes = Changelog.changeSet(cur, next, Seq("id"),
+      dedupNullKeyed = true, emitDeletes = true)
+    val truth = IncrementalAgg.aggregateBatch(next, Seq("g"), stats,
+        trackRows = true)
+      .as[(Option[String], Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    for (cap <- Seq(10000, 0)) { // literal predicate vs join fallback
+      val view = IncrementalAgg.applyChangeSetWithRecompute(
+          state, changes, next, Seq("g"), stats,
+          maxLiteralDirtyGroups = cap)
+        .as[(Option[String], Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(view == truth, s"cap=$cap view=$view truth=$truth")
+    }
+    assert(!truth.exists(_._1.contains("c")), "emptied group gone")
+    assert(truth.exists(_._1.contains("e")), "clean insert group present")
+  }
+
+  test("applyChangeSetWithRecompute reads ONLY dirty groups' partitions") {
+    val stats = Seq(IncrementalAgg.Stat("v"))
+    val dirs = java.nio.file.Files
+      .createTempDirectory("graft_iagg_").toString
+    val cur = Seq(
+      (1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", 30L), (4L, "b", 40L),
+      (5L, "c", 50L)).toDF("id", "g", "v")
+    cur.write.partitionBy("g").parquet(s"$dirs/base")
+    val state = IncrementalAgg.aggregateBatch(cur, Seq("g"), stats,
+      trackRows = true)
+    // only group b receives a retraction (delete id=4)
+    val next = cur.where($"id" =!= 4L)
+    next.write.partitionBy("g").parquet(s"$dirs/next")
+    val changes = Changelog.changeSet(cur, next, Seq("id"),
+      emitDeletes = true)
+    val base = spark.read.parquet(s"$dirs/next")
+    val view = IncrementalAgg.applyChangeSetWithRecompute(
+      state, changes, base, Seq("g"), stats)
+    val truth = IncrementalAgg.aggregateBatch(next, Seq("g"), stats,
+        trackRows = true)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(view.as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSet == truth)
+    // the recompute scan must prune to the dirty group's partition
+    val scans = view.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString
+            .contains("/next")) => f
+    }
+    assert(scans.nonEmpty, "expected a scan of the base table")
+    val parts = scans.map(_.selectedPartitions.partitionCount).max
+    assert(parts == 1,
+      s"recompute must read ONLY the dirty group's partition, read $parts")
+  }
+
   test("applyChangeSet: deletes retract; all-NULL groups survive") {
     val stats = Seq(IncrementalAgg.Stat("v", min = false, max = false))
     val cur = Seq((1L, "a", Some(10L)), (2L, "b", Option.empty[Long]))
