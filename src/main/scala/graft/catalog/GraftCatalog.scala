@@ -1,0 +1,154 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.{FactVersioned, Versioned}
+
+/** Named-table SQL surface over the versioned stores: a DSv2
+  * `TableCatalog` resolving `graft.<table>` to the LATEST committed
+  * generation and `graft.<table> VERSION AS OF n` to generation `n`, of
+  * either a [[Versioned]] (full-copy dimension) or a [[FactVersioned]]
+  * (manifest/fact) table — the reference's analytic surface is
+  * named-table SQL over its warehouse (`README.md:12`, Power BI → RDS
+  * tables), not path literals, and this is that surface on the
+  * snapshot stores.
+  *
+  * Registration (per session, name free):
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/warehouse/dir")
+  *   spark.sql("SELECT * FROM graft.orders VERSION AS OF 3")
+  * }}}
+  * A table named `t` lives at `<root>/t`; whether it is fact- or
+  * dimension-versioned is detected from its layout ([[FactVersioned]]'s
+  * `_graft_gens` metadata dir wins).
+  *
+  * THIN by design — resolution only. `loadTable` hands Spark its own
+  * native parquet table over the generation's committed file set (the
+  * directory for full-copy generations; the manifest's file list with
+  * the pinned schema for fact generations), so scans keep every native
+  * property: predicate/projection pushdown, partition pruning on the
+  * fact partition column, vectorized reading, whole-stage codegen. At
+  * 100 TB the catalog does metadata-scale work (one listing + marker
+  * probes + a manifest read); the data path is byte-identical to the
+  * path-based reads, which q113 gates by hash.
+  *
+  * Fact tables additionally expose [[FactVersioned.VGenCol]] as a
+  * provenance column (the commit that wrote each row's file — the
+  * Delta `_commit_version` idea via plain partition discovery); it is
+  * path-derived, so selecting it costs nothing and omitting it prunes
+  * it entirely.
+  *
+  * Read-only: create/alter/drop/rename are rejected — commits go
+  * through the committers ([[Versioned.commit]],
+  * [[FactVersioned.upsert]]/`replacePartitions`), whose claim/marker
+  * protocol a SQL DDL path must not bypass.
+  *
+  * The warehouse `root` is re-read from the session conf on every
+  * resolution (falling back to the init-time option), so one session
+  * can repoint the catalog — and a long-lived session (Bench's
+  * repeated runs) never resolves against a stale root. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var initRoot: Option[String] = None
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initRoot = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def root: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.root")
+      .orElse(initRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"GraftCatalog '$catalogName': set spark.sql.catalog.$catalogName.root"))
+
+  private def tablePath(ident: Identifier): String = {
+    if (ident.namespace.nonEmpty)
+      throw new NoSuchTableException(ident)
+    s"$root/${ident.name}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Array.empty
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
+      .filter { n =>
+        val p = s"$root/$n"
+        FactVersioned.generations(spark, p).nonEmpty ||
+          Versioned.generations(spark, p).nonEmpty
+      }
+      .sorted
+      .map(Identifier.of(Array.empty[String], _))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <n>` — n is a generation number of either store. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog: VERSION AS OF takes a generation number, got " +
+          s"'$version'"))))
+
+  private def load(ident: Identifier, gen: Option[Long]): Table = {
+    val path = tablePath(ident)
+    val display = gen.fold(ident.name)(g => s"${ident.name}@v$g")
+    if (FactVersioned.generations(spark, path).nonEmpty) {
+      val (files, schema, dataRoot) =
+        FactVersioned.generationHandle(spark, path, gen)
+      // basePath keeps Hive partition discovery rooted at _graft_vdata,
+      // so the partition column AND vgen (provenance) resolve; the
+      // pinned schema fixes their types (dir names are never trusted)
+      val opts = new CaseInsensitiveStringMap(
+        Map("basePath" -> dataRoot).asJava)
+      ParquetTable(s"$catalogName.$display", spark, opts, files,
+        Some(schema.add(FactVersioned.VGenCol, LongType)),
+        classOf[ParquetFileFormat])
+    } else if (Versioned.generations(spark, path).nonEmpty) {
+      ParquetTable(s"$catalogName.$display", spark,
+        CaseInsensitiveStringMap.empty(),
+        Seq(Versioned.generationPath(spark, path, gen)),
+        None, classOf[ParquetFileFormat])
+    } else throw new NoSuchTableException(ident)
+  }
+
+  private def readOnly(): Nothing =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only: commit through Versioned/FactVersioned " +
+        "(the claim/marker protocol must not be bypassed by DDL)")
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = readOnly()
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly()
+
+  override def dropTable(ident: Identifier): Boolean = readOnly()
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly()
+}

@@ -149,6 +149,23 @@ object FactVersioned {
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
+  /** A committed generation's physical handle: (absolute data-file
+    * paths, pinned schema WITHOUT [[VGenCol]], data-root path for
+    * `basePath`-style partition discovery). The SQL catalog surface
+    * ([[graft.catalog.GraftCatalog]]) builds its native parquet table
+    * from exactly this, so SQL reads see the same file set and pinned
+    * types as [[read]]. */
+  def generationHandle(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long]): (Seq[String], StructType, String) = {
+    val g = resolveGen(spark, tablePath, gen)
+    val data = dataRoot(tablePath).toString
+    val files = spark.read.parquet(manifestDir(tablePath, g).toString)
+      .select("file").collect().map(r => s"$data/${r.getString(0)}").toSeq
+    (files, readSchema(spark, tablePath, g), data)
+  }
+
   /** Read a generation (default: latest committed). */
   def read(
       spark: SparkSession,

@@ -140,6 +140,21 @@ object Versioned {
     Commit(next, dir.toString)
   }
 
+  /** A committed generation's directory path — the SQL catalog surface
+    * ([[graft.catalog.GraftCatalog]]) points its native parquet table
+    * here. Same committed-only resolution as [[read]]. */
+  def generationPath(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long] = None): String = {
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    val g = gen.getOrElse(gens.max)
+    require(gens.contains(g),
+      s"generation $g is not committed at $tablePath (have ${gens.mkString(",")})")
+    genDir(new Path(tablePath), g).toString
+  }
+
   /** Read a specific generation (must be committed) or, with None, the
     * latest committed one. Fails loudly on a never-committed table or
     * an uncommitted/evicted generation — never resolves half-written

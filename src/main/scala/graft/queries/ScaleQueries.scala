@@ -315,6 +315,56 @@ object ScaleQueries extends QueryPack {
           col("price_dec__sum").cast("double").as("total_price"))
     }),
 
+    // Named-table SQL surface: the q115 aggregation re-run as PLAIN SQL
+    // against the graft catalog — `graft.<table>` resolves the latest
+    // committed generation, `VERSION AS OF 0` the first — and the
+    // result must be hash-equal to the path-based twin (required
+    // in-gate against FactVersioned.read, then value-verified by the
+    // same DuckDB mirror as q115). The catalog hands Spark its native
+    // parquet table over the manifest's file list, so the SQL path
+    // keeps pushdown/pruning/codegen — resolution is the only thing
+    // the catalog adds.
+    "q113_sql_catalog" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q113_").toString
+      val path = s"$wh/orders_versioned"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s, path, o, Seq("o_orderkey"), "p_year")
+      val updates = o
+        .where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      FactVersioned.upsert(s, path, updates, Seq("o_orderkey"), "p_year")
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      def sqlAgg(g: Long, src: String) = s.sql(
+        s"""SELECT CAST($g AS INT) AS gen, p_year,
+           |  COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_price
+           |FROM $src GROUP BY p_year""".stripMargin)
+      val out = sqlAgg(0L, "graft.orders_versioned VERSION AS OF 0")
+        .unionByName(sqlAgg(1L, "graft.orders_versioned"))
+        .localCheckpoint()
+      // hash-equal to the path-based twin, in-gate
+      def pathAgg(g: Long) = FactVersioned.read(s, path, Some(g))
+        .groupBy(col("p_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_price"))
+        .withColumn("gen", lit(g).cast("int"))
+        .select("gen", "p_year", "n_orders", "total_price")
+      val twin = pathAgg(0L).unionByName(pathAgg(1L))
+      require(out.collect().toSet == twin.collect().toSet,
+        "q113: named-catalog SQL must be hash-equal to the path-based twin")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Min/max view maintenance under retraction — the path q108's
     // count/sum algebra cannot express: deletes remove group F's price
     // extremes and updates retract rows out of their 1995 groups, so
@@ -539,6 +589,24 @@ object ScaleQueries extends QueryPack {
         |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
         |  CAST(SUM(p) AS DOUBLE) AS total_price
         |FROM up GROUP BY st""".stripMargin,
+    // same mirror as q115 — the catalog changes HOW the table is
+    // addressed, never what is read
+    "q113_sql_catalog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS p_year
+        |  FROM orders),
+        |upd AS (
+        |  SELECT p_year,
+        |    CASE WHEN p_year = 1995 AND o_orderkey % 2 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM base)
+        |SELECT 0 AS gen, p_year, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM base GROUP BY p_year
+        |UNION ALL
+        |SELECT 1 AS gen, p_year, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM upd GROUP BY p_year""".stripMargin,
     "q112_minmax_retraction" ->
       """WITH up AS (SELECT
         |    CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0

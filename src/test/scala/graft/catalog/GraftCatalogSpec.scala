@@ -1,0 +1,92 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{FactVersioned, Upsert, Versioned}
+
+/** [[GraftCatalog]]: named-table SQL must resolve to EXACTLY the same
+  * rows as the path-based generation reads (latest and VERSION AS OF),
+  * for both versioned stores, keep native pushdown, and stay
+  * read-only. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(root: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graftt",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftt.root", root)
+  }
+
+  private def dim(n: Int) =
+    (1 to n).map(i => (i.toLong, s"s$i", i * 10L)).toDF("id", "name", "v")
+
+  test("Versioned: latest and VERSION AS OF resolve hash-equal to path reads") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/dims"
+    val v0 = dim(50)
+    Versioned.commit(v0, path)
+    val v1 = Upsert.upsert(v0,
+      dim(50).where($"id" % 2 === 0).withColumn("v", $"v" * 3), Seq("id"))
+    Versioned.commit(v1, path)
+    register(root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "name", "v").as[(Long, String, Long)].collect().toSet
+    assert(rows(spark.sql("SELECT * FROM graftt.dims")) ==
+      rows(Versioned.read(spark, path)))
+    assert(rows(spark.sql("SELECT * FROM graftt.dims VERSION AS OF 0")) ==
+      rows(Versioned.read(spark, path, Some(0L))))
+    assert(rows(spark.sql("SELECT * FROM graftt.dims VERSION AS OF 0")) !=
+      rows(spark.sql("SELECT * FROM graftt.dims")))
+  }
+
+  test("FactVersioned: manifest-resolved SQL reads match path reads; " +
+      "vgen provenance column exposed") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/facts"
+    val f0 = (1 to 60).map(i => (i.toLong, i % 3, i * 1.5)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    val upd = f0.where($"p" === 1).withColumn("x", $"x" * 2)
+    FactVersioned.upsert(spark, path, upd, Seq("k"), "p")
+    register(root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "p", "x").as[(Long, Int, Double)].collect().toSet
+    assert(rows(spark.sql("SELECT * FROM graftt.facts")) ==
+      rows(FactVersioned.read(spark, path)))
+    assert(rows(spark.sql("SELECT * FROM graftt.facts VERSION AS OF 0")) ==
+      rows(FactVersioned.read(spark, path, Some(0L))))
+    // provenance: partition p=1's rows were rewritten by commit 1, the
+    // others still come from commit 0's shared files
+    val prov = spark.sql(
+        "SELECT DISTINCT p, vgen FROM graftt.facts ORDER BY p")
+      .as[(Int, Long)].collect().toSet
+    assert(prov == Set((0, 0L), (1, 1L), (2, 0L)), s"got $prov")
+  }
+
+  test("predicate pushdown reaches the native parquet scan through the catalog") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/facts"
+    val f0 = (1 to 40).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    register(root)
+    val q = spark.sql("SELECT k, x FROM graftt.facts WHERE k > 35")
+    assert(q.as[(Long, Double)].collect().toSet ==
+      Set((36L, 36.0), (37L, 37.0), (38L, 38.0), (39L, 39.0), (40L, 40.0)))
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,35"),
+      s"expected k > 35 pushed to the parquet scan:\n$plan")
+  }
+
+  test("catalog is read-only and unknown tables fail loudly") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    register(root)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.nope").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftt.t2 (a INT) USING parquet").collect()
+    }
+  }
+}
