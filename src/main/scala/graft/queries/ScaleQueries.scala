@@ -315,6 +315,68 @@ object ScaleQueries extends QueryPack {
           col("price_dec__sum").cast("double").as("total_price"))
     }),
 
+    // CDC subscription COMPOSED: one cycle of the pattern the pieces
+    // gate separately (q98 changelog, q108 view maintenance, q115
+    // versioned publish) — capture the batch's change set against the
+    // current generation, publish the upsert as the next generation,
+    // maintain the downstream aggregate view from the CHANGE ROWS ONLY
+    // (never re-reading history), then REDELIVER the same batch: the
+    // changelog must be empty (in-gate require) and the view unchanged
+    // — both phases are emitted, so the zero-delta property is also
+    // value-gated (a redelivery leak would make phase 1 rows diverge
+    // from phase 0 and hash-mismatch the DuckDB mirror).
+    "q114_cdc_subscription" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val wh = Files.createTempDirectory("graft_q114_").toString
+      val path = s"$wh/orders_fact"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s, path, o, Seq("o_orderkey"), "p_year")
+      def withDec(df: DataFrame) = df.withColumn("price_dec",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val stats = Seq(graft.operators.IncrementalAgg.Stat(
+        "price_dec", min = false, max = false))
+      val state0 = graft.operators.IncrementalAgg.aggregateBatch(
+        withDec(FactVersioned.read(s, path)), Seq("o_orderstatus"), stats,
+        trackRows = true)
+      // q98's batch: modified 1995 rows, fresh shifted keys, and 1996
+      // rows redelivered verbatim (zero change rows from the start)
+      val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      val batch = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.where(col("p_year") === 1996 && col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+        .unionByName(o.where(col("p_year") === 1996 && col("o_orderkey") % 3 === 1))
+      // cycle 1: capture the change set against the current generation
+      // (the read pins gen 0's file list eagerly; retention keeps it),
+      // publish the batch as the next generation, maintain the view
+      // from the change rows alone
+      val cur0 = withDec(FactVersioned.read(s, path))
+      val ch1 = Changelog.changeSet(cur0, withDec(batch), Seq("o_orderkey"))
+      FactVersioned.upsert(s, path, batch, Seq("o_orderkey"), "p_year")
+      val view1 = graft.operators.IncrementalAgg.applyChangeSet(
+        state0, ch1, Seq("o_orderstatus"), stats).localCheckpoint()
+      // redelivery: same batch, next cycle — the changelog must be empty
+      val cur1 = withDec(FactVersioned.read(s, path))
+      val ch2 = Changelog.changeSet(cur1, withDec(batch), Seq("o_orderkey"))
+      require(ch2.isEmpty,
+        "q114: a redelivered batch must contribute ZERO change rows")
+      FactVersioned.upsert(s, path, batch, Seq("o_orderkey"), "p_year")
+      val view2 = graft.operators.IncrementalAgg.applyChangeSet(
+        view1, ch2, Seq("o_orderstatus"), stats).localCheckpoint()
+      def shape(df: DataFrame, phase: Int) = df.select(
+        lit(phase).as("phase"), col("o_orderstatus"),
+        col("price_dec__count").as("n_orders"),
+        col("price_dec__sum").cast("double").as("total_price"))
+      val out = shape(view1, 0).unionByName(shape(view2, 1))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Named-table SQL surface: the q115 aggregation re-run as PLAIN SQL
     // against the graft catalog — `graft.<table>` resolves the latest
     // committed generation, `VERSION AS OF 0` the first — and the
@@ -589,6 +651,28 @@ object ScaleQueries extends QueryPack {
         |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
         |  CAST(SUM(p) AS DOUBLE) AS total_price
         |FROM up GROUP BY st""".stripMargin,
+    // composes q98's batch with q108's view algebra: the view after the
+    // real batch equals the from-scratch recompute over the upserted
+    // table (q108 shape + the fresh 1996 inserts), and phase 1 repeats
+    // the SAME rows — any redelivery leakage diverges phase 1
+    "q114_cdc_subscription" ->
+      """WITH up AS (
+        |  SELECT CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |           THEN 'U' ELSE o_orderstatus END AS st,
+        |    CAST(CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |           THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE year(o_orderdate) = 1996 AND o_orderkey % 3 = 0),
+        |agg AS (
+        |  SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
+        |    CAST(SUM(p) AS DOUBLE) AS total_price
+        |  FROM up GROUP BY st)
+        |SELECT 0 AS phase, * FROM agg
+        |UNION ALL
+        |SELECT 1 AS phase, * FROM agg""".stripMargin,
     // same mirror as q115 — the catalog changes HOW the table is
     // addressed, never what is read
     "q113_sql_catalog" ->
