@@ -34,6 +34,8 @@ object EventAggregates {
 
   final case class TextEvent(event_id: Long, ts: Timestamp, text: String)
 
+  final case class VecEvent(event_id: Long, ts: Timestamp, vec: Seq[Double])
+
   final case class SessionState(sessionStart: Long, lastSeen: Long,
       nEvents: Long, totalValue: Double)
 
@@ -72,6 +74,59 @@ object EventAggregates {
       .dropDuplicatesWithinWatermark("__sig")
       .unionByName(withSig.where(col("__sig").isNull))
       .drop("__sig")
+  }
+
+  /** Streaming EMBEDDING near-duplicate suppression: the RHP-LSH
+    * analog of [[dedupNearText]] — drop events whose embedding lands in
+    * a bucket an already-EMITTED event occupies, in ANY of `tables`
+    * random-hyperplane tables (the batch construction of
+    * `Dedup.embeddingNearDupPairs(approx = true)` / `Similarity.lshTopK`,
+    * same [[graft.functions.VectorFunctions.rhpSignature]] hashes, so
+    * stream and batch agree on which vectors are near).
+    *
+    * Construction: one `dropDuplicatesWithinWatermark` PER TABLE,
+    * chained. Each stage admits an event only if its table-t signature
+    * is unseen among events that reached that stage; an event that
+    * survives all stages records its signature in EVERY stage's state.
+    * Inductively the emitted stream is pairwise non-colliding across
+    * all tables: a later event near-dup of an EMITTED one collides at
+    * the first stage it reaches with that table's recorded signature.
+    * (Events near-dup ONLY of other *suppressed* events pass — the
+    * representative-stream contract, exactly what batch dup-clustering
+    * keeps: one representative per near-dup cluster.)
+    *
+    * State at scale: one row per distinct per-table signature of
+    * emitted events inside the watermark horizon — L × |emitted|,
+    * watermark-evicted, distributed by signature (L keyed shuffles is
+    * the honest streaming price of L hash tables; a single-pass
+    * any-table membership test would need an external KV store).
+    * RHP signatures are positive-scale-invariant (signs of projections
+    * only), so raw vectors hash identically to their normalized forms —
+    * no per-event normalization pass. NULL embeddings carry no
+    * direction and BYPASS the dedup (as NULL texts do in
+    * [[dedupNearText]]); all-ZERO vectors project to signature 0 in
+    * every table and deliberately collapse, the empty-text analog. */
+  def dedupNearEmbedding(
+      events: DataFrame,
+      vecCol: String,
+      lateness: String = "1 hour",
+      bits: Int = 8,
+      tables: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val sigCols = (0 until tables).map { t =>
+      graft.functions.VectorFunctions
+        .rhpSignature(col(vecCol), bits, dim, seed = 1000L + t)
+        .as(s"__rhp_$t")
+    }
+    val withSig = events
+      .select(col("*") +: sigCols: _*)
+      .withWatermark("ts", lateness)
+    val hashed = withSig.where(col(s"__rhp_0").isNotNull)
+    val deduped = (0 until tables).foldLeft(hashed) { (df, t) =>
+      df.dropDuplicatesWithinWatermark(s"__rhp_$t")
+    }
+    deduped.unionByName(withSig.where(col(s"__rhp_0").isNull))
+      .drop((0 until tables).map(t => s"__rhp_$t"): _*)
   }
 
   /** Hourly tumbling-window counts per event type with a 1-hour

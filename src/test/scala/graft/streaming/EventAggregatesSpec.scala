@@ -109,6 +109,70 @@ class EventAggregatesSpec extends SparkSpec {
     assert(kept === Array(1L, 2L, 3L)) // both nulls kept
   }
 
+  test("streaming embedding near-dup: pair crossing micro-batches " +
+      "suppressed via ANY-table collision; state bounded; nulls bypass") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8; val bits = 6; val tables = 3
+    // deterministically FIND a near-dup pair agreeing in ≥1 but NOT all
+    // tables (exercises the any-single-table suppression path, not just
+    // scale-invariance) — rhpSignature is hash-seeded, so this search
+    // is stable run to run
+    import org.apache.spark.sql.functions.col
+    val a = (0 until dim).map(j => math.sin(j * 3 + 1) + 1.5)
+    val cands = (1 to 400).map { k =>
+      val amp = 0.1 * (k % 16 + 1) // sweep noise amplitudes
+      (k.toLong, a.zipWithIndex.map { case (x, j) =>
+        x + amp * math.sin(k * 17 + j * 5) })
+    }
+    val sigsOf = {
+      val df = ((0L, a) +: cands).toDF("id", "vec")
+      val sigCols = (0 until tables).map(t =>
+        graft.functions.VectorFunctions
+          .rhpSignature(col("vec"), bits, dim, 1000L + t).as(s"s$t"))
+      df.select(col("id") +: sigCols: _*).collect()
+        .map(r => r.getLong(0) -> (1 until tables + 1).map(r.getLong).toSeq)
+        .toMap
+    }
+    val aSig = sigsOf(0L)
+    val partial = cands.find { case (k, _) =>
+      val s = sigsOf(k)
+      val agree = s.zip(aSig).count { case (x, y) => x == y }
+      agree >= 1 && agree < tables
+    }
+    assert(partial.nonEmpty,
+      "no partial-agreement candidate found — widen the search")
+    val (pk, pvec) = partial.get
+    val opposite = a.map(-_) // flips every projection: disjoint buckets
+
+    val input = MemoryStream[VecEvent]
+    val q = dedupNearEmbedding(input.toDF(), "vec",
+        lateness = "1 hour", bits = bits, tables = tables, dim = dim)
+      .writeStream.format("memory").queryName("vec_neardedup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(VecEvent(1, ts("2024-01-01 10:00:00"), a))
+    q.processAllAvailable()
+    input.addData( // cross-batch: scaled copy (all tables agree),
+      // partial-agreement near-dup (≥1 table), opposite (novel), null
+      VecEvent(2, ts("2024-01-01 10:01:00"), a.map(_ * 2.0)),
+      VecEvent(pk + 100, ts("2024-01-01 10:02:00"), pvec),
+      VecEvent(3, ts("2024-01-01 10:03:00"), opposite),
+      VecEvent(4, ts("2024-01-01 10:04:00"), null))
+    q.processAllAvailable()
+    val kept = spark.table("vec_neardedup")
+      .select("event_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L),
+      s"expected scaled + partial near-dups suppressed, got ${kept.toSeq}")
+    // state bounded: L dedup operators, each ≤ one row per EMITTED
+    // hashed event (suppressed events never seed later stages)
+    val stateRows = q.lastProgress.stateOperators
+      .map(_.numRowsTotal).sum
+    val emittedHashed = 2 // ids 1 and 3 (null bypasses hashing)
+    assert(stateRows <= tables.toLong * emittedHashed,
+      s"state rows $stateRows exceed tables×emitted = " +
+        s"${tables * emittedHashed}")
+    q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
