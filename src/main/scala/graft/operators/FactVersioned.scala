@@ -110,6 +110,34 @@ object FactVersioned {
     g
   }
 
+  /** Per-generation record of the DECLARED touched dirs (including
+    * partition deletes, which leave no manifest trace) — the conflict
+    * fingerprint concurrent committers check overlap against. */
+  val TouchedFile = "touched"
+
+  /** A committed generation's declared touched-dir set. Falls back to
+    * manifest-prefix inference for generations written before the
+    * touched file existed — that inference cannot see partition
+    * DELETES, which is exactly why the file is now written. */
+  private def readTouched(
+      spark: SparkSession, tablePath: String, g: Long): Set[String] = {
+    val fs = fsOf(spark, tablePath)
+    val p = new Path(genMeta(tablePath, g), TouchedFile)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.split("\n").filter(_.nonEmpty).toSet
+    } else {
+      spark.read.parquet(manifestDir(tablePath, g).toString)
+        .where(col("file").startsWith(s"$VGenCol=$g/"))
+        .select("dir").distinct().collect().map(_.getString(0)).toSet
+    }
+  }
+
   private def readSchema(
       spark: SparkSession, tablePath: String, g: Long): StructType = {
     val fs = fsOf(spark, tablePath)
@@ -263,9 +291,31 @@ object FactVersioned {
       touched.map(v => Upsert.partitionDirName(partitionCol, v)).distinct
     parentAtClaim.foreach { pg =>
       val ps = readSchema(spark, tablePath, pg)
-      require(ps.fieldNames.toSet == content.schema.fieldNames.toSet,
-        s"FactVersioned: content schema ${content.schema.fieldNames.toSeq} " +
-          s"does not match generation $pg schema ${ps.fieldNames.toSeq}")
+      // full compatibility, not field-name sets: a silent TYPE change
+      // would pin a schema.ddl that CARRIED-OVER parent files were not
+      // written under, failing late (or mis-reading) on generation
+      // reads. Order-insensitive; nullability is not load-bearing here
+      // (write paths flip it freely). A commit that carries NOTHING
+      // (touched ⊇ every parent partition) may retype: no old-typed
+      // file enters the new manifest, and prior generations read under
+      // their own pinned schemas.
+      def norm(st: StructType) =
+        st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      if (norm(ps) != norm(content.schema)) {
+        require(ps.fieldNames.toSet == content.schema.fieldNames.toSet,
+          s"FactVersioned: content schema ${content.schema.fieldNames.toSeq} " +
+            s"does not match generation $pg schema ${ps.fieldNames.toSeq}")
+        val parentDirs = spark.read
+          .parquet(manifestDir(tablePath, pg).toString)
+          .select("dir").distinct().collect().map(_.getString(0)).toSet
+        val carried = parentDirs -- touchedDirs.toSet
+        require(carried.isEmpty,
+          s"FactVersioned: content schema ${content.schema.toDDL} is not " +
+            s"compatible with generation $pg schema ${ps.toDDL} — a TYPE " +
+            "change must touch every partition (full rewrite); partitions " +
+            s"${carried.toSeq.sorted.mkString(",")} would carry old-typed " +
+            "files under the new pinned schema")
+      }
     }
 
     // stage this commit's data files under their own vgen dir
@@ -314,14 +364,15 @@ object FactVersioned {
     val head = generations(spark, tablePath).lastOption
     val parentGen = basisGen.orElse(parentAtClaim).getOrElse(-1L)
     if (head.exists(_ > parentGen)) {
-      // someone committed since our basis: their touched dirs are the
-      // dirs whose manifest rows point into their own vgen dir
+      // someone committed since our basis: overlap is computed from each
+      // intervener's PERSISTED touched set — inferring it from manifest
+      // file prefixes is blind to partition DELETEs (a deleted dir
+      // leaves no `vgen=<g>/` rows at all), which would let a
+      // concurrent upsert of the same partition silently resurrect the
+      // deleted rows from its stale basis read
       val interveners = generations(spark, tablePath).filter(_ > parentGen)
-      val theirTouched = spark.read.parquet(
-          interveners.map(g => manifestDir(tablePath, g).toString): _*)
-        .where(interveners.map(g =>
-          col("file").startsWith(s"$VGenCol=$g/")).reduce(_ || _))
-        .select("dir").distinct().collect().map(_.getString(0)).toSet
+      val theirTouched =
+        interveners.flatMap(readTouched(spark, tablePath, _)).toSet
       val overlap = theirTouched.intersect(touchedDirs.toSet)
       if (overlap.nonEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -349,6 +400,14 @@ object FactVersioned {
     val ddl = content.schema.toDDL.getBytes(StandardCharsets.UTF_8)
     val out = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"), true)
     try out.write(ddl) finally out.close()
+    // the DECLARED touched set (staged dirs ∪ partition deletes) — the
+    // conflict-detection record later committers check overlap against.
+    // Hive-escaped dir names (newline-safe), one per line, before the
+    // marker so a visible generation always carries it.
+    val tf = fs.create(new Path(genMeta(tablePath, next), TouchedFile), true)
+    try tf.write(touchedDirs.sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally tf.close()
     fs.create(new Path(genMeta(tablePath, next), Versioned.CommitMarker),
       true).close()
     Commit(next, stagedDirs.toIndexedSeq.sorted)

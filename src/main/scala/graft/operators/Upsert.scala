@@ -482,11 +482,26 @@ object Upsert {
           var deleted = List.empty[String]
           val touchedDirs =
             w.touched.map(partitionDirName(w.partitionCol, _)).distinct
+          // A successful phase-1 parquet write ALWAYS creates tmpRoot
+          // (even an all-delete commit's empty partitioned write
+          // creates the root + _SUCCESS). If it has VANISHED here, a
+          // concurrent repairPartitionedSnapshot reclaimed it as stale
+          // — plausible when a large phase-1 merge outlives the 1 h
+          // staleness TTL. Proceeding would make every touched dir
+          // match the src-missing/dst-present branch below and execute
+          // a partition DELETE per dir: silent loss of live partitions.
+          // Abort instead; upsertPartitioned's optimistic retry re-runs
+          // the merge.
+          if (!fs.exists(tmpRoot))
+            throw new java.util.ConcurrentModificationException(
+              s"writeSnapshotsPartitioned(${w.path}): staging dir " +
+                s"$tmpRoot vanished before the swap (reclaimed as stale " +
+                "by a concurrent repair?) — aborting this commit")
           // every partition the plan actually produced must be in the
           // declared touched set — otherwise its rows would be silently
           // dropped by the scoped swap (a stale/wrong touchedHint must
           // fail loudly, not lose data)
-          if (fs.exists(tmpRoot)) {
+          locally {
             val produced = fs.listStatus(tmpRoot).filter(_.isDirectory)
               .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
             val undeclared = produced -- touchedDirs.toSet

@@ -113,6 +113,56 @@ class FactVersionedSpec extends SparkSpec {
     assert(c.gen > 0 && rows(FactVersioned.read(spark, path)).contains((3L, 0, 7L)))
   }
 
+  test("an intervening partition DELETE conflicts a same-partition commit " +
+      "from a stale basis (no silent resurrection)") {
+    val path = tmp()
+    val v0 = base(90)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p") // gen 0
+    // intervener deletes p=1 entirely (gen 1): leaves NO manifest rows
+    // under vgen=1/, so prefix inference would be blind to it
+    FactVersioned.replacePartitions(spark, path,
+      v0.where(col("p") === 99), "p", touched = Seq(1))
+    // a writer whose merge was derived from gen 0 (still containing
+    // p=1's rows) now commits p=1: silently resurrecting the deleted
+    // rows is exactly what conflict detection must prevent
+    intercept[java.util.ConcurrentModificationException] {
+      FactVersioned.replacePartitions(spark, path,
+        v0.where(col("p") === 1), "p", touched = Seq(1),
+        basisGen = Some(0L))
+    }
+    // the delete survives; a DISJOINT stale-basis commit still lands
+    assert(rows(FactVersioned.read(spark, path)) ==
+      rows(v0.where(col("p") =!= 1)))
+    FactVersioned.replacePartitions(spark, path,
+      v0.where(col("p") === 0).withColumn("v", col("v") + 1), "p",
+      touched = Seq(0), basisGen = Some(0L))
+    assert(rows(FactVersioned.read(spark, path)) ==
+      rows(v0.where(col("p") === 0).withColumn("v", col("v") + 1)
+        .unionByName(v0.where(col("p") === 2))))
+  }
+
+  test("a column TYPE change is rejected when partitions carry over; " +
+      "a full rewrite may retype") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")
+    val retyped = base(30).withColumn("v", col("v").cast("string"))
+    // partial touch: p=1, p=2 would carry old-typed files → reject
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.replacePartitions(spark, path,
+        retyped.where(col("p") === 0), "p", touched = Seq(0))
+    }
+    assert(e.getMessage.contains("TYPE"),
+      s"expected a type-compatibility error, got: ${e.getMessage}")
+    // full rewrite: every parent partition touched → retype allowed,
+    // old generation still reads under its own pinned schema
+    FactVersioned.replacePartitions(spark, path, retyped, "p",
+      touched = Seq(0, 1, 2))
+    assert(FactVersioned.read(spark, path)
+      .schema("v").dataType.typeName == "string")
+    assert(FactVersioned.read(spark, path, Some(0L))
+      .schema("v").dataType.typeName == "long")
+  }
+
   test("concurrent disjoint committers both land; overlapping one aborts") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}

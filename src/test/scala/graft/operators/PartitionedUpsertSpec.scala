@@ -205,6 +205,36 @@ class PartitionedUpsertSpec extends SparkSpec {
       staging.schema).isEmpty)
   }
 
+  test("vanished staging aborts the swap — live partitions are never " +
+      "interpreted as deletes") {
+    val path = tmpDir() + "/t"
+    writeSeed(path)
+    val before = Upsert.readPartitionedSnapshot(spark, path, seed.schema)
+      .get.collect().toSet
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parent = new Path(path).getParent
+    val baseName = new Path(path).getName
+    val updates = Seq((1L, d("2024-01-01"), "a2", 11))
+      .toDF("id", "p_date", "name", "v")
+    // simulate a concurrent repair reclaiming the staging dir while
+    // phase 1 outlived the staleness TTL: delete __ptmp_* under the
+    // swap lock, right before the swap would run
+    intercept[java.util.ConcurrentModificationException] {
+      Upsert.writeSnapshotsPartitioned(
+        Seq(Upsert.PartitionedWrite(updates, path, "p_date",
+          Seq(d("2024-01-01")))),
+        preSwapCheck = () =>
+          fs.listStatus(parent).map(_.getPath)
+            .filter(_.getName.startsWith(baseName + "__ptmp_"))
+            .foreach(fs.delete(_, true)))
+    }
+    val after = Upsert.readPartitionedSnapshot(spark, path, seed.schema)
+      .get.collect().toSet
+    assert(after == before,
+      "aborted swap must leave every live partition untouched")
+  }
+
   test("touched-partition guard fails loudly on a mis-chosen column") {
     val path = tmpDir() + "/t"
     val updates = (1 to 50).map(i => (i.toLong, i, "x"))
