@@ -111,6 +111,27 @@ class GraftCatalog extends TableCatalog {
         s"GraftCatalog: VERSION AS OF takes a generation number, got " +
           s"'$version'"))))
 
+  /** `TIMESTAMP AS OF <t>` — resolves the newest generation whose
+    * commit marker (written LAST, so its mtime is the commit's
+    * visibility instant) is at or before `t`. `timestamp` arrives in
+    * MICROseconds since epoch (Spark's contract for this overload). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    val times =
+      if (FactVersioned.generations(spark, path).nonEmpty)
+        FactVersioned.generationCommitTimes(spark, path)
+      else if (Versioned.generations(spark, path).nonEmpty)
+        Versioned.generationCommitTimes(spark, path)
+      else throw new NoSuchTableException(ident)
+    val tMs = timestamp / 1000L
+    val gen = times.takeWhile(_._2 <= tMs).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog: no generation of ${ident.name} was committed at " +
+          s"or before timestamp $timestamp µs (earliest commit: " +
+          s"${times.headOption.map(_._2).getOrElse(-1L)} ms)"))
+    load(ident, Some(gen))
+  }
+
   private def load(ident: Identifier, gen: Option[Long]): Table = {
     val path = tablePath(ident)
     val display = gen.fold(ident.name)(g => s"${ident.name}@v$g")

@@ -177,6 +177,18 @@ object FactVersioned {
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
+  /** (generation, commit-marker mtime millis) per committed generation,
+    * ascending — see [[Versioned.generationCommitTimes]]. */
+  def generationCommitTimes(
+      spark: SparkSession, tablePath: String): Seq[(Long, Long)] = {
+    val fs = fsOf(spark, tablePath)
+    generations(spark, tablePath).map { g =>
+      g -> fs.getFileStatus(
+        new Path(genMeta(tablePath, g), Versioned.CommitMarker))
+        .getModificationTime
+    }
+  }
+
   /** A committed generation's physical handle: (absolute data-file
     * paths, pinned schema WITHOUT [[VGenCol]], data-root path for
     * `basePath`-style partition discovery). The SQL catalog surface

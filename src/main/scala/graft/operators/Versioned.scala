@@ -140,6 +140,20 @@ object Versioned {
     Commit(next, dir.toString)
   }
 
+  /** (generation, commit-marker mtime millis) per committed generation,
+    * ascending — the record `TIMESTAMP AS OF` resolution binds to (the
+    * marker is written LAST, so its mtime IS the commit's visibility
+    * instant). */
+  def generationCommitTimes(
+      spark: SparkSession, tablePath: String): Seq[(Long, Long)] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    generations(spark, tablePath).map { g =>
+      g -> fs.getFileStatus(new Path(genDir(root, g), CommitMarker))
+        .getModificationTime
+    }
+  }
+
   /** A committed generation's directory path — the SQL catalog surface
     * ([[graft.catalog.GraftCatalog]]) points its native parquet table
     * here. Same committed-only resolution as [[read]]. */

@@ -79,6 +79,37 @@ class GraftCatalogSpec extends SparkSpec {
       s"expected k > 35 pushed to the parquet scan:\n$plan")
   }
 
+  test("TIMESTAMP AS OF resolves the newest generation committed at or " +
+      "before the instant; pre-history timestamps fail loudly") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/dims"
+    val v0 = dim(20)
+    Versioned.commit(v0, path)
+    Thread.sleep(1100) // marker mtimes are second-granular on some FS
+    val between = java.time.Instant.now()
+    Thread.sleep(1100)
+    Versioned.commit(
+      Upsert.upsert(v0, dim(20).withColumn("v", $"v" + 1), Seq("id")), path)
+    register(root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "name", "v").as[(Long, String, Long)].collect().toSet
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val asOf = spark.sql(
+      s"SELECT * FROM graftt.dims TIMESTAMP AS OF '${fmt.format(between)}'")
+    assert(rows(asOf) == rows(Versioned.read(spark, path, Some(0L))))
+    val now = spark.sql(
+      s"SELECT * FROM graftt.dims TIMESTAMP AS OF " +
+        s"'${fmt.format(java.time.Instant.now())}'")
+    assert(rows(now) == rows(Versioned.read(spark, path, Some(1L))))
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graftt.dims TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
   test("catalog is read-only and unknown tables fail loudly") {
     val root = Files.createTempDirectory("graft_cat_").toString
     register(root)
