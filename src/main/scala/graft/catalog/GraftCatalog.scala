@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -60,7 +60,7 @@ import graft.operators.{FactVersioned, Versioned}
   * resolution (falling back to the init-time option), so one session
   * can repoint the catalog — and a long-lived session (Bench's
   * repeated runs) never resolves against a stale root. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var initRoot: Option[String] = None
@@ -153,6 +153,34 @@ class GraftCatalog extends TableCatalog {
         None, classOf[ParquetFileFormat])
     } else throw new NoSuchTableException(ident)
   }
+
+  // ---- namespaces: a single flat (empty) namespace, so SHOW TABLES
+  // and catalog browsing resolve; all DDL rejected like tables --------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array.empty[String])
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespace.isEmpty) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly()
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = readOnly()
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = readOnly()
 
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(

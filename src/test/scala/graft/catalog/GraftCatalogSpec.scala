@@ -110,6 +110,19 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW TABLES lists the versioned tables under the root") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    Versioned.commit(dim(5), s"$root/dtable")
+    val f = (1 to 6).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, s"$root/ftable", f, Seq("k"), "p")
+    // a non-table dir must not be listed
+    new java.io.File(s"$root/not_a_table").mkdirs()
+    register(root)
+    val shown = spark.sql("SHOW TABLES IN graftt")
+      .select("tableName").as[String].collect().toSet
+    assert(shown == Set("dtable", "ftable"), s"got $shown")
+  }
+
   test("catalog is read-only and unknown tables fail loudly") {
     val root = Files.createTempDirectory("graft_cat_").toString
     register(root)
