@@ -457,6 +457,36 @@ object FactVersioned {
       partitionCol, touched, retain, basisGen = Some(basis))
   }
 
+  /** Compact `dirs` of the head generation: rewrite each listed
+    * partition's (possibly many, accumulated-across-commits) files as
+    * one fresh commit whose CONTENT is unchanged — the
+    * `rewrite_data_files` maintenance action of the lakehouse stores,
+    * here just a content-preserving [[replacePartitions]]. Untouched
+    * partitions keep sharing their existing files; older generations
+    * still reference the pre-compaction files until retention expires
+    * them (compaction never breaks time travel). Each compacted
+    * partition lands as ONE file (`repartition` on the partition
+    * column clusters a partition's rows into a single task). */
+  def compactPartitions(
+      spark: SparkSession,
+      tablePath: String,
+      dirs: Seq[String],
+      partitionCol: String,
+      retain: Int = 3): Commit = {
+    require(dirs.nonEmpty, "compactPartitions: no dirs given")
+    val head = resolveGen(spark, tablePath, None)
+    val content = readFiles(spark, tablePath, head, Some(dirs))
+      .repartition(math.max(dirs.size, 1), col(partitionCol))
+    // touched values are recovered from the content itself: dir names
+    // are Hive-escaped `pcol=value` forms, and replacePartitions
+    // re-derives the same names, so declaring the read rows' distinct
+    // partition values is exact
+    val touched = content.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toIndexedSeq
+    replacePartitions(spark, tablePath, content, partitionCol, touched,
+      retain, basisGen = Some(head))
+  }
+
   /** Expire old generations' metadata, then GC data files no retained
     * manifest references. In-flight claimed generations (fresh claim,
     * no marker) are never touched; stale claim debris is reclaimed. */

@@ -163,6 +163,35 @@ class FactVersionedSpec extends SparkSpec {
       .schema("v").dataType.typeName == "long")
   }
 
+  test("compactPartitions: drip-committed partition coalesces to one file, " +
+      "content and time travel unchanged") {
+    val path = tmp()
+    val v0 = base(90)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p")
+    // three drip commits into p=1 accumulate files across generations
+    (1 to 3).foreach { i =>
+      FactVersioned.upsert(spark, path,
+        Seq((i.toLong * 3 + 1, 1, 1000L + i)).toDF("k", "p", "v"),
+        Seq("k"), "p", retain = 10)
+    }
+    val preHead = FactVersioned.generations(spark, path).max
+    def filesOf(g: Long, d: String): Set[String] =
+      spark.read.parquet(s"$path/${FactVersioned.GensDir}/gen=$g/manifest")
+        .where(col("dir") === d).select("file").as[String].collect().toSet
+    val before = rows(FactVersioned.read(spark, path))
+    assert(filesOf(preHead, "p=1").size > 1, "sanity: drip files accumulated")
+
+    val c = FactVersioned.compactPartitions(spark, path, Seq("p=1"), "p",
+      retain = 10)
+    assert(c.rewrittenDirs == Seq("p=1"))
+    assert(filesOf(c.gen, "p=1").size == 1, "compacted to one file")
+    // content identical; untouched partitions share the same files
+    assert(rows(FactVersioned.read(spark, path)) == before)
+    assert(filesOf(preHead, "p=0") == filesOf(c.gen, "p=0"))
+    // time travel to the pre-compaction head still reads exactly
+    assert(rows(FactVersioned.read(spark, path, Some(preHead))) == before)
+  }
+
   test("concurrent disjoint committers both land; overlapping one aborts") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
