@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CDC change-feed consumption over a [[FactVersioned]] table — the
+  * reusable primitive behind the q114 composition: "give me the row
+  * delta since the last generation I processed, and remember where I
+  * am" (the Delta change-data-feed idea over the manifest store).
+  *
+  * Scale posture: the diff join is restricted to the partitions the
+  * unprocessed generations DECLARED touched (their persisted `touched`
+  * sets — bytes ∝ touched dirs, delete-aware by round-9 construction),
+  * so a poll's cost is ∝ the changed partitions' data at both reads,
+  * never a whole-table self-join. A key migrating between partitions
+  * is still caught: both its source and destination partitions are in
+  * some generation's touched set by definition of the commit.
+  *
+  * Delivery contract: AT-LEAST-ONCE with an exact replay guard. The
+  * bookmark (tiny gen-number file, tmp+bak crash-safe like
+  * [[graft.sources.Bookmark]]) commits only AFTER the handler returns,
+  * so a crash replays the batch; the batch's `toGen` is the numeric
+  * batch id consumers pass to idempotent sinks
+  * ([[IncrementalAgg.refresh]]'s `batchId`, [[Upsert.upsert]]'s
+  * key-idempotence) — a replayed `(fromGen, toGen]` window produces
+  * the IDENTICAL change rows (generations are immutable), so any
+  * idempotent consumer converges.
+  */
+object FactChangeFeed {
+
+  /** One pending change window: `changes` is the row delta
+    * transforming generation `fromGen` into `toGen` (Changelog op
+    * rows; `fromGen` = -1 means "from empty" — every row an insert). */
+  final case class Polled(fromGen: Long, toGen: Long, changes: DataFrame)
+
+  /** Partitions declared touched by generations in (afterGen, head]. */
+  private def touchedSince(
+      spark: SparkSession,
+      tablePath: String,
+      afterGen: Long,
+      head: Long): Set[String] =
+    FactVersioned.generations(spark, tablePath)
+      .filter(g => g > afterGen && g <= head)
+      .flatMap(FactVersioned.readTouched(spark, tablePath, _)).toSet
+
+  /** The pending change window after `afterGen` (None = from the
+    * beginning), or None when the head is already processed. Pure
+    * computation — commits nothing. */
+  def pending(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      afterGen: Option[Long]): Option[Polled] = {
+    val gens = FactVersioned.generations(spark, tablePath)
+    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    val head = gens.max
+    afterGen match {
+      case Some(a) if a >= head => None
+      case Some(a) =>
+        require(gens.contains(a),
+          s"bookmarked generation $a no longer exists at $tablePath " +
+            s"(have ${gens.mkString(",")}) — retention outran the " +
+            "consumer; re-seed from a full read")
+        val dirs = touchedSince(spark, tablePath, a, head).toSeq.sorted
+        val from = FactVersioned.readDirs(spark, tablePath, Some(a), dirs)
+        val to = FactVersioned.readDirs(spark, tablePath, Some(head), dirs)
+        Some(Polled(a, head, Changelog.changeSet(from, to, keys,
+          dedupNullKeyed = true, emitDeletes = true)))
+      case None =>
+        val to = FactVersioned.read(spark, tablePath, Some(head))
+        val empty = to.limit(0)
+        Some(Polled(-1L, head, Changelog.changeSet(empty, to, keys,
+          dedupNullKeyed = true, emitDeletes = true)))
+    }
+  }
+
+  /** One subscription step: read the bookmark, compute the pending
+    * window, run `handler`, commit the bookmark AFTER success. Returns
+    * the processed window, or None when already caught up. */
+  def poll(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      bookmarkPath: String)(handler: Polled => Unit): Option[Polled] = {
+    val last = readBookmark(spark, bookmarkPath)
+    val p = pending(spark, tablePath, keys, last)
+    p.foreach { w =>
+      handler(w)
+      commitBookmark(spark, bookmarkPath, w.toGen)
+    }
+    p
+  }
+
+  /** Last processed generation, if any. Falls back to `.bak` so a
+    * crash mid-commit never loses a committed position. */
+  def readBookmark(spark: SparkSession, path: String): Option[Long] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readFile(p: Path): Option[Long] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val bytes = new Array[Byte](64)
+            val n = in.read(bytes)
+            new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8)
+              .trim.toLongOption
+          } finally in.close()
+        }
+      } catch { case _: Exception => None }
+    readFile(hp).orElse(readFile(new Path(path + ".bak")))
+  }
+
+  private def commitBookmark(
+      spark: SparkSession, path: String, gen: Long): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val bak = new Path(path + ".bak")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(bak)) fs.delete(bak, false)
+    if (fs.exists(hp)) fs.rename(hp, bak)
+    require(fs.rename(tmp, hp),
+      s"FactChangeFeed: bookmark commit rename failed at $path")
+  }
+}

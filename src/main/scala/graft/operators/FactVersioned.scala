@@ -119,7 +119,7 @@ object FactVersioned {
     * manifest-prefix inference for generations written before the
     * touched file existed — that inference cannot see partition
     * DELETES, which is exactly why the file is now written. */
-  private def readTouched(
+  private[operators] def readTouched(
       spark: SparkSession, tablePath: String, g: Long): Set[String] = {
     val fs = fsOf(spark, tablePath)
     val p = new Path(genMeta(tablePath, g), TouchedFile)

@@ -315,20 +315,24 @@ object ScaleQueries extends QueryPack {
           col("price_dec__sum").cast("double").as("total_price"))
     }),
 
-    // CDC subscription COMPOSED: one cycle of the pattern the pieces
-    // gate separately (q98 changelog, q108 view maintenance, q115
-    // versioned publish) — capture the batch's change set against the
-    // current generation, publish the upsert as the next generation,
-    // maintain the downstream aggregate view from the CHANGE ROWS ONLY
-    // (never re-reading history), then REDELIVER the same batch: the
-    // changelog must be empty (in-gate require) and the view unchanged
-    // — both phases are emitted, so the zero-delta property is also
-    // value-gated (a redelivery leak would make phase 1 rows diverge
-    // from phase 0 and hash-mismatch the DuckDB mirror).
+    // CDC subscription COMPOSED, through the REUSABLE primitive: the
+    // downstream aggregate view is built ENTIRELY from
+    // FactChangeFeed.poll windows — the initial snapshot arrives as
+    // the first window's inserts, the published batch as the second
+    // window's change rows (diff restricted to the touched
+    // partitions), and a REDELIVERED batch's commit as a third window
+    // that must be EMPTY (in-gate require: same values rewrite to a
+    // new generation, value-diff sees nothing). History is never
+    // re-read; the crash-safe bookmark advances only after each apply.
+    // Both phases are emitted, so the zero-delta property is also
+    // value-gated (a redelivery leak would diverge phase 1 from phase
+    // 0 and hash-mismatch the DuckDB mirror).
     "q114_cdc_subscription" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
+      import graft.operators.{FactChangeFeed, IncrementalAgg}
       val wh = Files.createTempDirectory("graft_q114_").toString
       val path = s"$wh/orders_fact"
+      val bm = s"$wh/feed.bookmark"
       // the cycle only ever touches 1995/1996 — keep the table to those
       // partitions so the gate times the CYCLE, not an initial bulk
       // load of five bystander years (semantics unchanged; the oracle
@@ -337,14 +341,21 @@ object ScaleQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           year(col("o_orderdate")).as("p_year"))
         .where(col("p_year").isin(1995, 1996))
-      FactVersioned.upsert(s, path, o, Seq("o_orderkey"), "p_year")
       def withDec(df: DataFrame) = df.withColumn("price_dec",
         col("o_totalprice").cast(DecimalType(18, 2)))
-      val stats = Seq(graft.operators.IncrementalAgg.Stat(
+      val stats = Seq(IncrementalAgg.Stat(
         "price_dec", min = false, max = false))
-      val state0 = graft.operators.IncrementalAgg.aggregateBatch(
-        withDec(FactVersioned.read(s, path)), Seq("o_orderstatus"), stats,
-        trackRows = true)
+      def applyWindow(state: DataFrame, w: FactChangeFeed.Polled) =
+        IncrementalAgg.applyChangeSet(state, withDec(w.changes),
+          Seq("o_orderstatus"), stats).localCheckpoint()
+      FactVersioned.upsert(s, path, o, Seq("o_orderkey"), "p_year")
+      // window 1: the initial snapshot as inserts, applied to an
+      // empty-but-shaped state
+      var view = IncrementalAgg.aggregateBatch(withDec(o.limit(0)),
+        Seq("o_orderstatus"), stats, trackRows = true)
+      FactChangeFeed.poll(s, path, Seq("o_orderkey"), bm) { w =>
+        view = applyWindow(view, w)
+      }
       // q98's batch: modified 1995 rows, fresh shifted keys, and 1996
       // rows redelivered verbatim (zero change rows from the start)
       val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -354,23 +365,22 @@ object ScaleQueries extends QueryPack {
         .unionByName(o.where(col("p_year") === 1996 && col("o_orderkey") % 3 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + maxKey))
         .unionByName(o.where(col("p_year") === 1996 && col("o_orderkey") % 3 === 1))
-      // cycle 1: capture the change set against the current generation
-      // (the read pins gen 0's file list eagerly; retention keeps it),
-      // publish the batch as the next generation, maintain the view
-      // from the change rows alone
-      val cur0 = withDec(FactVersioned.read(s, path))
-      val ch1 = Changelog.changeSet(cur0, withDec(batch), Seq("o_orderkey"))
+      // window 2: publish the batch, then consume its change rows
       FactVersioned.upsert(s, path, batch, Seq("o_orderkey"), "p_year")
-      val view1 = graft.operators.IncrementalAgg.applyChangeSet(
-        state0, ch1, Seq("o_orderstatus"), stats).localCheckpoint()
-      // redelivery: same batch, next cycle — the changelog must be empty
-      val cur1 = withDec(FactVersioned.read(s, path))
-      val ch2 = Changelog.changeSet(cur1, withDec(batch), Seq("o_orderkey"))
-      require(ch2.isEmpty,
-        "q114: a redelivered batch must contribute ZERO change rows")
+      FactChangeFeed.poll(s, path, Seq("o_orderkey"), bm) { w =>
+        view = applyWindow(view, w)
+      }
+      val view1 = view
+      // window 3: REDELIVER the same batch — a new generation lands
+      // (same values, fresh files), and its feed window must be empty
       FactVersioned.upsert(s, path, batch, Seq("o_orderkey"), "p_year")
-      val view2 = graft.operators.IncrementalAgg.applyChangeSet(
-        view1, ch2, Seq("o_orderstatus"), stats).localCheckpoint()
+      val w3 = FactChangeFeed.poll(s, path, Seq("o_orderkey"), bm) { w =>
+        require(w.changes.isEmpty,
+          "q114: a redelivered batch must contribute ZERO change rows")
+        view = applyWindow(view, w)
+      }
+      require(w3.nonEmpty, "q114: the redelivery commit must produce a window")
+      val view2 = view
       def shape(df: DataFrame, phase: Int) = df.select(
         lit(phase).as("phase"), col("o_orderstatus"),
         col("price_dec__count").as("n_orders"),
