@@ -483,6 +483,52 @@ object ScaleQueries extends QueryPack {
           col("price_dec__max").cast("double").as("max_price"))
     }),
 
+    // Small-file compaction with time travel intact: three drip
+    // commits accumulate files in the 1995 partition; compactPartitions
+    // rewrites it as ONE file in a fresh generation with content
+    // unchanged. In-gate: >1 file before, exactly 1 after, and the
+    // pre-compaction head still reads (time travel). Value gate: the
+    // aggregate over the pre-compaction head (phase 0) and over the
+    // compacted head (phase 1) must be IDENTICAL rows — any content
+    // drift from the rewrite hash-mismatches the mirror.
+    "q117_fact_compaction" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q117_").toString
+      val path = s"$wh/orders_fact"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      FactVersioned.upsert(s, path, o, Seq("o_orderkey"), "p_year")
+      (1 to 3).foreach { i =>
+        val upd = o.where(col("p_year") === 1995 && col("o_orderkey") % 7 === i)
+          .withColumn("o_totalprice", col("o_totalprice") + i)
+        FactVersioned.upsert(s, path, upd, Seq("o_orderkey"), "p_year",
+          retain = 10)
+      }
+      val preHead = FactVersioned.generations(s, path).max
+      def filesOf(g: Long): Long =
+        s.read.parquet(s"$path/${FactVersioned.GensDir}/gen=$g/manifest")
+          .where(col("dir") === "p_year=1995").count()
+      require(filesOf(preHead) > 1,
+        s"q117: drip commits must accumulate files, got ${filesOf(preHead)}")
+      val c = FactVersioned.compactPartitions(s, path, Seq("p_year=1995"),
+        "p_year", retain = 10)
+      require(filesOf(c.gen) == 1,
+        s"q117: compaction must coalesce to one file, got ${filesOf(c.gen)}")
+      def agg(g: Long, phase: Int) = FactVersioned.read(s, path, Some(g))
+        .groupBy(col("p_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_price"))
+        .select(lit(phase).as("phase"), col("p_year"),
+          col("n_orders"), col("total_price"))
+      val out = agg(preHead, 0).unionByName(agg(c.gen, 1)).localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Generation diff: the row-level delta between two committed
     // versions of a table — deletes (keys absent from the after-image),
     // updates (pre+post), inserts — the audit question time travel
@@ -666,6 +712,22 @@ object ScaleQueries extends QueryPack {
         |SELECT st AS o_orderstatus, COUNT(p) AS n_orders,
         |  CAST(SUM(p) AS DOUBLE) AS total_price
         |FROM up GROUP BY st""".stripMargin,
+    "q117_fact_compaction" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |upd AS (
+        |  SELECT y, CASE WHEN y = 1995 AND k % 7 IN (1, 2, 3)
+        |    THEN p + (k % 7) ELSE p END AS p
+        |  FROM base),
+        |agg AS (
+        |  SELECT y AS p_year, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM upd GROUP BY y)
+        |SELECT 0 AS phase, * FROM agg
+        |UNION ALL
+        |SELECT 1 AS phase, * FROM agg""".stripMargin,
     // composes q98's batch with q108's view algebra: the view after the
     // real batch equals the from-scratch recompute over the upserted
     // table (q108 shape + the fresh 1996 inserts), and phase 1 repeats
