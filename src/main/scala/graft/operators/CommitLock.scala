@@ -13,20 +13,38 @@ import org.apache.spark.sql.SparkSession
   * concurrent, so disjoint writers overlap on all the real work and
   * serialize only on renames (milliseconds).
   *
-  * Protocol: a QUEUE lock over globally-unique claim files, not a
-  * single fixed-name lock file. Each acquirer exclusive-creates
-  * `_graft_commit_lock.claim.<zero-padded-millis>.<uuid>` and holds
-  * the lock exactly while its claim is the lexicographically smallest
-  * ALIVE (younger than [[StaleLockMs]]) claim. A crashed holder's
-  * claim ages past the TTL and is thereafter ignored and garbage-
-  * collected. Because claim names embed a UUID and are NEVER reused, a
-  * GC delete can never remove a fresh lock that re-landed under the
-  * same name — the delete-then-create TOCTOU of fixed-name stale-lock
-  * breaking (two waiters both judging the old lock stale; the slower
-  * one deleting the faster one's fresh lock) cannot occur by
-  * construction. The only remaining cross-writer assumption is the
-  * lease itself: a holder must finish its swap within [[StaleLockMs]]
-  * (renames are ms-scale against a 1 h TTL).
+  * Protocol: a QUEUE lock over globally-unique claim files — a
+  * filesystem rendition of Lamport's bakery algorithm. Naively naming
+  * claims by the acquirer's own clock RACES: the name is chosen
+  * before the file lands, so a claim can become visible AFTER a rival
+  * listed the directory yet sort BEFORE the rival's claim — both then
+  * observe themselves as the queue head (caught by CommitLockSpec
+  * under load). The bakery two-phase choose closes that window:
+  *
+  *  1. CHOOSING — exclusive-create
+  *     `_graft_commit_lock.choosing.<uuid>`: the public announcement
+  *     that a queue number is being picked;
+  *  2. NUMBER — list existing claims, take max(number)+1,
+  *     exclusive-create
+  *     `_graft_commit_lock.claim.<zero-padded-number>.<uuid>`, then
+  *     delete the choosing marker;
+  *  3. WAIT — hold the lock exactly while NO alive choosing marker
+  *     exists AND this claim is the smallest alive claim by
+  *     (number, uuid).
+  *
+  * Exclusivity argument: if a rival's number ends up ≤ mine, either
+  * its choosing marker (or finished claim) was visible to my wait
+  * loop — which waits choosers out and then compares claims — or it
+  * began choosing only after MY claim was visible, in which case its
+  * number pick saw my claim and chose a larger number. Concurrent
+  * choosers can pick equal numbers; the uuid tiebreak is
+  * deterministic, so exactly one is the head. Claim names are NEVER
+  * reused (uuid component), so the staleness GC can never delete a
+  * fresh claim that re-landed under a recycled name. Crashed choosers
+  * and holders age past [[StaleLockMs]] and are ignored/GC'd. The
+  * only remaining cross-writer assumption is the lease itself: a
+  * holder must finish its swap within [[StaleLockMs]] (renames are
+  * ms-scale against a 1 h TTL).
   *
   * Multi-table transactions (the promote pair) acquire in sorted-path
   * order, so two transactions over the same tables cannot deadlock. */
@@ -35,6 +53,8 @@ object CommitLock {
   val LockName = "_graft_commit_lock"
 
   private val ClaimPrefix = LockName + ".claim."
+
+  private val ChoosingPrefix = LockName + ".choosing."
 
   /** A claim older than this is a crashed holder's leftover. */
   val StaleLockMs: Long = Versioned.StaleClaimMs
@@ -63,36 +83,77 @@ object CommitLock {
     }
   }
 
+  /** Queue number of a claim file name, or None for malformed names. */
+  private def claimNumber(name: String): Option[Long] =
+    name.stripPrefix(ClaimPrefix).takeWhile(_ != '.').toLongOption
+
   private def acquire(fs: FileSystem, table: Path): Path = {
     if (!fs.exists(table)) fs.mkdirs(table)
-    // Enqueue: a claim whose name is unique forever. Zero-padded millis
-    // give lexicographic = arrival order; the UUID breaks same-ms ties
-    // and guarantees no name is ever created twice.
-    var myClaim: Path = null
-    while (myClaim == null) {
-      val name = ClaimPrefix +
-        f"${System.currentTimeMillis()}%020d." +
-        java.util.UUID.randomUUID().toString
-      val p = new Path(table, name)
-      if (atomicCreate(fs, p)) myClaim = p
+    // Phase 1 — CHOOSING: announce before picking, so a rival that
+    // lists while our number is in flight knows to wait (the bakery
+    // `choosing[i] := true`).
+    var choosing: Path = null
+    while (choosing == null) {
+      val p = new Path(table,
+        ChoosingPrefix + java.util.UUID.randomUUID().toString)
+      if (atomicCreate(fs, p)) choosing = p
     }
+    // Phase 2 — NUMBER: max existing claim number + 1; the uuid keeps
+    // the full name unique forever even when numbers repeat after the
+    // queue drains.
+    var myClaim: Path = null
+    try {
+      val existing = fs.listStatus(table)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(ClaimPrefix))
+        .flatMap(s => claimNumber(s.getPath.getName))
+      val myNumber = if (existing.isEmpty) 1L else existing.max + 1L
+      while (myClaim == null) {
+        val p = new Path(table, ClaimPrefix + f"$myNumber%020d." +
+          java.util.UUID.randomUUID().toString)
+        if (atomicCreate(fs, p)) myClaim = p
+      }
+    } finally {
+      try fs.delete(choosing, false)
+      catch { case _: java.io.IOException => () }
+    }
+    // Phase 3 — WAIT: head = smallest alive (number, uuid) claim, and
+    // only once no alive chooser remains (its number may be ≤ ours).
+    // Head must be observed by TWO BACK-TO-BACK listings before
+    // holding: a single directory scan is not guaranteed atomic under
+    // concurrent create/delete (an entry modified mid-scan may be
+    // missed), but any rival marker whose creation COMPLETED before
+    // the confirming scan starts is caught by it — and a marker
+    // created later means the rival's number pick sees our claim.
     val deadline = System.currentTimeMillis() + AcquireTimeoutMs
     try {
-      while (true) {
+      def headNow(): Boolean = {
         val now = System.currentTimeMillis()
-        val claims = fs.listStatus(table)
-          .filter(s => s.isFile && s.getPath.getName.startsWith(ClaimPrefix))
-        val (alive, dead) =
-          claims.partition(c => now - c.getModificationTime <= StaleLockMs)
-        // GC crashed holders' leftovers. Safe: claim names are never
-        // reused, so this delete cannot hit a fresh re-creation.
-        dead.foreach { c =>
-          try fs.delete(c.getPath, false)
-          catch { case _: java.io.IOException => () }
+        val entries = fs.listStatus(table).filter(_.isFile)
+        def alive(s: org.apache.hadoop.fs.FileStatus) =
+          now - s.getModificationTime <= StaleLockMs
+        val chooserAlive = entries.exists(s =>
+          s.getPath.getName.startsWith(ChoosingPrefix) && alive(s))
+        // GC crashed choosers' and holders' leftovers. Safe: names are
+        // never reused, so a delete cannot hit a fresh re-creation.
+        entries.filter(s => !alive(s) &&
+            (s.getPath.getName.startsWith(ClaimPrefix) ||
+              s.getPath.getName.startsWith(ChoosingPrefix)))
+          .foreach { s =>
+            try fs.delete(s.getPath, false)
+            catch { case _: java.io.IOException => () }
+          }
+        if (chooserAlive) false
+        else {
+          val aliveClaims = entries.filter(s =>
+            s.getPath.getName.startsWith(ClaimPrefix) && alive(s))
+            .map(_.getPath.getName)
+          // zero-padded numbers make lexicographic = (number, uuid)
+          aliveClaims.nonEmpty && aliveClaims.min == myClaim.getName
         }
-        if (alive.map(_.getPath.getName).min == myClaim.getName)
-          return myClaim
-        if (now > deadline)
+      }
+      while (true) {
+        if (headNow() && headNow()) return myClaim
+        if (System.currentTimeMillis() > deadline)
           throw new java.util.ConcurrentModificationException(
             s"CommitLock: could not acquire $myClaim within " +
               s"$AcquireTimeoutMs ms — concurrent committer stuck?")
