@@ -47,6 +47,17 @@ object VectorFunctions {
       zip_with(toDoubles(a), toDoubles(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Reconstructed SQ8 dot of two quantized vectors (full codegen —
+    * the IVF+SQ8 candidate-scoring inner loop stays fused in the cell
+    * join's projection). Bit-identical to the sq8CandidateScan
+    * closure's formula; see [[graft.functions.expressions.Sq8ReconstructedDot]]. */
+  def sq8ReconstructedDot(
+      qA: Column, minA: Column, scaleA: Column, sumA: Column,
+      qB: Column, minB: Column, scaleB: Column, sumB: Column): Column =
+    NE.col(graft.functions.expressions.Sq8ReconstructedDot(Seq(
+      NE.expr(qA), NE.expr(minA), NE.expr(scaleA), NE.expr(sumA),
+      NE.expr(qB), NE.expr(minB), NE.expr(scaleB), NE.expr(sumB))))
+
   /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
     * with deterministic pseudo-random hyperplanes (seeded), packed into a
     * Long. Same-bucket vectors are cosine-similar candidates. Hyperplane

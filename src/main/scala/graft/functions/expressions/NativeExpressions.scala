@@ -493,3 +493,82 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
 }
+
+/** Reconstructed SQ8 dot product of two quantized vectors — the
+  * candidate-scoring inner loop of the IVF+SQ8 indexed ANN path
+  * (`AnnIndex.ivfSq8TopKIndexed`), as a FULL-codegen expression so the
+  * integer MAC stays fused inside the cell join's projection instead
+  * of crossing a Ser/De + mapPartitions boundary.
+  *
+  * sim = d·mnA·mnB + mnA·scB·sumB + mnB·scA·sumA + scA·scB·Σ(qA·qB)
+  *
+  * BIT-FOR-BIT identical to `Similarity.sq8CandidateScan`'s closure:
+  * the MAC is exact in long, and the double formula keeps the same
+  * left-to-right operation order (parity is load-bearing — the
+  * combined indexed path is spec-asserted bit-identical to sq8TopK
+  * when probing all cells). Null on any null input or code-length
+  * mismatch. Children: (qA, minA, scaleA, sumA, qB, minB, scaleB,
+  * sumB) with q BinaryType, min/scale DoubleType, sum LongType. */
+case class Sq8ReconstructedDot(children: Seq[Expression])
+    extends Expression {
+  require(children.length == 8,
+    "Sq8ReconstructedDot takes (qA, minA, scaleA, sumA, qB, minB, scaleB, sumB)")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val qa = vs(0).asInstanceOf[Array[Byte]]
+    val mna = vs(1).asInstanceOf[Double]
+    val sca = vs(2).asInstanceOf[Double]
+    val sa = vs(3).asInstanceOf[Long]
+    val qb = vs(4).asInstanceOf[Array[Byte]]
+    val mnb = vs(5).asInstanceOf[Double]
+    val scb = vs(6).asInstanceOf[Double]
+    val sb = vs(7).asInstanceOf[Long]
+    val d = qa.length
+    if (qb.length != d) return null
+    var mac = 0L
+    var j = 0
+    while (j < d) {
+      mac += (qa(j) & 0xff).toLong * (qb(j) & 0xff).toLong
+      j += 1
+    }
+    // same double-op order as sq8CandidateScan
+    java.lang.Double.valueOf(
+      d * mna * mnb + mna * scb * sb + mnb * sca * sa + sca * scb * mac)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val Seq(qa, mna, sca, sa, qb, mnb, scb, sb) = evals.map(_.value)
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val d = ctx.freshName("d")
+    val mac = ctx.freshName("mac")
+    val j = ctx.freshName("j")
+    ev.copy(code = code"""
+      |${evals.map(_.code).mkString("\n")}
+      |boolean ${ev.isNull} = $anyNull;
+      |double ${ev.value} = 0.0;
+      |if (!${ev.isNull}) {
+      |  final int $d = $qa.length;
+      |  if ($qb.length != $d) {
+      |    ${ev.isNull} = true;
+      |  } else {
+      |    long $mac = 0L;
+      |    for (int $j = 0; $j < $d; $j++) {
+      |      $mac += (long)($qa[$j] & 0xff) * (long)($qb[$j] & 0xff);
+      |    }
+      |    ${ev.value} = (double)$d * $mna * $mnb + $mna * $scb * (double)$sb
+      |      + $mnb * $sca * (double)$sa + $sca * $scb * (double)$mac;
+      |  }
+      |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Sq8ReconstructedDot = copy(children = cs)
+}

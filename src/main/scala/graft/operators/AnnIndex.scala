@@ -309,9 +309,11 @@ object AnnIndex {
     val (_, probes) = Similarity.cellPlans(
       Par.spread(rows.select(col("id"), col("u"))), centroids, nProbe,
       literalCellThreshold)
-    // query side quantizes itself per probe row — identical to
-    // sq8CandidateScan's query-side quantization (and to the persisted
-    // codes: quantizeSq8 is deterministic on the same unit vector)
+    // query side quantizes itself per probe row — identical to the
+    // persisted codes (quantizeSq8 is deterministic on the same unit
+    // vector) and measurably cheaper than re-joining the sidecar by
+    // key at this stage (the 64-element quantize loop beats a second
+    // hash join's build+probe)
     val qCoded = probes
       .select(col("key"), col("cell"), col("u_a"))
       .as[(Long, Int, Seq[Double])]
@@ -324,28 +326,16 @@ object AnnIndex {
       col("q_min").as("mn_b"), col("q_scale").as("sc_b"),
       col("q_sum").as("s_b"))
     // the candidate scan as a JOIN: pairs are cell-local, corpus codes
-    // shuffle (or broadcast — size-driven) by cell, never collected
+    // shuffle (or broadcast — size-driven) by cell, never collected;
+    // the integer-MAC scoring is a full-codegen native expression
+    // (same formula and double-op order as sq8CandidateScan), fused in
+    // the join's projection — no Ser/De boundary on the hot path
     val approx = qCoded.join(cCoded, Seq("cell"))
       .where(col("key") =!= col("id"))
-      .select(col("key"), col("qa"), col("mn_a"), col("sc_a"), col("s_a"),
-        col("id"), col("qb"), col("mn_b"), col("sc_b"), col("s_b"))
-      .as[(Long, Array[Byte], Double, Double, Long,
-           Long, Array[Byte], Double, Double, Long)]
-      .mapPartitions(_.map {
-        case (key, qa, mna, sca, sa, id, qb, mnb, scb, sb) =>
-          val d = qa.length
-          var mac = 0L
-          var j = 0
-          while (j < d) {
-            mac += (qa(j) & 0xff).toLong * (qb(j) & 0xff).toLong
-            j += 1
-          }
-          // same formula AND double-op order as sq8CandidateScan
-          val sim = d * mna * mnb + mna * scb * sb +
-            mnb * sca * sa + sca * scb * mac
-          (key, id, sim)
-      })
-      .toDF("key", "id", "sim")
+      .select(col("key"), col("id"),
+        graft.functions.VectorFunctions.sq8ReconstructedDot(
+          col("qa"), col("mn_a"), col("sc_a"), col("s_a"),
+          col("qb"), col("mn_b"), col("sc_b"), col("s_b")).as("sim"))
     val m = math.max(k * math.max(overFetch, 1), k)
     val cands = Similarity.topKPerKey(approx, m).select("key", "id")
     val scored = cands

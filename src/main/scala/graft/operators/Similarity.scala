@@ -371,7 +371,7 @@ object Similarity {
     * where the per-pair work is the integer MAC Σ(qa·qb) — exact in
     * Long, so reconstruction error is bounded by quantization alone
     * (≤ ~1e-3 per element on unit vectors). */
-  private[operators] def quantizeSq8(u: Array[Double])
+  private[graft] def quantizeSq8(u: Array[Double])
       : (Array[Byte], Double, Double, Long) = {
     var mn = Double.MaxValue
     var mx = Double.MinValue

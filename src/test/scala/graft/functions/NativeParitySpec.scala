@@ -97,6 +97,45 @@ class NativeParitySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("sq8ReconstructedDot native == the sq8CandidateScan closure formula") {
+    // quantize real embeddings with the operator's own quantizer, score
+    // consecutive pairs through BOTH paths
+    val rows = emb.select($"vec_id", $"embedding").limit(60)
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val arr = v.map(_.toDouble).toArray
+        val n = math.sqrt(arr.map(x => x * x).sum)
+        val u = arr.map(_ / n)
+        val (q, mn, sc, sm) = graft.operators.Similarity.quantizeSq8(u)
+        (id, q, mn, sc, sm)
+      }
+    val pairs = rows.zip(rows.tail)
+    val df = pairs.toSeq.map { case ((ia, qa, mna, sca, sa), (ib, qb, mnb, scb, sb)) =>
+      (ia, qa, mna, sca, sa, ib, qb, mnb, scb, sb)
+    }.toDF("ia", "qa", "mna", "sca", "sa", "ib", "qb", "mnb", "scb", "sb")
+    val native = df.select($"ia", $"ib",
+        sq8ReconstructedDot($"qa", $"mna", $"sca", $"sa",
+          $"qb", $"mnb", $"scb", $"sb").as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pairs.foreach { case ((ia, qa, mna, sca, sa), (ib, qb, mnb, scb, sb)) =>
+      val d = qa.length
+      var mac = 0L
+      var j = 0
+      while (j < d) { mac += (qa(j) & 0xff).toLong * (qb(j) & 0xff).toLong; j += 1 }
+      val expect = d * mna * mnb + mna * scb * sb + mnb * sca * sa + sca * scb * mac
+      assert(java.lang.Double.doubleToLongBits(native((ia, ib))) ==
+        java.lang.Double.doubleToLongBits(expect),
+        s"pair ($ia,$ib): native ${native((ia, ib))} vs closure $expect")
+    }
+    // null and length-mismatch inputs yield null
+    val edge = Seq(
+      (Array[Byte](1, 2), 0.1, 0.2, 3L, Array[Byte](1, 2, 3), 0.1, 0.2, 3L))
+      .toDF("qa", "mna", "sca", "sa", "qb", "mnb", "scb", "sb")
+    assert(edge.select(sq8ReconstructedDot($"qa", $"mna", $"sca", $"sa",
+        $"qb", $"mnb", $"scb", $"sb")).collect()(0).isNullAt(0))
+  }
+
   test("null/edge inputs: empty text, null text") {
     val df = Seq(Some(""), Some("   "), None, Some("one two three"))
       .toDF("text")
