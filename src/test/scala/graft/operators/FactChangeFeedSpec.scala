@@ -85,6 +85,81 @@ class FactChangeFeedSpec extends SparkSpec {
     assert(!seen.exists(_._3 == 2))
   }
 
+  test("randomized commit/poll interleavings: the feed-maintained view " +
+      "always converges to the from-scratch truth; every generation " +
+      "matches the model") {
+    // seeded model-based fuzz over the whole CDC stack: random upserts,
+    // partition deletes, compactions, and polls in arbitrary order;
+    // key→partition stays stable (the partitioned-upsert contract)
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 3) {
+      val wh = tmp()
+      val path = s"$wh/t"
+      val bm = s"$wh/feed.bookmark"
+      var model = Map.empty[Long, Long] // key -> v (p = key % 3)
+      val genModels = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      def toDf(m: Map[Long, Long]) =
+        m.toSeq.map { case (k, v) => (k, (k % 3).toInt, v) }
+          .toDF("k", "p", "v")
+      // seed commit
+      model = (1 to 12).map(k => k.toLong -> rnd.nextLong(1000)).toMap
+      FactVersioned.upsert(spark, path, toDf(model), Seq("k"), "p",
+        retain = 50)
+      genModels(0L) = model
+      // feed-maintained count/sum view over partition groups
+      val stats = Seq(IncrementalAgg.Stat("v", min = false, max = false))
+      var view = IncrementalAgg.aggregateBatch(
+        toDf(model).limit(0), Seq("p"), stats, trackRows = true)
+      def pollApply(): Unit =
+        FactChangeFeed.poll(spark, path, Seq("k"), bm) { w =>
+          view = IncrementalAgg.applyChangeSet(view, w.changes, Seq("p"),
+            stats).localCheckpoint()
+        }
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // upsert a random batch (inserts + updates)
+            val keys = (1 to 1 + rnd.nextInt(6))
+              .map(_ => 1L + rnd.nextInt(20)).distinct
+            val batch = keys.map(k => k -> rnd.nextLong(1000)).toMap
+            model = model ++ batch
+            val c = FactVersioned.upsert(spark, path, toDf(batch),
+              Seq("k"), "p", retain = 50)
+            genModels(c.gen) = model
+          case 2 => // delete one partition entirely
+            val p = rnd.nextInt(3)
+            model = model.filterNot { case (k, _) => k % 3 == p }
+            val c = FactVersioned.replacePartitions(spark, path,
+              toDf(Map.empty), "p", touched = Seq(p), retain = 50)
+            genModels(c.gen) = model
+          case 3 => // content-preserving compaction of a live partition
+            val live = model.keySet.map(_ % 3)
+            if (live.nonEmpty) {
+              val p = live.toSeq.sorted.apply(rnd.nextInt(live.size))
+              val c = FactVersioned.compactPartitions(spark, path,
+                Seq(s"p=$p"), "p", retain = 50)
+              genModels(c.gen) = model
+            }
+        }
+        if (rnd.nextBoolean()) pollApply()
+      }
+      pollApply() // drain
+      // 1. the feed-maintained view equals a from-scratch recompute
+      val got = view.select(col("p"), col("v__count"), col("v__sum"))
+        .as[(Int, Long, Long)].collect().toSet
+      val want = IncrementalAgg.aggregateBatch(
+          FactVersioned.read(spark, path), Seq("p"), stats)
+        .select(col("p"), col("v__count"), col("v__sum"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(got == want, s"round $round: view $got != truth $want")
+      // 2. every retained generation reads back as its model snapshot
+      genModels.foreach { case (g, m) =>
+        val rowsG = FactVersioned.read(spark, path, Some(g))
+          .select(col("k"), col("v")).as[(Long, Long)].collect().toMap
+        assert(rowsG == m, s"round $round gen $g: $rowsG != model $m")
+      }
+    }
+  }
+
   test("a bookmark older than retention fails loudly, never silently skips") {
     val wh = tmp()
     val path = s"$wh/t"
