@@ -180,6 +180,53 @@ class AnnIndexSpec extends SparkSpec {
     assert(m(10L) == ((7L, 1.0)), s"refreshed index must see new vectors: $m")
   }
 
+  test("randomized commit/refresh interleavings keep the sidecar exact: " +
+      "indexed ≡ per-call on the evolving table") {
+    // seeded fuzz of the refresh lifecycle: partition rewrites, whole-
+    // partition deletes, and re-adds, each followed by a refresh.
+    // Invariants after every step (centroids are deliberately NOT
+    // retrained on refresh, so the centroid-free SQ8 path and the
+    // all-cells-probed combined path must stay BIT-identical to their
+    // per-call counterparts on the current table):
+    val rnd = new scala.util.Random(91L)
+    val path = tmp() + "/t"
+    val initial = corpus(150)
+    writePartitioned(initial, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    def jitter(df: org.apache.spark.sql.DataFrame, salt: Int) =
+      df.withColumn("vec", transform(col("vec"),
+        x => x + lit(math.sin(salt) * 0.37)))
+    var present = Set(0, 1, 2)
+    (1 to 5).foreach { step =>
+      val p = rnd.nextInt(3)
+      val commit =
+        if (present.contains(p) && rnd.nextInt(4) == 0) {
+          // delete partition p entirely (empty content for touched p)
+          present -= p
+          Upsert.writeSnapshotsPartitioned(Seq(Upsert.PartitionedWrite(
+            initial.where(lit(false)), path, "p", Seq(p)))).head
+        } else {
+          // rewrite (or re-add) partition p with jittered vectors
+          present += p
+          Upsert.upsertPartitioned(spark, path,
+            jitter(initial.where(col("p") === p), step), Seq("id"), "p")
+        }
+      AnnIndex.refreshIndexPartitioned(spark, path, "id", "vec",
+        commit.rewritten ++ commit.deleted,
+        validate = rnd.nextBoolean())
+      val table = spark.read.parquet(path)
+      assert(resultSet(
+        AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3)) ==
+        resultSet(Similarity.sq8TopK(table, "id", "vec", k = 3)),
+        s"step $step: SQ8 indexed diverged from per-call")
+      assert(resultSet(
+        AnnIndex.ivfSq8TopKIndexed(spark, path, "vec", k = 3, nProbe = 4)) ==
+        resultSet(Similarity.sq8TopK(table, "id", "vec", k = 3)),
+        s"step $step: all-cells combined diverged from per-call")
+    }
+    assert(present.nonEmpty) // sanity: the loop kept a live table
+  }
+
   test("validate=true self-heals undeclared drift and vanished partitions") {
     val path = tmp() + "/t"
     val data = corpus(150)
