@@ -307,26 +307,35 @@ object FactVersioned {
       // would pin a schema.ddl that CARRIED-OVER parent files were not
       // written under, failing late (or mis-reading) on generation
       // reads. Order-insensitive; nullability is not load-bearing here
-      // (write paths flip it freely). A commit that carries NOTHING
-      // (touched ⊇ every parent partition) may retype: no old-typed
-      // file enters the new manifest, and prior generations read under
-      // their own pinned schemas.
+      // (write paths flip it freely). Two relaxations:
+      //  - strictly ADDITIVE evolution (every parent column present
+      //    with its type; new columns appended) is always allowed —
+      //    carried files read under the new pinned schema null-fill
+      //    the added columns (Spark's absent-parquet-column semantics),
+      //    the lakehouse add-column posture ([[upsertEvolve]]);
+      //  - a commit that carries NOTHING (touched ⊇ every parent
+      //    partition) may change anything: no old file enters the new
+      //    manifest, and prior generations keep their own schemas.
       def norm(st: StructType) =
         st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
       if (norm(ps) != norm(content.schema)) {
-        require(ps.fieldNames.toSet == content.schema.fieldNames.toSet,
-          s"FactVersioned: content schema ${content.schema.fieldNames.toSeq} " +
-            s"does not match generation $pg schema ${ps.fieldNames.toSeq}")
-        val parentDirs = spark.read
-          .parquet(manifestDir(tablePath, pg).toString)
-          .select("dir").distinct().collect().map(_.getString(0)).toSet
-        val carried = parentDirs -- touchedDirs.toSet
-        require(carried.isEmpty,
-          s"FactVersioned: content schema ${content.schema.toDDL} is not " +
-            s"compatible with generation $pg schema ${ps.toDDL} — a TYPE " +
-            "change must touch every partition (full rewrite); partitions " +
-            s"${carried.toSeq.sorted.mkString(",")} would carry old-typed " +
-            "files under the new pinned schema")
+        val cTypes = content.schema.fields
+          .map(f => f.name -> f.dataType).toMap
+        val additive = ps.fields.forall(f =>
+          cTypes.get(f.name).contains(f.dataType))
+        if (!additive) {
+          val parentDirs = spark.read
+            .parquet(manifestDir(tablePath, pg).toString)
+            .select("dir").distinct().collect().map(_.getString(0)).toSet
+          val carried = parentDirs -- touchedDirs.toSet
+          require(carried.isEmpty,
+            s"FactVersioned: content schema ${content.schema.toDDL} is " +
+              s"not compatible with generation $pg schema ${ps.toDDL} — " +
+              "dropping or retyping columns must touch every partition " +
+              "(full rewrite); partitions " +
+              s"${carried.toSeq.sorted.mkString(",")} would carry " +
+              "incompatible files under the new pinned schema")
+        }
       }
     }
 
@@ -485,6 +494,38 @@ object FactVersioned {
       .map(_.get(0)).toIndexedSeq
     replacePartitions(spark, tablePath, content, partitionCol, touched,
       retain, basisGen = Some(head))
+  }
+
+  /** [[upsert]] with ADDITIVE schema evolution — the fact-store twin of
+    * [[Upsert.upsertEvolve]] (same posture: new columns append and
+    * null-fill the other side; shared columns never change type). The
+    * new generation pins the widened schema; carried partitions'
+    * files null-fill the added columns on read, and earlier
+    * generations keep their own pinned schemas. */
+  def upsertEvolve(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      retain: Int = 3,
+      maxTouchedPartitions: Int = 10000): Commit = {
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty)
+      return upsert(spark, tablePath, updates, keys, partitionCol, retain,
+        maxTouchedPartitions)
+    val touchedRows = updates.select(partitionCol).distinct()
+      .limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"upsertEvolve touches more than $maxTouchedPartitions partitions")
+    val touched = touchedRows.map(_.get(0)).toIndexedSeq
+    val basis = gens.max
+    val touchedDirs =
+      touched.map(v => Upsert.partitionDirName(partitionCol, v))
+    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+    replacePartitions(spark, tablePath,
+      Upsert.upsertEvolve(current, updates, keys),
+      partitionCol, touched, retain, basisGen = Some(basis))
   }
 
   /** Expire old generations' metadata, then GC data files no retained

@@ -151,7 +151,7 @@ class FactVersionedSpec extends SparkSpec {
       FactVersioned.replacePartitions(spark, path,
         retyped.where(col("p") === 0), "p", touched = Seq(0))
     }
-    assert(e.getMessage.contains("TYPE"),
+    assert(e.getMessage.contains("retyping"),
       s"expected a type-compatibility error, got: ${e.getMessage}")
     // full rewrite: every parent partition touched → retype allowed,
     // old generation still reads under its own pinned schema
@@ -161,6 +161,36 @@ class FactVersionedSpec extends SparkSpec {
       .schema("v").dataType.typeName == "string")
     assert(FactVersioned.read(spark, path, Some(0L))
       .schema("v").dataType.typeName == "long")
+  }
+
+  test("upsertEvolve: additive column lands on touched partitions, " +
+      "carried files null-fill, old generations keep their schema; " +
+      "drops still need a full rewrite") {
+    val path = tmp()
+    val v0 = base(30)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p")
+    // evolve: p=1 rows gain a tag column
+    val upd = v0.where(col("p") === 1)
+      .withColumn("v", col("v") + 1)
+      .withColumn("tag", concat(lit("t"), col("k")))
+    val c = FactVersioned.upsertEvolve(spark, path, upd, Seq("k"), "p")
+    assert(c.rewrittenDirs == Seq("p=1"))
+    val head = FactVersioned.read(spark, path)
+    assert(head.columns.contains("tag"))
+    val tags = head.select(col("p"), col("tag")).as[(Int, Option[String])]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(tags(1).forall(_.nonEmpty), "touched partition carries values")
+    assert(tags(0) == Set(None) && tags(2) == Set(None),
+      "carried partitions null-fill the added column")
+    assert(!FactVersioned.read(spark, path, Some(0L))
+      .columns.contains("tag"), "old generation keeps its pinned schema")
+    // dropping a column on a partial touch is still rejected
+    intercept[IllegalArgumentException] {
+      FactVersioned.replacePartitions(spark, path,
+        v0.where(col("p") === 0).drop("v")
+          .withColumn("tag", lit("x")),
+        "p", touched = Seq(0))
+    }
   }
 
   test("compactPartitions: drip-committed partition coalesces to one file, " +
