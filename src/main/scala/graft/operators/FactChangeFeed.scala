@@ -64,8 +64,20 @@ object FactChangeFeed {
             s"(have ${gens.mkString(",")}) — retention outran the " +
             "consumer; re-seed from a full read")
         val dirs = touchedSince(spark, tablePath, a, head).toSeq.sorted
-        val from = FactVersioned.readDirs(spark, tablePath, Some(a), dirs)
+        val from0 = FactVersioned.readDirs(spark, tablePath, Some(a), dirs)
         val to = FactVersioned.readDirs(spark, tablePath, Some(head), dirs)
+        // a window crossing an ADDITIVE evolution commit: the from-side
+        // generation lacks the added columns — null-fill them (exactly
+        // how the evolved generation reads the carried files), so rows
+        // whose only change is the new column surface as updates
+        // instead of silently vanishing from the diff
+        val fromCols = from0.columns.toSet
+        val from = to.schema.fields.filterNot(f => fromCols(f.name))
+          .foldLeft(from0)((df, f) =>
+            df.withColumn(f.name,
+              org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+          .select(to.columns.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
         Some(Polled(a, head, Changelog.changeSet(from, to, keys,
           dedupNullKeyed = true, emitDeletes = true)))
       case None =>

@@ -110,6 +110,25 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("an evolved fact table reads through the catalog: carried files " +
+      "null-fill the added column; the old generation keeps its schema") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/facts"
+    val f0 = (1 to 9).map(i => (i.toLong, i % 3, i * 1.0)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    FactVersioned.upsertEvolve(spark, path,
+      f0.where($"p" === 1).withColumn("tag", concat(lit("t"), $"k")),
+      Seq("k"), "p")
+    register(root)
+    val head = spark.sql("SELECT p, tag FROM graftt.facts")
+      .as[(Int, Option[String])].collect().toSet
+    assert(head.filter(_._1 == 1).forall(_._2.nonEmpty))
+    assert(head.filter(_._1 != 1).forall(_._2.isEmpty),
+      "carried partitions must null-fill the added column through the catalog")
+    assert(!spark.sql("SELECT * FROM graftt.facts VERSION AS OF 0")
+      .columns.contains("tag"))
+  }
+
   test("SHOW TABLES lists the versioned tables under the root") {
     val root = Files.createTempDirectory("graft_cat_").toString
     Versioned.commit(dim(5), s"$root/dtable")

@@ -160,6 +160,30 @@ class FactChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("a window crossing an additive evolution commit surfaces the new " +
+      "column as updates") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    val bm = s"$wh/feed.bookmark"
+    val v0 = base(6)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p")
+    FactChangeFeed.poll(spark, path, Seq("k"), bm)(_.changes.count())
+    // evolve: p=1 rows gain a tag (values unchanged otherwise)
+    FactVersioned.upsertEvolve(spark, path,
+      v0.where(col("p") === 1).withColumn("tag", concat(lit("t"), col("k"))),
+      Seq("k"), "p")
+    var seen = Set.empty[(String, Long, Option[String])]
+    FactChangeFeed.poll(spark, path, Seq("k"), bm) { w =>
+      seen = w.changes.select(col("op"), col("k"), col("tag"))
+        .as[(String, Long, Option[String])].collect().toSet
+    }
+    val p1Keys = v0.where(col("p") === 1).select("k").as[Long].collect()
+    assert(seen == p1Keys.flatMap(k => Seq(
+      ("update_pre", k, None),
+      ("update_post", k, Some(s"t$k")))).toSet,
+      s"evolution window must carry the new column as updates: $seen")
+  }
+
   test("a bookmark older than retention fails loudly, never silently skips") {
     val wh = tmp()
     val path = s"$wh/t"
