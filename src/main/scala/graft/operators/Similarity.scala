@@ -26,7 +26,17 @@ object Similarity {
 
   /** Two-phase top-k per key: per-partition bounded heaps (no global
     * sort of the full pair set), then an exact final window over the
-    * ≤ partitions×keys×k survivors. Order: sim desc, id asc. */
+    * ≤ partitions×keys×k survivors. Order: sim desc, id asc.
+    *
+    * The heap stage is NOT redundant with Spark's native map-side
+    * WindowGroupLimit: that operator needs a per-partition SORT of the
+    * whole pair set below it (n log n over pairs), while the heap
+    * keeps n log k and constant memory. Measured at sf1.0 (q45, 60k
+    * results from ~n²/nLists·nProbe pairs): window-only 92.8 s with
+    * 7.4 GB mem + 1.8 GB disk spill and 673 MB peak task memory; this
+    * heap 57.2 s, ZERO spill, 35 MB peak. The Ser/De boundary it costs
+    * is noise at sf0.1 (A/B within run variance) — do not "simplify"
+    * this into a bare ranked window. */
   private[operators] def topKPerKey(
       pairs: DataFrame, // columns: key (long), id (long), sim (double)
       k: Int): DataFrame = {
