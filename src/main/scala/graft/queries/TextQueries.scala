@@ -288,6 +288,27 @@ object TextQueries extends QueryPack {
       val deduped = Dedup.exact(filtered, Seq("text"), col("doc_id"))
       graft.operators.Chunking.chunkTokens(
         deduped, "doc_id", "text", chunkSize = 64, overlap = 16)
+    }),
+
+    // q100 extended through the LAST prep stage: the composed pipeline's
+    // chunks are greedily packed into 256-token training sequences
+    // (capacity = 4 chunks), so the entire quality → langid → dedup →
+    // chunk → pack chain is value-gated as ONE query — the DuckDB
+    // mirror threads q100's composed CTEs into q82's recursive greedy
+    // fold. Chunk ids = doc_id·1000 + chunk_idx (chunk counts are
+    // < 1000 by construction at any doc length the tokenizer yields).
+    "q118_training_pack" -> ((s, dir) => {
+      val filtered = t(s, dir, "documents")
+        .where(round(qualityScore(col("text")), 6) >= 0.5 &&
+          langId(col("text")) === "en")
+      val deduped = Dedup.exact(filtered, Seq("text"), col("doc_id"))
+      val chunks = graft.operators.Chunking.chunkTokens(
+          deduped, "doc_id", "text", chunkSize = 64, overlap = 16)
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_idx"))
+      graft.operators.Packing.packGreedy(chunks, "cid", "chunk_text",
+          capacity = 256, nBuckets = 8)
+        .select(col("bucket"), col("seq_id"), col("doc_id").as("cid"),
+          col("n_tokens"))
     }))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.tokens]]. */
@@ -631,7 +652,8 @@ object TextQueries extends QueryPack {
          |FROM documents""".stripMargin
     },
     "q99_bigram_lm_score" -> q99Oracle,
-    "q100_pipeline_e2e" -> q100Oracle)
+    "q100_pipeline_e2e" -> q100Oracle,
+    "q118_training_pack" -> q118Oracle)
 
   /** DuckDB mirror of `array_distinct(wordShingles(text, 3))` as a CTE
     * named `grams` (column `g`): non-empty whitespace tokens, 3-token
@@ -684,7 +706,10 @@ object TextQueries extends QueryPack {
 
   /** q100's oracle: q32's quality expression + q33's langid CASE +
     * q34's keep-min dedup + q81's window math, composed verbatim. */
-  private def q100Oracle: String = {
+  /** The composed filter→dedup→chunk CTE chain shared by q100 (final
+    * chunk SELECT) and q118 (further threaded into the packing fold):
+    * `idx` ends the chain with (doc_id, toks, n, chunk_idx). */
+  private def pipelineCtes: String = {
     val nonSpace = "regexp_replace(text, '\\s', '', 'g')"
     val punct = s"length(regexp_replace($nonSpace, '[a-zA-Z0-9]', '', 'g'))"
     val nsLen = s"length($nonSpace)"
@@ -702,7 +727,7 @@ object TextQueries extends QueryPack {
     val Seq(en, de, fr, es) = langMarkers.map(m => hits(m._2))
     val langEn =
       s"($en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es)"
-    s"""WITH f AS (
+    s"""f AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE $quality >= 0.5 AND $langEn
        |), d AS (
@@ -719,11 +744,39 @@ object TextQueries extends QueryPack {
        |    unnest(range(0, CAST(CASE WHEN n <= 64 THEN 1
        |      ELSE ceil((n - 64) / 48.0) + 1 END AS BIGINT))) AS chunk_idx
        |  FROM c
-       |)
+       |)""".stripMargin
+  }
+
+  private def q100Oracle: String =
+    s"""WITH $pipelineCtes
        |SELECT doc_id, chunk_idx,
        |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
        |    ' ') AS chunk_text,
        |  least(64, n - chunk_idx * 48) AS n_tokens
        |FROM idx""".stripMargin
-  }
+
+  /** q118: the composed chunk set threaded through q82's recursive
+    * greedy fold at capacity 256, bucket = cid % 8, ordered by cid. */
+  private def q118Oracle: String =
+    s"""WITH RECURSIVE $pipelineCtes, chunks AS (
+       |  SELECT doc_id * 1000 + chunk_idx AS cid,
+       |    least(64, n - chunk_idx * 48) AS n
+       |  FROM idx
+       |), docs AS (
+       |  SELECT CAST(cid % 8 AS INTEGER) AS bucket, cid, n,
+       |    row_number() OVER (PARTITION BY cid % 8 ORDER BY cid) AS rn
+       |  FROM chunks
+       |), pack AS (
+       |  SELECT bucket, rn, cid, n, n AS fill,
+       |    CAST(0 AS BIGINT) AS seq_id
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.bucket, d.rn, d.cid, d.n,
+       |    CASE WHEN p.fill + d.n <= 256 THEN p.fill + d.n ELSE d.n END,
+       |    CASE WHEN p.fill + d.n <= 256 THEN p.seq_id ELSE p.seq_id + 1
+       |      END
+       |  FROM docs d JOIN pack p
+       |    ON d.bucket = p.bucket AND d.rn = p.rn + 1
+       |)
+       |SELECT bucket, seq_id, cid, n AS n_tokens FROM pack""".stripMargin
 }
