@@ -304,8 +304,25 @@ object AnnIndex {
       roundSim: Int = 4,
       literalCellThreshold: Int = 4096): DataFrame = {
     val centroids = readCentroids(spark, tablePath, vecCol)
-    import spark.implicits._
     val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    ivfSq8Core(rows, centroids, k, nProbe, overFetch, roundSim,
+      literalCellThreshold)
+  }
+
+  /** The combined-path query plan over any (id, cell, u, q, q_min,
+    * q_scale, q_sum) index-row frame — shared by [[ivfSq8TopKIndexed]]
+    * and [[FactAnnIndex.topK]] (whose rows are the manifest-restricted
+    * view of a generation). See [[ivfSq8TopKIndexed]] for the shape. */
+  private[operators] def ivfSq8Core(
+      rows: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int,
+      overFetch: Int,
+      roundSim: Int,
+      literalCellThreshold: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     val (_, probes) = Similarity.cellPlans(
       Par.spread(rows.select(col("id"), col("u"))), centroids, nProbe,
       literalCellThreshold)

@@ -1,0 +1,383 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Persisted ANN index over a [[FactVersioned]] table — the
+  * generation-aware sibling of [[AnnIndex]], closing the seam SCALING.md
+  * carried from round 8 ("ANN sidecars × FactVersioned").
+  *
+  * The key design fact: FactVersioned data files are IMMUTABLE and
+  * shared across generations (a commit writes only its touched
+  * partitions under `_graft_vdata/vgen=<g>/`; everything else is
+  * carried by manifest reference). So index rows keyed by FILE are
+  * valid forever, and a generation's index is nothing more than the
+  * manifest-restricted view of one shared file-keyed index:
+  *
+  *  - `rows/vgen=<g>/` — index rows (file, id, cell, u, q, q_min,
+  *    q_scale, q_sum) for the data files generation `g` WROTE
+  *    (`vgen=g/...` manifest paths). Refresh after a commit indexes
+  *    exactly one new subdir — cost ∝ the commit's touched partitions,
+  *    never the table.
+  *  - `files/vgen=<g>/` — the indexed file names (metadata-scale),
+  *    written only AFTER the matching rows land, so coverage checks and
+  *    crash recovery never trust half-built rows.
+  *  - `centroids/`, `meta/` — as [[AnnIndex]]: IVF centroids trained
+  *    once (head generation at [[writeIndex]] time); refresh assigns
+  *    new files against the EXISTING centroids (standard IVF posture —
+  *    retrain by re-running writeIndex on recall-monitoring cadence).
+  *
+  * Query ([[topK]]): resolve the requested generation, restrict the
+  * index rows to its manifest's file list (vgen partition pruning +
+  * a broadcast join against the metadata-scale file list), then run
+  * the SAME combined IVF+SQ8 plan as [[AnnIndex.ivfSq8TopKIndexed]]
+  * (shared [[AnnIndex.ivfSq8Core]] — no corpus-sized driver collect
+  * anywhere). Because restriction is by manifest, TIME TRAVEL falls
+  * out for free: any retained generation is queryable with the exact
+  * content it committed, including generations older than the index.
+  *
+  * Staleness is intrinsic rather than parked: a generation whose
+  * manifest references un-indexed files fails loudly at [[topK]]
+  * ("refreshIndex first") — unlike [[AnnIndex]]'s park-on-commit,
+  * older generations REMAIN queryable while the head awaits refresh,
+  * which is the right posture for a versioned store.
+  *
+  * Uniqueness contract: ids must be unique WITHIN each commit's content
+  * (the invariant [[FactVersioned.upsert]] maintains for key-unique
+  * updates). Across generations the same id legitimately recurs (one
+  * row per rewrite); queries restrict to one generation before any
+  * id-keyed step, so no global uniqueness is needed.
+  */
+object FactAnnIndex {
+
+  val DirPrefix = "_graft_fann__"
+  private val TmpDirPrefix = "_graft_fann_tmp__"
+
+  def indexDir(tablePath: String, vecCol: String): String =
+    s"$tablePath/$DirPrefix$vecCol"
+
+  private def rowsRoot(tablePath: String, vecCol: String) =
+    new Path(indexDir(tablePath, vecCol), "rows")
+  private def filesRoot(tablePath: String, vecCol: String) =
+    new Path(indexDir(tablePath, vecCol), "files")
+
+  def hasIndex(spark: SparkSession, tablePath: String, vecCol: String): Boolean = {
+    val p = new Path(indexDir(tablePath, vecCol))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def fsOf(spark: SparkSession, tablePath: String) =
+    new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Manifest-relative file paths (`vgen=<g>/<dir>/<file>`) of a
+    * committed generation, via the public [[FactVersioned]] handle. */
+  private def relFiles(
+      spark: SparkSession, tablePath: String, gen: Long): Seq[String] = {
+    val (abs, _, dataRoot) =
+      FactVersioned.generationHandle(spark, tablePath, Some(gen))
+    abs.map(_.stripPrefix(dataRoot + "/"))
+  }
+
+  /** The owning generation of a manifest-relative path — the `vgen=`
+    * prefix every FactVersioned data file carries by construction. */
+  private def vgenOf(rel: String): Long = {
+    require(rel.startsWith(s"${FactVersioned.VGenCol}="),
+      s"not a FactVersioned data path: $rel")
+    rel.drop(FactVersioned.VGenCol.length + 1).takeWhile(_ != '/').toLong
+  }
+
+  /** Manifest-relative path (`vgen=g/dir/file`, last three components)
+    * of a scan's `_metadata.file_path`, DECODED back to the on-disk
+    * names the manifest records: file_path is a URI rendering, so a
+    * raw `%` or space in a Hive-escaped dir name would differ from the
+    * listing-derived manifest entry if compared as strings (the
+    * URI-vs-name mismatch class DataSkipping hit in r7). */
+  private def relOfUri(raw: String): String = {
+    val path =
+      try Option(new java.net.URI(raw).getPath).getOrElse(raw)
+      catch { case _: java.net.URISyntaxException => raw }
+    path.split('/').takeRight(3).mkString("/")
+  }
+
+  /** (file, id, cell, u, q, q_min, q_scale, q_sum) index rows for one
+    * owning generation's file set: read ONLY (idCol, vecCol) of the
+    * given files under the head's pinned types (additive evolution
+    * keeps shared column types stable; files predating an added vecCol
+    * null-fill and drop out), derive the manifest-relative path from
+    * `_metadata.file_path` by NAME (last three components — the
+    * `vgen=g/dir/file` layout — so scheme/authority renderings can
+    * never break the match), assign cells against the given centroids
+    * and quantize with the SAME kernels the query path uses. */
+  private def indexRowsFor(
+      spark: SparkSession,
+      dataRoot: String,
+      rels: Seq[String],
+      pinned: StructType,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      literalCellThreshold: Int): DataFrame = {
+    import spark.implicits._
+    val narrow = StructType(Seq(pinned(idCol), pinned(vecCol)))
+    val base = spark.read.schema(narrow)
+      .parquet(rels.map(r => s"$dataRoot/$r"): _*)
+      .select(
+        col("_metadata.file_path").as("file_uri"),
+        col(idCol).cast("long").as("id"),
+        Similarity.normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull)
+    // ids are unique within one commit's content (see class doc) — the
+    // cell-assignment re-attach below is id-keyed, so verify loudly
+    val dup = base.groupBy("id").count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"FactAnnIndex: $idCol must be unique within a generation's " +
+        s"content (duplicate found indexing ${rels.headOption.getOrElse("")}...)")
+    val (assigned, _) = Similarity.cellPlans(
+      base.select(col("id"), col("u")), centroids,
+      nProbe = 1, literalCellThreshold)
+    base.join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .select(col("file_uri"), col("id"), col("cell"), col("u"))
+      .as[(String, Long, Int, Seq[Double])]
+      .mapPartitions(_.map { case (uri, id, cell, u) =>
+        val (q, mn, sc, s) = Similarity.quantizeSq8(u.toArray)
+        (relOfUri(uri), id, cell, u, q, mn, sc, s)
+      })
+      .toDF("file", "id", "cell", "u", "q", "q_min", "q_scale", "q_sum")
+  }
+
+  /** Build and publish the index: centroids trained on the HEAD
+    * generation (deterministic lowest-hash sample, driver Lloyd's —
+    * the [[Similarity.ivfTopK]] recipe), then index rows for EVERY
+    * file any committed generation references, grouped by owning
+    * `vgen`. Staged under a tmp dir and swapped in whole.
+    *
+    * @param nLists 0 ⇒ auto-size to max(16, ⌈√n⌉) of the head count. */
+  def writeIndex(
+      spark: SparkSession,
+      tablePath: String,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 0,
+      seed: Long = 42L,
+      trainCap: Int = 25000,
+      literalCellThreshold: Int = 4096): Unit = {
+    val gens = FactVersioned.generations(spark, tablePath)
+    require(gens.nonEmpty,
+      s"FactAnnIndex.writeIndex: no committed generations at $tablePath")
+    val head = gens.max
+    val (_, pinned, dataRoot) =
+      FactVersioned.generationHandle(spark, tablePath, Some(head))
+    require(pinned.fieldNames.contains(idCol) &&
+      pinned.fieldNames.contains(vecCol),
+      s"FactAnnIndex.writeIndex: head schema lacks $idCol/$vecCol")
+    val fs = fsOf(spark, tablePath)
+
+    // train on the head's committed content — the freshest corpus
+    val headVecs = FactVersioned.read(spark, tablePath, Some(head))
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull)
+      .cache()
+    try {
+      val n = headVecs.count()
+      require(n > 0,
+        s"FactAnnIndex.writeIndex: no usable vectors in $tablePath.$vecCol")
+      val lists =
+        if (nLists > 0) nLists
+        else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val sample: Array[Array[Double]] = headVecs
+        .orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(trainCap)
+        .select(col("id"), col("u"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      val centroids =
+        Similarity.trainCentroids(sample, lists, maxIter = 5, seed)
+
+      val tmp = new Path(tablePath, TmpDirPrefix + vecCol)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val byGen: Map[Long, Seq[String]] = gens
+        .flatMap(g => relFiles(spark, tablePath, g)).distinct
+        .groupBy(vgenOf)
+      byGen.toSeq.sortBy(_._1).foreach { case (g, rels) =>
+        writeGenRows(spark, tmp, g, rels, dataRoot, pinned, idCol,
+          vecCol, centroids, literalCellThreshold)
+      }
+      import spark.implicits._
+      centroids.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
+      Seq((sample.head.length, lists, seed, trainCap))
+        .toDF("dim", "n_lists", "seed", "train_cap")
+        .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
+
+      val live = new Path(indexDir(tablePath, vecCol))
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"FactAnnIndex.writeIndex: publish rename failed for $live")
+    } finally headVecs.unpersist(blocking = false)
+  }
+
+  /** Stage rows + file list for one owning generation under `root`
+    * (rows first, file list second — see crash contract in class doc). */
+  private def writeGenRows(
+      spark: SparkSession,
+      root: Path,
+      g: Long,
+      rels: Seq[String],
+      dataRoot: String,
+      pinned: StructType,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      literalCellThreshold: Int): Unit = {
+    import spark.implicits._
+    indexRowsFor(spark, dataRoot, rels, pinned, idCol, vecCol,
+        centroids, literalCellThreshold)
+      .write.parquet(
+        new Path(root, s"rows/${FactVersioned.VGenCol}=$g").toString)
+    rels.toDF("file").coalesce(1).write.parquet(
+      new Path(root, s"files/${FactVersioned.VGenCol}=$g").toString)
+  }
+
+  /** The indexed file set — reading the metadata-scale `files/`
+    * sidecar, never the rows. Empty when the index is absent. */
+  private def indexedFiles(
+      spark: SparkSession, tablePath: String, vecCol: String): Set[String] = {
+    val fr = filesRoot(tablePath, vecCol)
+    val fs = fsOf(spark, tablePath)
+    if (!fs.exists(fr)) Set.empty
+    else spark.read.parquet(fr.toString)
+      .select("file").collect().map(_.getString(0)).toSet
+  }
+
+  private def readCentroids(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String): Array[Array[Double]] = {
+    require(hasIndex(spark, tablePath, vecCol),
+      s"FactAnnIndex: no index for $vecCol at $tablePath — writeIndex first")
+    spark.read.parquet(s"${indexDir(tablePath, vecCol)}/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Index every referenced-but-unindexed file — after a commit, that
+    * is exactly the new generation's `vgen=<g>/` subtree, so cost is
+    * ∝ the commit's touched partitions. New files are assigned against
+    * the EXISTING centroids. An orphaned `rows/vgen=` subtree (a crash
+    * between the rows landing and the file list landing) is detected
+    * by its missing file-list entries, discarded, and rebuilt. */
+  def refreshIndex(
+      spark: SparkSession,
+      tablePath: String,
+      idCol: String,
+      vecCol: String,
+      literalCellThreshold: Int = 4096): Unit = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val gens = FactVersioned.generations(spark, tablePath)
+    require(gens.nonEmpty,
+      s"FactAnnIndex.refreshIndex: no committed generations at $tablePath")
+    val head = gens.max
+    val (_, pinned, dataRoot) =
+      FactVersioned.generationHandle(spark, tablePath, Some(head))
+    val referenced = gens.flatMap(g => relFiles(spark, tablePath, g)).distinct
+    val fresh = referenced.toSet -- indexedFiles(spark, tablePath, vecCol)
+    if (fresh.isEmpty) return
+    val fs = fsOf(spark, tablePath)
+    val live = new Path(indexDir(tablePath, vecCol))
+    fresh.groupBy(vgenOf).toSeq.sortBy(_._1).foreach { case (g, rels) =>
+      val genRows =
+        new Path(rowsRoot(tablePath, vecCol), s"${FactVersioned.VGenCol}=$g")
+      // rows present without file-list entries ⇒ orphan of a crashed
+      // refresh — coverage never trusted it, safe to rebuild
+      if (fs.exists(genRows)) fs.delete(genRows, true)
+      val genFiles =
+        new Path(filesRoot(tablePath, vecCol), s"${FactVersioned.VGenCol}=$g")
+      if (fs.exists(genFiles)) fs.delete(genFiles, true)
+      writeGenRows(spark, live, g, rels.toSeq.sorted, dataRoot, pinned,
+        idCol, vecCol, centroids, literalCellThreshold)
+    }
+  }
+
+  /** Combined IVF+SQ8 top-k over one generation's committed content
+    * (default: head), reading ONLY the sidecar — the
+    * [[AnnIndex.ivfSq8Core]] plan over the manifest-restricted rows.
+    * The restriction is vgen partition pruning plus a join against the
+    * generation's (metadata-scale, locally-created) file list, so the
+    * query plan's file scans touch the index alone — never
+    * `_graft_vdata`. Fails loudly when the generation references
+    * un-indexed files. */
+  def topK(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      gen: Option[Long] = None,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val gens = FactVersioned.generations(spark, tablePath)
+    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    val g = gen.getOrElse(gens.max)
+    require(gens.contains(g),
+      s"generation $g is not committed at $tablePath")
+    val rels = relFiles(spark, tablePath, g)
+    val missing = rels.toSet -- indexedFiles(spark, tablePath, vecCol)
+    require(missing.isEmpty,
+      s"FactAnnIndex: generation $g references ${missing.size} " +
+        s"un-indexed file(s) at $tablePath.$vecCol — run refreshIndex " +
+        s"first (e.g. ${missing.toSeq.sorted.headOption.getOrElse("")})")
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    // physical pruning by construction: only the referenced vgen
+    // subtrees are listed at all (an `isin` filter on the inferred
+    // partition column would prune too, but a cast in the predicate
+    // could silently disable it — the explicit dir list cannot)
+    val vgenDirs = rels.map(vgenOf).distinct.sorted.map(g =>
+      new Path(rowsRoot(tablePath, vecCol),
+        s"${FactVersioned.VGenCol}=$g").toString)
+    val restricted = spark.read
+      .option("basePath", rowsRoot(tablePath, vecCol).toString)
+      .parquet(vgenDirs: _*)
+      .join(rels.toDF("file"), Seq("file"))
+    AnnIndex.ivfSq8Core(restricted, centroids, k, nProbe, overFetch,
+      roundSim, literalCellThreshold)
+  }
+
+  /** Drop index subtrees whose owning generation's files are ALL
+    * unreferenced (expired by [[FactVersioned]] retention) — whole-
+    * subdir granularity, mirroring the data GC's sharing rule: a
+    * subtree survives while ANY retained manifest still references one
+    * of its files (partially-dead subtrees keep their dead rows, which
+    * the manifest restriction filters out of every query — space traded
+    * for never rewriting shared index files). */
+  def gcIndex(
+      spark: SparkSession, tablePath: String, vecCol: String): Unit = {
+    if (!hasIndex(spark, tablePath, vecCol)) return
+    val fs = fsOf(spark, tablePath)
+    val gens = FactVersioned.generations(spark, tablePath)
+    val referencedVgens: Set[Long] = gens
+      .flatMap(g => relFiles(spark, tablePath, g)).distinct
+      .map(vgenOf).toSet
+    val rr = rowsRoot(tablePath, vecCol)
+    if (!fs.exists(rr)) return
+    fs.listStatus(rr).filter(_.isDirectory).map(_.getPath).foreach { vd =>
+      vd.getName.stripPrefix(s"${FactVersioned.VGenCol}=").toLongOption
+        .foreach { g =>
+          if (!referencedVgens.contains(g)) {
+            fs.delete(vd, true)
+            fs.delete(new Path(filesRoot(tablePath, vecCol),
+              s"${FactVersioned.VGenCol}=$g"), true)
+          }
+        }
+    }
+  }
+}

@@ -177,6 +177,41 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // The generation-aware ANN lifecycle over a VERSIONED fact table
+    // (the r8 "ANN × FactVersioned" seam, closed): commit 1 publishes
+    // all labels but one, writeIndex trains+indexes it; commit 2
+    // upserts the held-out label partition and refreshIndex indexes
+    // ONLY that commit's new files (index rows are keyed by the
+    // store's immutable shared files, so everything carried is reused
+    // verbatim). The query answers the HEAD generation — whose content
+    // is exactly the full embeddings table — via the same combined
+    // IVF+SQ8 plan as q116 restricted by the head's manifest, so the
+    // q116 oracle (recall floor + exact re-verification of every
+    // reported value) carries over. In-gate: sidecar-only scans
+    // (`_graft_vdata` never read at query time) + cell-keyed candidate
+    // join (no corpus collect).
+    "q119_fact_ann_indexed" -> ((s, dir) => {
+      import graft.operators.{FactAnnIndex, FactVersioned}
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q119_").toString + "/emb"
+      val labels = emb.select("label").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val holdout = labels.last
+      FactVersioned.replacePartitions(s, root,
+        emb.where(col("label") =!= holdout), "label",
+        labels.init.toIndexedSeq)
+      FactAnnIndex.writeIndex(s, root, "vec_id", "embedding", nLists = 16)
+      FactVersioned.upsert(s, root, emb.where(col("label") === holdout),
+        Seq("vec_id"), "label")
+      FactAnnIndex.refreshIndex(s, root, "vec_id", "embedding")
+      val out = FactAnnIndex.topK(s, root, "embedding", k = 3,
+        nProbe = 10, overFetch = 4)
+      requireSidecarOnly(out, FactAnnIndex.DirPrefix)
+      requireCellJoinCandidates(out)
+      out
+    }),
+
     // Semantic clustering: deterministic seed-medoid assignment (k
     // lowest-id vectors as seeds, rounded-cosine argmax) — the IVF
     // assignment machinery under a FULL hash oracle instead of a
@@ -207,13 +242,13 @@ object VectorQueries extends QueryPack {
   /** The indexed-ANN contract, asserted in-gate: every file scan in the
     * query plan reads the `_graft_ann__` sidecar — the base table's
     * raw vector column is never touched at query time. */
-  private def requireSidecarOnly(out: DataFrame): Unit = {
+  private def requireSidecarOnly(
+      out: DataFrame, prefix: String = AnnIndex.DirPrefix): Unit = {
     val scans = out.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
     }.flatten
-    require(scans.nonEmpty &&
-      scans.forall(_.contains(AnnIndex.DirPrefix)),
+    require(scans.nonEmpty && scans.forall(_.contains(prefix)),
       s"ANN query phase must scan only the index sidecar, got: $scans")
   }
 
@@ -311,6 +346,12 @@ object VectorQueries extends QueryPack {
     // quantization error, so the floor matches the IVF gates (q45/q110),
     // not the full-scan SQ8 ones.
     "q116_ivf_sq8_indexed" -> annTopKInvariant("q116_ivf_sq8_indexed", k = 3, recallFloor = 0.75),
+    // q119's head generation contains exactly the full embeddings
+    // table, so the same derived-invariant oracle applies; centroids
+    // are trained on the gen-1 subset (all labels but one — ~90 % of
+    // rows), which costs at most a point of recall vs q116, well
+    // inside the floor's slack.
+    "q119_fact_ann_indexed" -> annTopKInvariant("q119_fact_ann_indexed", k = 3, recallFloor = 0.75),
 
     // Derived invariant: every reported pair's cosine recomputed
     // exactly (raw-vector arithmetic, the engine's cosine()) and must

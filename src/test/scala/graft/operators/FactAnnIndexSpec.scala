@@ -1,0 +1,189 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[FactAnnIndex]]: the generation-aware ANN sidecar must answer any
+  * retained generation with exactly its committed content (index rows
+  * are file-keyed over immutable shared files), refresh ∝ a commit's
+  * new files, fail loudly on un-indexed generations, survive a crashed
+  * refresh, and GC only whole-dead subtrees. */
+class FactAnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_fann_").toString
+
+  /** Deterministic corpus: dim-8 vectors around 4 rough directions,
+    * partitions p ∈ {0,1,2}. `shift` perturbs the jitter so updated
+    * generations carry genuinely different vectors. */
+  private def corpus(n: Int, shift: Int = 0): DataFrame =
+    (1 to n).map { i =>
+      val g = i % 4
+      val v = (0 until 8).map { j =>
+        val bias = if (j % 4 == g) 4.0 else 0.0
+        bias + math.sin(i * 31 + j * 7 + shift)
+      }
+      (i.toLong, i % 3, v)
+    }.toDF("id", "p", "vec")
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Int, Double)] =
+    df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  /** Per-call truth for one generation's content: nProbe = nLists ⇒
+    * the combined path's pair universe equals the full scan, so it
+    * must be bit-identical to sq8TopK over the materialized read. */
+  private def truth(path: String, gen: Long): Set[(Long, Long, Int, Double)] =
+    resultSet(Similarity.sq8TopK(
+      FactVersioned.read(spark, path, Some(gen)), "id", "vec",
+      k = 3, overFetch = 4))
+
+  private def fannTopK(path: String, gen: Option[Long] = None) =
+    FactAnnIndex.topK(spark, path, "vec", k = 3, gen = gen,
+      nProbe = 4, overFetch = 4)
+
+  test("topK probing all cells is bit-identical to per-call sq8TopK " +
+      "for every retained generation (time travel over the index)") {
+    val path = tmp() + "/t"
+    val full = corpus(180)
+    FactVersioned.replacePartitions(spark, path,
+      full.where(col("p") =!= 2), "p", Seq(0, 1))
+    FactVersioned.upsert(spark, path,
+      full.where(col("p") === 2), Seq("id"), "p")
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+
+    assert(resultSet(fannTopK(path, Some(1))) == truth(path, 1))
+    assert(resultSet(fannTopK(path, Some(0))) == truth(path, 0))
+    assert(truth(path, 0) != truth(path, 1)) // gen 0 lacks p=2 rows
+    assert(truth(path, 1).nonEmpty)
+  }
+
+  test("topK reads only the sidecar — never _graft_vdata") {
+    val path = tmp() + "/t"
+    FactVersioned.replacePartitions(spark, path, corpus(120), "p",
+      Seq(0, 1, 2))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val out = fannTopK(path)
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty &&
+      scans.forall(_.contains(FactAnnIndex.DirPrefix)), scans)
+  }
+
+  test("refresh indexes only the new generation's files; stale head " +
+      "fails loudly; older generations stay queryable meanwhile") {
+    val path = tmp() + "/t"
+    val full = corpus(150)
+    FactVersioned.replacePartitions(spark, path,
+      full.where(col("p") =!= 2), "p", Seq(0, 1))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val gen0 = resultSet(fannTopK(path, Some(0)))
+
+    FactVersioned.upsert(spark, path,
+      full.where(col("p") === 2), Seq("id"), "p")
+    // head references vgen=1 files the index has never seen
+    val ex = intercept[IllegalArgumentException](fannTopK(path, Some(1)))
+    assert(ex.getMessage.contains("refreshIndex"))
+    // ...but the indexed generation still answers, bit-identically
+    assert(resultSet(fannTopK(path, Some(0))) == gen0)
+
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vgen0 = new Path(s"$path/${FactAnnIndex.DirPrefix}vec/rows/vgen=0")
+    val before = fs.listStatus(vgen0)
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    val after = fs.listStatus(vgen0)
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+    assert(after == before) // untouched subtree is byte-identical
+    assert(fs.exists(
+      new Path(s"$path/${FactAnnIndex.DirPrefix}vec/rows/vgen=1")))
+    assert(resultSet(fannTopK(path, Some(1))) == truth(path, 1))
+    assert(resultSet(fannTopK(path, Some(0))) == gen0)
+  }
+
+  test("updated rows are re-indexed under their new file; prior " +
+      "generations keep their exact pre-update answers") {
+    val path = tmp() + "/t"
+    FactVersioned.replacePartitions(spark, path, corpus(150), "p",
+      Seq(0, 1, 2))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val gen0 = resultSet(fannTopK(path, Some(0)))
+
+    // rewrite partition 0 with perturbed vectors
+    FactVersioned.upsert(spark, path,
+      corpus(150, shift = 5).where(col("p") === 0), Seq("id"), "p")
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    assert(resultSet(fannTopK(path, Some(1))) == truth(path, 1))
+    assert(resultSet(fannTopK(path, Some(0))) == gen0)
+    assert(truth(path, 1) != gen0) // the update moved real vectors
+  }
+
+  test("a crashed refresh (rows landed, file list lost) is rebuilt") {
+    val path = tmp() + "/t"
+    val full = corpus(120)
+    FactVersioned.replacePartitions(spark, path,
+      full.where(col("p") =!= 2), "p", Seq(0, 1))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    FactVersioned.upsert(spark, path,
+      full.where(col("p") === 2), Seq("id"), "p")
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    // simulate the crash window: rows/vgen=1 exists, files/vgen=1 lost
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/${FactAnnIndex.DirPrefix}vec/files/vgen=1"),
+      true)
+    // coverage no longer trusts vgen=1 ⇒ loud, then refresh rebuilds
+    val ex = intercept[IllegalArgumentException](fannTopK(path, Some(1)))
+    assert(ex.getMessage.contains("refreshIndex"))
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    assert(resultSet(fannTopK(path, Some(1))) == truth(path, 1))
+  }
+
+  test("gcIndex drops whole-dead vgen subtrees only; survivors still " +
+      "answer bit-identically") {
+    val path = tmp() + "/t"
+    FactVersioned.replacePartitions(spark, path, corpus(120), "p",
+      Seq(0, 1, 2), retain = 1)
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    // full rewrite with retain=1: every vgen=0 file goes unreferenced
+    FactVersioned.upsert(spark, path, corpus(120, shift = 3), Seq("id"),
+      "p", retain = 1)
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    FactAnnIndex.gcIndex(spark, path, "vec")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new Path(s"$path/${FactAnnIndex.DirPrefix}vec/rows/vgen=0")))
+    assert(!fs.exists(
+      new Path(s"$path/${FactAnnIndex.DirPrefix}vec/files/vgen=0")))
+    val head = FactVersioned.generations(spark, path).max
+    assert(resultSet(fannTopK(path, Some(head))) == truth(path, head))
+  }
+
+  test("hostile partition names (spaces, percent escapes) round-trip " +
+      "between manifest entries and scanned file paths") {
+    val path = tmp() + "/t"
+    val df = (1 to 90).map { i =>
+      val v = (0 until 8).map(j => math.sin(i * 17 + j * 5) +
+        (if (j % 3 == i % 3) 3.0 else 0.0))
+      val p = (i % 3) match {
+        case 0 => "plain"; case 1 => "has space"; case _ => "pct%3Aval"
+      }
+      (i.toLong, p, v)
+    }.toDF("id", "p", "vec")
+    FactVersioned.replacePartitions(spark, path, df, "p",
+      Seq("plain", "has space", "pct%3Aval"))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    assert(resultSet(fannTopK(path)) == truth(path, 0))
+    assert(truth(path, 0).nonEmpty)
+  }
+}
