@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndex, FactVersioned, Upsert}
+import graft.operators.{AnnIndex, FactAnnIndex, FactVersioned, Upsert}
 
 /** Lifecycle-cost probe for SCALING.md round 9: measures the two
   * persisted-artifact lifecycles whose sf1.0 costs VERDICT r8 flagged
@@ -84,6 +84,42 @@ object LifecycleProbe {
     timed("refreshIndexPartitioned (validate=true, no drift)") {
       AnnIndex.refreshIndexPartitioned(spark, ePath, "vec_id", "embedding",
         Seq.empty, validate = true)
+    }
+
+    // ---------- FactAnnIndex lifecycle over a versioned fact --------
+    // the generation-aware sidecar: build cost vs AnnIndex, refresh ∝
+    // a commit's new files, and the manifest-restricted query phase
+    val vPath = s"$wh/embeddings_fact"
+    timed("FactVersioned initial commit (embeddings by label)") {
+      FactVersioned.upsert(spark, vPath, emb, Seq("vec_id"), "label")
+    }
+    timed("FactAnnIndex.writeIndex (train+assign+quantize+publish)") {
+      FactAnnIndex.writeIndex(spark, vPath, "vec_id", "embedding")
+    }
+    val fannDir = new Path(FactAnnIndex.indexDir(vPath, "embedding"))
+    val fannBytes0 = dirBytes(fs, fannDir)
+    println(s"[probe] fact-index bytes: $fannBytes0 of table " +
+      dirBytes(fs, new Path(s"$vPath/${FactVersioned.DataDir}")))
+    timed("query: FactAnnIndex.topK k=10 (head gen)")(
+      FactAnnIndex.topK(spark, vPath, "embedding", k = 10).count())
+    val vTouch = emb.where(col("label") === touchLabel)
+      .withColumn("embedding", transform(col("embedding"),
+        x => x * lit(1.0f)))
+    timed(s"FactVersioned upsert (1 of ${labels.size} label dirs)") {
+      FactVersioned.upsert(spark, vPath, vTouch, Seq("vec_id"), "label")
+    }
+    timed("FactAnnIndex.refreshIndex (new generation's files only)") {
+      FactAnnIndex.refreshIndex(spark, vPath, "vec_id", "embedding")
+    }
+    println(s"[probe] fact-index bytes after refresh: " +
+      s"${dirBytes(fs, fannDir)} (+${dirBytes(fs, fannDir) - fannBytes0})")
+    timed("query: FactAnnIndex.topK k=10 (new head)")(
+      FactAnnIndex.topK(spark, vPath, "embedding", k = 10).count())
+    timed("query: FactAnnIndex.topK k=10 (gen 0, time travel)")(
+      FactAnnIndex.topK(spark, vPath, "embedding", k = 10,
+        gen = Some(0L)).count())
+    timed("FactAnnIndex.gcIndex (nothing dead yet)") {
+      FactAnnIndex.gcIndex(spark, vPath, "embedding")
     }
 
     // ---------- FactVersioned lifecycle over orders ----------------

@@ -16,11 +16,12 @@ import org.apache.spark.sql.types.StructType
   * valid forever, and a generation's index is nothing more than the
   * manifest-restricted view of one shared file-keyed index:
   *
-  *  - `rows/vgen=<g>/` — index rows (file, id, cell, u, q, q_min,
-  *    q_scale, q_sum) for the data files generation `g` WROTE
-  *    (`vgen=g/...` manifest paths). Refresh after a commit indexes
-  *    exactly one new subdir — cost ∝ the commit's touched partitions,
-  *    never the table.
+  *  - `rows/vgen=<g>/part=<dir>/` — index rows (file, id, cell, u, q,
+  *    q_min, q_scale, q_sum) for the data files generation `g` WROTE
+  *    (`vgen=g/<dir>/...` manifest paths), sub-partitioned by source
+  *    partition dir. Refresh after a commit indexes exactly one new
+  *    `vgen=` subtree — cost ∝ the commit's touched partitions, never
+  *    the table.
   *  - `files/vgen=<g>/` — the indexed file names (metadata-scale),
   *    written only AFTER the matching rows land, so coverage checks and
   *    crash recovery never trust half-built rows.
@@ -30,13 +31,20 @@ import org.apache.spark.sql.types.StructType
   *    retrain by re-running writeIndex on recall-monitoring cadence).
   *
   * Query ([[topK]]): resolve the requested generation, restrict the
-  * index rows to its manifest's file list (vgen partition pruning +
-  * a broadcast join against the metadata-scale file list), then run
-  * the SAME combined IVF+SQ8 plan as [[AnnIndex.ivfSq8TopKIndexed]]
-  * (shared [[AnnIndex.ivfSq8Core]] — no corpus-sized driver collect
-  * anywhere). Because restriction is by manifest, TIME TRAVEL falls
-  * out for free: any retained generation is queryable with the exact
-  * content it committed, including generations older than the index.
+  * index rows to its manifest — which is PURE partition pruning, no
+  * join and no per-row predicate, because manifests reference files
+  * all-or-nothing at (vgen, dir) granularity: a commit's fresh rows
+  * enter the manifest as the COMPLETE file set of `vgen=g/<dir>` for
+  * each touched dir, and carries copy a parent dir's entries
+  * verbatim, so by induction every generation's view of a partition
+  * dir is exactly one whole `vgen=g/<dir>` subtree. The restricted
+  * rows then run the SAME combined IVF+SQ8 plan as
+  * [[AnnIndex.ivfSq8TopKIndexed]] (shared [[AnnIndex.ivfSq8Core]] —
+  * no corpus-sized driver collect anywhere), making the query phase
+  * plan-identical to the plain sidecar's. Because restriction is by
+  * manifest, TIME TRAVEL falls out for free: any retained generation
+  * is queryable with the exact content it committed, including
+  * generations older than the index.
   *
   * Staleness is intrinsic rather than parked: a generation whose
   * manifest references un-indexed files fails loudly at [[topK]]
@@ -88,6 +96,19 @@ object FactAnnIndex {
       s"not a FactVersioned data path: $rel")
     rel.drop(FactVersioned.VGenCol.length + 1).takeWhile(_ != '/').toLong
   }
+
+  /** The source partition-dir component (on-disk, Hive-escaped name)
+    * of a manifest-relative path `vgen=g/<dir>/<file>`. */
+  private def dirOf(rel: String): String = rel.split('/')(1)
+
+  /** The `rows/vgen=g/part=…` child a (vgen, dir) pair lives under —
+    * Spark's partitionBy escapes the `part` VALUE (which is itself an
+    * on-disk dir name, `=` and `%` included) once more, so the child
+    * name is the symmetric single escape of it. */
+  private def rowsChild(rowsRoot: Path, g: Long, dir: String): Path =
+    new Path(rowsRoot, s"${FactVersioned.VGenCol}=$g/part=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(dir))
 
   /** Manifest-relative path (`vgen=g/dir/file`, last three components)
     * of a scan's `_metadata.file_path`, DECODED back to the on-disk
@@ -144,9 +165,11 @@ object FactAnnIndex {
       .as[(String, Long, Int, Seq[Double])]
       .mapPartitions(_.map { case (uri, id, cell, u) =>
         val (q, mn, sc, s) = Similarity.quantizeSq8(u.toArray)
-        (relOfUri(uri), id, cell, u, q, mn, sc, s)
+        val rel = relOfUri(uri)
+        (dirOf(rel), rel, id, cell, u, q, mn, sc, s)
       })
-      .toDF("file", "id", "cell", "u", "q", "q_min", "q_scale", "q_sum")
+      .toDF("part", "file", "id", "cell", "u", "q", "q_min", "q_scale",
+        "q_sum")
   }
 
   /** Build and publish the index: centroids trained on the HEAD
@@ -240,7 +263,7 @@ object FactAnnIndex {
     import spark.implicits._
     indexRowsFor(spark, dataRoot, rels, pinned, idCol, vecCol,
         centroids, literalCellThreshold)
-      .write.parquet(
+      .write.partitionBy("part").parquet(
         new Path(root, s"rows/${FactVersioned.VGenCol}=$g").toString)
     rels.toDF("file").coalesce(1).write.parquet(
       new Path(root, s"files/${FactVersioned.VGenCol}=$g").toString)
@@ -324,7 +347,6 @@ object FactAnnIndex {
       overFetch: Int = 4,
       roundSim: Int = 4,
       literalCellThreshold: Int = 4096): DataFrame = {
-    import spark.implicits._
     val gens = FactVersioned.generations(spark, tablePath)
     require(gens.nonEmpty, s"no committed generations at $tablePath")
     val g = gen.getOrElse(gens.max)
@@ -337,17 +359,28 @@ object FactAnnIndex {
         s"un-indexed file(s) at $tablePath.$vecCol — run refreshIndex " +
         s"first (e.g. ${missing.toSeq.sorted.headOption.getOrElse("")})")
     val centroids = readCentroids(spark, tablePath, vecCol)
-    // physical pruning by construction: only the referenced vgen
-    // subtrees are listed at all (an `isin` filter on the inferred
-    // partition column would prune too, but a cast in the predicate
-    // could silently disable it — the explicit dir list cannot)
-    val vgenDirs = rels.map(vgenOf).distinct.sorted.map(g =>
-      new Path(rowsRoot(tablePath, vecCol),
-        s"${FactVersioned.VGenCol}=$g").toString)
+    // restriction IS the path list: manifests reference files
+    // all-or-nothing per (vgen, dir) (see class doc), so listing
+    // exactly the generation's owning subtrees restricts the index
+    // with zero per-row work — no join, no predicate, and the same
+    // plan shape as the plain-table sidecar
+    val rr = rowsRoot(tablePath, vecCol)
+    val fs = fsOf(spark, tablePath)
+    // a child can be legitimately absent: a dir whose rows all carried
+    // null/unusable vectors indexes to zero rows (its files are still
+    // listed in `files/`, so coverage holds)
+    val children = rels.map(r => (vgenOf(r), dirOf(r))).distinct
+      .sortBy(identity)
+      .map { case (g, d) => rowsChild(rr, g, d) }
+      .filter(fs.exists).map(_.toString)
+    if (children.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, neighbor_id BIGINT, rank INT, sim DOUBLE"))
     val restricted = spark.read
-      .option("basePath", rowsRoot(tablePath, vecCol).toString)
-      .parquet(vgenDirs: _*)
-      .join(rels.toDF("file"), Seq("file"))
+      .option("basePath", rr.toString)
+      .parquet(children: _*)
     AnnIndex.ivfSq8Core(restricted, centroids, k, nProbe, overFetch,
       roundSim, literalCellThreshold)
   }
