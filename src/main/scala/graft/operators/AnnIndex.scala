@@ -309,10 +309,47 @@ object AnnIndex {
       literalCellThreshold)
   }
 
+  /** [[ivfSq8TopKIndexed]] for an EXTERNAL query batch — the
+    * production lookup shape (new items against the indexed corpus)
+    * instead of the gates' corpus-self-join. Queries flow down the
+    * same plan: probe ranking, in-flight self-quantization, the
+    * cell-keyed candidate join, exact re-rank on persisted unit
+    * vectors with the query side's true vectors. A corpus row sharing
+    * a query's id is excluded (the "don't return yourself" contract
+    * when queries are drawn from the corpus); genuinely-new items
+    * should carry ids outside the corpus key space. */
+  def ivfSq8TopKIndexedFor(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    ivfSq8Core(rows, centroids, k, nProbe, overFetch, roundSim,
+      literalCellThreshold, queries = Some(normalizedQueries(
+        queries, qIdCol, qVecCol)))
+  }
+
+  /** (id, u) unit-normalized view of an external query frame. */
+  private[operators] def normalizedQueries(
+      queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("id"),
+        Similarity.normalized(col(qVecCol)).as("u"))
+      .where(col("u").isNotNull)
+
   /** The combined-path query plan over any (id, cell, u, q, q_min,
     * q_scale, q_sum) index-row frame — shared by [[ivfSq8TopKIndexed]]
     * and [[FactAnnIndex.topK]] (whose rows are the manifest-restricted
-    * view of a generation). See [[ivfSq8TopKIndexed]] for the shape. */
+    * view of a generation). See [[ivfSq8TopKIndexed]] for the shape.
+    * `queries` (an (id, u) frame) switches the probe/re-rank side to
+    * an external batch; None = the corpus queries itself. */
   private[operators] def ivfSq8Core(
       rows: DataFrame,
       centroids: Array[Array[Double]],
@@ -320,11 +357,13 @@ object AnnIndex {
       nProbe: Int,
       overFetch: Int,
       roundSim: Int,
-      literalCellThreshold: Int): DataFrame = {
+      literalCellThreshold: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    val qSide = queries.getOrElse(rows)
     val (_, probes) = Similarity.cellPlans(
-      Par.spread(rows.select(col("id"), col("u"))), centroids, nProbe,
+      Par.spread(qSide.select(col("id"), col("u"))), centroids, nProbe,
       literalCellThreshold)
     // query side quantizes itself per probe row — identical to the
     // persisted codes (quantizeSq8 is deterministic on the same unit
@@ -356,7 +395,7 @@ object AnnIndex {
     val m = math.max(k * math.max(overFetch, 1), k)
     val cands = Similarity.topKPerKey(approx, m).select("key", "id")
     val scored = cands
-      .join(rows.select(col("id").as("key"), col("u").as("u_a")),
+      .join(qSide.select(col("id").as("key"), col("u").as("u_a")),
         Seq("key"))
       .join(rows.select(col("id"), col("u").as("u_b")), Seq("id"))
       .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))

@@ -346,7 +346,41 @@ object FactAnnIndex {
       nProbe: Int = 4,
       overFetch: Int = 4,
       roundSim: Int = 4,
-      literalCellThreshold: Int = 4096): DataFrame = {
+      literalCellThreshold: Int = 4096): DataFrame =
+    topKImpl(spark, tablePath, vecCol, k, gen, nProbe, overFetch,
+      roundSim, literalCellThreshold, queries = None)
+
+  /** [[topK]] for an EXTERNAL query batch against one generation's
+    * committed content — see [[AnnIndex.ivfSq8TopKIndexedFor]] for the
+    * query-batch contract (id-equality self-exclusion included). */
+  def topKFor(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      gen: Option[Long] = None,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame =
+    topKImpl(spark, tablePath, vecCol, k, gen, nProbe, overFetch,
+      roundSim, literalCellThreshold,
+      queries = Some(AnnIndex.normalizedQueries(queries, qIdCol, qVecCol)))
+
+  private def topKImpl(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      gen: Option[Long],
+      nProbe: Int,
+      overFetch: Int,
+      roundSim: Int,
+      literalCellThreshold: Int,
+      queries: Option[DataFrame]): DataFrame = {
     val gens = FactVersioned.generations(spark, tablePath)
     require(gens.nonEmpty, s"no committed generations at $tablePath")
     val g = gen.getOrElse(gens.max)
@@ -382,7 +416,7 @@ object FactAnnIndex {
       .option("basePath", rr.toString)
       .parquet(children: _*)
     AnnIndex.ivfSq8Core(restricted, centroids, k, nProbe, overFetch,
-      roundSim, literalCellThreshold)
+      roundSim, literalCellThreshold, queries)
   }
 
   /** Drop index subtrees whose owning generation's files are ALL

@@ -212,6 +212,27 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // External-query-batch ANN — the production lookup shape the
+    // self-join gates (q110-q119) don't cover: a BATCH of query
+    // vectors (here every 5th embedding) against the indexed corpus.
+    // Same combined IVF+SQ8 plan as q116 with the probe/re-rank side
+    // switched to the batch; the CORPUS is still answered entirely
+    // from the sidecar (asserted: no scan under the indexed table
+    // outside `_graft_ann__`), and candidates still flow through the
+    // cell-keyed join. Oracle: the q116 derived invariant restricted
+    // to the batch's query ids.
+    "q120_ann_query_batch" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q120")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") % 5 === 0)
+      val out = AnnIndex.ivfSq8TopKIndexedFor(s, tablePath, "embedding",
+        queries, "vec_id", "embedding", k = 3, nProbe = 10, overFetch = 4)
+      requireCorpusFromSidecar(out, tablePath)
+      requireCellJoinCandidates(out)
+      out
+    }),
+
     // Semantic clustering: deterministic seed-medoid assignment (k
     // lowest-id vectors as seeds, rounded-cosine argmax) — the IVF
     // assignment machinery under a FULL hash oracle instead of a
@@ -250,6 +271,22 @@ object VectorQueries extends QueryPack {
     }.flatten
     require(scans.nonEmpty && scans.forall(_.contains(prefix)),
       s"ANN query phase must scan only the index sidecar, got: $scans")
+  }
+
+  /** q120's contract: the QUERY batch may scan its own source, but
+    * the corpus side must come entirely from the index sidecar — no
+    * scan under the indexed table outside the `_graft_ann__` dir. */
+  private def requireCorpusFromSidecar(
+      out: DataFrame, tablePath: String): Unit = {
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    val offending = scans.filter(p =>
+      p.contains(tablePath) && !p.contains(AnnIndex.DirPrefix))
+    require(scans.exists(_.contains(AnnIndex.DirPrefix)) &&
+      offending.isEmpty,
+      s"corpus must be answered from the sidecar alone, got: $scans")
   }
 
   /** q116's no-corpus-collect contract, asserted structurally: the
@@ -352,6 +389,10 @@ object VectorQueries extends QueryPack {
     // rows), which costs at most a point of recall vs q116, well
     // inside the floor's slack.
     "q119_fact_ann_indexed" -> annTopKInvariant("q119_fact_ann_indexed", k = 3, recallFloor = 0.75),
+    // Same invariant restricted to the batch's query ids: exact top-k
+    // and recall are computed over queries with vec_id % 5 = 0 only,
+    // and any reported row outside the batch empties the guard.
+    "q120_ann_query_batch" -> annTopKInvariant("q120_ann_query_batch", k = 3, recallFloor = 0.75, queryPred = "query_id % 5 = 0"),
 
     // Derived invariant: every reported pair's cosine recomputed
     // exactly (raw-vector arithmetic, the engine's cosine()) and must
@@ -455,8 +496,16 @@ object VectorQueries extends QueryPack {
     *  - `rank` re-derived over the reported rows by (sim desc, id asc);
     *  - recall vs the exact top-k must clear `recallFloor`.
     */
+  /** @param queryPred restricts the invariant to a query-id subset
+    *   (external-batch gates): exact top-k and recall run over the
+    *   subset only, and a reported row OUTSIDE it empties the guard. */
   private def annTopKInvariant(
-      name: String, k: Int, recallFloor: Double): String =
+      name: String, k: Int, recallFloor: Double,
+      queryPred: String = ""): String = {
+    val predWhere = if (queryPred.isEmpty) "" else s" WHERE $queryPred"
+    val outInPred = if (queryPred.isEmpty) "" else
+      s"""
+         |    AND NOT EXISTS (SELECT 1 FROM out WHERE NOT ($queryPred))""".stripMargin
     s"""WITH out AS (SELECT * FROM ${outGlob(name)}),
        |$nrmCte,
        |sims AS (
@@ -469,7 +518,7 @@ object VectorQueries extends QueryPack {
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rnk
-       |    FROM sims) WHERE rnk <= $k
+       |    FROM sims$predWhere) WHERE rnk <= $k
        |),
        |hits AS (
        |  SELECT count(*) AS h FROM exact e
@@ -481,7 +530,7 @@ object VectorQueries extends QueryPack {
        |  WHERE CAST(h AS DOUBLE)
        |        / greatest((SELECT count(*) FROM exact), 1) >= $recallFloor
        |    AND NOT EXISTS (
-       |      SELECT 1 FROM out GROUP BY query_id HAVING count(*) > $k)
+       |      SELECT 1 FROM out GROUP BY query_id HAVING count(*) > $k)$outInPred
        |)
        |SELECT o.query_id, o.neighbor_id,
        |  row_number() OVER (PARTITION BY o.query_id
@@ -491,4 +540,5 @@ object VectorQueries extends QueryPack {
        |JOIN sims s ON s.query_id = o.query_id
        |           AND s.neighbor_id = o.neighbor_id
        |CROSS JOIN guard""".stripMargin
+  }
 }

@@ -86,6 +86,36 @@ class AnnIndexSpec extends SparkSpec {
       s"candidate stage must join on cell, got: $joinKeys")
   }
 
+  test("ivfSq8TopKIndexedFor answers an external query batch: parity " +
+      "with the self-join restricted to the batch; novel ids get full " +
+      "neighbor lists from the corpus") {
+    val path = tmp() + "/t"
+    val data = corpus(150)
+    writePartitioned(data, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    // batch drawn from the corpus: probing all cells must reproduce
+    // the self-join results for exactly those keys (same codes, same
+    // candidate universe, id-equality self-exclusion)
+    val batch = data.where(col("id") % 5 === 0)
+    val got = resultSet(AnnIndex.ivfSq8TopKIndexedFor(spark, path, "vec",
+      batch, "id", "vec", k = 3, nProbe = 4, overFetch = 4))
+    val full = resultSet(Similarity.sq8TopK(
+      spark.read.parquet(path), "id", "vec", k = 3, overFetch = 4))
+    assert(got == full.filter(_._1 % 5 == 0))
+    assert(got.nonEmpty)
+    // genuinely-new items (ids outside the corpus key space): every
+    // query gets k corpus neighbors, none of them itself
+    val novel = data.where(col("id") % 7 === 1)
+      .withColumn("id", col("id") + 100000L)
+    val got2 = resultSet(AnnIndex.ivfSq8TopKIndexedFor(spark, path, "vec",
+      novel, "id", "vec", k = 3, nProbe = 4, overFetch = 4))
+    val novelIds = novel.select("id").as[Long].collect().toSet
+    assert(got2.map(_._1) == novelIds)
+    assert(got2.groupBy(_._1).forall(_._2.size == 3))
+    val corpusIds = data.select("id").as[Long].collect().toSet
+    assert(got2.forall(r => corpusIds.contains(r._2)))
+  }
+
   test("ivfSq8TopKIndexed with restricted probes keeps IVF-grade recall") {
     val path = tmp() + "/t"
     writePartitioned(corpus(180), path)

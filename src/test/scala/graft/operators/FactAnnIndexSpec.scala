@@ -64,6 +64,30 @@ class FactAnnIndexSpec extends SparkSpec {
     assert(truth(path, 1).nonEmpty)
   }
 
+  test("topKFor answers an external batch against any retained " +
+      "generation: parity with the self-join restricted to the batch") {
+    val path = tmp() + "/t"
+    val full = corpus(150)
+    FactVersioned.replacePartitions(spark, path,
+      full.where(col("p") =!= 2), "p", Seq(0, 1))
+    FactVersioned.upsert(spark, path,
+      full.where(col("p") === 2), Seq("id"), "p")
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    // per-generation batch: a query id absent from a generation's
+    // corpus is a NOVEL item there (it still gets neighbors), so the
+    // restricted-parity check uses only ids the generation contains
+    val batches = Map(
+      0L -> full.where(col("p") =!= 2).where(col("id") % 5 === 0),
+      1L -> full.where(col("id") % 5 === 0))
+    batches.foreach { case (g, batch) =>
+      val got = resultSet(FactAnnIndex.topKFor(spark, path, "vec",
+        batch, "id", "vec", k = 3, gen = Some(g), nProbe = 4,
+        overFetch = 4))
+      assert(got == truth(path, g).filter(_._1 % 5 == 0), s"gen $g")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("topK reads only the sidecar — never _graft_vdata") {
     val path = tmp() + "/t"
     FactVersioned.replacePartitions(spark, path, corpus(120), "p",
