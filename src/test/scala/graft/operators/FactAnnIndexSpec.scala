@@ -193,6 +193,54 @@ class FactAnnIndexSpec extends SparkSpec {
     assert(resultSet(fannTopK(path, Some(head))) == truth(path, head))
   }
 
+  test("randomized commit/refresh/gc interleavings keep the shared " +
+      "index exact: every retained generation ≡ per-call truth") {
+    // seeded fuzz of the versioned lifecycle: partition upserts,
+    // whole-partition deletes, content-preserving compaction, and
+    // retention expiry (retain=3 default), with gcIndex sprinkled in.
+    // After every step the head AND a random retained generation must
+    // answer bit-identically to sq8TopK over their materialized reads
+    // (centroids deliberately never retrained — the index changes WHEN
+    // work happens, never WHAT is computed).
+    val rnd = new scala.util.Random(417L)
+    val path = tmp() + "/t"
+    val initial = corpus(150)
+    def jitter(df: org.apache.spark.sql.DataFrame, salt: Int) =
+      df.withColumn("vec", transform(col("vec"),
+        x => x + lit(math.sin(salt) * 0.37)))
+    FactVersioned.replacePartitions(spark, path, initial, "p",
+      Seq(0, 1, 2))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    var present = Set(0, 1, 2)
+    (1 to 6).foreach { step =>
+      val p = rnd.nextInt(3)
+      rnd.nextInt(5) match {
+        case 0 if present.contains(p) && present.size > 1 =>
+          // whole-partition DELETE: touched p, no content for it
+          present -= p
+          FactVersioned.replacePartitions(spark, path,
+            initial.where(lit(false)), "p", Seq(p))
+        case 1 if present.contains(p) =>
+          FactVersioned.compactPartitions(spark, path,
+            Seq(Upsert.partitionDirName("p", p)), "p")
+        case _ =>
+          present += p
+          FactVersioned.upsert(spark, path,
+            jitter(initial.where(col("p") === p), step), Seq("id"), "p")
+      }
+      FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+      if (rnd.nextBoolean()) FactAnnIndex.gcIndex(spark, path, "vec")
+      val gens = FactVersioned.generations(spark, path)
+      val checkGens =
+        Set(gens.max, gens(rnd.nextInt(gens.size))).toSeq.sorted
+      checkGens.foreach { g =>
+        assert(resultSet(fannTopK(path, Some(g))) == truth(path, g),
+          s"step $step: generation $g diverged from per-call truth")
+      }
+    }
+    assert(present.nonEmpty)
+  }
+
   test("hostile partition names (spaces, percent escapes) round-trip " +
       "between manifest entries and scanned file paths") {
     val path = tmp() + "/t"
