@@ -344,12 +344,51 @@ object AnnIndex {
         Similarity.normalized(col(qVecCol)).as("u"))
       .where(col("u").isNotNull)
 
+  /** FILTERED [[ivfSq8TopKIndexed]] — the hybrid-search shape (vector
+    * similarity under a metadata predicate): neighbors are restricted
+    * to `allowed` (a one-column frame of corpus ids, typically the
+    * result of an arbitrary predicate on the base table) BEFORE the
+    * per-query candidate cut, so every returned neighbor satisfies the
+    * predicate and each query still gets up to `k` of them. The
+    * restriction is a semi-join on the candidate stream — size-
+    * adaptive like the cell join, never a collect. Recall under very
+    * selective filters follows the standard IVF trade: allowed rows
+    * hide in un-probed cells exactly as un-filtered neighbors do;
+    * raise `nProbe` (or `overFetch`) for selective predicates. With
+    * all cells probed and overFetch ≥ the allowed count, results are
+    * EXACTLY the brute-force cosine top-k over the allowed subset
+    * (spec-asserted). */
+  def ivfSq8TopKIndexedWhere(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    ivfSq8Core(rows, centroids, k, nProbe, overFetch, roundSim,
+      literalCellThreshold,
+      allowed = Some(normalizedAllowed(allowed, allowedIdCol)))
+  }
+
+  /** One-column (id) view of an allowed-neighbor frame. */
+  private[operators] def normalizedAllowed(
+      allowed: DataFrame, idCol: String): DataFrame =
+    allowed.select(col(idCol).cast("long").as("id")).distinct()
+
   /** The combined-path query plan over any (id, cell, u, q, q_min,
     * q_scale, q_sum) index-row frame — shared by [[ivfSq8TopKIndexed]]
     * and [[FactAnnIndex.topK]] (whose rows are the manifest-restricted
     * view of a generation). See [[ivfSq8TopKIndexed]] for the shape.
     * `queries` (an (id, u) frame) switches the probe/re-rank side to
-    * an external batch; None = the corpus queries itself. */
+    * an external batch; None = the corpus queries itself. `allowed`
+    * (a one-column id frame) restricts neighbors by semi-join before
+    * the candidate cut — see [[ivfSq8TopKIndexedWhere]]. */
   private[operators] def ivfSq8Core(
       rows: DataFrame,
       centroids: Array[Array[Double]],
@@ -358,7 +397,8 @@ object AnnIndex {
       overFetch: Int,
       roundSim: Int,
       literalCellThreshold: Int,
-      queries: Option[DataFrame] = None): DataFrame = {
+      queries: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val qSide = queries.getOrElse(rows)
@@ -378,9 +418,13 @@ object AnnIndex {
         (key, cell, q, mn, sc, s)
       })
       .toDF("key", "cell", "qa", "mn_a", "sc_a", "s_a")
-    val cCoded = rows.select(col("cell"), col("id"), col("q").as("qb"),
+    val cCodedAll = rows.select(col("cell"), col("id"), col("q").as("qb"),
       col("q_min").as("mn_b"), col("q_scale").as("sc_b"),
       col("q_sum").as("s_b"))
+    // hybrid-search restriction: drop disallowed neighbors BEFORE the
+    // candidate cut so every query's k slots go to allowed rows
+    val cCoded = allowed.fold(cCodedAll)(a =>
+      cCodedAll.join(a, Seq("id"), "left_semi"))
     // the candidate scan as a JOIN: pairs are cell-local, corpus codes
     // shuffle (or broadcast — size-driven) by cell, never collected;
     // the integer-MAC scoring is a full-codegen native expression

@@ -370,6 +370,25 @@ object FactAnnIndex {
       roundSim, literalCellThreshold,
       queries = Some(AnnIndex.normalizedQueries(queries, qIdCol, qVecCol)))
 
+  /** FILTERED [[topK]] — hybrid search over one generation's content:
+    * neighbors restricted to `allowed` ids (see
+    * [[AnnIndex.ivfSq8TopKIndexedWhere]] for the recall contract). */
+  def topKWhere(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      gen: Option[Long] = None,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame =
+    topKImpl(spark, tablePath, vecCol, k, gen, nProbe, overFetch,
+      roundSim, literalCellThreshold, queries = None,
+      allowed = Some(AnnIndex.normalizedAllowed(allowed, allowedIdCol)))
+
   private def topKImpl(
       spark: SparkSession,
       tablePath: String,
@@ -380,7 +399,8 @@ object FactAnnIndex {
       overFetch: Int,
       roundSim: Int,
       literalCellThreshold: Int,
-      queries: Option[DataFrame]): DataFrame = {
+      queries: Option[DataFrame],
+      allowed: Option[DataFrame] = None): DataFrame = {
     val gens = FactVersioned.generations(spark, tablePath)
     require(gens.nonEmpty, s"no committed generations at $tablePath")
     val g = gen.getOrElse(gens.max)
@@ -416,7 +436,7 @@ object FactAnnIndex {
       .option("basePath", rr.toString)
       .parquet(children: _*)
     AnnIndex.ivfSq8Core(restricted, centroids, k, nProbe, overFetch,
-      roundSim, literalCellThreshold, queries)
+      roundSim, literalCellThreshold, queries, allowed)
   }
 
   /** Drop index subtrees whose owning generation's files are ALL

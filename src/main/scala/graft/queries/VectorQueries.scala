@@ -233,6 +233,24 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // Filtered (hybrid) search: vector top-k under a metadata
+    // predicate — neighbors restricted to labels 0-4 via a semi-join
+    // on the candidate stream BEFORE the per-query cut, so every
+    // returned slot goes to an allowed row (the "nearest in-domain
+    // neighbors" shape curation pipelines use). Corpus still answered
+    // from the sidecar; candidates still flow through the cell join.
+    "q121_ann_filtered" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q121")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val allowed = t(s, dir, "embeddings")
+        .where(col("label") < 5).select("vec_id")
+      val out = AnnIndex.ivfSq8TopKIndexedWhere(s, tablePath, "embedding",
+        allowed, "vec_id", k = 3, nProbe = 10, overFetch = 8)
+      requireCorpusFromSidecar(out, tablePath)
+      requireCellJoinCandidates(out)
+      out
+    }),
+
     // Semantic clustering: deterministic seed-medoid assignment (k
     // lowest-id vectors as seeds, rounded-cosine argmax) — the IVF
     // assignment machinery under a FULL hash oracle instead of a
@@ -393,6 +411,11 @@ object VectorQueries extends QueryPack {
     // and recall are computed over queries with vec_id % 5 = 0 only,
     // and any reported row outside the batch empties the guard.
     "q120_ann_query_batch" -> annTopKInvariant("q120_ann_query_batch", k = 3, recallFloor = 0.75, queryPred = "query_id % 5 = 0"),
+    // Filtered search: the exact top-k is computed over allowed
+    // neighbors only (labels 0-4), and any reported neighbor outside
+    // the predicate empties the guard.
+    "q121_ann_filtered" -> annTopKInvariant("q121_ann_filtered", k = 3, recallFloor = 0.75,
+      neighborPred = "neighbor_id IN (SELECT vec_id FROM embeddings WHERE label < 5)"),
 
     // Derived invariant: every reported pair's cosine recomputed
     // exactly (raw-vector arithmetic, the engine's cosine()) and must
@@ -498,14 +521,20 @@ object VectorQueries extends QueryPack {
     */
   /** @param queryPred restricts the invariant to a query-id subset
     *   (external-batch gates): exact top-k and recall run over the
-    *   subset only, and a reported row OUTSIDE it empties the guard. */
+    *   subset only, and a reported row OUTSIDE it empties the guard.
+    * @param neighborPred same for the neighbor side (filtered-search
+    *   gates): the exact top-k is computed over allowed neighbors
+    *   only, and a reported disallowed neighbor empties the guard. */
   private def annTopKInvariant(
       name: String, k: Int, recallFloor: Double,
-      queryPred: String = ""): String = {
-    val predWhere = if (queryPred.isEmpty) "" else s" WHERE $queryPred"
-    val outInPred = if (queryPred.isEmpty) "" else
+      queryPred: String = "", neighborPred: String = ""): String = {
+    val preds = Seq(queryPred, neighborPred).filter(_.nonEmpty)
+    val predWhere =
+      if (preds.isEmpty) "" else preds.mkString(" WHERE (", ") AND (", ")")
+    val outInPred = preds.map(p =>
       s"""
-         |    AND NOT EXISTS (SELECT 1 FROM out WHERE NOT ($queryPred))""".stripMargin
+         |    AND NOT EXISTS (SELECT 1 FROM out WHERE NOT ($p))""".stripMargin
+    ).mkString
     s"""WITH out AS (SELECT * FROM ${outGlob(name)}),
        |$nrmCte,
        |sims AS (

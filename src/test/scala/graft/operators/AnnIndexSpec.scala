@@ -116,6 +116,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(got2.forall(r => corpusIds.contains(r._2)))
   }
 
+  test("ivfSq8TopKIndexedWhere restricts neighbors to the allowed set: " +
+      "with all cells probed and ample over-fetch it is EXACTLY the " +
+      "brute-force cosine top-k over the allowed subset") {
+    val path = tmp() + "/t"
+    val data = corpus(150)
+    writePartitioned(data, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val allowed = data.where(col("id") % 3 === 0).select("id")
+    val got = resultSet(AnnIndex.ivfSq8TopKIndexedWhere(spark, path,
+      "vec", allowed, "id", k = 3, nProbe = 4, overFetch = 100))
+    // brute-force filtered truth with the engine's own arithmetic:
+    // unit-normalize, round(dot,4), rank by (sim desc, id asc)
+    val nrm = spark.read.parquet(path)
+      .select(col("id"), Similarity.normalized(col("vec")).as("u"))
+      .where(col("u").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val want = nrm.as("a")
+      .crossJoin(nrm.as("b").join(allowed.select(col("id")), Seq("id")))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(
+          col("a.u"), col("b.u")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+    assert(got == resultSet(want.select(
+      col("query_id"), col("neighbor_id"), col("rank"), col("sim"))))
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 % 3 == 0)) // every neighbor allowed
+  }
+
   test("ivfSq8TopKIndexed with restricted probes keeps IVF-grade recall") {
     val path = tmp() + "/t"
     writePartitioned(corpus(180), path)

@@ -88,6 +88,34 @@ class FactAnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("topKWhere restricts neighbors to the allowed set over the " +
+      "requested generation") {
+    val path = tmp() + "/t"
+    FactVersioned.replacePartitions(spark, path, corpus(120), "p",
+      Seq(0, 1, 2))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val allowed = corpus(120).where(col("id") % 3 === 0).select("id")
+    val got = resultSet(FactAnnIndex.topKWhere(spark, path, "vec",
+      allowed, "id", k = 3, nProbe = 4, overFetch = 100))
+    val nrm = FactVersioned.read(spark, path)
+      .select(col("id"), Similarity.normalized(col("vec")).as("u"))
+      .where(col("u").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val want = nrm.as("a")
+      .crossJoin(nrm.as("b").join(allowed, Seq("id")))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(
+          col("a.u"), col("b.u")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+    assert(got == resultSet(want.select(
+      col("query_id"), col("neighbor_id"), col("rank"), col("sim"))))
+    assert(got.nonEmpty && got.forall(_._2 % 3 == 0))
+  }
+
   test("topK reads only the sidecar — never _graft_vdata") {
     val path = tmp() + "/t"
     FactVersioned.replacePartitions(spark, path, corpus(120), "p",
