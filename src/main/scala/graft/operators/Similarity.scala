@@ -514,6 +514,224 @@ object Similarity {
       base)
   }
 
+  // ---------------- Product quantization (PQ) ----------------
+
+  /** Balanced subspace boundaries for product quantization: subspace s
+    * covers dims [bounds(s), bounds(s+1)). FAISS requires d % m == 0;
+    * balanced integer boundaries lift that (remainder dims spread over
+    * the leading subspaces), so any (dim, m) pair works. */
+  private[operators] def pqBounds(dim: Int, m: Int): Array[Int] =
+    (0 to m).map(s => (s.toLong * dim / m).toInt).toArray
+
+  /** Train the m per-subspace codebooks over a driver-side sample of
+    * unit-normalized vectors: codebook s = Lloyd's k-means over the
+    * sample's s-th sub-vectors (the same bounded-sample / driver-side
+    * training posture as IVF — see [[trainCentroids]]; at 100 TB the
+    * codebooks train on a ≤ trainCap sample, never the corpus). */
+  private[operators] def trainPqCodebooks(
+      sample: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    val bounds = pqBounds(dim, m)
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1)))
+      trainCentroids(sub, ksub, maxIter = 5, seed = seed + s)
+    }
+  }
+
+  /** Encode one vector as m codebook indices: per subspace the
+    * argmin-L2 entry, ties → lowest code (the comparison `d < bestD`
+    * keeps the first minimum, matching trainCentroids' assignment).
+    * One BYTE per subspace — at m=8 a 64-dim double vector (512 B)
+    * compresses 64× to 8 B. */
+  private[operators] def pqEncode(
+      u: Array[Double],
+      codebooks: Array[Array[Array[Double]]],
+      bounds: Array[Int]): Array[Byte] = {
+    val m = codebooks.length
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val lo = bounds(s)
+      val hi = bounds(s + 1)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val ctr = cb(c)
+        var d = 0.0
+        var j = lo
+        while (j < hi) { val t = u(j) - ctr(j - lo); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+
+  /** The PQ candidate scan (ADC — asymmetric distance computation):
+    * each query first builds its lookup table lut[s][c] = dot(query's
+    * s-th sub-vector, codebook entry c) — ksub·dim flops ONCE per
+    * query — then scores every corpus code word with just m table
+    * lookups + adds (approx dot = Σ_s lut[s][code_s]; the query side
+    * stays exact, only the corpus side is quantized, which is why ADC
+    * beats symmetric code-vs-code distances at equal bytes). Keeps the
+    * top `cap` per query by (approx sim desc, id asc). */
+  private[operators] def pqCandidateScan(
+      typed: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      bcCodes: org.apache.spark.broadcast.Broadcast[
+        Array[(Long, Array[Byte])]],
+      bcBooks: org.apache.spark.broadcast.Broadcast[
+        Array[Array[Array[Double]]]],
+      bounds: Array[Int],
+      cap: Int): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    typed.mapPartitions { it =>
+      val cs = bcCodes.value
+      val books = bcBooks.value
+      val m = books.length
+      it.flatMap { case (qid, uSeq) =>
+        val u = uSeq.toArray
+        // ADC lookup table: m × ksub partial dots of the exact query
+        val lut = Array.tabulate(m) { s =>
+          val cb = books(s)
+          val lo = bounds(s)
+          val hi = bounds(s + 1)
+          Array.tabulate(cb.length) { c =>
+            val ctr = cb(c)
+            var d = 0.0
+            var j = lo
+            while (j < hi) { d += u(j) * ctr(j - lo); j += 1 }
+            d
+          }
+        }
+        // bounded selection by (approx sim desc, id asc)
+        val topIds = new Array[Long](cap)
+        val topSims = new Array[Double](cap)
+        var filled = 0
+        var ci = 0
+        while (ci < cs.length) {
+          val (cid, codes) = cs(ci)
+          if (cid != qid) {
+            var sim = 0.0
+            var s = 0
+            while (s < m) { sim += lut(s)(codes(s) & 0xff); s += 1 }
+            val beatsWorst = filled < cap || sim > topSims(filled - 1) ||
+              (sim == topSims(filled - 1) && cid < topIds(filled - 1))
+            if (beatsWorst) {
+              var pos = math.min(filled, cap - 1)
+              while (pos > 0 && (sim > topSims(pos - 1) ||
+                  (sim == topSims(pos - 1) && cid < topIds(pos - 1)))) {
+                topSims(pos) = topSims(pos - 1)
+                topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topSims(pos) = sim
+              topIds(pos) = cid
+              if (filled < cap) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).map(r => (qid, topIds(r)))
+      }
+    }.toDF("key", "id")
+  }
+
+  /** Product-quantization approximate top-k — the memory floor of the
+    * quantized-ANN family. SQ8 stores dim bytes per vector; PQ stores
+    * m bytes (m ≪ dim): codebooks cut a 64-dim double vector to 8 B at
+    * m=8 — 64× smaller than raw, 8× smaller than SQ8 — so the resident
+    * index stays broadcastable another order of magnitude up the
+    * corpus (1e8 rows × 8 B ≈ 800 MB). Beyond THAT, the cell-bucketed
+    * distributed join of [[AnnIndex.ivfSq8TopKIndexed]] is the shape
+    * that removes the broadcast entirely.
+    *
+    * Two phases, like sq8TopK: (1) ADC candidate scan (each query's
+    * exact sub-vectors against the broadcast code words via per-query
+    * lookup tables) keeping top k·overFetch; (2) exact re-rank —
+    * candidates travel as IDS ONLY, true vectors re-attach by join,
+    * exact rounded dots rank the final top-k. Output matches the other
+    * ANN paths: (query_id, neighbor_id, rank, sim). Deterministic:
+    * codebooks train on the trainCap lowest-hash ids with a fixed seed,
+    * encode ties break to the lowest code. Recall < 1 where PQ
+    * reconstruction error reorders neighbors past the over-fetch
+    * horizon — recall-tested vs brute force in SimilaritySpec. */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      overFetch: Int = 4,
+      seed: Long = 42L,
+      trainCap: Int = 25000,
+      roundSim: Int = 4): DataFrame = {
+    require(ksub >= 1 && ksub <= 256,
+      s"pqTopK: ksub must fit one byte per code (1..256), got $ksub")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
+        normalized(col(vecCol)).as("u"))
+      .where(col("u").isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val typed = base.as[(Long, Seq[Double])]
+    // bounded deterministic train sample (lowest-hash ids), as in IVF
+    val sample: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(trainCap)
+      .select(col("id"), col("u"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    if (sample.isEmpty) {
+      base.unpersist(blocking = false)
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("rank", IntegerType),
+          StructField("sim", DoubleType))))
+    }
+    val dim = sample.head.length
+    val bounds = pqBounds(dim, m)
+    val codebooks = trainPqCodebooks(sample, m, ksub, seed)
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
+    // distributed encode (one narrow pass over the corpus), then the
+    // m-bytes-per-row code table is collected + broadcast — the same
+    // resident-index shape as sq8TopK, 8× smaller
+    val codes: Array[(Long, Array[Byte])] = typed
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        it.map { case (id, u) => (id, pqEncode(u.toArray, books, bounds)) }
+      }
+      .collect().sortBy(_._1)
+    val bcCodes = spark.sparkContext.broadcast(codes)
+    val cap = math.max(k * math.max(overFetch, 1), k)
+    val cands = pqCandidateScan(typed, bcCodes, bcBooks, bounds, cap)
+
+    val scored = cands
+      .join(base.select(col("id").as("key"), col("u").as("u_a")),
+        Seq("key"))
+      .join(base.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    Dedup.materializeAndRelease(
+      topKPerKey(scored, k)
+        .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+          col("rank"), col("sim")),
+      base)
+  }
+
   /** LSH-bucketed approximate top-k: L independent random-hyperplane
     * tables of `bits` bits; candidate pairs share a bucket in ≥1 table;
     * exact cosine re-rank of candidates. Recall < 1 by construction —

@@ -100,6 +100,18 @@ object VectorQueries extends QueryPack {
       Similarity.sq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, overFetch = 4)),
 
+    // PQ ANN: product-quantized codes (m=8 subspace codebooks — 8 B
+    // per vector, 64× smaller than raw, 8× smaller than SQ8's dim
+    // bytes) generate candidates by per-query ADC lookup tables with
+    // 4× over-fetch; exact re-rank on re-attached true vectors. The
+    // memory floor of the quantized family: the resident index stays
+    // broadcastable to ~1e8 rows before the distributed cell-join
+    // (q116) must take over. Oracle: the shared derived-invariant
+    // sim/rank re-check + recall floor.
+    "q122_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, m = 8, ksub = 256, overFetch = 4)),
+
     // Approximate distinct (HLL) per label — rows-only (sketch internals
     // engine-specific), exactness window asserted in tests.
     "q44_approx_distinct" -> ((s, dir) =>
@@ -392,6 +404,11 @@ object VectorQueries extends QueryPack {
     // SQ8's quantization error is bounded (no bucketing randomness), so
     // its floor sits higher than the LSH/IVF gates.
     "q80_sq8_topk" -> annTopKInvariant("q80_sq8_topk", k = 3, recallFloor = 0.9),
+    // PQ's reconstruction error (8-dim subspaces, 256 codes each) is
+    // larger than SQ8's per-element bound but bounded by codebook
+    // training on this corpus; the floor matches the other
+    // coarse-candidate gates (q43/q45).
+    "q122_pq_topk" -> annTopKInvariant("q122_pq_topk", k = 3, recallFloor = 0.75),
     // The persisted-index variants compute the same values as q45/q80
     // (shared cellPlans/quantization — hash-identical, spec-asserted),
     // so they carry the same derived-invariant oracles and floors.

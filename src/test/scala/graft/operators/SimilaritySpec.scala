@@ -140,4 +140,68 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@3 = $recall%.3f (candidates examined ≪ n²)")
     assert(recall >= 0.85)
   }
+
+  test("pqTopK recall vs brute force; layout-invariant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", k = 3,
+        m = 8, ksub = 256, overFetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@3 = $recall%.3f (8 B/vector codes, 4x over-fetch)")
+    assert(recall >= 0.8)
+    val repart = Similarity.pqTopK(emb.repartition(7), "vec_id",
+        "embedding", k = 3, m = 8, ksub = 256, overFetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(repart === pq) // layout-invariant
+  }
+
+  test("pqEncode: ADC reconstruction beats chance and bounds are balanced") {
+    // balanced boundaries cover every dim exactly once, any (dim, m)
+    assert(Similarity.pqBounds(64, 8).toSeq ===
+      Seq(0, 8, 16, 24, 32, 40, 48, 56, 64))
+    assert(Similarity.pqBounds(10, 3).toSeq === Seq(0, 3, 6, 10))
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val corpus = Array.fill(300)(unit())
+    val books = Similarity.trainPqCodebooks(corpus, m = 8, ksub = 256,
+      seed = 42L)
+    val bounds = Similarity.pqBounds(64, 8)
+    // ADC approx dot vs exact dot: mean abs error well under the
+    // neighbor-gap scale on unit vectors
+    val errs = for (a <- corpus.take(20); b <- corpus.take(20)) yield {
+      val exact = a.zip(b).map { case (x, y) => x * y }.sum
+      val codes = Similarity.pqEncode(b, books, bounds)
+      val approx = (0 until 8).map { s =>
+        val ctr = books(s)(codes(s) & 0xff)
+        (bounds(s) until bounds(s + 1)).map(j =>
+          a(j) * ctr(j - bounds(s))).sum
+      }.sum
+      math.abs(exact - approx)
+    }
+    val mae = errs.sum / errs.length
+    info(f"PQ ADC mean abs dot error = $mae%.4f")
+    assert(mae < 0.1)
+  }
+
+  test("pqTopK tolerates tiny and empty corpora; rejects ksub > 256") {
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(tiny, "vec_id", "embedding", k = 1,
+        m = 2, ksub = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 2L && out(2L) === 1L)
+    val zeros = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.pqTopK(zeros, "vec_id", "embedding", k = 1)
+      .count() === 0)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, "vec_id", "embedding", k = 1, ksub = 512)
+    }
+  }
 }
