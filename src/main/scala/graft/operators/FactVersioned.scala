@@ -115,6 +115,33 @@ object FactVersioned {
     * fingerprint concurrent committers check overlap against. */
   val TouchedFile = "touched"
 
+  /** Per-generation application-level properties (Iceberg's snapshot
+    * summary posture): small provenance key/values a committer attaches
+    * atomically with the commit — written before the marker, so a
+    * visible generation always carries its properties. The streaming
+    * sink's exactly-once batch marker rides here. */
+  val PropertiesFile = "properties"
+
+  /** A committed generation's properties (empty for generations written
+    * without any). */
+  def commitProperties(
+      spark: SparkSession, tablePath: String, gen: Long): Map[String, String] = {
+    val fs = fsOf(spark, tablePath)
+    val p = new Path(genMeta(tablePath, gen), PropertiesFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"malformed properties line at $tablePath gen=$gen")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
   /** A committed generation's declared touched-dir set. Falls back to
     * manifest-prefix inference for generations written before the
     * touched file existed — that inference cannot see partition
@@ -239,8 +266,13 @@ object FactVersioned {
       partitionCol: String,
       touched: Seq[Any],
       retain: Int = 3,
-      basisGen: Option[Long] = None): Commit = {
+      basisGen: Option[Long] = None,
+      properties: Map[String, String] = Map.empty): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
+    properties.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\n' || c == '\t') && !v.contains('\n'),
+        s"commit property keys/values must be newline- and tab-free: $k")
+    }
     require(content.columns.contains(partitionCol),
       s"content lacks partition column $partitionCol")
     require(partitionCol != VGenCol && !content.columns.contains(VGenCol),
@@ -274,7 +306,7 @@ object FactVersioned {
     val genData = new Path(dataRoot(tablePath), s"$VGenCol=$next")
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCol, touched,
-        basisGen, fs, gRoot, next, genData)
+        basisGen, properties, fs, gRoot, next, genData)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -293,6 +325,7 @@ object FactVersioned {
       partitionCol: String,
       touched: Seq[Any],
       basisGen: Option[Long],
+      properties: Map[String, String],
       fs: org.apache.hadoop.fs.FileSystem,
       gRoot: Path,
       next: Long,
@@ -429,6 +462,14 @@ object FactVersioned {
     try tf.write(touchedDirs.sorted.mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally tf.close()
+    if (properties.nonEmpty) {
+      val pf = fs.create(
+        new Path(genMeta(tablePath, next), PropertiesFile), true)
+      try pf.write(properties.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally pf.close()
+    }
     fs.create(new Path(genMeta(tablePath, next), Versioned.CommitMarker),
       true).close()
     Commit(next, stagedDirs.toIndexedSeq.sorted)
@@ -445,7 +486,8 @@ object FactVersioned {
       keys: Seq[String],
       partitionCol: String,
       retain: Int = 3,
-      maxTouchedPartitions: Int = 10000): Commit = {
+      maxTouchedPartitions: Int = 10000,
+      properties: Map[String, String] = Map.empty): Commit = {
     val touchedRows = updates.select(partitionCol).distinct()
       .limit(maxTouchedPartitions + 1).collect()
     require(touchedRows.length <= maxTouchedPartitions,
@@ -455,7 +497,7 @@ object FactVersioned {
     val gens = generations(spark, tablePath)
     if (gens.isEmpty)
       return replacePartitions(spark, tablePath, updates, partitionCol,
-        touched, retain)
+        touched, retain, properties = properties)
     val basis = gens.max // the head this merge is derived from
     val touchedDirs =
       touched.map(v => Upsert.partitionDirName(partitionCol, v))
@@ -463,7 +505,8 @@ object FactVersioned {
     val keep = current.join(
       updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     replacePartitions(spark, tablePath, keep.unionByName(updates),
-      partitionCol, touched, retain, basisGen = Some(basis))
+      partitionCol, touched, retain, basisGen = Some(basis),
+      properties = properties)
   }
 
   /** Compact `dirs` of the head generation: rewrite each listed

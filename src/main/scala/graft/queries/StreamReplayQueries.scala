@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.operators.{Merge, Upsert}
+import graft.operators.{FactVersioned, Merge, Upsert}
 import graft.streaming.EventAggregates
 import graft.streaming.EventAggregates.Event
 
@@ -197,6 +197,60 @@ object StreamReplayQueries extends QueryPack {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }),
+
+    // Exactly-once streaming ingestion into the VERSIONED fact store:
+    // a real Structured Streaming query (MemoryStream + checkpoint)
+    // lands two micro-batches in a FactVersioned table through
+    // FactStreamSink — each commit carries its batchId as a commit
+    // property — then batch 1 is deliberately REDELIVERED through the
+    // sink's apply path and must be skipped by the marker: no third
+    // generation, no content change (required in-gate). The head
+    // generation is read back FROM DISK, so the gate covers commit +
+    // marker + read, not just the plan. Money rides as whole cents
+    // (BIGINT) so the stream payload needs no decimal encoder and the
+    // hash is arithmetic-free. Oracle: q20's last-write-wins merge.
+    "q123_stream_fact_sink" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft_q123_").toString
+      val root = s"$wh/orders_v"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            year(col("o_orderdate")).as("o_year"))
+          .as[(Long, String, Long, Int)]
+        val b0 = o.collect().sortBy(_._1)
+        val b1 = b0.filter(_._1 % 2 == 0)
+          .map { case (k, _, c, y) => (k, "U", c * 2, y) }
+        val input = MemoryStream[(Long, String, Long, Int)]
+        val q = graft.streaming.FactStreamSink.start(
+          input.toDF().toDF("o_orderkey", "o_orderstatus", "cents", "o_year"),
+          root, keys = Seq("o_orderkey"), partitionCol = "o_year",
+          checkpointDir = s"$wh/ckpt", sinkId = "q123")
+        try {
+          input.addData(b0.toIndexedSeq); q.processAllAvailable()
+          input.addData(b1.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        // deliberate redelivery of batch 1: the marker must skip it
+        val redo = graft.streaming.FactStreamSink.applyBatch(s, root,
+          b1.toIndexedSeq.toDF("o_orderkey", "o_orderstatus", "cents", "o_year"),
+          Seq("o_orderkey"), "o_year", "q123", batchId = 1L)
+        require(redo.isEmpty,
+          "q123: redelivered batch must be skipped by the batch marker")
+        require(FactVersioned.generations(s, root) == Seq(0L, 1L),
+          "q123: exactly the two stream batches may commit")
+        val out = FactVersioned.read(s, root)
+          .select("o_orderkey", "o_orderstatus", "cents")
+          .localCheckpoint()
+        val p = new org.apache.hadoop.fs.Path(wh)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        out
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }))
 
   /** Resident-stream steady-state runner for q76 (VERDICT r6 Next #4):
@@ -275,6 +329,20 @@ object StreamReplayQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    // Last-write-wins merge of the two stream batches (q20's shape in
+    // whole cents): batch 1 (even keys, doubled cents, status U) wins
+    // over batch 0; the skipped redelivery must contribute nothing.
+    "q123_stream_fact_sink" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT o_orderkey, o_orderstatus, cents FROM updates
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
     // Independent gaps-and-islands sessionization: 30-min gap over
     // ms-truncated event times (the streaming state keys on
     // Timestamp.getTime — millisecond precision — scaled to µs).

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.FactVersioned
+
+/** Exactly-once Structured Streaming ingestion into a [[FactVersioned]]
+  * table — the streaming twin of the reference's webhook→staging loop
+  * (`lambda/zoom_webhook/handler.py:38-125`), landing in a versioned,
+  * time-travelable, CDC-subscribable store instead of a flat snapshot.
+  *
+  * foreachBatch delivers micro-batches AT-LEAST-ONCE: after a crash
+  * between the sink's side effect and the checkpoint commit, the same
+  * (batchId, data) pair is redelivered. Exactly-once therefore needs the
+  * applied batchId recorded ATOMICALLY with the data — here as a commit
+  * property (`graft.stream.<sinkId>.batch`) written inside the same
+  * generation metadata the commit marker makes visible, the
+  * transactional-sink recipe Delta/Iceberg use (txnAppId/txnVersion).
+  * On redelivery [[applyBatch]] sees the marker at or past the incoming
+  * batchId and SKIPS — no new generation, and the change feed
+  * ([[graft.operators.FactChangeFeed]]) sees zero rows.
+  *
+  * Defense in depth: if every marker-bearing generation has been
+  * expired by retention (a sink that lagged many foreign commits), the
+  * check finds no marker and re-applies — and because the commit is a
+  * keyed UPSERT, a re-applied batch converges to byte-identical content
+  * (its generation diff is empty), so the downstream contract degrades
+  * to idempotent-replay rather than duplication. Size `retain` above
+  * the worst-case number of commits between two sink batches to keep
+  * the strict skip path.
+  *
+  * At 100 TB this inherits FactVersioned's scaling: each micro-batch
+  * commit writes ∝ the batch's touched partitions (never the table),
+  * and concurrent non-overlapping committers (e.g. a compaction job)
+  * coexist through the store's optimistic concurrency.
+  */
+object FactStreamSink {
+
+  /** The commit-property key carrying the last applied batchId for a
+    * sink identity. `sinkId` distinguishes independent streams writing
+    * the same table (Delta's txnAppId). */
+  def batchProp(sinkId: String): String = s"graft.stream.$sinkId.batch"
+
+  /** Highest batchId recorded by `sinkId` across retained committed
+    * generations (newest-first scan, metadata-scale). None ⇒ no marker
+    * retained: first run, or the marker aged out of retention. */
+  def lastBatch(
+      spark: SparkSession, tablePath: String, sinkId: String): Option[Long] = {
+    val key = batchProp(sinkId)
+    FactVersioned.generations(spark, tablePath).reverse.iterator
+      .flatMap(g => FactVersioned.commitProperties(spark, tablePath, g)
+        .get(key).flatMap(_.toLongOption))
+      .nextOption()
+  }
+
+  /** Apply one micro-batch: keyed upsert committed with the batch
+    * marker, or a SKIP (None) when the marker shows `batchId` already
+    * applied. The skip compares with >= : foreachBatch batchIds are
+    * monotonic per checkpoint, so an equal or lower id is always a
+    * redelivery of work this table already holds. */
+  def applyBatch(
+      spark: SparkSession,
+      tablePath: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      sinkId: String,
+      batchId: Long,
+      retain: Int = 10): Option[FactVersioned.Commit] = {
+    if (lastBatch(spark, tablePath, sinkId).exists(_ >= batchId)) None
+    else if (batch.isEmpty) None // empty batch: nothing to commit
+    else Some(FactVersioned.upsert(spark, tablePath, batch, keys,
+      partitionCol, retain = retain,
+      properties = Map(batchProp(sinkId) -> batchId.toString)))
+  }
+
+  /** Run a streaming DataFrame into the versioned table. `transform`
+    * maps each raw micro-batch to the table's row shape (must contain
+    * `keys` and `partitionCol`). */
+  def start(
+      source: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      partitionCol: String,
+      checkpointDir: String,
+      sinkId: String = "default",
+      retain: Int = 10,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, tablePath, transform(batch), keys,
+          partitionCol, sinkId, batchId, retain)
+        ()
+      }
+      .start()
+}
