@@ -24,14 +24,17 @@ import graft.functions.VectorFunctions._
   * Sidecar layout under `<tablePath>/_graft_ann__<vecCol>/`:
   *  - `rows/part=<dir>/` — one Hive partition per SOURCE partition dir
   *    (`part = "__root__"` for files directly under the table root):
-  *    (file, id, cell, u, q, q_min, q_scale, q_sum) — the unit-normalized
-  *    vector, its IVF cell, and its SQ8 codes. Storing `u` here is what
-  *    lets the query phase skip the base table entirely (the posture of
-  *    FAISS-style on-disk indexes, which keep full vectors for exact
-  *    re-rank); the rows are clustered by source partition so a refresh
-  *    swaps whole subdirectories, write cost ∝ touched partitions.
+  *    (file, id, cell, u, q, q_min, q_scale, q_sum, pq) — the
+  *    unit-normalized vector, its IVF cell, its SQ8 codes, and its
+  *    m-byte PQ codes. Storing `u` here is what lets the query phase
+  *    skip the base table entirely (the posture of FAISS-style on-disk
+  *    indexes, which keep full vectors for exact re-rank); the rows are
+  *    clustered by source partition so a refresh swaps whole
+  *    subdirectories, write cost ∝ touched partitions.
   *  - `centroids/` — (cell, centroid), metadata-scale.
-  *  - `meta/` — (dim, n_lists, seed, train_cap), one row.
+  *  - `codebooks/` — (subspace, code, centroid) PQ sub-centroids,
+  *    metadata-scale (m × ksub rows).
+  *  - `meta/` — (dim, n_lists, seed, train_cap, pq_m, pq_ksub), one row.
   *
   * Exactness contract: write-time cell assignment and query-time
   * probing share [[Similarity.cellPlans]], and quantization shares
@@ -97,25 +100,34 @@ object AnnIndex {
 
   /** Assign IVF cells (via the shared [[Similarity.cellPlans]], so
     * write-time assignment ≡ query-time rank-1 probe) and quantize SQ8
-    * codes for every row of `base`. */
+    * + PQ codes for every row of `base`. */
   private def assignQuantize(
       base: DataFrame, // (file, id, u, part)
       centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       literalCellThreshold: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
     val (assigned, _) = Similarity.cellPlans(
       base.select(col("id"), col("u")), centroids,
       nProbe = 1, literalCellThreshold)
     base.join(assigned.select(col("id"), col("cell")), Seq("id"))
       .select(col("part"), col("file"), col("id"), col("cell"), col("u"))
       .as[(String, String, Long, Int, Seq[Double])]
-      .mapPartitions(_.map { case (part, file, id, cell, u) =>
-        val (q, mn, sc, s) = Similarity.quantizeSq8(u.toArray)
-        (part, file, id, cell, u, q, mn, sc, s)
-      })
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        val bounds =
+          Similarity.pqBounds(books.map(_.head.length).sum, books.length)
+        it.map { case (part, file, id, cell, u) =>
+          val ua = u.toArray
+          val (q, mn, sc, s) = Similarity.quantizeSq8(ua)
+          (part, file, id, cell, u, q, mn, sc, s,
+            Similarity.pqEncode(ua, books, bounds))
+        }
+      }
       .toDF("part", "file", "id", "cell", "u", "q",
-        "q_min", "q_scale", "q_sum")
+        "q_min", "q_scale", "q_sum", "pq")
   }
 
   /** Build and publish the index sidecar for `tablePath`.`vecCol`.
@@ -135,7 +147,11 @@ object AnnIndex {
       nLists: Int = 0,
       seed: Long = 42L,
       trainCap: Int = 25000,
-      literalCellThreshold: Int = 4096): Unit = {
+      literalCellThreshold: Int = 4096,
+      pqM: Int = 8,
+      pqKsub: Int = 256): Unit = {
+    require(pqKsub >= 1 && pqKsub <= 256,
+      s"AnnIndex.writeIndex: pqKsub must fit one byte (1..256), got $pqKsub")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootName = root.getName
@@ -163,18 +179,25 @@ object AnnIndex {
         .map(_.getSeq[Double](1).toArray)
       val centroids =
         Similarity.trainCentroids(sample, lists, maxIter = 5, seed)
+      val codebooks =
+        Similarity.trainPqCodebooks(sample, pqM, pqKsub, seed)
 
       val tmp = new Path(root, TmpDirPrefix + vecCol)
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      assignQuantize(base, centroids, literalCellThreshold)
+      assignQuantize(base, centroids, codebooks, literalCellThreshold)
         .write.partitionBy("part").parquet(new Path(tmp, "rows").toString)
       import spark.implicits._
       centroids.zipWithIndex.toIndexedSeq
         .map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
-      Seq((sample.head.length, lists, seed, trainCap))
-        .toDF("dim", "n_lists", "seed", "train_cap")
+      codebooks.zipWithIndex.toIndexedSeq
+        .flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.parquet(new Path(tmp, "codebooks").toString)
+      Seq((sample.head.length, lists, seed, trainCap, pqM, pqKsub))
+        .toDF("dim", "n_lists", "seed", "train_cap", "pq_m", "pq_ksub")
         .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
 
       val live = new Path(root, DirPrefix + vecCol)
@@ -200,6 +223,65 @@ object AnnIndex {
     spark.read.parquet(s"${indexDir(tablePath, vecCol)}/centroids")
       .orderBy("cell").select("centroid").collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** PQ codebooks of the live index: m × ksub sub-centroids, ordered. */
+  private def readCodebooks(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String): Array[Array[Array[Double]]] = {
+    require(hasIndex(spark, tablePath, vecCol),
+      s"AnnIndex: no live index for $vecCol at $tablePath")
+    spark.read.parquet(s"${indexDir(tablePath, vecCol)}/codebooks")
+      .orderBy("subspace", "code")
+      .select("subspace", "centroid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toArray))
+      .toArray
+  }
+
+  /** PQ top-k reading ONLY the sidecar: the m-byte PQ codes are
+    * COLLECTED (8× smaller than [[sq8TopKIndexed]]'s dim-byte collect,
+    * so this path stays driver-feasible another 8× up the corpus —
+    * ~1e8 rows at m=8), candidates come from the shared
+    * [[Similarity.pqCandidateScan]] (per-query ADC lookup tables over
+    * the persisted codebooks), exact re-rank re-attaches the persisted
+    * unit vectors. Bit-identical to `Similarity.pqTopK` with the
+    * index's own (pqM, pqKsub, seed, trainCap) on an unchanged table.
+    * Beyond the broadcast ceiling, [[ivfSq8TopKIndexed]]'s distributed
+    * cell join is the no-collect path. */
+  def pqTopKIndexed(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      overFetch: Int = 4,
+      roundSim: Int = 4): DataFrame = {
+    import spark.implicits._
+    val codebooks = readCodebooks(spark, tablePath, vecCol)
+    val bounds = Similarity.pqBounds(
+      codebooks.map(_.head.length).sum, codebooks.length)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    val codes: Array[(Long, Array[Byte])] = rows
+      .select(col("id"), col("pq"))
+      .as[(Long, Array[Byte])]
+      .collect().sortBy(_._1)
+    val bcCodes = spark.sparkContext.broadcast(codes)
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
+    val cap = math.max(k * math.max(overFetch, 1), k)
+    val typed = Par.spread(rows.select(col("id"), col("u")))
+      .as[(Long, Seq[Double])]
+    val cands =
+      Similarity.pqCandidateScan(typed, bcCodes, bcBooks, bounds, cap)
+    val scored = cands
+      .join(rows.select(col("id").as("key"), col("u").as("u_a")),
+        Seq("key"))
+      .join(rows.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    Similarity.topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
   }
 
   /** IVF top-k reading ONLY the sidecar: probes rank the persisted
@@ -520,6 +602,7 @@ object AnnIndex {
         "unpartitioned table's index with writeIndex")
 
     val centroids = readCentroids(spark, tablePath, vecCol)
+    val codebooks = readCodebooks(spark, tablePath, vecCol)
     val children: Map[String, Path] = fs.listStatus(rowsRoot)
       .filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("part="))
@@ -533,7 +616,7 @@ object AnnIndex {
         val scan = spark.read.option("basePath", tablePath)
           .parquet(dataDir.toString)
         val fresh = assignQuantize(
-          baseOf(scan, idCol, vecCol, rootName), centroids,
+          baseOf(scan, idCol, vecCol, rootName), centroids, codebooks,
           literalCellThreshold)
         val tmp = new Path(root, TmpDirPrefix + vecCol + "_refresh")
         if (fs.exists(tmp)) fs.delete(tmp, true)

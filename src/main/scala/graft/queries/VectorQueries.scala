@@ -170,6 +170,20 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // PQ from the persisted sidecar: the m-byte codes are READ (the
+    // per-call corpus encode pass is what the sidecar amortizes) —
+    // hash-identical to q122 (shared trainPqCodebooks/pqEncode/
+    // pqCandidateScan with the same sample/seed/params; spec-asserted
+    // bit-parity), same derived-invariant oracle.
+    "q124_pq_indexed" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q124")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val out = AnnIndex.pqTopKIndexed(s, tablePath, "embedding",
+        k = 3, overFetch = 4)
+      requireSidecarOnly(out)
+      out
+    }),
+
     // IVF+SQ8 combined from the persisted sidecar — the 100 TB form of
     // q111: candidates come from a size-adaptive JOIN of self-quantized
     // query probes against the persisted cell-bucketed codes, so the
@@ -409,6 +423,7 @@ object VectorQueries extends QueryPack {
     // training on this corpus; the floor matches the other
     // coarse-candidate gates (q43/q45).
     "q122_pq_topk" -> annTopKInvariant("q122_pq_topk", k = 3, recallFloor = 0.75),
+    "q124_pq_indexed" -> annTopKInvariant("q124_pq_indexed", k = 3, recallFloor = 0.75),
     // The persisted-index variants compute the same values as q45/q80
     // (shared cellPlans/quantization — hash-identical, spec-asserted),
     // so they carry the same derived-invariant oracles and floors.

@@ -63,6 +63,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("pqTopKIndexed is bit-identical to per-call pqTopK") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(150), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4,
+      pqM = 4, pqKsub = 16)
+    val indexed = resultSet(
+      AnnIndex.pqTopKIndexed(spark, path, "vec", k = 3, overFetch = 4))
+    val percall = resultSet(Similarity.pqTopK(
+      spark.read.parquet(path), "id", "vec", k = 3, m = 4, ksub = 16,
+      overFetch = 4))
+    assert(indexed == percall)
+    assert(indexed.nonEmpty)
+  }
+
+  test("refresh keeps PQ codes consistent with a fresh encode") {
+    val path = tmp() + "/t"
+    val df = corpus(120)
+    writePartitioned(df, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4,
+      pqM = 4, pqKsub = 16)
+    // commit new rows into partition p=1, refresh, and compare the
+    // indexed PQ answer against per-call pqTopK over the new table
+    // content ONLY if codebooks match — they won't (pqTopK retrains on
+    // the new corpus), so instead assert the refreshed rows' codes
+    // equal a fresh pqEncode under the PERSISTED codebooks
+    val updates = (200 to 220).map { i =>
+      (i.toLong, 1, (0 until 8).map(j => math.cos(i * 13 + j * 5)))
+    }.toDF("id", "p", "vec")
+    val commit = Upsert.upsertPartitioned(spark, path, updates,
+      Seq("id"), "p")
+    AnnIndex.refreshIndexPartitioned(spark, path, "id", "vec",
+      commit.rewritten ++ commit.deleted)
+    val idx = spark.read.parquet(s"$path/${AnnIndex.DirPrefix}vec/rows")
+      .select(col("id"), col("u"), col("pq"))
+      .as[(Long, Seq[Double], Array[Byte])].collect()
+    val books = spark.read
+      .parquet(s"$path/${AnnIndex.DirPrefix}vec/codebooks")
+      .orderBy("subspace", "code").select("subspace", "centroid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toArray)).toArray
+    val bounds = Similarity.pqBounds(8, 4)
+    assert(idx.nonEmpty && idx.exists(_._1 >= 200L))
+    idx.foreach { case (_, u, pq) =>
+      assert(pq.toSeq ==
+        Similarity.pqEncode(u.toArray, books, bounds).toSeq)
+    }
+  }
+
   test("ivfSq8TopKIndexed probing all cells is bit-identical to sq8TopK " +
       "(full pair universe) and never collects the corpus") {
     val path = tmp() + "/t"
