@@ -51,10 +51,15 @@ import graft.operators.{FactVersioned, Versioned}
   * path-derived, so selecting it costs nothing and omitting it prunes
   * it entirely.
   *
-  * Read-only: create/alter/drop/rename are rejected — commits go
-  * through the committers ([[Versioned.commit]],
-  * [[FactVersioned.upsert]]/`replacePartitions`), whose claim/marker
-  * protocol a SQL DDL path must not bypass.
+  * Writes: `INSERT INTO graft.<t>` appends THROUGH the stores' own
+  * committers ([[FactVersioned.append]] for fact tables — cost ∝
+  * touched partitions — and a union'd [[Versioned.commit]] for
+  * dimensions) via the DSv2→V1 whole-frame bridge, so the claim/marker
+  * protocol, conflict detection, and retention all apply unchanged.
+  * INSERT into a pinned `VERSION AS OF` resolution, INSERT OVERWRITE,
+  * and DDL (create/alter/drop/rename) are rejected — partition
+  * replacement and schema evolution keep their explicit operator
+  * surfaces.
   *
   * The warehouse `root` is re-read from the session conf on every
   * resolution (falling back to the init-time option), so one session
@@ -143,15 +148,97 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // pinned schema fixes their types (dir names are never trusted)
       val opts = new CaseInsensitiveStringMap(
         Map("basePath" -> dataRoot).asJava)
-      ParquetTable(s"$catalogName.$display", spark, opts, files,
+      val inner = ParquetTable(s"$catalogName.$display", spark, opts, files,
         Some(schema.add(FactVersioned.VGenCol, LongType)),
         classOf[ParquetFileFormat])
+      // head resolution is INSERT-able; a pinned generation is not
+      if (gen.isEmpty) new WritableFactTable(inner, path) else inner
     } else if (Versioned.generations(spark, path).nonEmpty) {
-      ParquetTable(s"$catalogName.$display", spark,
+      val inner = ParquetTable(s"$catalogName.$display", spark,
         CaseInsensitiveStringMap.empty(),
         Seq(Versioned.generationPath(spark, path, gen)),
         None, classOf[ParquetFileFormat])
+      if (gen.isEmpty) new WritableDimTable(inner, path) else inner
     } else throw new NoSuchTableException(ident)
+  }
+
+  // ---- INSERT surface: append-only writes routed THROUGH the
+  // stores' own committers (claim/marker protocol intact) ------------
+
+  /** Delegating base for the writable head-generation tables: reads
+    * pass straight to the native [[ParquetTable]]; INSERT INTO lands
+    * via the DSv2→V1 bridge ([[org.apache.spark.sql.connector.write.V1Write]]),
+    * whose `InsertableRelation` hands the whole resolved input frame to
+    * the store's committer — the one write shape these stores support
+    * (a distributed per-task writer could not claim generations).
+    * INSERT OVERWRITE is rejected: partition replacement has explicit
+    * operator surfaces (`replacePartitions`) whose touched-set contract
+    * a dynamic-overwrite path would hide. */
+  private abstract class WritableTable(
+      inner: ParquetTable) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    override def name(): String = inner.name
+    override def schema(): StructType = inner.schema
+    override def columns()
+        : Array[org.apache.spark.sql.connector.catalog.Column] =
+      inner.columns()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def properties(): util.Map[String, String] = inner.properties()
+    override def capabilities()
+        : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+      val caps = new util.HashSet(inner.capabilities())
+      caps.add(org.apache.spark.sql.connector.catalog
+        .TableCapability.V1_BATCH_WRITE)
+      caps
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      inner.newScanBuilder(options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder {
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "GraftCatalog: INSERT OVERWRITE is not supported — " +
+                    "replace partitions through " +
+                    "FactVersioned.replacePartitions (explicit touched set)")
+                insert(data)
+              }
+          }
+      }
+    def insert(data: org.apache.spark.sql.DataFrame): Unit
+  }
+
+  /** Fact-table INSERT: append via [[FactVersioned.append]] (cost ∝
+    * touched partitions). The resolved input carries the [[FactVersioned.VGenCol]]
+    * provenance slot (it is part of the table schema); its values are
+    * IGNORED — provenance is assigned by the commit itself, like a
+    * generated column — so `INSERT ... SELECT ..., NULL` is the shape. */
+  private class WritableFactTable(
+      inner: ParquetTable, path: String) extends WritableTable(inner) {
+    override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = data.drop(FactVersioned.VGenCol)
+      FactVersioned.append(spark, path, rows,
+        FactVersioned.partitionColumn(spark, path))
+      ()
+    }
+  }
+
+  /** Dimension-table INSERT: full-copy stores commit whole generations,
+    * so append = current generation ∪ rows as a fresh commit. */
+  private class WritableDimTable(
+      inner: ParquetTable, path: String) extends WritableTable(inner) {
+    override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
+      val current = Versioned.read(spark, path)
+      Versioned.commit(current.unionByName(data), path)
+      ()
+    }
   }
 
   // ---- namespaces: a single flat (empty) namespace, so SHOW TABLES

@@ -509,6 +509,57 @@ object FactVersioned {
       properties = properties)
   }
 
+  /** The table's partition column name, recovered from the head
+    * generation's manifest dir names (Hive `pcol=value` forms,
+    * unescaped). Fails loudly on a table whose head holds no
+    * partitions (nothing to recover from — callers that know the
+    * column should pass it instead). */
+  def partitionColumn(spark: SparkSession, tablePath: String): String = {
+    val g = resolveGen(spark, tablePath, None)
+    val dir = spark.read.parquet(manifestDir(tablePath, g).toString)
+      .select("dir").limit(1).collect()
+    require(dir.nonEmpty,
+      s"FactVersioned.partitionColumn: generation $g of $tablePath has " +
+        "no partitions — pass the partition column explicitly")
+    val name = dir.head.getString(0)
+    val eq = name.indexOf('=')
+    require(eq > 0,
+      s"FactVersioned.partitionColumn: malformed partition dir '$name'")
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(name.substring(0, eq))
+  }
+
+  /** Append `rows` to the latest generation (INSERT INTO semantics —
+    * no key dedup): each touched partition's new content = its current
+    * rows ∪ the appended rows; commits via [[replacePartitions]], so
+    * cost ∝ touched partitions. */
+  def append(
+      spark: SparkSession,
+      tablePath: String,
+      rows: DataFrame,
+      partitionCol: String,
+      retain: Int = 3,
+      maxTouchedPartitions: Int = 10000,
+      properties: Map[String, String] = Map.empty): Commit = {
+    val touchedRows = rows.select(partitionCol).distinct()
+      .limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"append touches more than $maxTouchedPartitions partitions — " +
+        "this is a rewrite, not an incremental commit")
+    val touched = touchedRows.map(_.get(0)).toIndexedSeq
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty)
+      return replacePartitions(spark, tablePath, rows, partitionCol,
+        touched, retain, properties = properties)
+    val basis = gens.max
+    val touchedDirs =
+      touched.map(v => Upsert.partitionDirName(partitionCol, v))
+    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+    replacePartitions(spark, tablePath, current.unionByName(rows),
+      partitionCol, touched, retain, basisGen = Some(basis),
+      properties = properties)
+  }
+
   /** Compact `dirs` of the head generation: rewrite each listed
     * partition's (possibly many, accumulated-across-commits) files as
     * one fresh commit whose CONTENT is unchanged — the

@@ -442,6 +442,62 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL WRITE surface: `INSERT INTO graft.<t>` lands through
+    // FactVersioned.append via the catalog's DSv2→V1 bridge — the
+    // reference's warehouse-load shape (etl_process.py INSERTs into
+    // RDS) as native Spark SQL over the versioned store. The gate
+    // inserts derived rows (1995 even keys re-keyed +10M, status 'I',
+    // doubled price) BY NAME through plain SQL, then requires in-gate:
+    // exactly one new generation, whose vgen dir holds ONLY the 1995
+    // partition (append cost ∝ touched partitions — the same
+    // write-amplification assert as q115), and VERSION AS OF 0 still
+    // reads the pre-insert content. Output: the head read back THROUGH
+    // SQL, value-gated against the union mirror.
+    "q125_sql_insert" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q125_").toString
+      val path = s"$wh/orders_ins"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s, path, o, Seq("o_orderkey"), "p_year")
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val before = s.sql("SELECT COUNT(*) FROM graft.orders_ins")
+        .collect().head.getLong(0)
+      s.sql(
+        """INSERT INTO graft.orders_ins BY NAME
+          |SELECT o_orderkey + 10000000 AS o_orderkey,
+          |  'I' AS o_orderstatus,
+          |  o_totalprice * 2 AS o_totalprice,
+          |  p_year,
+          |  CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_ins
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q125: the INSERT must commit exactly one new generation")
+      // write amplification ∝ touched partitions: commit 1 staged only
+      // the 1995 partition's files
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vdir = new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")
+      val staged = fs.listStatus(vdir).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q125: INSERT must stage only the touched partition, got $staged")
+      require(s.sql(
+          "SELECT COUNT(*) FROM graft.orders_ins VERSION AS OF 0")
+        .collect().head.getLong(0) == before,
+        "q125: generation 0 must still read the pre-insert content")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_ins""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // Min/max view maintenance under retraction — the path q108's
     // count/sum algebra cannot express: deletes remove group F's price
     // extremes and updates retract rows out of their 1995 groups, so
@@ -768,6 +824,14 @@ object ScaleQueries extends QueryPack {
         |SELECT 1 AS gen, p_year, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM upd GROUP BY p_year""".stripMargin,
+    // head content after the SQL INSERT: the original orders plus the
+    // derived re-keyed rows (appended, not merged — INSERT semantics)
+    "q125_sql_insert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'I', o_totalprice * 2
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     "q112_minmax_retraction" ->
       """WITH up AS (SELECT
         |    CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0

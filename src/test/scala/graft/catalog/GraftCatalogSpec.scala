@@ -142,7 +142,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(shown == Set("dtable", "ftable"), s"got $shown")
   }
 
-  test("catalog is read-only and unknown tables fail loudly") {
+  test("catalog rejects DDL and unknown tables fail loudly") {
     val root = Files.createTempDirectory("graft_cat_").toString
     register(root)
     intercept[Exception] {
@@ -151,5 +151,72 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("CREATE TABLE graftt.t2 (a INT) USING parquet").collect()
     }
+  }
+
+  test("INSERT INTO a fact table appends through FactVersioned.append: " +
+      "new generation, touched partitions only, vgen input ignored") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/facts"
+    val f0 = (1 to 30).map(i => (i.toLong, i % 3, i * 1.0)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    register(root)
+    // BY NAME sidesteps the resolved column order (partition columns
+    // sort last in a discovered-partition table); the vgen provenance
+    // slot rides as NULL — its value is ignored by the committer
+    spark.sql(
+      """INSERT INTO graftt.facts BY NAME
+        |SELECT k + 100 AS k, CAST(1 AS INT) AS p, x + 0.5 AS x,
+        |  CAST(NULL AS BIGINT) AS vgen
+        |FROM graftt.facts WHERE p = 1 AND k <= 3""".stripMargin)
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+    // only partition p=1 was touched by the append commit: commit 1's
+    // vgen dir holds exactly that partition's fresh files
+    val vdir = new java.io.File(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")
+    assert(vdir.listFiles().filter(_.isDirectory).map(_.getName).toSet ==
+      Set("p=1"))
+    val rows = FactVersioned.read(spark, path)
+      .select("k", "p", "x").as[(Long, Int, Double)].collect().toSet
+    val expected = (1 to 30).map(i => (i.toLong, i % 3, i * 1.0)).toSet ++
+      Set((101L, 1, 1.5))
+    assert(rows == expected, s"got ${rows -- expected} extra")
+    // SQL-visible immediately: the next resolution sees the new head
+    assert(spark.sql("SELECT count(*) FROM graftt.facts")
+      .as[Long].head() === 31L)
+  }
+
+  test("INSERT INTO a dimension table commits a fresh full-copy " +
+      "generation; the old generation still time-travels") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/dims"
+    Versioned.commit(dim(10), path)
+    register(root)
+    spark.sql(
+      "INSERT INTO graftt.dims VALUES (100, 's100', 1000)")
+    assert(Versioned.generations(spark, path) == Seq(0L, 1L))
+    assert(spark.sql("SELECT count(*) FROM graftt.dims")
+      .as[Long].head() === 11L)
+    assert(spark.sql("SELECT count(*) FROM graftt.dims VERSION AS OF 0")
+      .as[Long].head() === 10L)
+  }
+
+  test("INSERT OVERWRITE is rejected; pinned-version resolutions are " +
+      "not insertable") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/facts"
+    val f0 = (1 to 12).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    register(root)
+    // Spark rejects it at the capability layer (no truncate/overwrite
+    // support advertised) — before the committer is ever reached
+    val e = intercept[Exception] {
+      spark.sql(
+        """INSERT OVERWRITE graftt.facts BY NAME
+          |SELECT k, p, x, CAST(NULL AS BIGINT) AS vgen
+          |FROM graftt.facts""".stripMargin)
+    }
+    assert(e.getMessage.contains("truncate") ||
+      e.getMessage.contains("OVERWRITE"), e.getMessage)
+    assert(FactVersioned.generations(spark, path) == Seq(0L))
   }
 }
