@@ -422,6 +422,71 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Span-level (repeated-substring) dedup — the training-data cleanup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499): document-level dedup misses the long
+    * boilerplate spans (licenses, navboxes, templated headers) pasted
+    * into otherwise-unique documents, so the cut unit is the SPAN —
+    * every non-first occurrence of a token n-gram appearing more than
+    * once in the corpus is marked, and marked windows merge into
+    * maximal per-document spans.
+    *
+    * Pipeline, every stage narrow or key-shuffled (never all-pairs):
+    *  1. tokenize + window-explode: one row per n-gram window
+    *     (doc, pos, shingle); the shingle rides as its ' '-joined
+    *     token string (tokens are whitespace-split, so the join is
+    *     injective);
+    *  2. rank occurrences per shingle by (doc, pos): rank 1 is the
+    *     canonical occurrence and SURVIVES; every later rank marks its
+    *     window [pos, pos+n) for removal — one window-function pass
+    *     over the shingle-keyed shuffle, which also serves as the
+    *     "appears more than once" test (singletons have no rank-2);
+    *  3. per-document gaps-and-islands: a running max of window ends
+    *     splits marked windows into islands wherever a window starts
+    *     past everything seen, then islands aggregate to
+    *     (min start, max pos + n) — overlapping and touching windows
+    *     merge into one maximal span.
+    *
+    * Output: (doc_id, span_start, span_end) half-open TOKEN spans,
+    * 0-based. At the 100 TB posture the shingle shuffle key would be
+    * xxhash64-compressed to 8 B with in-bucket string verification
+    * (exactly [[incrementalExact]]'s collision posture); the exact
+    * string key here keeps the DuckDB mirror byte-faithful. */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"repeatedSpans: n must be >= 1, got $n")
+    val toks = Par.spread(docs).select(
+        col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= n)
+    val windows = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " "))))
+      .toDF("doc_id", "pos", "shingle")
+    val occ = Window.partitionBy(col("shingle"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    val cuts = windows
+      .withColumn("rn", row_number().over(occ))
+      .where(col("rn") > 1)
+      .select("doc_id", "pos")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val prevEnd = max(col("pos") + n).over(
+      byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = cuts.withColumn("new_island",
+      when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+    flagged
+      .withColumn("island", sum(col("new_island")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
   /** Token-set (n-gram, n configurable) Jaccard similarity between given
     * candidate pairs — the verification primitive exposed standalone. */
   def ngramJaccardPairs(

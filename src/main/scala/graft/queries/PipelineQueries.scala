@@ -197,6 +197,16 @@ object PipelineQueries extends QueryPack {
         t(s, dir, "documents"), "doc_id", "text",
         chunkSize = 64, overlap = 16)),
 
+    // Span-level (repeated-substring) dedup — Lee et al.'s
+    // training-data cleanup: every non-first occurrence of a repeated
+    // 8-token shingle is cut, cut windows merged per doc into maximal
+    // half-open token spans. One shingle-keyed window pass + one
+    // per-doc gaps-and-islands pass, no all-pairs anywhere; the oracle
+    // is a FULL DuckDB mirror of the ranking and interval-merge math.
+    "q126_repeated_spans" -> ((s, dir) =>
+      graft.operators.Dedup.repeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
     // The ISO-BMFF parser under the DuckDB gate: each document becomes
     // a minimal-but-real MP4 (ftyp + moov/mvhd + one 320x240 avc1
     // trak) built DECLARATIVELY from hex constants + the row's
@@ -630,6 +640,43 @@ object PipelineQueries extends QueryPack {
         |    ON d.bucket = p.bucket AND d.rn = p.rn + 1
         |)
         |SELECT bucket, seq_id, doc_id, n AS n_tokens FROM pack""".stripMargin,
+
+    // Full mirror of repeatedSpans(n=8): same tokenization, same
+    // (doc, pos) occurrence ranking per shingle, same running-max
+    // gaps-and-islands interval merge.
+    "q126_repeated_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(t[i + 1 : i + 8], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        |        FROM tk WHERE len(t) >= 8)
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY shingle
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM wins
+        |), cuts AS (
+        |  SELECT doc_id, pos FROM ranked WHERE rn > 1
+        |), flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM cuts
+        |), islands AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged
+        |)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+        |FROM islands GROUP BY doc_id, island""".stripMargin,
 
     // Full mirror of the 64/48 window math with 1-based inclusive list
     // slicing; chunk count = 1 when n <= 64 else ceil((n-64)/48)+1.

@@ -193,4 +193,40 @@ class DedupSpec extends SparkSpec {
     out.unpersist(blocking = true)
     assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty)
   }
+
+  test("repeatedSpans: cross-doc repeated n-gram cut at the non-first " +
+      "occurrence only") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 1 holds the canonical occurrence (lowest doc, pos) — only
+    // doc 2's copy at token positions [2, 6) is cut
+    assert(spans === Set((2L, 2, 6)))
+  }
+
+  test("repeatedSpans: self-repetition within one document is cut; " +
+      "overlapping windows merge into one maximal span") {
+    val docs = Seq((7L, "p q r s t p q r s t u")).toDF("doc_id", "text")
+    // n=4: "p q r s" repeats at pos 0/5, "q r s t" at 1/6 — the cut
+    // windows [5,9) and [6,10) overlap and must merge to [5, 10)
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans === Set((7L, 5, 10)))
+  }
+
+  test("repeatedSpans: no repeats / short docs → empty; layout-invariant") {
+    val none = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(none, "doc_id", "text", n = 3).count() === 0)
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(short, "doc_id", "text", n = 3).count() === 0)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    val b = Dedup.repeatedSpans(docs.repartition(7), "doc_id", "text", n = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty) // the corpus has exact-duplicate docs (q34/q46)
+  }
 }
