@@ -140,6 +140,21 @@ object TextQueries extends QueryPack {
       graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id",
         "text", k = 3)),
 
+    // Okapi BM25 retrieval: every 10th document's text as a query
+    // against the corpus, top-3 per query — the inverted-index join
+    // (postings shuffle by term, query terms probe them; candidate
+    // rows ∝ matching postings, never query×corpus). Per-term scores
+    // ride as DECIMAL(28,10) so the summed score is
+    // summation-order-free; the oracle replays the formula with the
+    // same operator associativity and rounding.
+    "q127_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      graft.operators.TfIdf.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+    }),
+
     // Cross-source corpus overlap via the MinHashUnionAgg typed
     // Aggregator: one union-signature per source, pairwise Jaccard
     // estimate WITHOUT joining documents (derived-invariant oracle:
@@ -391,6 +406,52 @@ object TextQueries extends QueryPack {
         |               tf.term ASC) AS rnk
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
         |) WHERE rnk <= 3""".stripMargin,
+    // Full mirror of bm25TopK (k1=1.2, b=0.75): identical tokenization,
+    // formula associativity (idf * ((tf*2.2) / denom)), 10-dp per-term
+    // round → exact DECIMAL sum → 6-dp final round.
+    "q127_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents
+        |), terms AS (
+        |  SELECT doc_id, unnest(t) AS term FROM tk
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+        |), lens AS (
+        |  SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+        |    (SELECT CAST(SUM(len) AS DOUBLE) FROM lens)
+        |      / (SELECT COUNT(*) FROM documents) AS avgdl
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), qt AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+        |  FROM tk WHERE doc_id % 10 = 0
+        |), ts AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |        * ((tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (1.0 - 0.75
+        |                              + 0.75 * lens.len / stats.avgdl))),
+        |      10) AS DECIMAL(28,10)) AS s
+        |  FROM qt
+        |  JOIN tf USING (term)
+        |  JOIN dfreq USING (term)
+        |  JOIN lens ON lens.doc_id = tf.doc_id
+        |  CROSS JOIN stats
+        |), agg AS (
+        |  SELECT query_id, doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS score
+        |  FROM ts GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM agg) WHERE rank <= 3""".stripMargin,
     "q34_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
