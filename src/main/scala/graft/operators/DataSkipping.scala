@@ -94,8 +94,10 @@ object DataSkipping {
       statsCols: Seq[String]): DataFrame =
     statsOf(spark.read.parquet(tablePath), statsCols)
 
-  /** The per-file stats aggregation over an already-opened scan. */
-  private def statsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
+  /** The per-file stats aggregation over an already-opened scan. Also
+    * feeds [[FactVersioned]]'s manifest-embedded stats (same column
+    * naming, so the pruning predicates are shared). */
+  private[operators] def statsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "buildManifest: statsCols must be non-empty")
     val aggs = count(lit(1)).as("n_rows") +:
       statsCols.flatMap { c =>

@@ -248,6 +248,59 @@ object FactVersioned {
       dirs: Seq[String]): DataFrame =
     readFiles(spark, tablePath, resolveGen(spark, tablePath, gen), Some(dirs))
 
+  /** Stats-pruned generation read: open only the files whose
+    * manifest-embedded column bounds (recorded by commits passing
+    * `statsCols` — see [[replacePartitions]]) intersect EVERY range,
+    * then apply the exact row-level residual, so the result equals
+    * `read(...).where(AND_i(col_i BETWEEN lo_i AND hi_i))` regardless
+    * of pruning sharpness. Conservative on missing stats: a file
+    * carried from a stats-less commit (null stat cells) is always
+    * read; a recorded all-null column (nonnull == 0) is skipped — its
+    * rows cannot satisfy a range predicate. This is the manifest
+    * doing Iceberg's job: file-level skipping WITHIN a partition, on
+    * top of the partition-level pruning [[readDirs]] already does. */
+  def readWhere(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long],
+      ranges: Seq[DataSkipping.ColRange],
+      dirs: Option[Seq[String]] = None): DataSkipping.PrunedScan = {
+    require(ranges.nonEmpty, "readWhere: at least one range required")
+    val g = resolveGen(spark, tablePath, gen)
+    val m0 = spark.read.parquet(manifestDir(tablePath, g).toString)
+    val m = dirs match {
+      case Some(ds) if ds.nonEmpty => m0.where(col("dir").isin(ds: _*))
+      case Some(_) => m0.where(lit(false))
+      case None => m0
+    }
+    val keep = ranges.map { r =>
+      if (!m.columns.contains(s"min__${r.colName}")) lit(true)
+      else col(s"nonnull__${r.colName}").isNull ||
+        (col(s"nonnull__${r.colName}") > 0 &&
+          col(s"max__${r.colName}") >= r.lower &&
+          col(s"min__${r.colName}") <= r.upper)
+    }.reduce(_ && _)
+    val total = m.count()
+    val files = m.where(keep).select("file").collect().map(_.getString(0))
+    val data = dataRoot(tablePath).toString
+    val schema = readSchema(spark, tablePath, g)
+    val residual = ranges
+      .map(r => col(r.colName) >= r.lower && col(r.colName) <= r.upper)
+      .reduce(_ && _)
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema.add(VGenCol, LongType))
+          .option("basePath", data)
+          .parquet(files.map(f => s"$data/$f").toIndexedSeq: _*)
+          .where(residual)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    DataSkipping.PrunedScan(df,
+      DataSkipping.PruneReport(total, files.length.toLong))
+  }
+
   /** Commit a new generation whose `touched` partitions' content is
     * exactly `content` (a touched value absent from `content` is a
     * partition DELETE); every other partition's manifest rows carry
@@ -267,7 +320,8 @@ object FactVersioned {
       touched: Seq[Any],
       retain: Int = 3,
       basisGen: Option[Long] = None,
-      properties: Map[String, String] = Map.empty): Commit = {
+      properties: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     properties.foreach { case (k, v) =>
       require(!k.exists(c => c == '\n' || c == '\t') && !v.contains('\n'),
@@ -306,7 +360,7 @@ object FactVersioned {
     val genData = new Path(dataRoot(tablePath), s"$VGenCol=$next")
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCol, touched,
-        basisGen, properties, fs, gRoot, next, genData)
+        basisGen, properties, statsCols, fs, gRoot, next, genData)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -326,6 +380,7 @@ object FactVersioned {
       touched: Seq[Any],
       basisGen: Option[Long],
       properties: Map[String, String],
+      statsCols: Seq[String],
       fs: org.apache.hadoop.fs.FileSystem,
       gRoot: Path,
       next: Long,
@@ -441,6 +496,29 @@ object FactVersioned {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => (d, s"$VGenCol=$next/$d/${f.getPath.getName}"))
     }
+    // manifest-embedded per-file stats (the Iceberg manifest posture:
+    // column bounds travel WITH the file list, so a generation read
+    // prunes files before any data scan — see readWhere). One extra
+    // aggregation pass over the freshly staged files only; carried
+    // rows keep whatever stats their own commit recorded (or nulls,
+    // read conservatively).
+    val freshDf = {
+      val baseRows = fresh.toDF("dir", "file")
+      if (statsCols.isEmpty || fresh.isEmpty) baseRows
+      else {
+        val staged = spark.read
+          .option("basePath", genData.toString).parquet(genData.toString)
+        val stats = DataSkipping.statsOf(staged, statsCols)
+          .withColumn("s_fname", element_at(split(col("file"), "/"), -1))
+          .withColumn("s_fdir", element_at(split(col("file"), "/"), -2))
+          .drop("file")
+        baseRows
+          .withColumn("fname", element_at(split(col("file"), "/"), -1))
+          .join(stats, col("dir") === col("s_fdir") &&
+            col("fname") === col("s_fname"), "left")
+          .drop("fname", "s_fname", "s_fdir")
+      }
+    }
     // rebase: carry from the RESOLVED head, not the claim-time parent —
     // a non-overlapping intervener's changes are thereby preserved
     val carried = head match {
@@ -449,7 +527,7 @@ object FactVersioned {
         spark.read.parquet(manifestDir(tablePath, pg).toString)
           .where(!col("dir").isin(touchedDirs: _*))
     }
-    carried.unionByName(fresh.toDF("dir", "file"))
+    carried.unionByName(freshDf, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDir(tablePath, next).toString)
     val ddl = content.schema.toDDL.getBytes(StandardCharsets.UTF_8)
     val out = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"), true)

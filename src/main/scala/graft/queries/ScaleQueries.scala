@@ -682,9 +682,51 @@ object ScaleQueries extends QueryPack {
         .localCheckpoint()
       fsQ.delete(new org.apache.hadoop.fs.Path(wh), true)
       out
+    }),
+
+    // Manifest-embedded file stats — Iceberg's column-bounds-in-the-
+    // manifest posture on the versioned store: the commit records
+    // per-file min/max for o_orderkey (the content is range-clustered
+    // into 8 key ranges per partition, so files have disjoint key
+    // spans), and readWhere prunes files WITHIN partitions before any
+    // data scan. In-gate: at least half the files must be skipped for
+    // a narrow key range, and the pruned read must equal the full
+    // filtered read (the oracle re-derives it from raw orders).
+    "q128_fact_stats_prune" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q128_").toString
+      val path = s"$wh/orders_stats"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      val years = o.select("p_year").distinct().collect()
+        .map(_.get(0)).toIndexedSeq
+      FactVersioned.replacePartitions(s, path,
+        o.repartitionByRange(8, col("o_orderkey")), "p_year", years,
+        statsCols = Seq("o_orderkey"))
+      val maxKey = o.agg(max("o_orderkey")).head.getLong(0)
+      val (lo, hi) = (maxKey / 12, maxKey / 6)
+      val pruned = FactVersioned.readWhere(s, path, None,
+        Seq(DataSkipping.ColRange("o_orderkey", lit(lo), lit(hi))))
+      require(pruned.report.filesRead * 2 <= pruned.report.filesTotal,
+        s"q128: expected >=half the files skipped, read " +
+          s"${pruned.report.filesRead}/${pruned.report.filesTotal}")
+      val out = pruned.df
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint()
+      val fsQ = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsQ.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
     }))
 
   override val oracles: Map[String, String] = Map(
+    // the pruned read must equal the plain filtered table — pruning
+    // may only change which files open, never the rows
+    "q128_fact_stats_prune" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders, mx
+        |WHERE o_orderkey >= m // 12 AND o_orderkey <= m // 6""".stripMargin,
     "q83_bucketed_join" ->
       """SELECT l_orderkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -264,4 +264,54 @@ class FactVersionedSpec extends SparkSpec {
         assert(head2.contains((3L, 0, 111L)) || head2.contains((6L, 0, 444L)))
     } finally pool.shutdown()
   }
+
+  test("append (INSERT semantics) keeps existing rows and stays ∝ touched") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")
+    FactVersioned.append(spark, path,
+      Seq((100L, 1, 999L), (101L, 1, 998L)).toDF("k", "p", "v"), "p")
+    assert(rows(FactVersioned.read(spark, path)) ==
+      rows(base(30)) ++ Set((100L, 1, 999L), (101L, 1, 998L)))
+    // only p=1 staged by the append commit
+    val fs = fsOf(path)
+    val staged = fs.listStatus(new Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=1"))
+    // unlike upsert, append does NOT dedup on any key
+    FactVersioned.append(spark, path,
+      Seq((100L, 1, 777L)).toDF("k", "p", "v"), "p")
+    assert(FactVersioned.read(spark, path)
+      .where(col("k") === 100L).count() == 2)
+    assert(FactVersioned.partitionColumn(spark, path) == "p")
+  }
+
+  test("manifest-embedded stats prune files within a partition; " +
+      "results equal the full filtered read; stats-less files are read") {
+    val path = tmp()
+    // 4 range-clustered files per partition: k ranges are disjoint
+    // across files, so a narrow k range should prune most files
+    val content = base(240).repartitionByRange(4, col("k"))
+    FactVersioned.replacePartitions(spark, path, content, "p",
+      Seq(0, 1, 2), statsCols = Seq("k"))
+    val r = DataSkipping.ColRange("k", lit(10L), lit(40L))
+    val pruned = FactVersioned.readWhere(spark, path, None, Seq(r))
+    assert(rows(pruned.df) ==
+      rows(FactVersioned.read(spark, path)
+        .where(col("k") >= 10 && col("k") <= 40)))
+    assert(pruned.df.count() == 31)
+    assert(pruned.report.filesRead < pruned.report.filesTotal,
+      s"expected pruning, read ${pruned.report.filesRead} of " +
+        s"${pruned.report.filesTotal}")
+    // a stats-less commit's files carry null stats → always read,
+    // never wrongly pruned
+    FactVersioned.upsert(spark, path,
+      Seq((15L, 0, 1500L)).toDF("k", "p", "v"), Seq("k"), "p")
+    val pruned2 = FactVersioned.readWhere(spark, path, None, Seq(r))
+    assert(pruned2.df.where(col("k") === 15L)
+      .as[(Long, Int, Long)].collect().toSet == Set((15L, 0, 1500L)))
+    assert(rows(pruned2.df) ==
+      rows(FactVersioned.read(spark, path)
+        .where(col("k") >= 10 && col("k") <= 40)))
+  }
 }
