@@ -648,24 +648,48 @@ object FactVersioned {
     * them (compaction never breaks time travel). Each compacted
     * partition lands as ONE file (`repartition` on the partition
     * column clusters a partition's rows into a single task). */
+  /** @param zorderCols non-empty ⇒ the rewrite CLUSTERS each
+    *   partition's rows along the Morton curve of these columns
+    *   (Delta/Iceberg `OPTIMIZE ZORDER BY`), writing
+    *   `filesPerPartition` z-contiguous files per partition instead of
+    *   one — per-file raw-column envelopes come out tight in EVERY
+    *   z-dimension, which is what makes `statsCols` + [[readWhere]]
+    *   prune multi-column boxes.
+    * @param statsCols manifest-embedded per-file bounds recorded by
+    *   the compaction commit (see [[replacePartitions]]). */
   def compactPartitions(
       spark: SparkSession,
       tablePath: String,
       dirs: Seq[String],
       partitionCol: String,
-      retain: Int = 3): Commit = {
+      retain: Int = 3,
+      zorderCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      zorderBits: Int = 12,
+      filesPerPartition: Int = 8): Commit = {
     require(dirs.nonEmpty, "compactPartitions: no dirs given")
     val head = resolveGen(spark, tablePath, None)
-    val content = readFiles(spark, tablePath, head, Some(dirs))
-      .repartition(math.max(dirs.size, 1), col(partitionCol))
+    val raw = readFiles(spark, tablePath, head, Some(dirs))
+    val content =
+      if (zorderCols.isEmpty)
+        raw.repartition(math.max(dirs.size, 1), col(partitionCol))
+      else {
+        val z = ZOrder.zValue(raw, zorderCols, zorderBits)
+        raw.withColumn("__graft_z", z)
+          .repartitionByRange(
+            math.max(dirs.size * math.max(filesPerPartition, 1), 1),
+            col(partitionCol), col("__graft_z"))
+          .sortWithinPartitions(col(partitionCol), col("__graft_z"))
+          .drop("__graft_z")
+      }
     // touched values are recovered from the content itself: dir names
     // are Hive-escaped `pcol=value` forms, and replacePartitions
     // re-derives the same names, so declaring the read rows' distinct
     // partition values is exact
-    val touched = content.select(partitionCol).distinct().collect()
+    val touched = raw.select(partitionCol).distinct().collect()
       .map(_.get(0)).toIndexedSeq
     replacePartitions(spark, tablePath, content, partitionCol, touched,
-      retain, basisGen = Some(head))
+      retain, basisGen = Some(head), statsCols = statsCols)
   }
 
   /** [[upsert]] with ADDITIVE schema evolution — the fact-store twin of

@@ -498,6 +498,50 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
+    // re-clusters every partition along the Morton curve of
+    // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
+    // box — which a single-column sort can only serve on its leading
+    // column — prunes files in BOTH dimensions through readWhere.
+    // In-gate: the z-ordered layout must skip ≥ half the files for
+    // the box, and time travel to the pre-compaction generation must
+    // still hold the same row count (content preservation). Output
+    // value-gated against the raw box filter.
+    "q129_zorder_compaction" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q129_").toString
+      val path = s"$wh/orders_z"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      val years = o.select("p_year").distinct().collect()
+        .map(_.get(0)).toIndexedSeq
+      FactVersioned.replacePartitions(s, path, o, "p_year", years)
+      val dirs = years.map(y => s"p_year=$y")
+      FactVersioned.compactPartitions(s, path, dirs, "p_year",
+        zorderCols = Seq("o_custkey", "o_orderkey"),
+        statsCols = Seq("o_custkey", "o_orderkey"))
+      val mc = o.agg(max("o_custkey")).head.get(0)
+        .asInstanceOf[Number].longValue
+      val mk = o.agg(max("o_orderkey")).head.get(0)
+        .asInstanceOf[Number].longValue
+      val pruned = FactVersioned.readWhere(s, path, None, Seq(
+        DataSkipping.ColRange("o_custkey", lit(mc / 8), lit(mc / 4)),
+        DataSkipping.ColRange("o_orderkey", lit(mk / 8), lit(mk / 4))))
+      require(pruned.report.filesRead * 2 <= pruned.report.filesTotal,
+        s"q129: z-order box should skip >=half the files, read " +
+          s"${pruned.report.filesRead}/${pruned.report.filesTotal}")
+      require(FactVersioned.read(s, path, Some(0L)).count() ==
+        FactVersioned.read(s, path, Some(1L)).count(),
+        "q129: compaction must preserve content")
+      val out = pruned.df
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint()
+      val fsQ = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsQ.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // Min/max view maintenance under retraction — the path q108's
     // count/sum algebra cannot express: deletes remove group F's price
     // extremes and updates retract rows out of their 1995 groups, so
@@ -722,6 +766,14 @@ object ScaleQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     // the pruned read must equal the plain filtered table — pruning
     // may only change which files open, never the rows
+    // the z-ordered pruned read must equal the plain 2-D box filter
+    "q129_zorder_compaction" ->
+      """WITH mx AS (SELECT max(o_custkey) AS mc, max(o_orderkey) AS mk
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, mx
+        |WHERE o_custkey >= mc // 8 AND o_custkey <= mc // 4
+        |  AND o_orderkey >= mk // 8 AND o_orderkey <= mk // 4""".stripMargin,
     "q128_fact_stats_prune" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
         |SELECT o_orderkey, o_orderstatus, o_totalprice
