@@ -77,7 +77,17 @@ object FactStreamSink {
 
   /** Run a streaming DataFrame into the versioned table. `transform`
     * maps each raw micro-batch to the table's row shape (must contain
-    * `keys` and `partitionCol`). */
+    * `keys` and `partitionCol`).
+    *
+    * @param maintainAnnCols non-empty ⇒ the table's
+    *   [[graft.operators.FactAnnIndex]] sidecar over each (idCol =
+    *   keys.head, vecCol) is refreshed after every APPLIED batch, so
+    *   downstream ANN queries never observe a generation the index
+    *   hasn't caught up to. Refresh cost ∝ the batch's new files
+    *   (file-keyed index rows); skipped redeliveries refresh nothing.
+    *   The index must have been built (`FactAnnIndex.writeIndex`)
+    *   before the stream starts — the live maintenance loop never
+    *   trains, matching the bloom/stats refresh posture. */
   def start(
       source: DataFrame,
       tablePath: String,
@@ -86,12 +96,18 @@ object FactStreamSink {
       checkpointDir: String,
       sinkId: String = "default",
       retain: Int = 10,
-      transform: DataFrame => DataFrame = identity): StreamingQuery =
+      transform: DataFrame => DataFrame = identity,
+      maintainAnnCols: Seq[String] = Nil): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, tablePath, transform(batch), keys,
+        val s = batch.sparkSession
+        val committed = applyBatch(s, tablePath, transform(batch), keys,
           partitionCol, sinkId, batchId, retain)
+        if (committed.nonEmpty)
+          maintainAnnCols.foreach(vc =>
+            graft.operators.FactAnnIndex.refreshIndex(
+              s, tablePath, keys.head, vc))
         ()
       }
       .start()

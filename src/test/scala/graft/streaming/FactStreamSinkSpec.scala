@@ -112,6 +112,46 @@ class FactStreamSinkSpec extends SparkSpec {
     }
   }
 
+  test("maintainAnnCols keeps the fact ANN index live across stream " +
+      "batches; without it the head generation is un-queryable") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.FactAnnIndex
+    val root = tmp("ann") + "/t"
+    val ckpt = tmp("ann_ckpt")
+    def vec(i: Int): Seq[Double] =
+      (0 until 8).map(j => math.sin(i * 17 + j * 5) + (if (j % 4 == i % 4) 3.0 else 0.0))
+    val seed = (1 to 40).map(i => (i.toLong, i % 2, vec(i)))
+      .toDF("id", "p", "vec")
+    FactVersioned.replacePartitions(spark, root, seed, "p", Seq(0, 1))
+    FactAnnIndex.writeIndex(spark, root, "id", "vec", nLists = 4)
+
+    val input = MemoryStream[(Long, Int, Seq[Double])]
+    val q = FactStreamSink.start(
+      input.toDF().toDF("id", "p", "vec"), root, Seq("id"), "p",
+      checkpointDir = ckpt, sinkId = "ann",
+      maintainAnnCols = Seq("vec"))
+    try {
+      input.addData((100L, 0, vec(100)), (101L, 1, vec(101)))
+      q.processAllAvailable()
+      // index caught up: the head generation answers, and the streamed
+      // rows are part of the searchable corpus
+      val out = FactAnnIndex.topK(spark, root, "vec", k = 3, nProbe = 4)
+      val ids = out.select("query_id").distinct()
+        .as[Long].collect().toSet
+      assert(ids.contains(100L) && ids.contains(101L))
+    } finally q.stop()
+
+    // counterfactual: a commit without maintenance leaves the head
+    // un-indexed and topK fails loudly rather than answering stale
+    FactStreamSink.applyBatch(spark, root,
+      Seq((200L, 0, vec(200))).toDF("id", "p", "vec"),
+      Seq("id"), "p", "ann", batchId = 99L)
+    val e = intercept[IllegalArgumentException] {
+      FactAnnIndex.topK(spark, root, "vec", k = 3).collect()
+    }
+    assert(e.getMessage.contains("un-indexed"))
+  }
+
   test("marker aged out of retention degrades to idempotent replay") {
     val root = tmp("aged") + "/t"
     val b0 = Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year")
