@@ -122,6 +122,19 @@ object RelationalQueries extends QueryPack {
           dsum(col("value")).as("total_value"))
     }),
 
+    // Regular-grid resampling with LOCF gap fill (pandas
+    // resample().ffill() / TimescaleDB time_bucket_gapfill+locf):
+    // hourly buckets per sampled user, empty hours materialized with
+    // the last observed value carried forward, n_events = 0 marking
+    // fills. Money rides as whole cents so the fill value is integer-
+    // exact. Full DuckDB mirror of bucketing, last-pick, grid, and
+    // ignore-nulls window fill.
+    "q130_resample_ffill" -> ((s, dir) =>
+      graft.operators.Resample.resampleFfill(
+        t(s, dir, "events").where(col("user_id") % 100 === 0),
+        "user_id", "ts", round(col("value") * 100, 0),
+        intervalSec = 3600)),
+
     // Running windowed aggregation, exact via decimal.
     "q11_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -402,6 +415,33 @@ object RelationalQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+    // full mirror: same integral bucket division, same (ts desc, v
+    // desc) last-pick, same dense grid + IGNORE NULLS forward fill
+    "q130_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id % 100 = 0
+        |), pb AS (
+        |  SELECT key, bucket, v,
+        |    count(*) OVER (PARTITION BY key, bucket) AS n_events,
+        |    row_number() OVER (PARTITION BY key, bucket
+        |      ORDER BY ts_us DESC, v DESC) AS rn
+        |  FROM ev
+        |), lastv AS (
+        |  SELECT key, bucket, n_events, v FROM pb WHERE rn = 1
+        |), grid AS (
+        |  SELECT key, unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+        |  FROM lastv GROUP BY key
+        |)
+        |SELECT g.key, g.bucket,
+        |  COALESCE(l.n_events, 0) AS n_events,
+        |  last_value(l.v IGNORE NULLS) OVER (PARTITION BY g.key
+        |    ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM grid g
+        |LEFT JOIN lastv l ON l.key = g.key AND l.bucket = g.bucket""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
