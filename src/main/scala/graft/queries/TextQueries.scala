@@ -406,9 +406,13 @@ object TextQueries extends QueryPack {
         |               tf.term ASC) AS rnk
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
         |) WHERE rnk <= 3""".stripMargin,
-    // Full mirror of bm25TopK (k1=1.2, b=0.75): identical tokenization,
-    // formula associativity (idf * ((tf*2.2) / denom)), 10-dp per-term
-    // round → exact DECIMAL sum → 6-dp final round.
+    // Full mirror of bm25TopK (k1=1.2, b=0.75, exact — no stop-term
+    // cut): identical tokenization, formula associativity
+    // (idf * ((tf*2.2) / denom)), per-term score scaled by 1e10 and
+    // rounded to BIGINT (the engine's exact-long-fold representation)
+    // → exact integer sum → /1e10 → 6-dp final round. The mirror uses
+    // the classic postings-join formulation — DuckDB picks its own
+    // plan; the engine's DAAT fold sums the same scaled longs.
     "q127_bm25_topk" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -436,15 +440,16 @@ object TextQueries extends QueryPack {
         |      ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
         |        * ((tf.tf * 2.2)
         |           / (tf.tf + 1.2 * (1.0 - 0.75
-        |                              + 0.75 * lens.len / stats.avgdl))),
-        |      10) AS DECIMAL(28,10)) AS s
+        |                              + 0.75 * lens.len / stats.avgdl)))
+        |      * 1e10) AS BIGINT) AS s
         |  FROM qt
         |  JOIN tf USING (term)
         |  JOIN dfreq USING (term)
         |  JOIN lens ON lens.doc_id = tf.doc_id
         |  CROSS JOIN stats
         |), agg AS (
-        |  SELECT query_id, doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS score
+        |  SELECT query_id, doc_id,
+        |    round(CAST(SUM(s) AS DOUBLE) / 1e10, 6) AS score
         |  FROM ts GROUP BY 1, 2
         |)
         |SELECT query_id, doc_id, score, rank FROM (
