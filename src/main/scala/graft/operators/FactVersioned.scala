@@ -565,7 +565,8 @@ object FactVersioned {
       partitionCol: String,
       retain: Int = 3,
       maxTouchedPartitions: Int = 10000,
-      properties: Map[String, String] = Map.empty): Commit = {
+      properties: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Commit = {
     val touchedRows = updates.select(partitionCol).distinct()
       .limit(maxTouchedPartitions + 1).collect()
     require(touchedRows.length <= maxTouchedPartitions,
@@ -575,7 +576,7 @@ object FactVersioned {
     val gens = generations(spark, tablePath)
     if (gens.isEmpty)
       return replacePartitions(spark, tablePath, updates, partitionCol,
-        touched, retain, properties = properties)
+        touched, retain, properties = properties, statsCols = statsCols)
     val basis = gens.max // the head this merge is derived from
     val touchedDirs =
       touched.map(v => Upsert.partitionDirName(partitionCol, v))
@@ -584,7 +585,7 @@ object FactVersioned {
       updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     replacePartitions(spark, tablePath, keep.unionByName(updates),
       partitionCol, touched, retain, basisGen = Some(basis),
-      properties = properties)
+      properties = properties, statsCols = statsCols)
   }
 
   /** The table's partition column name, recovered from the head
@@ -618,7 +619,8 @@ object FactVersioned {
       partitionCol: String,
       retain: Int = 3,
       maxTouchedPartitions: Int = 10000,
-      properties: Map[String, String] = Map.empty): Commit = {
+      properties: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Commit = {
     val touchedRows = rows.select(partitionCol).distinct()
       .limit(maxTouchedPartitions + 1).collect()
     require(touchedRows.length <= maxTouchedPartitions,
@@ -628,14 +630,14 @@ object FactVersioned {
     val gens = generations(spark, tablePath)
     if (gens.isEmpty)
       return replacePartitions(spark, tablePath, rows, partitionCol,
-        touched, retain, properties = properties)
+        touched, retain, properties = properties, statsCols = statsCols)
     val basis = gens.max
     val touchedDirs =
       touched.map(v => Upsert.partitionDirName(partitionCol, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitions(spark, tablePath, current.unionByName(rows),
       partitionCol, touched, retain, basisGen = Some(basis),
-      properties = properties)
+      properties = properties, statsCols = statsCols)
   }
 
   /** Compact `dirs` of the head generation: rewrite each listed

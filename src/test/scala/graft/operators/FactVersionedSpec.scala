@@ -313,5 +313,17 @@ class FactVersionedSpec extends SparkSpec {
     assert(rows(pruned2.df) ==
       rows(FactVersioned.read(spark, path)
         .where(col("k") >= 10 && col("k") <= 40)))
+    // an incremental upsert WITH statsCols records bounds for its
+    // fresh files: a new partition whose keys sit outside the range
+    // adds files to the manifest but none of them is opened
+    FactVersioned.upsert(spark, path,
+      Seq((500L, 5, 5000L)).toDF("k", "p", "v"), Seq("k"), "p",
+      statsCols = Seq("k"))
+    val pruned3 = FactVersioned.readWhere(spark, path, None, Seq(r))
+    assert(pruned3.report.filesTotal > pruned2.report.filesTotal)
+    assert(pruned3.report.filesRead == pruned2.report.filesRead,
+      s"out-of-range stats-recorded files must be skipped: " +
+        s"${pruned3.report} vs ${pruned2.report}")
+    assert(rows(pruned3.df) == rows(pruned2.df))
   }
 }
