@@ -86,6 +86,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new IllegalArgumentException(
         s"GraftCatalog '$catalogName': set spark.sql.catalog.$catalogName.root"))
 
+  /** Retention for INSERT commits: `spark.sql.catalog.<name>.retain`
+    * when set, otherwise PRESERVE the table's current retained depth
+    * (never below the store default of 3). The hardcoded per-commit
+    * default would silently SHRINK a table maintained at higher
+    * retention — e.g. [[graft.streaming.FactStreamSink]] uses
+    * retain=10 specifically to keep exactly-once batch markers alive;
+    * an INSERT expiring those would degrade its strict skip path to
+    * idempotent replay. A table younger than its intended policy
+    * (fewer generations on disk than the maintainer will retain) still
+    * can't be read from disk — set the conf for such tables. */
+  private def retainFor(path: String): Int =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.retain")
+      .flatMap(_.toIntOption)
+      .getOrElse {
+        val depth =
+          math.max(FactVersioned.generations(spark, path).length,
+            Versioned.generations(spark, path).length)
+        math.max(3, depth)
+      }
+
   private def tablePath(ident: Identifier): String = {
     if (ident.namespace.nonEmpty)
       throw new NoSuchTableException(ident)
@@ -225,7 +245,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
       val rows = data.drop(FactVersioned.VGenCol)
       FactVersioned.append(spark, path, rows,
-        FactVersioned.partitionColumn(spark, path))
+        FactVersioned.partitionColumn(spark, path),
+        retain = retainFor(path))
       ()
     }
   }
@@ -236,7 +257,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       inner: ParquetTable, path: String) extends WritableTable(inner) {
     override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
       val current = Versioned.read(spark, path)
-      Versioned.commit(current.unionByName(data), path)
+      Versioned.commit(current.unionByName(data), path,
+        retain = retainFor(path))
       ()
     }
   }

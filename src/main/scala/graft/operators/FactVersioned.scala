@@ -312,6 +312,15 @@ object FactVersioned {
     *   claim is caught even when it lands before our claim. None =
     *   content is independent of prior state (pure replace) — the
     *   claim-time head is the basis. */
+  /** @param preCommit invoked INSIDE the commit protocol — after this
+    *   commit's claim is linearized (every lower-numbered claim
+    *   resolved, so the committed history below it is final) and the
+    *   overlap check passed, before anything becomes visible. A throw
+    *   aborts the claim cleanly. This is the transactional-validation
+    *   hook (Delta's txnVersion re-check inside the commit retry loop):
+    *   a check-then-act caller (read marker → commit) re-validates its
+    *   read here, where a concurrent committer can no longer slip
+    *   between check and publish. */
   def replacePartitions(
       spark: SparkSession,
       tablePath: String,
@@ -321,7 +330,8 @@ object FactVersioned {
       retain: Int = 3,
       basisGen: Option[Long] = None,
       properties: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Commit = {
+      statsCols: Seq[String] = Nil,
+      preCommit: () => Unit = () => ()): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     properties.foreach { case (k, v) =>
       require(!k.exists(c => c == '\n' || c == '\t') && !v.contains('\n'),
@@ -360,7 +370,8 @@ object FactVersioned {
     val genData = new Path(dataRoot(tablePath), s"$VGenCol=$next")
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCol, touched,
-        basisGen, properties, statsCols, fs, gRoot, next, genData)
+        basisGen, properties, statsCols, fs, gRoot, next, genData,
+        preCommit)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -384,7 +395,8 @@ object FactVersioned {
       fs: org.apache.hadoop.fs.FileSystem,
       gRoot: Path,
       next: Long,
-      genData: Path): Commit = {
+      genData: Path,
+      preCommit: () => Unit): Commit = {
     val parentAtClaim = generations(spark, tablePath).lastOption
 
     val touchedDirs =
@@ -490,6 +502,11 @@ object FactVersioned {
             "against the new head")
     }
 
+    // linearized-history validation point: all generations below `next`
+    // are final, nothing of `next` is visible yet (see replacePartitions
+    // scaladoc) — a throw here rolls the claim back
+    preCommit()
+
     import spark.implicits._
     val fresh: Seq[(String, String)] = stagedDirs.toIndexedSeq.flatMap { d =>
       fs.listStatus(new Path(genData, d))
@@ -566,7 +583,8 @@ object FactVersioned {
       retain: Int = 3,
       maxTouchedPartitions: Int = 10000,
       properties: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Commit = {
+      statsCols: Seq[String] = Nil,
+      preCommit: () => Unit = () => ()): Commit = {
     val touchedRows = updates.select(partitionCol).distinct()
       .limit(maxTouchedPartitions + 1).collect()
     require(touchedRows.length <= maxTouchedPartitions,
@@ -576,7 +594,8 @@ object FactVersioned {
     val gens = generations(spark, tablePath)
     if (gens.isEmpty)
       return replacePartitions(spark, tablePath, updates, partitionCol,
-        touched, retain, properties = properties, statsCols = statsCols)
+        touched, retain, properties = properties, statsCols = statsCols,
+        preCommit = preCommit)
     val basis = gens.max // the head this merge is derived from
     val touchedDirs =
       touched.map(v => Upsert.partitionDirName(partitionCol, v))
@@ -585,7 +604,8 @@ object FactVersioned {
       updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     replacePartitions(spark, tablePath, keep.unionByName(updates),
       partitionCol, touched, retain, basisGen = Some(basis),
-      properties = properties, statsCols = statsCols)
+      properties = properties, statsCols = statsCols,
+      preCommit = preCommit)
   }
 
   /** The table's partition column name, recovered from the head

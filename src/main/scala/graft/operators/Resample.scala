@@ -41,15 +41,22 @@ object Resample {
       intervalSec: Long): DataFrame = {
     require(intervalSec > 0, "resampleFfill: intervalSec must be positive")
     val intervalUs = intervalSec * 1000000L
-    // integral `div`, not `/`: Spark's `/` is double division, whose
-    // rounding could misbucket a timestamp sitting on an interval
-    // boundary; DuckDB's `//` floor-divides exactly, and both agree
-    // on positive epochs
+    // FLOOR division, not `/` and not bare `div`: Spark's `/` is double
+    // division, whose rounding could misbucket a timestamp sitting on
+    // an interval boundary, and `div` truncates toward zero — which
+    // disagrees with DuckDB's floor-dividing `//` on NEGATIVE epochs
+    // (pre-1970 timestamps): truncation would fold two intervals around
+    // the epoch into bucket 0. floorDiv = div − 1 when the remainder is
+    // negative (Spark's % follows the dividend's sign, like Java), so
+    // both engines bucket every epoch — positive or negative —
+    // identically.
+    val q = expr(s"ts_us div ${intervalUs}L")
     val ev = events.select(
         col(keyCol).cast("long").as("key"),
         unix_micros(col(tsCol)).as("ts_us"),
         valueCol.cast("long").as("v"))
-      .withColumn("bucket", expr(s"ts_us div ${intervalUs}L"))
+      .withColumn("bucket",
+        when(col("ts_us") % intervalUs < 0, q - 1).otherwise(q))
     val wB = Window.partitionBy(col("key"), col("bucket"))
     val wLast = wB.orderBy(col("ts_us").desc, col("v").desc)
     val perBucket = ev

@@ -534,6 +534,11 @@ object Similarity {
       ksub: Int,
       seed: Long): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
+    // m > dim would make pqBounds emit zero-width subspaces: k-means
+    // over zero-length sub-vectors trains degenerate all-zero
+    // codebooks (every ADC contribution 0) — fail loudly instead
+    require(m >= 1 && m <= dim,
+      s"PQ subspace count m must be in [1, dim=$dim], got $m")
     val bounds = pqBounds(dim, m)
     Array.tabulate(m) { s =>
       val sub = sample.map(v =>

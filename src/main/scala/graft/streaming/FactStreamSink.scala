@@ -54,11 +54,28 @@ object FactStreamSink {
       .nextOption()
   }
 
+  /** Thrown by the in-commit marker re-check; caught by [[applyBatch]]
+    * and surfaced as a SKIP. */
+  private final class BatchAlreadyApplied extends RuntimeException(
+    "batch marker advanced concurrently")
+
   /** Apply one micro-batch: keyed upsert committed with the batch
     * marker, or a SKIP (None) when the marker shows `batchId` already
     * applied. The skip compares with >= : foreachBatch batchIds are
     * monotonic per checkpoint, so an equal or lower id is always a
-    * redelivery of work this table already holds. */
+    * redelivery of work this table already holds.
+    *
+    * The marker check runs TWICE: once up front (the cheap fast path —
+    * no staging work for an obvious redelivery), and again INSIDE the
+    * commit protocol via the committer's `preCommit` hook, after this
+    * commit's claim is linearized against every concurrent committer
+    * (Delta's txnVersion-inside-the-retry-loop posture). The second
+    * check closes the check-then-act window where a zombie driver of
+    * the same sinkId passes the first check concurrently and
+    * double-commits the batch — content would converge (the upsert is
+    * keyed), but the change feed would see an extra empty-diff
+    * generation, violating the "CDC sees zero rows on redelivery"
+    * contract. The loser's commit aborts pre-publish and reports SKIP. */
   def applyBatch(
       spark: SparkSession,
       tablePath: String,
@@ -70,9 +87,16 @@ object FactStreamSink {
       retain: Int = 10): Option[FactVersioned.Commit] = {
     if (lastBatch(spark, tablePath, sinkId).exists(_ >= batchId)) None
     else if (batch.isEmpty) None // empty batch: nothing to commit
-    else Some(FactVersioned.upsert(spark, tablePath, batch, keys,
-      partitionCol, retain = retain,
-      properties = Map(batchProp(sinkId) -> batchId.toString)))
+    else try {
+      Some(FactVersioned.upsert(spark, tablePath, batch, keys,
+        partitionCol, retain = retain,
+        properties = Map(batchProp(sinkId) -> batchId.toString),
+        preCommit = () =>
+          if (lastBatch(spark, tablePath, sinkId).exists(_ >= batchId))
+            throw new BatchAlreadyApplied))
+    } catch {
+      case _: BatchAlreadyApplied => None
+    }
   }
 
   /** Run a streaming DataFrame into the versioned table. `transform`
@@ -81,13 +105,19 @@ object FactStreamSink {
     *
     * @param maintainAnnCols non-empty ⇒ the table's
     *   [[graft.operators.FactAnnIndex]] sidecar over each (idCol =
-    *   keys.head, vecCol) is refreshed after every APPLIED batch, so
-    *   downstream ANN queries never observe a generation the index
-    *   hasn't caught up to. Refresh cost ∝ the batch's new files
-    *   (file-keyed index rows); skipped redeliveries refresh nothing.
-    *   The index must have been built (`FactAnnIndex.writeIndex`)
-    *   before the stream starts — the live maintenance loop never
-    *   trains, matching the bloom/stats refresh posture. */
+    *   keys.head, vecCol) is refreshed after EVERY batch — applied or
+    *   skipped — so downstream ANN queries never observe a generation
+    *   the index hasn't caught up to. Refreshing on the skip path too
+    *   is what makes the loop self-heal: a crash between a commit and
+    *   its refresh leaves the head generation un-indexed, and the
+    *   redelivered batch is (correctly) skipped by the marker — if the
+    *   skip also skipped maintenance, that generation would stay
+    *   un-indexed forever. `refreshIndex` is idempotent and costs ∝
+    *   un-indexed files (a metadata listing when there are none), so
+    *   the already-refreshed case is effectively free. The index must
+    *   have been built (`FactAnnIndex.writeIndex`) before the stream
+    *   starts — the live maintenance loop never trains, matching the
+    *   bloom/stats refresh posture. */
   def start(
       source: DataFrame,
       tablePath: String,
@@ -102,9 +132,12 @@ object FactStreamSink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val committed = applyBatch(s, tablePath, transform(batch), keys,
+        applyBatch(s, tablePath, transform(batch), keys,
           partitionCol, sinkId, batchId, retain)
-        if (committed.nonEmpty)
+        // unconditional (see @param maintainAnnCols): the skip path
+        // must also catch up a generation whose refresh was lost to a
+        // crash; no-op cost is a metadata listing
+        if (graft.operators.FactVersioned.generations(s, tablePath).nonEmpty)
           maintainAnnCols.foreach(vc =>
             graft.operators.FactAnnIndex.refreshIndex(
               s, tablePath, keys.head, vc))

@@ -326,4 +326,33 @@ class FactVersionedSpec extends SparkSpec {
         s"${pruned3.report} vs ${pruned2.report}")
     assert(rows(pruned3.df) == rows(pruned2.df))
   }
+
+  test("preCommit hook runs inside the commit and a throw aborts the " +
+      "claim cleanly") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")
+    // the hook observes a linearized history: it must see the current
+    // head as final, and its throw must leave no new generation, no
+    // claim debris, and the table fully committable afterwards
+    var sawGens: Seq[Long] = Nil
+    val boom = intercept[RuntimeException] {
+      FactVersioned.upsert(spark, path,
+        Seq((2L, 0, 222L)).toDF("k", "p", "v"), Seq("k"), "p",
+        preCommit = () => {
+          sawGens = FactVersioned.generations(spark, path)
+          throw new RuntimeException("validation says no")
+        })
+    }
+    assert(boom.getMessage == "validation says no")
+    assert(sawGens == Seq(0L))
+    assert(FactVersioned.generations(spark, path) == Seq(0L))
+    assert(rows(FactVersioned.read(spark, path)) == rows(base(30)))
+    // no leaked claim: the next commit claims immediately (a leaked
+    // fresh claim would stall it for the full resolve timeout)
+    val t0 = System.nanoTime()
+    val c = FactVersioned.upsert(spark, path,
+      Seq((2L, 0, 333L)).toDF("k", "p", "v"), Seq("k"), "p")
+    assert(c.gen == 1L)
+    assert((System.nanoTime() - t0) / 1e9 < 20.0)
+  }
 }

@@ -28,6 +28,23 @@ class ResampleSpec extends SparkSpec {
       (2L, 1L, 1L, 4L)))
   }
 
+  test("pre-1970 timestamps floor-divide into buckets (no fold at epoch)") {
+    // truncating division would put both -10s and +10s in bucket 0,
+    // folding two intervals around the epoch; floor division buckets
+    // -10s at -1 — the semantics DuckDB's `//` mirror uses
+    val ev = Seq(
+      (1L, ts(-10), 1.0),  // bucket -1 under floor division
+      (1L, ts(10), 2.0),   // bucket 0
+      (1L, ts(-60), 3.0),  // exact boundary: bucket -1
+      (1L, ts(-61), 4.0)   // bucket -2
+    ).toDF("user_id", "t", "value")
+    val out = Resample.resampleFfill(ev, "user_id", "t",
+        col("value"), intervalSec = 60)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, -2L, 1L, 4L), (1L, -1L, 2L, 1L), (1L, 0L, 1L, 2L)))
+  }
+
   test("within-bucket last is (ts desc, value desc); layout-invariant") {
     val ev = Seq(
       (1L, ts(10), 3.0), (1L, ts(20), 8.0), (1L, ts(20), 2.0)

@@ -203,5 +203,11 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.pqTopK(tiny, "vec_id", "embedding", k = 1, ksub = 512)
     }
+    // m > dim would train zero-width subspaces (degenerate all-zero
+    // codebooks); must fail loudly, not silently return garbage
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, "vec_id", "embedding", k = 1, m = 8)
+    }
+    assert(err.getMessage.contains("dim"))
   }
 }
