@@ -431,27 +431,48 @@ object Dedup {
     * once in the corpus is marked, and marked windows merge into
     * maximal per-document spans.
     *
-    * Pipeline, every stage narrow or key-shuffled (never all-pairs):
+    * Pipeline, every stage narrow or key-shuffled (never all-pairs),
+    * with NO per-shingle sort anywhere — web boilerplate makes single
+    * n-grams with 10⁸+ occurrences, and any formulation that sorts one
+    * shingle's occurrence list on one task (the previous
+    * `row_number() over (partition by shingle)`) hits that task with
+    * the whole group's sort + spill:
     *  1. tokenize + window-explode: one row per n-gram window
-    *     (doc, pos, shingle); the shingle rides as its ' '-joined
-    *     token string (tokens are whitespace-split, so the join is
-    *     injective);
-    *  2. rank occurrences per shingle by (doc, pos): rank 1 is the
-    *     canonical occurrence and SURVIVES; every later rank marks its
-    *     window [pos, pos+n) for removal — one window-function pass
-    *     over the shingle-keyed shuffle, which also serves as the
-    *     "appears more than once" test (singletons have no rank-2);
-    *  3. per-document gaps-and-islands: a running max of window ends
+    *     (doc, pos, shingle, h = xxhash64(shingle)); the shingle rides
+    *     as its ' '-joined token string (tokens are whitespace-split,
+    *     so the join is injective), `h` is the 8-byte shuffle/join key
+    *     ([[incrementalExact]]'s collision posture: hash keys the
+    *     exchange, strings verify in-bucket);
+    *  2. global first occurrence per hash bucket: one hash AGGREGATION
+    *     (`min_by(struct(doc,pos,shingle), struct(doc,pos))` + count)
+    *     — min/count combine map-side, so a boilerplate shingle's 10⁸
+    *     occurrences collapse to one partial row per task before the
+    *     exchange; buckets with a single occurrence (the vast
+    *     majority) are dropped here, so singletons never reach the
+    *     join;
+    *  3. join-back (shuffle-hash hinted: the streamed occurrence side
+    *     must not be SORTED by the join key — a sort-merge join would
+    *     reintroduce the per-key sort this rewrite removes): an
+    *     occurrence whose (doc, pos) differs from its bucket's first
+    *     — string-verified — marks its window [pos, pos+n) for
+    *     removal; per-row O(1) work, so even a fully-skewed bucket
+    *     streams linearly;
+    *  4. hash-collision remainder: occurrences whose string differs
+    *     from the bucket representative's (different shingles, same
+    *     64-bit hash — vanishingly rare) resolve EXACTLY by their full
+    *     string through the same agg+join shape; every string lands
+    *     wholly in the remainder or wholly in the main path, so no
+    *     first-occurrence is ever mis-attributed across a collision;
+    *  5. per-document gaps-and-islands: a running max of window ends
     *     splits marked windows into islands wherever a window starts
     *     past everything seen, then islands aggregate to
     *     (min start, max pos + n) — overlapping and touching windows
-    *     merge into one maximal span.
+    *     merge into one maximal span (the only window function left,
+    *     keyed by doc — bounded by document length, never by corpus
+    *     repetition).
     *
     * Output: (doc_id, span_start, span_end) half-open TOKEN spans,
-    * 0-based. At the 100 TB posture the shingle shuffle key would be
-    * xxhash64-compressed to 8 B with in-bucket string verification
-    * (exactly [[incrementalExact]]'s collision posture); the exact
-    * string key here keeps the DuckDB mirror byte-faithful. */
+    * 0-based. */
   def repeatedSpans(
       docs: DataFrame,
       idCol: String,
@@ -467,12 +488,40 @@ object Dedup {
           sequence(lit(0), size(col("t")) - n),
           i => array_join(slice(col("t"), i + 1, lit(n)), " "))))
       .toDF("doc_id", "pos", "shingle")
-    val occ = Window.partitionBy(col("shingle"))
-      .orderBy(col("doc_id").asc, col("pos").asc)
-    val cuts = windows
-      .withColumn("rn", row_number().over(occ))
-      .where(col("rn") > 1)
+      .withColumn("h", xxhash64(col("shingle")))
+    // stage 2: bucket firsts — map-side-combining agg, never a sort
+    val firsts = windows.groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("pos"), col("shingle")),
+          struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("occs"))
+      .where(col("occs") > 1) // singletons can't repeat — drop pre-join
+      .select("h", "first")
+    // stage 3: mark non-first occurrences (string-verified)
+    val joined = windows.join(firsts.hint("shuffle_hash"), Seq("h"))
+    val isFirst =
+      col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")
+    val mainCuts = joined
+      .where(col("shingle") === col("first.shingle") && !isFirst)
       .select("doc_id", "pos")
+    // stage 4: collision remainder — exact per-string resolution.
+    // A string whose bucket representative differs lands here with ALL
+    // its occurrences (the representative is a different string), so
+    // re-deriving firsts by the full string is exact.
+    val collisions = joined
+      .where(col("shingle") =!= col("first.shingle"))
+      .select("doc_id", "pos", "shingle")
+    val collFirsts = collisions.groupBy(col("shingle"))
+      .agg(min_by(struct(col("doc_id"), col("pos")),
+          struct(col("doc_id"), col("pos"))).as("cfirst"),
+        count(lit(1)).as("occs"))
+      .where(col("occs") > 1)
+      .select("shingle", "cfirst")
+    val collCuts = collisions.join(collFirsts.hint("shuffle_hash"),
+        Seq("shingle"))
+      .where(col("doc_id") =!= col("cfirst.doc_id") ||
+        col("pos") =!= col("cfirst.pos"))
+      .select("doc_id", "pos")
+    val cuts = mainCuts.unionByName(collCuts)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     val prevEnd = max(col("pos") + n).over(
       byPos.rowsBetween(Window.unboundedPreceding, -1))

@@ -200,9 +200,12 @@ object PipelineQueries extends QueryPack {
     // Span-level (repeated-substring) dedup — Lee et al.'s
     // training-data cleanup: every non-first occurrence of a repeated
     // 8-token shingle is cut, cut windows merged per doc into maximal
-    // half-open token spans. One shingle-keyed window pass + one
-    // per-doc gaps-and-islands pass, no all-pairs anywhere; the oracle
-    // is a FULL DuckDB mirror of the ranking and interval-merge math.
+    // half-open token spans. First occurrences come from a map-side-
+    // combining min_by aggregation over xxhash64 buckets + a shuffle-
+    // hash join-back (NO per-shingle sort anywhere — a boilerplate
+    // shingle with 10⁸ occurrences streams linearly), then one per-doc
+    // gaps-and-islands pass; the oracle is a FULL DuckDB mirror of the
+    // first-occurrence and interval-merge math.
     "q126_repeated_spans" -> ((s, dir) =>
       graft.operators.Dedup.repeatedSpans(
         t(s, dir, "documents"), "doc_id", "text", n = 8)),

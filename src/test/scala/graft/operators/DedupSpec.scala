@@ -229,4 +229,41 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty) // the corpus has exact-duplicate docs (q34/q46)
   }
+
+  test("repeatedSpans: a boilerplate shingle repeated across many docs " +
+      "never sorts on the shingle key (skew posture)") {
+    // one n-gram pasted into every doc — the web-boilerplate shape
+    // that used to land a whole group's sort on one task
+    val docs = (1L to 200L).map(i =>
+      (i, s"header one two three four tail$i")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", n = 4)
+    // value check: every doc but the first (lowest doc_id) cuts the
+    // boilerplate window; doc 1 keeps the canonical occurrence.
+    // Windows at pos 0..2 ("header one two three" .. "two three four
+    // tail_i"? no — tail differs per doc, so only pos 0 and 1 repeat:
+    // "header one two three" and "one two three four") merge to [0, 5)
+    val spans = out.as[(Long, Int, Int)].collect().toSet
+    assert(spans === (2L to 200L).map(i => (i, 0, 5)).toSet)
+    // plan posture: NO window function and NO sort keyed on the
+    // shingle/hash — the first-occurrence stage must be an aggregation
+    // (map-side combining) plus a shuffle-HASH join; the only window
+    // left is the per-doc islands merge
+    val plan = out.queryExecution.executedPlan
+    def exprStrings(e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      e.map(_.toString.toLowerCase)
+    plan.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        val keys = exprStrings(w.partitionSpec)
+        assert(keys.forall(k => !k.contains("shingle") && !k.contains("h#")),
+          s"window keyed on the shingle: $keys")
+      case srt: org.apache.spark.sql.execution.SortExec =>
+        val keys = exprStrings(srt.sortOrder.map(_.child))
+        assert(keys.forall(k => !k.contains("shingle")),
+          s"sort keyed on the shingle: $keys")
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        fail(s"sort-merge join in the spans plan (re-sorts the " +
+          s"occurrence stream by its key): ${j.leftKeys}")
+      case _ =>
+    }
+  }
 }
