@@ -58,6 +58,21 @@ object VectorFunctions {
       NE.expr(qA), NE.expr(minA), NE.expr(scaleA), NE.expr(sumA),
       NE.expr(qB), NE.expr(minB), NE.expr(scaleB), NE.expr(sumB))))
 
+  /** ADC dot of an exact query vector against a PQ code word (full
+    * codegen — the IVF+PQ candidate scoring stays fused in the cell
+    * join's projection). Bit-identical to pqCandidateScan's per-query
+    * LUT scoring; see [[graft.functions.expressions.PqAdcDot]].
+    * `codebooks` is the m × ksub sub-centroid table (trained order);
+    * `bounds` the subspace boundaries (`Similarity.pqBounds`). */
+  def pqAdcDot(
+      query: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]],
+      bounds: Array[Int]): Column = {
+    val ksub = codebooks.head.length
+    NE.col(graft.functions.expressions.PqAdcDot(
+      NE.expr(query), NE.expr(codes), codebooks.flatten, ksub, bounds))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
     * with deterministic pseudo-random hyperplanes (seeded), packed into a
     * Long. Same-bucket vectors are cosine-similar candidates. Hyperplane

@@ -572,3 +572,98 @@ case class Sq8ReconstructedDot(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): Sq8ReconstructedDot = copy(children = cs)
 }
+
+/** ADC (asymmetric distance computation) dot product of an EXACT query
+  * vector against a product-quantized corpus code word — the candidate
+  * scoring of the IVF+PQ indexed ANN path
+  * (`AnnIndex.ivfPqTopKIndexed`), as a FULL-codegen expression fused in
+  * the cell join's projection.
+  *
+  *   sim = Σ_s dot(query[bounds(s)..bounds(s+1)), codebook_s[code_s])
+  *
+  * The codebooks ride as a compile-time REFERENCE OBJECT (flattened to
+  * `m·ksub` sub-centroid arrays, indexed `s·ksub + code`), not as
+  * literals — m=8 × ksub=256 × 8-dim sub-centroids is 16k doubles,
+  * which as inline constants would blow janino's constant-pool/method
+  * limits and knock the projection off codegen entirely.
+  *
+  * BIT-FOR-BIT identical to `Similarity.pqCandidateScan`'s per-query
+  * lookup-table scoring: the LUT entry lut[s][c] is exactly
+  * dot(query-sub, centroid) accumulated in ascending-j order, and the
+  * final score sums subspaces in ascending-s order — this expression
+  * runs the same multiplies and adds in the same order, so the
+  * combined indexed path can be spec-asserted bit-identical to pqTopK
+  * when probing all cells. (The classical per-query LUT amortization —
+  * build m·ksub partial dots once, then m lookups per pair — needs
+  * query-contiguous candidate processing, which a shuffled cell join
+  * does not guarantee; at dim mults per pair this form costs the same
+  * as the SQ8 integer MAC while the CORPUS side of the join carries
+  * only m bytes per row, 8× less than SQ8's dim bytes.)
+  *
+  * Null on null inputs or a code word whose length ≠ m. Children:
+  * (query array<double>, codes binary). */
+case class PqAdcDot(
+    query: Expression,
+    codes: Expression,
+    codebooks: Array[Array[Double]], // flattened: (s * ksub + code) -> sub-centroid
+    ksub: Int,
+    bounds: Array[Int]) extends BinaryExpression {
+
+  override def left: Expression = query
+  override def right: Expression = codes
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def m: Int = bounds.length - 1
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val u = q.asInstanceOf[ArrayData]
+    val code = c.asInstanceOf[Array[Byte]]
+    if (code.length != m) return null
+    var sim = 0.0
+    var s = 0
+    while (s < m) {
+      val ctr = codebooks(s * ksub + (code(s) & 0xff))
+      val lo = bounds(s)
+      var d = 0.0
+      var j = 0
+      while (j < ctr.length) { d += u.getDouble(lo + j) * ctr(j); j += 1 }
+      sim += d
+      s += 1
+    }
+    java.lang.Double.valueOf(sim)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", codebooks,
+      "double[][]")
+    val boundsRef = ctx.addReferenceObj("pqBounds", bounds, "int[]")
+    nullSafeCodeGen(ctx, ev, (u, code) => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val ctr = ctx.freshName("ctr")
+      val sim = ctx.freshName("sim")
+      s"""
+        |if ($code.length != ${m}) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $sim = 0.0;
+        |  for (int $s = 0; $s < ${m}; $s++) {
+        |    double[] $ctr = $booksRef[$s * ${ksub} + ($code[$s] & 0xff)];
+        |    double $d = 0.0;
+        |    for (int $j = 0; $j < $ctr.length; $j++) {
+        |      $d += $u.getDouble($boundsRef[$s] + $j) * $ctr[$j];
+        |    }
+        |    $sim += $d;
+        |  }
+        |  ${ev.value} = $sim;
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcDot = copy(query = l, codes = r)
+}

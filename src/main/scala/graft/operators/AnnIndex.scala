@@ -531,6 +531,101 @@ object AnnIndex {
         col("rank"), col("sim"))
   }
 
+  /** IVF+PQ combined top-k reading ONLY the sidecar, with NO
+    * corpus-sized driver collect anywhere — the at-scale form of
+    * [[pqTopKIndexed]] (whose broadcast of every row's codes is a
+    * driver OOM past ~10⁸ rows), and the memory FLOOR of the whole
+    * indexed family: the FAISS IVFPQ shape.
+    *
+    * Shape mirrors [[ivfSq8TopKIndexed]]: each query probes its
+    * `nProbe` nearest cells (persisted centroids, shared
+    * [[Similarity.cellPlans]] scoring), then candidates come from a
+    * DISTRIBUTED join against the persisted m-byte PQ codes on `cell`
+    * — size-adaptive (broadcast at KB scale, shuffle at TB scale,
+    * Catalyst/AQE's call), never `collect()`+`broadcast()`. Scoring is
+    * ADC (the query side rides EXACT through the join — that is what
+    * makes ADC beat symmetric code-vs-code distances at equal bytes)
+    * via the full-codegen [[graft.functions.expressions.PqAdcDot]]
+    * expression fused in the join's projection; top-`k·overFetch`
+    * candidates per query by (approx sim desc, id asc), exact re-rank
+    * on persisted unit vectors.
+    *
+    * vs the SQ8 combined path: per-pair compute is the same (dim
+    * multiply-adds), but the CORPUS side of the candidate join carries
+    * m bytes per row instead of dim bytes — 8× less shuffle on the
+    * side that is corpus-sized, at PQ's recall (codebook
+    * reconstruction error > SQ8's per-element bound; floor-gated).
+    *
+    * Exactness contract: with `nProbe` ≥ the index's cell count the
+    * pair universe equals the full scan and the ADC scores are
+    * BIT-IDENTICAL to `Similarity.pqCandidateScan`'s LUT scoring (same
+    * multiplies, same order — spec-asserted vs `pqTopK`); with
+    * `nProbe` < cells, recall trades like IVF. The only driver
+    * collects in this path are the n_lists-row centroid table and the
+    * m·ksub-row codebook table — both metadata-scale by
+    * construction. */
+  def ivfPqTopKIndexed(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val codebooks = readCodebooks(spark, tablePath, vecCol)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    ivfPqCore(rows, centroids, codebooks, k, nProbe, overFetch, roundSim,
+      literalCellThreshold)
+  }
+
+  /** The IVF+PQ query plan over any (id, cell, u, pq) index-row frame —
+    * [[ivfSq8Core]] with ADC scoring over the persisted PQ codes. Same
+    * `queries` / `allowed` composition (external batch / hybrid
+    * filter). See [[ivfPqTopKIndexed]] for the shape. */
+  private[operators] def ivfPqCore(
+      rows: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int,
+      overFetch: Int,
+      roundSim: Int,
+      literalCellThreshold: Int,
+      queries: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val bounds = Similarity.pqBounds(
+      codebooks.map(_.head.length).sum, codebooks.length)
+    val qSide = queries.getOrElse(rows)
+    val (_, probes) = Similarity.cellPlans(
+      Par.spread(qSide.select(col("id"), col("u"))), centroids, nProbe,
+      literalCellThreshold)
+    val cCodedAll = rows.select(col("cell"), col("id"), col("pq"))
+    val cCoded = allowed.fold(cCodedAll)(a =>
+      cCodedAll.join(a, Seq("id"), "left_semi"))
+    // the ADC scan as a JOIN: pairs are cell-local, the corpus's m-byte
+    // codes shuffle (or broadcast) by cell, never collected; the query
+    // vector rides exact (ADC), scoring fused full-codegen in the
+    // join's projection
+    val approx = probes.join(cCoded, Seq("cell"))
+      .where(col("key") =!= col("id"))
+      .select(col("key"), col("id"),
+        graft.functions.VectorFunctions.pqAdcDot(
+          col("u_a"), col("pq"), codebooks, bounds).as("sim"))
+    val m = math.max(k * math.max(overFetch, 1), k)
+    val cands = Similarity.topKPerKey(approx, m).select("key", "id")
+    val scored = cands
+      .join(qSide.select(col("id").as("key"), col("u").as("u_a")),
+        Seq("key"))
+      .join(rows.select(col("id"), col("u").as("u_b")), Seq("id"))
+      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
+      .select("key", "id", "sim")
+    Similarity.topKPerKey(scored, k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Hive-layout percent-decoding of `part=` child names — decoding
     * only; encoding stays Spark's job (refresh swaps adopt whatever
     * child names the fresh partitioned write produced). */

@@ -203,6 +203,25 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // IVF+PQ combined from the persisted sidecar — the memory FLOOR of
+    // the indexed family (the FAISS IVFPQ shape): candidates come from
+    // a size-adaptive JOIN of the queries' probes against the
+    // persisted cell-bucketed m-byte PQ codes, scored ADC with the
+    // query side exact — so the corpus is NEVER collected to the
+    // driver (q124's broadcast of every row's codes dead-ends at
+    // ~10⁸ rows; here the only driver collects are the centroid and
+    // codebook tables, metadata-scale). Same in-gate plan asserts as
+    // q116: sidecar-only scans + cell-keyed candidate join.
+    "q131_ivf_pq_indexed" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q131")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      val out = AnnIndex.ivfPqTopKIndexed(s, tablePath, "embedding",
+        k = 3, nProbe = 10, overFetch = 4)
+      requireSidecarOnly(out)
+      requireCellJoinCandidates(out)
+      out
+    }),
+
     // The generation-aware ANN lifecycle over a VERSIONED fact table
     // (the r8 "ANN × FactVersioned" seam, closed): commit 1 publishes
     // all labels but one, writeIndex trains+indexes it; commit 2
@@ -433,6 +452,10 @@ object VectorQueries extends QueryPack {
     // quantization error, so the floor matches the IVF gates (q45/q110),
     // not the full-scan SQ8 ones.
     "q116_ivf_sq8_indexed" -> annTopKInvariant("q116_ivf_sq8_indexed", k = 3, recallFloor = 0.75),
+    // IVF pruning composes with PQ's codebook reconstruction error —
+    // the coarsest candidate tier, same floor as the other
+    // coarse-candidate gates (q43/q45/q122).
+    "q131_ivf_pq_indexed" -> annTopKInvariant("q131_ivf_pq_indexed", k = 3, recallFloor = 0.75),
     // q119's head generation contains exactly the full embeddings
     // table, so the same derived-invariant oracle applies; centroids
     // are trained on the gen-1 subset (all labels but one — ~90 % of

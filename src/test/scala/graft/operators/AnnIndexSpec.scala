@@ -134,6 +134,48 @@ class AnnIndexSpec extends SparkSpec {
       s"candidate stage must join on cell, got: $joinKeys")
   }
 
+  test("ivfPqTopKIndexed probing all cells is bit-identical to pqTopK " +
+      "(full pair universe) and never collects the corpus") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(150), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4,
+      pqM = 4, pqKsub = 16)
+    // nProbe = nLists ⇒ candidate universe equals the full scan, and
+    // the ADC join scoring is bit-identical to pqCandidateScan's LUT
+    // scoring ⇒ bit-parity with the collected-broadcast path
+    val combined = AnnIndex.ivfPqTopKIndexed(spark, path, "vec",
+      k = 3, nProbe = 4, overFetch = 4)
+    val percall = resultSet(Similarity.pqTopK(
+      spark.read.parquet(path), "id", "vec", k = 3, m = 4, ksub = 16,
+      overFetch = 4))
+    assert(resultSet(combined) == percall)
+    assert(percall.nonEmpty)
+    // structural no-corpus-collect check, as q116's
+    val joinKeys = combined.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        (j.leftKeys ++ j.rightKeys).map(_.sql.toLowerCase)
+    }
+    assert(joinKeys.exists(_.exists(_.contains("cell"))),
+      s"candidate stage must join on cell, got: $joinKeys")
+  }
+
+  test("ivfPqTopKIndexed with restricted probes keeps IVF-grade recall") {
+    val path = tmp() + "/t"
+    writePartitioned(corpus(180), path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4,
+      pqM = 4, pqKsub = 16)
+    val combined = AnnIndex.ivfPqTopKIndexed(spark, path, "vec",
+        k = 3, nProbe = 2, overFetch = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(
+        spark.read.parquet(path), "id", "vec", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = combined.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.75, s"IVF+PQ recall $recall below floor")
+  }
+
   test("ivfSq8TopKIndexedFor answers an external query batch: parity " +
       "with the self-join restricted to the batch; novel ids get full " +
       "neighbor lists from the corpus") {
@@ -219,7 +261,8 @@ class AnnIndexSpec extends SparkSpec {
     Seq(
       AnnIndex.ivfTopKIndexed(spark, path, "vec", k = 3, nProbe = 2),
       AnnIndex.sq8TopKIndexed(spark, path, "vec", k = 3),
-      AnnIndex.ivfSq8TopKIndexed(spark, path, "vec", k = 3, nProbe = 2)
+      AnnIndex.ivfSq8TopKIndexed(spark, path, "vec", k = 3, nProbe = 2),
+      AnnIndex.ivfPqTopKIndexed(spark, path, "vec", k = 3, nProbe = 2)
     ).foreach { out =>
       val scans = out.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
