@@ -65,9 +65,12 @@ object GraftFunctions {
     }
 }
 
-/** Config-time injection: `--conf spark.sql.extensions=graft.GraftExtensions`. */
+/** Config-time injection: `--conf spark.sql.extensions=graft.GraftExtensions`.
+  * Registers the graft_* SQL functions AND the MERGE/DELETE DML routing
+  * over [[graft.catalog.GraftCatalog]] tables (see
+  * [[graft.catalog.GraftDml]]; live sessions use `GraftDml.enable`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -75,4 +78,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft", null, name, null, "", "", "", "", "", "", "scala_udf"),
         b))
     }
+    graft.catalog.GraftDml.install(ext)
+  }
 }

@@ -67,6 +67,8 @@ object LifecycleProbe {
       AnnIndex.sq8TopKIndexed(spark, ePath, "embedding", k = 10).count())
     timed("query: ivfSq8TopKIndexed k=10")(
       AnnIndex.ivfSq8TopKIndexed(spark, ePath, "embedding", k = 10).count())
+    timed("query: ivfPqTopKIndexed k=10")(
+      AnnIndex.ivfPqTopKIndexed(spark, ePath, "embedding", k = 10).count())
 
     // one-partition commit, then refresh — declared-dirs path (the
     // serial single-writer loop) and validating path (self-healing)

@@ -172,95 +172,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Some(schema.add(FactVersioned.VGenCol, LongType)),
         classOf[ParquetFileFormat])
       // head resolution is INSERT-able; a pinned generation is not
-      if (gen.isEmpty) new WritableFactTable(inner, path) else inner
+      if (gen.isEmpty) new WritableFactTable(inner, path, () => retainFor(path))
+      else inner
     } else if (Versioned.generations(spark, path).nonEmpty) {
       val inner = ParquetTable(s"$catalogName.$display", spark,
         CaseInsensitiveStringMap.empty(),
         Seq(Versioned.generationPath(spark, path, gen)),
         None, classOf[ParquetFileFormat])
-      if (gen.isEmpty) new WritableDimTable(inner, path) else inner
+      if (gen.isEmpty) new WritableDimTable(inner, path, () => retainFor(path))
+      else inner
     } else throw new NoSuchTableException(ident)
-  }
-
-  // ---- INSERT surface: append-only writes routed THROUGH the
-  // stores' own committers (claim/marker protocol intact) ------------
-
-  /** Delegating base for the writable head-generation tables: reads
-    * pass straight to the native [[ParquetTable]]; INSERT INTO lands
-    * via the DSv2→V1 bridge ([[org.apache.spark.sql.connector.write.V1Write]]),
-    * whose `InsertableRelation` hands the whole resolved input frame to
-    * the store's committer — the one write shape these stores support
-    * (a distributed per-task writer could not claim generations).
-    * INSERT OVERWRITE is rejected: partition replacement has explicit
-    * operator surfaces (`replacePartitions`) whose touched-set contract
-    * a dynamic-overwrite path would hide. */
-  private abstract class WritableTable(
-      inner: ParquetTable) extends Table
-      with org.apache.spark.sql.connector.catalog.SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
-    override def name(): String = inner.name
-    override def schema(): StructType = inner.schema
-    override def columns()
-        : Array[org.apache.spark.sql.connector.catalog.Column] =
-      inner.columns()
-    override def partitioning(): Array[Transform] = inner.partitioning()
-    override def properties(): util.Map[String, String] = inner.properties()
-    override def capabilities()
-        : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
-      val caps = new util.HashSet(inner.capabilities())
-      caps.add(org.apache.spark.sql.connector.catalog
-        .TableCapability.V1_BATCH_WRITE)
-      caps
-    }
-    override def newScanBuilder(options: CaseInsensitiveStringMap)
-        : org.apache.spark.sql.connector.read.ScanBuilder =
-      inner.newScanBuilder(options)
-    override def newWriteBuilder(
-        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-        : org.apache.spark.sql.connector.write.WriteBuilder =
-      new org.apache.spark.sql.connector.write.WriteBuilder {
-        override def build(): org.apache.spark.sql.connector.write.Write =
-          new org.apache.spark.sql.connector.write.V1Write {
-            override def toInsertableRelation
-                : org.apache.spark.sql.sources.InsertableRelation =
-              (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-                if (overwrite) throw new UnsupportedOperationException(
-                  "GraftCatalog: INSERT OVERWRITE is not supported — " +
-                    "replace partitions through " +
-                    "FactVersioned.replacePartitions (explicit touched set)")
-                insert(data)
-              }
-          }
-      }
-    def insert(data: org.apache.spark.sql.DataFrame): Unit
-  }
-
-  /** Fact-table INSERT: append via [[FactVersioned.append]] (cost ∝
-    * touched partitions). The resolved input carries the [[FactVersioned.VGenCol]]
-    * provenance slot (it is part of the table schema); its values are
-    * IGNORED — provenance is assigned by the commit itself, like a
-    * generated column — so `INSERT ... SELECT ..., NULL` is the shape. */
-  private class WritableFactTable(
-      inner: ParquetTable, path: String) extends WritableTable(inner) {
-    override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
-      val rows = data.drop(FactVersioned.VGenCol)
-      FactVersioned.append(spark, path, rows,
-        FactVersioned.partitionColumn(spark, path),
-        retain = retainFor(path))
-      ()
-    }
-  }
-
-  /** Dimension-table INSERT: full-copy stores commit whole generations,
-    * so append = current generation ∪ rows as a fresh commit. */
-  private class WritableDimTable(
-      inner: ParquetTable, path: String) extends WritableTable(inner) {
-    override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
-      val current = Versioned.read(spark, path)
-      Versioned.commit(current.unionByName(data), path,
-        retain = retainFor(path))
-      ()
-    }
   }
 
   // ---- namespaces: a single flat (empty) namespace, so SHOW TABLES
@@ -309,4 +230,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly()
+}
+
+// ---- INSERT surface: append-only writes routed THROUGH the stores'
+// own committers (claim/marker protocol intact) -----------------------
+
+/** Delegating base for the writable head-generation tables: reads pass
+  * straight to the native [[ParquetTable]]; INSERT INTO lands via the
+  * DSv2→V1 bridge ([[org.apache.spark.sql.connector.write.V1Write]]),
+  * whose `InsertableRelation` hands the whole resolved input frame to
+  * the store's committer — the one write shape these stores support
+  * (a distributed per-task writer could not claim generations).
+  * INSERT OVERWRITE is rejected: partition replacement has explicit
+  * operator surfaces (`replacePartitions`) whose touched-set contract
+  * a dynamic-overwrite path would hide.
+  *
+  * Top-level (not catalog-inner) so [[GraftDml]]'s resolution rule can
+  * recognize a resolved `DataSourceV2Relation` over a graft table and
+  * recover its path — the MERGE/DELETE routing needs exactly that. */
+private[catalog] abstract class GraftWritableTable(
+    inner: ParquetTable,
+    val graftTablePath: String,
+    retain: () => Int) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  protected def spark: SparkSession = SparkSession.active
+  protected def retention: Int = retain()
+  /** Retention for the [[GraftDml]] MERGE/DELETE commands — the same
+    * conf-or-preserve resolution INSERT uses. */
+  private[catalog] def retentionForDml: Int = retain()
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val caps = new util.HashSet(inner.capabilities())
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCapability.V1_BATCH_WRITE)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                "GraftCatalog: INSERT OVERWRITE is not supported — " +
+                  "replace partitions through " +
+                  "FactVersioned.replacePartitions (explicit touched set)")
+              insert(data)
+            }
+        }
+    }
+  def insert(data: org.apache.spark.sql.DataFrame): Unit
+}
+
+/** Fact-table INSERT: append via [[FactVersioned.append]] (cost ∝
+  * touched partitions). The resolved input carries the [[FactVersioned.VGenCol]]
+  * provenance slot (it is part of the table schema); its values are
+  * IGNORED — provenance is assigned by the commit itself, like a
+  * generated column — so `INSERT ... SELECT ..., NULL` is the shape. */
+private[catalog] class WritableFactTable(
+    inner: ParquetTable, path: String, retain: () => Int)
+    extends GraftWritableTable(inner, path, retain) {
+  override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
+    val rows = data.drop(FactVersioned.VGenCol)
+    FactVersioned.append(spark, path, rows,
+      FactVersioned.partitionColumn(spark, path),
+      retain = retention)
+    ()
+  }
+}
+
+/** Dimension-table INSERT: full-copy stores commit whole generations,
+  * so append = current generation ∪ rows as a fresh commit. */
+private[catalog] class WritableDimTable(
+    inner: ParquetTable, path: String, retain: () => Int)
+    extends GraftWritableTable(inner, path, retain) {
+  override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
+    val current = Versioned.read(spark, path)
+    Versioned.commit(current.unionByName(data), path,
+      retain = retention)
+    ()
+  }
 }

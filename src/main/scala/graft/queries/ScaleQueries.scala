@@ -498,6 +498,131 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL MERGE surface: `MERGE INTO graft.<t>` routes through
+    // FactVersioned.upsert via the GraftDml post-hoc rule — the
+    // reference's K1-K5 load semantics (src/db/load.py upserts) as
+    // native Spark SQL. The source updates existing 1995 even keys
+    // (status 'M', doubled price) AND inserts re-keyed new rows into
+    // the same partition; in-gate: exactly one new generation, whose
+    // vgen dir holds ONLY the 1995 partition (commit ∝ touched — the
+    // q125 write-amp assert, now for MERGE), VERSION AS OF 0 reads the
+    // pre-merge content, and the head is hash-equal to the API twin
+    // (FactVersioned.upsert of the same source). Output value-gated
+    // against the DuckDB merge mirror.
+    "q132_sql_merge" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q132_").toString
+      val path = s"$wh/orders_m"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW m_src AS
+          |SELECT o_orderkey, 'M' AS o_orderstatus,
+          |  o_totalprice * 2 AS o_totalprice, p_year,
+          |  CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_m WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 10000000, 'N', o_totalprice, p_year,
+          |  CAST(NULL AS BIGINT)
+          |FROM graft.orders_m WHERE p_year = 1995 AND o_orderkey % 2 = 1
+          |""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_m AS t USING m_src AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q132: the MERGE must commit exactly one new generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q132: MERGE must stage only the touched partition, got $staged")
+      // API twin: the same source through FactVersioned.upsert
+      val twin = s"$wh/orders_twin"
+      FactVersioned.upsert(s0, twin, o, Seq("o_orderkey"), "p_year")
+      val src = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(
+          o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("N")))
+      FactVersioned.upsert(s0, twin, src, Seq("o_orderkey"), "p_year")
+      def content(p: String, sess: SparkSession) =
+        FactVersioned.read(sess, p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      require(content(path, s).collect().toSet ==
+        content(twin, s0).collect().toSet,
+        "q132: SQL MERGE must be hash-equal to the API twin")
+      require(s.sql(
+          "SELECT COUNT(*) FROM graft.orders_m VERSION AS OF 0")
+        .collect().head.getLong(0) == o.count(),
+        "q132: generation 0 must still read the pre-merge content")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_m""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // SQL DELETE surface: `DELETE FROM graft.<t> WHERE k IN (subquery)`
+    // — the reference's J2 semi-join delete (load.py's staging cleanup)
+    // as native SQL, routed to a partition rewrite: only partitions
+    // holding matches are read or written, rows whose predicate is
+    // true are dropped. In-gate: one new generation staging ONLY the
+    // matched partition, VERSION AS OF 0 intact, and a no-match DELETE
+    // commits nothing. Output: the remaining table, value-gated
+    // against the DuckDB anti-join mirror.
+    "q133_sql_delete" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q133_").toString
+      val path = s"$wh/orders_d"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val before = o.count()
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """DELETE FROM graft.orders_d
+          |WHERE o_orderkey IN (
+          |  SELECT o_orderkey FROM graft.orders_d
+          |  WHERE p_year = 1995 AND o_orderkey % 2 = 0)""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q133: the DELETE must commit exactly one new generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q133: DELETE must stage only the matched partition, got $staged")
+      require(s.sql(
+          "SELECT COUNT(*) FROM graft.orders_d VERSION AS OF 0")
+        .collect().head.getLong(0) == before,
+        "q133: generation 0 must still read the pre-delete content")
+      s.sql("DELETE FROM graft.orders_d WHERE o_orderkey < 0")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q133: a no-match DELETE must not commit a generation")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_d""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -926,6 +1051,28 @@ object ScaleQueries extends QueryPack {
         |SELECT o_orderkey + 10000000, 'I', o_totalprice * 2
         |FROM orders
         |WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // full merge mirror: base rows whose key has no update + the
+    // updated/inserted source rows (upsert semantics)
+    "q132_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS p_year
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'M' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, p_year
+        |  FROM base WHERE p_year = 1995 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice, p_year
+        |  FROM base WHERE p_year = 1995 AND o_orderkey % 2 = 1)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src""".stripMargin,
+    // anti-join mirror of the semi-join delete
+    "q133_sql_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
     "q112_minmax_retraction" ->
       """WITH up AS (SELECT
         |    CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0

@@ -18,6 +18,24 @@ object GraftColumnBridge {
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** DataFrame over an already-resolved logical plan (Dataset.ofRows is
+    * private[sql]). Attribute ids of the plan are preserved, so
+    * catalyst expressions captured alongside the plan (a DML
+    * condition referencing the relation's output) still resolve when
+    * re-applied via [[column]]. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's (shared, mutable) extensions object —
+    * `SparkSession.extensions` is private[sql]. Rules injected here are
+    * picked up by sessions whose state materializes AFTERWARDS
+    * (`newSession()`); already-built analyzers are unaffected. */
+  def extensionsOf(spark: SparkSession): SparkSessionExtensions =
+    spark.asInstanceOf[classic.SparkSession].extensions
+
   /** If the column is a sort order (`col.asc` / `col.desc`), return its
     * child column and whether the direction is ascending. The sort
     * wrapper lives at the ColumnNode layer in Spark 4, not in the lazily

@@ -1,0 +1,162 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{FactVersioned, Versioned}
+
+/** [[GraftDml]]: SQL MERGE/DELETE over catalog tables route through
+  * the versioned committers — upsert semantics hash-equal to the API
+  * twin, commit cost ∝ touched partitions, time travel intact, and
+  * non-upsert shapes rejected loudly. */
+class GraftDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): (SparkSession, String, String) = {
+    val wh = Files.createTempDirectory("graft_dml_").toString
+    val path = s"$wh/t"
+    val rows = (1 to 90).map(i => (i.toLong, i % 3, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, rows, Seq("k"), "p")
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    (s, wh, path)
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("k"), col("p"), col("v"))
+      .as[(Long, Int, Long)].collect().toSet
+
+  test("MERGE INTO upserts through FactVersioned: one partition " +
+      "touched, hash-equal to the API twin, old generation intact") {
+    val (s, _, path) = freshTable()
+    // fact-table sources carry the vgen provenance slot (ignored —
+    // commit-assigned), the same contract as q125's INSERT shape
+    s.range(0, 10).selectExpr("id * 3 + 3 AS k", "0 AS p",
+        "id + 1000 AS v", "CAST(NULL AS BIGINT) AS vgen")
+      .createOrReplaceTempView("src")
+    s.sql(
+      """MERGE INTO g.t AS t USING src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    // API twin on a parallel table: content must match exactly
+    val twinPath = path + "_twin"
+    val base = (1 to 90).map(i => (i.toLong, i % 3, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, twinPath, base, Seq("k"), "p")
+    val updates = spark.range(0, 10)
+      .selectExpr("id * 3 + 3 AS k", "0 AS p", "id + 1000 AS v")
+    FactVersioned.upsert(spark, twinPath, updates, Seq("k"), "p")
+    assert(rows(FactVersioned.read(s, path)) ==
+      rows(FactVersioned.read(spark, twinPath)))
+    // write amplification: only p=0 staged under the merge's vgen dir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=0"), s"staged $staged")
+    // time travel: generation 0 still reads the pre-merge content
+    assert(rows(FactVersioned.read(s, path, Some(0L))) == rows(base))
+  }
+
+  test("MERGE with explicit matching assignments works; diverging " +
+      "update/insert expressions and extra actions are rejected") {
+    val (s, _, path) = freshTable()
+    s.range(0, 5).selectExpr("id + 200 AS k", "1 AS p", "id AS v",
+        "CAST(NULL AS BIGINT) AS vgen")
+      .createOrReplaceTempView("src2")
+    s.sql(
+      """MERGE INTO g.t t USING src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, v = s.v,
+        |  vgen = s.vgen
+        |WHEN NOT MATCHED THEN INSERT (k, p, v, vgen)
+        |  VALUES (s.k, s.p, s.v, s.vgen)
+        |""".stripMargin)
+    assert(FactVersioned.read(s, path).where(col("k") >= 200).count() == 5)
+
+    val e1 = intercept[UnsupportedOperationException] {
+      s.sql(
+        """MERGE INTO g.t t USING src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, v = s.v + 1,
+          |  vgen = s.vgen
+          |WHEN NOT MATCHED THEN INSERT (k, p, v, vgen)
+          |  VALUES (s.k, s.p, s.v, s.vgen)
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("not an upsert"))
+    val e2 = intercept[Exception] {
+      s.sql(
+        """MERGE INTO g.t t USING src2 s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.toLowerCase.contains("update") ||
+      e2.getMessage.toLowerCase.contains("upsert"))
+    // non-equality ON condition
+    val e3 = intercept[UnsupportedOperationException] {
+      s.sql(
+        """MERGE INTO g.t t USING src2 s ON t.k > s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e3.getMessage.contains("conjunction"))
+  }
+
+  test("DELETE FROM rewrites only partitions holding matches; empty " +
+      "matches commit nothing; subquery predicates work") {
+    val (s, _, path) = freshTable()
+    // k in a subquery — the J2 semi-join delete shape. Keys 3,9,15…
+    // all live in p=0 (k % 3 == 0) but only HALF of that partition:
+    // the commit must rewrite p=0 without them, not drop the dir.
+    s.range(0, 15).selectExpr("id * 6 + 3 AS kk")
+      .createOrReplaceTempView("dead")
+    s.sql("DELETE FROM g.t WHERE k IN (SELECT kk FROM dead)")
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    val remaining = rows(FactVersioned.read(s, path))
+    assert(remaining == (1 to 90).filter(i => i % 6 != 3)
+      .map(i => (i.toLong, i % 3, i * 10L)).toSet)
+    // only the matched partition (p=0) was rewritten
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=0"), s"staged $staged")
+    // no matches → no new generation
+    s.sql("DELETE FROM g.t WHERE k > 100000")
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    // deleting a whole partition drops its dir (partition delete)
+    s.sql("DELETE FROM g.t WHERE p = 1")
+    val head = FactVersioned.generations(s, path).max
+    assert(FactVersioned.read(s, path).where(col("p") === 1).count() == 0)
+    assert(FactVersioned.read(s, path, Some(head - 1))
+      .where(col("p") === 1).count() > 0)
+  }
+
+  test("DML over a dimension (full-copy) table: merge and delete " +
+      "commit fresh generations with the expected content") {
+    val wh = Files.createTempDirectory("graft_dml_dim_").toString
+    val path = s"$wh/d"
+    Versioned.commit((1 to 20).map(i => (i.toLong, s"n$i")).toDF("k", "name"),
+      path)
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    s.createDataset(Seq((5L, "five"), (21L, "new")))
+      .toDF("k", "name").createOrReplaceTempView("dsrc")
+    s.sql(
+      """MERGE INTO g.d t USING dsrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = Versioned.read(s, path)
+      .as[(Long, String)].collect().toMap
+    assert(now(5L) == "five" && now(21L) == "new" && now(6L) == "n6")
+    s.sql("DELETE FROM g.d WHERE k <= 3")
+    assert(Versioned.read(s, path).count() == 18)
+  }
+}
