@@ -79,7 +79,7 @@ object AnnIndex {
     * component (scheme/authority-insensitive — matching is on the dir
     * NAME, the same contract as DataSkipping's serial-commit path), or
     * [[RootPart]] for files directly under the table root. */
-  private def partOf(file: Column, rootName: String): Column = {
+  private[operators] def partOf(file: Column, rootName: String): Column = {
     val parent = regexp_extract(file, "([^/]+)/[^/]*$", 1)
     when(parent === rootName, lit(RootPart)).otherwise(parent)
   }

@@ -189,6 +189,18 @@ object DataSkipping {
         if (fs.exists(staleA)) fs.delete(staleA, true)
         fs.rename(s.getPath, staleA)
       }
+    // text-retrieval sidecars (BM25 doc maps / df partials) park the
+    // same way; TfIdf.refreshTextIndexPartitioned un-parks ∝ touched
+    entries
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(TfIdf.DirPrefix))
+      .foreach { s =>
+        val staleT = new Path(root,
+          TfIdf.StaleDirPrefix +
+            s.getPath.getName.stripPrefix(TfIdf.DirPrefix))
+        if (fs.exists(staleT)) fs.delete(staleT, true)
+        fs.rename(s.getPath, staleT)
+      }
     if (!entries.exists(s => s.isDirectory &&
         s.getPath.getName == ManifestDir)) false
     else {

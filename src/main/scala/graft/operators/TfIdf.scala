@@ -122,22 +122,42 @@ object TfIdf {
     val n = docs.count()
     val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val totalLen = lens.agg(sum(col("len"))).head.getLong(0)
-    val avgdl = totalLen.toDouble / n
     val docVecs = tf.groupBy(col("doc_id"))
       .agg(map_from_entries(
         collect_list(struct(col("term"), col("tf")))).as("tfm"))
       .join(lens, Seq("doc_id"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Core(docVecs, dfT, n, totalLen, queries, qIdCol, qTextCol,
+      k, k1, b, roundTo, maxDfFraction)
+  }
+
+  /** The DAAT scoring core shared by the per-call [[bm25TopK]] and the
+    * sidecar-backed [[bm25TopKIndexed]] — identical arithmetic over
+    * (doc term-maps, document-frequency table, corpus counts), however
+    * those were obtained, so the indexed path is bit-identical to the
+    * per-call path by construction (spec-asserted). */
+  private def bm25Core(
+      docVecs: DataFrame, // (doc_id, tfm map<string,long>, len)
+      dfT: DataFrame, // (term, df) — unfiltered corpus df
+      n: Long,
+      totalLen: Long,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int,
+      k1: Double,
+      b: Double,
+      roundTo: Int,
+      maxDfFraction: Double): DataFrame = {
+    val avgdl = totalLen.toDouble / n
     // per-query (term, df) arrays — idf is per (term, corpus), so it
     // rides the broadcast precomputed; absent-from-corpus terms drop
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= lit(maxDfFraction) * n)
+    val dfKept = dfT.where(col("df") <= lit(maxDfFraction) * n)
     val idfOfDf = log(lit(1.0) +
       (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val qArr = queries
       .select(col(qIdCol).cast("long").as("query_id"),
         explode(array_distinct(
           TextFunctions.tokens(lower(col(qTextCol))))).as("term"))
-      .join(dfT, Seq("term"))
+      .join(dfKept, Seq("term"))
       .groupBy(col("query_id"))
       .agg(collect_list(
         struct(col("term"), idfOfDf.as("idf"))).as("qts"))
@@ -150,7 +170,7 @@ object TfIdf {
     // sf0.1); this loop runs the same scoring in 7 s. Absent terms
     // contribute 0, so a pair with no shared term folds to 0 and
     // drops (every real contribution is strictly positive).
-    val spark = docs.sparkSession
+    val spark = docVecs.sparkSession
     import spark.implicits._
     val qData: Array[(Long, Array[(String, Double)])] = qArr
       .as[(Long, Seq[(String, Double)])]
@@ -190,5 +210,261 @@ object TfIdf {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
+  }
+
+  // ---------------- persisted text-retrieval sidecar ----------------
+  //
+  // bm25TopK re-tokenizes the corpus and recomputes df/avgdl on EVERY
+  // call — correct, but at 100 TB retrieval stats are a persisted
+  // artifact refreshed ∝ touched partitions, exactly the AnnIndex
+  // posture. writeTextIndex pays tokenize + tf/df aggregation ONCE
+  // into `_graft_text__<col>/`; bm25TopKIndexed answers queries
+  // reading ONLY the sidecar; refreshTextIndexPartitioned re-derives
+  // just the partitions a partition-scoped commit touched.
+  //
+  // Sidecar layout under `<tablePath>/_graft_text__<textCol>/`:
+  //  - `rows/part=<dir>/`  — (file, doc_id, tfm map<term,tf>, len):
+  //    each tokenized document's term map + length, clustered by
+  //    SOURCE partition dir so a refresh swaps whole subdirectories;
+  //  - `stats/part=<dir>/` — (term, df): PER-PARTITION document
+  //    frequencies. Global df = Σ over partitions (df is additive), so
+  //    a one-partition refresh recomputes one partition's partials and
+  //    the corpus-global table is re-aggregated at query time — a
+  //    vocabulary-scale agg, never a corpus scan;
+  //  - `counts/part=<dir>/` — (n_docs, total_len): partition doc
+  //    counts (INCLUDING zero-token docs — BM25's N counts all
+  //    documents) and token-length sums; n and avgdl derive by
+  //    summation the same way.
+  //
+  // Exactness contract: query-time scoring shares bm25Core with the
+  // per-call path, and the sidecar's (tfm, len, df, n, totalLen) are
+  // the same aggregations computed per-partition-additively, so on an
+  // unchanged table bm25TopKIndexed is BIT-IDENTICAL to bm25TopK
+  // (spec-asserted). Commit integration: partition-scoped committers
+  // park the sidecar (live → `_graft_text_stale__<col>`) via
+  // DataSkipping.invalidateManifest, so a post-commit query fails
+  // loudly instead of reading stale stats.
+
+  val DirPrefix = "_graft_text__"
+  val StaleDirPrefix = "_graft_text_stale__"
+  private val TmpDirPrefix = "_graft_text_tmp__"
+
+  def indexDir(tablePath: String, textCol: String): String =
+    s"$tablePath/$DirPrefix$textCol"
+
+  /** True if a LIVE (not parked) text index exists for `textCol`. */
+  def hasIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, textCol: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir(tablePath, textCol))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The per-partition sidecar content for one scan: (rows, stats,
+    * counts) as described in the layout note. */
+  private def sidecarOf(
+      scan: DataFrame,
+      idCol: String,
+      textCol: String,
+      rootName: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = scan.select(
+        col("_metadata.file_path").as("file"),
+        col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("part", AnnIndex.partOf(col("file"), rootName))
+    val terms = base.select(col("part"), col("file"), col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+    val tf = terms
+      .groupBy(col("part"), col("file"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val lens = tf.groupBy(col("part"), col("file"), col("doc_id"))
+      .agg(sum(col("tf")).as("len"))
+    val rows = tf.groupBy(col("part"), col("file"), col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("tf")))).as("tfm"))
+      .join(lens, Seq("part", "file", "doc_id"))
+      .select("part", "file", "doc_id", "tfm", "len")
+    val stats = tf.groupBy(col("part"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val counts = base.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(lens.groupBy(col("part"))
+          .agg(sum(col("len")).as("total_len")),
+        Seq("part"), "left")
+      .withColumn("total_len", coalesce(col("total_len"), lit(0L)))
+    (rows, stats, counts)
+  }
+
+  /** Build and publish the text-retrieval sidecar for
+    * `tablePath`.`textCol`. Publish is staged (tmp → rename), so
+    * readers never see a half-built index. Doc ids must be unique —
+    * duplicate ids would double-count df and corrupt the per-doc
+    * term maps. */
+  def writeTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      idCol: String,
+      textCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scan = Par.spread(spark.read.parquet(tablePath))
+    val dup = scan.groupBy(col(idCol)).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"TfIdf.writeTextIndex: $idCol must be unique in $tablePath")
+    val (rows, stats, counts) =
+      sidecarOf(scan, idCol, textCol, root.getName)
+    val tmp = new org.apache.hadoop.fs.Path(root, TmpDirPrefix + textCol)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    rows.write.partitionBy("part")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "rows").toString)
+    stats.write.partitionBy("part")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "stats").toString)
+    counts.write.partitionBy("part")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "counts").toString)
+    val live = new org.apache.hadoop.fs.Path(root, DirPrefix + textCol)
+    val stale = new org.apache.hadoop.fs.Path(root, StaleDirPrefix + textCol)
+    if (fs.exists(stale)) fs.delete(stale, true)
+    if (fs.exists(live)) fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"TfIdf.writeTextIndex: publish rename failed for $live")
+    DataSkipping.touchIndexMarker(spark, tablePath)
+  }
+
+  /** BM25 top-k reading ONLY the sidecar: doc term-maps and lengths
+    * come from `rows/`, the document-frequency table re-aggregates the
+    * per-partition `stats/` partials (vocabulary-scale), N and avgdl
+    * sum the `counts/` rows (partition-count-scale). No scan of the
+    * base table, no tokenization, anywhere in the query path —
+    * bit-identical to [[bm25TopK]] on an unchanged table. */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundTo: Int = 6,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    require(hasIndex(spark, tablePath, textCol),
+      s"TfIdf: no live text index for $textCol at $tablePath — " +
+        "writeTextIndex first (or refreshTextIndexPartitioned after a " +
+        "partition-scoped commit)")
+    val dir = indexDir(tablePath, textCol)
+    val docVecs = spark.read.parquet(s"$dir/rows")
+      .select("doc_id", "tfm", "len")
+    val dfT = spark.read.parquet(s"$dir/stats")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val tots = spark.read.parquet(s"$dir/counts")
+      .agg(sum(col("n_docs")).as("n"), sum(col("total_len")).as("tl"))
+      .head()
+    val n = tots.getLong(0)
+    val totalLen = tots.getLong(1)
+    bm25Core(Par.spread(docVecs), dfT, n, totalLen,
+      queries, qIdCol, qTextCol, k, k1, b, roundTo, maxDfFraction)
+  }
+
+  /** Re-derive the sidecar ∝ touched partitions after a
+    * partition-scoped commit: un-park if a commit parked it, rebuild
+    * `rows/stats/counts` subdirectories for `touchedDirs` only —
+    * untouched subdirs stay byte-identical. With `validate = true`,
+    * recorded per-partition files are checked against the table's real
+    * listing and drifted/vanished partitions rebuild too (the
+    * AnnIndex self-healing contract; a partition whose every document
+    * is zero-token legitimately records files only in `counts/`). */
+  def refreshTextIndexPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      idCol: String,
+      textCol: String,
+      touchedDirs: Seq[String],
+      validate: Boolean = true): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, DirPrefix + textCol)
+    val stale = new org.apache.hadoop.fs.Path(root, StaleDirPrefix + textCol)
+    if (fs.exists(stale)) {
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(stale, live),
+        s"TfIdf.refresh: could not un-park $stale")
+    }
+    require(fs.exists(live),
+      s"TfIdf.refresh: no text index (live or parked) for $textCol at " +
+        s"$tablePath — writeTextIndex first")
+
+    var rebuild = touchedDirs.toSet
+    if (validate) {
+      val recorded: Map[String, Set[String]] =
+        spark.read.parquet(new org.apache.hadoop.fs.Path(live, "rows").toString)
+          .select(col("part"), col("file")).distinct().collect()
+          .map(r => (r.getString(0),
+            new org.apache.hadoop.fs.Path(r.getString(1)).getName))
+          .groupBy(_._1).map { case (p, fl) => p -> fl.map(_._2).toSet }
+      val actual: Map[String, Set[String]] = fs.listStatus(root)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .map { d =>
+          d -> fs.listStatus(new org.apache.hadoop.fs.Path(root, d))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.getName).toSet
+        }.toMap
+      rebuild ++= actual.collect {
+        case (d, a) if recorded.getOrElse(d, Set.empty[String]) != a => d
+      }
+      rebuild ++= recorded.keySet
+        .filterNot(_ == AnnIndex.RootPart).filterNot(actual.contains)
+    }
+    if (rebuild.isEmpty) return
+    require(!rebuild.contains(AnnIndex.RootPart),
+      "TfIdf.refresh covers partitioned tables; rebuild an " +
+        "unpartitioned table's index with writeTextIndex")
+
+    val unescape = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.unescapePathName _
+    def children(sub: String): Map[String, org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(live, sub)
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("part="))
+        .map(c => unescape(c.getName.stripPrefix("part=")) -> c)
+        .toMap
+    }
+    rebuild.toSeq.sorted.foreach { d =>
+      val dataDir = new org.apache.hadoop.fs.Path(root, d)
+      if (!fs.exists(dataDir)) {
+        Seq("rows", "stats", "counts").foreach(sub =>
+          children(sub).get(d).foreach(fs.delete(_, true)))
+      } else {
+        val scan = spark.read.option("basePath", tablePath)
+          .parquet(dataDir.toString)
+        val (rows, stats, counts) =
+          sidecarOf(scan, idCol, textCol, root.getName)
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          TmpDirPrefix + textCol + "_refresh")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        rows.write.partitionBy("part")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "rows").toString)
+        stats.write.partitionBy("part")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "stats").toString)
+        counts.write.partitionBy("part")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "counts").toString)
+        Seq("rows", "stats", "counts").foreach { sub =>
+          children(sub).get(d).foreach(fs.delete(_, true))
+          val tmpSub = new org.apache.hadoop.fs.Path(tmp, sub)
+          if (fs.exists(tmpSub))
+            fs.listStatus(tmpSub).filter(_.isDirectory).map(_.getPath)
+              .filter(_.getName.startsWith("part="))
+              .foreach { c =>
+                val dst = new org.apache.hadoop.fs.Path(
+                  new org.apache.hadoop.fs.Path(live, sub), c.getName)
+                if (fs.exists(dst)) fs.delete(dst, true)
+                require(fs.rename(c, dst),
+                  s"TfIdf.refresh: swap failed for $dst")
+              }
+        }
+        fs.delete(tmp, true)
+      }
+    }
   }
 }

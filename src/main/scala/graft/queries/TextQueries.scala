@@ -24,6 +24,58 @@ object TextQueries extends QueryPack {
     * bytes. */
   private val NfcPrefix = "Cafe\u0301 \uFB01lter \u212B "
 
+  /** Full BM25 mirror shared by q127 (per-call) and q134 (sidecar):
+    * identical tokenization, formula associativity
+    * (idf * ((tf*2.2) / denom)), per-term score scaled by 1e10 and
+    * rounded to BIGINT (the engine's exact-long-fold representation)
+    * \u2192 exact integer sum \u2192 /1e10 \u2192 6-dp final round. The mirror uses
+    * the classic postings-join formulation \u2014 DuckDB picks its own
+    * plan; the engine sums the same scaled longs. */
+  private val bm25Mirror: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents
+      |), terms AS (
+      |  SELECT doc_id, unnest(t) AS term FROM tk
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+      |), lens AS (
+      |  SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+      |    (SELECT CAST(SUM(len) AS DOUBLE) FROM lens)
+      |      / (SELECT COUNT(*) FROM documents) AS avgdl
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), qt AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+      |  FROM tk WHERE doc_id % 10 = 0
+      |), ts AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |        * ((tf.tf * 2.2)
+      |           / (tf.tf + 1.2 * (1.0 - 0.75
+      |                              + 0.75 * lens.len / stats.avgdl)))
+      |      * 1e10) AS BIGINT) AS s
+      |  FROM qt
+      |  JOIN tf USING (term)
+      |  JOIN dfreq USING (term)
+      |  JOIN lens ON lens.doc_id = tf.doc_id
+      |  CROSS JOIN stats
+      |), agg AS (
+      |  SELECT query_id, doc_id,
+      |    round(CAST(SUM(s) AS DOUBLE) / 1e10, 6) AS score
+      |  FROM ts GROUP BY 1, 2
+      |)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM agg) WHERE rank <= 3""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T5 explode + word count over the corpus.
     "q30_explode_wordcount" -> ((s, dir) => {
@@ -141,18 +193,49 @@ object TextQueries extends QueryPack {
         "text", k = 3)),
 
     // Okapi BM25 retrieval: every 10th document's text as a query
-    // against the corpus, top-3 per query — the inverted-index join
-    // (postings shuffle by term, query terms probe them; candidate
-    // rows ∝ matching postings, never query×corpus). Per-term scores
-    // ride as DECIMAL(28,10) so the summed score is
-    // summation-order-free; the oracle replays the formula with the
-    // same operator associativity and rounding.
+    // against the corpus, top-3 per query — document-at-a-time
+    // scoring (per-doc term maps against a broadcast query batch, no
+    // term-keyed shuffle to skew on zipfian df). Per-term scores ride
+    // as scaled longs so the summed score is summation-order-free;
+    // the oracle replays the formula with the same operator
+    // associativity and rounding.
     "q127_bm25_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val queries = docs.where(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       graft.operators.TfIdf.bm25TopK(docs, "doc_id", "text",
         queries, "qid", "qtext", k = 3)
+    }),
+
+    // BM25 from the persisted text-retrieval sidecar — the lifecycle
+    // q127 lacks: writeTextIndex pays tokenize + tf/df aggregation
+    // ONCE into _graft_text__/, then the query answers reading ONLY
+    // the sidecar (doc term-maps from rows/, df re-aggregated from
+    // per-partition partials, N/avgdl from counts/ — no corpus scan,
+    // no tokenization in the query path; asserted in-gate). Shares
+    // bm25Core with the per-call path, so it is hash-identical to q127
+    // (spec-asserted bit-parity) and carries the same full formula
+    // mirror. At 100 TB the refresh is ∝ touched partitions
+    // (TfIdfSpec), the AnnIndex amortization posture for text.
+    "q134_bm25_indexed" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q134_").toString + "/documents"
+      val docs = t(s, dir, "documents")
+      docs.write.parquet(path)
+      graft.operators.TfIdf.writeTextIndex(s, path, "doc_id", "text")
+      val queries = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val out = graft.operators.TfIdf.bm25TopKIndexed(s, path, "text",
+        queries, "qid", "qtext", k = 3)
+      val scans = out.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.filter(_.contains(path))
+      require(scans.nonEmpty &&
+        scans.forall(_.contains(graft.operators.TfIdf.DirPrefix)),
+        s"q134: corpus side must be answered from the text sidecar, " +
+          s"got $scans")
+      out
     }),
 
     // Cross-source corpus overlap via the MinHashUnionAgg typed
@@ -413,50 +496,10 @@ object TextQueries extends QueryPack {
     // → exact integer sum → /1e10 → 6-dp final round. The mirror uses
     // the classic postings-join formulation — DuckDB picks its own
     // plan; the engine's DAAT fold sums the same scaled longs.
-    "q127_bm25_topk" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      x -> len(x) > 0) AS t
-        |  FROM documents
-        |), terms AS (
-        |  SELECT doc_id, unnest(t) AS term FROM tk
-        |), tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
-        |), lens AS (
-        |  SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY 1
-        |), stats AS (
-        |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
-        |    (SELECT CAST(SUM(len) AS DOUBLE) FROM lens)
-        |      / (SELECT COUNT(*) FROM documents) AS avgdl
-        |), dfreq AS (
-        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
-        |), qt AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
-        |  FROM tk WHERE doc_id % 10 = 0
-        |), ts AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        |        * ((tf.tf * 2.2)
-        |           / (tf.tf + 1.2 * (1.0 - 0.75
-        |                              + 0.75 * lens.len / stats.avgdl)))
-        |      * 1e10) AS BIGINT) AS s
-        |  FROM qt
-        |  JOIN tf USING (term)
-        |  JOIN dfreq USING (term)
-        |  JOIN lens ON lens.doc_id = tf.doc_id
-        |  CROSS JOIN stats
-        |), agg AS (
-        |  SELECT query_id, doc_id,
-        |    round(CAST(SUM(s) AS DOUBLE) / 1e10, 6) AS score
-        |  FROM ts GROUP BY 1, 2
-        |)
-        |SELECT query_id, doc_id, score, rank FROM (
-        |  SELECT query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM agg) WHERE rank <= 3""".stripMargin,
+    "q127_bm25_topk" -> bm25Mirror,
+    // the sidecar-backed path computes the SAME values (shared scoring
+    // core; per-partition-additive stats) — same full mirror
+    "q134_bm25_indexed" -> bm25Mirror,
     "q34_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
