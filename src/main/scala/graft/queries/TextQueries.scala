@@ -31,10 +31,12 @@ object TextQueries extends QueryPack {
     * \u2192 exact integer sum \u2192 /1e10 \u2192 6-dp final round. The mirror uses
     * the classic postings-join formulation \u2014 DuckDB picks its own
     * plan; the engine sums the same scaled longs. */
-  private val bm25Mirror: String =
-    """WITH tk AS (
+  private val bm25Mirror: String = bm25MirrorSql(3)
+
+  private def bm25MirrorSql(k: Int): String =
+    s"""WITH tk AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
       |      x -> len(x) > 0) AS t
       |  FROM documents
       |), terms AS (
@@ -74,7 +76,7 @@ object TextQueries extends QueryPack {
       |  SELECT query_id, doc_id, score,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id ASC) AS rank
-      |  FROM agg) WHERE rank <= 3""".stripMargin
+      |  FROM agg) WHERE rank <= $k""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T5 explode + word count over the corpus.
@@ -236,6 +238,32 @@ object TextQueries extends QueryPack {
         s"q134: corpus side must be answered from the text sidecar, " +
           s"got $scans")
       out
+    }),
+
+    // Hybrid lexical+vector retrieval fusion — the production
+    // retrieval shape: BM25 (top-10) and exact cosine top-10 over the
+    // SAME query set (every 10th doc; embeddings.vec_id aligns with
+    // documents.doc_id) fused by reciprocal rank (RRF, k0=60). Fusing
+    // on RANKS sidesteps the incomparable score scales; both input
+    // lists are independently gated formulations (q127's BM25, q40's
+    // exact cosine), so the oracle is a FULL DuckDB mirror: both lists
+    // + the RRF sum replayed exactly (one IEEE addition per fused
+    // pair — commutative, bit-equal across engines). At scale the
+    // vector list would come from the ANN index (q120's external
+    // batch); the exact list here keeps the mirror total.
+    "q135_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val lex = graft.operators.TfIdf.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+      val vec = graft.operators.Similarity.bruteForceTopKBlocked(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+        .where(col("query_id") % 10 === 0)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.fuseTopK(lex, vec,
+        "query_id", "doc_id", k = 5)
     }),
 
     // Cross-source corpus overlap via the MinHashUnionAgg typed
@@ -500,6 +528,44 @@ object TextQueries extends QueryPack {
     // the sidecar-backed path computes the SAME values (shared scoring
     // core; per-partition-additive stats) — same full mirror
     "q134_bm25_indexed" -> bm25Mirror,
+    // full RRF mirror: both ranked lists (BM25 k=10, exact cosine
+    // k=10 over the filtered queries) + the reciprocal-rank sum; a
+    // fused pair's score is one commutative IEEE addition, so the
+    // hash must match exactly
+    "q135_hybrid_rrf" -> {
+      val dotAB = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+      val normA = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+      val normB = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+      s"""WITH lex AS (
+         |${bm25MirrorSql(10)}
+         |), vsims AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(CASE WHEN $normA * $normB > 0
+         |      THEN $dotAB / ($normA * $normB) END, 4) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 10 = 0
+         |), vec AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM vsims) WHERE rank <= 10
+         |), u AS (
+         |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM lex
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 1.0 / (60 + rank) FROM vec
+         |), sc AS (
+         |  SELECT query_id, doc_id, SUM(c) AS rrf,
+         |    COUNT(*) AS n_lists
+         |  FROM u GROUP BY 1, 2
+         |)
+         |SELECT query_id, doc_id, round(rrf, 6) AS rrf, rank, n_lists
+         |FROM (
+         |  SELECT query_id, doc_id, rrf, n_lists,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM sc) WHERE rank <= 5""".stripMargin
+    },
     "q34_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
