@@ -58,14 +58,38 @@ object FactChangeFeed {
     val head = gens.max
     afterGen match {
       case Some(a) if a >= head => None
+      case a => Some(Polled(a.getOrElse(-1L), head,
+        window(spark, tablePath, keys, a, head)))
+    }
+  }
+
+  /** The change rows transforming generation `afterGen` (None = empty)
+    * into `toGen` — [[pending]]'s diff with an explicit upper bound,
+    * so a streaming consumer ([[graft.streaming.ChangeFeedSource]])
+    * can REPLAY a committed `(afterGen, toGen]` window exactly even
+    * after further generations landed (generations are immutable, so
+    * the replay is bit-identical). */
+  def window(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      afterGen: Option[Long],
+      toGen: Long): DataFrame = {
+    val gens = FactVersioned.generations(spark, tablePath)
+    require(gens.contains(toGen),
+      s"generation $toGen does not exist at $tablePath " +
+        s"(have ${gens.mkString(",")})")
+    afterGen match {
       case Some(a) =>
+        require(a < toGen,
+          s"window ($a, $toGen] is empty or inverted")
         require(gens.contains(a),
           s"bookmarked generation $a no longer exists at $tablePath " +
             s"(have ${gens.mkString(",")}) — retention outran the " +
             "consumer; re-seed from a full read")
-        val dirs = touchedSince(spark, tablePath, a, head).toSeq.sorted
+        val dirs = touchedSince(spark, tablePath, a, toGen).toSeq.sorted
         val from0 = FactVersioned.readDirs(spark, tablePath, Some(a), dirs)
-        val to = FactVersioned.readDirs(spark, tablePath, Some(head), dirs)
+        val to = FactVersioned.readDirs(spark, tablePath, Some(toGen), dirs)
         // a window crossing an ADDITIVE evolution commit: the from-side
         // generation lacks the added columns — null-fill them (exactly
         // how the evolved generation reads the carried files), so rows
@@ -78,13 +102,13 @@ object FactChangeFeed {
               org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
           .select(to.columns.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
-        Some(Polled(a, head, Changelog.changeSet(from, to, keys,
-          dedupNullKeyed = true, emitDeletes = true)))
+        Changelog.changeSet(from, to, keys,
+          dedupNullKeyed = true, emitDeletes = true)
       case None =>
-        val to = FactVersioned.read(spark, tablePath, Some(head))
+        val to = FactVersioned.read(spark, tablePath, Some(toGen))
         val empty = to.limit(0)
-        Some(Polled(-1L, head, Changelog.changeSet(empty, to, keys,
-          dedupNullKeyed = true, emitDeletes = true)))
+        Changelog.changeSet(empty, to, keys,
+          dedupNullKeyed = true, emitDeletes = true)
     }
   }
 

@@ -29,6 +29,22 @@ object GraftColumnBridge {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A single-leaf DataFrame over an InternalRow RDD with
+    * `isStreaming = true` — the shape a V1 streaming `Source.getBatch`
+    * must return (MicroBatchExecution asserts it; FileStreamSource /
+    * RateStreamSource build exactly this). The RDD is lazy, so passing
+    * a computed plan's `queryExecution.toRdd` defers all work to the
+    * micro-batch's own execution while hiding the plan's batch leaves
+    * from the incremental planner (a join-bearing delta plan with
+    * streaming-marked leaves would be re-planned as a stateful
+    * streaming join). */
+  def streamingDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** The session's (shared, mutable) extensions object —
     * `SparkSession.extensions` is private[sql]. Rules injected here are
     * picked up by sessions whose state materializes AFTERWARDS
