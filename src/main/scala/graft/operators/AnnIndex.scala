@@ -580,6 +580,51 @@ object AnnIndex {
       literalCellThreshold)
   }
 
+  /** [[ivfPqTopKIndexed]] for an EXTERNAL query batch — see
+    * [[ivfSq8TopKIndexedFor]] for the query-batch contract (the
+    * production lookup shape; id-equality self-exclusion included). */
+  def ivfPqTopKIndexedFor(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val codebooks = readCodebooks(spark, tablePath, vecCol)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    ivfPqCore(rows, centroids, codebooks, k, nProbe, overFetch, roundSim,
+      literalCellThreshold, queries = Some(normalizedQueries(
+        queries, qIdCol, qVecCol)))
+  }
+
+  /** FILTERED [[ivfPqTopKIndexed]] — see [[ivfSq8TopKIndexedWhere]]
+    * for the hybrid-search restriction contract (semi-join on the
+    * candidate stream BEFORE the per-query cut). */
+  def ivfPqTopKIndexedWhere(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame = {
+    val centroids = readCentroids(spark, tablePath, vecCol)
+    val codebooks = readCodebooks(spark, tablePath, vecCol)
+    val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
+    ivfPqCore(rows, centroids, codebooks, k, nProbe, overFetch, roundSim,
+      literalCellThreshold,
+      allowed = Some(normalizedAllowed(allowed, allowedIdCol)))
+  }
+
   /** The IVF+PQ query plan over any (id, cell, u, pq) index-row frame —
     * [[ivfSq8Core]] with ADC scoring over the persisted PQ codes. Same
     * `queries` / `allowed` composition (external batch / hybrid

@@ -159,6 +159,29 @@ class AnnIndexSpec extends SparkSpec {
       s"candidate stage must join on cell, got: $joinKeys")
   }
 
+  test("ivfPq external batch and filtered variants: batch parity with " +
+      "the self-join restricted to its ids; filtered neighbors all " +
+      "allowed") {
+    val path = tmp() + "/t"
+    val data = corpus(150)
+    writePartitioned(data, path)
+    AnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4,
+      pqM = 4, pqKsub = 16)
+    val batch = data.where(col("id") % 5 === 0)
+    val got = resultSet(AnnIndex.ivfPqTopKIndexedFor(spark, path, "vec",
+      batch, "id", "vec", k = 3, nProbe = 4, overFetch = 4))
+    val full = resultSet(AnnIndex.ivfPqTopKIndexed(spark, path, "vec",
+      k = 3, nProbe = 4, overFetch = 4))
+    assert(got == full.filter(_._1 % 5 == 0))
+    assert(got.nonEmpty)
+    val allowed = data.where(col("id") % 3 === 0).select("id")
+    val filtered = resultSet(AnnIndex.ivfPqTopKIndexedWhere(spark, path,
+      "vec", allowed, "id", k = 3, nProbe = 4, overFetch = 100))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._2 % 3 == 0)) // every neighbor allowed
+    assert(filtered.groupBy(_._1).forall(_._2.size <= 3))
+  }
+
   test("ivfPqTopKIndexed with restricted probes keeps IVF-grade recall") {
     val path = tmp() + "/t"
     writePartitioned(corpus(180), path)
