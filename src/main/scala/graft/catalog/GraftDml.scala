@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -46,6 +46,10 @@ import graft.operators.{FactVersioned, Versioned}
   *    deleted rows' partitions are rewritten without them; a partition
   *    deleted empty is dropped (the J2 semi-join delete at partition
   *    scale). Commit ∝ partitions holding matches.
+  *  - `UPDATE g.t SET col = expr, ... WHERE <predicate>` — matched
+  *    rows' partitions are rewritten with the assignments applied;
+  *    partition-column (partition-moving) and `vgen` assignments are
+  *    rejected. Commit ∝ partitions holding matches.
   *
   * Session wiring: analyzer rule sets are snapshotted when a session's
   * state materializes, so [[enable]] injects the rule into the
@@ -93,7 +97,7 @@ object GraftDml {
       case _ => None
     }
 
-  private def unsupported(msg: String): Nothing =
+  private[catalog] def unsupported(msg: String): Nothing =
     throw new UnsupportedOperationException(s"GraftDml: $msg")
 
   /** Upsert keys from the ON condition: a conjunction of
@@ -217,6 +221,36 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               table.isInstanceOf[WritableFactTable], table.retentionForDml)
           case None => d
         }
+      case u @ UpdateTable(t, assignments, cond) if u.resolved =>
+        graftTarget(t) match {
+          case Some((rel, table)) =>
+            val pcol =
+              if (table.isInstanceOf[WritableFactTable])
+                Some(FactVersioned.partitionColumn(
+                  session, table.graftTablePath))
+              else None
+            assignments.foreach { asg =>
+              val name = asg.key match {
+                case a: AttributeReference => a.name
+                case other => unsupported(s"cannot assign to ${other.sql}")
+              }
+              if (pcol.exists(_.equalsIgnoreCase(name)))
+                unsupported(s"UPDATE of the partition column '$name' " +
+                  "moves rows between partitions — use the operator API " +
+                  "(FactVersioned.upsert) for partition-moving updates")
+              if (name.equalsIgnoreCase(FactVersioned.VGenCol))
+                unsupported(s"'${FactVersioned.VGenCol}' is " +
+                  "commit-assigned provenance and cannot be updated")
+            }
+            GraftUpdateCommand(t,
+              new AnalyzedColumns(assignments.map(asg =>
+                asg.key.asInstanceOf[AttributeReference].name -> asg.value)),
+              new AnalyzedCondition(cond.getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+              table.graftTablePath,
+              table.isInstanceOf[WritableFactTable], table.retentionForDml)
+          case None => u
+        }
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
           case Some((rel, table)) =>
@@ -260,6 +294,58 @@ case class GraftMergeCommand(
             keys, "left_anti")
           .unionByName(updates),
         path, retain = retain)
+    }
+    Seq.empty
+  }
+}
+
+/** `UPDATE ... SET ... WHERE cond` as a partition rewrite: only
+  * partitions holding matching rows are read and rewritten, with the
+  * assignments applied to matching rows and every other row carried
+  * verbatim (`CASE WHEN cond THEN expr ELSE col END` per assigned
+  * column — rows where `cond` is NULL are NOT updated, SQL
+  * three-valued logic). Partition-column and `vgen` assignments were
+  * rejected at resolution (a partition-moving update has no
+  * single-partition rewrite shape). Dimension tables commit the
+  * updated content as a fresh full-copy generation. */
+case class GraftUpdateCommand(
+    relation: LogicalPlan,
+    assignments: AnalyzedColumns,
+    cond: AnalyzedCondition,
+    path: String,
+    isFact: Boolean,
+    retain: Int) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftColumnBridge.ofRows(spark, relation)
+    val c: Column = GraftColumnBridge.column(cond.expr)
+    val assigned: Map[String, Column] = assignments.cols.map {
+      case (n, e) => n.toLowerCase -> GraftColumnBridge.column(e)
+    }.toMap
+    def updatedCols(df: DataFrame): Seq[Column] = df.columns.toSeq.map { n =>
+      assigned.get(n.toLowerCase) match {
+        case Some(expr) => when(c, expr).otherwise(col(n)).as(n)
+        case None => col(n)
+      }
+    }
+    if (isFact) {
+      val pcol = FactVersioned.partitionColumn(spark, path)
+      val touchedRows = t.where(c).select(pcol).distinct()
+        .limit(10001).collect()
+      require(touchedRows.length <= 10000,
+        "GraftDml: UPDATE touches more than 10000 partitions — " +
+          "this is a rewrite, not an incremental commit")
+      if (touchedRows.isEmpty) return Seq.empty // no matches: no commit
+      val touched = touchedRows.map(_.get(0)).toIndexedSeq
+      val scoped = t.where(col(pcol).isin(touched: _*))
+      val content = scoped.select(updatedCols(scoped): _*)
+        .drop(FactVersioned.VGenCol)
+      FactVersioned.replacePartitions(spark, path, content, pcol, touched,
+        retain = retain,
+        basisGen = FactVersioned.generations(spark, path).lastOption)
+    } else {
+      if (t.where(c).isEmpty) return Seq.empty
+      Versioned.commit(t.select(updatedCols(t): _*), path, retain = retain)
     }
     Seq.empty
   }

@@ -623,6 +623,53 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL UPDATE surface: matched rows' partitions rewritten with the
+    // assignments applied (CASE WHEN cond per assigned column — rows
+    // where the predicate is NULL stay untouched), completing the DML
+    // triad (q132 MERGE, q133 DELETE). In-gate: one new generation
+    // staging ONLY the matched partition, VERSION AS OF 0 intact, a
+    // no-match UPDATE commits nothing. Output value-gated against the
+    // DuckDB CASE mirror.
+    "q136_sql_update" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q136_").toString
+      val path = s"$wh/orders_u"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val before = o.count()
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """UPDATE graft.orders_u
+          |SET o_orderstatus = 'U', o_totalprice = o_totalprice * 2
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q136: the UPDATE must commit exactly one new generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q136: UPDATE must stage only the matched partition, got $staged")
+      require(s.sql(
+          "SELECT COUNT(*) FROM graft.orders_u VERSION AS OF 0")
+        .collect().head.getLong(0) == before,
+        "q136: generation 0 must still read the pre-update content")
+      s.sql("UPDATE graft.orders_u SET o_totalprice = 0 WHERE o_orderkey < 0")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q136: a no-match UPDATE must not commit a generation")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_u""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1073,6 +1120,14 @@ object ScaleQueries extends QueryPack {
     "q133_sql_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
+    // CASE mirror of the conditional update
+    "q136_sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "q112_minmax_retraction" ->
       """WITH up AS (SELECT
         |    CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0

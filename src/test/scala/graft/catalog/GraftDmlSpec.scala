@@ -138,6 +138,40 @@ class GraftDmlSpec extends SparkSpec {
       .where(col("p") === 1).count() > 0)
   }
 
+  test("UPDATE rewrites only partitions holding matches; NULL-predicate " +
+      "rows untouched; partition-column and vgen assignments rejected") {
+    val (s, _, path) = freshTable()
+    s.sql("UPDATE g.t SET v = v + 1000 WHERE p = 1 AND k <= 10")
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    val expect = (1 to 90).map { i =>
+      val v = if (i % 3 == 1 && i <= 10) i * 10L + 1000L else i * 10L
+      (i.toLong, i % 3, v)
+    }.toSet
+    assert(rows(FactVersioned.read(s, path)) == expect)
+    // only p=1 rewritten
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=1"), s"staged $staged")
+    // no matches → no commit
+    s.sql("UPDATE g.t SET v = 0 WHERE k > 100000")
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    // partition-moving update rejected
+    val e1 = intercept[UnsupportedOperationException] {
+      s.sql("UPDATE g.t SET p = 2 WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[UnsupportedOperationException] {
+      s.sql("UPDATE g.t SET vgen = 7 WHERE k = 1")
+    }
+    assert(e2.getMessage.contains("vgen"))
+    // time travel: generation 0 still reads the pre-update content
+    assert(rows(FactVersioned.read(s, path, Some(0L))) ==
+      (1 to 90).map(i => (i.toLong, i % 3, i * 10L)).toSet)
+  }
+
   test("DML over a dimension (full-copy) table: merge and delete " +
       "commit fresh generations with the expected content") {
     val wh = Files.createTempDirectory("graft_dml_dim_").toString
@@ -158,5 +192,8 @@ class GraftDmlSpec extends SparkSpec {
     assert(now(5L) == "five" && now(21L) == "new" && now(6L) == "n6")
     s.sql("DELETE FROM g.d WHERE k <= 3")
     assert(Versioned.read(s, path).count() == 18)
+    s.sql("UPDATE g.d SET name = concat(name, '!') WHERE k = 10")
+    assert(Versioned.read(s, path).where(col("k") === 10)
+      .select("name").as[String].head() == "n10!")
   }
 }
