@@ -127,6 +127,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(Identifier.of(Array.empty[String], _))
   }
 
+  /** Overridden (the default probes loadTable and maps only
+    * NoSuchTableException): a PENDING table exists for DDL purposes —
+    * DROP must see it to remove the husk — even though reads of it
+    * fail loudly with the CTAS guidance. */
+  override def tableExists(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    FactVersioned.generations(spark, path).nonEmpty ||
+      Versioned.generations(spark, path).nonEmpty || isPending(path)
+  }
+
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
   /** `VERSION AS OF <n>` — n is a generation number of either store. */
@@ -181,6 +191,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         None, classOf[ParquetFileFormat])
       if (gen.isEmpty) new WritableDimTable(inner, path, () => retainFor(path))
       else inner
+    } else if (isPending(path)) {
+      throw new IllegalStateException(
+        s"GraftCatalog: ${ident.name} is a pending CREATE TABLE with no " +
+          "committed data yet — a CTAS writes it, or DROP the husk")
     } else throw new NoSuchTableException(ident)
   }
 
@@ -217,19 +231,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "GraftCatalog is read-only: commit through Versioned/FactVersioned " +
         "(the claim/marker protocol must not be bypassed by DDL)")
 
+  // ---- CTAS: CREATE TABLE ... AS SELECT creates a versioned table
+  // whose FIRST commit is the SELECT's result, routed through the
+  // stores' committers like every other write ---------------------------
+
+  private def pendingPath(path: String) =
+    new Path(path, GraftCatalog.PendingMarkerName)
+
+  private[catalog] def isPending(path: String): Boolean = {
+    val p = pendingPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** CREATE TABLE (the CTAS entry — Spark's CreateTableAsSelectExec
+    * calls this, then writes the query result through the RETURNED
+    * table's WriteBuilder). Zero partition transforms ⇒ a dimension
+    * (full-copy [[Versioned]]) table; exactly one identity transform ⇒
+    * a [[FactVersioned]] table partitioned by that column. The first
+    * write commits generation 0; until it lands the table is a
+    * PENDING husk that reads fail loudly on and [[dropTable]] may
+    * remove (Spark's CTAS failure cleanup). A husk left by a crashed
+    * CTAS is wiped by the next createTable of the same name. */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly()
+      properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    if (FactVersioned.generations(spark, path).nonEmpty ||
+        Versioned.generations(spark, path).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val pcol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val name = t.references.head.fieldNames.head
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"GraftCatalog: partition column '$name' is not in the schema")
+        Some(name)
+      case other => throw new UnsupportedOperationException(
+        "GraftCatalog: CREATE TABLE supports no partitioning (dimension " +
+          "table) or exactly one identity PARTITIONED BY column (fact " +
+          s"table); got ${other.mkString(",")}")
+    }
+    require(!schema.fieldNames.exists(
+        _.equalsIgnoreCase(FactVersioned.VGenCol)),
+      s"GraftCatalog: column name ${FactVersioned.VGenCol} is reserved")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      require(isPending(path),
+        s"GraftCatalog: $path exists but is not a graft table — refusing " +
+          "to create over foreign data")
+      fs.delete(root, true) // crashed-CTAS husk
+    }
+    fs.mkdirs(root)
+    val out = fs.create(pendingPath(path), true)
+    try out.write((pcol match {
+      case Some(c) => s"fact\t$c"
+      case None => "dim"
+    }).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new PendingGraftTable(s"$catalogName.${ident.name}", path, schema,
+      pcol, () => retainFor(path))
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly()
 
-  override def dropTable(ident: Identifier): Boolean = readOnly()
+  /** Droppable ONLY while pending (Spark's CTAS cleanup path after a
+    * failed write). Committed tables keep the DDL rejection — dropping
+    * data bypasses the claim/marker protocol. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (isPending(path) &&
+        FactVersioned.generations(spark, path).isEmpty &&
+        Versioned.generations(spark, path).isEmpty) {
+      val root = new Path(path)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    } else readOnly()
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly()
+}
+
+object GraftCatalog {
+  /** Marker file of a table created but not yet written (the window
+    * inside a CTAS between createTable and the data landing, or the
+    * husk a crashed CTAS leaves). Content: `fact\t<pcol>` or `dim`. */
+  val PendingMarkerName = "_graft_ctas_pending"
 }
 
 // ---- INSERT surface: append-only writes routed THROUGH the stores'
@@ -311,6 +404,67 @@ private[catalog] class WritableFactTable(
       retain = retention)
     ()
   }
+}
+
+/** A table created by CREATE TABLE [AS SELECT] whose first commit has
+  * not landed yet: write-only (Spark's CreateTableAsSelectExec writes
+  * the query result through this object immediately after
+  * createTable). The first insert commits generation 0 THROUGH the
+  * store's committer — fact tables via `replacePartitions` on the
+  * declared partition column, dimensions via a full-copy commit — and
+  * clears the pending marker; from then on the table resolves like
+  * any committed graft table. */
+private[catalog] class PendingGraftTable(
+    tableName: String,
+    path: String,
+    ctasSchema: StructType,
+    pcol: Option[String],
+    retain: () => Int) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private def spark: SparkSession = SparkSession.active
+  override def name(): String = tableName
+  override def schema(): StructType = ctasSchema
+  override def partitioning(): Array[Transform] = pcol.map(c =>
+    org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    .toArray
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val caps = new util.HashSet[
+      org.apache.spark.sql.connector.catalog.TableCapability]()
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCapability.V1_BATCH_WRITE)
+    caps
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              pcol match {
+                case Some(c) =>
+                  val touchedRows = data.select(c).distinct()
+                    .limit(10001).collect()
+                  require(touchedRows.length <= 10000,
+                    "GraftCatalog CTAS: more than 10000 partitions")
+                  FactVersioned.replacePartitions(spark, path, data, c,
+                    touchedRows.map(_.get(0)).toIndexedSeq,
+                    retain = retain())
+                case None =>
+                  Versioned.commit(data, path, retain = retain())
+              }
+              val marker = new Path(path, GraftCatalog.PendingMarkerName)
+              marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(marker, false)
+              ()
+            }
+        }
+    }
 }
 
 /** Dimension-table INSERT: full-copy stores commit whole generations,

@@ -670,6 +670,50 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL CTAS surface: CREATE TABLE ... PARTITIONED BY ... AS SELECT
+    // creates a FactVersioned table whose generation 0 IS the query
+    // result, committed through replacePartitions (partition layout on
+    // disk, time travel and INSERT live from birth) — the
+    // warehouse-bootstrap shape (the reference creates its tables with
+    // DDL + loads, sql/create.sql). In-gate: generation 0 exists, the
+    // store recovered the declared partition column, the data landed
+    // Hive-partitioned, and a follow-up INSERT commits generation 1.
+    // Output: the head read back through SQL, value-gated against the
+    // SELECT's mirror.
+    "q137_sql_ctas" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q137_").toString
+      val s = s0
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      t(s, dir, "orders").createOrReplaceTempView("q137_orders")
+      s.sql(
+        """CREATE TABLE graft.orders_c PARTITIONED BY (p_year)
+          |AS SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  year(o_orderdate) AS p_year
+          |FROM q137_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      val path = s"$wh/orders_c"
+      require(FactVersioned.generations(s, path) == Seq(0L),
+        "q137: CTAS must commit exactly generation 0")
+      require(FactVersioned.partitionColumn(s, path) == "p_year",
+        "q137: the declared partition column must drive the store")
+      s.sql(
+        """INSERT INTO graft.orders_c BY NAME
+          |SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  year(o_orderdate) AS p_year, CAST(NULL AS BIGINT) AS vgen
+          |FROM q137_orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q137: INSERT into the CTAS table must commit generation 1")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_c""".stripMargin)
+        .localCheckpoint()
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1120,6 +1164,10 @@ object ScaleQueries extends QueryPack {
     "q133_sql_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 2 = 0)""".stripMargin,
+    // the CTAS SELECT plus the follow-up INSERT's rows
+    "q137_sql_ctas" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,

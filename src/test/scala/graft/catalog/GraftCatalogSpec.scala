@@ -142,14 +142,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(shown == Set("dtable", "ftable"), s"got $shown")
   }
 
-  test("catalog rejects DDL and unknown tables fail loudly") {
+  test("catalog rejects destructive DDL; unknown tables fail loudly; " +
+      "a data-less CREATE TABLE is a pending husk until written") {
     val root = Files.createTempDirectory("graft_cat_").toString
     register(root)
     intercept[Exception] {
       spark.sql("SELECT * FROM graftt.nope").collect()
     }
+    // plain CREATE TABLE (no AS SELECT) leaves a PENDING table: reads
+    // fail loudly with the CTAS guidance; DROP removes the husk (the
+    // one drop the catalog allows — committed tables keep rejection)
+    spark.sql("CREATE TABLE graftt.t2 (a INT) USING parquet").collect()
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.t2").collect()
+    }
+    assert(e.getMessage.contains("pending"), e.getMessage)
+    spark.sql("DROP TABLE graftt.t2")
+    assert(!new java.io.File(s"$root/t2").exists())
+    // mutation DDL on real tables still rejected
+    Versioned.commit(dim(5), s"$root/dt")
     intercept[Exception] {
-      spark.sql("CREATE TABLE graftt.t2 (a INT) USING parquet").collect()
+      spark.sql("ALTER TABLE graftt.dt ADD COLUMN z INT").collect()
+    }
+    intercept[Exception] {
+      spark.sql("DROP TABLE graftt.dt").collect()
     }
   }
 
@@ -218,5 +234,60 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("truncate") ||
       e.getMessage.contains("OVERWRITE"), e.getMessage)
     assert(FactVersioned.generations(spark, path) == Seq(0L))
+  }
+
+  test("CTAS creates a fact table (PARTITIONED BY) or a dimension " +
+      "(unpartitioned) whose first commit is the query result; " +
+      "committed tables cannot be re-created or dropped") {
+    val root = Files.createTempDirectory("graft_cat_ctas_").toString
+    register(root)
+    (1 to 60).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ctas_src")
+    // fact CTAS: generation 0 = the SELECT result, committed through
+    // replacePartitions (partition layout on disk, time travel live)
+    spark.sql(
+      """CREATE TABLE graftt.ctas_fact PARTITIONED BY (p)
+        |AS SELECT k, p, v FROM ctas_src WHERE k <= 40""".stripMargin)
+    val path = s"$root/ctas_fact"
+    assert(FactVersioned.generations(spark, path) == Seq(0L))
+    assert(spark.sql("SELECT COUNT(*) FROM graftt.ctas_fact")
+      .head().getLong(0) == 40L)
+    assert(FactVersioned.partitionColumn(spark, path) == "p")
+    // the new table takes normal committed-table writes (INSERT)
+    spark.sql(
+      """INSERT INTO graftt.ctas_fact BY NAME
+        |SELECT k + 100 AS k, p, v, CAST(NULL AS BIGINT) AS vgen
+        |FROM ctas_src WHERE k > 40""".stripMargin)
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+    assert(spark.sql("SELECT COUNT(*) FROM graftt.ctas_fact")
+      .head().getLong(0) == 60L)
+    // the pending marker is gone; re-creating the table is rejected
+    assert(!new org.apache.hadoop.fs.Path(path,
+        GraftCatalog.PendingMarkerName)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path,
+        GraftCatalog.PendingMarkerName)))
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] {
+      spark.sql(
+        "CREATE TABLE graftt.ctas_fact AS SELECT * FROM ctas_src")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql("DROP TABLE graftt.ctas_fact")
+    }
+    // dimension CTAS: unpartitioned → full-copy Versioned store
+    spark.sql(
+      "CREATE TABLE graftt.ctas_dim AS SELECT k, v FROM ctas_src")
+    assert(Versioned.generations(spark, s"$root/ctas_dim") == Seq(0L))
+    assert(spark.sql("SELECT COUNT(*) FROM graftt.ctas_dim")
+      .head().getLong(0) == 60L)
+    // unsupported partitioning fails loudly
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graftt.ctas_bad PARTITIONED BY (p, k)
+          |AS SELECT * FROM ctas_src""".stripMargin)
+    }
+    assert(e2.getMessage.contains("identity") ||
+      e2.getMessage.contains("partition"), e2.getMessage)
   }
 }
