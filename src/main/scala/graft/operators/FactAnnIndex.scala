@@ -17,11 +17,13 @@ import org.apache.spark.sql.types.StructType
   * manifest-restricted view of one shared file-keyed index:
   *
   *  - `rows/vgen=<g>/part=<dir>/` — index rows (file, id, cell, u, q,
-  *    q_min, q_scale, q_sum) for the data files generation `g` WROTE
-  *    (`vgen=g/<dir>/...` manifest paths), sub-partitioned by source
-  *    partition dir. Refresh after a commit indexes exactly one new
-  *    `vgen=` subtree — cost ∝ the commit's touched partitions, never
-  *    the table.
+  *    q_min, q_scale, q_sum, pq) for the data files generation `g`
+  *    WROTE (`vgen=g/<dir>/...` manifest paths), sub-partitioned by
+  *    source partition dir. Refresh after a commit indexes exactly one
+  *    new `vgen=` subtree — cost ∝ the commit's touched partitions,
+  *    never the table. `pq` is the m-byte product-quantized code
+  *    ([[topKPq]]'s 8×-smaller candidate tier); `codebooks/` persists
+  *    the sub-centroids like the plain sidecar's.
   *  - `files/vgen=<g>/` — the indexed file names (metadata-scale),
   *    written only AFTER the matching rows land, so coverage checks and
   *    crash recovery never trust half-built rows.
@@ -140,8 +142,10 @@ object FactAnnIndex {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       literalCellThreshold: Int): DataFrame = {
     import spark.implicits._
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
     val narrow = StructType(Seq(pinned(idCol), pinned(vecCol)))
     val base = spark.read.schema(narrow)
       .parquet(rels.map(r => s"$dataRoot/$r"): _*)
@@ -163,13 +167,20 @@ object FactAnnIndex {
     base.join(assigned.select(col("id"), col("cell")), Seq("id"))
       .select(col("file_uri"), col("id"), col("cell"), col("u"))
       .as[(String, Long, Int, Seq[Double])]
-      .mapPartitions(_.map { case (uri, id, cell, u) =>
-        val (q, mn, sc, s) = Similarity.quantizeSq8(u.toArray)
-        val rel = relOfUri(uri)
-        (dirOf(rel), rel, id, cell, u, q, mn, sc, s)
-      })
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        val bounds =
+          Similarity.pqBounds(books.map(_.head.length).sum, books.length)
+        it.map { case (uri, id, cell, u) =>
+          val ua = u.toArray
+          val (q, mn, sc, s) = Similarity.quantizeSq8(ua)
+          val rel = relOfUri(uri)
+          (dirOf(rel), rel, id, cell, u, q, mn, sc, s,
+            Similarity.pqEncode(ua, books, bounds))
+        }
+      }
       .toDF("part", "file", "id", "cell", "u", "q", "q_min", "q_scale",
-        "q_sum")
+        "q_sum", "pq")
   }
 
   /** Build and publish the index: centroids trained on the HEAD
@@ -187,7 +198,11 @@ object FactAnnIndex {
       nLists: Int = 0,
       seed: Long = 42L,
       trainCap: Int = 25000,
-      literalCellThreshold: Int = 4096): Unit = {
+      literalCellThreshold: Int = 4096,
+      pqM: Int = 8,
+      pqKsub: Int = 256): Unit = {
+    require(pqKsub >= 1 && pqKsub <= 256,
+      s"FactAnnIndex.writeIndex: pqKsub must fit one byte (1..256), got $pqKsub")
     val gens = FactVersioned.generations(spark, tablePath)
     require(gens.nonEmpty,
       s"FactAnnIndex.writeIndex: no committed generations at $tablePath")
@@ -221,6 +236,8 @@ object FactAnnIndex {
         .map(_.getSeq[Double](1).toArray)
       val centroids =
         Similarity.trainCentroids(sample, lists, maxIter = 5, seed)
+      val codebooks =
+        Similarity.trainPqCodebooks(sample, pqM, pqKsub, seed)
 
       val tmp = new Path(tablePath, TmpDirPrefix + vecCol)
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -229,15 +246,20 @@ object FactAnnIndex {
         .groupBy(vgenOf)
       byGen.toSeq.sortBy(_._1).foreach { case (g, rels) =>
         writeGenRows(spark, tmp, g, rels, dataRoot, pinned, idCol,
-          vecCol, centroids, literalCellThreshold)
+          vecCol, centroids, codebooks, literalCellThreshold)
       }
       import spark.implicits._
       centroids.zipWithIndex.toIndexedSeq
         .map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
-      Seq((sample.head.length, lists, seed, trainCap))
-        .toDF("dim", "n_lists", "seed", "train_cap")
+      codebooks.zipWithIndex.toIndexedSeq
+        .flatMap { case (cb, sub) =>
+          cb.zipWithIndex.map { case (c, i) => (sub, i, c.toSeq) } }
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.parquet(new Path(tmp, "codebooks").toString)
+      Seq((sample.head.length, lists, seed, trainCap, pqM, pqKsub))
+        .toDF("dim", "n_lists", "seed", "train_cap", "pq_m", "pq_ksub")
         .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
 
       val live = new Path(indexDir(tablePath, vecCol))
@@ -259,10 +281,11 @@ object FactAnnIndex {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       literalCellThreshold: Int): Unit = {
     import spark.implicits._
     indexRowsFor(spark, dataRoot, rels, pinned, idCol, vecCol,
-        centroids, literalCellThreshold)
+        centroids, codebooks, literalCellThreshold)
       .write.partitionBy("part").parquet(
         new Path(root, s"rows/${FactVersioned.VGenCol}=$g").toString)
     rels.toDF("file").coalesce(1).write.parquet(
@@ -291,6 +314,21 @@ object FactAnnIndex {
       .map(_.getSeq[Double](0).toArray)
   }
 
+  /** PQ codebooks of the live index (m × ksub sub-centroids). */
+  private def readCodebooks(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String): Array[Array[Array[Double]]] = {
+    require(hasIndex(spark, tablePath, vecCol),
+      s"FactAnnIndex: no index for $vecCol at $tablePath — writeIndex first")
+    spark.read.parquet(s"${indexDir(tablePath, vecCol)}/codebooks")
+      .orderBy("subspace", "code")
+      .select("subspace", "centroid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toArray))
+      .toArray
+  }
+
   /** Index every referenced-but-unindexed file — after a commit, that
     * is exactly the new generation's `vgen=<g>/` subtree, so cost is
     * ∝ the commit's touched partitions. New files are assigned against
@@ -304,6 +342,7 @@ object FactAnnIndex {
       vecCol: String,
       literalCellThreshold: Int = 4096): Unit = {
     val centroids = readCentroids(spark, tablePath, vecCol)
+    val codebooks = readCodebooks(spark, tablePath, vecCol)
     val gens = FactVersioned.generations(spark, tablePath)
     require(gens.nonEmpty,
       s"FactAnnIndex.refreshIndex: no committed generations at $tablePath")
@@ -325,7 +364,7 @@ object FactAnnIndex {
         new Path(filesRoot(tablePath, vecCol), s"${FactVersioned.VGenCol}=$g")
       if (fs.exists(genFiles)) fs.delete(genFiles, true)
       writeGenRows(spark, live, g, rels.toSeq.sorted, dataRoot, pinned,
-        idCol, vecCol, centroids, literalCellThreshold)
+        idCol, vecCol, centroids, codebooks, literalCellThreshold)
     }
   }
 
@@ -389,6 +428,43 @@ object FactAnnIndex {
       roundSim, literalCellThreshold, queries = None,
       allowed = Some(AnnIndex.normalizedAllowed(allowed, allowedIdCol)))
 
+  /** [[topK]] over the PQ tier: the same generation-restricted rows
+    * scored by the IVF+PQ cell-join plan ([[AnnIndex.ivfPqCore]] — ADC
+    * over the persisted m-byte codes, full-codegen `PqAdcDot`, no
+    * corpus collect). The 8×-smaller candidate shuffle of q131, with
+    * time travel: any retained generation queryable at PQ's recall. */
+  def topKPq(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int,
+      gen: Option[Long] = None,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame =
+    topKImpl(spark, tablePath, vecCol, k, gen, nProbe, overFetch,
+      roundSim, literalCellThreshold, queries = None, pq = true)
+
+  /** [[topKPq]] for an external query batch (see [[topKFor]]). */
+  def topKPqFor(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      gen: Option[Long] = None,
+      nProbe: Int = 4,
+      overFetch: Int = 4,
+      roundSim: Int = 4,
+      literalCellThreshold: Int = 4096): DataFrame =
+    topKImpl(spark, tablePath, vecCol, k, gen, nProbe, overFetch,
+      roundSim, literalCellThreshold,
+      queries = Some(AnnIndex.normalizedQueries(queries, qIdCol, qVecCol)),
+      pq = true)
+
   private def topKImpl(
       spark: SparkSession,
       tablePath: String,
@@ -400,7 +476,8 @@ object FactAnnIndex {
       roundSim: Int,
       literalCellThreshold: Int,
       queries: Option[DataFrame],
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      pq: Boolean = false): DataFrame = {
     val gens = FactVersioned.generations(spark, tablePath)
     require(gens.nonEmpty, s"no committed generations at $tablePath")
     val g = gen.getOrElse(gens.max)
@@ -435,8 +512,13 @@ object FactAnnIndex {
     val restricted = spark.read
       .option("basePath", rr.toString)
       .parquet(children: _*)
-    AnnIndex.ivfSq8Core(restricted, centroids, k, nProbe, overFetch,
-      roundSim, literalCellThreshold, queries, allowed)
+    if (pq)
+      AnnIndex.ivfPqCore(restricted, centroids,
+        readCodebooks(spark, tablePath, vecCol), k, nProbe, overFetch,
+        roundSim, literalCellThreshold, queries, allowed)
+    else
+      AnnIndex.ivfSq8Core(restricted, centroids, k, nProbe, overFetch,
+        roundSim, literalCellThreshold, queries, allowed)
   }
 
   /** Drop index subtrees whose owning generation's files are ALL

@@ -257,6 +257,34 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // The q119 lifecycle at the PQ tier: same versioned table, same
+    // two-commit build/refresh, but the head query runs the IVF+PQ
+    // cell-join plan (q131's 8-byte corpus-side candidates) over the
+    // manifest-restricted rows — the generation-aware store gets the
+    // memory-floor tier with time travel. Same in-gate plan asserts;
+    // same derived-invariant oracle at the coarse-candidate floor.
+    "q138_fact_ann_pq" -> ((s, dir) => {
+      import graft.operators.{FactAnnIndex, FactVersioned}
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q138_").toString + "/emb"
+      val labels = emb.select("label").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val holdout = labels.last
+      FactVersioned.replacePartitions(s, root,
+        emb.where(col("label") =!= holdout), "label",
+        labels.init.toIndexedSeq)
+      FactAnnIndex.writeIndex(s, root, "vec_id", "embedding", nLists = 16)
+      FactVersioned.upsert(s, root, emb.where(col("label") === holdout),
+        Seq("vec_id"), "label")
+      FactAnnIndex.refreshIndex(s, root, "vec_id", "embedding")
+      val out = FactAnnIndex.topKPq(s, root, "embedding", k = 3,
+        nProbe = 10, overFetch = 4)
+      requireSidecarOnly(out, FactAnnIndex.DirPrefix)
+      requireCellJoinCandidates(out)
+      out
+    }),
+
     // External-query-batch ANN — the production lookup shape the
     // self-join gates (q110-q119) don't cover: a BATCH of query
     // vectors (here every 5th embedding) against the indexed corpus.
@@ -462,6 +490,9 @@ object VectorQueries extends QueryPack {
     // rows), which costs at most a point of recall vs q116, well
     // inside the floor's slack.
     "q119_fact_ann_indexed" -> annTopKInvariant("q119_fact_ann_indexed", k = 3, recallFloor = 0.75),
+    // PQ's reconstruction error composes with the gen-1-subset-trained
+    // codebooks and IVF pruning — the coarse-candidate floor.
+    "q138_fact_ann_pq" -> annTopKInvariant("q138_fact_ann_pq", k = 3, recallFloor = 0.75),
     // Same invariant restricted to the batch's query ids: exact top-k
     // and recall are computed over queries with vec_id % 5 = 0 only,
     // and any reported row outside the batch empties the guard.

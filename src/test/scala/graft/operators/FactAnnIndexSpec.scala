@@ -88,6 +88,68 @@ class FactAnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("topKPq: head-generation bit-parity with per-call pqTopK at " +
+      "full probes; time travel keeps PQ-grade recall; refreshed rows' " +
+      "codes re-encode under the PERSISTED codebooks") {
+    val path = tmp() + "/t"
+    val full = corpus(150)
+    FactVersioned.replacePartitions(spark, path,
+      full.where(col("p") =!= 2), "p", Seq(0, 1))
+    FactVersioned.upsert(spark, path,
+      full.where(col("p") === 2), Seq("id"), "p")
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4,
+      pqM = 4, pqKsub = 16)
+    // head: codebooks trained on the head sample = pqTopK's own sample
+    // (n < trainCap), so full probes ⇒ bit-parity
+    val head = resultSet(FactAnnIndex.topKPq(spark, path, "vec", k = 3,
+      nProbe = 4, overFetch = 4))
+    val percall = resultSet(Similarity.pqTopK(
+      FactVersioned.read(spark, path, Some(1L)), "id", "vec",
+      k = 3, m = 4, ksub = 16, overFetch = 4))
+    assert(head == percall)
+    assert(head.nonEmpty)
+    // time travel: gen 0 answers with ITS content at PQ-grade recall
+    // (head-trained codebooks cost at most a little recall there —
+    // per-call parity is impossible by design, pqTopK would retrain)
+    val g0 = FactAnnIndex.topKPq(spark, path, "vec", k = 3,
+        gen = Some(0L), nProbe = 4, overFetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact0 = Similarity.bruteForceTopK(
+        FactVersioned.read(spark, path, Some(0L)), "id", "vec", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(g0.intersect(exact0).size.toDouble / exact0.size >= 0.75)
+    assert(g0.forall { case (q, n) => // gen 0 lacks p=2 rows entirely
+      q % 3 != 2 && n % 3 != 2 })
+    // refresh: a new commit's rows must carry codes identical to a
+    // fresh pqEncode under the PERSISTED codebooks (never retrained)
+    FactVersioned.upsert(spark, path,
+      corpus(150, shift = 5).where(col("p") === 1), Seq("id"), "p")
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    val idxDir = FactAnnIndex.indexDir(path, "vec")
+    val books = spark.read.parquet(s"$idxDir/codebooks")
+      .orderBy("subspace", "code").select("subspace", "centroid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toArray)).toArray
+    val bounds = Similarity.pqBounds(8, 4)
+    val newRows = spark.read
+      .parquet(s"$idxDir/rows/${FactVersioned.VGenCol}=2")
+      .select(col("u"), col("pq"))
+      .as[(Seq[Double], Array[Byte])].collect()
+    assert(newRows.nonEmpty)
+    newRows.foreach { case (u, pq) =>
+      assert(pq.toSeq ==
+        Similarity.pqEncode(u.toArray, books, bounds).toSeq)
+    }
+    // and the new head answers at PQ-grade recall
+    val h2 = FactAnnIndex.topKPq(spark, path, "vec", k = 3,
+        nProbe = 4, overFetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact2 = Similarity.bruteForceTopK(
+        FactVersioned.read(spark, path), "id", "vec", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(h2.intersect(exact2).size.toDouble / exact2.size >= 0.75)
+  }
+
   test("topKWhere restricts neighbors to the allowed set over the " +
       "requested generation") {
     val path = tmp() + "/t"
