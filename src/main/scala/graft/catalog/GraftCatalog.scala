@@ -182,7 +182,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Some(schema.add(FactVersioned.VGenCol, LongType)),
         classOf[ParquetFileFormat])
       // head resolution is INSERT-able; a pinned generation is not
-      if (gen.isEmpty) new WritableFactTable(inner, path, () => retainFor(path))
+      if (gen.isEmpty)
+        new WritableFactTable(inner, path, () => retainFor(path),
+          resolvedGen = FactVersioned.generations(spark, path).max)
       else inner
     } else if (Versioned.generations(spark, path).nonEmpty) {
       val inner = ParquetTable(s"$catalogName.$display", spark,
@@ -394,8 +396,15 @@ private[catalog] abstract class GraftWritableTable(
   * provenance slot (it is part of the table schema); its values are
   * IGNORED — provenance is assigned by the commit itself, like a
   * generated column — so `INSERT ... SELECT ..., NULL` is the shape. */
+/** @param resolvedGen the head generation this resolution pinned —
+  *   [[GraftDml]]'s UPDATE/DELETE commands read THESE files and pass
+  *   this as the commit's `basisGen`, so a foreign commit landing
+  *   between statement analysis and execution is caught by the
+  *   store's conflict detection instead of being silently overwritten
+  *   from a stale read. */
 private[catalog] class WritableFactTable(
-    inner: ParquetTable, path: String, retain: () => Int)
+    inner: ParquetTable, path: String, retain: () => Int,
+    val resolvedGen: Long)
     extends GraftWritableTable(inner, path, retain) {
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val rows = data.drop(FactVersioned.VGenCol)

@@ -97,6 +97,14 @@ object GraftDml {
       case _ => None
     }
 
+  /** The commit basis a DML command over `table` must declare:
+    * Some(resolution-pinned head) for fact tables, None for dims. */
+  private[catalog] def basisGenOf(table: GraftWritableTable): Option[Long] =
+    table match {
+      case f: WritableFactTable => Some(f.resolvedGen)
+      case _ => None
+    }
+
   private[catalog] def unsupported(msg: String): Nothing =
     throw new UnsupportedOperationException(s"GraftDml: $msg")
 
@@ -218,7 +226,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some((_, table)) =>
             GraftDeleteCommand(t, new AnalyzedCondition(cond),
               table.graftTablePath,
-              table.isInstanceOf[WritableFactTable], table.retentionForDml)
+              basisGenOf(table), table.retentionForDml)
           case None => d
         }
       case u @ UpdateTable(t, assignments, cond) if u.resolved =>
@@ -248,7 +256,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               new AnalyzedCondition(cond.getOrElse(
                 org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
               table.graftTablePath,
-              table.isInstanceOf[WritableFactTable], table.retentionForDml)
+              basisGenOf(table), table.retentionForDml)
           case None => u
         }
       case m: MergeIntoTable if m.resolved =>
@@ -313,8 +321,9 @@ case class GraftUpdateCommand(
     assignments: AnalyzedColumns,
     cond: AnalyzedCondition,
     path: String,
-    isFact: Boolean,
+    basisGen: Option[Long], // Some(resolved head) = fact; None = dim
     retain: Int) extends LeafRunnableCommand {
+  private def isFact: Boolean = basisGen.isDefined
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftColumnBridge.ofRows(spark, relation)
@@ -340,9 +349,9 @@ case class GraftUpdateCommand(
       val scoped = t.where(col(pcol).isin(touched: _*))
       val content = scoped.select(updatedCols(scoped): _*)
         .drop(FactVersioned.VGenCol)
+      // basis = the resolution-time head (see GraftDeleteCommand)
       FactVersioned.replacePartitions(spark, path, content, pcol, touched,
-        retain = retain,
-        basisGen = FactVersioned.generations(spark, path).lastOption)
+        retain = retain, basisGen = basisGen)
     } else {
       if (t.where(c).isEmpty) return Seq.empty
       Versioned.commit(t.select(updatedCols(t): _*), path, retain = retain)
@@ -362,8 +371,9 @@ case class GraftDeleteCommand(
     relation: LogicalPlan,
     cond: AnalyzedCondition,
     path: String,
-    isFact: Boolean,
+    basisGen: Option[Long], // Some(resolved head) = fact; None = dim
     retain: Int) extends LeafRunnableCommand {
+  private def isFact: Boolean = basisGen.isDefined
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftColumnBridge.ofRows(spark, relation)
@@ -381,9 +391,11 @@ case class GraftDeleteCommand(
       val keep = t.where(keepCond)
         .where(col(pcol).isin(touched: _*))
         .drop(FactVersioned.VGenCol)
+      // basis = the RESOLUTION-time head whose files this command read:
+      // an intervening foreign commit is then a detected conflict, not
+      // a silent overwrite from a stale read
       FactVersioned.replacePartitions(spark, path, keep, pcol, touched,
-        retain = retain,
-        basisGen = FactVersioned.generations(spark, path).lastOption)
+        retain = retain, basisGen = basisGen)
     } else {
       if (t.where(c).isEmpty) return Seq.empty
       Versioned.commit(t.where(keepCond), path, retain = retain)

@@ -172,6 +172,31 @@ class GraftDmlSpec extends SparkSpec {
       (1 to 90).map(i => (i.toLong, i % 3, i * 10L)).toSet)
   }
 
+  test("a DELETE whose basis generation was overwritten by a foreign " +
+      "commit aborts as a conflict instead of silently clobbering it") {
+    val (s, _, path) = freshTable()
+    // pin the resolution: the analyzed relation reads generation 0's
+    // files and the command carries basisGen = 0
+    val df = s.table("g.t").where(col("p") === 0 && col("k") <= 9)
+    val analyzed = df.queryExecution.analyzed
+    val filter = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.get
+    val cmd = GraftDeleteCommand(filter.child,
+      new AnalyzedCondition(filter.condition), path,
+      basisGen = Some(0L), retain = 3)
+    // a foreign committer lands on the SAME partition after resolution
+    FactVersioned.upsert(s, path,
+      Seq((3L, 0, 777L)).toDF("k", "p", "v"), Seq("k"), "p")
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      cmd.run(s)
+    }
+    assert(boom.getMessage.contains("committed concurrently"))
+    // nothing of the stale delete landed; the foreign commit survives
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    assert(rows(FactVersioned.read(s, path)).contains((3L, 0, 777L)))
+  }
+
   test("DML over a dimension (full-copy) table: merge and delete " +
       "commit fresh generations with the expected content") {
     val wh = Files.createTempDirectory("graft_dml_dim_").toString
