@@ -130,8 +130,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** Overridden (the default probes loadTable and maps only
     * NoSuchTableException): a PENDING table exists for DDL purposes —
     * DROP must see it to remove the husk — even though reads of it
-    * fail loudly with the CTAS guidance. */
+    * fail loudly with the CTAS guidance. A namespaced identifier is
+    * simply absent (this catalog is flat): returning false keeps the
+    * boolean contract DSv2 callers rely on (`DROP TABLE IF EXISTS
+    * ns.t`, `CREATE TABLE IF NOT EXISTS`) instead of leaking
+    * [[NoSuchTableException]] out of an existence probe. */
   override def tableExists(ident: Identifier): Boolean = {
+    if (ident.namespace.nonEmpty) return false
     val path = tablePath(ident)
     FactVersioned.generations(spark, path).nonEmpty ||
       Versioned.generations(spark, path).nonEmpty || isPending(path)

@@ -244,8 +244,11 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               }
               if (pcol.exists(_.equalsIgnoreCase(name)))
                 unsupported(s"UPDATE of the partition column '$name' " +
-                  "moves rows between partitions — use the operator API " +
-                  "(FactVersioned.upsert) for partition-moving updates")
+                  "moves rows between partitions, which has no " +
+                  "single-partition rewrite shape — DELETE the rows " +
+                  "from their current partition and re-INSERT them " +
+                  "with the new value (or rewrite both partitions " +
+                  "with FactVersioned.replacePartitions)")
               if (name.equalsIgnoreCase(FactVersioned.VGenCol))
                 unsupported(s"'${FactVersioned.VGenCol}' is " +
                   "commit-assigned provenance and cannot be updated")
@@ -278,7 +281,21 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   * frame is the source projected through the validated per-column
   * expressions; fact tables commit ∝ touched partitions via
   * [[FactVersioned.upsert]], dimension tables commit a fresh full-copy
-  * generation (current rows whose key has no update + updates). */
+  * generation (current rows whose key has no update + updates).
+  *
+  * Two SQL-MERGE invariants are enforced before anything commits:
+  *  - cardinality — a source with >1 row per key errors (Postgres/
+  *    Delta posture; the fact path's [[FactVersioned.upsert]] enforces
+  *    it natively, the dim path checks here);
+  *  - partition stability — a source row whose key EXISTS in the
+  *    target but carries a different partition-column value would
+  *    leave the stale target row in its (untouched) partition and
+  *    commit two rows for one key; detected by joining the source
+  *    against the target's (keys, pcol) projection — column-pruned,
+  *    with the (bounded, ≤10000-partition) source broadcast against
+  *    it — and rejected with delete+insert guidance. Delta pays an
+  *    analogous full target join inside every MERGE; this is the same
+  *    cost class, paid only on the SQL door. */
 case class GraftMergeCommand(
     source: LogicalPlan,
     cols: AnalyzedColumns,
@@ -293,9 +310,31 @@ case class GraftMergeCommand(
         GraftColumnBridge.column(e).as(n) }: _*)
       .drop(FactVersioned.VGenCol)
     if (isFact) {
-      FactVersioned.upsert(spark, path, updates, keys,
-        FactVersioned.partitionColumn(spark, path), retain = retain)
+      val pcol = FactVersioned.partitionColumn(spark, path)
+      val moved = FactVersioned.read(spark, path)
+        .select(keys.map(col) :+ col(pcol).as("__graft_target_p"): _*)
+        .join(broadcast(
+          updates.select(keys.map(col) :+ col(pcol).as("__graft_src_p"): _*)),
+          keys)
+        .where(!(col("__graft_src_p") <=> col("__graft_target_p")))
+        .limit(1).collect()
+      if (moved.nonEmpty) {
+        val r = moved.head
+        val ex = keys.zipWithIndex
+          .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
+        throw new IllegalStateException(
+          s"GraftDml: MERGE moves key ($ex) from partition " +
+            s"'$pcol=${r.get(keys.length)}' to " +
+            s"'$pcol=${r.get(keys.length + 1)}' — a partition-moving " +
+            "MERGE would leave the stale row in its untouched " +
+            "partition. DELETE the key from its current partition " +
+            "first, then MERGE (or rewrite both partitions with " +
+            "FactVersioned.replacePartitions).")
+      }
+      FactVersioned.upsert(spark, path, updates, keys, pcol,
+        retain = retain)
     } else {
+      FactVersioned.requireKeyUnique(updates, keys, "GraftDml MERGE")
       val current = Versioned.read(spark, path)
       Versioned.commit(
         current.join(updates.select(keys.map(col): _*).distinct(),

@@ -314,13 +314,23 @@ object FactAnnIndex {
       .map(_.getSeq[Double](0).toArray)
   }
 
-  /** PQ codebooks of the live index (m × ksub sub-centroids). */
+  /** PQ codebooks of the live index (m × ksub sub-centroids). An
+    * index written before the PQ tier landed has no `codebooks/`
+    * sidecar (and its `rows/` carry no `pq` column) — detected here so
+    * every consumer (refresh, including [[graft.streaming.FactStreamSink]]'s
+    * per-batch maintenance loop, and the pq query paths) fails with
+    * rebuild guidance instead of a raw parquet path-not-found. */
   private def readCodebooks(
       spark: SparkSession,
       tablePath: String,
       vecCol: String): Array[Array[Array[Double]]] = {
     require(hasIndex(spark, tablePath, vecCol),
       s"FactAnnIndex: no index for $vecCol at $tablePath — writeIndex first")
+    val cb = new Path(indexDir(tablePath, vecCol), "codebooks")
+    require(fsOf(spark, tablePath).exists(cb),
+      s"FactAnnIndex: the index for $vecCol at $tablePath predates the " +
+        "PQ tier (no codebooks/ sidecar) — re-run writeIndex to rebuild " +
+        "it with PQ codes")
     spark.read.parquet(s"${indexDir(tablePath, vecCol)}/codebooks")
       .orderBy("subspace", "code")
       .select("subspace", "centroid").collect()

@@ -570,10 +570,49 @@ object FactVersioned {
     Commit(next, stagedDirs.toIndexedSeq.sorted)
   }
 
+  /** Fail when `updates` carries more than one row per key — the
+    * MERGE-cardinality validation (Postgres: "ON CONFLICT DO UPDATE
+    * command cannot affect row a second time"; Delta: the
+    * multiple-source-matches error). One map-side-combining count over
+    * the updates — noise next to the partition rewrite it guards. */
+  private[graft] def requireKeyUnique(
+      updates: DataFrame, keys: Seq[String], who: String): Unit = {
+    val dupe = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .where(col("__graft_n") > 1)
+      .limit(1).collect()
+    if (dupe.nonEmpty) {
+      val ex = keys.zipWithIndex
+        .map { case (k, i) => s"$k=${dupe.head.get(i)}" }.mkString(", ")
+      throw new IllegalStateException(
+        s"$who: MERGE cardinality violation — updates are not key-unique " +
+          s"on (${keys.mkString(", ")}): key ($ex) has " +
+          s"${dupe.head.getLong(keys.length)} source rows, each of which " +
+          "would modify the same target row. Deduplicate the source " +
+          "first (Upsert.batchWinners newest-wins) or fix the source " +
+          "query.")
+    }
+  }
+
   /** Upsert into the latest generation: touched partitions' new content
     * = current rows whose key has no update + the updates; commits via
     * [[replacePartitions]], so only touched partitions are read
-    * (manifest-pruned) or written. Updates must be key-unique. */
+    * (manifest-pruned) or written.
+    *
+    * Updates must be key-unique — ENFORCED via [[requireKeyUnique]]
+    * (not just documented): two source rows sharing a key would both
+    * survive the anti-join and commit duplicate keys, the silent
+    * corruption Postgres and Delta both reject. Dedup deliberately
+    * first ([[Upsert.batchWinners]] newest-wins) when the source
+    * carries versions.
+    *
+    * Keys are assumed partition-stable: an update row whose key
+    * currently lives in a DIFFERENT (hence untouched) partition does
+    * not remove that old row — the commit only rewrites the updates'
+    * own partitions. Partition-moving changes must be an explicit
+    * DELETE (old partition) + upsert, or a [[replacePartitions]] over
+    * both partitions. [[graft.catalog.GraftDml]]'s SQL MERGE detects
+    * and rejects this shape. */
   def upsert(
       spark: SparkSession,
       tablePath: String,
@@ -590,6 +629,7 @@ object FactVersioned {
     require(touchedRows.length <= maxTouchedPartitions,
       s"upsert touches more than $maxTouchedPartitions partitions — " +
         "this is a rewrite, not an incremental commit")
+    requireKeyUnique(updates, keys, "FactVersioned.upsert")
     val touched = touchedRows.map(_.get(0)).toIndexedSeq
     val gens = generations(spark, tablePath)
     if (gens.isEmpty)
@@ -736,6 +776,7 @@ object FactVersioned {
       .limit(maxTouchedPartitions + 1).collect()
     require(touchedRows.length <= maxTouchedPartitions,
       s"upsertEvolve touches more than $maxTouchedPartitions partitions")
+    requireKeyUnique(updates, keys, "FactVersioned.upsertEvolve")
     val touched = touchedRows.map(_.get(0)).toIndexedSeq
     val basis = gens.max
     val touchedDirs =

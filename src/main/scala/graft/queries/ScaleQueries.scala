@@ -714,6 +714,105 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL MERGE invariants (VERDICT r10 "What's wrong" #1 + ADVICE
+    // #1/#2): the two doors through which a keyed table could reach
+    // duplicate keys are both closed LOUDLY, before anything commits —
+    //  (a) a dup-keyed source (Postgres "cannot affect row a second
+    //      time" / Delta multiple-source-matches posture) errors with
+    //      a MERGE-cardinality message;
+    //  (b) a source row that moves an existing key to a different
+    //      partition (which would leave the stale row in its untouched
+    //      partition — two rows, one key) errors with delete+insert
+    //      guidance.
+    // In-gate: both rejections name their cause and commit NOTHING
+    // (generations unchanged); a key-unique, partition-stable MERGE
+    // then commits normally and the head is value-gated against the
+    // DuckDB CASE mirror.
+    "q139_sql_merge_cardinality" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q139_").toString
+      val path = s"$wh/orders_k"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      def messagesOf(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      // (a) duplicate source keys
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW k_dup AS
+          |SELECT o_orderkey, 'A' AS o_orderstatus, o_totalprice, p_year,
+          |  CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT o_orderkey, 'B', o_totalprice * 2, p_year,
+          |  CAST(NULL AS BIGINT)
+          |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |""".stripMargin)
+      val dupErr =
+        try {
+          s.sql(
+            """MERGE INTO graft.orders_k AS t USING k_dup AS src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ""
+        } catch { case e: Throwable => messagesOf(e) }
+      require(dupErr.contains("cardinality violation"),
+        s"q139: a dup-keyed MERGE source must fail with the " +
+          s"MERGE-cardinality message, got: $dupErr")
+      require(FactVersioned.generations(s, path) == Seq(0L),
+        "q139: the rejected dup-key MERGE must not commit")
+      // (b) partition-moving source: existing 1995 even keys re-labeled
+      // into 1994 — the stale-row hole
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW k_move AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  1994 AS p_year, CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |""".stripMargin)
+      val moveErr =
+        try {
+          s.sql(
+            """MERGE INTO graft.orders_k AS t USING k_move AS src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ""
+        } catch { case e: Throwable => messagesOf(e) }
+      require(moveErr.contains("partition-moving"),
+        s"q139: a partition-moving MERGE must fail loudly, got: $moveErr")
+      require(FactVersioned.generations(s, path) == Seq(0L),
+        "q139: the rejected partition-moving MERGE must not commit")
+      // a key-unique, partition-stable merge commits normally
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW k_ok AS
+          |SELECT o_orderkey, 'W' AS o_orderstatus,
+          |  o_totalprice * 3 AS o_totalprice, p_year,
+          |  CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_k AS t USING k_ok AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q139: the valid MERGE must commit exactly one generation")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_k""".stripMargin)
+        .localCheckpoint()
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1168,6 +1267,16 @@ object ScaleQueries extends QueryPack {
     "q137_sql_ctas" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1""".stripMargin,
+    // CASE mirror of the one merge that was allowed to commit (the
+    // dup-keyed and partition-moving sources were rejected pre-commit,
+    // so they leave no trace in the head)
+    "q139_sql_merge_cardinality" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,

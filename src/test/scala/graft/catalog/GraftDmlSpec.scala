@@ -221,4 +221,92 @@ class GraftDmlSpec extends SparkSpec {
     assert(Versioned.read(s, path).where(col("k") === 10)
       .select("name").as[String].head() == "n10!")
   }
+
+  private def messagesOf(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("MERGE with duplicate source keys fails with the cardinality " +
+      "message and commits nothing (fact and dim doors both closed)") {
+    val (s, wh, path) = freshTable()
+    // two source rows per key, same partition — would both survive the
+    // anti-join and land duplicate keys if unchecked
+    s.range(0, 5).selectExpr("id * 3 + 3 AS k", "0 AS p", "id AS v",
+        "CAST(NULL AS BIGINT) AS vgen")
+      .unionAll(s.range(0, 5).selectExpr("id * 3 + 3 AS k", "0 AS p",
+        "id + 500 AS v", "CAST(NULL AS BIGINT) AS vgen"))
+      .createOrReplaceTempView("dup_src")
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t t USING dup_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(messagesOf(e).contains("cardinality violation"), messagesOf(e))
+    assert(FactVersioned.generations(s, path) == Seq(0L),
+      "a rejected MERGE must not commit")
+    // dim door: same source shape over a full-copy table
+    val dimPath = s"$wh/ddup"
+    Versioned.commit((1 to 10).map(i => (i.toLong, s"n$i")).toDF("k", "name"),
+      dimPath)
+    s.createDataset(Seq((5L, "a"), (5L, "b"))).toDF("k", "name")
+      .createOrReplaceTempView("dup_dim_src")
+    val e2 = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.ddup t USING dup_dim_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(messagesOf(e2).contains("cardinality violation"), messagesOf(e2))
+    assert(Versioned.generations(s, dimPath).length == 1,
+      "a rejected dim MERGE must not commit")
+  }
+
+  test("a keyed fact table cannot reach duplicate keys through the " +
+      "operator door either: upsert and upsertEvolve enforce " +
+      "key-uniqueness") {
+    val wh = Files.createTempDirectory("graft_dml_dupop_").toString
+    val path = s"$wh/t"
+    FactVersioned.upsert(spark,
+      path, (1 to 9).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "p", "v"),
+      Seq("k"), "p")
+    val dup = Seq((3L, 0, 1L), (3L, 0, 2L)).toDF("k", "p", "v")
+    val e = intercept[IllegalStateException] {
+      FactVersioned.upsert(spark, path, dup, Seq("k"), "p")
+    }
+    assert(e.getMessage.contains("cardinality violation"))
+    val e2 = intercept[IllegalStateException] {
+      FactVersioned.upsertEvolve(spark, path, dup, Seq("k"), "p")
+    }
+    assert(e2.getMessage.contains("cardinality violation"))
+    assert(FactVersioned.generations(spark, path) == Seq(0L))
+  }
+
+  test("a partition-moving MERGE source is rejected loudly and " +
+      "commits nothing (the stale-row hole)") {
+    val (s, _, path) = freshTable()
+    // key 3 lives in p=0; the source re-assigns it to p=1 — upsert
+    // would insert (3, p=1) while leaving (3, p=0) stale
+    s.createDataset(Seq((3L, 1, 999L))).toDF("k", "p", "v")
+      .withColumn("vgen", lit(null).cast("bigint"))
+      .createOrReplaceTempView("move_src")
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t t USING move_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(messagesOf(e).contains("partition-moving"), messagesOf(e))
+    assert(FactVersioned.generations(s, path) == Seq(0L),
+      "a rejected partition-moving MERGE must not commit")
+    // a NEW key landing in any partition is not a move — still accepted
+    s.createDataset(Seq((500L, 1, 1L))).toDF("k", "p", "v")
+      .withColumn("vgen", lit(null).cast("bigint"))
+      .createOrReplaceTempView("new_src")
+    s.sql(
+      """MERGE INTO g.t t USING new_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+  }
 }
