@@ -81,9 +81,14 @@ object GraftDml {
   }
 
   /** Register on a SparkSessionExtensions (config-time entry —
-    * composed into [[graft.GraftExtensions]]). */
-  def install(ext: SparkSessionExtensions): Unit =
+    * composed into [[graft.GraftExtensions]]). Installs the DML
+    * resolution rule AND the maintenance-statement parser
+    * ([[GraftSqlParser]]: OPTIMIZE / VACUUM / DESCRIBE HISTORY) — the
+    * full SQL write-and-lifecycle surface turns on together. */
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => GraftDmlRule(s))
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 
   /** The writable graft table under alias wrappers, with its relation. */
   private[catalog] def graftTarget(

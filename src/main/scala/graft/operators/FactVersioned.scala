@@ -216,6 +216,42 @@ object FactVersioned {
     }
   }
 
+  /** A committed generation's declared touched-dir set (Hive
+    * `pcol=value` names, sorted) — the conflict-detection record,
+    * surfaced publicly for `DESCRIBE HISTORY`. */
+  def touchedPartitions(
+      spark: SparkSession, tablePath: String, gen: Long): Seq[String] =
+    readTouched(spark, tablePath, gen).toSeq.sorted
+
+  /** A generation's partition dirs (Hive `pcol=value` names) from its
+    * manifest — metadata-scale (one manifest read, no data scan). */
+  def partitionDirs(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long] = None): Seq[String] = {
+    val g = resolveGen(spark, tablePath, gen)
+    spark.read.parquet(manifestDir(tablePath, g).toString)
+      .select("dir").distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Expire generation metadata beyond `retain` and GC data files no
+    * retained manifest references — the lakehouse `VACUUM`, exposing
+    * the retention sweep every commit already runs for on-demand
+    * maintenance (the SQL `VACUUM` statement routes here). In-flight
+    * claimed generations are never touched. Returns the expired
+    * generation numbers, ascending. */
+  def vacuum(
+      spark: SparkSession, tablePath: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, "vacuum must retain at least the head generation")
+    val committed = generations(spark, tablePath)
+    require(committed.nonEmpty,
+      s"FactVersioned.vacuum: no committed generations at $tablePath")
+    val floor = committed.takeRight(retain).head
+    val dropped = committed.filter(_ < floor)
+    retentionSweep(spark, tablePath, retain, committed.max)
+    dropped
+  }
+
   /** A committed generation's physical handle: (absolute data-file
     * paths, pinned schema WITHOUT [[VGenCol]], data-root path for
     * `basePath`-style partition discovery). The SQL catalog surface

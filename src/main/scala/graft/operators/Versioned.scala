@@ -123,6 +123,13 @@ object Versioned {
     // concurrent writer's claimed dir (younger than StaleClaimMs)
     val committed = generations(spark, tablePath)
     val floor = committed.takeRight(retain).headOption.getOrElse(next)
+    sweepBelow(fs, root, floor)
+    Commit(next, dir.toString)
+  }
+
+  /** Delete every `gen=` dir below `floor` except in-flight claims. */
+  private def sweepBelow(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, floor: Long): Unit =
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("gen=")) // NEVER delete foreign dirs
       .foreach { p =>
@@ -137,7 +144,24 @@ object Versioned {
           }
         }
       }
-    Commit(next, dir.toString)
+
+  /** Expire generations beyond `retain` — the retention sweep every
+    * [[commit]] already runs, exposed for on-demand maintenance (the
+    * SQL `VACUUM` statement routes here; full-copy generations ARE
+    * their data, so expiring the metadata dir reclaims the bytes).
+    * Returns the expired generation numbers, ascending. */
+  def vacuum(
+      spark: SparkSession, tablePath: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, "vacuum must retain at least the head generation")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = generations(spark, tablePath)
+    require(committed.nonEmpty,
+      s"Versioned.vacuum: no committed generations at $tablePath")
+    val floor = committed.takeRight(retain).head
+    val dropped = committed.filter(_ < floor)
+    sweepBelow(fs, root, floor)
+    dropped
   }
 
   /** (generation, commit-marker mtime millis) per committed generation,

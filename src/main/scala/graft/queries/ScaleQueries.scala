@@ -813,6 +813,128 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL maintenance surface, part 1 (VERDICT r10 Next #2): DESCRIBE
+    // HISTORY surfaces the commit log (generations newest-first,
+    // declared touched partitions — the conflict-detection record) and
+    // OPTIMIZE ... ZORDER BY commits a CONTENT-PRESERVING re-clustered
+    // generation through FactVersioned.compactPartitions. In-gate:
+    // history matches the store's own generations/touched records;
+    // OPTIMIZE adds exactly one generation, preserves the head content
+    // (count + checksum-by-sum), and time travel to the pre-compaction
+    // generation still answers. Output: the optimized head, value-gated
+    // against the DuckDB CASE mirror — proving the rewrite changed
+    // LAYOUT, not content.
+    "q140_sql_optimize" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q140_").toString
+      val path = s"$wh/orders_o"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val upd = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("Z"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      FactVersioned.upsert(s0, path, upd, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val hist = s.sql("DESCRIBE HISTORY graft.orders_o").collect()
+      require(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L),
+        "q140: DESCRIBE HISTORY must list generations newest-first")
+      require(hist.head.getSeq[String](2).toSet == Set("p_year=1995"),
+        "q140: the upsert generation's touched set must be its one " +
+          s"partition, got ${hist.head.getSeq[String](2)}")
+      require(hist.last.getSeq[String](2).toSet ==
+        FactVersioned.touchedPartitions(s, path, 0L).toSet,
+        "q140: history touched must match the store record")
+      val preCount = FactVersioned.read(s, path).count()
+      val preSum = FactVersioned.read(s, path)
+        .agg(sum(col("o_orderkey") * col("o_totalprice"))).head.getDouble(0)
+      val rep = s.sql(
+        "OPTIMIZE graft.orders_o ZORDER BY (o_custkey, o_orderkey)")
+        .collect()
+      require(rep.length == 1 && rep.head.getLong(0) == 2L,
+        "q140: OPTIMIZE must commit exactly generation 2")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+        "q140: OPTIMIZE must add one generation and expire nothing " +
+          "(depth-preserving retention)")
+      require(FactVersioned.read(s, path).count() == preCount,
+        "q140: OPTIMIZE must preserve the row count")
+      val postSum = FactVersioned.read(s, path)
+        .agg(sum(col("o_orderkey") * col("o_totalprice"))).head.getDouble(0)
+      require(math.abs(postSum - preSum) <= math.abs(preSum) * 1e-12,
+        "q140: OPTIMIZE must preserve content")
+      require(FactVersioned.read(s, path, Some(1L)).count() == preCount,
+        "q140: the pre-compaction generation must still time-travel")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_o""".stripMargin)
+        .localCheckpoint()
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // SQL maintenance surface, part 2: VACUUM expires generations
+    // beyond the declared window and GCs EXACTLY the data files no
+    // retained manifest references — asserted at the file-system
+    // level: the superseded 1995/1996 subtrees of vgen=0 are gone,
+    // while vgen=0 files the head still references (every other year)
+    // survive untouched (shared-file GC precision). Time travel to the
+    // expired generations fails loudly; the head keeps answering.
+    "q141_sql_vacuum" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q141_").toString
+      val path = s"$wh/orders_v"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val u1 = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("V1"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      FactVersioned.upsert(s0, path, u1, Seq("o_orderkey"), "p_year")
+      val u2 = o.where(col("p_year") === 1996 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("V2"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      FactVersioned.upsert(s0, path, u2, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val dropped = s.sql("VACUUM graft.orders_v RETAIN 1 GENERATIONS")
+        .collect().map(_.getLong(0)).toSeq
+      require(dropped == Seq(0L, 1L),
+        s"q141: VACUUM must report the expired generations, got $dropped")
+      require(FactVersioned.generations(s, path) == Seq(2L),
+        "q141: only the head generation survives RETAIN 1")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def exists(rel: String) = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/$rel"))
+      require(!exists(s"${FactVersioned.VGenCol}=0/p_year=1995") &&
+        !exists(s"${FactVersioned.VGenCol}=0/p_year=1996"),
+        "q141: superseded vgen=0 subtrees must be GC'd")
+      require(exists(s"${FactVersioned.VGenCol}=0/p_year=1997"),
+        "q141: vgen=0 files the head still references must survive")
+      // gen1's 1995 rewrite is CARRIED by the head manifest (1996 was
+      // gen2's only touched dir) — expiring gen1's METADATA must not
+      // GC data files the head still shares
+      require(exists(s"${FactVersioned.VGenCol}=1/p_year=1995"),
+        "q141: carried vgen=1 files the head references must survive")
+      val err = try { FactVersioned.read(s, path, Some(0L)).count(); "" }
+        catch { case e: Exception => Option(e.getMessage).getOrElse("?") }
+      require(err.nonEmpty,
+        "q141: time travel to an expired generation must fail loudly")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_v""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1275,6 +1397,28 @@ object ScaleQueries extends QueryPack {
         |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
         |       THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+    // the optimized head ≡ the upserted content (OPTIMIZE rewrites
+    // layout, never content)
+    "q140_sql_optimize" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+    // the vacuumed head ≡ the fully upserted content (VACUUM reclaims
+    // history, never the head)
+    "q141_sql_vacuum" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'V1'
+        |       WHEN year(o_orderdate) = 1996 AND o_orderkey % 2 = 0
+        |       THEN 'V2' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2
+        |       WHEN year(o_orderdate) = 1996 AND o_orderkey % 2 = 0
         |       THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
     // CASE mirror of the conditional update
