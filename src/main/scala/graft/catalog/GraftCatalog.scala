@@ -304,8 +304,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       pcol, () => retainFor(path))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly()
+  /** `ALTER TABLE ... ADD COLUMN(S)` — the one schema change with an
+    * additive, metadata-scale commit shape: fact tables route to
+    * [[FactVersioned.addColumns]] (a new generation pinning the
+    * widened schema, every parent file carried verbatim — no data
+    * rewrite), dimensions commit a fresh full-copy generation with the
+    * new null columns (the full-copy posture). Earlier generations
+    * keep their own schemas — `VERSION AS OF` reads both sides of the
+    * evolution; later DML sees the widened schema. Everything else
+    * (drop/rename/retype, nested fields, positioned or defaulted adds)
+    * is rejected: those rewrite data or break carried-file reads. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "GraftCatalog: ADD COLUMN of a nested field is not supported " +
+            s"(got ${a.fieldNames.mkString(".")})")
+        require(a.isNullable,
+          s"GraftCatalog: added column '${a.fieldNames.head}' must be " +
+            "nullable — existing files have no values for it")
+        require(a.position() == null,
+          "GraftCatalog: ADD COLUMN FIRST/AFTER is not supported — " +
+            "columns append (carried files null-fill by NAME)")
+        require(a.defaultValue() == null,
+          "GraftCatalog: ADD COLUMN DEFAULT is not supported — carried " +
+            "rows would need a data rewrite to hold the default")
+        StructType(Seq()).add(a.fieldNames.head, a.dataType,
+          nullable = true).fields.head
+      case other => throw new UnsupportedOperationException(
+        "GraftCatalog: only ALTER TABLE ADD COLUMN(S) is supported " +
+          s"(additive evolution); got $other — drops/renames/retypes " +
+          "rewrite data and keep their explicit operator surfaces")
+    }
+    if (FactVersioned.generations(spark, path).nonEmpty)
+      FactVersioned.addColumns(spark, path, fields, retain = retainFor(path))
+    else if (Versioned.generations(spark, path).nonEmpty) {
+      val cur = Versioned.read(spark, path)
+      fields.foreach { f =>
+        require(!cur.columns.exists(_.equalsIgnoreCase(f.name)),
+          s"GraftCatalog: column '${f.name}' already exists")
+      }
+      val widened = fields.foldLeft(cur)((df, f) =>
+        df.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      Versioned.commit(widened, path, retain = retainFor(path))
+    } else throw new NoSuchTableException(ident)
+    loadTable(ident)
+  }
 
   /** Droppable ONLY while pending (Spark's CTAS cleanup path after a
     * failed write). Committed tables keep the DDL rejection — dropping

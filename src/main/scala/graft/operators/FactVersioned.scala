@@ -3,9 +3,9 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Time travel for PARTITIONED fact tables: a generation is a MANIFEST
   * of (partition dir → file list), and a commit writes only the
@@ -821,6 +821,46 @@ object FactVersioned {
     replacePartitions(spark, tablePath,
       Upsert.upsertEvolve(current, updates, keys),
       partitionCol, touched, retain, basisGen = Some(basis))
+  }
+
+  /** Commit a new generation whose pinned schema is widened by `added`
+    * (nullable, appended) columns with NO data rewrite — pure
+    * metadata-scale additive evolution (`ALTER TABLE ADD COLUMN`): the
+    * new manifest carries EVERY parent file verbatim (touched set
+    * empty), and reads under the widened pinned schema null-fill the
+    * added columns (Spark's absent-parquet-column semantics, the same
+    * contract [[upsertEvolve]]'s carried partitions rely on). Earlier
+    * generations keep their own pinned schemas — `VERSION AS OF` reads
+    * both sides of the evolution. At 100 TB this commit costs one
+    * manifest copy + marker, independent of table size. */
+  def addColumns(
+      spark: SparkSession,
+      tablePath: String,
+      added: Seq[StructField],
+      retain: Int = 3): Commit = {
+    require(added.nonEmpty, "addColumns: no columns given")
+    added.foreach { f =>
+      require(f.nullable,
+        s"addColumns: '${f.name}' must be nullable — carried files have " +
+          "no values for it (additive evolution null-fills)")
+      require(!f.name.equalsIgnoreCase(VGenCol),
+        s"column name $VGenCol is reserved by FactVersioned")
+    }
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"addColumns: no committed generations at " +
+      s"$tablePath — create the table first")
+    val head = gens.max
+    val (_, schema, _) = generationHandle(spark, tablePath, Some(head))
+    added.foreach { f =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"addColumns: column '${f.name}' already exists")
+    }
+    val widened = added.foldLeft(schema)(_ add _)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], widened)
+    replacePartitions(spark, tablePath, empty,
+      partitionColumn(spark, tablePath), Nil, retain,
+      basisGen = Some(head))
   }
 
   /** Expire old generations' metadata, then GC data files no retained

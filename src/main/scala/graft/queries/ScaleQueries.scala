@@ -935,6 +935,56 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL schema evolution (VERDICT r10 Next #3): ALTER TABLE ADD
+    // COLUMN routes to FactVersioned.addColumns — a METADATA-SCALE
+    // commit (every parent file carried verbatim, zero data staged —
+    // asserted on disk) pinning the widened schema; VERSION AS OF the
+    // pre-evolution generation still reads the narrow schema, and
+    // follow-up DML sees (and fills) the new column. Output: the
+    // widened head — old rows null-filled, inserted rows carrying
+    // values — value-gated against the DuckDB mirror.
+    "q142_sql_alter_add_column" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q142_").toString
+      val path = s"$wh/orders_a"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql("ALTER TABLE graft.orders_a ADD COLUMN o_note STRING")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q142: ADD COLUMN must commit exactly one generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vdir = new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")
+      require(!fs.exists(vdir) ||
+        fs.listStatus(vdir).forall(!_.isDirectory),
+        "q142: ADD COLUMN must stage ZERO data files (metadata-scale)")
+      require(!s.sql("SELECT * FROM graft.orders_a VERSION AS OF 0")
+        .columns.contains("o_note"),
+        "q142: the pre-evolution generation must keep its own schema")
+      s.sql(
+        """INSERT INTO graft.orders_a BY NAME
+          |SELECT o_orderkey + 10000000 AS o_orderkey, 'E' AS o_orderstatus,
+          |  o_totalprice, p_year, 'NEW' AS o_note,
+          |  CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_a
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |  AND o_orderkey < 10000000""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+        "q142: the INSERT after evolution must commit generation 2")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, o_note
+          |FROM graft.orders_a""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1421,6 +1471,16 @@ object ScaleQueries extends QueryPack {
         |       WHEN year(o_orderdate) = 1996 AND o_orderkey % 2 = 0
         |       THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // old rows null-fill the evolved column; the post-evolution INSERT
+    // carries values
+    "q142_sql_alter_add_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_note
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'E', o_totalprice, 'NEW'
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,

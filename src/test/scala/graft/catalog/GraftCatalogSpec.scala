@@ -159,14 +159,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("pending"), e.getMessage)
     spark.sql("DROP TABLE graftt.t2")
     assert(!new java.io.File(s"$root/t2").exists())
-    // mutation DDL on real tables still rejected
+    // mutation DDL on real tables still rejected (ADD COLUMN is the
+    // one allowed change — additive evolution, tested separately)
     Versioned.commit(dim(5), s"$root/dt")
     intercept[Exception] {
-      spark.sql("ALTER TABLE graftt.dt ADD COLUMN z INT").collect()
+      spark.sql("ALTER TABLE graftt.dt DROP COLUMN v").collect()
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftt.dt RENAME COLUMN name TO nm").collect()
     }
     intercept[Exception] {
       spark.sql("DROP TABLE graftt.dt").collect()
     }
+  }
+
+  test("ALTER TABLE ADD COLUMN widens the pinned schema with no data " +
+      "rewrite; old generations keep their schema; new DML sees it") {
+    val root = Files.createTempDirectory("graft_cat_alter_").toString
+    val path = s"$root/fa"
+    val f0 = (1 to 30).map(i => (i.toLong, i % 3, i * 1.5)).toDF("k", "p", "x")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    register(root)
+    spark.sql("ALTER TABLE graftt.fa ADD COLUMN note STRING")
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+    // metadata-scale: the evolution generation staged NO data files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdir = new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")
+    assert(!fs.exists(vdir) ||
+      fs.listStatus(vdir).forall(!_.isDirectory),
+      "ADD COLUMN must not rewrite data")
+    // head reads null-filled; VERSION AS OF 0 keeps the narrow schema
+    val head = spark.sql("SELECT k, note FROM graftt.fa")
+    assert(head.count() == 30 &&
+      head.where(col("note").isNotNull).count() == 0)
+    assert(!spark.sql("SELECT * FROM graftt.fa VERSION AS OF 0")
+      .columns.contains("note"))
+    // new writes see the widened schema
+    spark.sql(
+      """INSERT INTO graftt.fa BY NAME
+        |SELECT 100L AS k, 0 AS p, 9.0 AS x, 'hello' AS note,
+        |  CAST(NULL AS BIGINT) AS vgen""".stripMargin)
+    assert(spark.sql(
+        "SELECT note FROM graftt.fa WHERE k = 100").collect()
+      .head.getString(0) == "hello")
+    // rejected shapes: duplicate, non-appended, dim nested
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftt.fa ADD COLUMN note STRING").collect()
+    }
+    // dimensions evolve by full-copy commit
+    Versioned.commit(dim(5), s"$root/da")
+    spark.sql("ALTER TABLE graftt.da ADD COLUMN z INT")
+    assert(Versioned.generations(spark, s"$root/da") == Seq(0L, 1L))
+    assert(spark.sql("SELECT z FROM graftt.da")
+      .collect().forall(_.isNullAt(0)))
+    assert(!spark.sql("SELECT * FROM graftt.da VERSION AS OF 0")
+      .columns.contains("z"))
   }
 
   test("INSERT INTO a fact table appends through FactVersioned.append: " +
