@@ -141,28 +141,26 @@ object GraftDml {
     }
   }
 
-  /** The per-column update expressions of the canonical upsert shape:
-    * star actions resolve each target column to the same-named source
-    * attribute; explicit assignments must agree between UPDATE and
-    * INSERT per column (canonicalized) — otherwise the statement is
-    * not an upsert. `vgen` (commit-assigned provenance) is skipped. */
-  private[catalog] def upsertColumns(
+  /** The merge's validated clause program. Each WHEN clause becomes
+    * (condition, assignments): star actions resolve each target column
+    * to the same-named source attribute; explicit assignments must
+    * cover every data column; DELETE clauses carry no assignments.
+    * `vgen` (commit-assigned provenance) is skipped everywhere.
+    *
+    * Clause conditions may reference SOURCE columns only (`WHEN
+    * MATCHED AND src.op = 'D' THEN DELETE` — the CDC-apply shape):
+    * routing is then decided per SOURCE row, which is what keeps the
+    * commit ∝ touched partitions (a target-referencing condition would
+    * make every target row's fate data-dependent — a whole-table
+    * rewrite shape; the operator API covers it). */
+  private[catalog] def mergeProgram(
       m: MergeIntoTable,
       target: DataSourceV2Relation,
-      source: LogicalPlan): Seq[(String, Expression)] = {
+      source: LogicalPlan): MergeProgram = {
     if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not an upsert — use " +
-        "the operator API (FactVersioned.replacePartitions) instead")
-    def assignMap(a: MergeAction): Option[Map[String, Expression]] = a match {
-      case u: UpdateAction if u.condition.isEmpty =>
-        Some(u.assignments.map(asg => nameOf(asg) -> asg.value).toMap)
-      case i: InsertAction if i.condition.isEmpty =>
-        Some(i.assignments.map(asg => nameOf(asg) -> asg.value).toMap)
-      case UpdateStarAction(None) | InsertStarAction(None) => None
-      case other => unsupported(
-        s"only unconditional UPDATE SET * / INSERT * (or all-column " +
-          s"assignments) are supported; got: $other")
-    }
+      unsupported("WHEN NOT MATCHED BY SOURCE rewrites target rows the " +
+        "source never names (whole-table shape) — use the operator API " +
+        "(FactVersioned.replacePartitions) instead")
     def nameOf(asg: Assignment): String = asg.key match {
       case a: AttributeReference => a.name.toLowerCase
       case other => unsupported(s"cannot assign to ${other.sql}")
@@ -179,32 +177,60 @@ object GraftDml {
       }
       tc.name -> (src: Expression)
     }
-    require(m.matchedActions.length == 1 && m.notMatchedActions.length == 1,
-      "GraftDml: MERGE must have exactly one WHEN MATCHED THEN UPDATE " +
-        "and one WHEN NOT MATCHED THEN INSERT action (the upsert shape)")
-    (assignMap(m.matchedActions.head), assignMap(m.notMatchedActions.head))
-      match {
-      case (None, None) => resolveStar()
-      case (up, ins) =>
-        val u = up.getOrElse(resolveStar().map {
-          case (n, e) => n.toLowerCase -> e }.toMap)
-        val i = ins.getOrElse(resolveStar().map {
-          case (n, e) => n.toLowerCase -> e }.toMap)
-        dataCols.map { tc =>
-          val n = tc.name.toLowerCase
-          (u.get(n), i.get(n)) match {
-            case (Some(ue), Some(ie))
-                if ue.canonicalized == ie.canonicalized => tc.name -> ue
-            case (Some(_), Some(_)) => unsupported(
-              s"UPDATE and INSERT assign different expressions to " +
-                s"'${tc.name}' — not an upsert; use the operator API")
-            case _ => unsupported(
-              s"MERGE must assign every column; '${tc.name}' is missing")
-          }
+    def explicit(assignments: Seq[Assignment]): Seq[(String, Expression)] = {
+      val byName = assignments.map(asg => nameOf(asg) -> asg.value).toMap
+      dataCols.map { tc =>
+        byName.get(tc.name.toLowerCase) match {
+          case Some(e) => tc.name -> e
+          case None => unsupported(
+            s"MERGE must assign every column; '${tc.name}' is missing")
         }
+      }
     }
+    def sourceOnly(
+        c: Option[Expression], clause: String): Option[Expression] = {
+      c.foreach { e =>
+        val foreign = e.references.filterNot(source.outputSet.contains)
+        if (foreign.nonEmpty) unsupported(
+          s"$clause condition may reference SOURCE columns only " +
+            "(per-source-row routing keeps the commit ∝ touched " +
+            s"partitions); got: ${foreign.map(_.name).mkString(", ")}")
+      }
+      c
+    }
+    val matched = m.matchedActions.map {
+      case u: UpdateAction =>
+        (sourceOnly(u.condition, "WHEN MATCHED"), Some(explicit(u.assignments)))
+      case UpdateStarAction(cond) =>
+        (sourceOnly(cond, "WHEN MATCHED"), Some(resolveStar()))
+      case org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond) =>
+        (sourceOnly(cond, "WHEN MATCHED ... DELETE"),
+          None: Option[Seq[(String, Expression)]])
+      case other => unsupported(s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case i: InsertAction =>
+        (sourceOnly(i.condition, "WHEN NOT MATCHED"), explicit(i.assignments))
+      case InsertStarAction(cond) =>
+        (sourceOnly(cond, "WHEN NOT MATCHED"), resolveStar())
+      case other => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "GraftDml: MERGE needs at least one WHEN clause")
+    new MergeProgram(matched, notMatched)
   }
 }
+
+/** A merge's validated clause program — opaque (like
+  * [[AnalyzedCondition]]) so checkAnalysis never traverses the
+  * already-resolved expressions. Matched clauses: (source-only
+  * condition, Some(assignments) = UPDATE / None = DELETE), applied
+  * first-match-wins in statement order; not-matched clauses:
+  * (condition, insert assignments), same ordering. */
+final class MergeProgram(
+    val matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+    val notMatched: Seq[(Option[Expression], Seq[(String, Expression)])])
+  extends Serializable
 
 /** Opaque wrapper keeping an already-analyzed expression OUT of the
   * command plan's expression traversal: checkAnalysis restricts where
@@ -272,59 +298,129 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some((rel, table)) =>
             val keys = keysOf(m.mergeCondition, rel, m.sourceTable)
             require(keys.nonEmpty, "GraftDml: MERGE ON yielded no keys")
-            val cols = upsertColumns(m, rel, m.sourceTable)
-            GraftMergeCommand(m.sourceTable,
-              new AnalyzedColumns(cols), keys,
+            val program = mergeProgram(m, rel, m.sourceTable)
+            GraftMergeCommand(m.sourceTable, program, keys,
               table.graftTablePath,
-              table.isInstanceOf[WritableFactTable], table.retentionForDml)
+              basisGenOf(table), table.retentionForDml)
           case None => m
         }
     }
 }
 
-/** `MERGE INTO` as an upsert through the store committer. The update
-  * frame is the source projected through the validated per-column
-  * expressions; fact tables commit ∝ touched partitions via
-  * [[FactVersioned.upsert]], dimension tables commit a fresh full-copy
-  * generation (current rows whose key has no update + updates).
+/** `MERGE INTO` through the store committer, evaluating the validated
+  * clause program per SOURCE row (conditions are source-only, enforced
+  * at resolution):
+  *
+  *  1. the source's keys are probed against the target's (keys, pcol)
+  *     projection — column-pruned, with the source's distinct keys
+  *     broadcast against it (Delta pays an analogous full target join
+  *     inside every MERGE; same cost class, paid only on this door);
+  *  2. each source row routes to its first true clause — matched rows
+  *     walk the WHEN MATCHED clauses (UPDATE projects the row through
+  *     that clause's assignments; DELETE records the key), unmatched
+  *     rows walk the WHEN NOT MATCHED inserts; rows matching no clause
+  *     are no-ops (their target rows carry over verbatim);
+  *  3. one commit rewrites exactly the touched partitions: current
+  *     rows minus updated/deleted keys, plus the projected updates and
+  *     inserts. Deleted rows' partitions come from the TARGET's
+  *     partition value (authoritative — a delete needs no source
+  *     pcol); fact commits pin the resolution-time basis so foreign
+  *     commits conflict instead of silently losing.
   *
   * Two SQL-MERGE invariants are enforced before anything commits:
-  *  - cardinality — a source with >1 row per key errors (Postgres/
-  *    Delta posture; the fact path's [[FactVersioned.upsert]] enforces
-  *    it natively, the dim path checks here);
-  *  - partition stability — a source row whose key EXISTS in the
-  *    target but carries a different partition-column value would
-  *    leave the stale target row in its (untouched) partition and
-  *    commit two rows for one key; detected by joining the source
-  *    against the target's (keys, pcol) projection — column-pruned,
-  *    with the (bounded, ≤10000-partition) source broadcast against
-  *    it — and rejected with delete+insert guidance. Delta pays an
-  *    analogous full target join inside every MERGE; this is the same
-  *    cost class, paid only on the SQL door. */
+  *  - cardinality — a source with >1 row per key errors (Postgres /
+  *    Delta posture); sequenced changelogs must be newest-wins
+  *    deduplicated first ([[graft.operators.Upsert.batchWinners]]);
+  *  - partition stability — an UPDATE-routed source row whose key
+  *    lives in a different target partition would strand the stale
+  *    row there; rejected with delete+insert guidance. */
 case class GraftMergeCommand(
     source: LogicalPlan,
-    cols: AnalyzedColumns,
+    program: MergeProgram,
     keys: Seq[String],
     path: String,
-    isFact: Boolean,
+    basisGen: Option[Long], // Some(resolved head) = fact; None = dim
     retain: Int) extends LeafRunnableCommand {
+  private def isFact: Boolean = basisGen.isDefined
+  private val MatchFlag = "__graft_m"
+  private val TargetP = "__graft_tp"
+
+  private def condCol(c: Option[Expression]): Column =
+    c.map(GraftColumnBridge.column).getOrElse(lit(true))
+
+  private def project(
+      df: DataFrame, assigns: Seq[(String, Expression)]): DataFrame =
+    df.select(assigns.map { case (n, e) =>
+      GraftColumnBridge.column(e).as(n) }: _*)
+
+  /** Route `enriched` (source + match flag/target partition) through
+    * the program: (update/insert frames, delete rows with their
+    * target partition). First-match-wins with SQL 3VL (a NULL
+    * condition routes past the clause). `onUpdateHit` sees each UPDATE
+    * clause's routed rows BEFORE projection (the fact path's
+    * partition-stability check). */
+  private def route(
+      enriched: DataFrame,
+      onUpdateHit: (DataFrame, Seq[(String, Expression)]) => Unit =
+        (_, _) => ())
+      : (Seq[DataFrame], Seq[DataFrame], Option[DataFrame]) = {
+    val isMatched = col(MatchFlag) === 1
+    var skip: Column = lit(true)
+    val updates = Seq.newBuilder[DataFrame]
+    var deletes: Option[DataFrame] = None
+    program.matched.foreach { case (c, assigns) =>
+      val cc = coalesce(condCol(c), lit(false))
+      val hit = enriched.where(isMatched && skip && cc)
+      assigns match {
+        case Some(a) =>
+          onUpdateHit(hit, a)
+          updates += project(hit, a)
+        case None =>
+          val d = hit.select(keys.map(col) :+ col(TargetP): _*)
+          deletes = Some(deletes.map(_.unionByName(d)).getOrElse(d))
+      }
+      skip = skip && !cc
+    }
+    var skipI: Column = lit(true)
+    val inserts = Seq.newBuilder[DataFrame]
+    program.notMatched.foreach { case (c, a) =>
+      val cc = coalesce(condCol(c), lit(false))
+      inserts += project(
+        enriched.where(col(MatchFlag).isNull && skipI && cc), a)
+      skipI = skipI && !cc
+    }
+    (updates.result(), inserts.result(), deletes)
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val updates = GraftColumnBridge.ofRows(spark, source)
-      .select(cols.cols.map { case (n, e) =>
-        GraftColumnBridge.column(e).as(n) }: _*)
-      .drop(FactVersioned.VGenCol)
-    if (isFact) {
-      val pcol = FactVersioned.partitionColumn(spark, path)
-      val moved = FactVersioned.read(spark, path)
-        .select(keys.map(col) :+ col(pcol).as("__graft_target_p"): _*)
-        .join(broadcast(
-          updates.select(keys.map(col) :+ col(pcol).as("__graft_src_p"): _*)),
-          keys)
-        .where(!(col("__graft_src_p") <=> col("__graft_target_p")))
+    val src = GraftColumnBridge.ofRows(spark, source)
+    FactVersioned.requireKeyUnique(src, keys, "GraftDml MERGE")
+    if (isFact) runFact(spark, src) else runDim(spark, src)
+    Seq.empty
+  }
+
+  private def runFact(spark: SparkSession, src: DataFrame): Unit = {
+    val pcol = FactVersioned.partitionColumn(spark, path)
+    val matchedKeys = FactVersioned.read(spark, path)
+      .select(keys.map(col) :+ col(pcol).as(TargetP): _*)
+      .join(broadcast(src.select(keys.map(col): _*).distinct()),
+        keys, "left_semi")
+      .withColumn(MatchFlag, lit(1))
+    val enriched = src.join(broadcast(matchedKeys), keys, "left")
+    // partition stability: only UPDATE-routed rows can strand a stale
+    // target row (deletes use the target's own partition; inserts have
+    // no target row) — each update clause's hits are checked against
+    // the CLAUSE'S OWN assigned partition expression, pre-projection
+    val moveCheck = (hit: DataFrame, a: Seq[(String, Expression)]) => {
+      val pExpr = a.find(_._1.equalsIgnoreCase(pcol))
+        .map(x => GraftColumnBridge.column(x._2))
+        .getOrElse(throw new IllegalStateException(
+          s"GraftDml: MERGE update clause lacks partition column $pcol"))
+      val m = hit.where(!(pExpr <=> col(TargetP)))
+        .select(keys.map(col) :+ col(TargetP) :+ pExpr.as("__graft_sp"): _*)
         .limit(1).collect()
-      if (moved.nonEmpty) {
-        val r = moved.head
+      if (m.nonEmpty) {
+        val r = m.head
         val ex = keys.zipWithIndex
           .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
         throw new IllegalStateException(
@@ -336,18 +432,56 @@ case class GraftMergeCommand(
             "first, then MERGE (or rewrite both partitions with " +
             "FactVersioned.replacePartitions).")
       }
-      FactVersioned.upsert(spark, path, updates, keys, pcol,
-        retain = retain)
-    } else {
-      FactVersioned.requireKeyUnique(updates, keys, "GraftDml MERGE")
-      val current = Versioned.read(spark, path)
-      Versioned.commit(
-        current.join(updates.select(keys.map(col): _*).distinct(),
-            keys, "left_anti")
-          .unionByName(updates),
-        path, retain = retain)
     }
-    Seq.empty
+    val (updates, inserts, deletes) = route(enriched, moveCheck)
+    val newRows = (updates ++ inserts)
+      .map(_.drop(MatchFlag, TargetP))
+      .reduceOption(_ unionByName _)
+    val touchedRows = (newRows.map(_.select(col(pcol))).toSeq ++
+        deletes.map(_.select(col(TargetP).as(pcol))).toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.distinct().limit(10001).collect())
+      .getOrElse(Array.empty[Row])
+    require(touchedRows.length <= 10000,
+      "GraftDml: MERGE touches more than 10000 partitions — " +
+        "this is a rewrite, not an incremental commit")
+    if (touchedRows.isEmpty) return // nothing routed: no commit
+    val touched = touchedRows.map(_.get(0)).toIndexedSeq
+    val touchedDirs = touched.map(v =>
+      graft.operators.Upsert.partitionDirName(pcol, v))
+    val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
+    val changedKeys = (updates.map(_.select(keys.map(col): _*)).toSeq ++
+        deletes.map(_.select(keys.map(col): _*)).toSeq)
+      .reduce(_ unionByName _).distinct()
+    val result = current.join(changedKeys, keys, "left_anti")
+    val content = newRows.fold(result)(result.unionByName(_))
+    FactVersioned.replacePartitions(spark, path, content, pcol, touched,
+      retain = retain, basisGen = basisGen)
+    ()
+  }
+
+  private def runDim(spark: SparkSession, src: DataFrame): Unit = {
+    val current = Versioned.read(spark, path)
+    // dims have no partitions: TargetP is a null placeholder so the
+    // route() delete branch has its column
+    val matchedKeys = current.select(keys.map(col): _*)
+      .join(broadcast(src.select(keys.map(col): _*).distinct()),
+        keys, "left_semi")
+      .withColumn(MatchFlag, lit(1))
+      .withColumn(TargetP, lit(null).cast("string"))
+    val enriched = src.join(broadcast(matchedKeys), keys, "left")
+    val (updates, inserts, deletes) = route(enriched)
+    val changed = (updates.map(_.select(keys.map(col): _*)).toSeq ++
+        deletes.map(_.select(keys.map(col): _*)).toSeq)
+      .reduceOption(_ unionByName _).map(_.distinct())
+    val newRows = (updates ++ inserts)
+      .reduceOption(_ unionByName _)
+    if (changed.forall(_.isEmpty) && newRows.forall(_.isEmpty))
+      return // nothing routed: no commit
+    val kept = changed.fold(current)(c => current.join(c, keys, "left_anti"))
+    Versioned.commit(newRows.fold(kept)(kept.unionByName(_)),
+      path, retain = retain)
+    ()
   }
 }
 

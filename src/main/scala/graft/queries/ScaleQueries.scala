@@ -985,6 +985,74 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // CDC-apply MERGE (VERDICT r10 Next #4): one statement applies an
+    // insert/update/delete changelog — `WHEN MATCHED AND src.op='D'
+    // THEN DELETE` alongside conditional UPDATE and INSERT clauses,
+    // first-match-wins per SOURCE row (conditions are source-only,
+    // which is what keeps the commit ∝ touched partitions). No-op rows
+    // (op matching no clause) carry their target rows verbatim.
+    // In-gate: exactly one new generation whose vgen dir stages ONLY
+    // the touched partition (write-amp unchanged by the richer clause
+    // set), VERSION AS OF 0 intact. Output: the applied head,
+    // value-gated against the DuckDB changelog mirror.
+    "q143_sql_merge_cdc" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q143_").toString
+      val path = s"$wh/orders_cc"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val before = o.count()
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW cdc_log AS
+          |SELECT 'D' AS op, o_orderkey, o_orderstatus, o_totalprice,
+          |  p_year, CAST(NULL AS BIGINT) AS vgen
+          |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 1
+          |UNION ALL
+          |SELECT 'U', o_orderkey, 'C', o_totalprice * 2, p_year,
+          |  CAST(NULL AS BIGINT)
+          |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 2
+          |UNION ALL
+          |SELECT 'I', o_orderkey + 10000000, 'I', o_totalprice, p_year,
+          |  CAST(NULL AS BIGINT)
+          |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 0
+          |UNION ALL
+          |SELECT 'X', o_orderkey + 20000000, o_orderstatus, o_totalprice,
+          |  p_year, CAST(NULL AS BIGINT)
+          |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 3
+          |""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_cc AS t USING cdc_log AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED AND src.op = 'D' THEN DELETE
+          |WHEN MATCHED AND src.op = 'U' THEN UPDATE SET *
+          |WHEN NOT MATCHED AND src.op = 'I' THEN INSERT *""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q143: the CDC MERGE must commit exactly one new generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q143: CDC MERGE must stage only the touched partition, got " +
+          s"$staged")
+      require(s.sql(
+          "SELECT COUNT(*) FROM graft.orders_cc VERSION AS OF 0")
+        .collect().head.getLong(0) == before,
+        "q143: generation 0 must still read the pre-merge content")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_cc""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1481,6 +1549,23 @@ object ScaleQueries extends QueryPack {
         |SELECT o_orderkey + 10000000, 'E', o_totalprice, 'NEW'
         |FROM orders
         |WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // changelog mirror: deletes anti-joined away, updates CASE'd,
+    // inserts appended; the op='X' rows route to no clause (their
+    // +20000000 keys are unmatched and fail the INSERT condition)
+    "q143_sql_merge_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN y = 1995 AND o_orderkey % 4 = 2
+        |       THEN 'C' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN y = 1995 AND o_orderkey % 4 = 2
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM base WHERE NOT (y = 1995 AND o_orderkey % 4 = 1)
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'I', o_totalprice
+        |FROM base WHERE y = 1995 AND o_orderkey % 4 = 0""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,

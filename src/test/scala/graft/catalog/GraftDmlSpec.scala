@@ -80,31 +80,88 @@ class GraftDmlSpec extends SparkSpec {
         |""".stripMargin)
     assert(FactVersioned.read(s, path).where(col("k") >= 200).count() == 5)
 
-    val e1 = intercept[UnsupportedOperationException] {
-      s.sql(
-        """MERGE INTO g.t t USING src2 s ON t.k = s.k
-          |WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, v = s.v + 1,
-          |  vgen = s.vgen
-          |WHEN NOT MATCHED THEN INSERT (k, p, v, vgen)
-          |  VALUES (s.k, s.p, s.v, s.vgen)
-          |""".stripMargin)
-    }
-    assert(e1.getMessage.contains("not an upsert"))
-    val e2 = intercept[Exception] {
-      s.sql(
-        """MERGE INTO g.t t USING src2 s ON t.k = s.k
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e2.getMessage.toLowerCase.contains("update") ||
-      e2.getMessage.toLowerCase.contains("upsert"))
+    // diverging UPDATE vs INSERT expressions are a general merge (each
+    // clause projects through ITS OWN assignments): matched keys get
+    // v+1, unmatched insert v as-is
+    s.range(0, 4).selectExpr("id + 203 AS k", "1 AS p", "id AS v",
+        "CAST(NULL AS BIGINT) AS vgen")
+      .createOrReplaceTempView("src3")
+    s.sql(
+      """MERGE INTO g.t t USING src3 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, v = s.v + 1,
+        |  vgen = s.vgen
+        |WHEN NOT MATCHED THEN INSERT (k, p, v, vgen)
+        |  VALUES (s.k, s.p, s.v, s.vgen)
+        |""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    // 203,204 existed (from src2's insert): updated to s.v+1 = 1, 2
+    assert(now.contains((203L, 1, 1L)) && now.contains((204L, 1, 2L)))
+    // 205,206 were new: inserted with s.v as-is = 2, 3
+    assert(now.contains((205L, 1, 2L)) && now.contains((206L, 1, 3L)))
     // non-equality ON condition
     val e3 = intercept[UnsupportedOperationException] {
       s.sql(
-        """MERGE INTO g.t t USING src2 s ON t.k > s.k
+        """MERGE INTO g.t t USING src3 s ON t.k > s.k
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e3.getMessage.contains("conjunction"))
+    // target-referencing clause conditions rejected with guidance
+    val e4 = intercept[UnsupportedOperationException] {
+      s.sql(
+        """MERGE INTO g.t t USING src3 s ON t.k = s.k
+          |WHEN MATCHED AND t.v > 5 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e4.getMessage.contains("SOURCE columns only"))
+  }
+
+  test("MERGE applies a CDC changelog in one statement: conditional " +
+      "DELETE + UPDATE + conditional INSERT, one partition touched") {
+    val (s, _, path) = freshTable()
+    // changelog over p=0: delete k=3, update k=6 (v=999), insert k=300;
+    // a no-op row (op='X', unmatched) routes to no clause
+    s.createDataset(Seq(
+        ("D", 3L, 0, 0L), ("U", 6L, 0, 999L),
+        ("I", 300L, 0, 7L), ("X", 301L, 0, 8L)))
+      .toDF("op", "k", "p", "v")
+      .withColumn("vgen", lit(null).cast("bigint"))
+      .createOrReplaceTempView("cdc")
+    s.sql(
+      """MERGE INTO g.t t USING cdc s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *""".stripMargin)
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    val now = rows(FactVersioned.read(s, path))
+    val expect = (1 to 90).filterNot(_ == 3)
+      .map(i => (i.toLong, i % 3, if (i == 6) 999L else i * 10L))
+      .toSet + ((300L, 0, 7L))
+    assert(now == expect)
+    // write amplification: only p=0 staged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=0"), s"staged $staged")
+    // a DELETE-only merge works (no insert clause required); the
+    // delete's partition comes from the TARGET row, so the source
+    // needs no partition value at all
+    s.createDataset(Seq(Tuple1(6L))).toDF("k")
+      .createOrReplaceTempView("cdc_d")
+    s.sql(
+      """MERGE INTO g.t t USING cdc_d s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(!rows(FactVersioned.read(s, path)).exists(_._1 == 6L))
+    // an all-no-op changelog commits nothing
+    val gens = FactVersioned.generations(s, path)
+    s.createDataset(Seq(("X", -1L))).toDF("op", "k")
+      .createOrReplaceTempView("cdc_noop")
+    s.sql(
+      """MERGE INTO g.t t USING cdc_noop s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE""".stripMargin)
+    assert(FactVersioned.generations(s, path) == gens)
   }
 
   test("DELETE FROM rewrites only partitions holding matches; empty " +
