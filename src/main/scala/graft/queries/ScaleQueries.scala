@@ -1053,6 +1053,57 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // Multi-column partitioning (VERDICT r10 Next #7): a fact table
+    // partitioned by (p_year, o_orderstatus) — the (date, source)
+    // shape 100 TB fact tables actually use — committed through
+    // FactVersioned.upsertBy. In-gate: the update of ONE (year,
+    // status) tuple stages exactly that nested leaf dir on disk
+    // (write-amp = touched LEAVES, not whole years), the commit
+    // declares the same leaf, generation 0 time-travels intact, and
+    // nested readDirs pruning answers from the one leaf. Output: the
+    // merged head, value-gated against the DuckDB CASE mirror.
+    "q144_fact_multicol_partition" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft_q144_").toString
+      val path = s"$wh/orders_mc"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"), col("o_orderstatus"))
+      FactVersioned.upsertBy(s, path, o, Seq("o_orderkey"),
+        Seq("p_year", "o_orderstatus"))
+      val before = o.count()
+      val upd = o.where(col("p_year") === 1995 &&
+          col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val c = FactVersioned.upsertBy(s, path, upd, Seq("o_orderkey"),
+        Seq("p_year", "o_orderstatus"))
+      require(c.gen == 1L &&
+        c.rewrittenDirs == Seq("p_year=1995/o_orderstatus=O"),
+        s"q144: the commit must declare exactly the touched leaf, got " +
+          s"${c.rewrittenDirs}")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vd = new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")
+      val staged = fs.listStatus(vd).filter(_.isDirectory).flatMap(y =>
+        fs.listStatus(y.getPath).filter(_.isDirectory).map(st =>
+          s"${y.getPath.getName}/${st.getPath.getName}")).toSet
+      require(staged == Set("p_year=1995/o_orderstatus=O"),
+        s"q144: write-amp must be the one touched LEAF dir, got $staged")
+      require(FactVersioned.read(s, path, Some(0L)).count() == before,
+        "q144: generation 0 must still read the pre-upsert content")
+      val leaf = FactVersioned.readDirs(s, path, None,
+        Seq("p_year=1995/o_orderstatus=O"))
+      require(leaf.where(col("p_year") =!= 1995 ||
+          col("o_orderstatus") =!= "O").count() == 0 &&
+        leaf.count() > 0,
+        "q144: nested readDirs must answer from exactly the one leaf")
+      val out = FactVersioned.read(s, path)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1566,6 +1617,13 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT o_orderkey + 10000000, 'I', o_totalprice
         |FROM base WHERE y = 1995 AND o_orderkey % 4 = 0""".stripMargin,
+    // CASE mirror of the one-leaf upsert over the (year, status) grid
+    "q144_fact_multicol_partition" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderstatus = 'O'
+        |            AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,

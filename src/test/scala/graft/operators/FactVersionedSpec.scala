@@ -355,4 +355,65 @@ class FactVersionedSpec extends SparkSpec {
     assert(c.gen == 1L)
     assert((System.nanoTime() - t0) / 1e9 < 20.0)
   }
+
+  test("multi-column partitioning: upsertBy touches exactly the " +
+      "updates' leaf dirs, time travel holds, GC prunes nested " +
+      "subtrees, and the single-column accessor fails with guidance") {
+    val path = tmp()
+    // (y, s)-partitioned: 2 years × 2 statuses = 4 leaves
+    def rows2(n: Int) = (1 to n).map(i =>
+      (i.toLong, 2000 + i % 2, if (i % 4 < 2) "A" else "B", i * 10L))
+      .toDF("k", "y", "s", "v")
+    val v0 = rows2(80)
+    val c0 = FactVersioned.upsertBy(spark, path, v0, Seq("k"), Seq("y", "s"))
+    assert(c0.gen == 0L && c0.rewrittenDirs.toSet ==
+      Set("y=2000/s=A", "y=2000/s=B", "y=2001/s=A", "y=2001/s=B"))
+    assert(FactVersioned.partitionColumns(spark, path) == Seq("y", "s"))
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.partitionColumn(spark, path)
+    }
+    assert(e.getMessage.contains("partitionColumns"))
+    // update ONE (y, s) tuple: write-amp = that leaf alone, on disk
+    val upd = Seq((4L, 2000, "A", 999L), (100L, 2000, "A", 1L))
+      .toDF("k", "y", "s", "v")
+    val c1 = FactVersioned.upsertBy(spark, path, upd, Seq("k"), Seq("y", "s"))
+    assert(c1.gen == 1L && c1.rewrittenDirs == Seq("y=2000/s=A"))
+    val fs = fsOf(path)
+    val staged = {
+      val vd = new Path(s"$path/${FactVersioned.DataDir}/vgen=1")
+      fs.listStatus(vd).filter(_.isDirectory).flatMap(y =>
+        fs.listStatus(y.getPath).filter(_.isDirectory).map(s =>
+          s"${y.getPath.getName}/${s.getPath.getName}")).toSet
+    }
+    assert(staged == Set("y=2000/s=A"), s"staged $staged")
+    // content: head merged, generation 0 byte-exact
+    def all(g: Option[Long]) = FactVersioned.read(spark, path, g)
+      .select("k", "y", "s", "v").as[(Long, Int, String, Long)]
+      .collect().toSet
+    val expect0 = (1 to 80).map(i =>
+      (i.toLong, 2000 + i % 2, if (i % 4 < 2) "A" else "B", i * 10L)).toSet
+    assert(all(Some(0L)) == expect0)
+    assert(all(None) ==
+      expect0.filterNot(_._1 == 4L) + ((4L, 2000, "A", 999L)) +
+        ((100L, 2000, "A", 1L)))
+    // readDirs prunes to the nested leaf
+    assert(FactVersioned.readDirs(spark, path, None, Seq("y=2000/s=A"))
+      .select("k").as[Long].collect().toSet ==
+      all(None).filter(r => r._2 == 2000 && r._3 == "A").map(_._1))
+    // key-uniqueness enforced on this door too
+    intercept[IllegalStateException] {
+      FactVersioned.upsertBy(spark, path,
+        Seq((7L, 2000, "A", 1L), (7L, 2000, "A", 2L))
+          .toDF("k", "y", "s", "v"),
+        Seq("k"), Seq("y", "s"))
+    }
+    // vacuum to 1 generation: the superseded vgen=0/y=2000/s=A subtree
+    // is GC'd (nested walk), the still-referenced leaves survive
+    FactVersioned.vacuum(spark, path, 1)
+    assert(!fs.exists(new Path(
+      s"$path/${FactVersioned.DataDir}/vgen=0/y=2000/s=A")))
+    assert(fs.exists(new Path(
+      s"$path/${FactVersioned.DataDir}/vgen=0/y=2001/s=B")))
+    assert(all(None).size == 81)
+  }
 }
