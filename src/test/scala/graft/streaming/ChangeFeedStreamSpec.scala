@@ -111,4 +111,63 @@ class ChangeFeedStreamSpec extends SparkSpec {
         .load()
     }
   }
+
+  test("additive schema evolution mid-stream: the running query keeps " +
+      "its pinned schema, a restart picks up the widened schema, and " +
+      "the crossing window null-fills the from side") {
+    val wh = Files.createTempDirectory("graft_cfevolve_").toString
+    val path = s"$wh/t"
+    val ckpt = s"$wh/ckpt"
+    def commit(df: DataFrame): Unit = {
+      FactVersioned.upsert(spark, path, df, Seq("k"), "p", retain = 10)
+      ()
+    }
+    commit(base(10))
+    val cols = mutable.LinkedHashMap.empty[Long, Seq[String]]
+    val rows = mutable.LinkedHashMap.empty[Long, Set[Seq[Any]]]
+    def start() = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("path", path)
+      .option("keys", "k")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val r = df.collect().map(_.toSeq).toSet
+        cols.synchronized { cols(id) = df.columns.toSeq; rows(id) = r }
+        ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(cols(0L) == Seq("k", "p", "v", "op"))
+    // widen the schema and commit widened data WHILE the query runs:
+    // the running query's source pinned the narrow schema — deliveries
+    // keep exactly those columns (the fixed-schema contract)
+    FactVersioned.addColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType)), retain = 10)
+    commit(Seq((3L, 0, 999L, 5L)).toDF("k", "p", "v", "w"))
+    q1.processAllAvailable()
+    val live = cols.keys.max
+    assert(live > 0L && cols(live) == Seq("k", "p", "v", "op"),
+      s"running query must keep its pinned schema, got ${cols(live)}")
+    assert(rows.values.flatten.exists(_ ==
+      Seq(3L, 0, 999L, "update_post")),
+      "the widened commit's update must deliver (narrow projection)")
+    q1.stop()
+    // a commit while down, then restart: the NEW source pins the
+    // widened schema; its window crosses generations on both sides of
+    // the evolution, so the from side null-fills `w`
+    commit(Seq((4L, 1, 444L, 7L)).toDF("k", "p", "v", "w"))
+    val q2 = start()
+    q2.processAllAvailable()
+    val last = cols.keys.max
+    assert(last > live && cols(last) == Seq("k", "p", "v", "w", "op"),
+      s"restart must pick up the widened schema, got ${cols(last)}")
+    assert(rows(last).contains(Seq(4L, 1, 40L, null, "update_pre")),
+      s"from-side rows must null-fill the evolved column: ${rows(last)}")
+    assert(rows(last).contains(Seq(4L, 1, 444L, 7L, "update_post")))
+    q2.stop()
+  }
 }
