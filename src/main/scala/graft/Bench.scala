@@ -40,6 +40,14 @@ object Bench {
     // still correct: steady-state timing is the point, and skipping the
     // warmup there would silently fold ~20 s of one-off codegen into
     // the smallest sf's numbers).
+    // local-iteration filter (unset in driver runs): comma-separated
+    // query names — bench (and warm) only those
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
       Option(p).map(_.resolve("sf0.001"))
@@ -47,7 +55,7 @@ object Bench {
         .map(_.toString)
     }
     warmDir.foreach { d =>
-      SparkEntry.queries.values.foreach { fn =>
+      selected.values.foreach { fn =>
         try fn(spark, d).count() catch { case _: Throwable => () }
       }
     }
@@ -71,14 +79,6 @@ object Bench {
     // at ~1 s per query the run-to-run variance IS the signal unless
     // medianed out.
     val runsPerQuery = 3
-    // local-iteration filter (unset in driver runs): comma-separated
-    // query names — bench only those, plus the steady-state runner
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
-    }
     val wall0 = System.nanoTime()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map {

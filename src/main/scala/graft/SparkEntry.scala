@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EtlQueries, PipelineQueries, RelationalQueries, ScaleQueries, StreamReplayQueries, TextQueries, VectorQueries}
+import graft.queries.{EtlQueries, PipelineQueries, ProdBenchQueries, RelationalQueries, ScaleQueries, StreamReplayQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
 
   private val packs =
     Seq(RelationalQueries, EtlQueries, TextQueries, VectorQueries,
-      PipelineQueries, StreamReplayQueries, ScaleQueries)
+      PipelineQueries, StreamReplayQueries, ScaleQueries,
+      ProdBenchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

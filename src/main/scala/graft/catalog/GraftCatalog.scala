@@ -269,18 +269,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Versioned.generations(spark, path).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val pcol: Option[String] = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+    val pcols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         val name = t.references.head.fieldNames.head
         require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"GraftCatalog: partition column '$name' is not in the schema")
-        Some(name)
+        require(!name.contains(",") && !name.contains("\t"),
+          s"GraftCatalog: partition column name '$name' may not contain " +
+            "',' or tab (pending-marker encoding)")
+        name
       case other => throw new UnsupportedOperationException(
         "GraftCatalog: CREATE TABLE supports no partitioning (dimension " +
-          "table) or exactly one identity PARTITIONED BY column (fact " +
-          s"table); got ${other.mkString(",")}")
+          "table) or identity PARTITIONED BY columns (fact table, one " +
+          s"nested leaf level per column); got $other")
     }
     require(!schema.fieldNames.exists(
         _.equalsIgnoreCase(FactVersioned.VGenCol)),
@@ -295,13 +297,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     fs.mkdirs(root)
     val out = fs.create(pendingPath(path), true)
-    try out.write((pcol match {
-      case Some(c) => s"fact\t$c"
-      case None => "dim"
-    }).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write((
+      if (pcols.nonEmpty) s"fact\t${pcols.mkString(",")}" else "dim")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     new PendingGraftTable(s"$catalogName.${ident.name}", path, schema,
-      pcol, () => retainFor(path))
+      pcols, () => retainFor(path))
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — the one schema change with an
@@ -459,8 +460,8 @@ private[catalog] class WritableFactTable(
     extends GraftWritableTable(inner, path, retain) {
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val rows = data.drop(FactVersioned.VGenCol)
-    FactVersioned.append(spark, path, rows,
-      FactVersioned.partitionColumn(spark, path),
+    FactVersioned.appendBy(spark, path, rows,
+      FactVersioned.partitionColumns(spark, path),
       retain = retention)
     ()
   }
@@ -478,13 +479,13 @@ private[catalog] class PendingGraftTable(
     tableName: String,
     path: String,
     ctasSchema: StructType,
-    pcol: Option[String],
+    pcols: Seq[String],
     retain: () => Int) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def spark: SparkSession = SparkSession.active
   override def name(): String = tableName
   override def schema(): StructType = ctasSchema
-  override def partitioning(): Array[Transform] = pcol.map(c =>
+  override def partitioning(): Array[Transform] = pcols.map(c =>
     org.apache.spark.sql.connector.expressions.Expressions.identity(c))
     .toArray
   override def properties(): util.Map[String, String] =
@@ -506,17 +507,17 @@ private[catalog] class PendingGraftTable(
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-              pcol match {
-                case Some(c) =>
-                  val touchedRows = data.select(c).distinct()
-                    .limit(10001).collect()
-                  require(touchedRows.length <= 10000,
-                    "GraftCatalog CTAS: more than 10000 partitions")
-                  FactVersioned.replacePartitions(spark, path, data, c,
-                    touchedRows.map(_.get(0)).toIndexedSeq,
-                    retain = retain())
-                case None =>
-                  Versioned.commit(data, path, retain = retain())
+              if (pcols.nonEmpty) {
+                val touchedRows = data.select(pcols.map(
+                    org.apache.spark.sql.functions.col): _*)
+                  .distinct().limit(10001).collect()
+                require(touchedRows.length <= 10000,
+                  "GraftCatalog CTAS: more than 10000 partitions")
+                FactVersioned.replacePartitionsBy(spark, path, data, pcols,
+                  touchedRows.toIndexedSeq.map(r => pcols.indices.map(r.get)),
+                  retain = retain())
+              } else {
+                Versioned.commit(data, path, retain = retain())
               }
               val marker = new Path(path, GraftCatalog.PendingMarkerName)
               marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -219,6 +219,30 @@ object GraftDml {
       "GraftDml: MERGE needs at least one WHEN clause")
     new MergeProgram(matched, notMatched)
   }
+
+  /** Restrict `t` to exactly the touched partition tuples: per-column
+    * `isin` lists (literal, partition-prunable — a superset cross
+    * product for multi-column tables) tightened to the exact tuple set
+    * by a broadcast semi-join when more than one column partitions the
+    * table. `touchedRows` carry the tuples in `pcols` order with
+    * `tupSchema` (≤ 10000 rows by the caller's cap). */
+  private[catalog] def scopedTo(
+      spark: SparkSession,
+      t: DataFrame,
+      pcols: Seq[String],
+      touchedRows: Array[Row],
+      tupSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val crossIsin = pcols.zipWithIndex.map { case (p, i) =>
+      col(p).isin(touchedRows.map(_.get(i)).distinct.toIndexedSeq: _*)
+    }.reduce(_ && _)
+    if (pcols.length == 1) t.where(crossIsin)
+    else {
+      val tupDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(touchedRows.toIndexedSeq, 1),
+        tupSchema)
+      t.where(crossIsin).join(broadcast(tupDf), pcols, "left_semi")
+    }
+  }
 }
 
 /** A merge's validated clause program — opaque (like
@@ -263,17 +287,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case u @ UpdateTable(t, assignments, cond) if u.resolved =>
         graftTarget(t) match {
           case Some((rel, table)) =>
-            val pcol =
+            val pcols =
               if (table.isInstanceOf[WritableFactTable])
-                Some(FactVersioned.partitionColumn(
-                  session, table.graftTablePath))
-              else None
+                FactVersioned.partitionColumns(
+                  session, table.graftTablePath)
+              else Nil
             assignments.foreach { asg =>
               val name = asg.key match {
                 case a: AttributeReference => a.name
                 case other => unsupported(s"cannot assign to ${other.sql}")
               }
-              if (pcol.exists(_.equalsIgnoreCase(name)))
+              if (pcols.exists(_.equalsIgnoreCase(name)))
                 unsupported(s"UPDATE of the partition column '$name' " +
                   "moves rows between partitions, which has no " +
                   "single-partition rewrite shape — DELETE the rows " +
@@ -343,7 +367,9 @@ case class GraftMergeCommand(
     retain: Int) extends LeafRunnableCommand {
   private def isFact: Boolean = basisGen.isDefined
   private val MatchFlag = "__graft_m"
-  private val TargetP = "__graft_tp"
+  /** Target-partition columns riding the match probe (one per
+    * partition column; empty for dims). */
+  private def tpName(i: Int) = s"__graft_tp$i"
 
   private def condCol(c: Option[Expression]): Column =
     c.map(GraftColumnBridge.column).getOrElse(lit(true))
@@ -353,14 +379,15 @@ case class GraftMergeCommand(
     df.select(assigns.map { case (n, e) =>
       GraftColumnBridge.column(e).as(n) }: _*)
 
-  /** Route `enriched` (source + match flag/target partition) through
-    * the program: (update/insert frames, delete rows with their
-    * target partition). First-match-wins with SQL 3VL (a NULL
-    * condition routes past the clause). `onUpdateHit` sees each UPDATE
-    * clause's routed rows BEFORE projection (the fact path's
+  /** Route `enriched` (source + match flag/target partition cols)
+    * through the program: (update/insert frames, delete rows with
+    * their target partition tuple). First-match-wins with SQL 3VL (a
+    * NULL condition routes past the clause). `onUpdateHit` sees each
+    * UPDATE clause's routed rows BEFORE projection (the fact path's
     * partition-stability check). */
   private def route(
       enriched: DataFrame,
+      tpNames: Seq[String],
       onUpdateHit: (DataFrame, Seq[(String, Expression)]) => Unit =
         (_, _) => ())
       : (Seq[DataFrame], Seq[DataFrame], Option[DataFrame]) = {
@@ -376,7 +403,7 @@ case class GraftMergeCommand(
           onUpdateHit(hit, a)
           updates += project(hit, a)
         case None =>
-          val d = hit.select(keys.map(col) :+ col(TargetP): _*)
+          val d = hit.select(keys.map(col) ++ tpNames.map(col): _*)
           deletes = Some(deletes.map(_.unionByName(d)).getOrElse(d))
       }
       skip = skip && !cc
@@ -400,9 +427,11 @@ case class GraftMergeCommand(
   }
 
   private def runFact(spark: SparkSession, src: DataFrame): Unit = {
-    val pcol = FactVersioned.partitionColumn(spark, path)
+    val pcols = FactVersioned.partitionColumns(spark, path)
+    val tpNames = pcols.indices.map(tpName)
     val matchedKeys = FactVersioned.read(spark, path)
-      .select(keys.map(col) :+ col(pcol).as(TargetP): _*)
+      .select(keys.map(col) ++ pcols.zip(tpNames).map {
+        case (p, tp) => col(p).as(tp) }: _*)
       .join(broadcast(src.select(keys.map(col): _*).distinct()),
         keys, "left_semi")
       .withColumn(MatchFlag, lit(1))
@@ -410,35 +439,41 @@ case class GraftMergeCommand(
     // partition stability: only UPDATE-routed rows can strand a stale
     // target row (deletes use the target's own partition; inserts have
     // no target row) — each update clause's hits are checked against
-    // the CLAUSE'S OWN assigned partition expression, pre-projection
+    // the CLAUSE'S OWN assigned partition expressions, pre-projection
     val moveCheck = (hit: DataFrame, a: Seq[(String, Expression)]) => {
-      val pExpr = a.find(_._1.equalsIgnoreCase(pcol))
-        .map(x => GraftColumnBridge.column(x._2))
-        .getOrElse(throw new IllegalStateException(
-          s"GraftDml: MERGE update clause lacks partition column $pcol"))
-      val m = hit.where(!(pExpr <=> col(TargetP)))
-        .select(keys.map(col) :+ col(TargetP) :+ pExpr.as("__graft_sp"): _*)
+      val pExprs = pcols.map { p =>
+        a.find(_._1.equalsIgnoreCase(p))
+          .map(x => GraftColumnBridge.column(x._2))
+          .getOrElse(throw new IllegalStateException(
+            s"GraftDml: MERGE update clause lacks partition column $p"))
+      }
+      val movedCond = pExprs.zip(tpNames)
+        .map { case (e, tp) => !(e <=> col(tp)) }.reduce(_ || _)
+      val m = hit.where(movedCond)
+        .select(keys.map(col) ++ tpNames.map(col) ++
+          pExprs.zipWithIndex.map { case (e, i) => e.as(s"__graft_sp$i") }: _*)
         .limit(1).collect()
       if (m.nonEmpty) {
         val r = m.head
         val ex = keys.zipWithIndex
           .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
+        val fromP = pcols.zipWithIndex.map { case (p, i) =>
+          s"$p=${r.get(keys.length + i)}" }.mkString("/")
+        val toP = pcols.zipWithIndex.map { case (p, i) =>
+          s"$p=${r.get(keys.length + pcols.length + i)}" }.mkString("/")
         throw new IllegalStateException(
-          s"GraftDml: MERGE moves key ($ex) from partition " +
-            s"'$pcol=${r.get(keys.length)}' to " +
-            s"'$pcol=${r.get(keys.length + 1)}' — a partition-moving " +
-            "MERGE would leave the stale row in its untouched " +
-            "partition. DELETE the key from its current partition " +
-            "first, then MERGE (or rewrite both partitions with " +
-            "FactVersioned.replacePartitions).")
+          s"GraftDml: MERGE moves key ($ex) from partition '$fromP' to " +
+            s"'$toP' — a partition-moving MERGE would leave the stale " +
+            "row in its untouched partition. DELETE the key from its " +
+            "current partition first, then MERGE (or rewrite both " +
+            "partitions with FactVersioned.replacePartitions).")
       }
     }
-    val (updates, inserts, deletes) = route(enriched, moveCheck)
-    val newRows = (updates ++ inserts)
-      .map(_.drop(MatchFlag, TargetP))
-      .reduceOption(_ unionByName _)
-    val touchedRows = (newRows.map(_.select(col(pcol))).toSeq ++
-        deletes.map(_.select(col(TargetP).as(pcol))).toSeq)
+    val (updates, inserts, deletes) = route(enriched, tpNames, moveCheck)
+    val newRows = (updates ++ inserts).reduceOption(_ unionByName _)
+    val touchedRows = (newRows.map(_.select(pcols.map(col): _*)).toSeq ++
+        deletes.map(_.select(tpNames.zip(pcols).map {
+          case (tp, p) => col(tp).as(p) }: _*)).toSeq)
       .reduceOption(_ unionByName _)
       .map(_.distinct().limit(10001).collect())
       .getOrElse(Array.empty[Row])
@@ -446,31 +481,30 @@ case class GraftMergeCommand(
       "GraftDml: MERGE touches more than 10000 partitions — " +
         "this is a rewrite, not an incremental commit")
     if (touchedRows.isEmpty) return // nothing routed: no commit
-    val touched = touchedRows.map(_.get(0)).toIndexedSeq
+    val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
+      .map(r => pcols.indices.map(r.get))
     val touchedDirs = touched.map(v =>
-      graft.operators.Upsert.partitionDirName(pcol, v))
+      FactVersioned.partitionDirPath(pcols, v))
     val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
     val changedKeys = (updates.map(_.select(keys.map(col): _*)).toSeq ++
         deletes.map(_.select(keys.map(col): _*)).toSeq)
       .reduce(_ unionByName _).distinct()
     val result = current.join(changedKeys, keys, "left_anti")
     val content = newRows.fold(result)(result.unionByName(_))
-    FactVersioned.replacePartitions(spark, path, content, pcol, touched,
+    FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
       retain = retain, basisGen = basisGen)
     ()
   }
 
   private def runDim(spark: SparkSession, src: DataFrame): Unit = {
     val current = Versioned.read(spark, path)
-    // dims have no partitions: TargetP is a null placeholder so the
-    // route() delete branch has its column
     val matchedKeys = current.select(keys.map(col): _*)
       .join(broadcast(src.select(keys.map(col): _*).distinct()),
         keys, "left_semi")
       .withColumn(MatchFlag, lit(1))
-      .withColumn(TargetP, lit(null).cast("string"))
     val enriched = src.join(broadcast(matchedKeys), keys, "left")
-    val (updates, inserts, deletes) = route(enriched)
+    // dims have no partitions: no target-partition columns to ride
+    val (updates, inserts, deletes) = route(enriched, Nil)
     val changed = (updates.map(_.select(keys.map(col): _*)).toSeq ++
         deletes.map(_.select(keys.map(col): _*)).toSeq)
       .reduceOption(_ unionByName _).map(_.distinct())
@@ -516,20 +550,22 @@ case class GraftUpdateCommand(
       }
     }
     if (isFact) {
-      val pcol = FactVersioned.partitionColumn(spark, path)
-      val touchedRows = t.where(c).select(pcol).distinct()
-        .limit(10001).collect()
+      val pcols = FactVersioned.partitionColumns(spark, path)
+      val sel = t.where(c).select(pcols.map(col): _*)
+      val touchedRows = sel.distinct().limit(10001).collect()
       require(touchedRows.length <= 10000,
         "GraftDml: UPDATE touches more than 10000 partitions — " +
           "this is a rewrite, not an incremental commit")
       if (touchedRows.isEmpty) return Seq.empty // no matches: no commit
-      val touched = touchedRows.map(_.get(0)).toIndexedSeq
-      val scoped = t.where(col(pcol).isin(touched: _*))
+      val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
+        .map(r => pcols.indices.map(r.get))
+      val scoped = GraftDml.scopedTo(spark, t, pcols, touchedRows,
+        sel.schema)
       val content = scoped.select(updatedCols(scoped): _*)
         .drop(FactVersioned.VGenCol)
       // basis = the resolution-time head (see GraftDeleteCommand)
-      FactVersioned.replacePartitions(spark, path, content, pcol, touched,
-        retain = retain, basisGen = basisGen)
+      FactVersioned.replacePartitionsBy(spark, path, content, pcols,
+        touched, retain = retain, basisGen = basisGen)
     } else {
       if (t.where(c).isEmpty) return Seq.empty
       Versioned.commit(t.select(updatedCols(t): _*), path, retain = retain)
@@ -558,21 +594,22 @@ case class GraftDeleteCommand(
     val c: Column = GraftColumnBridge.column(cond.expr)
     val keepCond = coalesce(c, lit(false)) === lit(false)
     if (isFact) {
-      val pcol = FactVersioned.partitionColumn(spark, path)
-      val touchedRows = t.where(c).select(pcol).distinct()
-        .limit(10001).collect()
+      val pcols = FactVersioned.partitionColumns(spark, path)
+      val sel = t.where(c).select(pcols.map(col): _*)
+      val touchedRows = sel.distinct().limit(10001).collect()
       require(touchedRows.length <= 10000,
         "GraftDml: DELETE touches more than 10000 partitions — " +
           "this is a rewrite, not an incremental commit")
       if (touchedRows.isEmpty) return Seq.empty // no matches: no commit
-      val touched = touchedRows.map(_.get(0)).toIndexedSeq
-      val keep = t.where(keepCond)
-        .where(col(pcol).isin(touched: _*))
+      val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
+        .map(r => pcols.indices.map(r.get))
+      val keep = GraftDml.scopedTo(spark, t.where(keepCond), pcols,
+          touchedRows, sel.schema)
         .drop(FactVersioned.VGenCol)
       // basis = the RESOLUTION-time head whose files this command read:
       // an intervening foreign commit is then a detected conflict, not
       // a silent overwrite from a stale read
-      FactVersioned.replacePartitions(spark, path, keep, pcol, touched,
+      FactVersioned.replacePartitionsBy(spark, path, keep, pcols, touched,
         retain = retain, basisGen = basisGen)
     } else {
       if (t.where(c).isEmpty) return Seq.empty

@@ -159,9 +159,9 @@ case class GraftOptimizeCommand(
     val r = GraftMaintenance.resolve(spark, table, "OPTIMIZE")
     val retain = GraftMaintenance.retainFor(spark, r.catalogName, r.path)
     if (r.isFact) {
-      val pcol = FactVersioned.partitionColumn(spark, r.path)
+      val pcols = FactVersioned.partitionColumns(spark, r.path)
       val dirs = FactVersioned.partitionDirs(spark, r.path)
-      val c = FactVersioned.compactPartitions(spark, r.path, dirs, pcol,
+      val c = FactVersioned.compactPartitionsBy(spark, r.path, dirs, pcols,
         retain = retain, zorderCols = zorderCols, statsCols = zorderCols)
       Seq(Row(c.gen, dirs.length.toLong))
     } else {

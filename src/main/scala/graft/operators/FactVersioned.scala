@@ -809,6 +809,37 @@ object FactVersioned {
       preCommit = preCommit)
   }
 
+  /** [[append]] for MULTI-COLUMN partitioned tables — INSERT INTO
+    * semantics over nested leaf dirs; cost ∝ touched leaves. */
+  def appendBy(
+      spark: SparkSession,
+      tablePath: String,
+      rows: DataFrame,
+      partitionCols: Seq[String],
+      retain: Int = 3,
+      maxTouchedPartitions: Int = 10000,
+      properties: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Commit = {
+    require(partitionCols.nonEmpty, "no partition columns given")
+    val touchedRows = rows.select(partitionCols.map(col): _*)
+      .distinct().limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"appendBy touches more than $maxTouchedPartitions partitions — " +
+        "this is a rewrite, not an incremental commit")
+    val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
+      .map(r => partitionCols.indices.map(r.get))
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty)
+      return replacePartitionsBy(spark, tablePath, rows, partitionCols,
+        touched, retain, properties = properties, statsCols = statsCols)
+    val basis = gens.max
+    val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
+    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+    replacePartitionsBy(spark, tablePath, current.unionByName(rows),
+      partitionCols, touched, retain, basisGen = Some(basis),
+      properties = properties, statsCols = statsCols)
+  }
+
   /** Append `rows` to the latest generation (INSERT INTO semantics —
     * no key dedup): each touched partition's new content = its current
     * rows ∪ the appended rows; commits via [[replacePartitions]], so
@@ -892,6 +923,45 @@ object FactVersioned {
     val touched = raw.select(partitionCol).distinct().collect()
       .map(_.get(0)).toIndexedSeq
     replacePartitions(spark, tablePath, content, partitionCol, touched,
+      retain, basisGen = Some(head), statsCols = statsCols)
+  }
+
+  /** [[compactPartitions]] for MULTI-COLUMN partitioned tables: `dirs`
+    * name nested leaf-dir paths (`c1=v1/c2=v2`); each listed leaf's
+    * accumulated files rewrite as one content-preserving commit,
+    * optionally z-clustered. The touched tuple set is recovered from
+    * the read rows' distinct partition values (exact — the same
+    * values the dirs decode to). */
+  def compactPartitionsBy(
+      spark: SparkSession,
+      tablePath: String,
+      dirs: Seq[String],
+      partitionCols: Seq[String],
+      retain: Int = 3,
+      zorderCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      zorderBits: Int = 12,
+      filesPerPartition: Int = 8): Commit = {
+    require(dirs.nonEmpty, "compactPartitionsBy: no dirs given")
+    require(partitionCols.nonEmpty, "no partition columns given")
+    val head = resolveGen(spark, tablePath, None)
+    val raw = readFiles(spark, tablePath, head, Some(dirs))
+    val pcols = partitionCols.map(col)
+    val content =
+      if (zorderCols.isEmpty)
+        raw.repartition(math.max(dirs.size, 1), pcols: _*)
+      else {
+        val z = ZOrder.zValue(raw, zorderCols, zorderBits)
+        raw.withColumn("__graft_z", z)
+          .repartitionByRange(
+            math.max(dirs.size * math.max(filesPerPartition, 1), 1),
+            pcols :+ col("__graft_z"): _*)
+          .sortWithinPartitions(pcols :+ col("__graft_z"): _*)
+          .drop("__graft_z")
+      }
+    val touched: Seq[Seq[Any]] = raw.select(pcols: _*).distinct().collect()
+      .toIndexedSeq.map(r => partitionCols.indices.map(r.get))
+    replacePartitionsBy(spark, tablePath, content, partitionCols, touched,
       retain, basisGen = Some(head), statsCols = statsCols)
   }
 

@@ -366,4 +366,93 @@ class GraftDmlSpec extends SparkSpec {
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
   }
+
+  test("multi-column partitioned tables are first-class through every " +
+      "SQL door: CTAS, INSERT, UPDATE, DELETE, CDC MERGE, OPTIMIZE, " +
+      "DESCRIBE HISTORY, VACUUM") {
+    val wh = Files.createTempDirectory("graft_dml_mc_").toString
+    var s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    // pin retention above the statement count so the history assert
+    // sees every commit (default conf-or-preserve would expire gen 0
+    // once depth exceeds 3)
+    s.conf.set("spark.sql.catalog.g.retain", "10")
+    val path = s"$wh/mc"
+    // CTAS with two identity partition columns
+    s.range(1, 61).selectExpr("id AS k",
+        "CAST(2000 + id % 2 AS INT) AS y",
+        "CASE WHEN id % 4 < 2 THEN 'A' ELSE 'B' END AS st", "id * 10 AS v")
+      .createOrReplaceTempView("mc_src")
+    s.sql(
+      """CREATE TABLE g.mc PARTITIONED BY (y, st)
+        |AS SELECT k, v, y, st FROM mc_src""".stripMargin)
+    assert(FactVersioned.generations(s, path) == Seq(0L))
+    assert(FactVersioned.partitionColumns(s, path) == Seq("y", "st"))
+    // INSERT appends through appendBy (cost ∝ touched leaves)
+    s.sql(
+      """INSERT INTO g.mc BY NAME
+        |SELECT 100L AS k, 7L AS v, 2000 AS y, 'A' AS st,
+        |  CAST(NULL AS BIGINT) AS vgen""".stripMargin)
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def stagedLeaves(g: Long): Set[String] = {
+      val vd = new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=$g")
+      fs.listStatus(vd).filter(_.isDirectory).flatMap(a =>
+        fs.listStatus(a.getPath).filter(_.isDirectory).map(b =>
+          s"${a.getPath.getName}/${b.getPath.getName}")).toSet
+    }
+    assert(stagedLeaves(1L) == Set("y=2000/st=A"))
+    // UPDATE rewrites only the leaves holding matches
+    s.sql("UPDATE g.mc SET v = v + 1000 WHERE y = 2001 AND st = 'B' " +
+      "AND k <= 20")
+    assert(stagedLeaves(2L) == Set("y=2001/st=B"))
+    // DELETE likewise
+    s.sql("DELETE FROM g.mc WHERE y = 2000 AND st = 'B' AND k <= 10")
+    assert(stagedLeaves(3L) == Set("y=2000/st=B"))
+    // CDC MERGE: delete one key, update one, insert one — the delete
+    // takes its leaf from the TARGET tuple
+    s.createDataset(Seq(("D", 100L, 0, "X", 0L), ("U", 8L, 2000, "A", 888L),
+        ("I", 200L, 2001, "A", 2L)))
+      .toDF("op", "k", "y", "st", "v")
+      .withColumn("vgen", lit(null).cast("bigint"))
+      .createOrReplaceTempView("mc_cdc")
+    s.sql(
+      """MERGE INTO g.mc t USING mc_cdc src ON t.k = src.k
+        |WHEN MATCHED AND src.op = 'D' THEN DELETE
+        |WHEN MATCHED AND src.op = 'U' THEN UPDATE SET k = src.k,
+        |  v = src.v, y = src.y, st = src.st, vgen = src.vgen
+        |WHEN NOT MATCHED AND src.op = 'I' THEN INSERT (k, v, y, st, vgen)
+        |  VALUES (src.k, src.v, src.y, src.st, src.vgen)""".stripMargin)
+    assert(stagedLeaves(4L) == Set("y=2000/st=A", "y=2001/st=A"))
+    val now = FactVersioned.read(s, path)
+      .select("k", "y", "st", "v").as[(Long, Int, String, Long)]
+      .collect().toSet
+    assert(!now.exists(_._1 == 100L))
+    assert(now.contains((8L, 2000, "A", 888L)))
+    assert(now.contains((200L, 2001, "A", 2L)))
+    // a partition-moving update on the (y, st) grid is rejected
+    s.createDataset(Seq((8L, 2001, "B", 1L))).toDF("k", "y", "st", "v")
+      .withColumn("vgen", lit(null).cast("bigint"))
+      .createOrReplaceTempView("mc_move")
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.mc t USING mc_move src ON t.k = src.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(messagesOf(e).contains("partition-moving"), messagesOf(e))
+    // maintenance statements over the multi-column table
+    val hist = s.sql("DESCRIBE HISTORY g.mc").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(4L, 3L, 2L, 1L, 0L))
+    assert(hist.find(_.getLong(0) == 2L).get.getSeq[String](2) ==
+      Seq("y=2001/st=B"))
+    val cnt = FactVersioned.read(s, path).count()
+    s.sql("OPTIMIZE g.mc ZORDER BY (k, v)")
+    assert(FactVersioned.read(s, path).count() == cnt)
+    assert(s.sql("VACUUM g.mc RETAIN 1 GENERATIONS").count() > 0)
+    assert(FactVersioned.read(s, path).count() == cnt)
+  }
 }
