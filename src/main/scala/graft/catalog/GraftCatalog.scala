@@ -339,7 +339,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "rewrite data and keep their explicit operator surfaces")
     }
     if (FactVersioned.generations(spark, path).nonEmpty)
-      FactVersioned.addColumns(spark, path, fields, retain = retainFor(path))
+      FactVersioned.addColumns(spark, path, fields, retain = retainFor(path),
+        properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
     else if (Versioned.generations(spark, path).nonEmpty) {
       val cur = Versioned.read(spark, path)
       fields.foreach { f =>
@@ -462,7 +463,8 @@ private[catalog] class WritableFactTable(
     val rows = data.drop(FactVersioned.VGenCol)
     FactVersioned.appendBy(spark, path, rows,
       FactVersioned.partitionColumns(spark, path),
-      retain = retention)
+      retain = retention,
+      properties = Map("operation" -> "INSERT"))
     ()
   }
 }
@@ -515,7 +517,8 @@ private[catalog] class PendingGraftTable(
                   "GraftCatalog CTAS: more than 10000 partitions")
                 FactVersioned.replacePartitionsBy(spark, path, data, pcols,
                   touchedRows.toIndexedSeq.map(r => pcols.indices.map(r.get)),
-                  retain = retain())
+                  retain = retain(),
+                  properties = Map("operation" -> "CREATE TABLE AS SELECT"))
               } else {
                 Versioned.commit(data, path, retain = retain())
               }

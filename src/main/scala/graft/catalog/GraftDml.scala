@@ -492,7 +492,8 @@ case class GraftMergeCommand(
     val result = current.join(changedKeys, keys, "left_anti")
     val content = newRows.fold(result)(result.unionByName(_))
     FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
-      retain = retain, basisGen = basisGen)
+      retain = retain, basisGen = basisGen,
+      properties = Map("operation" -> "MERGE"))
     ()
   }
 
@@ -610,7 +611,8 @@ case class GraftDeleteCommand(
       // an intervening foreign commit is then a detected conflict, not
       // a silent overwrite from a stale read
       FactVersioned.replacePartitionsBy(spark, path, keep, pcols, touched,
-        retain = retain, basisGen = basisGen)
+        retain = retain, basisGen = basisGen,
+        properties = Map("operation" -> "DELETE"))
     } else {
       if (t.where(c).isEmpty) return Seq.empty
       Versioned.commit(t.where(keepCond), path, retain = retain)

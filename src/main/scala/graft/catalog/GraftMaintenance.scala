@@ -162,7 +162,8 @@ case class GraftOptimizeCommand(
       val pcols = FactVersioned.partitionColumns(spark, r.path)
       val dirs = FactVersioned.partitionDirs(spark, r.path)
       val c = FactVersioned.compactPartitionsBy(spark, r.path, dirs, pcols,
-        retain = retain, zorderCols = zorderCols, statsCols = zorderCols)
+        retain = retain, zorderCols = zorderCols, statsCols = zorderCols,
+        properties = Map("operation" -> "OPTIMIZE"))
       Seq(Row(c.gen, dirs.length.toLong))
     } else {
       val head = Versioned.read(spark, r.path)

@@ -941,7 +941,8 @@ object FactVersioned {
       zorderCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
       zorderBits: Int = 12,
-      filesPerPartition: Int = 8): Commit = {
+      filesPerPartition: Int = 8,
+      properties: Map[String, String] = Map.empty): Commit = {
     require(dirs.nonEmpty, "compactPartitionsBy: no dirs given")
     require(partitionCols.nonEmpty, "no partition columns given")
     val head = resolveGen(spark, tablePath, None)
@@ -962,7 +963,8 @@ object FactVersioned {
     val touched: Seq[Seq[Any]] = raw.select(pcols: _*).distinct().collect()
       .toIndexedSeq.map(r => partitionCols.indices.map(r.get))
     replacePartitionsBy(spark, tablePath, content, partitionCols, touched,
-      retain, basisGen = Some(head), statsCols = statsCols)
+      retain, basisGen = Some(head), statsCols = statsCols,
+      properties = properties)
   }
 
   /** [[upsert]] with ADDITIVE schema evolution — the fact-store twin of
@@ -1012,7 +1014,8 @@ object FactVersioned {
       spark: SparkSession,
       tablePath: String,
       added: Seq[StructField],
-      retain: Int = 3): Commit = {
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
     require(added.nonEmpty, "addColumns: no columns given")
     added.foreach { f =>
       require(f.nullable,
@@ -1033,9 +1036,9 @@ object FactVersioned {
     val widened = added.foldLeft(schema)(_ add _)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], widened)
-    replacePartitions(spark, tablePath, empty,
-      partitionColumn(spark, tablePath), Nil, retain,
-      basisGen = Some(head))
+    replacePartitionsBy(spark, tablePath, empty,
+      partitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties)
   }
 
   /** Expire old generations' metadata, then GC data files no retained

@@ -330,10 +330,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.generations(spark, s"$root/ctas_dim") == Seq(0L))
     assert(spark.sql("SELECT COUNT(*) FROM graftt.ctas_dim")
       .head().getLong(0) == 60L)
-    // unsupported partitioning fails loudly
+    // multi-column identity partitioning creates a nested-leaf fact
+    // table (first-class since round 11)
+    spark.sql(
+      """CREATE TABLE graftt.ctas_mc PARTITIONED BY (p, k)
+        |AS SELECT * FROM ctas_src""".stripMargin)
+    assert(FactVersioned.partitionColumns(spark, s"$root/ctas_mc") ==
+      Seq("p", "k"))
+    // non-identity transforms still fail loudly
     val e2 = intercept[Exception] {
       spark.sql(
-        """CREATE TABLE graftt.ctas_bad PARTITIONED BY (p, k)
+        """CREATE TABLE graftt.ctas_bad PARTITIONED BY (bucket(4, k))
           |AS SELECT * FROM ctas_src""".stripMargin)
     }
     assert(e2.getMessage.contains("identity") ||
