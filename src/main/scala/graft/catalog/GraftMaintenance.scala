@@ -17,12 +17,16 @@ import graft.operators.{FactVersioned, Versioned, ZOrder}
   * expect from a lakehouse store, routed through the maintenance APIs
   * the operator layer already has (VERDICT r10 "What's missing" #1):
   *
-  *  - `OPTIMIZE <catalog>.<table> [ZORDER BY (c1, c2, ...)]` →
-  *    [[FactVersioned.compactPartitions]] over every head partition
-  *    (fact) / a coalesced fresh full-copy generation (dimension).
-  *    Content-preserving by construction: one new generation whose
-  *    rows are byte-identical, prior generations untouched until
-  *    retention (compaction never breaks time travel).
+  *  - `OPTIMIZE <catalog>.<table> [WHERE pcol = lit [AND ...]]
+  *    [ZORDER BY (c1, c2, ...)]` →
+  *    [[FactVersioned.compactPartitionsBy]] over the head partitions
+  *    in scope (every leaf without WHERE; at 100 TB a compaction is
+  *    always partition-scoped — the Delta OPTIMIZE WHERE posture:
+  *    partition predicates only) / a coalesced fresh full-copy
+  *    generation (dimension). Content-preserving by construction: one
+  *    new generation whose rows are byte-identical, prior generations
+  *    untouched until retention (compaction never breaks time
+  *    travel).
   *  - `VACUUM <catalog>.<table> [RETAIN <n> GENERATIONS]` →
   *    [[FactVersioned.vacuum]] / [[Versioned.vacuum]]: expire
   *    generations beyond the window and GC unreferenced data files.
@@ -51,7 +55,27 @@ object GraftMaintenance {
 
   private val OptimizeRe =
     ("(?is)\\s*OPTIMIZE\\s+" + Ident +
+      "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([^();]+?)\\s*\\)?)?\\s*;?\\s*").r
+
+  /** One `col = literal` conjunct of an OPTIMIZE WHERE clause. */
+  private val WhereConjunct =
+    "(?s)\\s*(`[^`]+`|\\w+)\\s*=\\s*('(?:[^']*)'|[^\\s']+)\\s*".r
+
+  /** Parse `WHERE c1 = v1 [AND c2 = v2 ...]` into (column, literal)
+    * pairs — the partition-restriction grammar (Delta's OPTIMIZE
+    * WHERE: partition predicates only; anything else fails loudly at
+    * run time where the message can name the partition columns). */
+  private[catalog] def parseWhere(text: String): Seq[(String, String)] =
+    text.split("(?i)\\s+AND\\s+").toSeq.map {
+      case WhereConjunct(c, v) =>
+        val name = if (c.startsWith("`")) c.substring(1, c.length - 1) else c
+        val value = if (v.startsWith("'")) v.substring(1, v.length - 1) else v
+        name -> value
+      case other => throw new UnsupportedOperationException(
+        s"OPTIMIZE WHERE supports only conjunctions of <partition " +
+          s"column> = <literal>; got: $other")
+    }
   private val VacuumRe =
     ("(?is)\\s*VACUUM\\s+" + Ident +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+GENERATIONS?)?\\s*;?\\s*").r
@@ -65,10 +89,11 @@ object GraftMaintenance {
   /** The maintenance statement's command plan, or None when the text
     * is not one of the three shapes (→ delegate to Spark's parser). */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(ident, zcols) =>
+    case OptimizeRe(ident, where, zcols) =>
       Some(GraftOptimizeCommand(parts(ident),
         Option(zcols).map(_.split(",").map(c =>
-          parts(c.trim).mkString(".")).toSeq).getOrElse(Nil)))
+          parts(c.trim).mkString(".")).toSeq).getOrElse(Nil),
+        Option(where).map(parseWhere).getOrElse(Nil)))
     case VacuumRe(ident, n) =>
       Some(GraftVacuumCommand(parts(ident), Option(n).map(_.toInt)))
     case HistoryRe(ident) =>
@@ -149,11 +174,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * full-copy generation. Older generations keep their pre-compaction
   * files until retention — OPTIMIZE never breaks time travel. */
 case class GraftOptimizeCommand(
-    table: Seq[String], zorderCols: Seq[String]) extends LeafRunnableCommand {
+    table: Seq[String],
+    zorderCols: Seq[String],
+    where: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("generation", LongType, nullable = false)(),
     AttributeReference("partitions_compacted", LongType, nullable = false)())
+
+  /** Does `dir` (a nested Hive leaf path) satisfy every WHERE
+    * equality? Compared on UNESCAPED segment names/values — the
+    * string form a literal's text naturally matches. */
+  private def matches(dir: String, pcols: Seq[String]): Boolean = {
+    val segs = dir.split("/").map { seg =>
+      val eq = seg.indexOf('=')
+      val un = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName _
+      un(seg.substring(0, eq)).toLowerCase -> un(seg.substring(eq + 1))
+    }.toMap
+    where.forall { case (c, v) =>
+      require(pcols.exists(_.equalsIgnoreCase(c)),
+        s"OPTIMIZE WHERE: '$c' is not a partition column " +
+          s"(${pcols.mkString(", ")}) — only partition predicates can " +
+          "scope a compaction")
+      segs.get(c.toLowerCase).contains(v)
+    }
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val r = GraftMaintenance.resolve(spark, table, "OPTIMIZE")
@@ -161,11 +207,16 @@ case class GraftOptimizeCommand(
     if (r.isFact) {
       val pcols = FactVersioned.partitionColumns(spark, r.path)
       val dirs = FactVersioned.partitionDirs(spark, r.path)
+        .filter(matches(_, pcols))
+      if (dirs.isEmpty) return Seq.empty // nothing in scope: no commit
       val c = FactVersioned.compactPartitionsBy(spark, r.path, dirs, pcols,
         retain = retain, zorderCols = zorderCols, statsCols = zorderCols,
         properties = Map("operation" -> "OPTIMIZE"))
       Seq(Row(c.gen, dirs.length.toLong))
     } else {
+      require(where.isEmpty,
+        "OPTIMIZE WHERE: dimension tables are unpartitioned — the " +
+          "restriction has nothing to scope")
       val head = Versioned.read(spark, r.path)
       val genPath = new org.apache.hadoop.fs.Path(
         Versioned.generationPath(spark, r.path))

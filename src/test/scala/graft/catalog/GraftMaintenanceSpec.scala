@@ -104,6 +104,38 @@ class GraftMaintenanceSpec extends SparkSpec {
     assert(Versioned.generations(s, path) == Seq(2L))
   }
 
+  test("OPTIMIZE WHERE scopes the compaction to matching partitions " +
+      "only; non-partition predicates fail with guidance") {
+    val (s, _, path) = factTable()
+    val preFiles = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs
+    }
+    val out = s.sql("OPTIMIZE g.t WHERE p = 1").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L,
+      s"must compact exactly the one matching partition, got " +
+        s"${out.mkString}")
+    // the compaction generation staged ONLY p=1
+    val vd = new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}/vgen=${out.head.getLong(0)}")
+    val staged = preFiles.listStatus(vd).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(staged == Set("p=1"), s"staged $staged")
+    // content preserved
+    assert(FactVersioned.read(s, path).count() == 80)
+    // out-of-scope restriction: no partitions match → no commit
+    val gens = FactVersioned.generations(s, path)
+    assert(s.sql("OPTIMIZE g.t WHERE p = 99").collect().isEmpty)
+    assert(FactVersioned.generations(s, path) == gens)
+    // non-partition predicate fails loudly
+    val e = intercept[Exception] { s.sql("OPTIMIZE g.t WHERE k = 3") }
+    assert(e.getMessage.contains("not a partition column"), e.getMessage)
+    // WHERE composes with ZORDER BY
+    s.sql("OPTIMIZE g.t WHERE p = 0 ZORDER BY (k, v)")
+    assert(FactVersioned.read(s, path).count() == 80)
+  }
+
   test("non-maintenance SQL still parses through Spark's parser; " +
       "maintenance over a non-graft catalog fails with guidance") {
     val (s, _, _) = factTable()

@@ -200,4 +200,26 @@ class FactChangeFeedSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("retention"))
   }
+
+  test("the change feed works over MULTI-COLUMN partitioned tables: " +
+      "windows diff exactly the touched leaf dirs") {
+    val wh = tmp()
+    val path = s"$wh/mc"
+    def rows2(n: Int) = (1 to n).map(i =>
+      (i.toLong, 2000 + i % 2, if (i % 4 < 2) "A" else "B", i * 10L))
+      .toDF("k", "y", "s", "v")
+    FactVersioned.upsertBy(spark, path, rows2(40), Seq("k"), Seq("y", "s"))
+    // update one (y, s) leaf + insert into another
+    FactVersioned.upsertBy(spark, path,
+      Seq((4L, 2000, "A", 999L), (100L, 2001, "B", 1L))
+        .toDF("k", "y", "s", "v"),
+      Seq("k"), Seq("y", "s"))
+    val w = FactChangeFeed.window(spark, path, Seq("k"), Some(0L), 1L)
+    val got = w.select(col("op"), col("k"), col("y"), col("s"), col("v"))
+      .as[(String, Long, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("update_pre", 4L, 2000, "A", 40L),
+      ("update_post", 4L, 2000, "A", 999L),
+      ("insert", 100L, 2001, "B", 1L)), got)
+  }
 }
