@@ -35,14 +35,18 @@ import graft.operators.{FactVersioned, Versioned, ZOrder}
   *    first: generation, commit instant (the marker's visibility
   *    time), declared touched partitions (fact; the conflict-detection
   *    record) and commit properties.
+  *  - `RESTORE [TABLE] <catalog>.<table> TO VERSION AS OF n` →
+  *    [[FactVersioned.restore]] (fact: METADATA-ONLY manifest+schema
+  *    copy, zero data staged) / [[Versioned.restore]] (dim: fresh
+  *    full copy) — roll back as a new, auditable generation.
   *
   * Spark's grammar has none of these statements, so routing happens at
   * the PARSER seam (the Delta precedent: DeltaSqlParser): a delegating
-  * [[ParserInterface]] recognizes exactly these three shapes —
+  * [[ParserInterface]] recognizes exactly these four shapes —
   * anchored, full-statement matches — and hands everything else,
   * byte-for-byte, to Spark's own parser. Statement cost is
   * metadata-scale except OPTIMIZE, whose rewrite is the point; all
-  * three validate at RUN time (catalog conf, table existence) so error
+  * validate at RUN time (catalog conf, table existence) so error
   * messages carry guidance instead of a parser stack.
   *
   * Wired alongside the DML rule: [[GraftDml.install]] injects both, so
@@ -81,6 +85,9 @@ object GraftMaintenance {
       "(?:\\s+RETAIN\\s+(\\d+)\\s+GENERATIONS?)?\\s*;?\\s*").r
   private val HistoryRe =
     ("(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ident + "\\s*;?\\s*").r
+  private val RestoreRe =
+    ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ident +
+      "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*").r
 
   private def parts(ident: String): Seq[String] =
     "`[^`]+`|[^.`]+".r.findAllIn(ident).toSeq
@@ -98,6 +105,8 @@ object GraftMaintenance {
       Some(GraftVacuumCommand(parts(ident), Option(n).map(_.toInt)))
     case HistoryRe(ident) =>
       Some(GraftDescribeHistoryCommand(parts(ident)))
+    case RestoreRe(ident, gen) =>
+      Some(GraftRestoreCommand(parts(ident), gen.toLong))
     case _ => None
   }
 
@@ -290,5 +299,36 @@ case class GraftDescribeHistoryCommand(
         case (g, ms) => Row(g, new java.sql.Timestamp(ms), null, null)
       }
     }
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` — roll the head back (or
+  * forward) to generation `n` as a NEW commit. Fact tables restore
+  * METADATA-ONLY ([[FactVersioned.restore]]: the new generation's
+  * manifest and pinned schema are verbatim copies of `n`'s, zero data
+  * staged — the Delta RESTORE posture); dimension tables commit `n`'s
+  * content as a fresh full copy. History is preserved: the restore is
+  * itself a generation (stamped `operation=RESTORE`,
+  * `restored_from=n`), and the pre-restore head stays time-travelable
+  * until retention. */
+case class GraftRestoreCommand(
+    table: Seq[String], gen: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("generation", LongType, nullable = false)(),
+    AttributeReference("restored_from", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = GraftMaintenance.resolve(spark, table, "RESTORE")
+    val retain = GraftMaintenance.retainFor(spark, r.catalogName, r.path)
+    val c =
+      if (r.isFact)
+        FactVersioned.restore(spark, r.path, gen, retain = retain,
+          properties = Map("operation" -> "RESTORE"))
+      else Versioned.restore(spark, r.path, gen, retain = retain)
+    Seq(Row(c match {
+      case fc: FactVersioned.Commit => fc.gen
+      case vc: Versioned.Commit => vc.gen
+    }, gen))
   }
 }

@@ -1041,6 +1041,129 @@ object FactVersioned {
       basisGen = Some(head), properties = properties)
   }
 
+  /** Restore the table to generation `gen`, METADATA-ONLY (the Delta
+    * RESTORE posture): commit a new generation whose manifest and
+    * pinned schema are verbatim COPIES of generation `gen`'s — zero
+    * data files staged, the restored rows are re-REFERENCED (GC keeps
+    * any file a retained manifest points at, so the old files stay
+    * alive under the new head). The declared touched set is every dir
+    * present in the pre-restore head OR in `gen` — everything whose
+    * visible content may change — so concurrent writers conflict
+    * instead of silently losing, exactly like a data commit. At 100 TB
+    * this is one manifest read+write plus markers, independent of
+    * table size.
+    *
+    * Same claim/linearize/conflict protocol as [[replacePartitionsBy]]
+    * (kept in lockstep by FactVersionedSpec's restore cases): the one
+    * difference is that nothing stages — the manifest is copied, not
+    * rebuilt from staged dirs + carried head rows. */
+  def restore(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Long,
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(retain >= 1, "retain must keep at least the new generation")
+    val gens = generations(spark, tablePath)
+    require(gens.contains(gen),
+      s"FactVersioned.restore: generation $gen is not committed at " +
+        s"$tablePath (have ${gens.mkString(",")})")
+    val basis = gens.max
+    val fs = fsOf(spark, tablePath)
+    val gRoot = gensRoot(tablePath)
+    // CAS-claim the next number (see replacePartitionsBy)
+    val present = fs.listStatus(gRoot).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => if (n.startsWith("gen="))
+        n.stripPrefix("gen=").toLongOption else None)
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"FactVersioned.restore: could not claim a generation at $tablePath")
+      if (CommitLock.atomicCreate(fs,
+          new Path(genMeta(tablePath, next), Versioned.ClaimMarker)))
+        claimed = true
+      else next += 1
+    }
+    try {
+      // linearize: wait out lower-numbered in-flight claims (lease
+      // contract identical to publishClaimed's)
+      val deadline = System.currentTimeMillis() + ResolveTimeoutMs
+      def unresolvedBelow(): Seq[Long] =
+        fs.listStatus(gRoot).filter(_.isDirectory).map(_.getPath)
+          .flatMap { p =>
+            p.getName.stripPrefix("gen=").toLongOption.filter { g =>
+              g < next &&
+                !fs.exists(new Path(p, Versioned.CommitMarker)) && {
+                  val claim = new Path(p, Versioned.ClaimMarker)
+                  fs.exists(claim) &&
+                    System.currentTimeMillis() -
+                      fs.getFileStatus(claim).getModificationTime <
+                        StaleClaimMs
+                }
+            }
+          }.toSeq
+      var pending = unresolvedBelow()
+      while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        pending = unresolvedBelow()
+      }
+      if (pending.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"FactVersioned.restore: generations ${pending.mkString(",")} " +
+            s"at $tablePath stayed in flight — aborting (retry)")
+      // a restore redefines every dir of (pre-restore head ∪ gen): any
+      // commit landing after our basis conflicts
+      val headNow = generations(spark, tablePath).max
+      if (headNow > basis)
+        throw new java.util.ConcurrentModificationException(
+          s"FactVersioned.restore: generation $headNow committed at " +
+            s"$tablePath after the restore's basis $basis — retry " +
+            "against the new head")
+      val touchedDirs =
+        (partitionDirs(spark, tablePath, Some(basis)) ++
+          partitionDirs(spark, tablePath, Some(gen))).distinct.sorted
+      // manifest + schema: verbatim copies of gen's (stats included)
+      spark.read.parquet(manifestDir(tablePath, gen).toString)
+        .coalesce(1).write.parquet(manifestDir(tablePath, next).toString)
+      val schemaBytes = {
+        val in = fs.open(new Path(genMeta(tablePath, gen), "schema.ddl"))
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+      }
+      val so = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"),
+        true)
+      try so.write(schemaBytes) finally so.close()
+      val tf = fs.create(new Path(genMeta(tablePath, next), TouchedFile),
+        true)
+      try tf.write(touchedDirs.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally tf.close()
+      val props = properties ++ Map("restored_from" -> gen.toString)
+      val pf = fs.create(
+        new Path(genMeta(tablePath, next), PropertiesFile), true)
+      try pf.write(props.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally pf.close()
+      fs.create(new Path(genMeta(tablePath, next), Versioned.CommitMarker),
+        true).close()
+    } catch {
+      case e: Throwable =>
+        abortClaim(fs, tablePath, next,
+          new Path(dataRoot(tablePath), s"$VGenCol=$next"))
+        throw e
+    }
+    retentionSweep(spark, tablePath, retain, next)
+    Commit(next, Nil)
+  }
+
   /** Expire old generations' metadata, then GC data files no retained
     * manifest references. In-flight claimed generations (fresh claim,
     * no marker) are never touched; stale claim debris is reclaimed. */

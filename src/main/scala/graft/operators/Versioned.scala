@@ -193,6 +193,16 @@ object Versioned {
     genDir(new Path(tablePath), g).toString
   }
 
+  /** Restore to generation `gen` by committing its content as a fresh
+    * full-copy generation (dimension generations ARE their data — no
+    * manifest to re-point, so a dim restore is a copy by design). */
+  def restore(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Long,
+      retain: Int = 3): Commit =
+    commit(read(spark, tablePath, Some(gen)), tablePath, retain)
+
   /** Read a specific generation (must be committed) or, with None, the
     * latest committed one. Fails loudly on a never-committed table or
     * an uncommitted/evicted generation — never resolves half-written

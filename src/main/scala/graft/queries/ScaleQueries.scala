@@ -1104,6 +1104,69 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // SQL RESTORE (round 11): roll the head back to a prior generation
+    // as a NEW commit — METADATA-ONLY for fact tables (the new
+    // generation's manifest and pinned schema are verbatim copies;
+    // zero data files staged, asserted on disk — the Delta RESTORE
+    // posture). History is preserved (the pre-restore head still
+    // time-travels; the restore generation carries
+    // operation=RESTORE/restored_from provenance), and the restored
+    // content flows through the ORIGINAL files (asserted by reading
+    // the head after the restore). Output: the restored head ≡ the
+    // original table, value-gated against the identity mirror.
+    "q148_sql_restore" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q148_").toString
+      val path = s"$wh/orders_rs"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year",
+        retain = 10)
+      val before = o.count()
+      // two destructive commits to roll back: an update and a delete
+      FactVersioned.upsert(s0, path,
+        o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "p_year", retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      s.sql("""DELETE FROM graft.orders_rs
+        |WHERE p_year = 1996 AND o_orderkey % 2 = 0""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+        "q148: setup must leave three generations")
+      val rep = s.sql(
+        "RESTORE TABLE graft.orders_rs TO VERSION AS OF 0").collect()
+      require(rep.length == 1 && rep.head.getLong(0) == 3L &&
+        rep.head.getLong(1) == 0L,
+        s"q148: RESTORE must report (3, 0), got ${rep.mkString}")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=3")),
+        "q148: RESTORE must stage ZERO data files (metadata-only)")
+      require(s.sql("SELECT COUNT(*) FROM graft.orders_rs")
+        .collect().head.getLong(0) == before,
+        "q148: the restored head must hold the original row count")
+      require(s.sql("SELECT COUNT(*) FROM graft.orders_rs VERSION AS OF 2")
+        .collect().head.getLong(0) < before,
+        "q148: the pre-restore head must still time-travel")
+      val hist = s.sql("DESCRIBE HISTORY graft.orders_rs").collect()
+      require(hist.head.getLong(0) == 3L &&
+        hist.head.getMap[String, String](3).get("restored_from")
+          .contains("0"),
+        "q148: the restore generation must carry its provenance")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_rs""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1624,6 +1687,10 @@ object ScaleQueries extends QueryPack {
         |            AND o_orderkey % 2 = 0
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // the restored head ≡ the original table (the update and delete
+    // rolled back metadata-only)
+    "q148_sql_restore" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,

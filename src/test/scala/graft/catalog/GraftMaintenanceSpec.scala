@@ -136,6 +136,60 @@ class GraftMaintenanceSpec extends SparkSpec {
     assert(FactVersioned.read(s, path).count() == 80)
   }
 
+  test("RESTORE TO VERSION AS OF rolls the head back metadata-only: " +
+      "zero data staged, old files re-referenced, history preserved") {
+    val (s, _, path) = factTable()
+    s.conf.set("spark.sql.catalog.g.retain", "10")
+    val gen0 = FactVersioned.read(s, path, Some(0L))
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+    val preHead = FactVersioned.read(s, path)
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+    assert(preHead != gen0)
+    val out = s.sql("RESTORE TABLE g.t TO VERSION AS OF 0").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L &&
+      out.head.getLong(1) == 0L)
+    // metadata-only: the restore generation staged NO data files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}/vgen=3")),
+      "RESTORE must stage zero data files")
+    // head now reads generation 0's exact content via the OLD files
+    val restored = FactVersioned.read(s, path)
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+    assert(restored == gen0)
+    // the pre-restore head is still time-travelable; history shows
+    // the restore with its provenance property
+    assert(FactVersioned.read(s, path, Some(2L))
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+      == preHead)
+    val hist = s.sql("DESCRIBE HISTORY g.t").collect()
+    assert(hist.head.getLong(0) == 3L)
+    val props = hist.head.getMap[String, String](3)
+    assert(props.get("restored_from").contains("0") &&
+      props.get("operation").contains("RESTORE"), props)
+    // a VACUUM that expires gen 0's METADATA keeps the head answering
+    // (the restore manifest re-references gen 0's files, and GC keeps
+    // any file a retained manifest points at)
+    s.sql("VACUUM g.t RETAIN 1 GENERATIONS")
+    assert(FactVersioned.generations(s, path) == Seq(3L))
+    assert(FactVersioned.read(s, path)
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+      == gen0)
+    // dims restore by full copy
+    val wh2 = Files.createTempDirectory("graft_maint_restore_dim_").toString
+    Versioned.commit((1 to 5).map(i => (i.toLong, s"a$i")).toDF("k", "n"),
+      s"$wh2/d")
+    Versioned.commit((1 to 5).map(i => (i.toLong, s"b$i")).toDF("k", "n"),
+      s"$wh2/d")
+    val s2 = GraftDml.enable(spark)
+    s2.conf.set("spark.sql.catalog.g2", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.g2.root", wh2)
+    s2.sql("RESTORE g2.d TO VERSION AS OF 0")
+    assert(Versioned.read(s2, s"$wh2/d").select("n").as[String]
+      .collect().toSet == (1 to 5).map(i => s"a$i").toSet)
+  }
+
   test("non-maintenance SQL still parses through Spark's parser; " +
       "maintenance over a non-graft catalog fails with guidance") {
     val (s, _, _) = factTable()
