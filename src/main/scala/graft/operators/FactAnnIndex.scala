@@ -100,8 +100,12 @@ object FactAnnIndex {
   }
 
   /** The source partition-dir component (on-disk, Hive-escaped name)
-    * of a manifest-relative path `vgen=g/<dir>/<file>`. */
-  private def dirOf(rel: String): String = rel.split('/')(1)
+    * of a manifest-relative path `vgen=g/<dir…>/<file>` — everything
+    * between the vgen prefix and the file name, so multi-column
+    * (nested-leaf) tables key their index rows by the FULL leaf
+    * path. */
+  private def dirOf(rel: String): String =
+    rel.split('/').drop(1).dropRight(1).mkString("/")
 
   /** The `rows/vgen=g/part=…` child a (vgen, dir) pair lives under —
     * Spark's partitionBy escapes the `part` VALUE (which is itself an
@@ -122,7 +126,12 @@ object FactAnnIndex {
     val path =
       try Option(new java.net.URI(raw).getPath).getOrElse(raw)
       catch { case _: java.net.URISyntaxException => raw }
-    path.split('/').takeRight(3).mkString("/")
+    // anchor on the vgen segment (not a fixed component count): a
+    // multi-column table's relative path nests one level per column
+    val segs = path.split('/')
+    val i = segs.lastIndexWhere(_.startsWith(s"${FactVersioned.VGenCol}="))
+    require(i >= 0, s"not a FactVersioned data path: $raw")
+    segs.drop(i).mkString("/")
   }
 
   /** (file, id, cell, u, q, q_min, q_scale, q_sum) index rows for one

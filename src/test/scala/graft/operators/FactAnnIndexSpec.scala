@@ -348,4 +348,24 @@ class FactAnnIndexSpec extends SparkSpec {
     assert(resultSet(fannTopK(path)) == truth(path, 0))
     assert(truth(path, 0).nonEmpty)
   }
+
+  test("the ANN sidecar works over MULTI-COLUMN partitioned tables: " +
+      "index rows key on the full nested leaf path, refresh ∝ the " +
+      "commit's files, every retained generation answers exactly") {
+    val path = tmp() + "/t"
+    val full = corpus(160)
+      .withColumn("s", when(col("id") % 2 === 0, "A").otherwise("B"))
+    FactVersioned.upsertBy(spark, path,
+      full.where(col("p") =!= 2), Seq("id"), Seq("p", "s"))
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    // a one-leaf upsert, then refresh indexes only its new files
+    FactVersioned.upsertBy(spark, path,
+      full.where(col("p") === 2 && col("s") === "A"),
+      Seq("id"), Seq("p", "s"))
+    FactAnnIndex.refreshIndex(spark, path, "id", "vec")
+    assert(resultSet(fannTopK(path, Some(1))) == truth(path, 1))
+    assert(resultSet(fannTopK(path, Some(0))) == truth(path, 0))
+    assert(truth(path, 0) != truth(path, 1))
+    assert(truth(path, 1).nonEmpty)
+  }
 }
