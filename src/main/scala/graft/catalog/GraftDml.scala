@@ -435,7 +435,22 @@ case class GraftMergeCommand(
       .join(broadcast(src.select(keys.map(col): _*).distinct()),
         keys, "left_semi")
       .withColumn(MatchFlag, lit(1))
+    // the enriched source feeds every clause filter, the move check,
+    // the touched collect and the final union — materialize it ONCE
+    // (spill-safe; bounded by the source, which the 10000-partition
+    // cap already bounds) so each consumer doesn't re-run the source
+    // plan AND the full-target key probe behind the broadcast
     val enriched = src.join(broadcast(matchedKeys), keys, "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runFactRouted(spark, enriched, pcols, tpNames)
+    finally enriched.unpersist(blocking = false)
+  }
+
+  private def runFactRouted(
+      spark: SparkSession,
+      enriched: DataFrame,
+      pcols: Seq[String],
+      tpNames: Seq[String]): Unit = {
     // partition stability: only UPDATE-routed rows can strand a stale
     // target row (deletes use the target's own partition; inserts have
     // no target row) — each update clause's hits are checked against
@@ -504,6 +519,13 @@ case class GraftMergeCommand(
         keys, "left_semi")
       .withColumn(MatchFlag, lit(1))
     val enriched = src.join(broadcast(matchedKeys), keys, "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runDimRouted(spark, enriched)
+    finally enriched.unpersist(blocking = false)
+  }
+
+  private def runDimRouted(spark: SparkSession, enriched: DataFrame): Unit = {
+    val current = Versioned.read(spark, path)
     // dims have no partitions: no target-partition columns to ride
     val (updates, inserts, deletes) = route(enriched, Nil)
     val changed = (updates.map(_.select(keys.map(col): _*)).toSeq ++
