@@ -234,6 +234,37 @@ object FactVersioned {
       .select("dir").distinct().collect().map(_.getString(0)).sorted.toSeq
   }
 
+  /** [[upsertEvolve]] for MULTI-COLUMN partitioned tables — additive
+    * schema evolution per nested leaf (same posture: new columns
+    * append and null-fill; shared columns never change type). */
+  def upsertEvolveBy(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      retain: Int = 3,
+      maxTouchedPartitions: Int = 10000): Commit = {
+    require(partitionCols.nonEmpty, "no partition columns given")
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty)
+      return upsertBy(spark, tablePath, updates, keys, partitionCols,
+        retain, maxTouchedPartitions)
+    val touchedRows = updates.select(partitionCols.map(col): _*)
+      .distinct().limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"upsertEvolveBy touches more than $maxTouchedPartitions partitions")
+    requireKeyUnique(updates, keys, "FactVersioned.upsertEvolveBy")
+    val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
+      .map(r => partitionCols.indices.map(r.get))
+    val basis = gens.max
+    val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
+    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+    replacePartitionsBy(spark, tablePath,
+      Upsert.upsertEvolve(current, updates, keys),
+      partitionCols, touched, retain, basisGen = Some(basis))
+  }
+
   /** Expire generation metadata beyond `retain` and GC data files no
     * retained manifest references — the lakehouse `VACUUM`, exposing
     * the retention sweep every commit already runs for on-demand

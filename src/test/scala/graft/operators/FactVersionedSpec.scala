@@ -407,6 +407,17 @@ class FactVersionedSpec extends SparkSpec {
           .toDF("k", "y", "s", "v"),
         Seq("k"), Seq("y", "s"))
     }
+    // additive evolution through the multi-column door: new column
+    // null-fills carried rows, touched leaf only
+    val c2 = FactVersioned.upsertEvolveBy(spark, path,
+      Seq((8L, 2000, "A", 80L, "x")).toDF("k", "y", "s", "v", "note"),
+      Seq("k"), Seq("y", "s"))
+    assert(c2.rewrittenDirs == Seq("y=2000/s=A"))
+    val head = FactVersioned.read(spark, path)
+    assert(head.columns.contains("note"))
+    assert(head.where(col("k") === 8L).select("note")
+      .as[String].head() == "x")
+    assert(head.where(col("note").isNotNull).count() == 1)
     // vacuum to 1 generation: the superseded vgen=0/y=2000/s=A subtree
     // is GC'd (nested walk), the still-referenced leaves survive
     FactVersioned.vacuum(spark, path, 1)
