@@ -47,14 +47,18 @@ object ProdBenchQueries extends QueryPack {
     // 256-query external batch, distributed cell join. Build ∝ n,
     // query ∝ 256 × (n / nLists) × nProbe ≈ 256 × √n × 4.
     "q145_ann_prod" -> ((s, dir) => {
-      val path = Files.createTempDirectory("graft_q145_").toString +
-        "/embeddings"
+      val wh = Files.createTempDirectory("graft_q145_").toString
+      val path = s"$wh/embeddings"
       val emb = t(s, dir, "embeddings")
       emb.write.parquet(path)
       AnnIndex.writeIndex(s, path, "vec_id", "embedding")
       val queries = fixedBatch(emb, "vec_id", "embedding", 256, "qid", "qvec")
-      AnnIndex.ivfSq8TopKIndexedFor(s, path, "embedding",
+      val out = AnnIndex.ivfSq8TopKIndexedFor(s, path, "embedding",
         queries, "qid", "qvec", k = 10, nProbe = 4)
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }),
 
     // BM25 over the persisted text index, production shape: a FIXED
@@ -62,13 +66,18 @@ object ProdBenchQueries extends QueryPack {
     // strings, not a corpus fraction). Index build ∝ n; DAAT scoring
     // ∝ 64 × posting lengths ≈ linear in n.
     "q146_bm25_prod" -> ((s, dir) => {
-      val path = Files.createTempDirectory("graft_q146_").toString +
-        "/documents"
+      val wh = Files.createTempDirectory("graft_q146_").toString
+      val path = s"$wh/documents"
       val docs = t(s, dir, "documents")
       docs.write.parquet(path)
       TfIdf.writeTextIndex(s, path, "doc_id", "text")
       val queries = fixedBatch(docs, "doc_id", "text", 64, "qid", "qtext")
-      TfIdf.bm25TopKIndexed(s, path, "text", queries, "qid", "qtext", k = 10)
+      val out = TfIdf.bm25TopKIndexed(s, path, "text",
+        queries, "qid", "qtext", k = 10)
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }),
 
     // Embedding near-dup via RHP-LSH, production shape: bits/tables
