@@ -84,12 +84,26 @@ object FactStreamSink {
       partitionCol: String,
       sinkId: String,
       batchId: Long,
+      retain: Int = 10): Option[FactVersioned.Commit] =
+    applyBatchBy(spark, tablePath, batch, keys, Seq(partitionCol),
+      sinkId, batchId, retain)
+
+  /** [[applyBatch]] for MULTI-COLUMN partitioned tables (nested leaf
+    * dirs; same marker protocol, commit ∝ touched leaves). */
+  def applyBatchBy(
+      spark: SparkSession,
+      tablePath: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      sinkId: String,
+      batchId: Long,
       retain: Int = 10): Option[FactVersioned.Commit] = {
     if (lastBatch(spark, tablePath, sinkId).exists(_ >= batchId)) None
     else if (batch.isEmpty) None // empty batch: nothing to commit
     else try {
-      Some(FactVersioned.upsert(spark, tablePath, batch, keys,
-        partitionCol, retain = retain,
+      Some(FactVersioned.upsertBy(spark, tablePath, batch, keys,
+        partitionCols, retain = retain,
         properties = Map(batchProp(sinkId) -> batchId.toString),
         preCommit = () =>
           if (lastBatch(spark, tablePath, sinkId).exists(_ >= batchId))
@@ -128,12 +142,26 @@ object FactStreamSink {
       retain: Int = 10,
       transform: DataFrame => DataFrame = identity,
       maintainAnnCols: Seq[String] = Nil): StreamingQuery =
+    startBy(source, tablePath, keys, Seq(partitionCol), checkpointDir,
+      sinkId, retain, transform, maintainAnnCols)
+
+  /** [[start]] for MULTI-COLUMN partitioned tables. */
+  def startBy(
+      source: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      checkpointDir: String,
+      sinkId: String = "default",
+      retain: Int = 10,
+      transform: DataFrame => DataFrame = identity,
+      maintainAnnCols: Seq[String] = Nil): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        applyBatch(s, tablePath, transform(batch), keys,
-          partitionCol, sinkId, batchId, retain)
+        applyBatchBy(s, tablePath, transform(batch), keys,
+          partitionCols, sinkId, batchId, retain)
         // unconditional (see @param maintainAnnCols): the skip path
         // must also catch up a generation whose refresh was lost to a
         // crash; no-op cost is a metadata listing

@@ -175,4 +175,30 @@ class FactStreamSinkSpec extends SparkSpec {
       .as[(Long, String, Int)].collect().toSet
     assert(after === before)
   }
+
+  test("exactly-once streaming into a MULTI-COLUMN partitioned table: " +
+      "markers skip redeliveries, commits touch only the batch's " +
+      "leaf dirs") {
+    val root = tmp("mc") + "/t"
+    val b0 = Seq((1L, "a", 2020, "X"), (2L, "b", 2020, "Y"),
+        (3L, "c", 2021, "X"))
+      .toDF("id", "v", "year", "src")
+    val c0 = FactStreamSink.applyBatchBy(spark, root, b0, Seq("id"),
+      Seq("year", "src"), sinkId = "m1", batchId = 0L)
+    assert(c0.nonEmpty && c0.get.gen === 0L)
+    // batch 1 touches exactly one (year, src) leaf
+    val b1 = Seq((2L, "b2", 2020, "Y")).toDF("id", "v", "year", "src")
+    val c1 = FactStreamSink.applyBatchBy(spark, root, b1, Seq("id"),
+      Seq("year", "src"), sinkId = "m1", batchId = 1L)
+    assert(c1.nonEmpty && c1.get.rewrittenDirs === Seq("year=2020/src=Y"))
+    // redelivery skipped; content exact
+    assert(FactStreamSink.applyBatchBy(spark, root, b1, Seq("id"),
+      Seq("year", "src"), "m1", 1L).isEmpty)
+    assert(FactVersioned.read(spark, root)
+      .as[(Long, String, Int, String)].collect().toSet ===
+      Set((1L, "a", 2020, "X"), (2L, "b2", 2020, "Y"),
+        (3L, "c", 2021, "X")))
+    // the change feed sees zero rows for the skipped redelivery window
+    assert(FactVersioned.generations(spark, root) === Seq(0L, 1L))
+  }
 }
