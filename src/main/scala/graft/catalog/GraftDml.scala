@@ -35,13 +35,20 @@ import graft.operators.{FactVersioned, Versioned}
   * the ∝-touched write contract all apply unchanged.
   *
   * Supported shapes (everything else fails loudly with guidance):
-  *  - `MERGE INTO g.t USING src ON t.k = src.k [AND ...]
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *    — the canonical upsert; explicit column assignments are accepted
-  *    when UPDATE and INSERT assign the same expression per column
-  *    (anything else is not an upsert and has no ∝-touched commit
-  *    shape). ON must be a conjunction of target-column = source-column
-  *    equalities (the upsert keys).
+  *  - `MERGE INTO g.t USING src ON t.k = src.k [AND ...]` with any mix
+  *    of `WHEN MATCHED [AND cond] THEN UPDATE` (star or explicit
+  *    assignments), `WHEN MATCHED [AND cond] THEN DELETE`, and
+  *    `WHEN NOT MATCHED [AND cond] THEN INSERT` clauses — applied
+  *    first-match-wins per SOURCE row (the CDC-apply shape: `AND
+  *    src.op = 'D' THEN DELETE`). Clause conditions may reference
+  *    SOURCE columns only (per-source-row routing is what keeps the
+  *    commit ∝ touched partitions); ON must be a conjunction of
+  *    target-column = source-column equalities (the merge keys).
+  *    Enforced before anything commits: source key-uniqueness (the
+  *    Postgres/Delta cardinality posture) and partition stability
+  *    (an UPDATE that would move a key between partitions is
+  *    rejected — the stale-row hole). `WHEN NOT MATCHED BY SOURCE`
+  *    stays rejected (whole-table shape; operator API covers it).
   *  - `DELETE FROM g.t WHERE <any predicate, subqueries included>` —
   *    deleted rows' partitions are rewritten without them; a partition
   *    deleted empty is dropped (the J2 semi-join delete at partition
@@ -50,6 +57,10 @@ import graft.operators.{FactVersioned, Versioned}
   *    rows' partitions are rewritten with the assignments applied;
   *    partition-column (partition-moving) and `vgen` assignments are
   *    rejected. Commit ∝ partitions holding matches.
+  * Multi-column partitioned tables are first-class through every
+  * statement (touched sets are leaf-dir TUPLES); the maintenance
+  * statements (OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE) live in
+  * [[GraftMaintenance]], installed together with this rule.
   *
   * Session wiring: analyzer rule sets are snapshotted when a session's
   * state materializes, so [[enable]] injects the rule into the
