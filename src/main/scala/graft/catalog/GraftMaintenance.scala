@@ -160,6 +160,17 @@ object GraftMaintenance {
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  /** MUST forward to the delegate, not inherit the interface default:
+    * the default drops the ParameterContext on the floor (it calls
+    * bare parsePlan), which would break `spark.sql(sql, args)`
+    * parameter binding for every query in the session. Maintenance
+    * statements take no parameters, so they match on the raw text. */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    GraftMaintenance.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)

@@ -195,6 +195,12 @@ class GraftMaintenanceSpec extends SparkSpec {
     val (s, _, _) = factTable()
     assert(s.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     assert(s.sql("SELECT k FROM g.t WHERE k <= 2").count() == 2)
+    // parameter binding must survive the delegating parser (the
+    // interface default would drop the ParameterContext)
+    assert(s.sql("SELECT ? + 1 AS r", Array(41)).collect()
+      .head.getInt(0) == 42)
+    assert(s.sql("SELECT k FROM g.t WHERE k <= :m", Map("m" -> 3))
+      .count() == 3)
     val e = intercept[Exception] { s.sql("OPTIMIZE spark_catalog.x") }
     assert(e.getMessage.contains("not a GraftCatalog"))
     val e2 = intercept[Exception] { s.sql("VACUUM g.nosuch") }
