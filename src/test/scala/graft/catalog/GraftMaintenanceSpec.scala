@@ -176,6 +176,19 @@ class GraftMaintenanceSpec extends SparkSpec {
     assert(FactVersioned.read(s, path)
       .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
       == gen0)
+    // DML continues normally against the restored head: the copied
+    // manifest is a first-class generation (basis pinning, touched
+    // declaration, carried files all work)
+    val s3 = GraftDml.enable(spark)
+    s3.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s3.conf.set("spark.sql.catalog.g.root",
+      new java.io.File(path).getParent)
+    s3.conf.set("spark.sql.catalog.g.retain", "10")
+    s3.sql("UPDATE g.t SET v = v + 5 WHERE p = 1 AND k <= 4")
+    val afterDml = FactVersioned.read(s3, path)
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+    assert(afterDml == gen0.map { case (k, p, v) =>
+      (k, p, if (p == 1 && k <= 4) v + 5 else v) })
     // dims restore by full copy
     val wh2 = Files.createTempDirectory("graft_maint_restore_dim_").toString
     Versioned.commit((1 to 5).map(i => (i.toLong, s"a$i")).toDF("k", "n"),
