@@ -39,10 +39,12 @@ import graft.operators.{FactVersioned, Versioned, ZOrder}
   *    [[FactVersioned.restore]] (fact: METADATA-ONLY manifest+schema
   *    copy, zero data staged) / [[Versioned.restore]] (dim: fresh
   *    full copy) — roll back as a new, auditable generation.
+  *  - `DESCRIBE DETAIL <catalog>.<table>` → one-row table summary:
+  *    kind, partition columns, generation counts, head footprint.
   *
   * Spark's grammar has none of these statements, so routing happens at
   * the PARSER seam (the Delta precedent: DeltaSqlParser): a delegating
-  * [[ParserInterface]] recognizes exactly these four shapes —
+  * [[ParserInterface]] recognizes exactly these statement shapes —
   * anchored, full-statement matches — and hands everything else,
   * byte-for-byte, to Spark's own parser. Statement cost is
   * metadata-scale except OPTIMIZE, whose rewrite is the point; all
@@ -88,13 +90,15 @@ object GraftMaintenance {
   private val RestoreRe =
     ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ident +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*").r
+  private val DetailRe =
+    ("(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + Ident + "\\s*;?\\s*").r
 
   private def parts(ident: String): Seq[String] =
     "`[^`]+`|[^.`]+".r.findAllIn(ident).toSeq
       .map(p => if (p.startsWith("`")) p.substring(1, p.length - 1) else p)
 
   /** The maintenance statement's command plan, or None when the text
-    * is not one of the three shapes (→ delegate to Spark's parser). */
+    * is not a maintenance shape (→ delegate to Spark's parser). */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(ident, where, zcols) =>
       Some(GraftOptimizeCommand(parts(ident),
@@ -107,6 +111,8 @@ object GraftMaintenance {
       Some(GraftDescribeHistoryCommand(parts(ident)))
     case RestoreRe(ident, gen) =>
       Some(GraftRestoreCommand(parts(ident), gen.toLong))
+    case DetailRe(ident) =>
+      Some(GraftDescribeDetailCommand(parts(ident)))
     case _ => None
   }
 
@@ -341,5 +347,55 @@ case class GraftRestoreCommand(
       case fc: FactVersioned.Commit => fc.gen
       case vc: Versioned.Commit => vc.gen
     }, gen))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one-row table summary (the Delta shape):
+  * store kind, partition columns, retained/head generation numbers,
+  * and the HEAD generation's physical footprint (file count + bytes).
+  * Metadata-scale: one manifest read plus a file-status call per head
+  * file (the stores record no per-file sizes in their manifests — the
+  * size column is the one O(head files) namenode pass here, same cost
+  * class as any directory listing). */
+case class GraftDescribeDetailCommand(
+    table: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("partition_columns",
+      ArrayType(StringType, containsNull = false), nullable = false)(),
+    AttributeReference("num_generations", LongType, nullable = false)(),
+    AttributeReference("head_generation", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_partitions", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = GraftMaintenance.resolve(spark, table, "DESCRIBE DETAIL")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (r.isFact) {
+      val gens = FactVersioned.generations(spark, r.path)
+      val (files, _, _) =
+        FactVersioned.generationHandle(spark, r.path, None)
+      val fs = new org.apache.hadoop.fs.Path(r.path).getFileSystem(hconf)
+      val bytes = files.map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val pcols =
+        try FactVersioned.partitionColumns(spark, r.path)
+        catch { case _: IllegalArgumentException => Seq.empty[String] }
+      Seq(Row("fact", r.path, pcols, gens.length.toLong, gens.max,
+        files.length.toLong, bytes,
+        FactVersioned.partitionDirs(spark, r.path).length.toLong))
+    } else {
+      val gens = Versioned.generations(spark, r.path)
+      val head = new org.apache.hadoop.fs.Path(
+        Versioned.generationPath(spark, r.path))
+      val fs = head.getFileSystem(hconf)
+      val data = fs.listStatus(head)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      Seq(Row("dim", r.path, Seq.empty[String], gens.length.toLong,
+        gens.max, data.length.toLong, data.map(_.getLen).sum, 1L))
+    }
   }
 }

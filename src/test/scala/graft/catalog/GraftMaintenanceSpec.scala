@@ -203,6 +203,24 @@ class GraftMaintenanceSpec extends SparkSpec {
       .collect().toSet == (1 to 5).map(i => s"a$i").toSet)
   }
 
+  test("DESCRIBE DETAIL summarizes kind, partition columns, " +
+      "generations and the head's physical footprint") {
+    val (s, wh, path) = factTable()
+    val d = s.sql("DESCRIBE DETAIL g.t").collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getString(0) == "fact" && r.getString(1) == path)
+    assert(r.getSeq[String](2) == Seq("p"))
+    assert(r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(r.getLong(5) > 0L && r.getLong(6) > 0L && r.getLong(7) == 3L)
+    // dims
+    Versioned.commit((1 to 5).map(i => (i.toLong, s"n$i")).toDF("k", "n"),
+      s"$wh/dd")
+    val dd = s.sql("DESCRIBE DETAIL g.dd").collect().head
+    assert(dd.getString(0) == "dim" && dd.getLong(3) == 1L &&
+      dd.getLong(5) > 0L && dd.getLong(6) > 0L)
+  }
+
   test("non-maintenance SQL still parses through Spark's parser; " +
       "maintenance over a non-graft catalog fails with guidance") {
     val (s, _, _) = factTable()
