@@ -1167,6 +1167,41 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // DESCRIBE DETAIL (round 11): the one-row table summary — store
+    // kind, partition columns, generation counts, head partition
+    // count — value-gated against the DuckDB mirror (the partition
+    // count IS the distinct-year count of the data; the statement must
+    // report physical truth, not cached metadata). num_files /
+    // size_bytes are asserted positive in-gate (layout-dependent, not
+    // mirrorable).
+    "q149_sql_describe_detail" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q149_").toString
+      val path = s"$wh/orders_dd"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val d = s.sql("DESCRIBE DETAIL graft.orders_dd").collect().head
+      require(d.getLong(5) > 0 && d.getLong(6) > 0,
+        "q149: the head footprint (files, bytes) must be positive")
+      val out = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(
+          d.getString(0), d.getSeq[String](2).mkString(","),
+          d.getLong(3), d.getLong(4), d.getLong(7))),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "kind STRING, partition_columns STRING, num_generations " +
+            "BIGINT, head_generation BIGINT, num_partitions BIGINT"))
+        .localCheckpoint()
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1691,6 +1726,15 @@ object ScaleQueries extends QueryPack {
     // rolled back metadata-only)
     "q148_sql_restore" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    // the table summary's mirrorable slice: one fact generation whose
+    // partition count is the data's distinct-year count
+    "q149_sql_describe_detail" ->
+      """SELECT 'fact' AS kind, 'p_year' AS partition_columns,
+        |  CAST(1 AS BIGINT) AS num_generations,
+        |  CAST(0 AS BIGINT) AS head_generation,
+        |  CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+        |    AS num_partitions
+        |FROM orders""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->
       """SELECT o_orderkey,
