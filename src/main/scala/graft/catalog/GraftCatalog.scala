@@ -408,10 +408,36 @@ private[catalog] abstract class GraftWritableTable(
     * conf-or-preserve resolution INSERT uses. */
   private[catalog] def retentionForDml: Int = retain()
   override def name(): String = inner.name
-  override def schema(): StructType = inner.schema
+  /** The native schema, with [[FactVersioned.VGenCol]] (when present —
+    * fact tables only) carrying a NULL column DEFAULT in its field
+    * metadata: provenance is commit-assigned (input values ignored),
+    * so a write that omits it must analyze — `INSERT ... BY NAME`
+    * fills the default for the missing name — instead of demanding a
+    * hand-written `CAST(NULL AS BIGINT) AS vgen`. Positional INSERT
+    * can only default-fill TRAILING columns, and the partition columns
+    * sort last in a discovered-partition table, so BY NAME is the
+    * vgen-free door. */
+  override def schema(): StructType = StructType(inner.schema.fields.map { f =>
+    if (f.name.equalsIgnoreCase(FactVersioned.VGenCol))
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString("CURRENT_DEFAULT", "NULL")
+        .putString("EXISTS_DEFAULT", "NULL")
+        .build())
+    else f
+  })
   override def columns()
       : Array[org.apache.spark.sql.connector.catalog.Column] =
-    inner.columns()
+    inner.columns().map { c =>
+      if (c.name.equalsIgnoreCase(FactVersioned.VGenCol))
+        org.apache.spark.sql.connector.catalog.Column.create(
+          c.name, c.dataType, true,
+          "commit-assigned provenance (generation number); " +
+            "input values are ignored",
+          org.apache.spark.sql.GraftColumnBridge.nullColumnDefault(LongType),
+          null)
+      else c
+    }
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
   override def capabilities()

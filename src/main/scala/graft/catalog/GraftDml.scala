@@ -1,8 +1,9 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -36,19 +37,32 @@ import graft.operators.{FactVersioned, Versioned}
   *
   * Supported shapes (everything else fails loudly with guidance):
   *  - `MERGE INTO g.t USING src ON t.k = src.k [AND ...]` with any mix
-  *    of `WHEN MATCHED [AND cond] THEN UPDATE` (star or explicit
-  *    assignments), `WHEN MATCHED [AND cond] THEN DELETE`, and
-  *    `WHEN NOT MATCHED [AND cond] THEN INSERT` clauses — applied
-  *    first-match-wins per SOURCE row (the CDC-apply shape: `AND
-  *    src.op = 'D' THEN DELETE`). Clause conditions may reference
-  *    SOURCE columns only (per-source-row routing is what keeps the
-  *    commit ∝ touched partitions); ON must be a conjunction of
-  *    target-column = source-column equalities (the merge keys).
-  *    Enforced before anything commits: source key-uniqueness (the
-  *    Postgres/Delta cardinality posture) and partition stability
-  *    (an UPDATE that would move a key between partitions is
-  *    rejected — the stale-row hole). `WHEN NOT MATCHED BY SOURCE`
-  *    stays rejected (whole-table shape; operator API covers it).
+  *    of `WHEN MATCHED [AND cond] THEN UPDATE` (star, or explicit
+  *    assignments — PARTIAL allowed: unassigned columns keep the
+  *    target row's values, the Delta/Postgres posture), `WHEN MATCHED
+  *    [AND cond] THEN DELETE`, and `WHEN NOT MATCHED [AND cond] THEN
+  *    INSERT` clauses — applied first-match-wins per SOURCE row (the
+  *    CDC-apply shape: `AND src.op = 'D' THEN DELETE`). MATCHED-clause
+  *    conditions and UPDATE assignment values may reference source AND
+  *    target columns (`WHEN MATCHED AND t.status = 'open'`, `SET v =
+  *    t.v + s.d`): the match probe carries exactly the referenced
+  *    target columns, so routing still happens per source row and the
+  *    commit stays ∝ touched partitions. NOT-MATCHED clauses are
+  *    source-only (the row has no target side); unassigned INSERT
+  *    columns are NULL. ON must be a conjunction of target-column =
+  *    source-column equalities (the merge keys). Enforced before
+  *    anything commits: source key-uniqueness (the Postgres/Delta
+  *    cardinality posture) and partition stability (an UPDATE that
+  *    would move a key between partitions is rejected — the stale-row
+  *    hole).
+  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` — the full-sync shape,
+  *    accepted with a PARTITION-SCOPING condition on fact tables
+  *    (`AND t.p = <literal> [AND ...]`): scoped target rows whose key
+  *    the source never names are deleted, and the rewrite stays ∝ the
+  *    scoped partitions that actually lose rows. The unscoped
+  *    fact-table shape stays rejected (whole-table rewrite; operator
+  *    API covers it); dimension tables (full-copy commits anyway)
+  *    accept any target-only condition or none.
   *  - `DELETE FROM g.t WHERE <any predicate, subqueries included>` —
   *    deleted rows' partitions are rewritten without them; a partition
   *    deleted empty is dropped (the J2 semi-join delete at partition
@@ -59,8 +73,9 @@ import graft.operators.{FactVersioned, Versioned}
   *    rejected. Commit ∝ partitions holding matches.
   * Multi-column partitioned tables are first-class through every
   * statement (touched sets are leaf-dir TUPLES); the maintenance
-  * statements (OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE) live in
-  * [[GraftMaintenance]], installed together with this rule.
+  * statements (OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE/DESCRIBE
+  * DETAIL) live in [[GraftMaintenance]], installed together with this
+  * rule.
   *
   * Session wiring: analyzer rule sets are snapshotted when a session's
   * state materializes, so [[enable]] injects the rule into the
@@ -93,12 +108,42 @@ object GraftDml {
 
   /** Register on a SparkSessionExtensions (config-time entry —
     * composed into [[graft.GraftExtensions]]). Installs the DML
-    * resolution rule AND the maintenance-statement parser
-    * ([[GraftSqlParser]]: OPTIMIZE / VACUUM / DESCRIBE HISTORY) — the
-    * full SQL write-and-lifecycle surface turns on together. */
+    * resolution rules AND the maintenance-statement parser
+    * ([[GraftSqlParser]]) — the full SQL write-and-lifecycle surface
+    * turns on together. */
   def install(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(s => GraftMergeVgenRule(s))
     ext.injectPostHocResolutionRule(s => GraftDmlRule(s))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
+
+  /** The match-probe flag and carried-target-column naming shared by
+    * resolution (which plants references to them) and execution (which
+    * rides them on the probe). */
+  private[catalog] val MatchFlag = "__graft_m"
+  private[catalog] def tpName(i: Int) = s"__graft_tp$i"
+  private[catalog] def carriedName(n: String) = s"__graft_t_${n.toLowerCase}"
+
+  /** Conf capping the MERGE probe's broadcast hint (bytes, catalyst
+    * size estimate; ≤ 0 disables the hint entirely). Under the cap the
+    * probe frames are hinted broadcast (the fast small-batch path —
+    * skipping AQE's shuffle-then-convert detour); above it they join
+    * plain and AQE picks the strategy at runtime, so a production CDC
+    * source of hundreds of millions of keys never rides an
+    * unconditional broadcast into the 8 GB / driver-memory wall. */
+  private[catalog] val ProbeBroadcastConf = "spark.graft.dml.probeBroadcastThreshold"
+  private[catalog] val ProbeBroadcastDefault: Long = 64L * 1024 * 1024
+
+  /** Hint `df` broadcast only when its catalyst size estimate sits
+    * under the threshold — the size-conditional probe posture. */
+  private[catalog] def maybeBroadcast(
+      spark: SparkSession, df: DataFrame): DataFrame = {
+    val threshold = spark.conf.getOption(ProbeBroadcastConf)
+      .flatMap(_.toLongOption).getOrElse(ProbeBroadcastDefault)
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
   }
 
   /** The writable graft table under alias wrappers, with its relation. */
@@ -124,6 +169,11 @@ object GraftDml {
   private[catalog] def unsupported(msg: String): Nothing =
     throw new UnsupportedOperationException(s"GraftDml: $msg")
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   /** Upsert keys from the ON condition: a conjunction of
     * target-attribute = source-attribute equalities over identical
     * column names. */
@@ -133,11 +183,6 @@ object GraftDml {
       source: LogicalPlan): Seq[String] = {
     val tSet = target.outputSet
     val sSet = source.outputSet
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     conjuncts(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tSet.contains(a) && sSet.contains(b) &&
@@ -153,118 +198,271 @@ object GraftDml {
   }
 
   /** The merge's validated clause program. Each WHEN clause becomes
-    * (condition, assignments): star actions resolve each target column
-    * to the same-named source attribute; explicit assignments must
-    * cover every data column; DELETE clauses carry no assignments.
-    * `vgen` (commit-assigned provenance) is skipped everywhere.
+    * (condition, assignments); `vgen` (commit-assigned provenance) is
+    * skipped everywhere.
     *
-    * Clause conditions may reference SOURCE columns only (`WHEN
-    * MATCHED AND src.op = 'D' THEN DELETE` — the CDC-apply shape):
-    * routing is then decided per SOURCE row, which is what keeps the
-    * commit ∝ touched partitions (a target-referencing condition would
-    * make every target row's fate data-dependent — a whole-table
-    * rewrite shape; the operator API covers it). */
+    * Reference semantics, per clause family:
+    *  - MATCHED clauses see the source row AND its matched target row:
+    *    conditions and UPDATE values may reference both. Target
+    *    references are rewritten at resolution — a key column to the
+    *    same-named source attribute (equal by the ON condition), a
+    *    partition column to the probe's target-partition slot, any
+    *    other column to a carried probe column — so routing stays
+    *    per-SOURCE-row and the probe carries exactly the referenced
+    *    columns. Partial UPDATE assignments keep unassigned columns'
+    *    target values through the same carried slots.
+    *  - NOT MATCHED (insert) clauses have no target side: target
+    *    references are rejected with guidance; unassigned columns
+    *    insert NULL (the Delta posture).
+    *  - NOT MATCHED BY SOURCE accepts exactly one DELETE clause;
+    *    fact tables require a partition-scoping condition (rewrite ∝
+    *    scoped partitions), dimensions (full-copy commits) accept any
+    *    target-only condition or none. */
   private[catalog] def mergeProgram(
       m: MergeIntoTable,
       target: DataSourceV2Relation,
-      source: LogicalPlan): MergeProgram = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE rewrites target rows the " +
-        "source never names (whole-table shape) — use the operator API " +
-        "(FactVersioned.replacePartitions) instead")
+      source: LogicalPlan,
+      keys: Seq[String],
+      pcols: Seq[String]): MergeProgram = {
+    val dataCols = target.output
+      .filterNot(_.name.equalsIgnoreCase(FactVersioned.VGenCol))
+    val carried = scala.collection.mutable.LinkedHashSet[String]()
+
     def nameOf(asg: Assignment): String = asg.key match {
       case a: AttributeReference => a.name.toLowerCase
       case other => unsupported(s"cannot assign to ${other.sql}")
     }
-    val dataCols = target.output
-      .filterNot(_.name.equalsIgnoreCase(FactVersioned.VGenCol))
-    def resolveStar(): Seq[(String, Expression)] = dataCols.map { tc =>
-      val src = source.output.filter(_.name.equalsIgnoreCase(tc.name)) match {
-        case Seq(one) => one
-        case Seq() => unsupported(
-          s"INSERT */UPDATE SET *: source has no column '${tc.name}'")
-        case many => unsupported(
-          s"source column '${tc.name}' is ambiguous (${many.size} matches)")
+    def srcAttr(name: String): Option[Attribute] =
+      source.output.filter(_.name.equalsIgnoreCase(name)) match {
+        case Seq(one) => Some(one)
+        case _ => None
       }
-      tc.name -> (src: Expression)
+    /** The matched target row's value of non-key column `name`: a
+      * reference to the probe-carried slot (partition columns already
+      * ride as tp columns). */
+    def carriedRef(name: String): Expression = {
+      val i = pcols.indexWhere(_.equalsIgnoreCase(name))
+      if (i >= 0) UnresolvedAttribute(Seq(tpName(i)))
+      else {
+        carried += dataCols.find(_.name.equalsIgnoreCase(name)).get.name
+        UnresolvedAttribute(Seq(carriedName(name)))
+      }
     }
-    def explicit(assignments: Seq[Assignment]): Seq[(String, Expression)] = {
+    /** Rewrite a MATCHED-clause expression: target references become
+      * probe-carried slots (keys: the equal source attribute); any
+      * reference to neither side is rejected with guidance instead of
+      * a raw missing-attribute failure at run time. */
+    def matchedExpr(e: Expression, clause: String): Expression = {
+      val r = e.transform {
+        case a: AttributeReference if target.outputSet.contains(a) =>
+          if (a.name.equalsIgnoreCase(FactVersioned.VGenCol))
+            unsupported(s"'${FactVersioned.VGenCol}' is commit-assigned " +
+              "provenance and cannot be referenced in MERGE clauses")
+          else if (keys.exists(_.equalsIgnoreCase(a.name)))
+            srcAttr(a.name).getOrElse(unsupported(
+              s"$clause references target key '${a.name}' but the " +
+                "source has no unambiguous column of that name"))
+          else carriedRef(a.name)
+      }
+      r.foreach {
+        case a: AttributeReference if !source.outputSet.contains(a) =>
+          unsupported(s"$clause references column '${a.name}', which is " +
+            "neither a MERGE source column nor a target column")
+        case _ => ()
+      }
+      r
+    }
+    /** NOT-MATCHED clauses have no target row: source columns only. */
+    def sourceOnlyExpr(e: Expression, clause: String): Expression = {
+      e.foreach {
+        case a: AttributeReference if target.outputSet.contains(a) =>
+          unsupported(s"$clause may reference SOURCE columns only — a " +
+            s"NOT MATCHED row has no target side; got: ${a.name}")
+        case a: AttributeReference if !source.outputSet.contains(a) =>
+          unsupported(s"$clause references column '${a.name}', which is " +
+            "neither a MERGE source column nor a target column")
+        case _ => ()
+      }
+      e
+    }
+    def resolveStar(clause: String): Seq[(String, Expression)] =
+      dataCols.map { tc =>
+        tc.name -> (srcAttr(tc.name).getOrElse(unsupported(
+          s"$clause SET */INSERT *: source has no unambiguous column " +
+            s"'${tc.name}'")): Expression)
+      }
+    /** UPDATE assignments — PARTIAL allowed: unassigned columns keep
+      * the matched target row's value (carried slot / equal key). */
+    def updateAssigns(
+        assignments: Seq[Assignment]): Seq[(String, Expression)] = {
       val byName = assignments.map(asg => nameOf(asg) -> asg.value).toMap
       dataCols.map { tc =>
         byName.get(tc.name.toLowerCase) match {
-          case Some(e) => tc.name -> e
-          case None => unsupported(
-            s"MERGE must assign every column; '${tc.name}' is missing")
+          case Some(e) =>
+            tc.name -> matchedExpr(e, "WHEN MATCHED ... UPDATE")
+          case None if keys.exists(_.equalsIgnoreCase(tc.name)) =>
+            tc.name -> (srcAttr(tc.name).getOrElse(unsupported(
+              s"source lacks merge key '${tc.name}'")): Expression)
+          case None => tc.name -> carriedRef(tc.name)
         }
       }
     }
-    def sourceOnly(
-        c: Option[Expression], clause: String): Option[Expression] = {
-      c.foreach { e =>
-        val foreign = e.references.filterNot(source.outputSet.contains)
-        if (foreign.nonEmpty) unsupported(
-          s"$clause condition may reference SOURCE columns only " +
-            "(per-source-row routing keeps the commit ∝ touched " +
-            s"partitions); got: ${foreign.map(_.name).mkString(", ")}")
+    /** INSERT assignments — unassigned columns are NULL. */
+    def insertAssigns(
+        assignments: Seq[Assignment]): Seq[(String, Expression)] = {
+      val byName = assignments.map(asg => nameOf(asg) -> asg.value).toMap
+      dataCols.map { tc =>
+        byName.get(tc.name.toLowerCase) match {
+          case Some(e) =>
+            tc.name -> sourceOnlyExpr(e, "WHEN NOT MATCHED ... INSERT")
+          case None => tc.name -> (Literal(null, tc.dataType): Expression)
+        }
       }
-      c
     }
+
     val matched = m.matchedActions.map {
       case u: UpdateAction =>
-        (sourceOnly(u.condition, "WHEN MATCHED"), Some(explicit(u.assignments)))
+        (u.condition.map(matchedExpr(_, "WHEN MATCHED")),
+          Some(updateAssigns(u.assignments)))
       case UpdateStarAction(cond) =>
-        (sourceOnly(cond, "WHEN MATCHED"), Some(resolveStar()))
-      case org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond) =>
-        (sourceOnly(cond, "WHEN MATCHED ... DELETE"),
+        (cond.map(matchedExpr(_, "WHEN MATCHED")),
+          Some(resolveStar("WHEN MATCHED ... UPDATE")))
+      case DeleteAction(cond) =>
+        (cond.map(matchedExpr(_, "WHEN MATCHED ... DELETE")),
           None: Option[Seq[(String, Expression)]])
       case other => unsupported(s"unsupported WHEN MATCHED action: $other")
     }
     val notMatched = m.notMatchedActions.map {
       case i: InsertAction =>
-        (sourceOnly(i.condition, "WHEN NOT MATCHED"), explicit(i.assignments))
+        (i.condition.map(sourceOnlyExpr(_, "WHEN NOT MATCHED")),
+          insertAssigns(i.assignments))
       case InsertStarAction(cond) =>
-        (sourceOnly(cond, "WHEN NOT MATCHED"), resolveStar())
+        (cond.map(sourceOnlyExpr(_, "WHEN NOT MATCHED")),
+          resolveStar("WHEN NOT MATCHED ... INSERT"))
       case other => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
     }
-    require(matched.nonEmpty || notMatched.nonEmpty,
+
+    /** BY SOURCE: one DELETE clause; target-only condition rewritten
+      * to plain names (it is evaluated on target-side frames). */
+    def bySourceCond(e: Expression): Expression = {
+      val r = e.transform {
+        case a: AttributeReference if target.outputSet.contains(a) =>
+          if (a.name.equalsIgnoreCase(FactVersioned.VGenCol))
+            unsupported(s"'${FactVersioned.VGenCol}' is commit-assigned " +
+              "provenance and cannot be referenced in MERGE clauses")
+          else UnresolvedAttribute(Seq(a.name))
+      }
+      r.foreach {
+        case a: AttributeReference =>
+          unsupported("WHEN NOT MATCHED BY SOURCE conditions may " +
+            "reference TARGET columns only — the row has no source " +
+            s"side; got: ${a.name}")
+        case _ => ()
+      }
+      r
+    }
+    val bySource: Option[Expression] = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(cond)) if pcols.nonEmpty =>
+        val c = cond.getOrElse(unsupported(
+          "WHEN NOT MATCHED BY SOURCE on a fact table needs a " +
+            "partition-scoping condition (AND t.<pcol> = <literal> " +
+            "[AND ...]) — the unscoped clause rewrites the whole " +
+            "table; scope it, or use FactVersioned.replacePartitions"))
+        Some(conjuncts(c).map {
+          case eq @ EqualTo(a: AttributeReference, _: Literal)
+              if target.outputSet.contains(a) &&
+                pcols.exists(_.equalsIgnoreCase(a.name)) => bySourceCond(eq)
+          case eq @ EqualTo(_: Literal, a: AttributeReference)
+              if target.outputSet.contains(a) &&
+                pcols.exists(_.equalsIgnoreCase(a.name)) => bySourceCond(eq)
+          case other => unsupported(
+            "WHEN NOT MATCHED BY SOURCE conditions on a fact table must " +
+              "be conjunctions of <target partition column> = <literal> " +
+              s"(the rewrite scope); got: ${other.sql}")
+        }.reduce(And))
+      case Seq(DeleteAction(cond)) =>
+        Some(cond.map(bySourceCond).getOrElse(Literal.TrueLiteral))
+      case _ => unsupported(
+        "WHEN NOT MATCHED BY SOURCE supports exactly one THEN DELETE " +
+          "clause (the full-sync delete-missing shape) — an UPDATE of " +
+          "rows the source never names has no per-source-row routing; " +
+          "use the operator API (FactVersioned.replacePartitions)")
+    }
+
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "GraftDml: MERGE needs at least one WHEN clause")
-    new MergeProgram(matched, notMatched)
+    new MergeProgram(matched, notMatched, bySource, carried.toSeq)
   }
 
   /** Restrict `t` to exactly the touched partition tuples: per-column
-    * `isin` lists (literal, partition-prunable — a superset cross
-    * product for multi-column tables) tightened to the exact tuple set
-    * by a broadcast semi-join when more than one column partitions the
-    * table. `touchedRows` carry the tuples in `pcols` order with
-    * `tupSchema` (≤ 10000 rows by the caller's cap). */
+    * NULL-SAFE membership tests (literal, partition-prunable — a
+    * superset cross product for multi-column tables) tightened to the
+    * exact tuple set by a broadcast null-safe semi-join when more than
+    * one column partitions the table. The store supports null
+    * partition values (`__HIVE_DEFAULT_PARTITION__` dirs), and SQL
+    * 3VL `isin` would silently drop every keeper row of the null
+    * partition — each column's test therefore adds an explicit
+    * `IS NULL` arm when null is among its touched values. `touchedRows`
+    * carry the tuples in `pcols` order with `tupSchema` (≤ 10000 rows
+    * by the caller's cap). */
   private[catalog] def scopedTo(
       spark: SparkSession,
       t: DataFrame,
       pcols: Seq[String],
       touchedRows: Array[Row],
       tupSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val crossIsin = pcols.zipWithIndex.map { case (p, i) =>
-      col(p).isin(touchedRows.map(_.get(i)).distinct.toIndexedSeq: _*)
+    val perCol = pcols.zipWithIndex.map { case (p, i) =>
+      val vals = touchedRows.map(_.get(i)).distinct.toIndexedSeq
+      val nonNull = vals.filter(_ != null)
+      val base =
+        if (nonNull.nonEmpty) col(p).isin(nonNull: _*) else lit(false)
+      if (vals.contains(null)) base || col(p).isNull else base
     }.reduce(_ && _)
-    if (pcols.length == 1) t.where(crossIsin)
+    if (pcols.length == 1) t.where(perCol)
     else {
       val tupDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(touchedRows.toIndexedSeq, 1),
-        tupSchema)
-      t.where(crossIsin).join(broadcast(tupDf), pcols, "left_semi")
+          spark.sparkContext.parallelize(touchedRows.toIndexedSeq, 1),
+          tupSchema)
+        .select(pcols.zipWithIndex.map { case (p, i) =>
+          col(p).as(s"__graft_pv$i") }: _*)
+      val cond = pcols.zipWithIndex
+        .map { case (p, i) => col(p) <=> col(s"__graft_pv$i") }
+        .reduce(_ && _)
+      t.where(perCol).join(broadcast(tupDf), cond, "left_semi")
     }
+  }
+
+  /** Null-safe anti-join on `cols`: rows of `left` whose `cols` tuple
+    * appears in `right` are dropped, with NULLs comparing EQUAL (`<=>`)
+    * — a plain `===` anti-join would KEEP null-keyed rows it was meant
+    * to remove (SQL 3VL). */
+  private[catalog] def antiNullSafe(
+      left: DataFrame, right: DataFrame, cols: Seq[String]): DataFrame = {
+    val r = right.select(cols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__graft_r$i") }: _*)
+    val cond = cols.zipWithIndex
+      .map { case (c, i) => left(c) <=> r(s"__graft_r$i") }
+      .reduce(_ && _)
+    left.join(r, cond, "left_anti")
   }
 }
 
 /** A merge's validated clause program — opaque (like
   * [[AnalyzedCondition]]) so checkAnalysis never traverses the
-  * already-resolved expressions. Matched clauses: (source-only
-  * condition, Some(assignments) = UPDATE / None = DELETE), applied
+  * already-resolved expressions. Matched clauses: (condition,
+  * Some(assignments) = UPDATE / None = DELETE), applied
   * first-match-wins in statement order; not-matched clauses:
-  * (condition, insert assignments), same ordering. */
+  * (condition, insert assignments), same ordering. `bySourceDelete`:
+  * the (target-only, fact: partition-scoping) condition of a WHEN NOT
+  * MATCHED BY SOURCE THEN DELETE clause. `carried`: the target data
+  * columns matched clauses reference (beyond keys and partition
+  * columns), which the match probe must carry. */
 final class MergeProgram(
     val matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
-    val notMatched: Seq[(Option[Expression], Seq[(String, Expression)])])
+    val notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
+    val bySourceDelete: Option[Expression],
+    val carried: Seq[String])
   extends Serializable
 
 /** Opaque wrapper keeping an already-analyzed expression OUT of the
@@ -279,6 +477,55 @@ final class AnalyzedCondition(val expr: Expression) extends Serializable
 /** Same opacity for the merge's validated per-column expressions. */
 final class AnalyzedColumns(val cols: Seq[(String, Expression)])
   extends Serializable
+
+/** Parse-time wrapper around a MERGE's source ([[GraftSqlParser]]
+  * plants it): reports `resolved = false` so the analyzer's MERGE
+  * star expansion (which resolves EVERY target column — the reserved
+  * `vgen` provenance slot included — against same-named source
+  * columns, throwing on a miss) waits until [[GraftMergeVgenRule]]
+  * has decided whether the source needs a NULL `vgen` appended.
+  * Unwrapped verbatim for non-graft targets — one extra analyzer
+  * iteration, zero semantic change. */
+case class VgenWiden(child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): VgenWiden = copy(child = newChild)
+}
+
+/** Resolution-time source widening: a MERGE into a graft FACT table
+  * gets a NULL [[FactVersioned.VGenCol]] appended to its source when
+  * the source lacks one — the reserved provenance column is
+  * commit-assigned (its input values are ignored), so star expansion
+  * must not force users to hand-write `CAST(NULL AS BIGINT) AS vgen`
+  * into every MERGE source. The [[VgenWiden]] marker (parse-time)
+  * holds expansion off until this rule runs; the widening Project goes
+  * INSIDE the source's alias so qualified references (`s.vgen`) keep
+  * resolving. */
+case class GraftMergeVgenRule(session: SparkSession) extends Rule[LogicalPlan] {
+  private def widen(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(id, child) => SubqueryAlias(id, widen(child))
+    case other =>
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        other.output :+
+          org.apache.spark.sql.catalyst.expressions.Alias(
+            Literal(null, org.apache.spark.sql.types.LongType),
+            FactVersioned.VGenCol)(),
+        other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case m @ MergeIntoTable(t, w: VgenWiden, _, _, _, _, _)
+          if t.resolved && w.child.resolved =>
+        val needs = GraftDml.graftTarget(t)
+          .exists(_._2.isInstanceOf[WritableFactTable]) &&
+          !w.child.output.exists(
+            _.name.equalsIgnoreCase(FactVersioned.VGenCol))
+        m.copy(sourceTable = if (needs) widen(w.child) else w.child)
+    }
+}
 
 /** The post-hoc resolution rule: resolved MERGE/DELETE over a graft
   * table → runnable command through the store's committer. */
@@ -333,7 +580,12 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some((rel, table)) =>
             val keys = keysOf(m.mergeCondition, rel, m.sourceTable)
             require(keys.nonEmpty, "GraftDml: MERGE ON yielded no keys")
-            val program = mergeProgram(m, rel, m.sourceTable)
+            val pcols =
+              if (table.isInstanceOf[WritableFactTable])
+                FactVersioned.partitionColumns(
+                  session, table.graftTablePath)
+              else Nil
+            val program = mergeProgram(m, rel, m.sourceTable, keys, pcols)
             GraftMergeCommand(m.sourceTable, program, keys,
               table.graftTablePath,
               basisGenOf(table), table.retentionForDml)
@@ -343,19 +595,29 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** `MERGE INTO` through the store committer, evaluating the validated
-  * clause program per SOURCE row (conditions are source-only, enforced
-  * at resolution):
+  * clause program per SOURCE row:
   *
-  *  1. the source's keys are probed against the target's (keys, pcol)
-  *     projection — column-pruned, with the source's distinct keys
-  *     broadcast against it (Delta pays an analogous full target join
-  *     inside every MERGE; same cost class, paid only on this door);
+  *  1. the source's keys are probed against the target's (keys, pcols,
+  *     referenced-columns) projection — column-pruned, SIZE-ADAPTIVE:
+  *     the broadcast hint applies only under a size-estimate cap
+  *     ([[GraftDml.maybeBroadcast]], conf
+  *     `spark.graft.dml.probeBroadcastThreshold`), so a small batch
+  *     takes the fast broadcast path while a production CDC batch of
+  *     hundreds of millions of keys joins plain — AQE picks the
+  *     runtime strategy — instead of hitting the 8 GB broadcast /
+  *     driver-memory wall (Delta's probe is a shuffle join for exactly
+  *     this reason; same cost class, paid only on this door);
   *  2. each source row routes to its first true clause — matched rows
   *     walk the WHEN MATCHED clauses (UPDATE projects the row through
-  *     that clause's assignments; DELETE records the key), unmatched
+  *     that clause's assignments, with unassigned columns keeping the
+  *     probe-carried target values; DELETE records the key), unmatched
   *     rows walk the WHEN NOT MATCHED inserts; rows matching no clause
   *     are no-ops (their target rows carry over verbatim);
-  *  3. one commit rewrites exactly the touched partitions: current
+  *  3. a WHEN NOT MATCHED BY SOURCE THEN DELETE clause (fact:
+  *     partition-scoped) deletes scoped target rows whose key the
+  *     source never names — cost ∝ scoped partitions that actually
+  *     lose rows;
+  *  4. one commit rewrites exactly the touched partitions: current
   *     rows minus updated/deleted keys, plus the projected updates and
   *     inserts. Deleted rows' partitions come from the TARGET's
   *     partition value (authoritative — a delete needs no source
@@ -376,11 +638,9 @@ case class GraftMergeCommand(
     path: String,
     basisGen: Option[Long], // Some(resolved head) = fact; None = dim
     retain: Int) extends LeafRunnableCommand {
+  import GraftDml.{MatchFlag, antiNullSafe, carriedName, tpName}
+
   private def isFact: Boolean = basisGen.isDefined
-  private val MatchFlag = "__graft_m"
-  /** Target-partition columns riding the match probe (one per
-    * partition column; empty for dims). */
-  private def tpName(i: Int) = s"__graft_tp$i"
 
   private def condCol(c: Option[Expression]): Column =
     c.map(GraftColumnBridge.column).getOrElse(lit(true))
@@ -390,7 +650,7 @@ case class GraftMergeCommand(
     df.select(assigns.map { case (n, e) =>
       GraftColumnBridge.column(e).as(n) }: _*)
 
-  /** Route `enriched` (source + match flag/target partition cols)
+  /** Route `enriched` (source + match flag/carried target cols)
     * through the program: (update/insert frames, delete rows with
     * their target partition tuple). First-match-wins with SQL 3VL (a
     * NULL condition routes past the clause). `onUpdateHit` sees each
@@ -440,26 +700,33 @@ case class GraftMergeCommand(
   private def runFact(spark: SparkSession, src: DataFrame): Unit = {
     val pcols = FactVersioned.partitionColumns(spark, path)
     val tpNames = pcols.indices.map(tpName)
-    val matchedKeys = FactVersioned.read(spark, path)
-      .select(keys.map(col) ++ pcols.zip(tpNames).map {
-        case (p, tp) => col(p).as(tp) }: _*)
-      .join(broadcast(src.select(keys.map(col): _*).distinct()),
-        keys, "left_semi")
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val probeCols = keys.map(col) ++
+      pcols.zip(tpNames).map { case (p, tp) => col(p).as(tp) } ++
+      program.carried.map(c => col(c).as(carriedName(c)))
+    // size-adaptive probe: the broadcast hint applies ONLY under the
+    // size-estimate cap (GraftDml.maybeBroadcast) — a small CDC batch
+    // takes the fast broadcast path, a huge one joins plain and AQE
+    // picks the strategy at runtime (Delta's probe posture)
+    val matchedKeys = FactVersioned.read(spark, path, basisGen)
+      .select(probeCols: _*)
+      .join(GraftDml.maybeBroadcast(spark, srcKeys), keys, "left_semi")
       .withColumn(MatchFlag, lit(1))
     // the enriched source feeds every clause filter, the move check,
     // the touched collect and the final union — materialize it ONCE
-    // (spill-safe; bounded by the source, which the 10000-partition
-    // cap already bounds) so each consumer doesn't re-run the source
-    // plan AND the full-target key probe behind the broadcast
-    val enriched = src.join(broadcast(matchedKeys), keys, "left")
+    // (spill-safe; bounded by the source) so each consumer doesn't
+    // re-run the source plan AND the full-target key probe
+    val enriched = src
+      .join(GraftDml.maybeBroadcast(spark, matchedKeys), keys, "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try runFactRouted(spark, enriched, pcols, tpNames)
+    try runFactRouted(spark, enriched, srcKeys, pcols, tpNames)
     finally enriched.unpersist(blocking = false)
   }
 
   private def runFactRouted(
       spark: SparkSession,
       enriched: DataFrame,
+      srcKeys: DataFrame,
       pcols: Seq[String],
       tpNames: Seq[String]): Unit = {
     // partition stability: only UPDATE-routed rows can strand a stale
@@ -496,57 +763,91 @@ case class GraftMergeCommand(
       }
     }
     val (updates, inserts, deletes) = route(enriched, tpNames, moveCheck)
-    val newRows = (updates ++ inserts).reduceOption(_ unionByName _)
-    val touchedRows = (newRows.map(_.select(pcols.map(col): _*)).toSeq ++
-        deletes.map(_.select(tpNames.zip(pcols).map {
-          case (tp, p) => col(tp).as(p) }: _*)).toSeq)
-      .reduceOption(_ unionByName _)
-      .map(_.distinct().limit(10001).collect())
-      .getOrElse(Array.empty[Row])
-    require(touchedRows.length <= 10000,
-      "GraftDml: MERGE touches more than 10000 partitions — " +
-        "this is a rewrite, not an incremental commit")
-    if (touchedRows.isEmpty) return // nothing routed: no commit
-    val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
-      .map(r => pcols.indices.map(r.get))
-    val touchedDirs = touched.map(v =>
-      FactVersioned.partitionDirPath(pcols, v))
-    val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
-    val changedKeys = (updates.map(_.select(keys.map(col): _*)).toSeq ++
-        deletes.map(_.select(keys.map(col): _*)).toSeq)
-      .reduce(_ unionByName _).distinct()
-    val result = current.join(changedKeys, keys, "left_anti")
-    val content = newRows.fold(result)(result.unionByName(_))
-    FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
-      retain = retain, basisGen = basisGen,
-      properties = Map("operation" -> "MERGE"))
-    ()
+    // BY SOURCE deletions: scoped target rows whose key the source
+    // never names. Cost ∝ the scoped partitions (partition-pruned
+    // read); only leaves that actually LOSE rows enter the touched set.
+    val bySrcDel: Option[DataFrame] = program.bySourceDelete.map { cond =>
+      FactVersioned.read(spark, path, basisGen)
+        .where(GraftColumnBridge.column(cond))
+        .join(srcKeys, keys, "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      val newRows = (updates ++ inserts).reduceOption(_ unionByName _)
+      val touchedRows = (newRows.map(_.select(pcols.map(col): _*)).toSeq ++
+          deletes.map(_.select(tpNames.zip(pcols).map {
+            case (tp, p) => col(tp).as(p) }: _*)).toSeq ++
+          bySrcDel.map(_.select(pcols.map(col): _*)).toSeq)
+        .reduceOption(_ unionByName _)
+        .map(_.distinct().limit(10001).collect())
+        .getOrElse(Array.empty[Row])
+      require(touchedRows.length <= 10000,
+        "GraftDml: MERGE touches more than 10000 partitions — " +
+          "this is a rewrite, not an incremental commit")
+      if (touchedRows.isEmpty) return // nothing routed: no commit
+      val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
+        .map(r => pcols.indices.map(r.get))
+      val touchedDirs = touched.map(v =>
+        FactVersioned.partitionDirPath(pcols, v))
+      val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
+      // reduceOption: an insert-only MERGE (the insert-if-absent idiom)
+      // has no UPDATE and no DELETE clause — nothing to anti-join away
+      val changedKeys = (updates.map(_.select(keys.map(col): _*)) ++
+          deletes.map(_.select(keys.map(col): _*)).toSeq)
+        .reduceOption(_ unionByName _).map(_.distinct())
+      var result = changedKeys
+        .fold(current)(ck => current.join(ck, keys, "left_anti"))
+      bySrcDel.foreach { d =>
+        result = antiNullSafe(result,
+          d.select((keys ++ pcols).map(col): _*), keys ++ pcols)
+      }
+      val content = newRows.fold(result)(result.unionByName(_))
+      FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
+        retain = retain, basisGen = basisGen,
+        properties = Map("operation" -> "MERGE"))
+      ()
+    } finally bySrcDel.foreach(_.unpersist(blocking = false))
   }
 
   private def runDim(spark: SparkSession, src: DataFrame): Unit = {
     val current = Versioned.read(spark, path)
-    val matchedKeys = current.select(keys.map(col): _*)
-      .join(broadcast(src.select(keys.map(col): _*).distinct()),
-        keys, "left_semi")
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val probeCols = keys.map(col) ++
+      program.carried.map(c => col(c).as(carriedName(c)))
+    // size-adaptive, like the fact probe: hint only under the cap
+    val matchedKeys = current.select(probeCols: _*)
+      .join(GraftDml.maybeBroadcast(spark, srcKeys), keys, "left_semi")
       .withColumn(MatchFlag, lit(1))
-    val enriched = src.join(broadcast(matchedKeys), keys, "left")
+    val enriched = src
+      .join(GraftDml.maybeBroadcast(spark, matchedKeys), keys, "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try runDimRouted(spark, enriched)
+    try runDimRouted(spark, enriched, srcKeys)
     finally enriched.unpersist(blocking = false)
   }
 
-  private def runDimRouted(spark: SparkSession, enriched: DataFrame): Unit = {
+  private def runDimRouted(
+      spark: SparkSession,
+      enriched: DataFrame,
+      srcKeys: DataFrame): Unit = {
     val current = Versioned.read(spark, path)
     // dims have no partitions: no target-partition columns to ride
     val (updates, inserts, deletes) = route(enriched, Nil)
-    val changed = (updates.map(_.select(keys.map(col): _*)).toSeq ++
+    val changed = (updates.map(_.select(keys.map(col): _*)) ++
         deletes.map(_.select(keys.map(col): _*)).toSeq)
       .reduceOption(_ unionByName _).map(_.distinct())
     val newRows = (updates ++ inserts)
       .reduceOption(_ unionByName _)
-    if (changed.forall(_.isEmpty) && newRows.forall(_.isEmpty))
+    val bySrcDel = program.bySourceDelete.map { cond =>
+      current.where(GraftColumnBridge.column(cond))
+        .join(srcKeys, keys, "left_anti")
+    }
+    if (changed.forall(_.isEmpty) && newRows.forall(_.isEmpty) &&
+        bySrcDel.forall(_.isEmpty))
       return // nothing routed: no commit
-    val kept = changed.fold(current)(c => current.join(c, keys, "left_anti"))
+    var kept = changed.fold(current)(c => current.join(c, keys, "left_anti"))
+    bySrcDel.foreach { d =>
+      kept = GraftDml.antiNullSafe(kept, d.select(keys.map(col): _*), keys)
+    }
     Versioned.commit(newRows.fold(kept)(kept.unionByName(_)),
       path, retain = retain)
     ()

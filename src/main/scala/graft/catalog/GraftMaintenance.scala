@@ -164,8 +164,21 @@ object GraftMaintenance {
   * graft commands; every other string goes to Spark's parser
   * unchanged (including error reporting). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  /** Wrap every MERGE source in [[VgenWiden]] so the analyzer's star
+    * expansion waits for [[GraftMergeVgenRule]]'s decision (append a
+    * NULL `vgen` for graft fact targets, unwrap verbatim otherwise).
+    * MERGE cannot nest in subqueries, so the transform touches at most
+    * one node (plus CTE wrappers). */
+  private def deferMergeSources(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if !m.sourceTable.isInstanceOf[VgenWiden] =>
+        m.copy(sourceTable = VgenWiden(m.sourceTable))
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftMaintenance.parse(sqlText).getOrElse(
+      deferMergeSources(delegate.parsePlan(sqlText)))
   /** MUST forward to the delegate, not inherit the interface default:
     * the default drops the ParameterContext on the floor (it calls
     * bare parsePlan), which would break `spark.sql(sql, args)`
@@ -176,7 +189,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan =
     GraftMaintenance.parse(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      .getOrElse(deferMergeSources(
+        delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)

@@ -52,6 +52,17 @@ object GraftColumnBridge {
   def extensionsOf(spark: SparkSession): SparkSessionExtensions =
     spark.asInstanceOf[classic.SparkSession].extensions
 
+  /** A NULL connector-level column default of the given type
+    * ([[org.apache.spark.sql.connector.expressions.LiteralValue]] is
+    * `private[sql]` — this is the bridge for DSv2 tables declaring
+    * generated/provenance columns whose inputs are optional). */
+  def nullColumnDefault(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.catalog.ColumnDefaultValue =
+    new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(
+      "NULL",
+      org.apache.spark.sql.connector.expressions.LiteralValue(null, dt))
+
   /** If the column is a sort order (`col.asc` / `col.desc`), return its
     * child column and whether the direction is ascending. The sort
     * wrapper lives at the ColumnNode layer in Spark 4, not in the lazily

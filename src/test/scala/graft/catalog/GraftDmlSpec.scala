@@ -106,14 +106,162 @@ class GraftDmlSpec extends SparkSpec {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e3.getMessage.contains("conjunction"))
-    // target-referencing clause conditions rejected with guidance
-    val e4 = intercept[UnsupportedOperationException] {
+    // target-referencing NOT MATCHED conditions rejected (the row has
+    // no target side) — Spark's own checkAnalysis catches the SQL-door
+    // shape; the rule's guidance covers programmatic MergeIntoTable
+    val e4 = intercept[Throwable] {
       s.sql(
         """MERGE INTO g.t t USING src3 s ON t.k = s.k
-          |WHEN MATCHED AND t.v > 5 THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          |WHEN NOT MATCHED AND t.v > 5 THEN INSERT *""".stripMargin)
     }
-    assert(e4.getMessage.contains("SOURCE columns only"))
+    assert(messagesOf(e4).contains("SOURCE columns only") ||
+      messagesOf(e4).contains("cannot be resolved"), messagesOf(e4))
+    // a reference to a column on NEITHER side gets guidance, not a raw
+    // missing-attribute failure (the assignment-validation hole)
+    val e5 = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t t USING src3 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = nope + 1""".stripMargin)
+    }
+    assert(messagesOf(e5).contains("cannot be resolved") ||
+      messagesOf(e5).contains("neither"), messagesOf(e5))
+  }
+
+  test("partial-assignment UPDATE keeps unassigned columns' target " +
+      "values; target-referencing conditions and values route per row") {
+    val (s, _, path) = freshTable()
+    // single-column-touch changelog: only v is assigned; k and p keep
+    // their target values (the most common MERGE a user writes)
+    s.createDataset(Seq((3L, 7L), (300L, 8L))).toDF("k", "d")
+      .createOrReplaceTempView("pa_src")
+    s.sql(
+      """MERGE INTO g.t t USING pa_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.d""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    assert(now.contains((3L, 0, 37L)), "t.v + s.d with k, p carried")
+    assert(!now.exists(_._1 == 300L), "unmatched row routes to no clause")
+    assert(now.count(_._1 == 3L) == 1)
+    // only the matched partition staged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=0"), s"staged $staged")
+    // target-guarded clause condition: only rows whose TARGET value
+    // clears the guard update; the guard references t.v directly
+    s.createDataset(Seq((6L, 1L), (9L, 1L))).toDF("k", "d")
+      .createOrReplaceTempView("pa_src2")
+    s.sql(
+      """MERGE INTO g.t t USING pa_src2 s ON t.k = s.k
+        |WHEN MATCHED AND t.v >= 90 THEN UPDATE SET v = 0""".stripMargin)
+    val now2 = rows(FactVersioned.read(s, path))
+    assert(now2.contains((9L, 0, 0L)), "t.v=90 clears the >= 90 guard")
+    assert(now2.contains((6L, 0, 60L)), "t.v=60 fails the guard: no-op")
+    // a target-guarded DELETE routes the same way: k=6 has t.v=60
+    // (clears the guard), k=9 has t.v=0 after the update above (fails)
+    s.sql(
+      """MERGE INTO g.t t USING pa_src2 s ON t.k = s.k
+        |WHEN MATCHED AND t.v >= 50 THEN DELETE""".stripMargin)
+    val now3 = rows(FactVersioned.read(s, path))
+    assert(!now3.exists(_._1 == 6L) && now3.exists(_._1 == 9L))
+  }
+
+  test("insert-only MERGE (insert-if-absent) commits the new keys and " +
+      "carries every current row — fact and dim doors") {
+    val (s, wh, path) = freshTable()
+    s.createDataset(Seq((3L, 0, 111L), (400L, 0, 7L))).toDF("k", "p", "v")
+      .createOrReplaceTempView("ioi_src")
+    s.sql(
+      """MERGE INTO g.t t USING ioi_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    assert(now.contains((3L, 0, 30L)), "existing key untouched")
+    assert(now.contains((400L, 0, 7L)), "absent key inserted")
+    assert(now.size == 91)
+    // dim door
+    val dimPath = s"$wh/dioi"
+    Versioned.commit((1 to 5).map(i => (i.toLong, s"n$i")).toDF("k", "name"),
+      dimPath)
+    s.createDataset(Seq((1L, "one"), (9L, "nine"))).toDF("k", "name")
+      .createOrReplaceTempView("ioi_dim")
+    s.sql(
+      """MERGE INTO g.dioi t USING ioi_dim s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val dn = Versioned.read(s, dimPath).as[(Long, String)].collect().toMap
+    assert(dn(1L) == "n1" && dn(9L) == "nine" && dn.size == 6)
+    // partial INSERT: unassigned columns are NULL (the Delta posture)
+    s.createDataset(Seq(Tuple1(500L))).toDF("k")
+      .createOrReplaceTempView("ioi_k")
+    s.sql(
+      """MERGE INTO g.t t USING ioi_k s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""".stripMargin)
+    val r500 = FactVersioned.read(s, path).where(col("k") === 500)
+      .select("p", "v").collect()
+    assert(r500.length == 1 && r500.head.isNullAt(0) && r500.head.isNullAt(1))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: partition-scoped " +
+      "full sync on facts, whole-table sync on dims, unscoped fact " +
+      "shape rejected") {
+    val (s, wh, path) = freshTable()
+    // full sync of partition p=0: source holds the keys that should
+    // remain; everything else in p=0 goes, other partitions untouched
+    val keep = Seq(3L, 6L, 9L)
+    s.createDataset(keep.map(k => (k, 0, k * 10L))).toDF("k", "p", "v")
+      .createOrReplaceTempView("sync_src")
+    s.sql(
+      """MERGE INTO g.t t USING sync_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.p = 0 THEN DELETE""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    assert(now.filter(_._2 == 0).map(_._1) == keep.toSet,
+      s"p=0 must hold exactly the source keys, got ${now.filter(_._2 == 0)}")
+    assert(now.count(_._2 == 1) == 30 && now.count(_._2 == 2) == 30,
+      "unscoped partitions untouched")
+    // write amp: p=0 rewritten only (updates + the scoped deletions)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=0"), s"staged $staged")
+    // API twin: replacePartitions of p=0 with the source content
+    val twinPath = path + "_twin"
+    FactVersioned.upsert(spark, twinPath,
+      (1 to 90).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "p", "v"),
+      Seq("k"), "p")
+    FactVersioned.replacePartitions(spark, twinPath,
+      keep.map(k => (k, 0, k * 10L)).toDF("k", "p", "v"), "p", Seq(0))
+    assert(rows(FactVersioned.read(s, path)) ==
+      rows(FactVersioned.read(spark, twinPath)))
+    // the unscoped fact shape stays rejected with guidance
+    val e = intercept[UnsupportedOperationException] {
+      s.sql(
+        """MERGE INTO g.t t USING sync_src s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("partition-scoping"))
+    val e2 = intercept[UnsupportedOperationException] {
+      s.sql(
+        """MERGE INTO g.t t USING sync_src s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE AND t.v > 5 THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // dim full sync: unmatched rows go, no scoping needed (full-copy)
+    val dimPath = s"$wh/dsync"
+    Versioned.commit((1 to 10).map(i => (i.toLong, s"n$i")).toDF("k", "name"),
+      dimPath)
+    s.createDataset(Seq((2L, "two"), (11L, "eleven"))).toDF("k", "name")
+      .createOrReplaceTempView("dim_sync")
+    s.sql(
+      """MERGE INTO g.dsync t USING dim_sync s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val dn = Versioned.read(s, dimPath).as[(Long, String)].collect().toMap
+    assert(dn == Map(2L -> "two", 11L -> "eleven"))
   }
 
   test("MERGE applies a CDC changelog in one statement: conditional " +
