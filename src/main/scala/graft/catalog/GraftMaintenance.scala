@@ -64,24 +64,57 @@ object GraftMaintenance {
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([^();]+?)\\s*\\)?)?\\s*;?\\s*").r
 
-  /** One `col = literal` conjunct of an OPTIMIZE WHERE clause. */
-  private val WhereConjunct =
-    "(?s)\\s*(`[^`]+`|\\w+)\\s*=\\s*('(?:[^']*)'|[^\\s']+)\\s*".r
+  /** A literal: optionally DATE/TIMESTAMP-prefixed quoted string, or a
+    * bare token. */
+  private val Lit = "(?:(?:DATE|TIMESTAMP)\\s+)?'[^']*'|[^\\s']+"
 
-  /** Parse `WHERE c1 = v1 [AND c2 = v2 ...]` into (column, literal)
-    * pairs — the partition-restriction grammar (Delta's OPTIMIZE
-    * WHERE: partition predicates only; anything else fails loudly at
-    * run time where the message can name the partition columns). */
-  private[catalog] def parseWhere(text: String): Seq[(String, String)] =
-    text.split("(?i)\\s+AND\\s+").toSeq.map {
-      case WhereConjunct(c, v) =>
-        val name = if (c.startsWith("`")) c.substring(1, c.length - 1) else c
-        val value = if (v.startsWith("'")) v.substring(1, v.length - 1) else v
-        name -> value
-      case other => throw new UnsupportedOperationException(
-        s"OPTIMIZE WHERE supports only conjunctions of <partition " +
-          s"column> = <literal>; got: $other")
+  /** One conjunct: `col <op> literal` or `col BETWEEN lo AND hi`. */
+  private val PredRe =
+    ("(?is)^\\s*(`[^`]+`|\\w+)\\s*(?:(<=|>=|=|<|>)\\s*(" + Lit +
+      ")|BETWEEN\\s+(" + Lit + ")\\s+AND\\s+(" + Lit + "))\\s*").r
+
+  /** Parse `WHERE c1 <op> v1 [AND ...]` into (column, op, literal)
+    * triples — the partition-restriction grammar (Delta's OPTIMIZE
+    * WHERE posture: partition predicates only). Ops: `=`, `<`, `<=`,
+    * `>`, `>=`, and `BETWEEN lo AND hi` (→ `>= lo` and `<= hi`) — the
+    * natural compaction scope at 100 TB is a date RANGE. Anything else
+    * fails loudly at run time where the message can name the partition
+    * columns; comparison happens on the partition column's TYPE
+    * ([[GraftOptimizeCommand]]), never on rendered strings. */
+  private[catalog] def parseWhere(text: String): Seq[(String, String, String)] = {
+    def unq(c: String) = if (c.startsWith("`")) c.substring(1, c.length - 1) else c
+    def unlit(v: String) = {
+      val s = v.replaceFirst("(?is)^(?:DATE|TIMESTAMP)\\s+", "")
+      if (s.startsWith("'")) s.substring(1, s.length - 1) else s
     }
+    val out = Seq.newBuilder[(String, String, String)]
+    var rest = text.trim
+    var first = true
+    while (rest.nonEmpty) {
+      if (!first) {
+        val and = "(?is)^AND\\s+".r.findFirstIn(rest)
+        if (and.isEmpty) throw new UnsupportedOperationException(
+          "OPTIMIZE WHERE supports conjunctions (AND) of <partition " +
+            s"column> <op> <literal> only; got: $rest")
+        rest = rest.substring(and.get.length)
+      }
+      first = false
+      PredRe.findFirstMatchIn(rest) match {
+        case Some(m) if m.group(2) != null =>
+          out += ((unq(m.group(1)), m.group(2), unlit(m.group(3))))
+          rest = rest.substring(m.end)
+        case Some(m) =>
+          out += ((unq(m.group(1)), ">=", unlit(m.group(4))))
+          out += ((unq(m.group(1)), "<=", unlit(m.group(5))))
+          rest = rest.substring(m.end)
+        case None => throw new UnsupportedOperationException(
+          "OPTIMIZE WHERE supports <partition column> <op> <literal> " +
+            "conjuncts (op: =, <, <=, >, >=, BETWEEN lo AND hi); got: " +
+            rest)
+      }
+    }
+    out.result()
+  }
   private val VacuumRe =
     ("(?is)\\s*VACUUM\\s+" + Ident +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+GENERATIONS?)?\\s*;?\\s*").r
@@ -160,7 +193,8 @@ object GraftMaintenance {
       }
 }
 
-/** Delegating parser: the three maintenance statements resolve to
+/** Delegating parser: the five maintenance statements (OPTIMIZE,
+  * VACUUM, DESCRIBE HISTORY, RESTORE, DESCRIBE DETAIL) resolve to
   * graft commands; every other string goes to Spark's parser
   * unchanged (including error reporting). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -206,38 +240,94 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseDataType(s: String): DataType = delegate.parseDataType(s)
 }
 
-/** `OPTIMIZE t [ZORDER BY (cols)]` — a content-preserving compaction
-  * commit. Fact tables rewrite every head partition through
-  * [[FactVersioned.compactPartitions]] (z-clustered with per-file
-  * bounds when ZORDER BY is given, one file per partition otherwise);
-  * dimension tables commit a coalesced (optionally z-sorted) fresh
-  * full-copy generation. Older generations keep their pre-compaction
-  * files until retention — OPTIMIZE never breaks time travel. */
+/** `OPTIMIZE t [WHERE partition predicates] [ZORDER BY (cols)]` — a
+  * content-preserving compaction commit. Fact tables rewrite every
+  * head partition in scope through [[FactVersioned.compactPartitions]]
+  * (z-clustered with per-file bounds when ZORDER BY is given, one file
+  * per partition otherwise); dimension tables commit a coalesced
+  * (optionally z-sorted) fresh full-copy generation. Older generations
+  * keep their pre-compaction files until retention — OPTIMIZE never
+  * breaks time travel.
+  *
+  * WHERE predicates compare on the partition column's PINNED TYPE, not
+  * on rendered strings: `WHERE p = 5` matches a double partition
+  * stored as `p=5.0`, `WHERE p_date >= DATE '2024-01-01'` scopes a
+  * date range. A non-empty WHERE that selects zero of a non-empty dir
+  * set FAILS with the available values — a silent no-op compaction
+  * would read as "already optimized". */
 case class GraftOptimizeCommand(
     table: Seq[String],
     zorderCols: Seq[String],
-    where: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
+    where: Seq[(String, String, String)] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("generation", LongType, nullable = false)(),
     AttributeReference("partitions_compacted", LongType, nullable = false)())
 
+  /** Typed ordering comparison of an UNESCAPED dir value against a
+    * literal's text, through the partition column's pinned type. None
+    * = the dir value is the null partition (SQL: compares to nothing).
+    * Unparseable literals fail loudly — a typo must not read as "no
+    * matching partitions". */
+  private def typedCompare(
+      dirVal: String, lit: String, dt: DataType, col: String): Option[Int] = {
+    if (dirVal == org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return None
+    def num(s: String, what: String): BigDecimal =
+      try BigDecimal(s) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE: cannot read $what '$s' as ${dt.simpleString} " +
+            s"(partition column '$col')")
+      }
+    def day(s: String, what: String): Long =
+      try java.time.LocalDate.parse(s).toEpochDay catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE: cannot read $what '$s' as DATE " +
+              s"(partition column '$col')")
+      }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | _: DecimalType =>
+        Some(num(dirVal, "partition value").compare(num(lit, "literal")))
+      case DateType =>
+        Some(day(dirVal, "partition value").compare(day(lit, "literal")))
+      case BooleanType =>
+        Some(dirVal.toBoolean.compareTo(lit.toBoolean))
+      case StringType => Some(dirVal.compareTo(lit))
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE: partition column '$col' has type " +
+          s"${other.simpleString}, which this grammar cannot compare — " +
+          "compact through FactVersioned.compactPartitionsBy")
+    }
+  }
+
   /** Does `dir` (a nested Hive leaf path) satisfy every WHERE
-    * equality? Compared on UNESCAPED segment names/values — the
-    * string form a literal's text naturally matches. */
-  private def matches(dir: String, pcols: Seq[String]): Boolean = {
+    * predicate under the pinned `schema` types? */
+  private def matches(
+      dir: String, pcols: Seq[String], schema: StructType): Boolean = {
     val segs = dir.split("/").map { seg =>
       val eq = seg.indexOf('=')
       val un = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName _
       un(seg.substring(0, eq)).toLowerCase -> un(seg.substring(eq + 1))
     }.toMap
-    where.forall { case (c, v) =>
+    where.forall { case (c, op, v) =>
       require(pcols.exists(_.equalsIgnoreCase(c)),
         s"OPTIMIZE WHERE: '$c' is not a partition column " +
           s"(${pcols.mkString(", ")}) — only partition predicates can " +
           "scope a compaction")
-      segs.get(c.toLowerCase).contains(v)
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(StringType)
+      segs.get(c.toLowerCase).flatMap(typedCompare(_, v, dt, c)).exists {
+        cmp => op match {
+          case "=" => cmp == 0
+          case "<" => cmp < 0
+          case "<=" => cmp <= 0
+          case ">" => cmp > 0
+          case ">=" => cmp >= 0
+        }
+      }
     }
   }
 
@@ -246,9 +336,16 @@ case class GraftOptimizeCommand(
     val retain = GraftMaintenance.retainFor(spark, r.catalogName, r.path)
     if (r.isFact) {
       val pcols = FactVersioned.partitionColumns(spark, r.path)
-      val dirs = FactVersioned.partitionDirs(spark, r.path)
-        .filter(matches(_, pcols))
-      if (dirs.isEmpty) return Seq.empty // nothing in scope: no commit
+      val schema = FactVersioned.generationHandle(spark, r.path, None)._2
+      val all = FactVersioned.partitionDirs(spark, r.path)
+      val dirs = all.filter(matches(_, pcols, schema))
+      if (where.nonEmpty && dirs.isEmpty && all.nonEmpty)
+        throw new IllegalArgumentException(
+          "OPTIMIZE WHERE matched no partitions — a silent no-op " +
+            "compaction would read as 'already optimized'. Available: " +
+            all.take(20).mkString(", ") +
+            (if (all.length > 20) s", … (${all.length} total)" else ""))
+      if (dirs.isEmpty) return Seq.empty // empty table: no commit
       val c = FactVersioned.compactPartitionsBy(spark, r.path, dirs, pcols,
         retain = retain, zorderCols = zorderCols, statsCols = zorderCols,
         properties = Map("operation" -> "OPTIMIZE"))
@@ -367,10 +464,11 @@ case class GraftRestoreCommand(
 /** `DESCRIBE DETAIL t` — one-row table summary (the Delta shape):
   * store kind, partition columns, retained/head generation numbers,
   * and the HEAD generation's physical footprint (file count + bytes).
-  * Metadata-scale: one manifest read plus a file-status call per head
-  * file (the stores record no per-file sizes in their manifests — the
-  * size column is the one O(head files) namenode pass here, same cost
-  * class as any directory listing). */
+  * Metadata-scale: one manifest read — commits record per-file byte
+  * sizes IN the manifest ([[FactVersioned.manifestFiles]]), so the
+  * size column answers without touching the files; only rows carried
+  * from commits that predate size recording fall back to a per-file
+  * status call. */
 case class GraftDescribeDetailCommand(
     table: Seq[String]) extends LeafRunnableCommand {
 
@@ -390,11 +488,13 @@ case class GraftDescribeDetailCommand(
     val hconf = spark.sparkContext.hadoopConfiguration
     if (r.isFact) {
       val gens = FactVersioned.generations(spark, r.path)
-      val (files, _, _) =
-        FactVersioned.generationHandle(spark, r.path, None)
+      val files = FactVersioned.manifestFiles(spark, r.path)
+      val data = s"${r.path}/${FactVersioned.DataDir}"
       val fs = new org.apache.hadoop.fs.Path(r.path).getFileSystem(hconf)
-      val bytes = files.map(f =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val bytes = files.map { case (f, sz) =>
+        sz.getOrElse(fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$data/$f")).getLen)
+      }.sum
       val pcols =
         try FactVersioned.partitionColumns(spark, r.path)
         catch { case _: IllegalArgumentException => Seq.empty[String] }

@@ -82,6 +82,84 @@ object FactVersioned {
   private def genMeta(t: String, g: Long) = new Path(gensRoot(t), s"gen=$g")
   private def manifestDir(t: String, g: Long) = new Path(genMeta(t, g), "manifest")
 
+  /** The properties contract every committing entry point enforces:
+    * the file is newline-delimited `key\tvalue` lines, so keys must be
+    * newline- and tab-free and values newline-free or the NEXT reader's
+    * parse silently corrupts. */
+  private def requireCleanProperties(properties: Map[String, String]): Unit =
+    properties.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\n' || c == '\t') && !v.contains('\n'),
+        s"commit property keys/values must be newline- and tab-free: $k")
+    }
+
+  /** CAS-claim the next generation number: the claim marker's
+    * exclusive create serializes concurrent committers onto distinct
+    * numbers (see [[Versioned.commit]]). Shared by every committing
+    * entry point so the protocol cannot drift between them. */
+  private def claimNext(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String,
+      who: String): Long = {
+    val gRoot = gensRoot(tablePath)
+    val present = fs.listStatus(gRoot).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => if (n.startsWith("gen="))
+        n.stripPrefix("gen=").toLongOption else None)
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"$who: could not claim a generation at $tablePath")
+      // atomicCreate: bare create(overwrite=false) is check-then-act on
+      // LocalFileSystem — same-instant racers could both claim a number
+      if (CommitLock.atomicCreate(fs,
+          new Path(genMeta(tablePath, next), Versioned.ClaimMarker)))
+        return next
+      next += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Linearize publication by generation number: every lower-numbered
+    * claim must RESOLVE (commit, abandon, or go stale) before `next`
+    * publishes, so the head it rebases onto is final. Lease contract:
+    * a committer must publish within [[StaleClaimMs]] of claiming or
+    * it may be treated as abandoned. Shared by every committing entry
+    * point; throws [[java.util.ConcurrentModificationException]] when
+    * a lower claim stays in flight past [[ResolveTimeoutMs]]. */
+  private def awaitLowerClaims(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String,
+      next: Long,
+      who: String): Unit = {
+    val gRoot = gensRoot(tablePath)
+    val deadline = System.currentTimeMillis() + ResolveTimeoutMs
+    def unresolvedBelow(): Seq[Long] =
+      fs.listStatus(gRoot).filter(_.isDirectory).map(_.getPath)
+        .flatMap { p =>
+          p.getName.stripPrefix("gen=").toLongOption.filter { g =>
+            g < next &&
+              !fs.exists(new Path(p, Versioned.CommitMarker)) && {
+                val claim = new Path(p, Versioned.ClaimMarker)
+                fs.exists(claim) &&
+                  System.currentTimeMillis() -
+                    fs.getFileStatus(claim).getModificationTime < StaleClaimMs
+              }
+          }
+        }.toSeq
+    var pending = unresolvedBelow()
+    while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      pending = unresolvedBelow()
+    }
+    if (pending.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$who: generations ${pending.mkString(",")} at $tablePath " +
+          s"stayed in flight past ${ResolveTimeoutMs} ms — aborting commit " +
+          s"$next (retry)")
+  }
+
   private def fsOf(spark: SparkSession, t: String) =
     new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -300,6 +378,27 @@ object FactVersioned {
     (files, readSchema(spark, tablePath, g), data)
   }
 
+  /** (vgen-relative file path, recorded byte size) per file of a
+    * generation, straight from its manifest — metadata-scale (one
+    * manifest read, NO per-file namenode calls). Sizes are recorded at
+    * commit time for freshly staged files and carried verbatim with
+    * their manifest rows; files written by commits predating size
+    * recording read as None (callers fall back to a file-status call
+    * for exactly those). */
+  def manifestFiles(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long] = None): Seq[(String, Option[Long])] = {
+    val g = resolveGen(spark, tablePath, gen)
+    val m = spark.read.parquet(manifestDir(tablePath, g).toString)
+    val sel =
+      if (m.columns.contains("bytes"))
+        m.select(col("file"), col("bytes").cast(LongType))
+      else m.select(col("file"), lit(null).cast(LongType).as("bytes"))
+    sel.collect().toIndexedSeq.map(r =>
+      (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+  }
+
   /** Read a generation (default: latest committed). */
   def read(
       spark: SparkSession,
@@ -435,10 +534,7 @@ object FactVersioned {
       preCommit: () => Unit = () => ()): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     require(partitionCols.nonEmpty, "no partition columns given")
-    properties.foreach { case (k, v) =>
-      require(!k.exists(c => c == '\n' || c == '\t') && !v.contains('\n'),
-        s"commit property keys/values must be newline- and tab-free: $k")
-    }
+    requireCleanProperties(properties)
     partitionCols.foreach { pc =>
       require(content.columns.contains(pc),
         s"content lacks partition column $pc")
@@ -450,25 +546,7 @@ object FactVersioned {
     val gRoot = gensRoot(tablePath)
     if (!fs.exists(gRoot)) fs.mkdirs(gRoot)
 
-    // CAS-claim the generation number (see Versioned.commit)
-    val present = fs.listStatus(gRoot).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap(n => if (n.startsWith("gen="))
-        n.stripPrefix("gen=").toLongOption else None)
-    var next = if (present.isEmpty) 0L else present.max + 1L
-    var claimed = false
-    var attempts = 0
-    while (!claimed) {
-      attempts += 1
-      require(attempts <= 1000,
-        s"FactVersioned: could not claim a generation at $tablePath")
-      // atomicCreate: bare create(overwrite=false) is check-then-act on
-      // LocalFileSystem — same-instant racers could both claim a number
-      if (CommitLock.atomicCreate(fs,
-          new Path(genMeta(tablePath, next), Versioned.ClaimMarker)))
-        claimed = true
-      else next += 1
-    }
+    val next = claimNext(fs, tablePath, "FactVersioned")
     // From here to the commit marker, ANY failure must roll the claim
     // back — a leaked fresh claim would make later committers wait out
     // the full resolve timeout for a writer that is already dead.
@@ -560,37 +638,9 @@ object FactVersioned {
       s"FactVersioned: content contains partitions not declared touched: " +
         s"${undeclared.toSeq.sorted.mkString(",")}")
 
-    // Linearize publication by generation number: every lower-numbered
-    // claim must RESOLVE (commit, abandon, or go stale) before this one
-    // publishes, so the head this commit rebases onto is final. With
-    // that, non-overlapping concurrent writers all land (each rebases
-    // its carried rows over the real new head); overlapping ones abort.
-    // Lease contract: a committer must publish within StaleClaimMs of
-    // claiming or it may be treated as abandoned.
-    val deadline = System.currentTimeMillis() + ResolveTimeoutMs
-    def unresolvedBelow(): Seq[Long] =
-      fs.listStatus(gRoot).filter(_.isDirectory).map(_.getPath)
-        .flatMap { p =>
-          p.getName.stripPrefix("gen=").toLongOption.filter { g =>
-            g < next &&
-              !fs.exists(new Path(p, Versioned.CommitMarker)) && {
-                val claim = new Path(p, Versioned.ClaimMarker)
-                fs.exists(claim) &&
-                  System.currentTimeMillis() -
-                    fs.getFileStatus(claim).getModificationTime < StaleClaimMs
-              }
-          }
-        }.toSeq
-    var pending = unresolvedBelow()
-    while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
-      Thread.sleep(100)
-      pending = unresolvedBelow()
-    }
-    if (pending.nonEmpty)
-      throw new java.util.ConcurrentModificationException(
-        s"FactVersioned: generations ${pending.mkString(",")} at $tablePath " +
-          s"stayed in flight past ${ResolveTimeoutMs} ms — aborting commit " +
-          s"$next (retry)")
+    // non-overlapping concurrent writers all land (each rebases its
+    // carried rows over the real new head); overlapping ones abort
+    awaitLowerClaims(fs, tablePath, next, "FactVersioned")
 
     val head = generations(spark, tablePath).lastOption
     val parentGen = basisGen.orElse(parentAtClaim).getOrElse(-1L)
@@ -618,10 +668,14 @@ object FactVersioned {
     preCommit()
 
     import spark.implicits._
-    val fresh: Seq[(String, String)] = stagedDirs.toIndexedSeq.flatMap { d =>
+    // per-file byte sizes ride the manifest (free: the listing already
+    // has them), so DESCRIBE DETAIL / future file-skipping stats answer
+    // from the manifest instead of an O(files) driver getFileStatus
+    // loop; carried rows keep the sizes their own commit recorded
+    val fresh: Seq[(String, String, Long)] = stagedDirs.toIndexedSeq.flatMap { d =>
       fs.listStatus(new Path(genData, d))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => (d, s"$VGenCol=$next/$d/${f.getPath.getName}"))
+        .map(f => (d, s"$VGenCol=$next/$d/${f.getPath.getName}", f.getLen))
     }
     // manifest-embedded per-file stats (the Iceberg manifest posture:
     // column bounds travel WITH the file list, so a generation read
@@ -630,7 +684,7 @@ object FactVersioned {
     // rows keep whatever stats their own commit recorded (or nulls,
     // read conservatively).
     val freshDf = {
-      val baseRows = fresh.toDF("dir", "file")
+      val baseRows = fresh.toDF("dir", "file", "bytes")
       if (statsCols.isEmpty || fresh.isEmpty) baseRows
       else {
         val staged = spark.read
@@ -1085,7 +1139,8 @@ object FactVersioned {
     * table size.
     *
     * Same claim/linearize/conflict protocol as [[replacePartitionsBy]]
-    * (kept in lockstep by FactVersionedSpec's restore cases): the one
+    * — literally SHARED ([[claimNext]]/[[awaitLowerClaims]]), so a
+    * protocol fix lands on every committing door at once: the one
     * difference is that nothing stages — the manifest is copied, not
     * rebuilt from staged dirs + carried head rows. */
   def restore(
@@ -1095,57 +1150,18 @@ object FactVersioned {
       retain: Int = 3,
       properties: Map[String, String] = Map.empty): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
+    requireCleanProperties(properties)
     val gens = generations(spark, tablePath)
     require(gens.contains(gen),
       s"FactVersioned.restore: generation $gen is not committed at " +
         s"$tablePath (have ${gens.mkString(",")})")
     val basis = gens.max
     val fs = fsOf(spark, tablePath)
-    val gRoot = gensRoot(tablePath)
-    // CAS-claim the next number (see replacePartitionsBy)
-    val present = fs.listStatus(gRoot).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap(n => if (n.startsWith("gen="))
-        n.stripPrefix("gen=").toLongOption else None)
-    var next = if (present.isEmpty) 0L else present.max + 1L
-    var claimed = false
-    var attempts = 0
-    while (!claimed) {
-      attempts += 1
-      require(attempts <= 1000,
-        s"FactVersioned.restore: could not claim a generation at $tablePath")
-      if (CommitLock.atomicCreate(fs,
-          new Path(genMeta(tablePath, next), Versioned.ClaimMarker)))
-        claimed = true
-      else next += 1
-    }
+    // same claim/linearize protocol as replacePartitionsBy — shared
+    // helpers, so a protocol fix lands on every committing door at once
+    val next = claimNext(fs, tablePath, "FactVersioned.restore")
     try {
-      // linearize: wait out lower-numbered in-flight claims (lease
-      // contract identical to publishClaimed's)
-      val deadline = System.currentTimeMillis() + ResolveTimeoutMs
-      def unresolvedBelow(): Seq[Long] =
-        fs.listStatus(gRoot).filter(_.isDirectory).map(_.getPath)
-          .flatMap { p =>
-            p.getName.stripPrefix("gen=").toLongOption.filter { g =>
-              g < next &&
-                !fs.exists(new Path(p, Versioned.CommitMarker)) && {
-                  val claim = new Path(p, Versioned.ClaimMarker)
-                  fs.exists(claim) &&
-                    System.currentTimeMillis() -
-                      fs.getFileStatus(claim).getModificationTime <
-                        StaleClaimMs
-                }
-            }
-          }.toSeq
-      var pending = unresolvedBelow()
-      while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
-        Thread.sleep(100)
-        pending = unresolvedBelow()
-      }
-      if (pending.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"FactVersioned.restore: generations ${pending.mkString(",")} " +
-            s"at $tablePath stayed in flight — aborting (retry)")
+      awaitLowerClaims(fs, tablePath, next, "FactVersioned.restore")
       // a restore redefines every dir of (pre-restore head ∪ gen): any
       // commit landing after our basis conflicts
       val headNow = generations(spark, tablePath).max

@@ -89,7 +89,35 @@ object ProdBenchQueries extends QueryPack {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))))
 
-  /** Performance twins: parameters adapt to the corpus, so no fixed
-    * oracle exists — values are hash-gated via the pinned twins. */
-  override val oracles: Map[String, String] = Map.empty
+  /** Derived-invariant oracles (VERDICT r11 Next #5): the parameters
+    * adapt to the corpus, so no FIXED oracle exists — but the REPORTED
+    * VALUES are fully verifiable. DuckDB re-reads each twin's dump,
+    * recomputes every reported score/cosine with the engine's own
+    * arithmetic, re-derives rank orderings, and gates on batch size +
+    * recall/threshold floors — so the driver's hard correctness signal
+    * covers all 149 queries instead of filing these under `no_oracle`.
+    *  - q145: the q120 invariant with the query set derived from the
+    *    dump itself, guarded to exactly 256 distinct queries; recall
+    *    floor 0.30 vs the exact top-10. The floor is a BROKENNESS
+    *    guard, not a quality bar: nProbe=4 of √n auto-sized lists is
+    *    the THROUGHPUT-shape setting (measured recall 0.51 / 0.49 /
+    *    0.39 at sf0.001/0.01/0.1 — probing 4/√n of the cells shrinks
+    *    with n by design), while a broken index scores ~k/n ≈ 0.005.
+    *    The quality bars live in the pinned gates (q110/q116/q131,
+    *    floors 0.75-0.9 at production nProbe).
+    *  - q146: the q127/q134 FULL BM25 mirror (exact, not a floor)
+    *    restricted to the dump's query ids, guarded to exactly 64.
+    *  - q147: the q74 near-dup invariant (exact cosines ≥ 0.4,
+    *    id_a < id_b, recall floor 0.75) over the auto-tuned dump. */
+  override val oracles: Map[String, String] = Map(
+    "q145_ann_prod" -> VectorQueries.annTopKInvariant(
+      "q145_ann_prod", k = 10, recallFloor = 0.30,
+      queryPred = "query_id IN (SELECT DISTINCT query_id FROM out)",
+      extraGuard = "(SELECT COUNT(DISTINCT query_id) FROM out) = 256"),
+    "q146_bm25_prod" -> TextQueries.bm25MirrorSql(10,
+      queryPred = "doc_id IN (SELECT DISTINCT query_id FROM out)",
+      leadCte = s"out AS (SELECT * FROM ${outGlob("q146_bm25_prod")}),",
+      guardExpr = "(SELECT COUNT(DISTINCT query_id) FROM out) = 64"),
+    "q147_neardup_prod" ->
+      VectorQueries.nearDupInvariant("q147_neardup_prod", 0.4, 0.75))
 }

@@ -470,8 +470,7 @@ object ScaleQueries extends QueryPack {
           |SELECT o_orderkey + 10000000 AS o_orderkey,
           |  'I' AS o_orderstatus,
           |  o_totalprice * 2 AS o_totalprice,
-          |  p_year,
-          |  CAST(NULL AS BIGINT) AS vgen
+          |  p_year
           |FROM graft.orders_ins
           |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
       require(FactVersioned.generations(s, path) == Seq(0L, 1L),
@@ -523,12 +522,10 @@ object ScaleQueries extends QueryPack {
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW m_src AS
           |SELECT o_orderkey, 'M' AS o_orderstatus,
-          |  o_totalprice * 2 AS o_totalprice, p_year,
-          |  CAST(NULL AS BIGINT) AS vgen
+          |  o_totalprice * 2 AS o_totalprice, p_year
           |FROM graft.orders_m WHERE p_year = 1995 AND o_orderkey % 2 = 0
           |UNION ALL
-          |SELECT o_orderkey + 10000000, 'N', o_totalprice, p_year,
-          |  CAST(NULL AS BIGINT)
+          |SELECT o_orderkey + 10000000, 'N', o_totalprice, p_year
           |FROM graft.orders_m WHERE p_year = 1995 AND o_orderkey % 2 = 1
           |""".stripMargin)
       s.sql(
@@ -700,7 +697,7 @@ object ScaleQueries extends QueryPack {
       s.sql(
         """INSERT INTO graft.orders_c BY NAME
           |SELECT o_orderkey, o_orderstatus, o_totalprice,
-          |  year(o_orderdate) AS p_year, CAST(NULL AS BIGINT) AS vgen
+          |  year(o_orderdate) AS p_year
           |FROM q137_orders WHERE o_orderkey % 3 = 1""".stripMargin)
       require(FactVersioned.generations(s, path) == Seq(0L, 1L),
         "q137: INSERT into the CTAS table must commit generation 1")
@@ -745,12 +742,10 @@ object ScaleQueries extends QueryPack {
       // (a) duplicate source keys
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW k_dup AS
-          |SELECT o_orderkey, 'A' AS o_orderstatus, o_totalprice, p_year,
-          |  CAST(NULL AS BIGINT) AS vgen
+          |SELECT o_orderkey, 'A' AS o_orderstatus, o_totalprice, p_year
           |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
           |UNION ALL
-          |SELECT o_orderkey, 'B', o_totalprice * 2, p_year,
-          |  CAST(NULL AS BIGINT)
+          |SELECT o_orderkey, 'B', o_totalprice * 2, p_year
           |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
           |""".stripMargin)
       val dupErr =
@@ -772,7 +767,7 @@ object ScaleQueries extends QueryPack {
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW k_move AS
           |SELECT o_orderkey, o_orderstatus, o_totalprice,
-          |  1994 AS p_year, CAST(NULL AS BIGINT) AS vgen
+          |  1994 AS p_year
           |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
           |""".stripMargin)
       val moveErr =
@@ -792,8 +787,7 @@ object ScaleQueries extends QueryPack {
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW k_ok AS
           |SELECT o_orderkey, 'W' AS o_orderstatus,
-          |  o_totalprice * 3 AS o_totalprice, p_year,
-          |  CAST(NULL AS BIGINT) AS vgen
+          |  o_totalprice * 3 AS o_totalprice, p_year
           |FROM graft.orders_k WHERE p_year = 1995 AND o_orderkey % 2 = 0
           |""".stripMargin)
       s.sql(
@@ -970,8 +964,7 @@ object ScaleQueries extends QueryPack {
       s.sql(
         """INSERT INTO graft.orders_a BY NAME
           |SELECT o_orderkey + 10000000 AS o_orderkey, 'E' AS o_orderstatus,
-          |  o_totalprice, p_year, 'NEW' AS o_note,
-          |  CAST(NULL AS BIGINT) AS vgen
+          |  o_totalprice, p_year, 'NEW' AS o_note
           |FROM graft.orders_a
           |WHERE p_year = 1995 AND o_orderkey % 2 = 0
           |  AND o_orderkey < 10000000""".stripMargin)
@@ -1010,19 +1003,17 @@ object ScaleQueries extends QueryPack {
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW cdc_log AS
           |SELECT 'D' AS op, o_orderkey, o_orderstatus, o_totalprice,
-          |  p_year, CAST(NULL AS BIGINT) AS vgen
+          |  p_year
           |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 1
           |UNION ALL
-          |SELECT 'U', o_orderkey, 'C', o_totalprice * 2, p_year,
-          |  CAST(NULL AS BIGINT)
+          |SELECT 'U', o_orderkey, 'C', o_totalprice * 2, p_year
           |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 2
           |UNION ALL
-          |SELECT 'I', o_orderkey + 10000000, 'I', o_totalprice, p_year,
-          |  CAST(NULL AS BIGINT)
+          |SELECT 'I', o_orderkey + 10000000, 'I', o_totalprice, p_year
           |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 0
           |UNION ALL
           |SELECT 'X', o_orderkey + 20000000, o_orderstatus, o_totalprice,
-          |  p_year, CAST(NULL AS BIGINT)
+          |  p_year
           |FROM graft.orders_cc WHERE p_year = 1995 AND o_orderkey % 4 = 3
           |""".stripMargin)
       s.sql(
@@ -1198,6 +1189,179 @@ object ScaleQueries extends QueryPack {
         .localCheckpoint()
       val fs = new org.apache.hadoop.fs.Path(wh)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // Partial-assignment MERGE (VERDICT r11 Next #3+#4): the
+    // single-column-touch changelog — `UPDATE SET one_col = expr` with
+    // a TARGET-guarded clause condition and a target-referencing
+    // assignment value. The match probe carries exactly the referenced
+    // target columns, so routing stays per source row and the commit
+    // stays ∝ touched partitions (in-gate write-amp assert). Unassigned
+    // columns keep the target row's values — gated by the full DuckDB
+    // changelog mirror (hash): 1995 even keys whose TARGET status is
+    // 'F' gain s.d = 10% of their own price; everything else verbatim.
+    "q150_sql_merge_partial" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q150_").toString
+      val path = s"$wh/orders_pm"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      // the source carries ONLY (key, delta) — no status, no price, no
+      // partition column: everything unassigned must come from the
+      // target through the probe
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW pm_src AS
+          |SELECT o_orderkey, o_totalprice * 0.1 AS d
+          |FROM graft.orders_pm
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_pm AS t USING pm_src AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED AND t.o_orderstatus = 'F'
+          |  THEN UPDATE SET o_totalprice = t.o_totalprice + src.d
+          |""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q150: the partial MERGE must commit exactly one new generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q150: write-amp must stay the one touched partition, got $staged")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_pm""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // Scoped full-sync MERGE (VERDICT r11 missing #3): `WHEN NOT
+    // MATCHED BY SOURCE THEN DELETE` with a partition-scoping condition
+    // — the Delta full-sync shape kept ∝ the scoped partition. The
+    // source holds exactly the rows partition 1995 SHOULD contain
+    // (even keys, re-statused 'S'); matched keys update, absent keys
+    // insert (none here), and scoped rows the source never names are
+    // deleted. In-gate: hash-equal to the API twin
+    // (replacePartitions of the scoped partition), write-amp = the one
+    // scoped leaf, other partitions untouched.
+    "q151_sql_merge_sync" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q151_").toString
+      val path = s"$wh/orders_sy"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW sy_src AS
+          |SELECT o_orderkey, 'S' AS o_orderstatus, o_totalprice, p_year
+          |FROM graft.orders_sy
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_sy AS t USING sy_src AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.p_year = 1995 THEN DELETE
+          |""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q151: the sync MERGE must commit exactly one new generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q151: write-amp must be the scoped partition only, got $staged")
+      // API twin: replacePartitions of 1995 with the source content
+      val twin = s"$wh/orders_sy_twin"
+      FactVersioned.upsert(s0, twin, o, Seq("o_orderkey"), "p_year")
+      FactVersioned.replacePartitions(s0, twin,
+        o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("S")),
+        "p_year", Seq(1995))
+      def content(p: String, sess: SparkSession) =
+        FactVersioned.read(sess, p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      require(content(path, s).collect().toSet ==
+        content(twin, s0).collect().toSet,
+        "q151: scoped sync MERGE must be hash-equal to the API twin")
+      require(s.sql(
+          "SELECT COUNT(*) FROM graft.orders_sy VERSION AS OF 0")
+        .collect().head.getLong(0) == o.count(),
+        "q151: generation 0 must still read the pre-sync content")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_sy""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // Range-scoped OPTIMIZE (VERDICT r11 missing #5 + ADVICE): `WHERE
+    // p_year >= lit` compacts exactly the TYPED-matching leaves — the
+    // natural compaction scope at 100 TB is a date/year range, and the
+    // comparison runs through the partition column's pinned type, not
+    // rendered strings. In-gate: the compaction generation stages
+    // exactly the years ≥ 1996 (each accumulated two commits' files),
+    // the reported leaf count matches, content is preserved, and a
+    // zero-match WHERE fails loudly instead of reading as "already
+    // optimized". Output value-gated against the update mirror.
+    "q152_sql_optimize_range" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q152_").toString
+      val path = s"$wh/orders_r"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      // second commit → the 1996+ partitions hold two commits' files
+      FactVersioned.upsert(s0, path,
+        o.where(col("p_year") >= 1996 && col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val expectYears = o.where(col("p_year") >= 1996)
+        .select("p_year").distinct().collect().map(_.getInt(0)).toSet
+      val rep = s.sql("OPTIMIZE graft.orders_r WHERE p_year >= 1996")
+        .collect().head
+      require(rep.getLong(1) == expectYears.size.toLong,
+        s"q152: OPTIMIZE must report exactly the ${expectYears.size} " +
+          s"matching leaves, got ${rep.getLong(1)}")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/" +
+            s"${FactVersioned.VGenCol}=${rep.getLong(0)}"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == expectYears.map(y => s"p_year=$y"),
+        s"q152: compaction must stage exactly the matching leaves, " +
+          s"got $staged")
+      // a zero-match range fails loudly (the silent-no-op hole)
+      val miss =
+        try { s.sql("OPTIMIZE graft.orders_r WHERE p_year >= 3000"); "" }
+        catch { case e: Throwable => Option(e.getMessage).getOrElse("") }
+      require(miss.contains("matched no partitions"),
+        s"q152: a zero-match OPTIMIZE WHERE must fail loudly, got: $miss")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_r""".stripMargin)
+        .localCheckpoint()
       fs.delete(new org.apache.hadoop.fs.Path(wh), true)
       out
     }),
@@ -1734,6 +1898,37 @@ object ScaleQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS head_generation,
         |  CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
         |    AS num_partitions
+        |FROM orders""".stripMargin,
+    // partial-assignment changelog mirror: only 1995 even keys whose
+    // TARGET status is 'F' gain 10% of their own price; every other
+    // column and row carries verbatim
+    "q150_sql_merge_partial" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |            AND o_orderstatus = 'F'
+        |       THEN o_totalprice + o_totalprice * 0.1
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+    // scoped full-sync mirror: partition 1995 holds exactly the
+    // source rows (even keys, status 'S'); other partitions verbatim
+    "q151_sql_merge_sync" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        |WHERE y <> 1995
+        |UNION ALL
+        |SELECT o_orderkey, 'S', o_totalprice FROM base
+        |WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // the range-compacted head ≡ the twice-upserted content (OPTIMIZE
+    // rewrites layout, never content)
+    "q152_sql_optimize_range" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) >= 1996 AND o_orderkey % 2 = 0
+        |       THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN year(o_orderdate) >= 1996 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
     // CASE mirror of the conditional update
     "q136_sql_update" ->

@@ -33,8 +33,24 @@ object TextQueries extends QueryPack {
     * plan; the engine sums the same scaled longs. */
   private val bm25Mirror: String = bm25MirrorSql(3)
 
-  private def bm25MirrorSql(k: Int): String =
-    s"""WITH tk AS (
+  /** @param queryPred membership predicate over `tk.doc_id` choosing
+    *   the query set (the pinned gates use every-10th-doc; the
+    *   production twin derives the set from the engine's own dump via
+    *   a `leadCte`-provided `out`).
+    * @param leadCte extra leading CTE text (must end with a comma).
+    * @param guardExpr boolean SQL (may reference `out`) that EMPTIES
+    *   the oracle when false — batch-size checks for fixed-size
+    *   external query batches. */
+  private[queries] def bm25MirrorSql(
+      k: Int,
+      queryPred: String = "doc_id % 10 = 0",
+      leadCte: String = "",
+      guardExpr: String = ""): String = {
+    val guardCte = if (guardExpr.isEmpty) ""
+      else s""", guard AS (SELECT 1 AS ok WHERE $guardExpr)
+              |""".stripMargin
+    val guardJoin = if (guardExpr.isEmpty) "" else " CROSS JOIN guard"
+    s"""WITH $leadCte tk AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
       |      x -> len(x) > 0) AS t
@@ -53,7 +69,7 @@ object TextQueries extends QueryPack {
       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
       |), qt AS (
       |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
-      |  FROM tk WHERE doc_id % 10 = 0
+      |  FROM tk WHERE $queryPred
       |), ts AS (
       |  SELECT qt.query_id, tf.doc_id,
       |    CAST(round(
@@ -71,12 +87,13 @@ object TextQueries extends QueryPack {
       |  SELECT query_id, doc_id,
       |    round(CAST(SUM(s) AS DOUBLE) / 1e10, 6) AS score
       |  FROM ts GROUP BY 1, 2
-      |)
+      |)$guardCte
       |SELECT query_id, doc_id, score, rank FROM (
       |  SELECT query_id, doc_id, score,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id ASC) AS rank
-      |  FROM agg) WHERE rank <= $k""".stripMargin
+      |  FROM agg)$guardJoin WHERE rank <= $k""".stripMargin
+  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T5 explode + word count over the corpus.

@@ -514,32 +514,7 @@ object VectorQueries extends QueryPack {
     // the full exact pair set (measured ~0.97: boundary pairs at
     // cosine 0.4 have per-bit agreement 0.63, 1−(1−0.63³)¹³ ≈ 0.98).
     "q74_neardup_approx" ->
-      s"""WITH out AS (SELECT * FROM ${outGlob("q74_neardup_approx")}),
-         |exact AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE CASE WHEN $normA * $normB > 0
-         |    THEN $dotAB / ($normA * $normB) END >= 0.4
-         |),
-         |hits AS (
-         |  SELECT count(*) AS h FROM exact e
-         |  JOIN out o ON o.id_a = e.id_a AND o.id_b = e.id_b
-         |),
-         |guard AS (
-         |  SELECT 1 AS ok FROM hits
-         |  WHERE CAST(h AS DOUBLE)
-         |        / greatest((SELECT count(*) FROM exact), 1) >= 0.75
-         |)
-         |SELECT o.id_a, o.id_b,
-         |  round(CASE WHEN $normA * $normB > 0
-         |    THEN $dotAB / ($normA * $normB) END, 4) AS cosine
-         |FROM out o
-         |JOIN embeddings a ON a.vec_id = o.id_a
-         |JOIN embeddings b ON b.vec_id = o.id_b
-         |CROSS JOIN guard
-         |WHERE o.id_a < o.id_b
-         |  AND CASE WHEN $normA * $normB > 0
-         |    THEN $dotAB / ($normA * $normB) END >= 0.4""".stripMargin,
+      nearDupInvariant("q74_neardup_approx", 0.4, 0.75),
 
     // Full mirror of the seed-medoid assignment: same normalization,
     // same rounded dot, same (sim desc, seed_id asc) argmax — no
@@ -571,6 +546,41 @@ object VectorQueries extends QueryPack {
          |SELECT o.label, o.approx_vecs, e.n AS n_rows
          |FROM out o JOIN exact e ON e.label = o.label
          |WHERE abs(o.approx_vecs - e.d) <= greatest(5, 0.15 * e.d)""".stripMargin)
+
+  /** Derived-invariant oracle for a near-dup PAIR dump (id_a, id_b,
+    * cosine): every reported pair's cosine recomputed exactly
+    * (raw-vector arithmetic, the engine's cosine()) and required to
+    * clear `threshold` with id_a < id_b; recall floor vs the full
+    * exact pair set. Shared by the pinned gate (q74) and the
+    * auto-tuned production twin (q147). */
+  private[queries] def nearDupInvariant(
+      name: String, threshold: Double, recallFloor: Double): String =
+    s"""WITH out AS (SELECT * FROM ${outGlob(name)}),
+       |exact AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE CASE WHEN $normA * $normB > 0
+       |    THEN $dotAB / ($normA * $normB) END >= $threshold
+       |),
+       |hits AS (
+       |  SELECT count(*) AS h FROM exact e
+       |  JOIN out o ON o.id_a = e.id_a AND o.id_b = e.id_b
+       |),
+       |guard AS (
+       |  SELECT 1 AS ok FROM hits
+       |  WHERE CAST(h AS DOUBLE)
+       |        / greatest((SELECT count(*) FROM exact), 1) >= $recallFloor
+       |)
+       |SELECT o.id_a, o.id_b,
+       |  round(CASE WHEN $normA * $normB > 0
+       |    THEN $dotAB / ($normA * $normB) END, 4) AS cosine
+       |FROM out o
+       |JOIN embeddings a ON a.vec_id = o.id_a
+       |JOIN embeddings b ON b.vec_id = o.id_b
+       |CROSS JOIN guard
+       |WHERE o.id_a < o.id_b
+       |  AND CASE WHEN $normA * $normB > 0
+       |    THEN $dotAB / ($normA * $normB) END >= $threshold""".stripMargin
 
   /** Unit-normalized embeddings as a CTE named `nrm` (column `u`) —
     * per-element double division, the engine's arithmetic order;
@@ -613,19 +623,28 @@ object VectorQueries extends QueryPack {
   /** @param queryPred restricts the invariant to a query-id subset
     *   (external-batch gates): exact top-k and recall run over the
     *   subset only, and a reported row OUTSIDE it empties the guard.
+    *   May reference the `out` CTE (the engine's own dump) — the
+    *   production twins derive the query set FROM the dump, guarding
+    *   its size with `extraGuard`.
     * @param neighborPred same for the neighbor side (filtered-search
     *   gates): the exact top-k is computed over allowed neighbors
-    *   only, and a reported disallowed neighbor empties the guard. */
-  private def annTopKInvariant(
+    *   only, and a reported disallowed neighbor empties the guard.
+    * @param extraGuard additional boolean SQL (may reference `out`)
+    *   ANDed into the guard — e.g. a distinct-query-count check for
+    *   fixed-size external batches. */
+  private[queries] def annTopKInvariant(
       name: String, k: Int, recallFloor: Double,
-      queryPred: String = "", neighborPred: String = ""): String = {
+      queryPred: String = "", neighborPred: String = "",
+      extraGuard: String = ""): String = {
     val preds = Seq(queryPred, neighborPred).filter(_.nonEmpty)
     val predWhere =
       if (preds.isEmpty) "" else preds.mkString(" WHERE (", ") AND (", ")")
     val outInPred = preds.map(p =>
       s"""
          |    AND NOT EXISTS (SELECT 1 FROM out WHERE NOT ($p))""".stripMargin
-    ).mkString
+    ).mkString +
+      (if (extraGuard.isEmpty) "" else s"""
+         |    AND ($extraGuard)""".stripMargin)
     s"""WITH out AS (SELECT * FROM ${outGlob(name)}),
        |$nrmCte,
        |sims AS (

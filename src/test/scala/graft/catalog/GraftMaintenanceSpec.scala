@@ -124,9 +124,12 @@ class GraftMaintenanceSpec extends SparkSpec {
     assert(staged == Set("p=1"), s"staged $staged")
     // content preserved
     assert(FactVersioned.read(s, path).count() == 80)
-    // out-of-scope restriction: no partitions match → no commit
+    // out-of-scope restriction: zero matches FAILS with the available
+    // values (a silent no-op would read as "already optimized")
     val gens = FactVersioned.generations(s, path)
-    assert(s.sql("OPTIMIZE g.t WHERE p = 99").collect().isEmpty)
+    val e0 = intercept[Exception] { s.sql("OPTIMIZE g.t WHERE p = 99") }
+    assert(e0.getMessage.contains("matched no partitions") &&
+      e0.getMessage.contains("p=0"), e0.getMessage)
     assert(FactVersioned.generations(s, path) == gens)
     // non-partition predicate fails loudly
     val e = intercept[Exception] { s.sql("OPTIMIZE g.t WHERE k = 3") }
@@ -134,6 +137,75 @@ class GraftMaintenanceSpec extends SparkSpec {
     // WHERE composes with ZORDER BY
     s.sql("OPTIMIZE g.t WHERE p = 0 ZORDER BY (k, v)")
     assert(FactVersioned.read(s, path).count() == 80)
+    // RANGE predicates scope by typed comparison: p ∈ {0,1,2}
+    val outR = s.sql("OPTIMIZE g.t WHERE p >= 1").collect()
+    assert(outR.head.getLong(1) == 2L, "p >= 1 must hit p=1 and p=2")
+    val outB = s.sql("OPTIMIZE g.t WHERE p BETWEEN 0 AND 1").collect()
+    assert(outB.head.getLong(1) == 2L, "BETWEEN must hit p=0 and p=1")
+    assert(FactVersioned.read(s, path).count() == 80)
+  }
+
+  test("OPTIMIZE WHERE compares through the partition column's pinned " +
+      "type: integer literals match double-rendered dirs, DATE ranges " +
+      "scope date partitions") {
+    val wh = Files.createTempDirectory("graft_maint_typed_").toString
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    // typed numeric compare: a literal whose RENDERED form differs
+    // from the dir value ('5.0', '05') still matches the int dir p=5
+    val dpath = s"$wh/ints"
+    FactVersioned.upsert(spark, dpath,
+      (1 to 20).map(i => (i.toLong, 5 + i % 2, i * 1L))
+        .toDF("k", "p", "v"),
+      Seq("k"), "p")
+    val out = s.sql("OPTIMIZE g.ints WHERE p = 5.0").collect()
+    assert(out.head.getLong(1) == 1L,
+      "WHERE p = 5.0 must match the p=5 dir through the INT type")
+    val out0 = s.sql("OPTIMIZE g.ints WHERE p = 06").collect()
+    assert(out0.head.getLong(1) == 1L,
+      "WHERE p = 06 must match the p=6 dir through the INT type")
+    // date partition column: range scoping with DATE literals
+    val tpath = s"$wh/dated"
+    FactVersioned.upsert(spark, tpath,
+      (1 to 30).map(i => (i.toLong,
+        java.sql.Date.valueOf(f"2024-01-${i % 3 + 1}%02d"), i * 1L))
+        .toDF("k", "d", "v"),
+      Seq("k"), "d")
+    val out2 = s.sql(
+      "OPTIMIZE g.dated WHERE d >= DATE '2024-01-02'").collect()
+    assert(out2.head.getLong(1) == 2L,
+      "d >= 2024-01-02 must hit the 01-02 and 01-03 partitions")
+    val out3 = s.sql(
+      "OPTIMIZE g.dated WHERE d BETWEEN '2024-01-01' AND '2024-01-02'")
+      .collect()
+    assert(out3.head.getLong(1) == 2L)
+  }
+
+  test("DESCRIBE DETAIL answers sizes from the manifest — no per-file " +
+      "status calls for manifest-recorded commits") {
+    val (s, _, path) = factTable()
+    val d0 = s.sql("DESCRIBE DETAIL g.t").collect().head
+    val files = FactVersioned.manifestFiles(s, path)
+    assert(files.nonEmpty && files.forall(_._2.isDefined),
+      "commits must record per-file sizes in the manifest")
+    assert(d0.getLong(6) == files.flatMap(_._2).sum,
+      "size_bytes must equal the manifest-recorded sum")
+    // behavioral proof of no per-file FS call: move the head's data
+    // files away; DESCRIBE DETAIL still answers (a getFileStatus loop
+    // would throw FileNotFoundException)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val data = new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}")
+    val hidden = new org.apache.hadoop.fs.Path(s"$path/_hidden_data")
+    assert(fs.rename(data, hidden))
+    try {
+      val d1 = s.sql("DESCRIBE DETAIL g.t").collect().head
+      assert(d1.getLong(6) == d0.getLong(6) &&
+        d1.getLong(5) == d0.getLong(5),
+        "DESCRIBE DETAIL must answer from the manifest alone")
+    } finally assert(fs.rename(hidden, data))
   }
 
   test("RESTORE TO VERSION AS OF rolls the head back metadata-only: " +
