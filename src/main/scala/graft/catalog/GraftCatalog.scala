@@ -305,19 +305,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       pcols, () => retainFor(path))
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — the one schema change with an
-    * additive, metadata-scale commit shape: fact tables route to
-    * [[FactVersioned.addColumns]] (a new generation pinning the
-    * widened schema, every parent file carried verbatim — no data
-    * rewrite), dimensions commit a fresh full-copy generation with the
-    * new null columns (the full-copy posture). Earlier generations
-    * keep their own schemas — `VERSION AS OF` reads both sides of the
-    * evolution; later DML sees the widened schema. Everything else
-    * (drop/rename/retype, nested fields, positioned or defaulted adds)
-    * is rejected: those rewrite data or break carried-file reads. */
+  /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN(S)` — the two
+    * schema changes with metadata-scale commit shapes: fact tables
+    * route to [[FactVersioned.addColumns]] (widened pinned schema,
+    * every parent file carried verbatim, carried reads null-fill) /
+    * [[FactVersioned.dropColumns]] (narrowed pinned schema, carried
+    * reads never project the column; the name is tombstoned against
+    * unsafe re-adds); dimensions commit a fresh full-copy generation.
+    * Earlier generations keep their own schemas — `VERSION AS OF`
+    * reads both sides of the evolution; later DML sees the new schema.
+    * Everything else (rename/retype, nested fields, positioned or
+    * defaulted adds) is rejected: those rewrite data or need
+    * manifest-level column-id mapping. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
-    val fields = changes.map {
+    val isFact = FactVersioned.generations(spark, path).nonEmpty
+    val isDim = !isFact && Versioned.generations(spark, path).nonEmpty
+    if (!isFact && !isDim) throw new NoSuchTableException(ident)
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val drops = Seq.newBuilder[String]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "GraftCatalog: ADD COLUMN of a nested field is not supported " +
@@ -331,27 +338,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.defaultValue() == null,
           "GraftCatalog: ADD COLUMN DEFAULT is not supported — carried " +
             "rows would need a data rewrite to hold the default")
-        StructType(Seq()).add(a.fieldNames.head, a.dataType,
+        adds += StructType(Seq()).add(a.fieldNames.head, a.dataType,
           nullable = true).fields.head
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "GraftCatalog: DROP COLUMN of a nested field is not supported " +
+            s"(got ${d.fieldNames.mkString(".")})")
+        drops += d.fieldNames.head
       case other => throw new UnsupportedOperationException(
-        "GraftCatalog: only ALTER TABLE ADD COLUMN(S) is supported " +
-          s"(additive evolution); got $other — drops/renames/retypes " +
-          "rewrite data and keep their explicit operator surfaces")
+        "GraftCatalog: only ALTER TABLE ADD/DROP COLUMN(S) is supported " +
+          s"(metadata-scale evolution); got $other — renames/retypes " +
+          "rewrite data or need column-id mapping and keep their " +
+          "explicit operator surfaces")
     }
-    if (FactVersioned.generations(spark, path).nonEmpty)
-      FactVersioned.addColumns(spark, path, fields, retain = retainFor(path),
-        properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
-    else if (Versioned.generations(spark, path).nonEmpty) {
+    val (fields, dropped) = (adds.result(), drops.result())
+    require(fields.isEmpty || dropped.isEmpty,
+      "GraftCatalog: mix of ADD and DROP in one ALTER is not supported " +
+        "— issue two statements")
+    if (isFact) {
+      if (fields.nonEmpty)
+        FactVersioned.addColumns(spark, path, fields,
+          retain = retainFor(path),
+          properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
+      else
+        FactVersioned.dropColumns(spark, path, dropped,
+          retain = retainFor(path),
+          properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
+    } else {
       val cur = Versioned.read(spark, path)
-      fields.foreach { f =>
-        require(!cur.columns.exists(_.equalsIgnoreCase(f.name)),
-          s"GraftCatalog: column '${f.name}' already exists")
+      if (fields.nonEmpty) {
+        fields.foreach { f =>
+          require(!cur.columns.exists(_.equalsIgnoreCase(f.name)),
+            s"GraftCatalog: column '${f.name}' already exists")
+        }
+        val widened = fields.foldLeft(cur)((df, f) =>
+          df.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        Versioned.commit(widened, path, retain = retainFor(path))
+      } else {
+        dropped.foreach { n =>
+          require(cur.columns.exists(_.equalsIgnoreCase(n)),
+            s"GraftCatalog: column '$n' does not exist")
+        }
+        require(dropped.map(_.toLowerCase).distinct.length < cur.columns.length,
+          "GraftCatalog: cannot drop every column")
+        // full-copy store: the new generation simply omits the column —
+        // no tombstone needed, nothing physical carries over
+        Versioned.commit(cur.drop(dropped: _*), path,
+          retain = retainFor(path))
       }
-      val widened = fields.foldLeft(cur)((df, f) =>
-        df.withColumn(f.name,
-          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-      Versioned.commit(widened, path, retain = retainFor(path))
-    } else throw new NoSuchTableException(ident)
+    }
     loadTable(ident)
   }
 

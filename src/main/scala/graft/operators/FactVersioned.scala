@@ -590,12 +590,19 @@ object FactVersioned {
       // would pin a schema.ddl that CARRIED-OVER parent files were not
       // written under, failing late (or mis-reading) on generation
       // reads. Order-insensitive; nullability is not load-bearing here
-      // (write paths flip it freely). Two relaxations:
+      // (write paths flip it freely). Three relaxations:
       //  - strictly ADDITIVE evolution (every parent column present
       //    with its type; new columns appended) is always allowed —
       //    carried files read under the new pinned schema null-fill
       //    the added columns (Spark's absent-parquet-column semantics),
       //    the lakehouse add-column posture ([[upsertEvolve]]);
+      //  - strictly NARROWING evolution (every content column present
+      //    in the parent with its type) is allowed for PURE-METADATA
+      //    commits only (touched empty — [[dropColumns]]): explicit-
+      //    schema parquet reads simply never project the dropped
+      //    column out of carried files. A data-staging commit with a
+      //    missing column stays rejected — accepting it would let any
+      //    upsert silently narrow the table schema;
       //  - a commit that carries NOTHING (touched ⊇ every parent
       //    partition) may change anything: no old file enters the new
       //    manifest, and prior generations keep their own schemas.
@@ -604,9 +611,13 @@ object FactVersioned {
       if (norm(ps) != norm(content.schema)) {
         val cTypes = content.schema.fields
           .map(f => f.name -> f.dataType).toMap
+        val pTypes = ps.fields.map(f => f.name -> f.dataType).toMap
         val additive = ps.fields.forall(f =>
           cTypes.get(f.name).contains(f.dataType))
-        if (!additive) {
+        val narrowing = touchedDirs.isEmpty &&
+          content.schema.fields.forall(f =>
+            pTypes.get(f.name).contains(f.dataType))
+        if (!additive && !narrowing) {
           val parentDirs = spark.read
             .parquet(manifestDir(tablePath, pg).toString)
             .select("dir").distinct().collect().map(_.getString(0)).toSet
@@ -1114,9 +1125,31 @@ object FactVersioned {
       s"$tablePath — create the table first")
     val head = gens.max
     val (_, schema, _) = generationHandle(spark, tablePath, Some(head))
+    val dead = droppedColumns(spark, tablePath)
     added.foreach { f =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"addColumns: column '${f.name}' already exists")
+      require(!dead.contains(f.name.toLowerCase),
+        s"addColumns: column '${f.name}' was previously DROPPED — " +
+          "files carried from pre-drop commits still physically hold " +
+          "its old values, which a re-add would silently RESURRECT " +
+          "(or, under a new type, fail to read). Rewrite the table " +
+          "under a fresh path (or replacePartitions over every " +
+          "partition) to reuse the name.")
+    }
+    // belt and braces with the tombstone: any RETAINED generation still
+    // pinning the name means physically-carried files may hold it
+    // (conservative — also trips briefly after a full rewrite, until
+    // the old generations expire)
+    gens.filter(_ != head).foreach { g =>
+      val gs = readSchema(spark, tablePath, g)
+      added.foreach { f =>
+        require(!gs.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"addColumns: column '${f.name}' is still pinned by retained " +
+            s"generation $g — carried data files may physically hold " +
+            "its old values; let retention expire it or rewrite the " +
+            "table under a fresh path")
+      }
     }
     val widened = added.foldLeft(schema)(_ add _)
     val empty = spark.createDataFrame(
@@ -1124,6 +1157,89 @@ object FactVersioned {
     replacePartitionsBy(spark, tablePath, empty,
       partitionColumns(spark, tablePath), Nil, retain,
       basisGen = Some(head), properties = properties)
+  }
+
+  /** Table-level tombstone record of every column name ever dropped
+    * ([[dropColumns]]): carried data files from pre-drop commits still
+    * physically hold the column, so the name must never be re-added
+    * over them ([[addColumns]] rejects tombstoned names). Never
+    * cleaned — deliberately conservative; reusing a dropped name
+    * requires a fresh table path. */
+  private def tombstonePath(t: String) =
+    new Path(gensRoot(t), "_dropped_columns")
+
+  /** Lower-cased names of columns ever dropped from the table. */
+  def droppedColumns(spark: SparkSession, tablePath: String): Set[String] = {
+    val fs = fsOf(spark, tablePath)
+    val p = tombstonePath(tablePath)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").filter(_.nonEmpty).map(_.toLowerCase).toSet
+  }
+
+  /** Commit a new generation whose pinned schema DROPS `names` with NO
+    * data rewrite — metadata-scale column removal (`ALTER TABLE DROP
+    * COLUMN`): the new manifest carries EVERY parent file verbatim
+    * (touched set empty), and reads under the narrowed pinned schema
+    * simply never project the dropped column out of carried files
+    * (explicit-schema parquet semantics — the inverse of
+    * [[addColumns]]' null-fill). Earlier generations keep their own
+    * pinned schemas, so `VERSION AS OF` still reads the column's full
+    * history until retention. At 100 TB this commit costs one manifest
+    * copy + marker, independent of table size.
+    *
+    * Partition columns and merge keys cannot drop (they shape the
+    * physical layout / identity); the dropped name is TOMBSTONED so a
+    * later add cannot silently resurrect stale physical values from
+    * carried files (the hazard Delta's column-mapping IDs exist for —
+    * this store takes the conservative posture instead). */
+  def dropColumns(
+      spark: SparkSession,
+      tablePath: String,
+      names: Seq[String],
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(names.nonEmpty, "dropColumns: no columns given")
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"dropColumns: no committed generations at " +
+      s"$tablePath — create the table first")
+    val head = gens.max
+    val (_, schema, _) = generationHandle(spark, tablePath, Some(head))
+    val pcols = partitionColumns(spark, tablePath)
+    names.foreach { n =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"dropColumns: column '$n' does not exist " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(!pcols.exists(_.equalsIgnoreCase(n)),
+        s"dropColumns: '$n' is a partition column — it shapes the " +
+          "physical layout; repartition through replacePartitions " +
+          "under a new column set instead")
+      require(!n.equalsIgnoreCase(VGenCol),
+        s"column name $VGenCol is reserved by FactVersioned")
+    }
+    require(names.map(_.toLowerCase).toSet.size < schema.fields.length,
+      "dropColumns: cannot drop every column")
+    val narrowed = StructType(schema.fields.filterNot(f =>
+      names.exists(_.equalsIgnoreCase(f.name))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], narrowed)
+    val c = replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
+      retain, basisGen = Some(head), properties = properties)
+    // tombstone AFTER the commit is visible: a crash between marker and
+    // tombstone leaves a dropped column re-addable in principle, but
+    // the add-side check also scans retained schemas — belt and braces
+    val fs = fsOf(spark, tablePath)
+    val all = droppedColumns(spark, tablePath) ++ names.map(_.toLowerCase)
+    val out = fs.create(tombstonePath(tablePath), true)
+    try out.write(all.toSeq.sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    c
   }
 
   /** Restore the table to generation `gen`, METADATA-ONLY (the Delta

@@ -1193,6 +1193,67 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // ALTER TABLE DROP COLUMN (VERDICT r11 missing #6): metadata-scale
+    // column removal — the new generation pins the NARROWED schema and
+    // carries every parent file verbatim (zero data staged, asserted
+    // in-gate); reads under the narrowed schema never project the
+    // dropped column out of carried files. VERSION AS OF still reads
+    // the pre-drop schema (the column's history survives until
+    // retention), post-drop INSERTs work against the narrowed schema,
+    // and re-ADDING the dropped name is rejected (tombstone: carried
+    // files still physically hold old values a re-add would silently
+    // resurrect). Output value-gated against the narrowed mirror.
+    "q153_sql_alter_drop_column" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q153_").toString
+      val path = s"$wh/orders_dc"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql("ALTER TABLE graft.orders_dc DROP COLUMN o_orderstatus")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q153: DROP COLUMN must commit exactly one generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vdir = new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")
+      require(!fs.exists(vdir) ||
+        fs.listStatus(vdir).forall(!_.isDirectory),
+        "q153: DROP COLUMN must stage ZERO data files (metadata-scale)")
+      require(!s.table("graft.orders_dc").columns.contains("o_orderstatus"),
+        "q153: the head schema must not hold the dropped column")
+      require(s.sql("SELECT * FROM graft.orders_dc VERSION AS OF 0")
+        .columns.contains("o_orderstatus"),
+        "q153: the pre-drop generation must keep its own schema")
+      // post-drop INSERT works against the narrowed schema
+      s.sql(
+        """INSERT INTO graft.orders_dc BY NAME
+          |SELECT o_orderkey + 10000000 AS o_orderkey,
+          |  o_totalprice * 2 AS o_totalprice, p_year
+          |FROM graft.orders_dc
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |  AND o_orderkey < 10000000""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+        "q153: the INSERT after the drop must commit generation 2")
+      // re-adding the dropped name is rejected (stale-value hazard)
+      val readd =
+        try {
+          s.sql("ALTER TABLE graft.orders_dc ADD COLUMN o_orderstatus STRING")
+          ""
+        } catch { case e: Throwable => Option(e.getMessage).getOrElse("") }
+      require(readd.contains("DROPPED") || readd.contains("pinned"),
+        s"q153: re-adding a dropped column must be rejected, got: $readd")
+      val out = s.sql(
+        """SELECT o_orderkey, o_totalprice FROM graft.orders_dc""")
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // Partial-assignment MERGE (VERDICT r11 Next #3+#4): the
     // single-column-touch changelog — `UPDATE SET one_col = expr` with
     // a TARGET-guarded clause condition and a target-referencing
@@ -1899,6 +1960,14 @@ object ScaleQueries extends QueryPack {
         |  CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
         |    AS num_partitions
         |FROM orders""".stripMargin,
+    // the narrowed head: original rows without the dropped column,
+    // plus the post-drop INSERT's rows
+    "q153_sql_alter_drop_column" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_totalprice * 2
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     // partial-assignment changelog mirror: only 1995 even keys whose
     // TARGET status is 'F' gain 10% of their own price; every other
     // column and row carries verbatim

@@ -159,12 +159,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("pending"), e.getMessage)
     spark.sql("DROP TABLE graftt.t2")
     assert(!new java.io.File(s"$root/t2").exists())
-    // mutation DDL on real tables still rejected (ADD COLUMN is the
-    // one allowed change — additive evolution, tested separately)
+    // mutation DDL on real tables still rejected (ADD/DROP COLUMN are
+    // the allowed changes — metadata-scale evolution, tested
+    // separately; DROP COLUMN on a dim commits a fresh full copy)
     Versioned.commit(dim(5), s"$root/dt")
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graftt.dt DROP COLUMN v").collect()
-    }
+    spark.sql("ALTER TABLE graftt.dt DROP COLUMN v").collect()
+    assert(!spark.table("graftt.dt").columns.contains("v"),
+      "dim DROP COLUMN must commit a narrowed full copy")
     intercept[Exception] {
       spark.sql("ALTER TABLE graftt.dt RENAME COLUMN name TO nm").collect()
     }

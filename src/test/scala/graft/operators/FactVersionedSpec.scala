@@ -427,4 +427,48 @@ class FactVersionedSpec extends SparkSpec {
       s"$path/${FactVersioned.DataDir}/vgen=0/y=2001/s=B")))
     assert(all(None).size == 81)
   }
+
+  test("dropColumns narrows the pinned schema metadata-only: zero data " +
+      "staged, carried files project the column away, history keeps " +
+      "it, and the tombstone blocks an unsafe re-add") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")
+    val c = FactVersioned.dropColumns(spark, path, Seq("v"))
+    assert(c.gen == 1L && c.rewrittenDirs.isEmpty)
+    // zero data staged under the drop's vgen dir
+    val fs = fsOf(path)
+    val vd = new Path(s"$path/${FactVersioned.DataDir}/vgen=1")
+    assert(!fs.exists(vd) || fs.listStatus(vd).forall(!_.isDirectory))
+    // head reads the narrowed schema from CARRIED (pre-drop) files
+    val head = FactVersioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "p"))
+    assert(head.count() == 30)
+    // the pre-drop generation still reads the full schema, byte-exact
+    assert(rows(FactVersioned.read(spark, path, Some(0L))) ==
+      rows(base(30)))
+    // commits against the narrowed schema work (carried + fresh mix)
+    FactVersioned.upsert(spark, path,
+      Seq((100L, 0)).toDF("k", "p"), Seq("k"), "p")
+    assert(FactVersioned.read(spark, path).count() == 31)
+    // re-adding the dropped name is rejected: carried files still hold
+    // old physical values a re-add would silently resurrect
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.addColumns(spark, path,
+        Seq(org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    }
+    assert(e.getMessage.contains("DROPPED") ||
+      e.getMessage.contains("pinned"), e.getMessage)
+    // partition columns cannot drop (they shape the physical layout)
+    val e2 = intercept[IllegalArgumentException] {
+      FactVersioned.dropColumns(spark, path, Seq("p"))
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // a DIFFERENT new column still adds fine after the drop
+    FactVersioned.addColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    assert(FactVersioned.read(spark, path).columns.toSeq ==
+      Seq("k", "p", "w"))
+  }
 }
