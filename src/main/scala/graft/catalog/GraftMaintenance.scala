@@ -241,10 +241,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 /** `OPTIMIZE t [WHERE partition predicates] [ZORDER BY (cols)]` — a
-  * content-preserving compaction commit. Fact tables rewrite every
-  * head partition in scope through [[FactVersioned.compactPartitions]]
+  * content-preserving compaction commit. Fact tables rewrite the head
+  * partitions in scope through [[FactVersioned.compactPartitions]]
   * (z-clustered with per-file bounds when ZORDER BY is given, one file
-  * per partition otherwise); dimension tables commit a coalesced
+  * per partition otherwise); the UNSCOPED plain form compacts only
+  * FRAGMENTED partitions (≥2 manifest files) so `OPTIMIZE t` at
+  * 100 TB costs ∝ fragmentation, never a full-table rewrite of
+  * already-compact partitions. Dimension tables commit a coalesced
   * (optionally z-sorted) fresh full-copy generation. Older generations
   * keep their pre-compaction files until retention — OPTIMIZE never
   * breaks time travel.
@@ -338,14 +341,31 @@ case class GraftOptimizeCommand(
       val pcols = FactVersioned.partitionColumns(spark, r.path)
       val schema = FactVersioned.generationHandle(spark, r.path, None)._2
       val all = FactVersioned.partitionDirs(spark, r.path)
-      val dirs = all.filter(matches(_, pcols, schema))
-      if (where.nonEmpty && dirs.isEmpty && all.nonEmpty)
+      val scoped = all.filter(matches(_, pcols, schema))
+      if (where.nonEmpty && scoped.isEmpty && all.nonEmpty)
         throw new IllegalArgumentException(
           "OPTIMIZE WHERE matched no partitions — a silent no-op " +
             "compaction would read as 'already optimized'. Available: " +
             all.take(20).mkString(", ") +
             (if (all.length > 20) s", … (${all.length} total)" else ""))
-      if (dirs.isEmpty) return Seq.empty // empty table: no commit
+      // Unscoped plain OPTIMIZE compacts only FRAGMENTED partitions
+      // (≥2 files — known from the manifest, zero FS calls): at 100 TB
+      // "OPTIMIZE t" must be ∝ fragmentation, not a full-table
+      // rewrite of already-compact partitions (the Delta minFileSize
+      // posture). An explicit WHERE scope and ZORDER BY (re-CLUSTERING
+      // is the point, file counts irrelevant) always take the listed
+      // partitions as-is.
+      val dirs =
+        if (where.nonEmpty || zorderCols.nonEmpty) scoped
+        else {
+          // manifest file paths are `vgen=N/<leaf dirs>/<name>.parquet`
+          // — strip the vgen prefix and the name to key on the leaf
+          val counts = FactVersioned.manifestFiles(spark, r.path)
+            .groupBy(f => f._1.split("/").drop(1).dropRight(1)
+              .mkString("/"))
+          scoped.filter(d => counts.get(d).exists(_.length > 1))
+        }
+      if (dirs.isEmpty) return Seq.empty // nothing fragmented: no commit
       val c = FactVersioned.compactPartitionsBy(spark, r.path, dirs, pcols,
         retain = retain, zorderCols = zorderCols, statsCols = zorderCols,
         properties = Map("operation" -> "OPTIMIZE"))

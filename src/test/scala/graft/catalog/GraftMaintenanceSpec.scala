@@ -182,6 +182,43 @@ class GraftMaintenanceSpec extends SparkSpec {
     assert(out3.head.getLong(1) == 2L)
   }
 
+  test("unscoped plain OPTIMIZE compacts only FRAGMENTED partitions " +
+      "and no-ops when the table is already compact") {
+    val wh = Files.createTempDirectory("graft_maint_frag_").toString
+    val path = s"$wh/t"
+    FactVersioned.upsert(spark, path,
+      (1 to 30).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "p", "v"),
+      Seq("k"), "p")
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    s.conf.set("spark.sql.catalog.g.retain", "10")
+    // compact everything once (multi-task writes fragment every dir),
+    // then fragment ONLY p=0 with a one-row upsert
+    s.sql("OPTIMIZE g.t").collect()
+    FactVersioned.upsert(spark, path,
+      Seq((33L, 0, 1L)).toDF("k", "p", "v"), Seq("k"), "p",
+      retain = 10)
+    val out = s.sql("OPTIMIZE g.t").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L,
+      s"only the fragmented p=0 must compact, got ${out.mkString}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/vgen=${out.head.getLong(0)}"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=0"), s"staged $staged")
+    assert(FactVersioned.read(s, path).count() == 31)
+    // second pass: everything single-file now → no commit at all
+    val gens = FactVersioned.generations(s, path)
+    assert(s.sql("OPTIMIZE g.t").collect().isEmpty)
+    assert(FactVersioned.generations(s, path) == gens,
+      "an already-compact table must not commit")
+    // ZORDER BY still takes every partition (re-clustering is the point)
+    val z = s.sql("OPTIMIZE g.t ZORDER BY (k)").collect()
+    assert(z.head.getLong(1) == 3L)
+  }
+
   test("DESCRIBE DETAIL answers sizes from the manifest — no per-file " +
       "status calls for manifest-recorded commits") {
     val (s, _, path) = factTable()
