@@ -135,11 +135,23 @@ object GraftDml {
   private[catalog] val ProbeBroadcastDefault: Long = 64L * 1024 * 1024
 
   /** Hint `df` broadcast only when its catalyst size estimate sits
-    * under the threshold — the size-conditional probe posture. */
+    * under the threshold — the size-conditional probe posture. The
+    * conf accepts Spark's byte-suffix forms (`256m`, `1g`, bare
+    * bytes); an unparseable value FAILS instead of silently reverting
+    * to the default (an operator who raised the cap must not get
+    * surprise broadcasts). */
   private[catalog] def maybeBroadcast(
       spark: SparkSession, df: DataFrame): DataFrame = {
     val threshold = spark.conf.getOption(ProbeBroadcastConf)
-      .flatMap(_.toLongOption).getOrElse(ProbeBroadcastDefault)
+      .map { s =>
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$ProbeBroadcastConf must be a byte size ('67108864', " +
+              s"'64m', '1g'; <= 0 disables the hint), got '$s'", e)
+        }
+      }
+      .getOrElse(ProbeBroadcastDefault)
     if (threshold > 0 &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
       broadcast(df)

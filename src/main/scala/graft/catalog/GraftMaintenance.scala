@@ -64,9 +64,12 @@ object GraftMaintenance {
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([^();]+?)\\s*\\)?)?\\s*;?\\s*").r
 
-  /** A literal: optionally DATE/TIMESTAMP-prefixed quoted string, or a
-    * bare token. */
-  private val Lit = "(?:(?:DATE|TIMESTAMP)\\s+)?'[^']*'|[^\\s']+"
+  /** A literal: optionally DATE-prefixed quoted string, or a bare
+    * token. (No TIMESTAMP arm: the store supports
+    * string/int/long/boolean/date partition columns only —
+    * [[graft.operators.Upsert.partitionDirName]] — so a timestamp
+    * literal could never compare against a real partition value.) */
+  private val Lit = "(?:DATE\\s+)?'[^']*'|[^\\s']+"
 
   /** One conjunct: `col <op> literal` or `col BETWEEN lo AND hi`. */
   private val PredRe =
@@ -84,7 +87,7 @@ object GraftMaintenance {
   private[catalog] def parseWhere(text: String): Seq[(String, String, String)] = {
     def unq(c: String) = if (c.startsWith("`")) c.substring(1, c.length - 1) else c
     def unlit(v: String) = {
-      val s = v.replaceFirst("(?is)^(?:DATE|TIMESTAMP)\\s+", "")
+      val s = v.replaceFirst("(?is)^DATE\\s+", "")
       if (s.startsWith("'")) s.substring(1, s.length - 1) else s
     }
     val out = Seq.newBuilder[(String, String, String)]
@@ -358,12 +361,8 @@ case class GraftOptimizeCommand(
       val dirs =
         if (where.nonEmpty || zorderCols.nonEmpty) scoped
         else {
-          // manifest file paths are `vgen=N/<leaf dirs>/<name>.parquet`
-          // — strip the vgen prefix and the name to key on the leaf
-          val counts = FactVersioned.manifestFiles(spark, r.path)
-            .groupBy(f => f._1.split("/").drop(1).dropRight(1)
-              .mkString("/"))
-          scoped.filter(d => counts.get(d).exists(_.length > 1))
+          val counts = FactVersioned.manifestFileCounts(spark, r.path)
+          scoped.filter(d => counts.getOrElse(d, 0L) > 1L)
         }
       if (dirs.isEmpty) return Seq.empty // nothing fragmented: no commit
       val c = FactVersioned.compactPartitionsBy(spark, r.path, dirs, pcols,

@@ -399,6 +399,20 @@ object FactVersioned {
       (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
   }
 
+  /** Per-leaf-dir manifest file counts of a generation — the
+    * fragmentation signal the unscoped `OPTIMIZE` selects on.
+    * Metadata-scale: one manifest read, grouped on the recorded `dir`
+    * column (never re-parsed from file paths). */
+  def manifestFileCounts(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long] = None): Map[String, Long] = {
+    val g = resolveGen(spark, tablePath, gen)
+    spark.read.parquet(manifestDir(tablePath, g).toString)
+      .groupBy(col("dir")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Read a generation (default: latest committed). */
   def read(
       spark: SparkSession,
@@ -617,17 +631,34 @@ object FactVersioned {
         val narrowing = touchedDirs.isEmpty &&
           content.schema.fields.forall(f =>
             pTypes.get(f.name).contains(f.dataType))
-        if (!additive && !narrowing) {
+        lazy val carriedDirs = {
           val parentDirs = spark.read
             .parquet(manifestDir(tablePath, pg).toString)
             .select("dir").distinct().collect().map(_.getString(0)).toSet
-          val carried = parentDirs -- touchedDirs.toSet
-          require(carried.isEmpty,
+          parentDirs -- touchedDirs.toSet
+        }
+        // the dropped-column tombstone is enforced HERE, on the shared
+        // committer, so EVERY widening door (addColumns, upsertEvolve,
+        // upsertEvolveBy, raw replacePartitionsBy) hits it — a revived
+        // name over carried files would silently resurrect the stale
+        // physical values those files still hold
+        val revived = content.schema.fieldNames
+          .filterNot(n => ps.fieldNames.exists(_.equalsIgnoreCase(n)))
+          .filter(n =>
+            droppedColumns(spark, tablePath).contains(n.toLowerCase))
+        require(revived.isEmpty || carriedDirs.isEmpty,
+          s"FactVersioned: column(s) ${revived.mkString(", ")} were " +
+            "previously DROPPED — carried data files still physically " +
+            "hold their old values, which this widening commit would " +
+            "silently resurrect. Rewrite every partition (full touch) " +
+            "or use a fresh table path to reuse the name.")
+        if (!additive && !narrowing) {
+          require(carriedDirs.isEmpty,
             s"FactVersioned: content schema ${content.schema.toDDL} is " +
               s"not compatible with generation $pg schema ${ps.toDDL} — " +
               "dropping or retyping columns must touch every partition " +
               "(full rewrite); partitions " +
-              s"${carried.toSeq.sorted.mkString(",")} would carry " +
+              s"${carriedDirs.toSeq.sorted.mkString(",")} would carry " +
               "incompatible files under the new pinned schema")
         }
       }
@@ -1228,18 +1259,24 @@ object FactVersioned {
       names.exists(_.equalsIgnoreCase(f.name))))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], narrowed)
-    val c = replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
-      retain, basisGen = Some(head), properties = properties)
-    // tombstone AFTER the commit is visible: a crash between marker and
-    // tombstone leaves a dropped column re-addable in principle, but
-    // the add-side check also scans retained schemas — belt and braces
-    val fs = fsOf(spark, tablePath)
-    val all = droppedColumns(spark, tablePath) ++ names.map(_.toLowerCase)
-    val out = fs.create(tombstonePath(tablePath), true)
-    try out.write(all.toSeq.sorted.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    c
+    // the tombstone is written INSIDE the commit protocol (preCommit:
+    // after linearization — concurrent dropColumns serialize, so the
+    // read-merge-write cannot lose entries — and BEFORE the marker, so
+    // a VISIBLE drop always has its tombstone; a crash after preCommit
+    // aborts the claim and leaves a spurious tombstone for a column
+    // that still exists, which is conservative-safe: the widening
+    // doors reject the name, and the column itself never vanished)
+    replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
+      retain, basisGen = Some(head), properties = properties,
+      preCommit = () => {
+        val fs = fsOf(spark, tablePath)
+        val all =
+          droppedColumns(spark, tablePath) ++ names.map(_.toLowerCase)
+        val out = fs.create(tombstonePath(tablePath), true)
+        try out.write(all.toSeq.sorted.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      })
   }
 
   /** Restore the table to generation `gen`, METADATA-ONLY (the Delta

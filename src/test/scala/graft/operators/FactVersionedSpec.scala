@@ -464,6 +464,17 @@ class FactVersionedSpec extends SparkSpec {
       FactVersioned.dropColumns(spark, path, Seq("p"))
     }
     assert(e2.getMessage.contains("partition column"))
+    // the tombstone binds EVERY widening door at the shared committer,
+    // not just addColumns: an upsertEvolve whose updates re-introduce
+    // the dropped name is rejected before anything commits
+    val gensBefore = FactVersioned.generations(spark, path)
+    val e3 = intercept[Exception] {
+      FactVersioned.upsertEvolve(spark, path,
+        Seq((1L, 0, 5L)).toDF("k", "p", "v"), Seq("k"), "p")
+    }
+    assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
+    assert(FactVersioned.generations(spark, path) == gensBefore,
+      "a rejected revival must not commit")
     // a DIFFERENT new column still adds fine after the drop
     FactVersioned.addColumns(spark, path,
       Seq(org.apache.spark.sql.types.StructField("w",
