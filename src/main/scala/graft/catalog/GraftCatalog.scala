@@ -481,6 +481,16 @@ private[catalog] abstract class GraftWritableTable(
     val caps = new util.HashSet(inner.capabilities())
     caps.add(org.apache.spark.sql.connector.catalog
       .TableCapability.V1_BATCH_WRITE)
+    // `MERGE ... WITH SCHEMA EVOLUTION`: Spark's own
+    // ResolveMergeIntoSchemaEvolution rule gates on this capability and
+    // routes the widening through alterTable → the stores' ADDITIVE
+    // evolution commits (fact: FactVersioned.addColumns — metadata-only,
+    // carried rows null-fill, tombstoned names still reject; dim: a
+    // widened full-copy generation). The widening lands as its own
+    // auditable generation at statement analysis, BEFORE the merge's
+    // data commit — two commits, both through the claim/marker protocol.
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap)

@@ -50,19 +50,34 @@ import graft.operators.{FactVersioned, Versioned}
   *    commit stays ∝ touched partitions. NOT-MATCHED clauses are
   *    source-only (the row has no target side); unassigned INSERT
   *    columns are NULL. ON must be a conjunction of target-column =
-  *    source-column equalities (the merge keys). Enforced before
-  *    anything commits: source key-uniqueness (the Postgres/Delta
-  *    cardinality posture) and partition stability (an UPDATE that
-  *    would move a key between partitions is rejected — the stale-row
-  *    hole).
-  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` — the full-sync shape,
-  *    accepted with a PARTITION-SCOPING condition on fact tables
-  *    (`AND t.p = <literal> [AND ...]`): scoped target rows whose key
-  *    the source never names are deleted, and the rewrite stays ∝ the
-  *    scoped partitions that actually lose rows. The unscoped
-  *    fact-table shape stays rejected (whole-table rewrite; operator
-  *    API covers it); dimension tables (full-copy commits anyway)
-  *    accept any target-only condition or none.
+  *    source-column equalities (the merge keys) — the two sides need
+  *    NOT share a name (`ON t.id = s.customer_id`, the common CDC-feed
+  *    shape; the probe and every key rewrite route through the
+  *    target→source mapping). Enforced before anything commits:
+  *    source key-uniqueness (the Postgres/Delta cardinality posture),
+  *    partition stability (an UPDATE that would move a key between
+  *    partitions is rejected — the stale-row hole), and KEY stability
+  *    (an UPDATE that reassigns a merge key is rejected — the probe
+  *    routed the row by its old key, so the reassignment would strand
+  *    the matched row and add a second one).
+  *  - `MERGE ... WITH SCHEMA EVOLUTION` — a source carrying NEW
+  *    columns widens the target THROUGH the door: the tables
+  *    advertise `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION`, so
+  *    Spark's own `ResolveMergeIntoSchemaEvolution` routes the widening
+  *    through [[GraftCatalog.alterTable]] → [[FactVersioned.addColumns]]
+  *    (metadata-only commit; carried rows null-fill; a DROPPED name
+  *    stays tombstone-rejected) before this rule plans the merge.
+  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` / `THEN UPDATE SET ...`
+  *    — the full-sync shapes, accepted with a PARTITION-SCOPING
+  *    condition on fact tables (`AND t.p = <literal> [AND ...]`):
+  *    scoped target rows whose key the source never names are deleted
+  *    (or rewritten in place through target-side assignments — the
+  *    flag-stale-rows shape; key/partition-column assignments
+  *    rejected), and the rewrite stays ∝ the scoped partitions that
+  *    actually hold sync rows. The unscoped fact-table shape stays
+  *    rejected (whole-table rewrite; operator API covers it);
+  *    dimension tables (full-copy commits anyway) accept any
+  *    target-only condition or none.
   *  - `DELETE FROM g.t WHERE <any predicate, subqueries included>` —
   *    deleted rows' partitions are rewritten without them; a partition
   *    deleted empty is dropped (the J2 semi-join delete at partition
@@ -187,26 +202,45 @@ object GraftDml {
   }
 
   /** Upsert keys from the ON condition: a conjunction of
-    * target-attribute = source-attribute equalities over identical
-    * column names. */
+    * target-attribute = source-attribute equalities. The two sides
+    * need NOT share a name (`ON t.id = s.customer_id` — the common
+    * CDC-feed shape): each conjunct yields a
+    * (target column → source column) pair; the probe joins, the
+    * clause program's key rewrites, and the commit's key anti-joins
+    * all route through the mapping. Validated here so failures carry
+    * guidance: the source side must be an UNAMBIGUOUS source column
+    * name (string lookups downstream — alias a source with duplicate
+    * names first), and a target key column may be named only once. */
   private[catalog] def keysOf(
       cond: Expression,
       target: DataSourceV2Relation,
-      source: LogicalPlan): Seq[String] = {
+      source: LogicalPlan): Seq[(String, String)] = {
     val tSet = target.outputSet
     val sSet = source.outputSet
-    conjuncts(cond).map {
+    def pair(t: AttributeReference, s: AttributeReference): (String, String) = {
+      if (source.output.count(_.name.equalsIgnoreCase(s.name)) != 1)
+        unsupported(
+          s"MERGE ON references source column '${s.name}', which is " +
+            "ambiguous in the source (several columns share the name) " +
+            "— alias the source to unique column names first")
+      (t.name, s.name)
+    }
+    val pairs = conjuncts(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if tSet.contains(a) && sSet.contains(b) &&
-            a.name.equalsIgnoreCase(b.name) => a.name
+          if tSet.contains(a) && sSet.contains(b) => pair(a, b)
       case EqualTo(b: AttributeReference, a: AttributeReference)
-          if tSet.contains(a) && sSet.contains(b) &&
-            a.name.equalsIgnoreCase(b.name) => a.name
+          if tSet.contains(a) && sSet.contains(b) => pair(a, b)
       case other => unsupported(
         s"MERGE ON must be a conjunction of target.col = source.col " +
-          s"equalities on identical names (the upsert keys); got: " +
-          s"${other.sql}")
+          s"equalities (the upsert keys; differently-named sides are " +
+          s"fine: ON t.id = s.customer_id); got: ${other.sql}")
     }
+    val dup = pairs.groupBy(_._1.toLowerCase)
+      .collect { case (n, ps) if ps.length > 1 => n }
+    if (dup.nonEmpty) unsupported(
+      s"MERGE ON names target key column(s) ${dup.mkString(", ")} more " +
+        "than once — give each target key exactly one source column")
+    pairs
   }
 
   /** The merge's validated clause program. Each WHEN clause becomes
@@ -234,7 +268,7 @@ object GraftDml {
       m: MergeIntoTable,
       target: DataSourceV2Relation,
       source: LogicalPlan,
-      keys: Seq[String],
+      keys: Seq[(String, String)],
       pcols: Seq[String]): MergeProgram = {
     val dataCols = target.output
       .filterNot(_.name.equalsIgnoreCase(FactVersioned.VGenCol))
@@ -249,6 +283,41 @@ object GraftDml {
         case Seq(one) => Some(one)
         case _ => None
       }
+    def isKey(name: String): Boolean =
+      keys.exists(_._1.equalsIgnoreCase(name))
+    /** Align an assignment value to the target column's type (the
+      * Spark/Delta store-assignment posture — `SET price = 0` on a
+      * double column casts the int literal). ALSO the armor against a
+      * Spark 4.1 analyzer quirk: `ResolveMergeIntoSchemaEvolution`
+      * rebuilds the target relation with fresh attribute ids AFTER
+      * star expansion already aligned the assignments, and with this
+      * store's partition-columns-last relation ordering the stale
+      * assignment KEYS end up mis-typed (name/value pairs stay
+      * correct; the alignment cast's TYPE comes from the wrong
+      * positional slot — e.g. `CAST(p_year AS BIGINT)` from vgen's
+      * slot). Re-casting to the CURRENT target attribute's type makes
+      * the projection authoritative regardless of what alignment
+      * planted. */
+    def typed(tc: Attribute, e: Expression): Expression =
+      if (e.resolved && e.dataType == tc.dataType) e
+      // not-yet-resolved trees (probe-carried slots) can't report a
+      // type here — cast unconditionally; a same-type cast collapses
+      // in the optimizer (SimplifyCasts), so this costs nothing
+      else org.apache.spark.sql.catalyst.expressions.Cast(e, tc.dataType)
+    /** Alignment casts wrap even identity assignments (`SET k = s.k`
+      * arrives as `CAST(s.k AS <target type>)` when the source key is
+      * narrower) — unwrap before identity checks. */
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        stripCast(c.child)
+      case other => other
+    }
+    /** The source attribute the ON condition equates with target key
+      * column `tname` (unambiguous — [[keysOf]] validated). */
+    def srcKeyAttr(tname: String): Attribute = {
+      val sname = keys.find(_._1.equalsIgnoreCase(tname)).get._2
+      source.output.find(_.name.equalsIgnoreCase(sname)).get
+    }
     /** The matched target row's value of non-key column `name`: a
       * reference to the probe-carried slot (partition columns already
       * ride as tp columns). */
@@ -270,10 +339,7 @@ object GraftDml {
           if (a.name.equalsIgnoreCase(FactVersioned.VGenCol))
             unsupported(s"'${FactVersioned.VGenCol}' is commit-assigned " +
               "provenance and cannot be referenced in MERGE clauses")
-          else if (keys.exists(_.equalsIgnoreCase(a.name)))
-            srcAttr(a.name).getOrElse(unsupported(
-              s"$clause references target key '${a.name}' but the " +
-                "source has no unambiguous column of that name"))
+          else if (isKey(a.name)) srcKeyAttr(a.name)
           else carriedRef(a.name)
       }
       r.foreach {
@@ -299,22 +365,51 @@ object GraftDml {
     }
     def resolveStar(clause: String): Seq[(String, Expression)] =
       dataCols.map { tc =>
-        tc.name -> (srcAttr(tc.name).getOrElse(unsupported(
+        // a key column's star slot is the ON-equal source key column
+        // (value-identical for matched rows by the ON condition) —
+        // NEVER a same-name lookup: with differently-named keys the
+        // name may not exist, or worse, the source may carry an
+        // UNRELATED column under the target key's name, and assigning
+        // it would reassign the key and strand the old row
+        if (isKey(tc.name)) tc.name -> typed(tc, srcKeyAttr(tc.name))
+        else tc.name -> typed(tc, srcAttr(tc.name).getOrElse(unsupported(
           s"$clause SET */INSERT *: source has no unambiguous column " +
-            s"'${tc.name}'")): Expression)
+            s"'${tc.name}'")))
       }
     /** UPDATE assignments — PARTIAL allowed: unassigned columns keep
-      * the matched target row's value (carried slot / equal key). */
+      * the matched target row's value (carried slot / equal key). An
+      * explicit assignment to a MERGE KEY column must resolve to the
+      * ON-equal source key attribute (`SET k = s.k` / `SET k = t.k`,
+      * both no-ops): any other value would re-key the row while the
+      * probe routed it by the OLD key — the matched target row stays
+      * in place and the projection adds a SECOND row under the new
+      * key. Rejected with delete+insert guidance (the key-space twin
+      * of the partition-stability moveCheck). */
     def updateAssigns(
         assignments: Seq[Assignment]): Seq[(String, Expression)] = {
       val byName = assignments.map(asg => nameOf(asg) -> asg.value).toMap
       dataCols.map { tc =>
         byName.get(tc.name.toLowerCase) match {
+          case Some(e) if isKey(tc.name) =>
+            val expected = srcKeyAttr(tc.name)
+            val ok = stripCast(matchedExpr(e, "WHEN MATCHED ... UPDATE")) match {
+              case a: AttributeReference => a.semanticEquals(expected)
+              case _ => false
+            }
+            if (!ok) unsupported(
+              s"WHEN MATCHED ... UPDATE reassigns merge key " +
+                s"'${tc.name}' — the probe routed this row by its OLD " +
+                "key, so the matched target row would stay in place " +
+                "and the update would land as a SECOND row under the " +
+                "new key. DELETE the old key and INSERT the new one " +
+                s"instead (an assignment of the key to itself — SET " +
+                s"${tc.name} = ${expected.name} — is the supported " +
+                "no-op form)")
+            tc.name -> typed(tc, expected)
           case Some(e) =>
-            tc.name -> matchedExpr(e, "WHEN MATCHED ... UPDATE")
-          case None if keys.exists(_.equalsIgnoreCase(tc.name)) =>
-            tc.name -> (srcAttr(tc.name).getOrElse(unsupported(
-              s"source lacks merge key '${tc.name}'")): Expression)
+            tc.name -> typed(tc, matchedExpr(e, "WHEN MATCHED ... UPDATE"))
+          case None if isKey(tc.name) =>
+            tc.name -> typed(tc, srcKeyAttr(tc.name))
           case None => tc.name -> carriedRef(tc.name)
         }
       }
@@ -326,7 +421,8 @@ object GraftDml {
       dataCols.map { tc =>
         byName.get(tc.name.toLowerCase) match {
           case Some(e) =>
-            tc.name -> sourceOnlyExpr(e, "WHEN NOT MATCHED ... INSERT")
+            tc.name -> typed(tc,
+              sourceOnlyExpr(e, "WHEN NOT MATCHED ... INSERT"))
           case None => tc.name -> (Literal(null, tc.dataType): Expression)
         }
       }
@@ -354,8 +450,9 @@ object GraftDml {
       case other => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
     }
 
-    /** BY SOURCE: one DELETE clause; target-only condition rewritten
-      * to plain names (it is evaluated on target-side frames). */
+    /** BY SOURCE: one DELETE or UPDATE clause; target-only expressions
+      * rewritten to plain names (they are evaluated on target-side
+      * frames — the row has no source side). */
     def bySourceCond(e: Expression): Expression = {
       val r = e.transform {
         case a: AttributeReference if target.outputSet.contains(a) =>
@@ -373,15 +470,20 @@ object GraftDml {
       }
       r
     }
-    val bySource: Option[Expression] = m.notMatchedBySourceActions match {
-      case Seq() => None
-      case Seq(DeleteAction(cond)) if pcols.nonEmpty =>
+    /** The scoped target-only BY SOURCE condition: fact tables demand
+      * a partition-scoping conjunction (rewrite ∝ scoped partitions),
+      * dimensions (full-copy commits) accept any target-only condition
+      * or none. */
+    def bySourceScope(cond: Option[Expression], verb: String): Expression =
+      if (pcols.isEmpty) cond.map(bySourceCond).getOrElse(Literal.TrueLiteral)
+      else {
         val c = cond.getOrElse(unsupported(
-          "WHEN NOT MATCHED BY SOURCE on a fact table needs a " +
-            "partition-scoping condition (AND t.<pcol> = <literal> " +
-            "[AND ...]) — the unscoped clause rewrites the whole " +
-            "table; scope it, or use FactVersioned.replacePartitions"))
-        Some(conjuncts(c).map {
+          s"WHEN NOT MATCHED BY SOURCE THEN $verb on a fact table " +
+            "needs a partition-scoping condition (AND t.<pcol> = " +
+            "<literal> [AND ...]) — the unscoped clause rewrites the " +
+            "whole table; scope it, or use " +
+            "FactVersioned.replacePartitions"))
+        conjuncts(c).map {
           case eq @ EqualTo(a: AttributeReference, _: Literal)
               if target.outputSet.contains(a) &&
                 pcols.exists(_.equalsIgnoreCase(a.name)) => bySourceCond(eq)
@@ -392,14 +494,48 @@ object GraftDml {
             "WHEN NOT MATCHED BY SOURCE conditions on a fact table must " +
               "be conjunctions of <target partition column> = <literal> " +
               s"(the rewrite scope); got: ${other.sql}")
-        }.reduce(And))
+        }.reduce(And)
+      }
+    /** BY SOURCE UPDATE assignments — evaluated on the TARGET side
+      * (the row has no source side): values are target-only
+      * expressions, unassigned columns keep their values; merge-key
+      * and partition-column assignments are rejected (re-keying /
+      * partition-moving has no in-place rewrite shape). */
+    def bySourceAssigns(
+        assignments: Seq[Assignment]): Seq[(String, Expression)] = {
+      val byName = assignments.map(asg => nameOf(asg) -> asg.value).toMap
+      dataCols.map { tc =>
+        byName.get(tc.name.toLowerCase) match {
+          case Some(e) =>
+            if (isKey(tc.name)) unsupported(
+              s"WHEN NOT MATCHED BY SOURCE ... UPDATE reassigns merge " +
+                s"key '${tc.name}' — re-keying rows the source never " +
+                "names would collide with routed rows; DELETE + INSERT " +
+                "instead")
+            if (pcols.exists(_.equalsIgnoreCase(tc.name))) unsupported(
+              s"WHEN NOT MATCHED BY SOURCE ... UPDATE assigns partition " +
+                s"column '${tc.name}' — a partition-moving update has " +
+                "no single-partition rewrite shape")
+            tc.name -> typed(tc, bySourceCond(e))
+          case None => tc.name -> (UnresolvedAttribute(Seq(tc.name))
+            : Expression)
+        }
+      }
+    }
+    val bySource: Option[BySourceClause] = m.notMatchedBySourceActions match {
+      case Seq() => None
       case Seq(DeleteAction(cond)) =>
-        Some(cond.map(bySourceCond).getOrElse(Literal.TrueLiteral))
+        Some(new BySourceClause(bySourceScope(cond, "DELETE"), None))
+      case Seq(u: UpdateAction) =>
+        Some(new BySourceClause(bySourceScope(u.condition, "UPDATE"),
+          Some(bySourceAssigns(u.assignments))))
+      case Seq(UpdateStarAction(_)) => unsupported(
+        "WHEN NOT MATCHED BY SOURCE ... UPDATE SET * has no source row " +
+          "to read from — assign explicit target-side expressions")
       case _ => unsupported(
         "WHEN NOT MATCHED BY SOURCE supports exactly one THEN DELETE " +
-          "clause (the full-sync delete-missing shape) — an UPDATE of " +
-          "rows the source never names has no per-source-row routing; " +
-          "use the operator API (FactVersioned.replacePartitions)")
+          "or THEN UPDATE clause (the full-sync shapes); for anything " +
+          "richer use the operator API (FactVersioned.replacePartitions)")
     }
 
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
@@ -465,16 +601,27 @@ object GraftDml {
   * already-resolved expressions. Matched clauses: (condition,
   * Some(assignments) = UPDATE / None = DELETE), applied
   * first-match-wins in statement order; not-matched clauses:
-  * (condition, insert assignments), same ordering. `bySourceDelete`:
-  * the (target-only, fact: partition-scoping) condition of a WHEN NOT
-  * MATCHED BY SOURCE THEN DELETE clause. `carried`: the target data
-  * columns matched clauses reference (beyond keys and partition
+  * (condition, insert assignments), same ordering. `bySource`: the
+  * WHEN NOT MATCHED BY SOURCE clause, if any. `carried`: the target
+  * data columns matched clauses reference (beyond keys and partition
   * columns), which the match probe must carry. */
 final class MergeProgram(
     val matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
     val notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
-    val bySourceDelete: Option[Expression],
+    val bySource: Option[BySourceClause],
     val carried: Seq[String])
+  extends Serializable
+
+/** One WHEN NOT MATCHED BY SOURCE clause: `cond` is the target-only
+  * (fact: partition-scoping) condition selecting the sync scope;
+  * `assigns` is None for THEN DELETE (scoped rows whose key the source
+  * never names are dropped) or the full per-column projection for THEN
+  * UPDATE (the flag-stale-rows shape: same scoped rows are rewritten
+  * in place, unassigned columns keep their values — all expressions
+  * target-side plain-name references, the row has no source half). */
+final class BySourceClause(
+    val cond: Expression,
+    val assigns: Option[Seq[(String, Expression)]])
   extends Serializable
 
 /** Opaque wrapper keeping an already-analyzed expression OUT of the
@@ -625,10 +772,11 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   *     probe-carried target values; DELETE records the key), unmatched
   *     rows walk the WHEN NOT MATCHED inserts; rows matching no clause
   *     are no-ops (their target rows carry over verbatim);
-  *  3. a WHEN NOT MATCHED BY SOURCE THEN DELETE clause (fact:
-  *     partition-scoped) deletes scoped target rows whose key the
-  *     source never names — cost ∝ scoped partitions that actually
-  *     lose rows;
+  *  3. a WHEN NOT MATCHED BY SOURCE clause (fact: partition-scoped)
+  *     deletes — or, THEN UPDATE, rewrites in place through
+  *     target-side assignments — scoped target rows whose key the
+  *     source never names; cost ∝ scoped partitions that actually
+  *     hold sync rows;
   *  4. one commit rewrites exactly the touched partitions: current
   *     rows minus updated/deleted keys, plus the projected updates and
   *     inserts. Deleted rows' partitions come from the TARGET's
@@ -646,13 +794,21 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 case class GraftMergeCommand(
     source: LogicalPlan,
     program: MergeProgram,
-    keys: Seq[String],
+    keys: Seq[(String, String)], // target key column -> source column
     path: String,
     basisGen: Option[Long], // Some(resolved head) = fact; None = dim
     retain: Int) extends LeafRunnableCommand {
   import GraftDml.{MatchFlag, antiNullSafe, carriedName, tpName}
 
   private def isFact: Boolean = basisGen.isDefined
+
+  /** Target-side / source-side key column names. The two sides may be
+    * named differently (`ON t.id = s.customer_id`): the probe joins
+    * on internal `__graft_k<i>` slots so neither side's name needs to
+    * exist — or mean the same thing — on the other. */
+  private def tNames: Seq[String] = keys.map(_._1)
+  private def sNames: Seq[String] = keys.map(_._2)
+  private def kTmp: Seq[String] = keys.indices.map(i => s"__graft_k$i")
 
   private def condCol(c: Option[Expression]): Column =
     c.map(GraftColumnBridge.column).getOrElse(lit(true))
@@ -667,7 +823,9 @@ case class GraftMergeCommand(
     * their target partition tuple). First-match-wins with SQL 3VL (a
     * NULL condition routes past the clause). `onUpdateHit` sees each
     * UPDATE clause's routed rows BEFORE projection (the fact path's
-    * partition-stability check). */
+    * partition-stability check). Delete frames carry the keys under
+    * their TARGET names (selected from the source-side columns — for
+    * a matched row they are equal by the ON condition). */
   private def route(
       enriched: DataFrame,
       tpNames: Seq[String],
@@ -686,7 +844,8 @@ case class GraftMergeCommand(
           onUpdateHit(hit, a)
           updates += project(hit, a)
         case None =>
-          val d = hit.select(keys.map(col) ++ tpNames.map(col): _*)
+          val d = hit.select(keys.map { case (t, s) =>
+            col(s).as(t) } ++ tpNames.map(col): _*)
           deletes = Some(deletes.map(_.unionByName(d)).getOrElse(d))
       }
       skip = skip && !cc
@@ -704,16 +863,39 @@ case class GraftMergeCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftColumnBridge.ofRows(spark, source)
-    FactVersioned.requireKeyUnique(src, keys, "GraftDml MERGE")
+    FactVersioned.requireKeyUnique(src, sNames, "GraftDml MERGE")
     if (isFact) runFact(spark, src) else runDim(spark, src)
     Seq.empty
+  }
+
+  /** The source's distinct key tuples under the TARGET key names —
+    * the frame target-side reads anti-join against (BY SOURCE sync). */
+  private def srcKeysAsTarget(src: DataFrame): DataFrame =
+    src.select(keys.map { case (t, s) => col(s).as(t) }: _*).distinct()
+
+  /** Left-join `src` against the match probe on the key mapping. The
+    * probe's key slots ride internal `__graft_k<i>` names (built from
+    * the TARGET side's columns, matched against the SOURCE side's) so
+    * a source column that happens to share a target key's name can
+    * never collide; the slots are dropped after the join. */
+  private def enrichedOf(
+      spark: SparkSession,
+      src: DataFrame,
+      matchedKeys: DataFrame): DataFrame = {
+    val mk = GraftDml.maybeBroadcast(spark, matchedKeys)
+    val cond = keys.zip(kTmp)
+      .map { case ((_, s), kn) => src(s) === mk(kn) }
+      .reduce(_ && _)
+    src.join(mk, cond, "left").drop(kTmp: _*)
   }
 
   private def runFact(spark: SparkSession, src: DataFrame): Unit = {
     val pcols = FactVersioned.partitionColumns(spark, path)
     val tpNames = pcols.indices.map(tpName)
-    val srcKeys = src.select(keys.map(col): _*).distinct()
-    val probeCols = keys.map(col) ++
+    val srcProbe = src.select(keys.zip(kTmp).map { case ((_, s), kn) =>
+      col(s).as(kn) }: _*).distinct()
+    val probeCols = keys.zip(kTmp).map { case ((t, _), kn) =>
+      col(t).as(kn) } ++
       pcols.zip(tpNames).map { case (p, tp) => col(p).as(tp) } ++
       program.carried.map(c => col(c).as(carriedName(c)))
     // size-adaptive probe: the broadcast hint applies ONLY under the
@@ -722,23 +904,22 @@ case class GraftMergeCommand(
     // picks the strategy at runtime (Delta's probe posture)
     val matchedKeys = FactVersioned.read(spark, path, basisGen)
       .select(probeCols: _*)
-      .join(GraftDml.maybeBroadcast(spark, srcKeys), keys, "left_semi")
+      .join(GraftDml.maybeBroadcast(spark, srcProbe), kTmp, "left_semi")
       .withColumn(MatchFlag, lit(1))
     // the enriched source feeds every clause filter, the move check,
     // the touched collect and the final union — materialize it ONCE
     // (spill-safe; bounded by the source) so each consumer doesn't
     // re-run the source plan AND the full-target key probe
-    val enriched = src
-      .join(GraftDml.maybeBroadcast(spark, matchedKeys), keys, "left")
+    val enriched = enrichedOf(spark, src, matchedKeys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try runFactRouted(spark, enriched, srcKeys, pcols, tpNames)
+    try runFactRouted(spark, enriched, srcKeysAsTarget(src), pcols, tpNames)
     finally enriched.unpersist(blocking = false)
   }
 
   private def runFactRouted(
       spark: SparkSession,
       enriched: DataFrame,
-      srcKeys: DataFrame,
+      srcKeysT: DataFrame,
       pcols: Seq[String],
       tpNames: Seq[String]): Unit = {
     // partition stability: only UPDATE-routed rows can strand a stale
@@ -755,12 +936,12 @@ case class GraftMergeCommand(
       val movedCond = pExprs.zip(tpNames)
         .map { case (e, tp) => !(e <=> col(tp)) }.reduce(_ || _)
       val m = hit.where(movedCond)
-        .select(keys.map(col) ++ tpNames.map(col) ++
+        .select(sNames.map(col) ++ tpNames.map(col) ++
           pExprs.zipWithIndex.map { case (e, i) => e.as(s"__graft_sp$i") }: _*)
         .limit(1).collect()
       if (m.nonEmpty) {
         val r = m.head
-        val ex = keys.zipWithIndex
+        val ex = tNames.zipWithIndex
           .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
         val fromP = pcols.zipWithIndex.map { case (p, i) =>
           s"$p=${r.get(keys.length + i)}" }.mkString("/")
@@ -775,13 +956,15 @@ case class GraftMergeCommand(
       }
     }
     val (updates, inserts, deletes) = route(enriched, tpNames, moveCheck)
-    // BY SOURCE deletions: scoped target rows whose key the source
-    // never names. Cost ∝ the scoped partitions (partition-pruned
-    // read); only leaves that actually LOSE rows enter the touched set.
-    val bySrcDel: Option[DataFrame] = program.bySourceDelete.map { cond =>
+    // BY SOURCE sync: scoped target rows whose key the source never
+    // names — dropped (DELETE) or rewritten in place through the
+    // clause's target-side assignments (UPDATE). Cost ∝ the scoped
+    // partitions (partition-pruned read); only leaves actually
+    // holding sync rows enter the touched set.
+    val bySrcRows: Option[DataFrame] = program.bySource.map { bs =>
       FactVersioned.read(spark, path, basisGen)
-        .where(GraftColumnBridge.column(cond))
-        .join(srcKeys, keys, "left_anti")
+        .where(GraftColumnBridge.column(bs.cond))
+        .join(srcKeysT, tNames, "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     try {
@@ -789,7 +972,7 @@ case class GraftMergeCommand(
       val touchedRows = (newRows.map(_.select(pcols.map(col): _*)).toSeq ++
           deletes.map(_.select(tpNames.zip(pcols).map {
             case (tp, p) => col(tp).as(p) }: _*)).toSeq ++
-          bySrcDel.map(_.select(pcols.map(col): _*)).toSeq)
+          bySrcRows.map(_.select(pcols.map(col): _*)).toSeq)
         .reduceOption(_ unionByName _)
         .map(_.distinct().limit(10001).collect())
         .getOrElse(Array.empty[Row])
@@ -804,63 +987,82 @@ case class GraftMergeCommand(
       val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
       // reduceOption: an insert-only MERGE (the insert-if-absent idiom)
       // has no UPDATE and no DELETE clause — nothing to anti-join away
-      val changedKeys = (updates.map(_.select(keys.map(col): _*)) ++
-          deletes.map(_.select(keys.map(col): _*)).toSeq)
+      val changedKeys = (updates.map(_.select(tNames.map(col): _*)) ++
+          deletes.map(_.select(tNames.map(col): _*)).toSeq)
         .reduceOption(_ unionByName _).map(_.distinct())
       var result = changedKeys
-        .fold(current)(ck => current.join(ck, keys, "left_anti"))
-      bySrcDel.foreach { d =>
+        .fold(current)(ck => current.join(ck, tNames, "left_anti"))
+      bySrcRows.foreach { d =>
+        // distinct: a partition column can ALSO be an ON key (the
+        // pruning idiom `ON t.k = s.k AND t.p = s.p`) — a duplicated
+        // name in the select would make the anti-join's by-name
+        // lookups ambiguous at run time
+        val removalCols = (tNames ++ pcols).distinct
         result = antiNullSafe(result,
-          d.select((keys ++ pcols).map(col): _*), keys ++ pcols)
+          d.select(removalCols.map(col): _*), removalCols)
       }
-      val content = newRows.fold(result)(result.unionByName(_))
+      // BY SOURCE UPDATE re-adds the sync rows projected through the
+      // clause's assignments (unassigned columns carry verbatim)
+      val bySrcNew = program.bySource.flatMap(bs =>
+        bs.assigns.map(a => project(bySrcRows.get, a)))
+      val content = (Seq(result) ++ newRows.toSeq ++ bySrcNew.toSeq)
+        .reduce(_ unionByName _)
       FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
         retain = retain, basisGen = basisGen,
         properties = Map("operation" -> "MERGE"))
       ()
-    } finally bySrcDel.foreach(_.unpersist(blocking = false))
+    } finally bySrcRows.foreach(_.unpersist(blocking = false))
   }
 
   private def runDim(spark: SparkSession, src: DataFrame): Unit = {
     val current = Versioned.read(spark, path)
-    val srcKeys = src.select(keys.map(col): _*).distinct()
-    val probeCols = keys.map(col) ++
+    val srcProbe = src.select(keys.zip(kTmp).map { case ((_, s), kn) =>
+      col(s).as(kn) }: _*).distinct()
+    val probeCols = keys.zip(kTmp).map { case ((t, _), kn) =>
+      col(t).as(kn) } ++
       program.carried.map(c => col(c).as(carriedName(c)))
     // size-adaptive, like the fact probe: hint only under the cap
     val matchedKeys = current.select(probeCols: _*)
-      .join(GraftDml.maybeBroadcast(spark, srcKeys), keys, "left_semi")
+      .join(GraftDml.maybeBroadcast(spark, srcProbe), kTmp, "left_semi")
       .withColumn(MatchFlag, lit(1))
-    val enriched = src
-      .join(GraftDml.maybeBroadcast(spark, matchedKeys), keys, "left")
+    val enriched = enrichedOf(spark, src, matchedKeys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try runDimRouted(spark, enriched, srcKeys)
+    try runDimRouted(spark, enriched, srcKeysAsTarget(src), current)
     finally enriched.unpersist(blocking = false)
   }
 
   private def runDimRouted(
       spark: SparkSession,
       enriched: DataFrame,
-      srcKeys: DataFrame): Unit = {
-    val current = Versioned.read(spark, path)
+      srcKeysT: DataFrame,
+      current: DataFrame): Unit = {
     // dims have no partitions: no target-partition columns to ride
     val (updates, inserts, deletes) = route(enriched, Nil)
-    val changed = (updates.map(_.select(keys.map(col): _*)) ++
-        deletes.map(_.select(keys.map(col): _*)).toSeq)
+    val changed = (updates.map(_.select(tNames.map(col): _*)) ++
+        deletes.map(_.select(tNames.map(col): _*)).toSeq)
       .reduceOption(_ unionByName _).map(_.distinct())
     val newRows = (updates ++ inserts)
       .reduceOption(_ unionByName _)
-    val bySrcDel = program.bySourceDelete.map { cond =>
-      current.where(GraftColumnBridge.column(cond))
-        .join(srcKeys, keys, "left_anti")
+    val bySrcRows = program.bySource.map { bs =>
+      current.where(GraftColumnBridge.column(bs.cond))
+        .join(srcKeysT, tNames, "left_anti")
     }
-    if (changed.forall(_.isEmpty) && newRows.forall(_.isEmpty) &&
-        bySrcDel.forall(_.isEmpty))
+    // ONE no-op probe job over the union of every effect frame (the
+    // naive per-frame isEmpty chain costs up to three jobs before
+    // deciding to skip) — bounded by dim scale either way, but free
+    val effects = (updates ++ inserts).map(_.select(lit(1).as("one"))) ++
+      deletes.map(_.select(lit(1).as("one"))).toSeq ++
+      bySrcRows.map(_.select(lit(1).as("one"))).toSeq
+    if (effects.reduceOption(_ unionByName _).forall(_.isEmpty))
       return // nothing routed: no commit
-    var kept = changed.fold(current)(c => current.join(c, keys, "left_anti"))
-    bySrcDel.foreach { d =>
-      kept = GraftDml.antiNullSafe(kept, d.select(keys.map(col): _*), keys)
+    var kept = changed.fold(current)(c => current.join(c, tNames, "left_anti"))
+    bySrcRows.foreach { d =>
+      kept = GraftDml.antiNullSafe(kept, d.select(tNames.map(col): _*), tNames)
     }
-    Versioned.commit(newRows.fold(kept)(kept.unionByName(_)),
+    val bySrcNew = program.bySource.flatMap(bs =>
+      bs.assigns.map(a => project(bySrcRows.get, a)))
+    Versioned.commit(
+      (Seq(kept) ++ newRows.toSeq ++ bySrcNew.toSeq).reduce(_ unionByName _),
       path, retain = retain)
     ()
   }

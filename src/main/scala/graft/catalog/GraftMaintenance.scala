@@ -152,8 +152,15 @@ object GraftMaintenance {
     case _ => None
   }
 
-  private[catalog] final case class Resolved(
+  private[graft] final case class Resolved(
       path: String, isFact: Boolean, catalogName: String)
+
+  /** [[resolve]] over a dotted `<catalog>.<table>` string — the entry
+    * the SQL table functions ([[graft.GraftFunctions]]) use to accept
+    * catalog-qualified table references. */
+  private[graft] def resolveRef(
+      spark: SparkSession, ref: String, stmt: String): Resolved =
+    resolve(spark, parts(ref), stmt)
 
   /** Run-time resolution: `<catalog>.<table>` where the catalog conf
     * names [[GraftCatalog]]; kind detected from the table layout. */

@@ -1199,18 +1199,26 @@ object FactVersioned {
   private def tombstonePath(t: String) =
     new Path(gensRoot(t), "_dropped_columns")
 
-  /** Lower-cased names of columns ever dropped from the table. */
+  /** Lower-cased names of columns ever dropped from the table. Falls
+    * back to the `.bak` rotation copy when the live file is absent (a
+    * crash mid-rotate in [[dropColumns]]' preCommit — the bak holds
+    * the pre-crash full set, and the crashed drop never committed). */
   def droppedColumns(spark: SparkSession, tablePath: String): Set[String] = {
     val fs = fsOf(spark, tablePath)
+    def readSet(p: Path): Option[Set[String]] = {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(text.split("\n").filter(_.nonEmpty).map(_.toLowerCase).toSet)
+    }
     val p = tombstonePath(tablePath)
-    if (!fs.exists(p)) return Set.empty
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split("\n").filter(_.nonEmpty).map(_.toLowerCase).toSet
+    readSet(p)
+      .orElse(readSet(new Path(p.getParent, p.getName + ".bak")))
+      .getOrElse(Set.empty)
   }
 
   /** Commit a new generation whose pinned schema DROPS `names` with NO
@@ -1224,11 +1232,15 @@ object FactVersioned {
     * history until retention. At 100 TB this commit costs one manifest
     * copy + marker, independent of table size.
     *
-    * Partition columns and merge keys cannot drop (they shape the
-    * physical layout / identity); the dropped name is TOMBSTONED so a
-    * later add cannot silently resurrect stale physical values from
-    * carried files (the hazard Delta's column-mapping IDs exist for —
-    * this store takes the conservative posture instead). */
+    * Partition columns cannot drop (they shape the physical layout).
+    * Merge keys are per-STATEMENT properties of later MERGE/upsert
+    * calls, not table metadata, so the store cannot enforce them here
+    * — dropping a column a consumer later names as a merge key is
+    * allowed and fails at that statement's resolution with a
+    * missing-column error. The dropped name is TOMBSTONED so a later
+    * add cannot silently resurrect stale physical values from carried
+    * files (the hazard Delta's column-mapping IDs exist for — this
+    * store takes the conservative posture instead). */
   def dropColumns(
       spark: SparkSession,
       tablePath: String,
@@ -1272,10 +1284,26 @@ object FactVersioned {
         val fs = fsOf(spark, tablePath)
         val all =
           droppedColumns(spark, tablePath) ++ names.map(_.toLowerCase)
-        val out = fs.create(tombstonePath(tablePath), true)
+        // tmp-write + bak-rotate (the Bookmark pattern): an in-place
+        // overwrite could crash between truncation and close and LOSE
+        // earlier entries — and once pre-drop generations expire, the
+        // tombstone is the ONLY thing blocking a stale-value-
+        // resurrecting re-add. Every crash window leaves either the
+        // old full set (at `.bak`, which [[droppedColumns]] falls back
+        // to) or the new full set visible; the new entries only need
+        // to be visible if THIS commit's marker lands (preCommit runs
+        // before it), so "old set survives, commit aborts" is safe.
+        val dest = tombstonePath(tablePath)
+        val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+        val bak = new Path(dest.getParent, dest.getName + ".bak")
+        val out = fs.create(tmp, true)
         try out.write(all.toSeq.sorted.mkString("\n")
           .getBytes(StandardCharsets.UTF_8))
         finally out.close()
+        if (fs.exists(bak)) fs.delete(bak, false)
+        if (fs.exists(dest)) fs.rename(dest, bak)
+        require(fs.rename(tmp, dest),
+          s"FactVersioned.dropColumns: tombstone rename failed at $dest")
       })
   }
 

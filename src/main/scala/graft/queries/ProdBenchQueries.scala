@@ -21,10 +21,17 @@ import graft.operators.{AnnIndex, Dedup, TfIdf}
   * production scaling directly instead of by footnote.
   *
   * Correctness of every operator here is already hash-gated by its
-  * pinned twin (q45/q110/q116/q127/q134/q74); these entries are
-  * rows-only by design — their parameters adapt to the corpus, so no
-  * fixed oracle exists, and VALUES are cross-checked by the pinned
-  * gates' oracles. Expected growth at 10× data: index build ∝ n,
+  * pinned twin (q45/q110/q116/q127/q134/q74); since round 12 these
+  * entries ALSO carry DERIVED-INVARIANT DuckDB oracles of their own
+  * (no fixed expected values exist — the parameters adapt to the
+  * corpus — so the oracle instead re-derives what must hold of any
+  * correct output: q145 recomputes every reported similarity exactly
+  * from the raw vectors, re-derives ranks, and enforces a recall
+  * floor vs the exact top-10 over the dump's own 256-query set; q146
+  * mirrors the full BM25 formula on the dump's query ids; q147
+  * recomputes cosine for every reported near-dup pair — see
+  * [[VectorQueries]]' invariant builders and the q146 mirror).
+  * Expected growth at 10× data: index build ∝ n,
   * query phase ∝ batch × √n candidates — well under the n^1.5
   * envelope SCALING.md records.
   */

@@ -1427,6 +1427,322 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // MERGE with DIFFERENTLY-NAMED key columns (VERDICT r12 Next #1):
+    // `ON t.o_orderkey = src.src_key` — the most common real CDC MERGE
+    // (feeds rarely share the target's key name). The probe joins on
+    // internal key slots built from the (target → source) mapping, so
+    // neither name needs to exist on the other side; explicit UPDATE /
+    // INSERT assignments reference the source's own names. In-gate:
+    // one generation, write-amp = the touched partition, hash-equal to
+    // the API twin (the same source upserted with its key aliased),
+    // and a key-REASSIGNING update is rejected before anything commits
+    // (the stranded-row hole — ADVICE r12 medium).
+    "q154_sql_merge_keymap" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q154_").toString
+      val path = s"$wh/orders_km"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW km_src AS
+          |SELECT o_orderkey AS src_key, 'K' AS new_status,
+          |  o_totalprice * 3 AS new_price, p_year
+          |FROM graft.orders_km WHERE p_year = 1995 AND o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 10000000 AS src_key, 'L' AS new_status,
+          |  o_totalprice AS new_price, p_year
+          |FROM graft.orders_km WHERE p_year = 1995 AND o_orderkey % 2 = 1
+          |""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_km AS t USING km_src AS src
+          |ON t.o_orderkey = src.src_key
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = src.new_status,
+          |  o_totalprice = src.new_price
+          |WHEN NOT MATCHED THEN INSERT
+          |  (o_orderkey, o_orderstatus, o_totalprice, p_year)
+          |  VALUES (src.src_key, src.new_status, src.new_price, src.p_year)
+          |""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q154: the key-mapped MERGE must commit exactly one generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q154: write-amp must stay the touched partition, got $staged")
+      // API twin: the same source with its key column aliased back
+      val twin = s"$wh/orders_km_twin"
+      FactVersioned.upsert(s0, twin, o, Seq("o_orderkey"), "p_year")
+      val src = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("K"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .unionByName(
+          o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("L")))
+      FactVersioned.upsert(s0, twin, src, Seq("o_orderkey"), "p_year")
+      def content(p: String, sess: SparkSession) =
+        FactVersioned.read(sess, p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      require(content(path, s).collect().toSet ==
+        content(twin, s0).collect().toSet,
+        "q154: key-mapped SQL MERGE must be hash-equal to the " +
+          "aliased-source API twin")
+      // a key-REASSIGNING update must be rejected pre-commit
+      val rekey =
+        try {
+          s.sql(
+            """MERGE INTO graft.orders_km AS t USING km_src AS src
+              |ON t.o_orderkey = src.src_key
+              |WHEN MATCHED THEN UPDATE SET o_orderkey = src.src_key + 1
+              |""".stripMargin)
+          ""
+        } catch { case e: Throwable => Option(e.getMessage).getOrElse("") }
+      require(rekey.contains("reassigns merge key"),
+        s"q154: a key-reassigning MERGE must be rejected, got: $rekey")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q154: the rejected re-key MERGE must leave no commit behind")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_km""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // Scoped `WHEN NOT MATCHED BY SOURCE THEN UPDATE` (VERDICT r12
+    // Next #5): the flag-stale-rows sync — scoped target rows the
+    // source never names are rewritten IN PLACE through target-side
+    // assignments (here: status 'X'; unassigned columns carry
+    // verbatim), same partition-scoping contract as q151's DELETE.
+    // In-gate: write-amp = the scoped partition, hash-equal to the
+    // composed API twin, and key / partition-column assignments in
+    // the BY SOURCE clause are rejected.
+    "q155_sql_merge_sync_update" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q155_").toString
+      val path = s"$wh/orders_su"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW su_src AS
+          |SELECT o_orderkey, 'S' AS o_orderstatus, o_totalprice, p_year
+          |FROM graft.orders_su
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_su AS t USING su_src AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE AND t.p_year = 1995
+          |  THEN UPDATE SET o_orderstatus = 'X'
+          |""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q155: the sync-update MERGE must commit exactly one generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q155: write-amp must be the scoped partition only, got $staged")
+      // API twin: replacePartitions of 1995 with evens re-statused 'S'
+      // and the stale odds flagged 'X'
+      val twin = s"$wh/orders_su_twin"
+      FactVersioned.upsert(s0, twin, o, Seq("o_orderkey"), "p_year")
+      val in95 = o.where(col("p_year") === 1995)
+      FactVersioned.replacePartitions(s0, twin,
+        in95.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("S"))
+          .unionByName(in95.where(col("o_orderkey") % 2 =!= 0)
+            .withColumn("o_orderstatus", lit("X"))),
+        "p_year", Seq(1995))
+      def content(p: String, sess: SparkSession) =
+        FactVersioned.read(sess, p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      require(content(path, s).collect().toSet ==
+        content(twin, s0).collect().toSet,
+        "q155: scoped sync-update MERGE must be hash-equal to the " +
+          "API twin")
+      // key / partition-column assignments in BY SOURCE are rejected
+      val rekey =
+        try {
+          s.sql(
+            """MERGE INTO graft.orders_su AS t USING su_src AS src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN NOT MATCHED BY SOURCE AND t.p_year = 1995
+              |  THEN UPDATE SET o_orderkey = 0
+              |""".stripMargin)
+          ""
+        } catch { case e: Throwable => Option(e.getMessage).getOrElse("") }
+      require(rekey.contains("reassigns merge key"),
+        s"q155: BY SOURCE re-key must be rejected, got: $rekey")
+      val move =
+        try {
+          s.sql(
+            """MERGE INTO graft.orders_su AS t USING su_src AS src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN NOT MATCHED BY SOURCE AND t.p_year = 1995
+              |  THEN UPDATE SET p_year = 1994
+              |""".stripMargin)
+          ""
+        } catch { case e: Throwable => Option(e.getMessage).getOrElse("") }
+      require(move.contains("partition column"),
+        s"q155: BY SOURCE partition move must be rejected, got: $move")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q155: rejected statements must leave no commit behind")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft.orders_su""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // `MERGE ... WITH SCHEMA EVOLUTION` (VERDICT r12 Next #2): a
+    // source carrying a NEW column widens the target THROUGH the SQL
+    // door. The tables advertise AUTOMATIC_SCHEMA_EVOLUTION, so
+    // Spark's own ResolveMergeIntoSchemaEvolution routes the widening
+    // through alterTable → FactVersioned.addColumns — a METADATA-ONLY
+    // generation (carried rows null-fill on read) committed before the
+    // merge's data generation; both through the claim/marker protocol.
+    // In-gate: the widening + merge land as generations 1 and 2,
+    // carried rows read NULL for the new column, VERSION AS OF 0 still
+    // reads the pre-evolution schema, write-amp of the DATA commit =
+    // the touched partition, and the head is hash-equal to the
+    // upsertEvolve API twin. (A DROPPED name staying rejected through
+    // this door is pinned by GraftDmlSpec — the tombstone lives in
+    // addColumns, which this path routes through.)
+    "q156_sql_merge_evolve" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q156_").toString
+      val path = s"$wh/orders_ev"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW ev_src AS
+          |SELECT o_orderkey, 'E' AS o_orderstatus, o_totalprice, p_year,
+          |  CONCAT('note-', CAST(o_orderkey AS STRING)) AS note
+          |FROM graft.orders_ev
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.orders_ev AS t
+          |USING ev_src AS src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+        "q156: evolution (metadata) + merge (data) must land as two " +
+          "generations")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // generation 1 is the widening: metadata-only, ZERO staged bytes
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+        "q156: the evolution commit must stage no data files")
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      require(staged == Set("p_year=1995"),
+        s"q156: the data commit must stage only the touched partition, " +
+          s"got $staged")
+      // pre-evolution generation still reads the NARROW schema
+      require(!s.sql("SELECT * FROM graft.orders_ev VERSION AS OF 0")
+        .columns.exists(_.equalsIgnoreCase("note")),
+        "q156: VERSION AS OF 0 must still read the pre-evolution schema")
+      // API twin: upsertEvolve with the same widened source
+      val twin = s"$wh/orders_ev_twin"
+      FactVersioned.upsert(s0, twin, o, Seq("o_orderkey"), "p_year")
+      FactVersioned.upsertEvolve(s0, twin,
+        o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("E"))
+          .withColumn("note",
+            concat(lit("note-"), col("o_orderkey").cast("string"))),
+        Seq("o_orderkey"), "p_year")
+      def content(p: String, sess: SparkSession) =
+        FactVersioned.read(sess, p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "note")
+      require(content(path, s).collect().toSet ==
+        content(twin, s0).collect().toSet,
+        "q156: SQL schema-evolution MERGE must be hash-equal to the " +
+          "upsertEvolve API twin")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, note
+          |FROM graft.orders_ev""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // `table_changes()` SQL door (VERDICT r12 Next #3): the CDC change
+    // feed in FROM-clause position — a TABLE-VALUED function over
+    // [[FactChangeFeed.window]], so analysts read generation deltas in
+    // plain SQL (the Delta `table_changes` shape; diff keys passed
+    // explicitly since this store computes CDC from immutable
+    // generation diffs instead of persisting change rows). In-gate:
+    // hash-equal to the operator twin, and the from-empty window
+    // (-1 → 0) is all-inserts with the base cardinality. Output
+    // value-gated against the DuckDB change-set mirror.
+    "q157_sql_table_changes" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q157_").toString
+      val path = s"$wh/orders_tc"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val batch = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(
+          o.where(col("p_year") === 1996 && col("o_orderkey") % 3 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      FactVersioned.upsert(s0, path, batch, Seq("o_orderkey"), "p_year")
+      val s = s0
+      graft.GraftFunctions.register(s)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val out = s.sql(
+        """SELECT op, o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft_table_changes('graft.orders_tc', 'o_orderkey', 0, 1)
+          |""".stripMargin).localCheckpoint()
+      // hash-equal to the operator twin
+      val twin = graft.operators.FactChangeFeed
+        .window(s, path, Seq("o_orderkey"), Some(0L), 1L)
+        .select("op", "o_orderkey", "o_orderstatus", "o_totalprice")
+      require(out.collect().toSet == twin.collect().toSet,
+        "q157: SQL table_changes must be hash-equal to the " +
+          "FactChangeFeed.window operator twin")
+      // the from-empty window is the full initial snapshot as inserts
+      val seed = s.sql(
+        """SELECT op FROM
+          |graft_table_changes('graft.orders_tc', 'o_orderkey', -1, 0)
+          |""".stripMargin).collect()
+      require(seed.length == o.count() && seed.forall(_.getString(0) == "insert"),
+        "q157: the from-empty window must be the all-inserts snapshot")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -1990,6 +2306,60 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT o_orderkey, 'S', o_totalprice FROM base
         |WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // key-mapped merge mirror: matched evens of 1995 take the source's
+    // renamed-column values; odds insert under shifted keys
+    "q154_sql_merge_keymap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN y = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'K' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN y = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'L', o_totalprice FROM base
+        |WHERE y = 1995 AND o_orderkey % 2 = 1""".stripMargin,
+    // scoped sync-update mirror: evens of 1995 re-status 'S' (matched
+    // update), stale odds of 1995 flag 'X' keeping their price, every
+    // other partition verbatim
+    "q155_sql_merge_sync_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |         THEN 'S'
+        |       WHEN year(o_orderdate) = 1995 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders""".stripMargin,
+    // schema-evolution mirror: matched evens of 1995 re-status 'E' and
+    // gain a note; every carried row null-fills the new column
+    "q156_sql_merge_evolve" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'E' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice,
+        |  CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+        |       THEN CONCAT('note-', CAST(o_orderkey AS VARCHAR))
+        |       ELSE NULL END AS note
+        |FROM orders""".stripMargin,
+    // change-set mirror of the (0 → 1] window: evens of 1995 emit an
+    // update pair (old row pre, new row post), shifted 1996 keys emit
+    // inserts; unchanged rows emit nothing
+    "q157_sql_table_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT 'update_pre' AS op, o_orderkey, o_orderstatus, o_totalprice
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, 'U', o_totalprice * 2
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |FROM base WHERE y = 1996 AND o_orderkey % 3 = 0""".stripMargin,
     // the range-compacted head ≡ the twice-upserted content (OPTIMIZE
     // rewrites layout, never content)
     "q152_sql_optimize_range" ->

@@ -257,6 +257,42 @@ object TextQueries extends QueryPack {
       out
     }),
 
+    // The SQL door for indexed BM25 (VERDICT r12 Next #4): the q134
+    // lookup as a TABLE-VALUED function over the persisted text
+    // sidecar — `graft_bm25_topk(table, text_col, query_view, qid,
+    // qtext, k)`. In-gate: corpus side answered from the sidecar
+    // alone (same scan assert as q134) and hash-equal to the
+    // bm25TopKIndexed operator twin; the full-formula DuckDB mirror
+    // re-verifies every score.
+    "q159_sql_bm25_topk" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q159_").toString + "/documents"
+      val docs = t(s, dir, "documents")
+      docs.write.parquet(path)
+      graft.operators.TfIdf.writeTextIndex(s, path, "doc_id", "text")
+      docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+        .createOrReplaceTempView("q159_queries")
+      graft.GraftFunctions.register(s)
+      val out = s.sql(
+        s"""SELECT * FROM graft_bm25_topk('$path', 'text',
+           |  'q159_queries', 'qid', 'qtext', 3)""".stripMargin)
+      val scans = out.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.filter(_.contains(path))
+      require(scans.nonEmpty &&
+        scans.forall(_.contains(graft.operators.TfIdf.DirPrefix)),
+        s"q159: corpus side must be answered from the text sidecar, " +
+          s"got $scans")
+      val twin = graft.operators.TfIdf.bm25TopKIndexed(s, path, "text",
+        s.table("q159_queries"), "qid", "qtext", k = 3)
+      require(out.collect().toSet == twin.collect().toSet,
+        "q159: SQL graft_bm25_topk must be hash-equal to the " +
+          "bm25TopKIndexed operator twin")
+      out
+    }),
+
     // Hybrid lexical+vector retrieval fusion — the production
     // retrieval shape: BM25 (top-10) and exact cosine top-10 over the
     // SAME query set (every 10th doc; embeddings.vec_id aligns with
@@ -545,6 +581,8 @@ object TextQueries extends QueryPack {
     // the sidecar-backed path computes the SAME values (shared scoring
     // core; per-partition-additive stats) — same full mirror
     "q134_bm25_indexed" -> bm25Mirror,
+    // the SQL door runs the identical indexed plan — same full mirror
+    "q159_sql_bm25_topk" -> bm25Mirror,
     // full RRF mirror: both ranked lists (BM25 k=10, exact cosine
     // k=10 over the filtered queries) + the reciprocal-rank sum; a
     // fused pair's score is one commutative IEEE addition, so the

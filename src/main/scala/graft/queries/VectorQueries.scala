@@ -157,6 +157,30 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // The SQL door for indexed ANN (VERDICT r12 Next #4): the same
+    // q110 lookup as a TABLE-VALUED function — analysts never leave
+    // SQL for retrieval. The builder resolves at analysis time to
+    // ivfTopKIndexed's plan, so the executed query keeps the indexed
+    // contract (in-gate: sidecar-only scans) and is hash-equal to the
+    // operator twin (required in-gate; the derived-invariant oracle
+    // re-verifies every value independently).
+    "q158_sql_ann_topk" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q158")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      graft.GraftFunctions.register(s)
+      val out = s.sql(
+        s"""SELECT query_id, neighbor_id, rank, sim
+           |FROM graft_ann_topk('$tablePath', 'embedding', 3, 10)
+           |""".stripMargin)
+      requireSidecarOnly(out)
+      val twin = AnnIndex.ivfTopKIndexed(s, tablePath, "embedding",
+        k = 3, nProbe = 10)
+      require(out.collect().toSet == twin.collect().toSet,
+        "q158: SQL graft_ann_topk must be hash-equal to the " +
+          "ivfTopKIndexed operator twin")
+      out
+    }),
+
     // SQ8 from the persisted sidecar: quantized codes are READ (the
     // per-call corpus quantization pass is what the sidecar amortizes),
     // candidates via the shared sq8CandidateScan — hash-identical to
@@ -480,6 +504,8 @@ object VectorQueries extends QueryPack {
     // (shared cellPlans/quantization — hash-identical, spec-asserted),
     // so they carry the same derived-invariant oracles and floors.
     "q110_ivf_indexed" -> annTopKInvariant("q110_ivf_indexed", k = 3, recallFloor = 0.75),
+    // the SQL door runs the identical indexed plan — same invariants
+    "q158_sql_ann_topk" -> annTopKInvariant("q158_sql_ann_topk", k = 3, recallFloor = 0.75),
     "q111_sq8_indexed" -> annTopKInvariant("q111_sq8_indexed", k = 3, recallFloor = 0.9),
     // IVF pruning (nProbe 10/16) composes with SQ8's bounded
     // quantization error, so the floor matches the IVF gates (q45/q110),
