@@ -225,11 +225,35 @@ object GraftDml {
             "— alias the source to unique column names first")
       (t.name, s.name)
     }
+    // see through the comparison coercion the analyzer inserts when
+    // the two sides' types differ (`t.k = s.kk` with bigint vs int
+    // arrives as `t.k = CAST(s.kk AS BIGINT)`) — but ONLY lossless
+    // up-casts: the rebuilt probe join re-derives the identical
+    // coercion, while a user-written NARROWING cast would change which
+    // rows match and stays rejected
+    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        c.child match {
+          case a: AttributeReference
+              if org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(a.dataType, c.dataType) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
     val pairs = conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if tSet.contains(a) && sSet.contains(b) => pair(a, b)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
-          if tSet.contains(a) && sSet.contains(b) => pair(a, b)
+      case EqualTo(l, r) =>
+        (keyAttr(l), keyAttr(r)) match {
+          case (Some(a), Some(b))
+              if tSet.contains(a) && sSet.contains(b) => pair(a, b)
+          case (Some(b), Some(a))
+              if tSet.contains(a) && sSet.contains(b) => pair(a, b)
+          case _ => unsupported(
+            s"MERGE ON must be a conjunction of target.col = source.col " +
+              s"equalities (the upsert keys; differently-named sides are " +
+              s"fine: ON t.id = s.customer_id); got: ${EqualTo(l, r).sql}")
+        }
       case other => unsupported(
         s"MERGE ON must be a conjunction of target.col = source.col " +
           s"equalities (the upsert keys; differently-named sides are " +
@@ -251,9 +275,10 @@ object GraftDml {
     *  - MATCHED clauses see the source row AND its matched target row:
     *    conditions and UPDATE values may reference both. Target
     *    references are rewritten at resolution — a key column to the
-    *    same-named source attribute (equal by the ON condition), a
-    *    partition column to the probe's target-partition slot, any
-    *    other column to a carried probe column — so routing stays
+    *    ON-mapped source attribute (equal by the ON condition,
+    *    whatever its name), a partition column to the probe's
+    *    target-partition slot, any other column to a carried probe
+    *    column — so routing stays
     *    per-SOURCE-row and the probe carries exactly the referenced
     *    columns. Partial UPDATE assignments keep unassigned columns'
     *    target values through the same carried slots.
@@ -863,7 +888,10 @@ case class GraftMergeCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftColumnBridge.ofRows(spark, source)
-    FactVersioned.requireKeyUnique(src, sNames, "GraftDml MERGE")
+    // distinct: two target keys may map to ONE source column
+    // (ON t.a = s.x AND t.b = s.x) — uniqueness over the distinct
+    // source columns is the same predicate without the duplicate ref
+    FactVersioned.requireKeyUnique(src, sNames.distinct, "GraftDml MERGE")
     if (isFact) runFact(spark, src) else runDim(spark, src)
     Seq.empty
   }

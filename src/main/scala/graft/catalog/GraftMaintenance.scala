@@ -71,19 +71,24 @@ object GraftMaintenance {
     * literal could never compare against a real partition value.) */
   private val Lit = "(?:DATE\\s+)?'[^']*'|[^\\s']+"
 
-  /** One conjunct: `col <op> literal` or `col BETWEEN lo AND hi`. */
+  /** One conjunct: `col <op> literal`, `col BETWEEN lo AND hi`, or
+    * `col IS NULL`. */
   private val PredRe =
     ("(?is)^\\s*(`[^`]+`|\\w+)\\s*(?:(<=|>=|=|<|>)\\s*(" + Lit +
-      ")|BETWEEN\\s+(" + Lit + ")\\s+AND\\s+(" + Lit + "))\\s*").r
+      ")|BETWEEN\\s+(" + Lit + ")\\s+AND\\s+(" + Lit +
+      ")|(IS\\s+NULL))\\s*").r
 
   /** Parse `WHERE c1 <op> v1 [AND ...]` into (column, op, literal)
     * triples — the partition-restriction grammar (Delta's OPTIMIZE
     * WHERE posture: partition predicates only). Ops: `=`, `<`, `<=`,
-    * `>`, `>=`, and `BETWEEN lo AND hi` (→ `>= lo` and `<= hi`) — the
-    * natural compaction scope at 100 TB is a date RANGE. Anything else
-    * fails loudly at run time where the message can name the partition
-    * columns; comparison happens on the partition column's TYPE
-    * ([[GraftOptimizeCommand]]), never on rendered strings. */
+    * `>`, `>=`, `BETWEEN lo AND hi` (→ `>= lo` and `<= hi`) — the
+    * natural compaction scope at 100 TB is a date RANGE — and
+    * `IS NULL` (the only way to NAME the null partition, whose
+    * `__HIVE_DEFAULT_PARTITION__` leaf no typed comparison can ever
+    * match). Anything else fails loudly at run time where the message
+    * can name the partition columns; comparison happens on the
+    * partition column's TYPE ([[GraftOptimizeCommand]]), never on
+    * rendered strings. */
   private[catalog] def parseWhere(text: String): Seq[(String, String, String)] = {
     def unq(c: String) = if (c.startsWith("`")) c.substring(1, c.length - 1) else c
     def unlit(v: String) = {
@@ -106,14 +111,17 @@ object GraftMaintenance {
         case Some(m) if m.group(2) != null =>
           out += ((unq(m.group(1)), m.group(2), unlit(m.group(3))))
           rest = rest.substring(m.end)
+        case Some(m) if m.group(6) != null =>
+          out += ((unq(m.group(1)), "isnull", ""))
+          rest = rest.substring(m.end)
         case Some(m) =>
           out += ((unq(m.group(1)), ">=", unlit(m.group(4))))
           out += ((unq(m.group(1)), "<=", unlit(m.group(5))))
           rest = rest.substring(m.end)
         case None => throw new UnsupportedOperationException(
           "OPTIMIZE WHERE supports <partition column> <op> <literal> " +
-            "conjuncts (op: =, <, <=, >, >=, BETWEEN lo AND hi); got: " +
-            rest)
+            "conjuncts (op: =, <, <=, >, >=, BETWEEN lo AND hi, " +
+            "IS NULL); got: " + rest)
       }
     }
     out.result()
@@ -332,7 +340,14 @@ case class GraftOptimizeCommand(
           "scope a compaction")
       val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         .getOrElse(StringType)
-      segs.get(c.toLowerCase).flatMap(typedCompare(_, v, dt, c)).exists {
+      // IS NULL names the null partition itself — the one leaf no
+      // typed comparison can match (typedCompare reads its
+      // __HIVE_DEFAULT_PARTITION__ dir value as None, SQL 3VL)
+      if (op == "isnull")
+        segs.get(c.toLowerCase).contains(
+          org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      else segs.get(c.toLowerCase).flatMap(typedCompare(_, v, dt, c)).exists {
         cmp => op match {
           case "=" => cmp == 0
           case "<" => cmp < 0

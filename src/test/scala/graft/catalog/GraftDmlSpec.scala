@@ -603,4 +603,172 @@ class GraftDmlSpec extends SparkSpec {
     assert(s.sql("VACUUM g.mc RETAIN 1 GENERATIONS").count() > 0)
     assert(FactVersioned.read(s, path).count() == cnt)
   }
+
+  test("MERGE ON with differently-named key columns routes through " +
+      "the mapping — even when the source carries an UNRELATED column " +
+      "under the target key's name") {
+    val (s, _, path) = freshTable()
+    // kk is the real key; the source's own `k` column is a decoy the
+    // probe/routing must never consult (same-name lookup would route
+    // every row to key -1)
+    s.createDataset(Seq((3L, -1L, 3000L), (91L, -1L, 9100L)))
+      .toDF("kk", "k", "nv").createOrReplaceTempView("km_src")
+    s.sql(
+      """MERGE INTO g.t AS t USING km_src AS s ON t.k = s.kk
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.kk, 0, s.nv)
+        |""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    assert(now.contains((3L, 0, 3000L)), "matched row must update")
+    assert(now.contains((91L, 0, 9100L)), "unmatched key must insert")
+    assert(!now.exists(_._1 == -1L), "the decoy column must never route")
+    assert(now.size == 91)
+    // a key-REASSIGNING update is rejected before anything commits
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t AS t USING km_src AS s ON t.k = s.kk
+          |WHEN MATCHED THEN UPDATE SET k = s.kk + 1
+          |""".stripMargin)
+    }
+    assert(messagesOf(e).contains("reassigns merge key"), messagesOf(e))
+    // the no-op identity forms are accepted: SET k = s.kk / SET k = t.k
+    s.sql(
+      """MERGE INTO g.t AS t USING km_src AS s ON t.k = s.kk
+        |WHEN MATCHED THEN UPDATE SET k = s.kk, v = s.nv + 1
+        |""".stripMargin)
+    s.sql(
+      """MERGE INTO g.t AS t USING km_src AS s ON t.k = s.kk
+        |WHEN MATCHED THEN UPDATE SET k = t.k, v = s.nv + 2
+        |""".stripMargin)
+    assert(rows(FactVersioned.read(s, path)).contains((3L, 0, 3002L)))
+    // a target key named TWICE in ON is ambiguous routing — rejected
+    val dup = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t AS t USING km_src AS s
+          |ON t.k = s.kk AND t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |""".stripMargin)
+    }
+    assert(messagesOf(dup).contains("more than once"), messagesOf(dup))
+  }
+
+  test("merge-key type coercion: an INT source key joins a BIGINT " +
+      "target key and assignments cast to the target's pinned types " +
+      "(store-assignment posture)") {
+    val (s, _, path) = freshTable() // k: bigint, v: bigint
+    s.createDataset(Seq((6, 7), (91, 8))).toDF("kk", "nv")
+      .createOrReplaceTempView("ty_src") // kk, nv: INT
+    s.sql(
+      """MERGE INTO g.t AS t USING ty_src AS s ON t.k = s.kk
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.kk, 0, 0)
+        |""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    assert(now.contains((6L, 0, 7L)), "int-keyed update must land")
+    assert(now.contains((91L, 0, 0L)),
+      "int literal 0 must cast to the bigint column")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE flags scoped stale " +
+      "rows in place; key/partition assignments rejected") {
+    val (s, _, path) = freshTable()
+    // source names the even keys of partition 1; odd keys of 1 are
+    // stale and get flagged v = -1 (other partitions untouched)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW bs_src AS
+        |SELECT k, p, v FROM g.t WHERE p = 1 AND k % 2 = 0""".stripMargin)
+    s.sql(
+      """MERGE INTO g.t AS t USING bs_src AS s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.p = 1 THEN UPDATE SET v = -1
+        |""".stripMargin)
+    val now = rows(FactVersioned.read(s, path))
+    assert(now.size == 90, "BY SOURCE UPDATE must not add or drop rows")
+    now.foreach { case (k, p, v) =>
+      if (p == 1 && k % 2 == 1) assert(v == -1L, s"stale ($k,$p) unflagged")
+      else assert(v == k * 10, s"($k,$p) must carry verbatim, got $v")
+    }
+    // write amplification: only p=1 staged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=1"), staged)
+    val rekey = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t AS t USING bs_src AS s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE AND t.p = 1 THEN UPDATE SET k = 0
+          |""".stripMargin)
+    }
+    assert(messagesOf(rekey).contains("reassigns merge key"),
+      messagesOf(rekey))
+    val move = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t AS t USING bs_src AS s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE AND t.p = 1 THEN UPDATE SET p = 2
+          |""".stripMargin)
+    }
+    assert(messagesOf(move).contains("partition column"), messagesOf(move))
+  }
+
+  test("BY SOURCE UPDATE over a dimension table flags every stale row " +
+      "(full-copy commit, no scoping needed)") {
+    val wh = Files.createTempDirectory("graft_dml_dimbs_").toString
+    val path = s"$wh/d"
+    Versioned.commit(
+      (1 to 10).map(i => (i.toLong, s"n$i", 0)).toDF("k", "name", "stale"),
+      path)
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    s.createDataset(Seq(1L, 2L, 3L)).toDF("k")
+      .createOrReplaceTempView("dim_feed")
+    s.sql(
+      """MERGE INTO g.d t USING dim_feed s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = 1
+        |""".stripMargin)
+    val now = Versioned.read(s, path)
+      .select("k", "stale").as[(Long, Int)].collect().toMap
+    assert((1 to 3).forall(i => now(i.toLong) == 0))
+    assert((4 to 10).forall(i => now(i.toLong) == 1))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens through addColumns — and a " +
+      "tombstoned (previously dropped) name stays rejected") {
+    val wh = Files.createTempDirectory("graft_dml_evo_").toString
+    val path = s"$wh/t"
+    val rows0 = (1 to 30).map(i => (i.toLong, i % 3, i * 10L, s"x$i"))
+      .toDF("k", "p", "v", "note")
+    FactVersioned.upsert(spark, path, rows0, Seq("k"), "p")
+    FactVersioned.dropColumns(spark, path, Seq("note"))
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    // evolving a FRESH name widens (metadata-only) then merges
+    s.createDataset(Seq((3L, 0, 33L, "t3"))).toDF("k", "p", "v", "tag")
+      .createOrReplaceTempView("evo_src")
+    s.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO g.t t USING evo_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = FactVersioned.read(s, path)
+    assert(now.columns.contains("tag"))
+    assert(now.where(col("k") === 3).select("tag").as[String].head() == "t3")
+    assert(now.where(col("k") === 4).select("tag")
+      .as[Option[String]].head().isEmpty, "carried rows must null-fill")
+    // the dropped name must NOT come back through this door: carried
+    // pre-drop files still physically hold `note`, and a re-add would
+    // resurrect those stale values
+    s.createDataset(Seq((5L, 1, 55L, "ghost")))
+      .toDF("k", "p", "v", "note").createOrReplaceTempView("evo_bad")
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO g.t t USING evo_bad s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(messagesOf(e).contains("DROPPED"), messagesOf(e))
+  }
 }

@@ -346,4 +346,41 @@ class GraftMaintenanceSpec extends SparkSpec {
     val e2 = intercept[Exception] { s.sql("VACUUM g.nosuch") }
     assert(e2.getMessage.toLowerCase.contains("nosuch"))
   }
+
+  test("OPTIMIZE WHERE p IS NULL compacts exactly the null partition " +
+      "— the one leaf no typed comparison can name") {
+    val wh = Files.createTempDirectory("graft_maint_null_").toString
+    val path = s"$wh/t"
+    def batch(r: Range) = r.map(i =>
+      (i.toLong, if (i % 3 == 0) None else Some(i % 3), i * 10L))
+      .toDF("k", "p", "v")
+    // two commits → the null leaf (and the others) hold two files
+    FactVersioned.upsert(spark, path, batch(1 to 30), Seq("k"), "p")
+    FactVersioned.upsert(spark, path, batch(31 to 60), Seq("k"), "p")
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    val before = FactVersioned.read(s, path)
+      .select("k", "p", "v").as[(Long, Option[Int], Long)].collect().toSet
+    val out = s.sql("OPTIMIZE g.t WHERE p IS NULL").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L,
+      s"exactly the null leaf must compact, got ${out.mkString}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$path/${FactVersioned.DataDir}/" +
+          s"${FactVersioned.VGenCol}=${out.head.getLong(0)}"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(staged == Set("p=__HIVE_DEFAULT_PARTITION__"), staged)
+    val after = FactVersioned.read(s, path)
+      .select("k", "p", "v").as[(Long, Option[Int], Long)].collect().toSet
+    assert(after == before, "compaction must preserve content exactly")
+    // composes with typed conjuncts: a range + IS NULL conjunction can
+    // never match (a leaf is either null or typed) — fails loudly
+    // instead of silently compacting nothing
+    val e = intercept[Exception] {
+      s.sql("OPTIMIZE g.t WHERE p >= 1 AND p IS NULL")
+    }
+    assert(e.getMessage.contains("matched no partitions"), e.getMessage)
+  }
 }

@@ -110,6 +110,51 @@ class MergePostureSpec extends SparkSpec {
       "AQE should broadcast a tiny probe at default thresholds")
   }
 
+  test("a key-MAPPED merge (differently-named ON sides) keeps the " +
+      "broadcast-free posture above threshold") {
+    val wh = Files.createTempDirectory("graft_posture_km_").toString
+    val path = s"$wh/t"
+    val base = (1 to 3000).map(i => (i.toLong, i % 5, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, base, Seq("k"), "p")
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    s.conf.set(GraftDml.ProbeBroadcastConf, "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      s.range(0, 900)
+        .selectExpr("id * 3 AS src_key", "CAST(id * 3 % 5 AS INT) AS sp",
+          "id + 100000 AS nv")
+        .createOrReplaceTempView("posture_km")
+      val plans = capturePlans(s) {
+        s.sql(
+          """MERGE INTO g.t t USING posture_km s ON t.k = s.src_key
+            |WHEN MATCHED THEN UPDATE SET v = s.nv
+            |WHEN NOT MATCHED THEN INSERT (k, p, v)
+            |  VALUES (s.src_key, s.sp, s.nv)""".stripMargin)
+      }
+      assert(plans.nonEmpty, "listener captured no executed plans")
+      val offenders = plans.filter(_.contains("BroadcastExchange"))
+      assert(offenders.isEmpty,
+        s"key-mapped MERGE must not force broadcasts above threshold:\n" +
+          offenders.headOption.getOrElse(""))
+      val twin = s"$wh/twin"
+      FactVersioned.upsert(spark, twin, base, Seq("k"), "p")
+      FactVersioned.upsert(spark, twin,
+        spark.range(0, 900).selectExpr("id * 3 AS k",
+          "CAST(id * 3 % 5 AS INT) AS p", "id + 100000 AS v"),
+        Seq("k"), "p")
+      assert(rows(FactVersioned.read(s, path)) ==
+        rows(FactVersioned.read(spark, twin)))
+    } finally {
+      s.conf.unset(GraftDml.ProbeBroadcastConf)
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("DELETE/UPDATE over a NULL partition value rewrite it without " +
       "losing keeper rows (null-safe partition scoping)") {
     val wh = Files.createTempDirectory("graft_nullpart_").toString
