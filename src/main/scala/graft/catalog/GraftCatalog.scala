@@ -57,9 +57,11 @@ import graft.operators.{FactVersioned, Versioned}
   * dimensions) via the DSv2→V1 whole-frame bridge, so the claim/marker
   * protocol, conflict detection, and retention all apply unchanged.
   * INSERT into a pinned `VERSION AS OF` resolution, INSERT OVERWRITE,
-  * and DDL (create/alter/drop/rename) are rejected — partition
-  * replacement and schema evolution keep their explicit operator
-  * surfaces.
+  * and destructive DDL (drop/truncate of committed tables, table
+  * renames) are rejected — partition replacement keeps its explicit
+  * operator surface. Schema evolution IS SQL-first: ALTER TABLE
+  * ADD/DROP/RENAME COLUMN route to the stores' metadata-scale commits
+  * (rename via column mapping — [[FactVersioned.renameColumns]]).
   *
   * The warehouse `root` is re-read from the session conf on every
   * resolution (falling back to the init-time option), so one session
@@ -183,9 +185,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // pinned schema fixes their types (dir names are never trusted)
       val opts = new CaseInsensitiveStringMap(
         Map("basePath" -> dataRoot).asJava)
-      val inner = ParquetTable(s"$catalogName.$display", spark, opts, files,
-        Some(schema.add(FactVersioned.VGenCol, LongType)),
+      // renamed tables (non-empty column map): the files hold PHYSICAL
+      // names — the native parquet table reads those, and the
+      // GraftRenameShim presents the LOGICAL schema, translating
+      // pruning/pushdown at the scan seam. Identity tables take the
+      // unwrapped native table exactly as before.
+      val cmap = FactVersioned.generationColMap(spark, path, gen)
+      val physSchema =
+        if (cmap.isEmpty) schema
+        else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+          f.copy(name = FactVersioned.physOf(cmap, f.name))))
+      val parquet = ParquetTable(s"$catalogName.$display", spark, opts,
+        files, Some(physSchema.add(FactVersioned.VGenCol, LongType)),
         classOf[ParquetFileFormat])
+      val inner: Table with
+          org.apache.spark.sql.connector.catalog.SupportsRead =
+        if (cmap.isEmpty) parquet
+        else org.apache.spark.sql.GraftRenameShim.table(parquet,
+          schema.add(FactVersioned.VGenCol, LongType), cmap)
       // head resolution is INSERT-able; a pinned generation is not
       if (gen.isEmpty)
         new WritableFactTable(inner, path, () => retainFor(path),
@@ -305,18 +322,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       pcols, () => retainFor(path))
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN(S)` — the two
-    * schema changes with metadata-scale commit shapes: fact tables
-    * route to [[FactVersioned.addColumns]] (widened pinned schema,
-    * every parent file carried verbatim, carried reads null-fill) /
+  /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN(S)` /
+    * `RENAME COLUMN` — the three schema changes with metadata-scale
+    * commit shapes: fact tables route to
+    * [[FactVersioned.addColumns]] (widened pinned schema, every parent
+    * file carried verbatim, carried reads null-fill) /
     * [[FactVersioned.dropColumns]] (narrowed pinned schema, carried
     * reads never project the column; the name is tombstoned against
-    * unsafe re-adds); dimensions commit a fresh full-copy generation.
-    * Earlier generations keep their own schemas — `VERSION AS OF`
-    * reads both sides of the evolution; later DML sees the new schema.
-    * Everything else (rename/retype, nested fields, positioned or
-    * defaulted adds) is rejected: those rewrite data or need
-    * manifest-level column-id mapping. */
+    * unsafe re-adds) / [[FactVersioned.renameColumns]] (column
+    * mapping: the renamed column keeps its physical on-file name, a
+    * per-generation colmap aliases reads and routes writes, the old
+    * name is tombstoned); dimensions commit a fresh full-copy
+    * generation. Earlier generations keep their own schemas —
+    * `VERSION AS OF` reads both sides of the evolution; later DML sees
+    * the new schema. Everything else (retype, nested fields,
+    * positioned or defaulted adds) is rejected: those rewrite data. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     val isFact = FactVersioned.generations(spark, path).nonEmpty
@@ -324,7 +344,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isFact && !isDim) throw new NoSuchTableException(ident)
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val drops = Seq.newBuilder[String]
+    val renames = Seq.newBuilder[(String, String)]
     changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "GraftCatalog: RENAME COLUMN of a nested field is not " +
+            s"supported (got ${r.fieldNames.mkString(".")})")
+        renames += r.fieldNames.head -> r.newName
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "GraftCatalog: ADD COLUMN of a nested field is not supported " +
@@ -346,20 +372,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"(got ${d.fieldNames.mkString(".")})")
         drops += d.fieldNames.head
       case other => throw new UnsupportedOperationException(
-        "GraftCatalog: only ALTER TABLE ADD/DROP COLUMN(S) is supported " +
-          s"(metadata-scale evolution); got $other — renames/retypes " +
-          "rewrite data or need column-id mapping and keep their " +
-          "explicit operator surfaces")
+        "GraftCatalog: only ALTER TABLE ADD/DROP/RENAME COLUMN(S) is " +
+          s"supported (metadata-scale evolution); got $other — retypes " +
+          "rewrite data and keep their explicit operator surfaces")
     }
-    val (fields, dropped) = (adds.result(), drops.result())
-    require(fields.isEmpty || dropped.isEmpty,
-      "GraftCatalog: mix of ADD and DROP in one ALTER is not supported " +
-        "— issue two statements")
+    val (fields, dropped, renamed) =
+      (adds.result(), drops.result(), renames.result())
+    require(Seq(fields, dropped, renamed).count(_.nonEmpty) <= 1,
+      "GraftCatalog: mix of ADD/DROP/RENAME in one ALTER is not " +
+        "supported — issue separate statements")
     if (isFact) {
       if (fields.nonEmpty)
         FactVersioned.addColumns(spark, path, fields,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
+      else if (renamed.nonEmpty)
+        FactVersioned.renameColumns(spark, path, renamed.toMap,
+          retain = retainFor(path),
+          properties = Map("operation" -> "ALTER TABLE RENAME COLUMN"))
       else
         FactVersioned.dropColumns(spark, path, dropped,
           retain = retainFor(path),
@@ -375,6 +405,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           df.withColumn(f.name,
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
         Versioned.commit(widened, path, retain = retainFor(path))
+      } else if (renamed.nonEmpty) {
+        // full-copy store: the renamed generation IS a fresh copy —
+        // no mapping needed, nothing physical carries over
+        renamed.foreach { case (old, nu) =>
+          require(cur.columns.exists(_.equalsIgnoreCase(old)),
+            s"GraftCatalog: column '$old' does not exist")
+          require(!cur.columns.exists(_.equalsIgnoreCase(nu)),
+            s"GraftCatalog: column '$nu' already exists")
+        }
+        Versioned.commit(renamed.foldLeft(cur) { case (df, (old, nu)) =>
+          df.withColumnRenamed(old, nu) }, path, retain = retainFor(path))
       } else {
         dropped.foreach { n =>
           require(cur.columns.exists(_.equalsIgnoreCase(n)),
@@ -433,7 +474,7 @@ object GraftCatalog {
   * recognize a resolved `DataSourceV2Relation` over a graft table and
   * recover its path — the MERGE/DELETE routing needs exactly that. */
 private[catalog] abstract class GraftWritableTable(
-    inner: ParquetTable,
+    inner: Table with org.apache.spark.sql.connector.catalog.SupportsRead,
     val graftTablePath: String,
     retain: () => Int) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -443,7 +484,7 @@ private[catalog] abstract class GraftWritableTable(
   /** Retention for the [[GraftDml]] MERGE/DELETE commands — the same
     * conf-or-preserve resolution INSERT uses. */
   private[catalog] def retentionForDml: Int = retain()
-  override def name(): String = inner.name
+  override def name(): String = inner.name()
   /** The native schema, with [[FactVersioned.VGenCol]] (when present —
     * fact tables only) carrying a NULL column DEFAULT in its field
     * metadata: provenance is commit-assigned (input values ignored),
@@ -528,7 +569,8 @@ private[catalog] abstract class GraftWritableTable(
   *   store's conflict detection instead of being silently overwritten
   *   from a stale read. */
 private[catalog] class WritableFactTable(
-    inner: ParquetTable, path: String, retain: () => Int,
+    inner: Table with org.apache.spark.sql.connector.catalog.SupportsRead,
+    path: String, retain: () => Int,
     val resolvedGen: Long)
     extends GraftWritableTable(inner, path, retain) {
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
@@ -606,7 +648,8 @@ private[catalog] class PendingGraftTable(
 /** Dimension-table INSERT: full-copy stores commit whole generations,
   * so append = current generation ∪ rows as a fresh commit. */
 private[catalog] class WritableDimTable(
-    inner: ParquetTable, path: String, retain: () => Int)
+    inner: Table with org.apache.spark.sql.connector.catalog.SupportsRead,
+    path: String, retain: () => Int)
     extends GraftWritableTable(inner, path, retain) {
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val current = Versioned.read(spark, path)

@@ -255,6 +255,51 @@ object FactVersioned {
     StructType.fromDDL(ddl)
   }
 
+  // ---- column mapping (ALTER TABLE RENAME COLUMN) --------------------
+  //
+  // A renamed column keeps its PHYSICAL name forever: data files are
+  // immutable and shared across generations, so a metadata-only rename
+  // cannot touch them — instead each generation may carry a `colmap`
+  // file of `logical<TAB>physical` lines (the Delta column-mapping
+  // idea, name-based). Reads open files under the physical schema and
+  // alias to logical; writes stage under physical names, so ALL of a
+  // table's files stay physically consistent regardless of when they
+  // were written. An absent/empty colmap is the identity — tables that
+  // never renamed take exactly the unmapped code paths.
+
+  private def colMapPath(t: String, g: Long) = new Path(genMeta(t, g), "colmap")
+
+  /** Generation `gen`'s logical→physical column mapping (lower-cased
+    * logical keys; identity entries omitted). Empty = never renamed. */
+  def generationColMap(
+      spark: SparkSession,
+      tablePath: String,
+      gen: Option[Long] = None): Map[String, String] =
+    readColMap(fsOf(spark, tablePath), tablePath,
+      resolveGen(spark, tablePath, gen))
+
+  private def readColMap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      t: String,
+      g: Long): Map[String, String] = {
+    val p = colMapPath(t, g)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").filter(_.contains("\t")).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(0, i).toLowerCase -> line.substring(i + 1)
+    }.toMap
+  }
+
+  /** The physical (on-file) name of logical column `name` under `cmap`. */
+  private[graft] def physOf(cmap: Map[String, String], name: String): String =
+    cmap.getOrElse(name.toLowerCase, name)
+
   /** One pinned-schema scan assembling a generation from its manifest's
     * file list; `dirs` (None = all) prunes at the FILE level before any
     * scan — the manifest is the skipping index. */
@@ -272,14 +317,27 @@ object FactVersioned {
     val data = dataRoot(tablePath).toString
     val files = pruned.select("file").collect().map(r => s"$data/${r.getString(0)}")
     val schema = readSchema(spark, tablePath, g)
+    val cmap = readColMap(fsOf(spark, tablePath), tablePath, g)
     if (files.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
+    } else if (cmap.isEmpty)
       spark.read.schema(schema.add(VGenCol, LongType))
         .option("basePath", data)
         .parquet(files.toIndexedSeq: _*)
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    else {
+      // renamed table: files hold PHYSICAL names — read under the
+      // physical schema and alias each column back to its logical name
+      // (the aliases prune/push down like any projection)
+      val phys = StructType(schema.fields.map(f =>
+        f.copy(name = physOf(cmap, f.name))))
+      spark.read.schema(phys.add(VGenCol, LongType))
+        .option("basePath", data)
+        .parquet(files.toIndexedSeq: _*)
+        .select(schema.fields.toIndexedSeq.map(f =>
+          col(physOf(cmap, f.name)).as(f.name)): _*)
+    }
   }
 
   /** (generation, commit-marker mtime millis) per committed generation,
@@ -453,12 +511,16 @@ object FactVersioned {
       case Some(_) => m0.where(lit(false))
       case None => m0
     }
+    // manifest stats are recorded under PHYSICAL names (they travel
+    // with the files, which never rename) — translate range lookups
+    val cmap = readColMap(fsOf(spark, tablePath), tablePath, g)
+    def statName(c: String) = physOf(cmap, c)
     val keep = ranges.map { r =>
-      if (!m.columns.contains(s"min__${r.colName}")) lit(true)
-      else col(s"nonnull__${r.colName}").isNull ||
-        (col(s"nonnull__${r.colName}") > 0 &&
-          col(s"max__${r.colName}") >= r.lower &&
-          col(s"min__${r.colName}") <= r.upper)
+      if (!m.columns.contains(s"min__${statName(r.colName)}")) lit(true)
+      else col(s"nonnull__${statName(r.colName)}").isNull ||
+        (col(s"nonnull__${statName(r.colName)}") > 0 &&
+          col(s"max__${statName(r.colName)}") >= r.lower &&
+          col(s"min__${statName(r.colName)}") <= r.upper)
     }.reduce(_ && _)
     val total = m.count()
     val files = m.where(keep).select("file").collect().map(_.getString(0))
@@ -471,12 +533,23 @@ object FactVersioned {
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
+      else if (cmap.isEmpty)
         spark.read.schema(schema.add(VGenCol, LongType))
           .option("basePath", data)
           .parquet(files.map(f => s"$data/$f").toIndexedSeq: _*)
           .where(residual)
           .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      else {
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physOf(cmap, f.name))))
+        // alias to logical FIRST, then the logical-name residual applies
+        spark.read.schema(phys.add(VGenCol, LongType))
+          .option("basePath", data)
+          .parquet(files.map(f => s"$data/$f").toIndexedSeq: _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(physOf(cmap, f.name)).as(f.name)): _*)
+          .where(residual)
+      }
     DataSkipping.PrunedScan(df,
       DataSkipping.PruneReport(total, files.length.toLong))
   }
@@ -545,7 +618,8 @@ object FactVersioned {
       basisGen: Option[Long] = None,
       properties: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
-      preCommit: () => Unit = () => ()): Commit = {
+      preCommit: () => Unit = () => (),
+      colMap: Option[Map[String, String]] = None): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     require(partitionCols.nonEmpty, "no partition columns given")
     requireCleanProperties(properties)
@@ -568,7 +642,7 @@ object FactVersioned {
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCols, touched,
         basisGen, properties, statsCols, fs, gRoot, next, genData,
-        preCommit)
+        preCommit, colMap)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -593,12 +667,31 @@ object FactVersioned {
       gRoot: Path,
       next: Long,
       genData: Path,
-      preCommit: () => Unit): Commit = {
+      preCommit: () => Unit,
+      colMapOverride: Option[Map[String, String]] = None): Commit = {
     val parentAtClaim = generations(spark, tablePath).lastOption
+
+    // the generation's logical→physical mapping: a rename commit pins
+    // its own ([[renameColumns]]); every other commit INHERITS the
+    // parent's, restricted to the columns still present (a dropped
+    // mapped column takes its entry with it). Empty = identity — the
+    // staging/read paths below are byte-for-byte the unmapped code.
+    val cmap: Map[String, String] = colMapOverride.getOrElse {
+      val parentMap = parentAtClaim
+        .map(readColMap(fs, tablePath, _)).getOrElse(Map.empty)
+      val present = content.columns.map(_.toLowerCase).toSet
+      parentMap.filter { case (l, _) => present(l) }
+    }
 
     val touchedDirs =
       touched.map(v => partitionDirPath(partitionCols, v)).distinct
-    parentAtClaim.foreach { pg =>
+    // a commit PINNING its own mapping is the metadata-only rename door
+    // ([[renameColumns]] — which validated the bijective shape); data
+    // must never stage under a hand-picked map
+    require(colMapOverride.isEmpty || touchedDirs.isEmpty,
+      "FactVersioned: a column-mapping override is metadata-only — " +
+        "data commits inherit the parent generation's mapping")
+    parentAtClaim.filter(_ => colMapOverride.isEmpty).foreach { pg =>
       val ps = readSchema(spark, tablePath, pg)
       // full compatibility, not field-name sets: a silent TYPE change
       // would pin a schema.ddl that CARRIED-OVER parent files were not
@@ -665,9 +758,16 @@ object FactVersioned {
     }
 
     // stage this commit's data files under their own vgen dir; leaf
-    // dirs nest one level per partition column
+    // dirs nest one level per partition column. Mapped tables stage
+    // under PHYSICAL names (partition columns are never renamable, so
+    // dir names are unaffected) — every file of the table then shares
+    // one physical namespace regardless of when it was written.
     if (fs.exists(genData)) fs.delete(genData, true) // stale-claim debris
-    content.write.partitionBy(partitionCols: _*).parquet(genData.toString)
+    val toStage =
+      if (cmap.isEmpty) content
+      else content.select(content.columns.toIndexedSeq.map(c =>
+        col(c).as(physOf(cmap, c))): _*)
+    toStage.write.partitionBy(partitionCols: _*).parquet(genData.toString)
     def leafDirs(base: Path, depth: Int): Array[String] =
       if (!fs.exists(base)) Array.empty
       else if (depth == 1)
@@ -736,7 +836,11 @@ object FactVersioned {
         // commit's own `vgen=N/` segment — depth-agnostic, so
         // multi-column (nested-dir) partitions match too
         val marker = java.util.regex.Pattern.quote(genData.getName)
-        val stats = DataSkipping.statsOf(staged, statsCols)
+        // staged files hold physical names; stats are recorded under
+        // them (readWhere translates its lookups), so stat columns stay
+        // name-consistent across every generation's carried rows
+        val stats = DataSkipping.statsOf(staged,
+          statsCols.map(physOf(cmap, _)))
           .withColumn("s_fname", element_at(split(col("file"), "/"), -1))
           .withColumn("s_fdir",
             regexp_extract(col("file"), s"$marker/(.*)/[^/]+$$", 1))
@@ -761,6 +865,13 @@ object FactVersioned {
     val ddl = content.schema.toDDL.getBytes(StandardCharsets.UTF_8)
     val out = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"), true)
     try out.write(ddl) finally out.close()
+    if (cmap.nonEmpty) {
+      val cm = fs.create(colMapPath(tablePath, next), true)
+      try cm.write(cmap.toSeq.sorted
+        .map { case (l, p) => s"$l\t$p" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally cm.close()
+    }
     // the DECLARED touched set (staged dirs ∪ partition deletes) — the
     // conflict-detection record later committers check overlap against.
     // Hive-escaped dir names (newline-safe), one per line, before the
@@ -1280,31 +1391,123 @@ object FactVersioned {
     // doors reject the name, and the column itself never vanished)
     replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
       retain, basisGen = Some(head), properties = properties,
-      preCommit = () => {
-        val fs = fsOf(spark, tablePath)
-        val all =
-          droppedColumns(spark, tablePath) ++ names.map(_.toLowerCase)
-        // tmp-write + bak-rotate (the Bookmark pattern): an in-place
-        // overwrite could crash between truncation and close and LOSE
-        // earlier entries — and once pre-drop generations expire, the
-        // tombstone is the ONLY thing blocking a stale-value-
-        // resurrecting re-add. Every crash window leaves either the
-        // old full set (at `.bak`, which [[droppedColumns]] falls back
-        // to) or the new full set visible; the new entries only need
-        // to be visible if THIS commit's marker lands (preCommit runs
-        // before it), so "old set survives, commit aborts" is safe.
-        val dest = tombstonePath(tablePath)
-        val tmp = new Path(dest.getParent, dest.getName + ".tmp")
-        val bak = new Path(dest.getParent, dest.getName + ".bak")
-        val out = fs.create(tmp, true)
-        try out.write(all.toSeq.sorted.mkString("\n")
-          .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.exists(bak)) fs.delete(bak, false)
-        if (fs.exists(dest)) fs.rename(dest, bak)
-        require(fs.rename(tmp, dest),
-          s"FactVersioned.dropColumns: tombstone rename failed at $dest")
-      })
+      preCommit = () => tombstoneNames(spark, tablePath, names))
+  }
+
+  /** Merge `names` into the dropped/renamed-away tombstone, tmp-write +
+    * bak-rotate (the Bookmark pattern): an in-place overwrite could
+    * crash between truncation and close and LOSE earlier entries — and
+    * once pre-drop generations expire, the tombstone is the ONLY thing
+    * blocking a stale-value-resurrecting re-add. Every crash window
+    * leaves either the old full set (at `.bak`, which
+    * [[droppedColumns]] falls back to) or the new full set visible;
+    * the new entries only need to be visible if the calling commit's
+    * marker lands (callers run this in preCommit), so "old set
+    * survives, commit aborts" is safe. */
+  private def tombstoneNames(
+      spark: SparkSession, tablePath: String, names: Seq[String]): Unit = {
+    val fs = fsOf(spark, tablePath)
+    val all = droppedColumns(spark, tablePath) ++ names.map(_.toLowerCase)
+    val dest = tombstonePath(tablePath)
+    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+    val bak = new Path(dest.getParent, dest.getName + ".bak")
+    val out = fs.create(tmp, true)
+    try out.write(all.toSeq.sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(bak)) fs.delete(bak, false)
+    if (fs.exists(dest)) fs.rename(dest, bak)
+    require(fs.rename(tmp, dest),
+      s"FactVersioned: tombstone rename failed at $dest")
+  }
+
+  /** Commit a new generation whose pinned schema RENAMES `renames`'
+    * keys to their values with NO data rewrite — metadata-scale
+    * `ALTER TABLE RENAME COLUMN` via column mapping (the Delta
+    * column-mapping idea, name-keyed): data files are immutable and
+    * shared across generations, so the renamed column keeps its
+    * PHYSICAL on-file name forever; the new generation's `colmap`
+    * records logical→physical, reads alias physical→logical, and
+    * later commits stage under physical names. The manifest carries
+    * every parent file verbatim (touched set empty) — at 100 TB this
+    * commit costs one manifest copy + two small files, independent of
+    * table size. Earlier generations keep their own pinned schemas and
+    * mappings, so `VERSION AS OF` reads both sides of the rename.
+    *
+    * Constraints (each fails loudly):
+    *  - partition columns cannot rename (they shape the physical
+    *    layout: dir names, manifest `dir` strings, pruning);
+    *  - `vgen` is reserved on both sides;
+    *  - the new name must be FRESH: not a current column, not
+    *    tombstoned (a dropped or renamed-away name may still exist
+    *    PHYSICALLY in carried files — reusing it would mis-bind reads);
+    *  - the OLD name is tombstoned (its physical values live on in
+    *    carried files under that name — a later ADD COLUMN of it would
+    *    resurrect them for the re-added column);
+    *  - column-keyed sidecars (ANN/text indexes, z-order stats) are
+    *    keyed by the LOGICAL name at build time: rebuild indexes on a
+    *    renamed column (queries fail loudly with the no-index message
+    *    until then). */
+  def renameColumns(
+      spark: SparkSession,
+      tablePath: String,
+      renames: Map[String, String],
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(renames.nonEmpty, "renameColumns: no renames given")
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"renameColumns: no committed generations at " +
+      s"$tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    val pcols = partitionColumns(spark, tablePath)
+    val dead = droppedColumns(spark, tablePath)
+    val targetsLower = renames.values.map(_.toLowerCase).toSeq
+    require(targetsLower.distinct.length == targetsLower.length,
+      "renameColumns: two columns cannot rename to the same name")
+    renames.foreach { case (old, nu) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(old)),
+        s"renameColumns: column '$old' does not exist " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(!pcols.exists(_.equalsIgnoreCase(old)),
+        s"renameColumns: '$old' is a partition column — it shapes the " +
+          "physical layout (dir names, manifest keys, pruning); " +
+          "repartition through replacePartitions under a new column " +
+          "set instead")
+      require(!old.equalsIgnoreCase(VGenCol) && !nu.equalsIgnoreCase(VGenCol),
+        s"column name $VGenCol is reserved by FactVersioned")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(nu)),
+        s"renameColumns: target name '$nu' already exists " +
+          "(swaps are not supported — rename through a fresh " +
+          "intermediate name)")
+      require(!dead.contains(nu.toLowerCase),
+        s"renameColumns: target name '$nu' was previously dropped or " +
+          "renamed away — carried data files may still physically hold " +
+          "it; choose a fresh name")
+      require(!renames.keys.exists(_.equalsIgnoreCase(nu)),
+        s"renameColumns: '$nu' is both a rename source and target in " +
+          "one call — split into two statements via a fresh " +
+          "intermediate name")
+    }
+    val parentMap = readColMap(fsOf(spark, tablePath), tablePath, head)
+    val newMap = renames.foldLeft(parentMap) { case (m, (old, nu)) =>
+      val phys = m.getOrElse(old.toLowerCase,
+        schema.fieldNames.find(_.equalsIgnoreCase(old)).get)
+      (m - old.toLowerCase) + (nu.toLowerCase -> phys)
+    }
+    val renamed = StructType(schema.fields.map { f =>
+      renames.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, nu)) => f.copy(name = nu)
+        case None => f
+      }
+    })
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], renamed)
+    replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
+      retain, basisGen = Some(head), properties = properties,
+      colMap = Some(newMap),
+      preCommit = () =>
+        tombstoneNames(spark, tablePath, renames.keys.toSeq))
   }
 
   /** Restore the table to generation `gen`, METADATA-ONLY (the Delta
@@ -1368,6 +1571,13 @@ object FactVersioned {
       val so = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"),
         true)
       try so.write(schemaBytes) finally so.close()
+      // the column mapping travels with the schema it names: a restore
+      // ACROSS a rename must read gen's files under gen's own mapping
+      val srcMap = colMapPath(tablePath, gen)
+      if (fs.exists(srcMap))
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcMap, fs,
+          colMapPath(tablePath, next), false,
+          spark.sparkContext.hadoopConfiguration)
       val tf = fs.create(new Path(genMeta(tablePath, next), TouchedFile),
         true)
       try tf.write(touchedDirs.mkString("\n")

@@ -44,6 +44,14 @@ import graft.operators.{BloomPrune, Bucketing, Changelog, DataSkipping, FactVers
   */
 object ScaleQueries extends QueryPack {
 
+  /** Column names physically present in a generation's staged files
+    * (q160: the post-rename staging contract). */
+  private def spark2files(
+      s: SparkSession, path: String, gen: Long): Set[String] =
+    s.read.parquet(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=$gen")
+      .columns.toSet
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed fact-fact join + aggregation on the bucket key: bucketed
     // writes pre-shuffle both sides, so join AND agg need no exchange.
@@ -1743,6 +1751,68 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // ALTER TABLE RENAME COLUMN (VERDICT r12 missing #6): metadata-only
+    // rename via COLUMN MAPPING — the renamed column keeps its PHYSICAL
+    // on-file name (data files are immutable and shared across
+    // generations), the new generation's colmap records
+    // logical→physical, reads alias back, and later commits stage under
+    // physical names. In-gate: zero staged bytes (manifest+mapping
+    // commit), carried VALUES read under the new name (the whole point
+    // — oracle-verified against the raw data), VERSION AS OF keeps the
+    // pre-rename schema, a post-rename INSERT lands under the new name,
+    // and re-ADDing the old name is tombstone-rejected (carried files
+    // still hold it physically — a re-add would resurrect stale values).
+    "q160_sql_alter_rename_column" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q160_").toString
+      val path = s"$wh/orders_rn"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = s0
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.sql("ALTER TABLE graft.orders_rn RENAME COLUMN o_totalprice " +
+        "TO amount")
+      require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+        "q160: the rename must commit exactly one generation")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+        "q160: the rename must stage no data files")
+      require(s.sql("SELECT * FROM graft.orders_rn VERSION AS OF 0")
+        .columns.exists(_.equalsIgnoreCase("o_totalprice")),
+        "q160: VERSION AS OF 0 must keep the pre-rename schema")
+      // post-rename INSERT lands under the new name (staged physically
+      // under the ORIGINAL name — one physical namespace per table)
+      s.sql(
+        """INSERT INTO graft.orders_rn BY NAME
+          |SELECT o_orderkey + 10000000 AS o_orderkey,
+          |  'R' AS o_orderstatus, o_totalprice * 2 AS amount, p_year
+          |FROM graft.orders_rn VERSION AS OF 0
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+      val staged = spark2files(s, path, 2L)
+      require(staged.contains("o_totalprice") && !staged.contains("amount"),
+        s"q160: post-rename staging must use the physical name, " +
+          s"got $staged")
+      // the old name cannot come back over carried files
+      val readd =
+        try { s.sql(
+          "ALTER TABLE graft.orders_rn ADD COLUMN o_totalprice DOUBLE"); "" }
+        catch { case e: Throwable => Option(e.getMessage).getOrElse("") }
+      require(readd.contains("DROPPED"),
+        s"q160: re-adding the renamed-away name must be rejected, " +
+          s"got: $readd")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, amount
+          |FROM graft.orders_rn""".stripMargin)
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
     // OPTIMIZE ZORDER BY on the versioned store: compactPartitions
     // re-clusters every partition along the Morton curve of
     // (o_custkey, o_orderkey) and records per-file bounds, so a 2-D
@@ -2333,6 +2403,16 @@ object ScaleQueries extends QueryPack {
         |       ELSE o_orderstatus END AS o_orderstatus,
         |  o_totalprice
         |FROM orders""".stripMargin,
+    // rename mirror: every original row reads its o_totalprice VALUE
+    // under the new name (the column-mapping point), plus the
+    // post-rename insert's shifted rows
+    "q160_sql_alter_rename_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS amount
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'R', o_totalprice * 2
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     // schema-evolution mirror: matched evens of 1995 re-status 'E' and
     // gain a note; every carried row null-fills the new column
     "q156_sql_merge_evolve" ->

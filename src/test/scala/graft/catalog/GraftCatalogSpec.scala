@@ -166,9 +166,9 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE graftt.dt DROP COLUMN v").collect()
     assert(!spark.table("graftt.dt").columns.contains("v"),
       "dim DROP COLUMN must commit a narrowed full copy")
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graftt.dt RENAME COLUMN name TO nm").collect()
-    }
+    // dim RENAME: a fresh full-copy generation under the new name
+    spark.sql("ALTER TABLE graftt.dt RENAME COLUMN name TO nm").collect()
+    assert(spark.table("graftt.dt").columns.contains("nm"))
     intercept[Exception] {
       spark.sql("DROP TABLE graftt.dt").collect()
     }
@@ -346,5 +346,71 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("identity") ||
       e2.getMessage.contains("partition"), e2.getMessage)
+  }
+
+  test("ALTER TABLE RENAME COLUMN: metadata-only column mapping — " +
+      "carried VALUES read under the new name, pushdown and pruning " +
+      "survive the rename, INSERT works, time travel keeps both sides") {
+    val root = Files.createTempDirectory("graft_cat_ren_").toString
+    val path = s"$root/facts_r"
+    val f0 = (1 to 40).map(i => (i.toLong, i % 2, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    register(root)
+    spark.sql("ALTER TABLE graftt.facts_r RENAME COLUMN v TO amount")
+    // zero staged bytes: the rename is a manifest+mapping commit
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")))
+    // carried files' VALUES under the new logical name
+    val q = spark.sql(
+      "SELECT k, amount FROM graftt.facts_r WHERE amount > 350")
+    assert(q.as[(Long, Long)].collect().toSet ==
+      (36 to 40).map(i => (i.toLong, i * 10L)).toSet)
+    // pushdown still reaches the parquet scan — under the PHYSICAL name
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("GreaterThan(v,350"),
+      s"expected amount > 350 pushed down as the physical column:\n$plan")
+    // column pruning: the scan must read only (k, amount-as-v) + pcols
+    val pruned = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSet
+    }.headOption.getOrElse(Set.empty[String])
+    assert(!pruned.exists(_.equalsIgnoreCase("v")) || pruned.size <= 4,
+      s"scan must stay pruned after the rename, got $pruned")
+    // time travel reads the pre-rename schema (relation order puts
+    // the discovered partition columns last)
+    assert(spark.sql("SELECT * FROM graftt.facts_r VERSION AS OF 0")
+      .columns.toSet == Set("k", "p", "v", "vgen"))
+    // INSERT under the new name lands (staged physically as `v`)
+    spark.sql(
+      "INSERT INTO graftt.facts_r BY NAME " +
+        "SELECT 41L AS k, 1 AS p, 999L AS amount")
+    assert(spark.sql(
+        "SELECT amount FROM graftt.facts_r WHERE k = 41")
+      .as[Long].head() == 999L)
+    // MERGE through the DML door over the mapped table
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.graftt", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftt.root", root)
+    s.range(1, 4).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p",
+        "id * 1000 AS amount")
+      .createOrReplaceTempView("ren_src")
+    s.sql(
+      """MERGE INTO graftt.facts_r t USING ren_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount
+        |""".stripMargin)
+    assert(s.sql("SELECT amount FROM graftt.facts_r WHERE k = 2")
+      .as[Long].head() == 2000L)
+    // the old name is gone from the SQL surface and cannot come back
+    val eOld = intercept[Exception] {
+      s.sql("SELECT v FROM graftt.facts_r").collect()
+    }
+    assert(eOld.getMessage.contains("v"), eOld.getMessage)
+    val eAdd = intercept[Exception] {
+      s.sql("ALTER TABLE graftt.facts_r ADD COLUMN v BIGINT")
+    }
+    assert(eAdd.getMessage.contains("DROPPED"), eAdd.getMessage)
   }
 }

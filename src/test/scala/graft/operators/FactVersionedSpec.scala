@@ -482,4 +482,123 @@ class FactVersionedSpec extends SparkSpec {
     assert(FactVersioned.read(spark, path).columns.toSeq ==
       Seq("k", "p", "w"))
   }
+
+  test("renameColumns is metadata-only column mapping: carried files " +
+      "read their VALUES under the new name, later commits stage " +
+      "physical, time travel keeps both sides") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(60), Seq("k"), "p")
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 333L)).toDF("k", "p", "v"), Seq("k"), "p")
+    val before = rows(FactVersioned.read(spark, path))
+    val c = FactVersioned.renameColumns(spark, path, Map("v" -> "amount"))
+    assert(c.gen == 2L)
+    // metadata-only: zero staged bytes
+    assert(!fsOf(path).exists(
+      new Path(s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")),
+      "a rename must stage no data files")
+    // the POINT: carried files' values read under the new name
+    val now = FactVersioned.read(spark, path)
+    assert(now.columns.toSeq == Seq("k", "p", "amount"))
+    assert(now.select(col("k"), col("p"), col("amount").as("v"))
+      .as[(Long, Int, Long)].collect().toSet == before)
+    // time travel reads the pre-rename name
+    assert(FactVersioned.read(spark, path, Some(1L)).columns.toSeq ==
+      Seq("k", "p", "v"))
+    // a post-rename upsert works under the NEW name and stages the
+    // files under the PHYSICAL (original) name
+    FactVersioned.upsert(spark, path,
+      Seq((4L, 1, 444L), (61L, 1, 610L)).toDF("k", "p", "amount"),
+      Seq("k"), "p")
+    val gen3files = spark.read.parquet(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=3")
+    assert(gen3files.columns.contains("v") &&
+      !gen3files.columns.contains("amount"),
+      s"staged files must hold the physical name; got " +
+        s"${gen3files.columns.mkString(",")}")
+    val after = FactVersioned.read(spark, path)
+    assert(after.where(col("k") === 4).select("amount")
+      .as[Long].head() == 444L)
+    assert(after.where(col("k") === 61).select("amount")
+      .as[Long].head() == 610L)
+    assert(after.count() == 61)
+    // compaction after the rename preserves content
+    FactVersioned.compactPartitions(spark, path,
+      Seq("p=0", "p=1", "p=2"), "p", retain = 10)
+    assert(FactVersioned.read(spark, path)
+      .select(col("k"), col("p"), col("amount"))
+      .as[(Long, Int, Long)].collect().length == 61)
+    // the OLD name cannot come back: carried files still hold it
+    // physically, and a re-add would resurrect the stale values
+    val eAdd = intercept[Exception] {
+      FactVersioned.addColumns(spark, path,
+        Seq(org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    }
+    assert(eAdd.getMessage.contains("DROPPED"), eAdd.getMessage)
+    // restore to the pre-rename generation reads the old names again
+    FactVersioned.restore(spark, path, 1L, retain = 10)
+    assert(FactVersioned.read(spark, path).columns.toSeq ==
+      Seq("k", "p", "v"))
+    assert(rows(FactVersioned.read(spark, path)) == before)
+  }
+
+  test("renameColumns guards: partition columns, existing/tombstoned " +
+      "targets, vgen, and swaps are rejected") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path,
+      (1 to 30).map(i => (i.toLong, i % 3, i * 10L, s"n$i"))
+        .toDF("k", "p", "v", "note"),
+      Seq("k"), "p")
+    def msg(body: => Any): String =
+      intercept[Exception](body).getMessage
+    assert(msg(FactVersioned.renameColumns(spark, path, Map("p" -> "q")))
+      .contains("partition column"))
+    assert(msg(FactVersioned.renameColumns(spark, path, Map("v" -> "note")))
+      .contains("already exists"))
+    assert(msg(FactVersioned.renameColumns(spark, path,
+      Map("v" -> FactVersioned.VGenCol))).contains("reserved"))
+    assert(msg(FactVersioned.renameColumns(spark, path,
+      Map("v" -> "note2", "note" -> "note2")))
+      .contains("same name"))
+    // dropped name stays dead as a rename TARGET
+    FactVersioned.dropColumns(spark, path, Seq("note"))
+    assert(msg(FactVersioned.renameColumns(spark, path, Map("v" -> "note")))
+      .contains("dropped or renamed away"))
+    // a swap (target exists as a rename source in the same call)
+    FactVersioned.renameColumns(spark, path, Map("v" -> "w"))
+    assert(msg(FactVersioned.renameColumns(spark, path,
+      Map("w" -> "v"))).contains("dropped or renamed away"))
+    // renaming the RENAMED column again chains fine to a fresh name
+    FactVersioned.renameColumns(spark, path, Map("w" -> "x"))
+    val now = FactVersioned.read(spark, path)
+    assert(now.columns.toSeq == Seq("k", "p", "x"))
+    assert(now.where(col("k") === 5).select("x").as[Long].head() == 50L)
+  }
+
+  test("stats pruning (readWhere) keeps working across a rename: " +
+      "stats live under physical names, lookups translate") {
+    val path = tmp()
+    // sorted layout so per-file bounds are tight; record stats on v
+    val sorted = (1 to 400).map(i => (i.toLong, 0, i.toLong))
+      .toDF("k", "p", "v").repartitionByRange(8, col("v"))
+      .sortWithinPartitions(col("v"))
+    FactVersioned.replacePartitions(spark, path, sorted, "p", Seq(0),
+      statsCols = Seq("v"))
+    FactVersioned.renameColumns(spark, path, Map("v" -> "amount"))
+    val scan = FactVersioned.readWhere(spark, path, None,
+      Seq(DataSkipping.ColRange("amount", lit(10L), lit(20L))))
+    assert(scan.report.filesRead < scan.report.filesTotal,
+      s"rename must not break stats pruning: ${scan.report}")
+    assert(scan.df.select("amount").as[Long].collect().sorted.toSeq ==
+      (10L to 20L))
+    // and stats recorded AFTER the rename (under the logical name in
+    // the caller's hands, physical on disk) still prune
+    FactVersioned.compactPartitions(spark, path, Seq("p=0"), "p",
+      retain = 10, zorderCols = Seq("amount"), statsCols = Seq("amount"))
+    val scan2 = FactVersioned.readWhere(spark, path, None,
+      Seq(DataSkipping.ColRange("amount", lit(50L), lit(60L))))
+    assert(scan2.df.select("amount").as[Long].collect().sorted.toSeq ==
+      (50L to 60L))
+  }
 }
