@@ -762,6 +762,13 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
           case Some((rel, table)) =>
+            // the probe rides internal __graft_-prefixed slots (key,
+            // tp, carried) on the enriched frame — a source column in
+            // that namespace would collide with them
+            m.sourceTable.output.filter(_.name.startsWith("__graft_"))
+              .foreach(a => unsupported(
+                s"MERGE source column '${a.name}' uses the reserved " +
+                  "'__graft_' prefix — rename it"))
             val keys = keysOf(m.mergeCondition, rel, m.sourceTable)
             require(keys.nonEmpty, "GraftDml: MERGE ON yielded no keys")
             val pcols =

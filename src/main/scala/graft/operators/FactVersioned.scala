@@ -1447,7 +1447,14 @@ object FactVersioned {
     *  - column-keyed sidecars (ANN/text indexes, z-order stats) are
     *    keyed by the LOGICAL name at build time: rebuild indexes on a
     *    renamed column (queries fail loudly with the no-index message
-    *    until then). */
+    *    until then);
+    *  - like every metadata-only commit (add/drop/restore), a rename
+    *    declares an EMPTY touched set, so it does not CONFLICT with a
+    *    concurrent data commit — the data commit pins the schema/map
+    *    it resolved at ITS claim (racing DDL against DML can lose the
+    *    DDL, never corrupt data: all files share one physical
+    *    namespace either way). Concurrent renames serialize through
+    *    the claim protocol like any committers. */
   def renameColumns(
       spark: SparkSession,
       tablePath: String,

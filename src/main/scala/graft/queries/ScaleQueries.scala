@@ -46,7 +46,7 @@ object ScaleQueries extends QueryPack {
 
   /** Column names physically present in a generation's staged files
     * (q160: the post-rename staging contract). */
-  private def spark2files(
+  private def stagedFileColumns(
       s: SparkSession, path: String, gen: Long): Set[String] =
     s.read.parquet(
       s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=$gen")
@@ -1793,7 +1793,7 @@ object ScaleQueries extends QueryPack {
           |  'R' AS o_orderstatus, o_totalprice * 2 AS amount, p_year
           |FROM graft.orders_rn VERSION AS OF 0
           |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
-      val staged = spark2files(s, path, 2L)
+      val staged = stagedFileColumns(s, path, 2L)
       require(staged.contains("o_totalprice") && !staged.contains("amount"),
         s"q160: post-rename staging must use the physical name, " +
           s"got $staged")

@@ -103,10 +103,29 @@ private class GraftRenamingScanBuilder(
 }
 
 private class GraftRenamingScan(
-    inner: Scan, p2l: Map[String, String]) extends Scan {
+    inner: Scan, p2l: Map[String, String]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType =
     StructType(inner.readSchema().fields.map(f =>
       f.copy(name = p2l.getOrElse(f.name.toLowerCase, f.name))))
   override def toBatch: Batch = inner.toBatch
   override def description(): String = inner.description()
+  // the execution decides columnar support from the scan — delegate,
+  // or a renamed table would silently lose vectorized reading
+  override def columnarSupportMode()
+      : Scan.ColumnarSupportMode = inner.columnarSupportMode()
+  // size estimates feed join planning (auto-broadcast) — without the
+  // delegation a renamed table reads as defaultSizeInBytes (huge) and
+  // never broadcasts
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 }
