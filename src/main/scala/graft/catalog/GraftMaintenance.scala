@@ -27,10 +27,11 @@ import graft.operators.{FactVersioned, Versioned, ZOrder}
   *    new generation whose rows are byte-identical, prior generations
   *    untouched until retention (compaction never breaks time
   *    travel).
-  *  - `VACUUM <catalog>.<table> [RETAIN <n> GENERATIONS]` →
+  *  - `VACUUM <catalog>.<table> [RETAIN <n> GENERATIONS] [DRY RUN]` →
   *    [[FactVersioned.vacuum]] / [[Versioned.vacuum]]: expire
   *    generations beyond the window and GC unreferenced data files.
-  *    Returns one row per expired generation.
+  *    Returns one row per expired generation; `DRY RUN` previews the
+  *    set without acting.
   *  - `DESCRIBE HISTORY <catalog>.<table>` → the commit log, newest
   *    first: generation, commit instant (the marker's visibility
   *    time), declared touched partitions (fact; the conflict-detection
@@ -128,7 +129,8 @@ object GraftMaintenance {
   }
   private val VacuumRe =
     ("(?is)\\s*VACUUM\\s+" + Ident +
-      "(?:\\s+RETAIN\\s+(\\d+)\\s+GENERATIONS?)?\\s*;?\\s*").r
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+GENERATIONS?)?" +
+      "(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*").r
   private val HistoryRe =
     ("(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ident + "\\s*;?\\s*").r
   private val RestoreRe =
@@ -149,8 +151,9 @@ object GraftMaintenance {
         Option(zcols).map(_.split(",").map(c =>
           parts(c.trim).mkString(".")).toSeq).getOrElse(Nil),
         Option(where).map(parseWhere).getOrElse(Nil)))
-    case VacuumRe(ident, n) =>
-      Some(GraftVacuumCommand(parts(ident), Option(n).map(_.toInt)))
+    case VacuumRe(ident, n, dry) =>
+      Some(GraftVacuumCommand(parts(ident), Option(n).map(_.toInt),
+        dryRun = dry != null))
     case HistoryRe(ident) =>
       Some(GraftDescribeHistoryCommand(parts(ident)))
     case RestoreRe(ident, gen) =>
@@ -416,12 +419,17 @@ case class GraftOptimizeCommand(
   }
 }
 
-/** `VACUUM t [RETAIN n GENERATIONS]` — expire generations beyond the
-  * window (default: the catalog's conf-or-preserve retention) and GC
-  * data files no retained manifest references. One row per expired
-  * generation; in-flight claims are never touched. */
+/** `VACUUM t [RETAIN n GENERATIONS] [DRY RUN]` — expire generations
+  * beyond the window (default: the catalog's conf-or-preserve
+  * retention) and GC data files no retained manifest references. One
+  * row per expired generation; in-flight claims are never touched.
+  * `DRY RUN` (the Delta shape) reports exactly the generations the
+  * real statement would expire WITHOUT acting — metadata-scale (a
+  * generation listing), so an operator can check the blast radius of
+  * a retention change before committing to it. */
 case class GraftVacuumCommand(
-    table: Seq[String], retain: Option[Int]) extends LeafRunnableCommand {
+    table: Seq[String], retain: Option[Int],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("expired_generation", LongType, nullable = false)())
@@ -431,7 +439,15 @@ case class GraftVacuumCommand(
     val n = retain.getOrElse(
       GraftMaintenance.retainFor(spark, r.catalogName, r.path))
     val dropped =
-      if (r.isFact) FactVersioned.vacuum(spark, r.path, n)
+      if (dryRun) {
+        require(n >= 1, "VACUUM must retain at least the head generation")
+        val committed =
+          if (r.isFact) FactVersioned.generations(spark, r.path)
+          else Versioned.generations(spark, r.path)
+        val floor = committed.takeRight(n).headOption.getOrElse(Long.MaxValue)
+        committed.filter(_ < floor)
+      }
+      else if (r.isFact) FactVersioned.vacuum(spark, r.path, n)
       else Versioned.vacuum(spark, r.path, n)
     dropped.map(Row(_))
   }

@@ -347,6 +347,20 @@ class GraftMaintenanceSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("nosuch"))
   }
 
+  test("VACUUM DRY RUN reports exactly what the real statement would " +
+      "expire, and expires nothing") {
+    val (s, _, path) = factTable() // three generations
+    val preview = s.sql("VACUUM g.t RETAIN 1 GENERATIONS DRY RUN")
+      .collect().map(_.getLong(0)).toSeq
+    assert(preview == Seq(0L, 1L), preview)
+    assert(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+      "DRY RUN must not expire anything")
+    val real = s.sql("VACUUM g.t RETAIN 1 GENERATIONS")
+      .collect().map(_.getLong(0)).toSeq
+    assert(real == preview, "the real VACUUM must expire the preview set")
+    assert(FactVersioned.generations(s, path) == Seq(2L))
+  }
+
   test("OPTIMIZE WHERE p IS NULL compacts exactly the null partition " +
       "— the one leaf no typed comparison can name") {
     val wh = Files.createTempDirectory("graft_maint_null_").toString

@@ -576,6 +576,41 @@ class FactVersionedSpec extends SparkSpec {
     assert(now.where(col("k") === 5).select("x").as[Long].head() == 50L)
   }
 
+  test("tombstone crash windows never lose entries: the bak rotation " +
+      "is read as fallback when the live file is missing") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path,
+      (1 to 12).map(i => (i.toLong, i % 3, i * 10L, s"x$i"))
+        .toDF("k", "p", "v", "w"),
+      Seq("k"), "p")
+    FactVersioned.dropColumns(spark, path, Seq("w"))
+    FactVersioned.renameColumns(spark, path, Map("v" -> "amount"))
+    assert(FactVersioned.droppedColumns(spark, path) == Set("w", "v"))
+    // simulate the crash window between `dest → bak` and `tmp → dest`:
+    // the live file is gone, the bak holds the pre-crash full set
+    val fs = fsOf(path)
+    val dest = new Path(s"$path/${FactVersioned.GensDir}/_dropped_columns")
+    val bak = new Path(dest.getParent, dest.getName + ".bak")
+    assert(fs.exists(dest))
+    if (fs.exists(bak)) fs.delete(bak, false)
+    assert(fs.rename(dest, bak))
+    // fallback read: the (pre-"crash") full set is still visible, so
+    // the widening doors stay closed
+    assert(FactVersioned.droppedColumns(spark, path) == Set("w", "v"))
+    val e = intercept[Exception] {
+      FactVersioned.addColumns(spark, path,
+        Seq(org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // the next tombstoning commit heals the rotation (writes a fresh
+    // live file merging the bak's entries)
+    FactVersioned.renameColumns(spark, path, Map("amount" -> "amt"))
+    assert(fs.exists(dest))
+    assert(FactVersioned.droppedColumns(spark, path) ==
+      Set("w", "v", "amount"))
+  }
+
   test("stats pruning (readWhere) keeps working across a rename: " +
       "stats live under physical names, lookups translate") {
     val path = tmp()
