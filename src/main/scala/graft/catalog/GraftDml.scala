@@ -515,10 +515,18 @@ object GraftDml {
           case eq @ EqualTo(_: Literal, a: AttributeReference)
               if target.outputSet.contains(a) &&
                 pcols.exists(_.equalsIgnoreCase(a.name)) => bySourceCond(eq)
+          // IS NULL scopes the null partition — the one leaf an
+          // equality literal can never name (same closure as
+          // OPTIMIZE WHERE's IS NULL arm)
+          case n @ org.apache.spark.sql.catalyst.expressions
+              .IsNull(a: AttributeReference)
+              if target.outputSet.contains(a) &&
+                pcols.exists(_.equalsIgnoreCase(a.name)) => bySourceCond(n)
           case other => unsupported(
             "WHEN NOT MATCHED BY SOURCE conditions on a fact table must " +
               "be conjunctions of <target partition column> = <literal> " +
-              s"(the rewrite scope); got: ${other.sql}")
+              s"or <target partition column> IS NULL (the rewrite " +
+              s"scope); got: ${other.sql}")
         }.reduce(And)
       }
     /** BY SOURCE UPDATE assignments — evaluated on the TARGET side

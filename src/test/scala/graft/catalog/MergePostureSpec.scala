@@ -184,5 +184,22 @@ class MergePostureSpec extends SparkSpec {
     assert(afterUpdate.contains((6L, None, 999L)))
     assert(afterUpdate.count(_._2.isEmpty) == 9)
     assert(afterUpdate.size == 29)
+    // a BY SOURCE sync can SCOPE the null partition via IS NULL — the
+    // one leaf an equality literal can never name: the source keeps
+    // key 6; every other null-partition row is deleted, typed
+    // partitions untouched
+    s.createDataset(Seq(6L)).toDF("k").createOrReplaceTempView("np_src")
+    s.sql(
+      """MERGE INTO g.t t USING np_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.p IS NULL THEN DELETE
+        |""".stripMargin)
+    val afterSync = FactVersioned.read(s, path)
+      .select("k", "p", "v").as[(Long, Option[Int], Long)].collect().toSet
+    assert(afterSync.count(_._2.isEmpty) == 1 &&
+      afterSync.contains((6L, None, 999L)),
+      s"IS NULL scope must keep only the source-named null-partition " +
+        s"row, got ${afterSync.filter(_._2.isEmpty)}")
+    assert(afterSync.count(_._2.nonEmpty) == 20,
+      "typed partitions must be untouched by the null-scoped sync")
   }
 }
