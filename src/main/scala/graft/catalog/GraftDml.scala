@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, TimestampNTZType, TimestampType}
 
 import graft.operators.{FactVersioned, Versioned}
 
@@ -227,17 +228,29 @@ object GraftDml {
     }
     // see through the comparison coercion the analyzer inserts when
     // the two sides' types differ (`t.k = s.kk` with bigint vs int
-    // arrives as `t.k = CAST(s.kk AS BIGINT)`) — but ONLY lossless
-    // up-casts: the rebuilt probe join re-derives the identical
-    // coercion, while a user-written NARROWING cast would change which
-    // rows match and stays rejected
+    // arrives as `t.k = CAST(s.kk AS BIGINT)`) — but ONLY the cast
+    // SHAPES that coercion itself plants (numeric/decimal widening,
+    // date→timestamp): the rebuilt probe join re-derives the identical
+    // coercion for those. `canUpCast` alone is too permissive — it
+    // admits atomic→STRING (`ON CAST(t.k AS STRING) = s.txt`), where
+    // the raw-column probe would re-derive bigint-vs-string NUMERIC
+    // coercion instead of the user's string equality ('010' ≠ 10),
+    // silently changing which rows match. Those stay rejected, as do
+    // user-written narrowing casts.
+    def coercionCast(from: DataType, to: DataType): Boolean =
+      (from, to) match {
+        case (f: NumericType, t: NumericType) =>
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t)
+        case (DateType, TimestampType) => true
+        case (DateType, TimestampNTZType) => true
+        case _ => false
+      }
     def keyAttr(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference => Some(a)
       case c: org.apache.spark.sql.catalyst.expressions.Cast =>
         c.child match {
           case a: AttributeReference
-              if org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(a.dataType, c.dataType) => Some(a)
+              if coercionCast(a.dataType, c.dataType) => Some(a)
           case _ => None
         }
       case _ => None
@@ -322,13 +335,25 @@ object GraftDml {
       * positional slot — e.g. `CAST(p_year AS BIGINT)` from vgen's
       * slot). Re-casting to the CURRENT target attribute's type makes
       * the projection authoritative regardless of what alignment
-      * planted. */
-    def typed(tc: Attribute, e: Expression): Expression =
-      if (e.resolved && e.dataType == tc.dataType) e
+      * planted — and the stale alignment cast is STRIPPED, not
+      * wrapped: resolved assignments always arrive aligned to the
+      * target type, so a resolved value whose outermost type differs
+      * can only be the mis-zipped alignment cast, and it may be
+      * NARROWER than the real column (e.g. `CAST(bigint_col AS INT)`
+      * typed from an int slot) — Cast-over-Cast would truncate through
+      * the inner cast before the outer re-widened. A user-written cast
+      * sits BELOW the alignment cast (alignment wraps it at analysis),
+      * so one-level stripping never removes user intent. */
+    def typed(tc: Attribute, e: Expression): Expression = e match {
+      case _ if e.resolved && e.dataType == tc.dataType => e
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.resolved && c.dataType != tc.dataType =>
+        org.apache.spark.sql.catalyst.expressions.Cast(c.child, tc.dataType)
       // not-yet-resolved trees (probe-carried slots) can't report a
       // type here — cast unconditionally; a same-type cast collapses
       // in the optimizer (SimplifyCasts), so this costs nothing
-      else org.apache.spark.sql.catalyst.expressions.Cast(e, tc.dataType)
+      case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, tc.dataType)
+    }
     /** Alignment casts wrap even identity assignments (`SET k = s.k`
       * arrives as `CAST(s.k AS <target type>)` when the source key is
       * narrower) — unwrap before identity checks. */
@@ -772,8 +797,11 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some((rel, table)) =>
             // the probe rides internal __graft_-prefixed slots (key,
             // tp, carried) on the enriched frame — a source column in
-            // that namespace would collide with them
-            m.sourceTable.output.filter(_.name.startsWith("__graft_"))
+            // that namespace would collide with them. Case-INsensitive
+            // like Spark's own name resolution: a '__GRAFT_K0' source
+            // column is the same name to the enriched-frame join/drop.
+            m.sourceTable.output.filter(_.name
+                .toLowerCase(java.util.Locale.ROOT).startsWith("__graft_"))
               .foreach(a => unsupported(
                 s"MERGE source column '${a.name}' uses the reserved " +
                   "'__graft_' prefix — rename it"))

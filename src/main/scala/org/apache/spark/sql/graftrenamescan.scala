@@ -63,11 +63,68 @@ private class GraftRenamedTable(
     new GraftRenamingScanBuilder(inner.newScanBuilder(options), l2p)
 }
 
+/** Rewrites NamedReferences inside DSv2 connector expression trees
+  * through a name map (top-level column segment only — nested-field
+  * renames don't exist in this store). Shapes it can't rebuild are
+  * returned unchanged by [[renameRefs]] / signalled by [[None]] from
+  * [[renameRefsStrict]] so callers can decline instead of mistranslate. */
+private object GraftV2ExprRename {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, FieldReference, GeneralScalarExpression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  def renameRefsStrict(e: V2Expr, f: String => String): Option[V2Expr] =
+    e match {
+      case nr: NamedReference =>
+        val parts = nr.fieldNames().toIndexedSeq
+        Some(FieldReference(f(parts.head) +: parts.tail))
+      case p: Predicate =>
+        val kids = p.children().map(renameRefsStrict(_, f))
+        if (kids.exists(_.isEmpty)) None
+        else Some(new Predicate(p.name(), kids.map(_.get)))
+      case g: GeneralScalarExpression =>
+        val kids = g.children().map(renameRefsStrict(_, f))
+        if (kids.exists(_.isEmpty)) None
+        else Some(new GeneralScalarExpression(g.name(), kids.map(_.get)))
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(l)
+      case other if other.references().isEmpty => Some(other)
+      case _ => None
+    }
+
+  /** Best-effort variant for REPORTING paths (EXPLAIN text): an
+    * untranslatable shape passes through verbatim rather than hiding
+    * the filter from the plan. */
+  def renameRefs(e: Predicate, f: String => String): Predicate =
+    renameRefsStrict(e, f) match {
+      case Some(p: Predicate) => p
+      case _ => e
+    }
+
+  def renameAgg(agg: Aggregation, f: String => String): Option[Aggregation] = {
+    def fn(a: AggregateFunc): Option[AggregateFunc] = a match {
+      case m: Min => renameRefsStrict(m.column, f).map(new Min(_))
+      case m: Max => renameRefsStrict(m.column, f).map(new Max(_))
+      case c: Count =>
+        renameRefsStrict(c.column, f).map(new Count(_, c.isDistinct))
+      case c: CountStar => Some(c)
+      case s: Sum => renameRefsStrict(s.column, f).map(new Sum(_, s.isDistinct))
+      case a0: Avg => renameRefsStrict(a0.column, f).map(new Avg(_, a0.isDistinct))
+      case _ => None // GeneralAggregateFunc/UDAF: decline, don't mistranslate
+    }
+    val aggs = agg.aggregateExpressions().map(fn)
+    val groups = agg.groupByExpressions().map(renameRefsStrict(_, f))
+    if (aggs.exists(_.isEmpty) || groups.exists(_.isEmpty)) None
+    else Some(new Aggregation(aggs.map(_.get), groups.map(_.get)))
+  }
+}
+
 private class GraftRenamingScanBuilder(
     inner: ScanBuilder,
     l2p: Map[String, String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private val p2l: Map[String, String] =
     l2p.map { case (l, p) => p.toLowerCase -> l }
   private def pname(l: String): String = l2p.getOrElse(l.toLowerCase, l)
@@ -92,24 +149,103 @@ private class GraftRenamingScanBuilder(
       case _ => filters
     }
 
+  // reporting path (EXPLAIN's `PushedFilters:`): translate the inner
+  // scan's physical column names back to the user's logical names —
+  // resolution downstream is by exprId, so this is display fidelity,
+  // but a plan printing `v > 350` for a column the user knows as
+  // `amount` is a debugging trap
   override def pushedFilters()
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner match {
-      case s: SupportsPushDownCatalystFilters => s.pushedFilters
+      case s: SupportsPushDownCatalystFilters =>
+        s.pushedFilters.map(GraftV2ExprRename.renameRefs(_, lname))
       case _ => Array.empty
     }
+
+  // parquet MIN/MAX/COUNT pushdown (spark.sql.parquet.aggregatePushDown)
+  // reaches the inner builder under PHYSICAL names; without the
+  // forwarding a renamed table silently loses footer-stats aggregation
+  // that identity tables keep. Shapes the translator can't rebuild are
+  // DECLINED (full-scan fallback), never mistranslated.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      GraftV2ExprRename.renameAgg(agg, pname)
+        .exists(s.supportCompletePushDown)
+    case _ => false
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      GraftV2ExprRename.renameAgg(agg, pname).exists(s.pushAggregation)
+    case _ => false
+  }
 
   override def build(): Scan = new GraftRenamingScan(inner.build(), p2l)
 }
 
 private class GraftRenamingScan(
     inner: Scan, p2l: Map[String, String]) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  private val l2p: Map[String, String] =
+    p2l.map { case (p, l) => l.toLowerCase -> p }
   override def readSchema(): StructType =
     StructType(inner.readSchema().fields.map(f =>
       f.copy(name = p2l.getOrElse(f.name.toLowerCase, f.name))))
+
+  /** Rewrite physical column names to logical in EXPLAIN text
+    * (identifier-boundary matches — `v` must not rewrite inside
+    * `avg`). Display-only: resolution is by exprId everywhere; without
+    * this a plan prints `PushedFilters: [v > 350]` for a column the
+    * user knows as `amount` — a debugging trap. */
+  private def logicalText(s: String): String =
+    p2l.foldLeft(s) { case (acc, (p, l)) =>
+      acc.replaceAll(
+        "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(p) +
+          "(?![A-Za-z0-9_])", java.util.regex.Matcher.quoteReplacement(l))
+    }
+
+  // runtime (dynamic) filtering, e.g. DPP: Spark 4.1's own FileScan
+  // does not implement it, but delegate when a future inner scan does
+  // — attributes surface under LOGICAL names, runtime predicates
+  // translate back to physical on the way down. A non-filtering inner
+  // scan reports no filterable attributes (harmless no-op).
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        s.filterAttributes().map(nr =>
+          GraftV2ExprRename.renameRefsStrict(
+              nr, p => p2l.getOrElse(p.toLowerCase, p))
+            .collect { case n: org.apache.spark.sql.connector.expressions.NamedReference => n }
+            .getOrElse(nr))
+      case _ => Array.empty
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      s.filter(predicates.map(GraftV2ExprRename.renameRefs(
+        _, l => l2p.getOrElse(l.toLowerCase, l))))
+    case _ => ()
+  }
   override def toBatch: Batch = inner.toBatch
-  override def description(): String = inner.description()
+  override def description(): String = logicalText(inner.description())
+  override def getMetaData(): Map[String, String] = inner match {
+    case s: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      // Location is a filesystem path — a dir segment could collide
+      // with a physical column name; leave paths verbatim
+      s.getMetaData().map { case (k, v) =>
+        k -> (if (k.equalsIgnoreCase("Location")) v else logicalText(v))
+      }
+    case _ => Map.empty
+  }
   // the execution decides columnar support from the scan — delegate,
   // or a renamed table would silently lose vectorized reading
   override def columnarSupportMode()

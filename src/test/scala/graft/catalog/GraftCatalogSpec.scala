@@ -368,10 +368,14 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT k, amount FROM graftt.facts_r WHERE amount > 350")
     assert(q.as[(Long, Long)].collect().toSet ==
       (36 to 40).map(i => (i.toLong, i * 10L)).toSet)
-    // pushdown still reaches the parquet scan — under the PHYSICAL name
+    // pushdown still reaches the parquet scan, and the plan REPORTS it
+    // under the user's LOGICAL name (physically it travels as `v`; the
+    // display translation is GraftRenamingScan.logicalText)
     val plan = q.queryExecution.sparkPlan.toString
-    assert(plan.contains("GreaterThan(v,350"),
-      s"expected amount > 350 pushed down as the physical column:\n$plan")
+    assert(plan.contains("GreaterThan(amount,350"),
+      s"expected amount > 350 pushed down and displayed logically:\n$plan")
+    assert(!plan.contains("GreaterThan(v,350"),
+      s"physical filter names must not leak into EXPLAIN:\n$plan")
     // column pruning: the scan must read only (k, amount-as-v) + pcols
     val pruned = q.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
@@ -412,5 +416,30 @@ class GraftCatalogSpec extends SparkSpec {
       s.sql("ALTER TABLE graftt.facts_r ADD COLUMN v BIGINT")
     }
     assert(eAdd.getMessage.contains("DROPPED"), eAdd.getMessage)
+  }
+
+  test("parquet aggregate pushdown survives a rename: MIN/MAX/COUNT " +
+      "over the renamed column answer from footer stats, translated " +
+      "through the column mapping") {
+    val root = Files.createTempDirectory("graft_cat_agg_").toString
+    val path = s"$root/facts_ag"
+    val f0 = (1 to 40).map(i => (i.toLong, i % 2, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
+    register(root)
+    spark.sql("ALTER TABLE graftt.facts_ag RENAME COLUMN v TO amount")
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try {
+      val q = spark.sql(
+        "SELECT MIN(amount) AS lo, MAX(amount) AS hi, COUNT(*) AS n " +
+          "FROM graftt.facts_ag")
+      val plan = q.queryExecution.executedPlan.toString
+      // the forwarding seam (GraftRenamingScanBuilder.pushAggregation):
+      // identity tables push footer-stats aggregation; the mapped
+      // table must too
+      assert(plan.contains("PushedAggregation"),
+        s"aggregate pushdown must survive the rename:\n$plan")
+      assert(q.as[(Long, Long, Long)].head() == ((10L, 400L, 40L)))
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushDown")
   }
 }

@@ -669,6 +669,41 @@ class GraftDmlSpec extends SparkSpec {
       "int literal 0 must cast to the bigint column")
   }
 
+  test("ON-clause cast see-through is limited to comparison coercion: " +
+      "a user cast to STRING is rejected, not silently re-joined raw") {
+    val (s, _, path) = freshTable()
+    s.createDataset(Seq(("6", 7L), ("010", 8L))).toDF("txt", "nv")
+      .createOrReplaceTempView("str_src")
+    // canUpCast(bigint → string) holds, but seeing through it would
+    // rebuild the probe as t.k = s.txt — NUMERIC coercion ('010' = 10
+    // matches), not the user's string equality ('010' ≠ '10')
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t AS t USING str_src AS s
+          |ON CAST(t.k AS STRING) = s.txt
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |""".stripMargin)
+    }
+    assert(messagesOf(e).contains("conjunction of target.col"),
+      messagesOf(e))
+    assert(FactVersioned.generations(s, path) == Seq(0L),
+      "the rejected merge must not commit")
+  }
+
+  test("the reserved __graft_ source-namespace guard is case-" +
+      "insensitive, like Spark name resolution") {
+    val (s, _, _) = freshTable()
+    s.createDataset(Seq((3L, 30L))).toDF("__GRAFT_K0", "nv")
+      .createOrReplaceTempView("res_src")
+    val e = intercept[Throwable] {
+      s.sql(
+        """MERGE INTO g.t AS t USING res_src AS s ON t.k = s.__GRAFT_K0
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |""".stripMargin)
+    }
+    assert(messagesOf(e).contains("reserved"), messagesOf(e))
+  }
+
   test("WHEN NOT MATCHED BY SOURCE THEN UPDATE flags scoped stale " +
       "rows in place; key/partition assignments rejected") {
     val (s, _, path) = freshTable()
