@@ -24,14 +24,16 @@ import graft.operators.{AnnIndex, FactChangeFeed, TfIdf}
   * ANN/BM25 stores and the CDC feed were the only first-class
   * subsystems without a SQL door (VERDICT r12 "Next" #3/#4):
   *
-  *  - `graft_table_changes('<cat>.<t>' | '<path>', 'k1[,k2]', from, to)`
+  *  - `graft_table_changes('<cat>.<t>' | '<path>'[, 'k1[,k2]'], from, to)`
   *    — the row delta transforming generation `from` into `to` of a
   *    fact table ([[FactChangeFeed.window]]'s `(from, to]` window;
   *    `from = -1` reads "from empty"). Generations are immutable, so
   *    the same window always returns the identical rows — the Delta
-  *    `table_changes` idea over the manifest store, with the diff keys
-  *    passed explicitly (this store computes CDC from generation
-  *    diffs; it does not persist per-commit change rows).
+  *    `table_changes` idea over the manifest store (this store
+  *    computes CDC from generation diffs; it does not persist
+  *    per-commit change rows). The keys argument may be omitted when
+  *    the table has RECORDED default merge keys (written at its first
+  *    upsert/MERGE — [[graft.operators.FactVersioned.recordedMergeKeys]]).
   *  - `graft_ann_topk('<table>', '<vec_col>', k, n_probe)` — IVF
   *    top-k over the PERSISTED `_graft_ann__` sidecar
   *    ([[AnnIndex.ivfTopKIndexed]]): corpus self-join shape, no base
@@ -48,7 +50,9 @@ import graft.operators.{AnnIndex, FactChangeFeed, TfIdf}
   * resolved through the session's `spark.sql.catalog.*` conf) or a
   * direct filesystem path (anything containing '/'); query-batch
   * arguments name a table/view visible to `spark.table`. Scalar
-  * arguments must be literals — the plan is built at resolution time.
+  * arguments must FOLD to constants (literals, arithmetic over
+  * literals, deterministic casts) — the plan is built at resolution
+  * time, so a column reference has no value to offer yet.
   */
 object GraftFunctions {
 
@@ -95,9 +99,23 @@ object GraftFunctions {
 
   // ---- table-valued functions ----------------------------------------
 
+  /** Constant-fold a scalar TVF argument: plans are built at
+    * resolution time, so arguments must reduce to values HERE — but a
+    * user writing `3 + 1`, `-1`, or a deterministic cast means a
+    * constant just as much as a bare literal does (VERDICT r13 missing
+    * #5). Anything non-foldable (a column, a non-deterministic call)
+    * still falls through to the caller's must-be-a-literal error. */
+  private def folded(e: Expression): Expression = e match {
+    case l: Literal => l
+    case _ if e.resolved && e.foldable && e.deterministic =>
+      Literal.create(
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+    case other => other
+  }
+
   private def litString(
       es: Seq[Expression], i: Int, fn: String, what: String): String =
-    es(i) match {
+    folded(es(i)) match {
       case Literal(v, StringType) if v != null => v.toString
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} ($what) must be a string literal; " +
@@ -106,7 +124,7 @@ object GraftFunctions {
 
   private def litLong(
       es: Seq[Expression], i: Int, fn: String, what: String): Long =
-    es(i) match {
+    folded(es(i)) match {
       case Literal(v: Int, IntegerType) => v.toLong
       case Literal(v: Long, LongType) => v
       case other => throw new IllegalArgumentException(
@@ -140,16 +158,48 @@ object GraftFunctions {
   val tableBuilders: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_table_changes" -> (es => {
       val fn = "graft_table_changes"
-      argCount(es, 4,
-        s"$fn('<cat>.<table>'|'<path>', 'k1[,k2]', from_gen, to_gen) — " +
-          "from_gen = -1 reads from empty")
+      require(es.length == 3 || es.length == 4,
+        s"usage: $fn('<cat>.<table>'|'<path>'[, 'k1[,k2]'], from_gen, " +
+          "to_gen) — from_gen = -1 reads from empty; the keys argument " +
+          "may be omitted when the table has recorded default merge " +
+          "keys (set at its first upsert/MERGE)")
       val spark = SparkSession.active
       val path = tablePathArg(spark, es, 0, fn)
-      val keys = litString(es, 1, fn, "keys")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val fromIdx = if (es.length == 4) 2 else 1
+      val from = litLong(es, fromIdx, fn, "from_gen")
+      val to = litLong(es, fromIdx + 1, fn, "to_gen")
+      // Delta's `table_changes('t', from, to)` shape: with no keys
+      // argument, resolve the table's RECORDED default merge keys
+      // (written at first upsert/MERGE — FactVersioned.recordMergeKeys).
+      // The record names HEAD-logical columns; a window over PRE-rename
+      // generations sees the column under its then-current name, so
+      // translate head-logical → physical → window-end logical through
+      // the column mappings (windows SPANNING a rename are constrained
+      // the same way for explicit keys: the two generations disagree on
+      // the name either way).
+      val keys =
+        if (es.length == 4)
+          litString(es, 1, fn, "keys")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else {
+          val recorded = graft.operators.FactVersioned
+            .recordedMergeKeys(spark, path)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$fn: table at $path has no recorded default merge keys " +
+                "(it was never upserted or MERGEd through a keyed " +
+                "door) — pass the keys argument explicitly: " +
+                s"$fn('<table>', 'k1[,k2]', from_gen, to_gen)"))
+          val headMap = graft.operators.FactVersioned
+            .generationColMap(spark, path)
+          val toL = graft.operators.FactVersioned
+            .generationColMap(spark, path, Some(to))
+            .map { case (l, p) => p.toLowerCase -> l }
+          recorded.map { k =>
+            val phys = headMap.getOrElse(k.toLowerCase, k)
+            toL.getOrElse(phys.toLowerCase, phys)
+          }
+        }
       require(keys.nonEmpty, s"$fn: at least one key column required")
-      val from = litLong(es, 2, fn, "from_gen")
-      val to = litLong(es, 3, fn, "to_gen")
       FactChangeFeed.window(spark, path, keys,
         if (from < 0) None else Some(from), to)
         .queryExecution.analyzed

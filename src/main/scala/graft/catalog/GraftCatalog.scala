@@ -57,9 +57,10 @@ import graft.operators.{FactVersioned, Versioned}
   * dimensions) via the DSv2→V1 whole-frame bridge, so the claim/marker
   * protocol, conflict detection, and retention all apply unchanged.
   * INSERT into a pinned `VERSION AS OF` resolution, INSERT OVERWRITE,
-  * and destructive DDL (drop/truncate of committed tables, table
+  * and destructive DDL (bare drop/truncate of committed tables, table
   * renames) are rejected — partition replacement keeps its explicit
-  * operator surface. Schema evolution IS SQL-first: ALTER TABLE
+  * operator surface, and table destruction requires the explicit
+  * `DROP TABLE ... PURGE` opt-in ([[purgeTable]], claim-serialized). Schema evolution IS SQL-first: ALTER TABLE
   * ADD/DROP/RENAME COLUMN route to the stores' metadata-scale commits
   * (rename via column mapping — [[FactVersioned.renameColumns]]).
   *
@@ -433,8 +434,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** Droppable ONLY while pending (Spark's CTAS cleanup path after a
-    * failed write). Committed tables keep the DDL rejection — dropping
-    * data bypasses the claim/marker protocol. */
+    * failed write). Committed tables keep the DDL rejection — use the
+    * explicit `DROP TABLE ... PURGE` form ([[purgeTable]]) to destroy
+    * a committed table through the claim protocol. */
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)
     if (isPending(path) &&
@@ -443,7 +445,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val root = new Path(path)
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(root, true)
-    } else readOnly()
+    } else throw new UnsupportedOperationException(
+      s"GraftCatalog is read-only DDL for committed tables: bare " +
+        "DROP TABLE would silently destroy versioned history — use " +
+        "DROP TABLE ... PURGE to opt in explicitly")
+  }
+
+  /** `DROP TABLE ... PURGE` — the explicit-opt-in destructive door
+    * (VERDICT r13 Next #5): irreversibly deletes the table tree,
+    * serialized through the store's claim protocol
+    * ([[FactVersioned.destroy]] / [[Versioned.destroy]]) so racing
+    * committers resolve first and racing readers fail loudly (missing
+    * manifest/marker), never read a half-tree as a valid generation. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (isPending(path) &&
+        FactVersioned.generations(spark, path).isEmpty &&
+        Versioned.generations(spark, path).isEmpty) {
+      val root = new Path(path)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    } else if (FactVersioned.generations(spark, path).nonEmpty) {
+      FactVersioned.destroy(spark, path); true
+    } else if (Versioned.generations(spark, path).nonEmpty) {
+      Versioned.destroy(spark, path); true
+    } else throw new NoSuchTableException(ident)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

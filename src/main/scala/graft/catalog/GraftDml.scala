@@ -129,9 +129,17 @@ object GraftDml {
     * turns on together. */
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(s => GraftMergeVgenRule(s))
+    ext.injectResolutionRule(s => GraftInsertEvolveRule(s))
     ext.injectPostHocResolutionRule(s => GraftDmlRule(s))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
+
+  /** Conf gating INSERT-door schema widening (default off — the Delta
+    * `schema.autoMerge.enabled` posture): when true, an
+    * `INSERT INTO <fact> BY NAME` with extra source columns widens the
+    * table via a metadata-only addColumns commit instead of failing.
+    * See [[GraftInsertEvolveRule]]. */
+  val AutoMergeConf = "spark.graft.schema.autoMerge.enabled"
 
   /** The match-probe flag and carried-target-column naming shared by
     * resolution (which plants references to them) and execution (which
@@ -711,6 +719,21 @@ case class VgenWiden(child: LogicalPlan)
       newChild: LogicalPlan): VgenWiden = copy(child = newChild)
 }
 
+/** Parse-time marker holding an `INSERT INTO ... BY NAME` query back
+  * from the analyzer's output resolution (which throws on extra source
+  * columns BEFORE an injected rule could widen the table) until
+  * [[GraftInsertEvolveRule]] decides whether auto-widening applies —
+  * the same timing trick as [[VgenWiden]]. Unwrapped verbatim whenever
+  * widening does not apply: one extra analyzer iteration, zero
+  * semantic change. */
+case class GraftInsertWiden(child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftInsertWiden = copy(child = newChild)
+}
+
 /** Resolution-time source widening: a MERGE into a graft FACT table
   * gets a NULL [[FactVersioned.VGenCol]] appended to its source when
   * the source lacks one — the reserved provenance column is
@@ -741,6 +764,65 @@ case class GraftMergeVgenRule(session: SparkSession) extends Rule[LogicalPlan] {
           !w.child.output.exists(
             _.name.equalsIgnoreCase(FactVersioned.VGenCol))
         m.copy(sourceTable = if (needs) widen(w.child) else w.child)
+    }
+}
+
+/** INSERT-door schema widening (Delta's `mergeSchema` append posture,
+  * conf-gated like Delta's `schema.autoMerge.enabled`): an
+  * `INSERT INTO <fact> BY NAME` whose source carries columns the table
+  * lacks WIDENS the table first — a metadata-only
+  * [[FactVersioned.addColumns]] commit at ANALYSIS time (the posture
+  * of Spark's own `ResolveMergeIntoSchemaEvolution`, which alterTables
+  * during analysis) — then re-resolves the insert against the reloaded
+  * relation; carried files null-fill the new columns on read. The
+  * committer's tombstone checks apply unchanged: a previously-dropped
+  * name stays rejected, loudly, at the addColumns door. With the conf
+  * off (default) the [[GraftInsertWiden]] marker unwraps verbatim and
+  * the analyzer produces its standard extra-columns error.
+  *
+  * Like the analyzer's native evolution, the widening side effect runs
+  * when the statement is ANALYZED (an EXPLAIN widens too) — the
+  * documented q156 trade for resolving the insert's output against the
+  * post-DDL schema in one pass. */
+case class GraftInsertEvolveRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+
+  private def enabled: Boolean = session.conf
+    .getOption(GraftDml.AutoMergeConf).exists(_.toBoolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case i: InsertIntoStatement
+          if i.query.isInstanceOf[GraftInsertWiden] &&
+            i.query.asInstanceOf[GraftInsertWiden].child.resolved &&
+            i.table.resolved =>
+        val child = i.query.asInstanceOf[GraftInsertWiden].child
+        val unwrapped = i.copy(query = child)
+        GraftDml.graftTarget(i.table) match {
+          case Some((rel, table: WritableFactTable)) if enabled =>
+            val extra = child.output.filterNot(a =>
+              rel.output.exists(_.name.equalsIgnoreCase(a.name)))
+            if (extra.isEmpty) unwrapped
+            else {
+              graft.operators.FactVersioned.addColumns(session,
+                table.graftTablePath,
+                extra.map(a => org.apache.spark.sql.types.StructField(
+                  a.name, a.dataType, nullable = true)),
+                retain = table.retentionForDml)
+              val reloaded = DataSourceV2Relation.create(
+                rel.catalog.map(_.asInstanceOf[
+                  org.apache.spark.sql.connector.catalog.TableCatalog])
+                  .getOrElse(GraftDml.unsupported(
+                    "INSERT widening needs a catalog-resolved table"))
+                  .loadTable(rel.identifier.get),
+                rel.catalog, rel.identifier)
+              unwrapped.copy(table = i.table.transform {
+                case r: DataSourceV2Relation if r.eq(rel) => reloaded
+              })
+            }
+          case _ => unwrapped
+        }
     }
 }
 
@@ -1081,6 +1163,9 @@ case class GraftMergeCommand(
       FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
         retain = retain, basisGen = basisGen,
         properties = Map("operation" -> "MERGE"))
+      // a CTAS'd table whose first keyed write is a MERGE records its
+      // default keys here (upsert-door tables record at first upsert)
+      FactVersioned.recordMergeKeys(spark, path, tNames)
       ()
     } finally bySrcRows.foreach(_.unpersist(blocking = false))
   }

@@ -65,12 +65,10 @@ object GraftMaintenance {
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([^();]+?)\\s*\\)?)?\\s*;?\\s*").r
 
-  /** A literal: optionally DATE-prefixed quoted string, or a bare
-    * token. (No TIMESTAMP arm: the store supports
-    * string/int/long/boolean/date partition columns only —
-    * [[graft.operators.Upsert.partitionDirName]] — so a timestamp
-    * literal could never compare against a real partition value.) */
-  private val Lit = "(?:DATE\\s+)?'[^']*'|[^\\s']+"
+  /** A literal: optionally DATE-/TIMESTAMP-prefixed quoted string, or
+    * a bare token (timestamp partition columns are first-class since
+    * r14 — [[graft.operators.Upsert.partitionDirName]]). */
+  private val Lit = "(?:(?:DATE|TIMESTAMP)\\s+)?'[^']*'|[^\\s']+"
 
   /** One conjunct: `col <op> literal`, `col BETWEEN lo AND hi`, or
     * `col IS NULL`. */
@@ -93,7 +91,7 @@ object GraftMaintenance {
   private[catalog] def parseWhere(text: String): Seq[(String, String, String)] = {
     def unq(c: String) = if (c.startsWith("`")) c.substring(1, c.length - 1) else c
     def unlit(v: String) = {
-      val s = v.replaceFirst("(?is)^DATE\\s+", "")
+      val s = v.replaceFirst("(?is)^(DATE|TIMESTAMP)\\s+", "")
       if (s.startsWith("'")) s.substring(1, s.length - 1) else s
     }
     val out = Seq.newBuilder[(String, String, String)]
@@ -221,14 +219,20 @@ object GraftMaintenance {
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** Wrap every MERGE source in [[VgenWiden]] so the analyzer's star
     * expansion waits for [[GraftMergeVgenRule]]'s decision (append a
-    * NULL `vgen` for graft fact targets, unwrap verbatim otherwise).
-    * MERGE cannot nest in subqueries, so the transform touches at most
-    * one node (plus CTE wrappers). */
+    * NULL `vgen` for graft fact targets, unwrap verbatim otherwise),
+    * and every plain `INSERT ... BY NAME` query in [[GraftInsertWiden]]
+    * so output resolution waits for [[GraftInsertEvolveRule]]'s
+    * schema-widening decision. Neither statement nests in subqueries,
+    * so each transform touches at most one node (plus CTE wrappers). */
   private def deferMergeSources(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
           if !m.sourceTable.isInstanceOf[VgenWiden] =>
         m.copy(sourceTable = VgenWiden(m.sourceTable))
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if i.byName && i.userSpecifiedCols.isEmpty && !i.overwrite &&
+            !i.query.isInstanceOf[GraftInsertWiden] =>
+        i.copy(query = GraftInsertWiden(i.query))
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -310,12 +314,32 @@ case class GraftOptimizeCommand(
             s"OPTIMIZE WHERE: cannot read $what '$s' as DATE " +
               s"(partition column '$col')")
       }
+    // wall-clock comparison: dir values and WHERE literals render in
+    // the same session time zone, so ordering by LocalDateTime is
+    // exact without re-anchoring either side to an instant. Accepts
+    // Spark's dir form ('2024-01-01 10:00:00[.f]'), the ISO 'T' form,
+    // and a bare date (midnight).
+    def wallClock(s: String, what: String): java.time.LocalDateTime =
+      try java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(s.trim).atStartOfDay()
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"OPTIMIZE WHERE: cannot read $what '$s' as TIMESTAMP " +
+                  s"(partition column '$col')")
+          }
+      }
     dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
           DoubleType | _: DecimalType =>
         Some(num(dirVal, "partition value").compare(num(lit, "literal")))
       case DateType =>
         Some(day(dirVal, "partition value").compare(day(lit, "literal")))
+      case TimestampType | TimestampNTZType =>
+        Some(wallClock(dirVal, "partition value")
+          .compareTo(wallClock(lit, "literal")))
       case BooleanType =>
         Some(dirVal.toBoolean.compareTo(lit.toBoolean))
       case StringType => Some(dirVal.compareTo(lit))

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Time travel for PARTITIONED fact tables: a generation is a MANIFEST
   * of (partition dir → file list), and a commit writes only the
@@ -804,6 +804,44 @@ object FactVersioned {
             "against the new head")
     }
 
+    // DDL-LOSS GUARD: metadata commits (rename/add/drop/restore)
+    // declare an EMPTY touched set, so the partition-overlap check
+    // above is blind to them — yet this commit is about to pin a
+    // schema + column mapping DERIVED FROM ITS BASIS generation. If an
+    // intervener changed either since that basis, publishing would
+    // silently REVERT the DDL (the r13 documented race: an ALTER
+    // RENAME during an in-flight MERGE became a no-op with no error).
+    // Re-validate at the linearization point, where interveners are
+    // final, and fail with the same retry-against-head contract as a
+    // partition conflict. Exemptions, both structural: a commit that
+    // carries NOTHING (touches every head partition) binds no head
+    // file to its metadata — the "full rewrite may change anything"
+    // relaxation; a basis-less commit (parentGen -1, concurrent first
+    // writers) compares its own content schema instead. Fast path
+    // (head == basis): zero extra reads.
+    head.filter(_ > parentGen).foreach { hg =>
+      def norm(st: StructType): Seq[(String, DataType)] =
+        st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val headSchema = norm(readSchema(spark, tablePath, hg))
+      val headMap = readColMap(fs, tablePath, hg)
+      val (basisSchema, basisMap) =
+        if (parentGen < 0) (norm(content.schema), Map.empty[String, String])
+        else (norm(readSchema(spark, tablePath, parentGen)),
+          readColMap(fs, tablePath, parentGen))
+      if (basisSchema != headSchema || basisMap != headMap) {
+        val headDirs = spark.read
+          .parquet(manifestDir(tablePath, hg).toString)
+          .select("dir").distinct().collect().map(_.getString(0)).toSet
+        if ((headDirs -- touchedDirs.toSet).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"FactVersioned: the schema or column mapping of $tablePath " +
+              s"changed after this commit's basis generation $parentGen " +
+              s"(a rename/add/drop landed concurrently, by generation " +
+              s"$hg) — publishing would silently revert that DDL; " +
+              "retry against the new head")
+      }
+    }
+
     // linearized-history validation point: all generations below `next`
     // are final, nothing of `next` is visible yet (see replacePartitions
     // scaladoc) — a throw here rolls the claim back
@@ -955,20 +993,25 @@ object FactVersioned {
     requireKeyUnique(updates, keys, "FactVersioned.upsert")
     val touched = touchedRows.map(_.get(0)).toIndexedSeq
     val gens = generations(spark, tablePath)
-    if (gens.isEmpty)
-      return replacePartitions(spark, tablePath, updates, partitionCol,
-        touched, retain, properties = properties, statsCols = statsCols,
-        preCommit = preCommit)
-    val basis = gens.max // the head this merge is derived from
-    val touchedDirs =
-      touched.map(v => Upsert.partitionDirName(partitionCol, v))
-    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
-    val keep = current.join(
-      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    replacePartitions(spark, tablePath, keep.unionByName(updates),
-      partitionCol, touched, retain, basisGen = Some(basis),
-      properties = properties, statsCols = statsCols,
-      preCommit = preCommit)
+    val commit =
+      if (gens.isEmpty)
+        replacePartitions(spark, tablePath, updates, partitionCol,
+          touched, retain, properties = properties, statsCols = statsCols,
+          preCommit = preCommit)
+      else {
+        val basis = gens.max // the head this merge is derived from
+        val touchedDirs =
+          touched.map(v => Upsert.partitionDirName(partitionCol, v))
+        val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+        val keep = current.join(
+          updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        replacePartitions(spark, tablePath, keep.unionByName(updates),
+          partitionCol, touched, retain, basisGen = Some(basis),
+          properties = properties, statsCols = statsCols,
+          preCommit = preCommit)
+      }
+    recordMergeKeys(spark, tablePath, keys)
+    commit
   }
 
   /** The table's partition column name, recovered from the head
@@ -1032,19 +1075,24 @@ object FactVersioned {
     val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
       .map(r => partitionCols.indices.map(r.get))
     val gens = generations(spark, tablePath)
-    if (gens.isEmpty)
-      return replacePartitionsBy(spark, tablePath, updates, partitionCols,
-        touched, retain, properties = properties, statsCols = statsCols,
-        preCommit = preCommit)
-    val basis = gens.max
-    val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
-    val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
-    val keep = current.join(
-      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    replacePartitionsBy(spark, tablePath, keep.unionByName(updates),
-      partitionCols, touched, retain, basisGen = Some(basis),
-      properties = properties, statsCols = statsCols,
-      preCommit = preCommit)
+    val commit =
+      if (gens.isEmpty)
+        replacePartitionsBy(spark, tablePath, updates, partitionCols,
+          touched, retain, properties = properties, statsCols = statsCols,
+          preCommit = preCommit)
+      else {
+        val basis = gens.max
+        val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
+        val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
+        val keep = current.join(
+          updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        replacePartitionsBy(spark, tablePath, keep.unionByName(updates),
+          partitionCols, touched, retain, basisGen = Some(basis),
+          properties = properties, statsCols = statsCols,
+          preCommit = preCommit)
+      }
+    recordMergeKeys(spark, tablePath, keys)
+    commit
   }
 
   /** [[append]] for MULTI-COLUMN partitioned tables — INSERT INTO
@@ -1301,6 +1349,73 @@ object FactVersioned {
       basisGen = Some(head), properties = properties)
   }
 
+  /** Table-level record of the merge keys the table was FIRST upserted
+    * under — the Delta `table_changes` convenience (VERDICT r13 Next
+    * #2): `graft_table_changes('t', from, to)` can omit the keys
+    * argument when this record exists. Written once (write-if-absent —
+    * a table has one key discipline; callers that change keys pass
+    * them explicitly), translated by [[renameColumns]], and DELETED by
+    * [[dropColumns]] when a recorded key is dropped (a stale record
+    * must fail loudly at the keyless door, not resolve a phantom
+    * column). Advisory metadata only: every keyed door still takes
+    * explicit keys, and losing this file costs convenience, never
+    * correctness. */
+  private def defaultKeysPath(t: String) =
+    new Path(gensRoot(t), "_default_keys")
+
+  /** The recorded default merge keys, if any (lower-cased, in recorded
+    * order). */
+  def recordedMergeKeys(
+      spark: SparkSession, tablePath: String): Option[Seq[String]] = {
+    val fs = fsOf(spark, tablePath)
+    val p = defaultKeysPath(tablePath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(text.split("\n").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    }
+  }
+
+  /** Record `keys` as the table's default merge keys if none are
+    * recorded yet. Post-commit best-effort: a crash before the write
+    * just means the NEXT upsert records it. */
+  private[graft] def recordMergeKeys(
+      spark: SparkSession, tablePath: String, keys: Seq[String]): Unit = {
+    val fs = fsOf(spark, tablePath)
+    val p = defaultKeysPath(tablePath)
+    if (fs.exists(p)) return
+    try {
+      val out = fs.create(p, false) // exclusive — first writer wins
+      try out.write(keys.map(_.toLowerCase).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* concurrent recorder */ }
+  }
+
+  /** Rewrite (or drop) the default-keys record after a DDL: `f` maps
+    * the recorded keys to their new form — None deletes the record. */
+  private def remapMergeKeys(
+      spark: SparkSession, tablePath: String,
+      f: Seq[String] => Option[Seq[String]]): Unit = {
+    recordedMergeKeys(spark, tablePath).foreach { keys =>
+      val fs = fsOf(spark, tablePath)
+      f(keys) match {
+        case None => fs.delete(defaultKeysPath(tablePath), false)
+        case Some(nu) if nu == keys => ()
+        case Some(nu) =>
+          val out = fs.create(defaultKeysPath(tablePath), true)
+          try out.write(nu.map(_.toLowerCase).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+      }
+    }
+  }
+
   /** Table-level tombstone record of every column name ever dropped
     * ([[dropColumns]]): carried data files from pre-drop commits still
     * physically hold the column, so the name must never be re-added
@@ -1345,10 +1460,12 @@ object FactVersioned {
     *
     * Partition columns cannot drop (they shape the physical layout).
     * Merge keys are per-STATEMENT properties of later MERGE/upsert
-    * calls, not table metadata, so the store cannot enforce them here
-    * — dropping a column a consumer later names as a merge key is
-    * allowed and fails at that statement's resolution with a
-    * missing-column error. The dropped name is TOMBSTONED so a later
+    * calls, so the store cannot reject a key drop outright — but when
+    * the dropped column is a RECORDED default merge key
+    * ([[recordedMergeKeys]]) the drop WARNS and retires the record;
+    * any other consumer naming it later fails at that statement's
+    * resolution with a missing-column error. The dropped name is
+    * TOMBSTONED so a later
     * add cannot silently resurrect stale physical values from carried
     * files (the hazard Delta's column-mapping IDs exist for — this
     * store takes the conservative posture instead). */
@@ -1389,9 +1506,27 @@ object FactVersioned {
     // aborts the claim and leaves a spurious tombstone for a column
     // that still exists, which is conservative-safe: the widening
     // doors reject the name, and the column itself never vanished)
-    replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
+    val commit = replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
       retain, basisGen = Some(head), properties = properties,
       preCommit = () => tombstoneNames(spark, tablePath, names))
+    // dropping a RECORDED default merge key: warn (later keyed upserts
+    // against this column fail at their own resolution) and retire the
+    // record — a stale default must fail loudly at the keyless
+    // table_changes door, not resolve a phantom column
+    remapMergeKeys(spark, tablePath, keys => {
+      val droppedKeys = keys.filter(k =>
+        names.exists(_.equalsIgnoreCase(k)))
+      if (droppedKeys.isEmpty) Some(keys)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dropColumns($tablePath): column(s) " +
+            s"${droppedKeys.mkString(", ")} are the table's recorded " +
+            "default merge keys — retiring the record; keyless " +
+            "graft_table_changes calls now require explicit keys")
+        None
+      }
+    })
+    commit
   }
 
   /** Merge `names` into the dropped/renamed-away tombstone, tmp-write +
@@ -1444,16 +1579,22 @@ object FactVersioned {
     *  - the OLD name is tombstoned (its physical values live on in
     *    carried files under that name — a later ADD COLUMN of it would
     *    resurrect them for the re-added column);
-    *  - column-keyed sidecars (ANN/text indexes, z-order stats) are
-    *    keyed by the LOGICAL name at build time: rebuild indexes on a
-    *    renamed column (queries fail loudly with the no-index message
-    *    until then);
+    *  - column-keyed sidecars (ANN/text/bloom indexes) are CARRIED
+    *    across the rename ([[carrySidecars]] — one dir rename each;
+    *    their contents are name-agnostic): an indexed query under the
+    *    new name keeps answering sidecar-only with the pre-rename
+    *    results. Only a crash between the commit marker and the carry
+    *    leaves a sidecar under the old name, where the indexed query
+    *    fails loudly with the no-index message until a rebuild;
     *  - like every metadata-only commit (add/drop/restore), a rename
-    *    declares an EMPTY touched set, so it does not CONFLICT with a
-    *    concurrent data commit — the data commit pins the schema/map
-    *    it resolved at ITS claim (racing DDL against DML can lose the
-    *    DDL, never corrupt data: all files share one physical
-    *    namespace either way). Concurrent renames serialize through
+    *    declares an EMPTY touched set, so the partition-overlap check
+    *    never fires against it — instead the shared committer's
+    *    DDL-LOSS GUARD ([[publishClaimed]]) re-validates at publish
+    *    time that the schema + column mapping still match each
+    *    commit's basis: a data commit racing this rename (or this
+    *    rename racing a concurrent evolution) aborts with the
+    *    retry-against-head contract rather than silently reverting
+    *    the other's metadata. Concurrent renames serialize through
     *    the claim protocol like any committers. */
   def renameColumns(
       spark: SparkSession,
@@ -1510,11 +1651,54 @@ object FactVersioned {
     })
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], renamed)
-    replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
+    val commit = replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
       retain, basisGen = Some(head), properties = properties,
       colMap = Some(newMap),
       preCommit = () =>
         tombstoneNames(spark, tablePath, renames.keys.toSeq))
+    // the default-merge-keys record follows the rename (it names
+    // LOGICAL columns, like every user-facing surface)
+    remapMergeKeys(spark, tablePath, keys => Some(keys.map { k =>
+      renames.find(_._1.equalsIgnoreCase(k))
+        .map(_._2.toLowerCase).getOrElse(k)
+    }))
+    // column-keyed index sidecars (ANN/text/bloom) carry their LOGICAL
+    // column name only in the DIRECTORY name — their contents are
+    // name-agnostic fixed schemas ((file, id, cell, u, q…) rows,
+    // centroids, codebooks), so carrying an index across a rename is
+    // one dir rename per sidecar (VERDICT r13 Next #3). Crash-safe by
+    // fallback: a crash between the commit marker and this carry just
+    // leaves the sidecar under the old name, and the indexed query
+    // fails with the documented no-index message until a rebuild —
+    // never a wrong answer.
+    carrySidecars(spark, tablePath, renames)
+    commit
+  }
+
+  /** Directory-name prefixes of every column-keyed sidecar family
+    * (live + parked-stale forms; transient `*_tmp__` staging is owned
+    * by in-flight builders and deliberately not carried). */
+  private val SidecarPrefixes: Seq[String] = Seq(
+    AnnIndex.DirPrefix, AnnIndex.StaleDirPrefix,
+    TfIdf.DirPrefix, TfIdf.StaleDirPrefix,
+    FactAnnIndex.DirPrefix,
+    DataSkipping.BloomDirPrefix, DataSkipping.StaleBloomDirPrefix)
+
+  /** Rename each `<prefix><old>` sidecar dir to `<prefix><new>` after
+    * a column rename — see [[renameColumns]]. */
+  private def carrySidecars(
+      spark: SparkSession, tablePath: String,
+      renames: Map[String, String]): Unit = {
+    val fs = fsOf(spark, tablePath)
+    renames.foreach { case (old, nu) =>
+      SidecarPrefixes.foreach { pre =>
+        val from = new Path(tablePath, pre + old)
+        if (fs.exists(from)) {
+          val to = new Path(tablePath, pre + nu)
+          if (!fs.exists(to)) fs.rename(from, to)
+        }
+      }
+    }
   }
 
   /** Restore the table to generation `gen`, METADATA-ONLY (the Delta
@@ -1607,6 +1791,32 @@ object FactVersioned {
     }
     retentionSweep(spark, tablePath, retain, next)
     Commit(next, Nil)
+  }
+
+  /** PURGE — irreversibly delete the whole table tree, SERIALIZED
+    * through the claim protocol like any committer: claim the next
+    * generation, await every lower in-flight claim (a concurrent
+    * committer either publishes first — and its work is deleted with
+    * the table, the purge's explicit intent — or aborts on its own
+    * conflict), then delete the tree. Readers racing the purge fail
+    * LOUDLY, never wrongly: generation resolution requires the commit
+    * marker and the manifest, both gone with the tree — a half-read
+    * surfaces as missing files, not as a plausible half-table. Exposed
+    * only behind the catalog's explicit `DROP TABLE ... PURGE` door;
+    * bare `DROP TABLE` keeps the safety rejection. */
+  def destroy(spark: SparkSession, tablePath: String): Unit = {
+    val fs = fsOf(spark, tablePath)
+    require(fs.exists(gensRoot(tablePath)),
+      s"FactVersioned.destroy: no versioned table at $tablePath")
+    val next = claimNext(fs, tablePath, "FactVersioned.destroy")
+    try awaitLowerClaims(fs, tablePath, next, "FactVersioned.destroy")
+    catch {
+      case e: Throwable =>
+        abortClaim(fs, tablePath, next,
+          new Path(dataRoot(tablePath), s"$VGenCol=$next"))
+        throw e
+    }
+    fs.delete(new Path(tablePath), true)
   }
 
   /** Expire old generations' metadata, then GC data files no retained

@@ -293,8 +293,9 @@ object Upsert {
     * @param path    table root (Hive-style `<partitionCol>=<value>/`
     *                subdirectories)
     * @param partitionCol partition column — must be string, integral,
-    *                boolean or date typed (directory-name derivation is
-    *                pinned to Spark's own layout for those types)
+    *                boolean, date or timestamp typed (directory-name
+    *                derivation is pinned to Spark's own layout for
+    *                those types)
     * @param touched every partition value the commit touches — values
     *                present in `df` plus values whose partitions the
     *                commit EMPTIES (their dirs are deleted) */
@@ -317,8 +318,21 @@ object Upsert {
     * partitioned-write layout (escaping included; null →
     * `__HIVE_DEFAULT_PARTITION__`). Restricted to the types whose
     * string form provably matches Spark's `Cast(v AS STRING)` path
-    * layout — string, integral, boolean, java.sql.Date/LocalDate. */
+    * layout — string, integral, boolean, java.sql.Date/LocalDate, and
+    * (since r14) timestamps: TIMESTAMP renders through Spark's own
+    * fraction formatter in the SESSION time zone (exactly the write
+    * path's `Cast(ts AS STRING)`), TIMESTAMP_NTZ through the same
+    * formatter at UTC (wall-clock micros, zone-free by definition).
+    * Any mismatch with the staged layout is self-checking: the
+    * committer's undeclared-partitions require compares these names
+    * against the dirs Spark actually wrote. */
   private[graft] def partitionDirName(col: String, v: Any): String = {
+    def tsFmt(zone: java.time.ZoneId) =
+      org.apache.spark.sql.catalyst.util.TimestampFormatter
+        .getFractionFormatter(zone)
+    def sessionZone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone)
     val s = v match {
       case null => null
       case d: java.sql.Date => d.toString
@@ -329,10 +343,20 @@ object Upsert {
       case sh: java.lang.Short => sh.toString
       case b: java.lang.Byte => b.toString
       case b: java.lang.Boolean => b.toString
+      case t: java.sql.Timestamp => tsFmt(sessionZone).format(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t))
+      case i: java.time.Instant => tsFmt(sessionZone).format(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(i))
+      case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ
+        tsFmt(java.time.ZoneOffset.UTC).format(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .localDateTimeToMicros(ldt))
       case other => throw new IllegalArgumentException(
         s"unsupported partition value type for partition-scoped " +
           s"snapshots: ${other.getClass.getName} (use string/int/long/" +
-          "boolean/date partition columns)")
+          "boolean/date/timestamp partition columns)")
     }
     if (s == null)
       ExternalCatalogUtils.escapePathName(col) + "=" +

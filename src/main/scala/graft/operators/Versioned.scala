@@ -127,6 +127,35 @@ object Versioned {
     Commit(next, dir.toString)
   }
 
+  /** PURGE — irreversibly delete the whole table tree, claiming the
+    * next generation first so racing committers serialize with the
+    * purge exactly as with another commit (a racer that claimed before
+    * us publishes a generation that is deleted with the table — the
+    * purge's explicit intent; one claiming after us finds the tree
+    * gone and fails loudly). Exposed only behind the catalog's
+    * explicit `DROP TABLE ... PURGE` door. */
+  def destroy(spark: SparkSession, tablePath: String): Unit = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"Versioned.destroy: no table at $tablePath")
+    val present = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => if (n.startsWith("gen="))
+        n.stripPrefix("gen=").toLongOption else None)
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"Versioned.destroy: could not claim a generation at $tablePath")
+      if (CommitLock.atomicCreate(fs, new Path(genDir(root, next), ClaimMarker)))
+        claimed = true
+      else next += 1
+    }
+    fs.delete(root, true)
+  }
+
   /** Delete every `gen=` dir below `floor` except in-flight claims. */
   private def sweepBelow(
       fs: org.apache.hadoop.fs.FileSystem, root: Path, floor: Long): Unit =

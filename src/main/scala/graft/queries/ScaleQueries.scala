@@ -1698,6 +1698,73 @@ object ScaleQueries extends QueryPack {
       out
     }),
 
+    // TIMESTAMP-typed partition columns (VERDICT r13 Next #8 — the
+    // last carried type limit; hour/day-partitioned event tables are
+    // the 100 TB norm): the full lifecycle over a fact table
+    // partitioned by a TIMESTAMP column — upsert (dir names derive
+    // through Spark's own cast-to-string layout,
+    // Upsert.partitionDirName), SQL MERGE (probe carries the timestamp
+    // partition slot; write-amp = the one touched day, FS-asserted),
+    // and OPTIMIZE WHERE over a TIMESTAMP literal range (typed
+    // comparison, never string compare). Output value-gated against
+    // the DuckDB mirror; timestamps leave the output as strings (the
+    // oracle-compare dtype contract).
+    "q164_sql_timestamp_partitions" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q164_").toString
+      val path = s"$wh/events_ts"
+      val ev = t(s0, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_trunc("DAY", col("ts")).as("p_ts"))
+      FactVersioned.upsert(s0, path, ev, Seq("event_id"), "p_ts",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        // MERGE scoped to one day: even event_ids double their value
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW q164_src AS
+            |SELECT event_id, p_ts, value * 2 AS value
+            |FROM graft.events_ts
+            |WHERE p_ts = TIMESTAMP '2024-01-03 00:00:00'
+            |  AND event_id % 2 = 0""".stripMargin)
+        s.sql(
+          """MERGE INTO graft.events_ts t USING q164_src s
+            |ON t.event_id = s.event_id
+            |WHEN MATCHED THEN UPDATE SET value = s.value
+            |""".stripMargin)
+        // write amplification: exactly the one touched day staged
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSeq
+        require(staged.length == 1 &&
+          staged.head.startsWith("p_ts=2024-01-03"),
+          s"q164: the merge must stage exactly the touched day, " +
+            s"got $staged")
+        // OPTIMIZE over a TIMESTAMP range: typed comparison scopes two
+        // days
+        val compacted = s.sql(
+          """OPTIMIZE graft.events_ts
+            |WHERE p_ts >= TIMESTAMP '2024-01-10 00:00:00'
+            |  AND p_ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
+          .collect().head.getLong(1)
+        require(compacted == 2,
+          s"q164: the TIMESTAMP range must scope exactly 2 day " +
+            s"partitions, got $compacted")
+        val out = s.sql(
+          """SELECT event_id,
+            |  date_format(p_ts, 'yyyy-MM-dd HH:mm:ss') AS p_day,
+            |  round(value, 4) AS value
+            |FROM graft.events_ts""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // `table_changes()` SQL door (VERDICT r12 Next #3): the CDC change
     // feed in FROM-clause position — a TABLE-VALUED function over
     // [[FactChangeFeed.window]], so analysts read generation deltas in
@@ -1749,6 +1816,162 @@ object ScaleQueries extends QueryPack {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(wh), true)
       out
+    }),
+
+    // KEYLESS `table_changes()` (VERDICT r13 Next #2 — Delta's
+    // `table_changes('t', from, to)` needs no key argument): the diff
+    // keys resolve from the table's RECORDED default merge keys,
+    // written at its first upsert. In-gate: hash-equal to the
+    // explicit-keys twin, and a table with NO recorded keys (a raw
+    // parquet-dir append) fails with the pass-keys-explicitly
+    // guidance. Same DuckDB change-set mirror as q157 — the upsert
+    // history is identical.
+    "q162_sql_table_changes_keyless" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q162_").toString
+      val path = s"$wh/orders_kl"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      // first upsert records o_orderkey as the default merge key
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      require(FactVersioned.recordedMergeKeys(s0, path)
+          .contains(Seq("o_orderkey")),
+        "q162: the first upsert must record the default merge keys")
+      val batch = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(
+          o.where(col("p_year") === 1996 && col("o_orderkey") % 3 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      FactVersioned.upsert(s0, path, batch, Seq("o_orderkey"), "p_year")
+      val s = s0
+      graft.GraftFunctions.register(s)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      val out = s.sql(
+        """SELECT op, o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft_table_changes('graft.orders_kl', 0, 1)
+          |""".stripMargin).localCheckpoint()
+      // hash-equal to the explicit-keys twin
+      val twin = s.sql(
+        """SELECT op, o_orderkey, o_orderstatus, o_totalprice
+          |FROM graft_table_changes('graft.orders_kl', 'o_orderkey', 0, 1)
+          |""".stripMargin)
+      require(out.collect().toSet == twin.collect().toSet,
+        "q162: the keyless form must be hash-equal to the " +
+          "explicit-keys twin")
+      // a table with no recorded keys fails with guidance
+      val bare = s"$wh/bare"
+      o.limit(10).write.parquet(bare)
+      val e = try {
+        s.sql(s"SELECT * FROM graft_table_changes('$bare', 0, 0)")
+          .collect()
+        None
+      } catch { case t: Throwable => Some(t) }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++
+            Option(x.getCause).toSeq.flatMap(msgs))
+      require(e.exists(t => msgs(t).exists(_.contains("explicitly"))),
+        s"q162: a keyless call over an unrecorded table must carry " +
+          s"the pass-keys-explicitly guidance, got ${e.map(msgs)}")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // INSERT-door schema widening (VERDICT r13 missing #6 — Delta's
+    // conf-gated `mergeSchema` append posture): with
+    // spark.graft.schema.autoMerge.enabled, an INSERT BY NAME whose
+    // source carries an extra column WIDENS the table first (a
+    // metadata-only addColumns commit — zero staged bytes, asserted)
+    // and then appends; carried rows null-fill on read. In-gate:
+    // hash-equal to the addColumns+append API twin, conf-off posture
+    // still rejects, and a TOMBSTONED (previously dropped) name stays
+    // rejected at the widening door. Output value-gated against the
+    // DuckDB mirror.
+    "q163_sql_insert_evolve" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q163_").toString
+      val path = s"$wh/orders_ie"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year")
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      // deep retention: the tombstone re-attempt below reads
+      // VERSION AS OF 0 after four commits
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      val widening =
+        """INSERT INTO graft.orders_ie BY NAME
+          |SELECT o_orderkey + 20000000 AS o_orderkey,
+          |  'W' AS o_orderstatus, o_totalprice, p_year,
+          |  concat('n-', CAST(o_orderkey AS STRING)) AS note
+          |FROM graft.orders_ie VERSION AS OF 0
+          |WHERE p_year = 1995 AND o_orderkey % 2 = 0""".stripMargin
+      // conf OFF: the standard extra-columns rejection, nothing commits
+      val off = try { s.sql(widening); None }
+        catch { case t: Throwable => Some(t) }
+      require(off.nonEmpty && FactVersioned.generations(s, path) == Seq(0L),
+        "q163: with autoMerge off the widening INSERT must reject " +
+          "without committing")
+      s.conf.set(graft.catalog.GraftDml.AutoMergeConf, "true")
+      try {
+        s.sql(widening)
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+          "q163: expected a metadata-only widening commit + an append")
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+            s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+          "q163: the widening commit must stage no data files")
+        // API twin: addColumns + append produce identical content
+        val twinPath = s"$wh/orders_ie_twin"
+        FactVersioned.upsert(s0, twinPath, o, Seq("o_orderkey"), "p_year")
+        FactVersioned.addColumns(s0, twinPath, Seq(
+          org.apache.spark.sql.types.StructField("note",
+            org.apache.spark.sql.types.StringType)))
+        FactVersioned.append(s0, twinPath,
+          o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+            .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+              lit("W").as("o_orderstatus"), col("o_totalprice"),
+              col("p_year"),
+              concat(lit("n-"), col("o_orderkey").cast("string"))
+                .as("note")),
+          "p_year")
+        val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "note")
+        require(s.table("graft.orders_ie")
+            .select(cols.map(col): _*).collect().toSet ==
+          FactVersioned.read(s0, twinPath)
+            .select(cols.map(col): _*).collect().toSet,
+          "q163: the widening INSERT must be hash-equal to the " +
+            "addColumns+append API twin")
+        // tombstoned names stay rejected at the widening door
+        s.sql("ALTER TABLE graft.orders_ie DROP COLUMN note")
+        val dead = try { s.sql(widening); None }
+          catch { case t: Throwable => Some(t) }
+        def msgs163(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++
+              Option(x.getCause).toSeq.flatMap(msgs163))
+        require(dead.exists(t => msgs163(t).exists(_.contains("DROPPED"))),
+          "q163: re-widening a tombstoned name must reject loudly")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus, o_totalprice, note
+            |FROM graft.orders_ie VERSION AS OF 2""".stripMargin)
+          .localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally {
+        s.conf.unset(graft.catalog.GraftDml.AutoMergeConf)
+        s.conf.unset("spark.sql.catalog.graft.retain")
+      }
     }),
 
     // ALTER TABLE RENAME COLUMN (VERDICT r12 missing #6): metadata-only
@@ -2440,6 +2663,44 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
         |FROM base WHERE y = 1996 AND o_orderkey % 3 = 0""".stripMargin,
+    // identical upsert history to q157 — the keyless door must produce
+    // the identical change set
+    "q162_sql_table_changes_keyless" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT 'update_pre' AS op, o_orderkey, o_orderstatus, o_totalprice
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, 'U', o_totalprice * 2
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |FROM base WHERE y = 1996 AND o_orderkey % 3 = 0""".stripMargin,
+    // the merged head ≡ events with day-3 evens doubled (OPTIMIZE
+    // rewrites layout, never content)
+    "q164_sql_timestamp_partitions" ->
+      """SELECT event_id,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS p_day,
+        |  round(CASE WHEN date_trunc('day', ts) =
+        |      TIMESTAMP '2024-01-03 00:00:00' AND event_id % 2 = 0
+        |    THEN value * 2 ELSE value END, 4) AS value
+        |FROM events""".stripMargin,
+    // the widened head ≡ base rows null-filled + the widening insert's
+    // rows with their note values
+    "q163_sql_insert_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS note
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, 'W', o_totalprice,
+        |  concat('n-', CAST(o_orderkey AS VARCHAR))
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     // the range-compacted head ≡ the twice-upserted content (OPTIMIZE
     // rewrites layout, never content)
     "q152_sql_optimize_range" ->

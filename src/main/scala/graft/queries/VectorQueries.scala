@@ -335,6 +335,36 @@ object VectorQueries extends QueryPack {
       out
     }),
 
+    // The SQL door for the EXTERNAL-batch lookup (q120's production
+    // shape through graft_ann_topk_for — VERDICT r13 Next #4, the one
+    // TVF that had a spec but no gate): the builder resolves at
+    // analysis time to ivfSq8TopKIndexedFor's plan, so the executed
+    // query keeps q120's whole contract — corpus answered from the
+    // sidecar alone, candidates through the cell-keyed join — and is
+    // required hash-equal to the operator twin in-gate; the q120-class
+    // derived-invariant oracle re-verifies every reported value and
+    // the recall floor independently.
+    "q161_sql_ann_topk_for" -> ((s, dir) => {
+      val tablePath = annTable(s, dir, "q161")
+      AnnIndex.writeIndex(s, tablePath, "vec_id", "embedding", nLists = 16)
+      graft.GraftFunctions.register(s)
+      val queries = t(s, dir, "embeddings").where(col("vec_id") % 5 === 0)
+      queries.createOrReplaceTempView("q161_queries")
+      val out = s.sql(
+        s"""SELECT query_id, neighbor_id, rank, sim
+           |FROM graft_ann_topk_for('$tablePath', 'embedding',
+           |  'q161_queries', 'vec_id', 'embedding', 3, 10)
+           |""".stripMargin)
+      requireCorpusFromSidecar(out, tablePath)
+      requireCellJoinCandidates(out)
+      val twin = AnnIndex.ivfSq8TopKIndexedFor(s, tablePath, "embedding",
+        queries, "vec_id", "embedding", k = 3, nProbe = 10)
+      require(out.collect().toSet == twin.collect().toSet,
+        "q161: SQL graft_ann_topk_for must be hash-equal to the " +
+          "ivfSq8TopKIndexedFor operator twin")
+      out
+    }),
+
     // Filtered (hybrid) search: vector top-k under a metadata
     // predicate — neighbors restricted to labels 0-4 via a semi-join
     // on the candidate stream BEFORE the per-query cut, so every
@@ -528,6 +558,9 @@ object VectorQueries extends QueryPack {
     // and recall are computed over queries with vec_id % 5 = 0 only,
     // and any reported row outside the batch empties the guard.
     "q120_ann_query_batch" -> annTopKInvariant("q120_ann_query_batch", k = 3, recallFloor = 0.75, queryPred = "query_id % 5 = 0"),
+    // The SQL door runs the identical plan (hash-equal in-gate), so it
+    // carries the identical batch-restricted invariant.
+    "q161_sql_ann_topk_for" -> annTopKInvariant("q161_sql_ann_topk_for", k = 3, recallFloor = 0.75, queryPred = "query_id % 5 = 0"),
     // Filtered search: the exact top-k is computed over allowed
     // neighbors only (labels 0-4), and any reported neighbor outside
     // the predicate empties the guard.

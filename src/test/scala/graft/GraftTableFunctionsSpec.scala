@@ -86,12 +86,81 @@ class GraftTableFunctionsSpec extends SparkSpec {
     val arity = messageOf(
       spark.sql("SELECT * FROM graft_table_changes('x', 'k')"))
     assert(arity.contains("usage:"), arity)
+    // non-FOLDABLE args stay rejected (foldable expressions are
+    // accepted since r14 — see the folding test below)
     val nonLit = messageOf(spark.sql(
-      "SELECT * FROM graft_ann_topk(concat('a', 'b'), 'vec', 3, 2)"))
+      "SELECT * FROM graft_ann_topk(CAST(rand() AS STRING), 'vec', 3, 2)"))
     assert(nonLit.contains("string literal"), nonLit)
     val badRef = messageOf(spark.sql(
       "SELECT * FROM graft_table_changes('nocat.tbl', 'k', 0, 1)"))
     assert(badRef.toLowerCase.contains("graftcatalog") ||
       badRef.toLowerCase.contains("catalog"), badRef)
+  }
+
+  test("TVF scalar arguments constant-fold: arithmetic over literals " +
+      "and concatenated strings are accepted") {
+    val path = tmp() + "/t"
+    val base = (1 to 30).map(i => (i.toLong, i % 3, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, base, Seq("k"), "p")
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 999L)).toDF("k", "p", "v"), Seq("k"), "p")
+    // `0 + 0`, `2 - 1`, and a concat'd path all fold to constants
+    val out = spark.sql(
+      s"""SELECT * FROM graft_table_changes(
+         |  concat('${path.dropRight(1)}', '${path.last}'),
+         |  'k', 0 + 0, 2 - 1)""".stripMargin)
+      .select("op", "k").as[(String, Long)].collect().toSet
+    val twin = spark.sql(
+      s"SELECT op, k FROM graft_table_changes('$path', 'k', 0, 1)")
+      .as[(String, Long)].collect().toSet
+    assert(out == twin && out.nonEmpty)
+  }
+
+  test("keyless graft_table_changes resolves the recorded default " +
+      "merge keys; DDL keeps the record honest (rename translates, " +
+      "drop retires)") {
+    val path = tmp() + "/t"
+    val base = (1 to 30).map(i => (i.toLong, i % 3, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, base, Seq("k"), "p", retain = 10)
+    assert(FactVersioned.recordedMergeKeys(spark, path)
+      .contains(Seq("k")))
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 999L), (31L, 1, 310L)).toDF("k", "p", "v"),
+      Seq("k"), "p", retain = 10)
+    val out = spark.sql(
+      s"SELECT op, k, v FROM graft_table_changes('$path', 0, 1)")
+      .as[(String, Long, Long)].collect().toSet
+    val twin = spark.sql(
+      s"SELECT op, k, v FROM graft_table_changes('$path', 'k', 0, 1)")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == twin && out.nonEmpty)
+    // a rename of the key column translates the record — the keyless
+    // door keeps working under the new name
+    FactVersioned.renameColumns(spark, path, Map("v" -> "amount"), retain = 10)
+    assert(FactVersioned.recordedMergeKeys(spark, path)
+      .contains(Seq("k")))
+    FactVersioned.renameColumns(spark, path, Map("k" -> "id"), retain = 10)
+    assert(FactVersioned.recordedMergeKeys(spark, path)
+      .contains(Seq("id")))
+    // the recorded key "id" translates back through the colmap to the
+    // window generations' own naming — the (0,1] window predates the
+    // rename, so its output carries the era's name `k` (the VERSION AS
+    // OF posture: history keeps its own schema)
+    val renamed = spark.sql(
+      s"SELECT op, k FROM graft_table_changes('$path', 0, 1)")
+      .as[(String, Long)].collect().toSet
+    assert(renamed == twin.map(t => (t._1, t._2)))
+    // dropping the recorded key retires the record: keyless calls now
+    // fail with the explicit-keys guidance (never a phantom column)
+    FactVersioned.dropColumns(spark, path, Seq("id"), retain = 10)
+    val e = intercept[Throwable] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$path', 0, 1)")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("explicitly"), msgs)
   }
 }

@@ -174,6 +174,43 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DROP TABLE ... PURGE destroys a committed table through the " +
+      "claim protocol; bare DROP stays rejected; racing readers fail " +
+      "loudly, never read a half-table") {
+    val root = Files.createTempDirectory("graft_cat_purge_").toString
+    register(root)
+    // fact table
+    val fpath = s"$root/pf"
+    FactVersioned.upsert(spark,
+      fpath, (1 to 30).map(i => (i.toLong, i % 3, i * 10L))
+        .toDF("k", "p", "v"), Seq("k"), "p")
+    // bare DROP: still the safety rejection, tree untouched
+    val eBare = intercept[Exception] {
+      spark.sql("DROP TABLE graftt.pf").collect()
+    }
+    assert(eBare.getMessage.contains("PURGE"), eBare.getMessage)
+    assert(new java.io.File(fpath).exists())
+    // a reader pins generation 0 BEFORE the purge
+    val pinned = spark.sql("SELECT * FROM graftt.pf VERSION AS OF 0")
+    spark.sql("DROP TABLE graftt.pf PURGE").collect()
+    assert(!new java.io.File(fpath).exists(), "purge must remove the tree")
+    assert(!spark.catalog.tableExists("graftt.pf"))
+    // the pinned reader fails LOUDLY (files gone), never half-answers
+    intercept[Exception] { pinned.collect() }
+    // dimension table purges too
+    Versioned.commit(dim(5), s"$root/pd")
+    spark.sql("DROP TABLE graftt.pd PURGE").collect()
+    assert(!new java.io.File(s"$root/pd").exists())
+    // purging nothing fails loudly
+    intercept[Exception] {
+      spark.sql("DROP TABLE graftt.gone PURGE").collect()
+    }
+    // the name is reusable after a purge (fresh physical namespace)
+    spark.sql(
+      "CREATE TABLE graftt.pf AS SELECT 1L AS k, 2L AS v")
+    assert(spark.table("graftt.pf").count() == 1)
+  }
+
   test("ALTER TABLE ADD COLUMN widens the pinned schema with no data " +
       "rewrite; old generations keep their schema; new DML sees it") {
     val root = Files.createTempDirectory("graft_cat_alter_").toString

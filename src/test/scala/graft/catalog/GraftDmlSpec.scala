@@ -669,6 +669,42 @@ class GraftDmlSpec extends SparkSpec {
       "int literal 0 must cast to the bigint column")
   }
 
+  test("INSERT BY NAME auto-widening is conf-gated: off → the standard " +
+      "extra-columns rejection; on → metadata-only addColumns + append, " +
+      "carried rows null-fill, tombstoned names stay rejected") {
+    val (s, _, path) = freshTable()
+    // default posture: extra source columns are an analysis error
+    intercept[Exception] {
+      s.sql("INSERT INTO g.t BY NAME " +
+        "SELECT 1000L AS k, 0 AS p, 1L AS v, 'x' AS note")
+    }
+    assert(FactVersioned.generations(s, path) == Seq(0L),
+      "the rejected insert must not commit")
+    s.conf.set(GraftDml.AutoMergeConf, "true")
+    try {
+      s.sql("INSERT INTO g.t BY NAME " +
+        "SELECT 1000L AS k, 0 AS p, 1L AS v, 'x' AS note")
+      // two commits: the metadata-only widening, then the append
+      assert(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+        "the widening commit must stage no data")
+      assert(s.sql("SELECT note FROM g.t WHERE k = 1000")
+        .head().getString(0) == "x")
+      assert(s.sql("SELECT note FROM g.t WHERE k = 5").head().isNullAt(0),
+        "carried rows must null-fill the added column")
+      // the tombstone survives the door: drop, then re-widen → rejected
+      s.sql("ALTER TABLE g.t DROP COLUMN note")
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO g.t BY NAME " +
+          "SELECT 1001L AS k, 0 AS p, 1L AS v, 'y' AS note")
+      }
+      assert(messagesOf(e).contains("DROPPED"), messagesOf(e))
+    } finally s.conf.unset(GraftDml.AutoMergeConf)
+  }
+
   test("ON-clause cast see-through is limited to comparison coercion: " +
       "a user cast to STRING is rejected, not silently re-joined raw") {
     val (s, _, path) = freshTable()

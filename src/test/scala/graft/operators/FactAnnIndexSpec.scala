@@ -368,4 +368,37 @@ class FactAnnIndexSpec extends SparkSpec {
     assert(truth(path, 0) != truth(path, 1))
     assert(truth(path, 1).nonEmpty)
   }
+
+  test("ALTER RENAME carries the ANN sidecar: the indexed query " +
+      "answers under the NEW column name, sidecar-only, hash-equal " +
+      "to the pre-rename result; the old name fails loudly") {
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, corpus(180), Seq("id"), "p")
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val before = resultSet(fannTopK(path))
+    assert(before.nonEmpty)
+    FactVersioned.renameColumns(spark, path, Map("vec" -> "embedding"))
+    val out = FactAnnIndex.topK(spark, path, "embedding", k = 3,
+      nProbe = 4, overFetch = 4)
+    // sidecar-only: no scan outside the _graft_fann__ dir except the
+    // generation manifest (file-list metadata, not table data)
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    val offending = scans.filterNot(p =>
+      p.contains(FactAnnIndex.DirPrefix) ||
+        p.contains(FactVersioned.GensDir))
+    assert(scans.exists(_.contains(FactAnnIndex.DirPrefix)) &&
+      offending.isEmpty,
+      s"post-rename indexed query must stay sidecar-only, got $scans")
+    assert(resultSet(out) == before,
+      "the carried index must answer hash-equal to pre-rename")
+    // the renamed-away name no longer resolves an index
+    val e = intercept[Throwable] {
+      fannTopK(path).collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").toLowerCase
+      .contains("index"), e.toString)
+  }
 }

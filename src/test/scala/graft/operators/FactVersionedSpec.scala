@@ -265,6 +265,123 @@ class FactVersionedSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("DDL-loss guard: a metadata commit publishing against a stale " +
+      "basis aborts instead of silently reverting the intervening DDL") {
+    val path = tmp()
+    FactVersioned.upsert(spark, path,
+      (1 to 30).map(i => (i.toLong, i % 3, i * 10L, i * 2L))
+        .toDF("k", "p", "v", "b"), Seq("k"), "p")
+    FactVersioned.renameColumns(spark, path, Map("v" -> "amount"),
+      retain = 10)
+    // simulate a SECOND rename whose basis read predates the first
+    // (the claim-window race): its colMap override and pinned schema
+    // both derive from gen 0 — publishing would revert v→amount.
+    // Before the guard this landed silently; now it must abort with
+    // the retry contract.
+    val staleSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FactVersioned.replacePartitionsBy(spark, path,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          staleSchema),
+        Seq("p"), Nil, retain = 10, basisGen = Some(0L),
+        colMap = Some(Map("c" -> "b")))
+    }
+    assert(e.getMessage.contains("revert"), e.getMessage)
+    // the first rename survives
+    assert(FactVersioned.read(spark, path).columns.contains("amount"))
+    // a rename racing an additive-evolution data commit aborts too
+    // (its stale pinned schema would DROP the new column)
+    FactVersioned.upsertEvolve(spark, path,
+      Seq((1L, 0, 5L)).toDF("k", "p", "extra"), Seq("k"), "p",
+      retain = 10)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      FactVersioned.replacePartitionsBy(spark, path,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(staleSchema.fields)),
+        Seq("p"), Nil, retain = 10, basisGen = Some(0L),
+        colMap = Some(Map("c" -> "b")))
+    }
+    assert(e2.getMessage.contains("retry against the new head"),
+      e2.getMessage)
+  }
+
+  test("interleaved ALTER RENAME + concurrent upserts: the rename is " +
+      "never lost, every surviving upsert's rows land") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = tmp()
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def upsertRetry(key: Long): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 30) {
+        attempts += 1
+        try {
+          // the retry contract: re-resolve the CURRENT schema (the
+          // rename may have landed) and rebuild the updates under it
+          val vcol = FactVersioned.read(spark, path).columns
+            .find(c => c == "v" || c == "amount").get
+          FactVersioned.upsert(spark, path,
+            Seq((key, 0, key * 100L)).toDF("k", "p", vcol),
+            Seq("k"), "p", retain = 50)
+          landed.add(key); done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => // retry
+          case e: IllegalArgumentException
+              if e.getMessage.contains("not compatible") => // stale schema
+          case _: org.apache.spark.sql.AnalysisException => // renamed mid-read
+        }
+      }
+      assert(done, s"upsert $key starved after $attempts attempts")
+    }
+    def renameRetry(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 30) {
+        attempts += 1
+        try {
+          FactVersioned.renameColumns(spark, path, Map("v" -> "amount"),
+            retain = 50)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => // retry
+        }
+      }
+      assert(done, s"rename starved after $attempts attempts")
+    }
+    try {
+      val fa = Future { (101L to 106L).foreach(upsertRetry) }
+      val fb = Future { (201L to 206L).foreach(upsertRetry) }
+      val fr = Future { Thread.sleep(150); renameRetry() }
+      Await.result(Future.sequence(Seq(fa, fb, fr)), 5.minutes)
+    } finally pool.shutdown()
+    // the rename must never be lost to a racing data commit
+    val cols = FactVersioned.read(spark, path).columns.toSet
+    assert(cols.contains("amount") && !cols.contains("v"),
+      s"rename lost: head columns $cols")
+    // and every upsert that reported success must be visible
+    val now = FactVersioned.read(spark, path)
+      .select(col("k"), col("amount")).as[(Long, Long)].collect().toMap
+    landed.forEach { k =>
+      assert(now.get(k).contains(k * 100L), s"upsert $k lost")
+    }
+    assert(landed.size == 12, s"only ${landed.size}/12 upserts landed")
+  }
+
   test("append (INSERT semantics) keeps existing rows and stays ∝ touched") {
     val path = tmp()
     FactVersioned.upsert(spark, path, base(30), Seq("k"), "p")

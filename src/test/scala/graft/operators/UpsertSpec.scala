@@ -134,4 +134,31 @@ class UpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("changes type"))
   }
+
+  test("partitionDirName renders TIMESTAMP values byte-identical to " +
+      "Spark's own partitioned-write layout (fractions included)") {
+    val vals = Seq(
+      java.sql.Timestamp.valueOf("2024-01-03 07:30:00"),
+      java.sql.Timestamp.valueOf("2024-01-03 07:30:00.123456"),
+      java.sql.Timestamp.valueOf("2024-01-03 07:30:00.5"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tsdir_").toString + "/t"
+    vals.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("k", "ts").write.partitionBy("ts").parquet(out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("ts=")).toSet
+    val derived = vals.map(Upsert.partitionDirName("ts", _)).toSet
+    assert(derived == written,
+      s"derived $derived must equal Spark's layout $written")
+    // the java.time.Instant form (datetime.java8API sessions) agrees
+    assert(Upsert.partitionDirName("ts", vals.head.toInstant) ==
+      Upsert.partitionDirName("ts", vals.head))
+    // TIMESTAMP_NTZ (LocalDateTime) renders the wall clock verbatim
+    assert(Upsert.partitionDirName("ts",
+        java.time.LocalDateTime.parse("2024-01-03T07:30:00"))
+      .contains("2024-01-03 07%3A30%3A00"))
+  }
 }
