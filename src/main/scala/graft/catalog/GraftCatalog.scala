@@ -57,12 +57,18 @@ import graft.operators.{FactVersioned, Versioned}
   * dimensions) via the DSv2→V1 whole-frame bridge, so the claim/marker
   * protocol, conflict detection, and retention all apply unchanged.
   * INSERT into a pinned `VERSION AS OF` resolution, INSERT OVERWRITE,
-  * and destructive DDL (bare drop/truncate of committed tables, table
-  * renames) are rejected — partition replacement keeps its explicit
-  * operator surface, and table destruction requires the explicit
-  * `DROP TABLE ... PURGE` opt-in ([[purgeTable]], claim-serialized). Schema evolution IS SQL-first: ALTER TABLE
+  * and destructive DDL (bare drop of committed tables, table renames)
+  * are rejected — partition replacement keeps its explicit operator
+  * surface, and table destruction requires the explicit
+  * `DROP TABLE ... PURGE` opt-in ([[purgeTable]], claim-serialized).
+  * `TRUNCATE TABLE` is supported as VERSIONED emptying (an
+  * empty-head commit; history time-travels until retention — nothing
+  * destroyed). Schema evolution IS SQL-first: ALTER TABLE
   * ADD/DROP/RENAME COLUMN route to the stores' metadata-scale commits
-  * (rename via column mapping — [[FactVersioned.renameColumns]]).
+  * (rename via column mapping — [[FactVersioned.renameColumns]]),
+  * and `INSERT ... BY NAME` auto-widens under
+  * `spark.graft.schema.autoMerge.enabled`
+  * ([[GraftDml.AutoMergeConf]]).
   *
   * The warehouse `root` is re-read from the session conf on every
   * resolution (falling back to the init-time option), so one session
@@ -504,7 +510,8 @@ private[catalog] abstract class GraftWritableTable(
     val graftTablePath: String,
     retain: () => Int) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   protected def spark: SparkSession = SparkSession.active
   protected def retention: Int = retain()
   /** Retention for the [[GraftDml]] MERGE/DELETE commands — the same
@@ -607,6 +614,34 @@ private[catalog] class WritableFactTable(
       properties = Map("operation" -> "INSERT"))
     ()
   }
+
+  /** `TRUNCATE TABLE` — VERSIONED emptying: one commit that declares
+    * every head partition touched and stages nothing, so the new head
+    * is empty while every retained generation still time-travels (the
+    * inverse safety posture of DROP: nothing is destroyed). Cost: one
+    * partition-column scan for the touched tuples + a manifest write —
+    * never a data rewrite. */
+  override def truncateTable(): Boolean = {
+    // an already-empty head (no partition dirs in the manifest) has
+    // nothing to truncate — and no partition COLUMNS to recover from
+    // dir names either, so probe the manifest first
+    if (FactVersioned.partitionDirs(spark, path, None).isEmpty)
+      return true
+    val head = FactVersioned.read(spark, path)
+    val pcolsAll = FactVersioned.partitionColumns(spark, path)
+    val touched = head
+      .select(pcolsAll.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().limit(10001).collect()
+    require(touched.length <= 10000,
+      "GraftCatalog TRUNCATE: more than 10000 partitions")
+    if (touched.nonEmpty)
+      FactVersioned.replacePartitionsBy(spark, path,
+        head.drop(FactVersioned.VGenCol).limit(0), pcolsAll,
+        touched.toIndexedSeq.map(r => pcolsAll.indices.map(r.get)),
+        retain = retention, basisGen = Some(resolvedGen),
+        properties = Map("operation" -> "TRUNCATE"))
+    true
+  }
 }
 
 /** A table created by CREATE TABLE [AS SELECT] whose first commit has
@@ -682,5 +717,13 @@ private[catalog] class WritableDimTable(
     Versioned.commit(current.unionByName(data), path,
       retain = retention)
     ()
+  }
+
+  /** `TRUNCATE TABLE` for a full-copy store: a fresh EMPTY generation
+    * under the current schema; history time-travels until retention. */
+  override def truncateTable(): Boolean = {
+    Versioned.commit(Versioned.read(spark, path).limit(0), path,
+      retain = retention)
+    true
   }
 }

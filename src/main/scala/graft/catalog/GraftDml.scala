@@ -800,22 +800,24 @@ case class GraftInsertEvolveRule(session: SparkSession)
         val child = i.query.asInstanceOf[GraftInsertWiden].child
         val unwrapped = i.copy(query = child)
         GraftDml.graftTarget(i.table) match {
-          case Some((rel, table: WritableFactTable)) if enabled =>
+          case Some((rel, _)) if enabled =>
             val extra = child.output.filterNot(a =>
               rel.output.exists(_.name.equalsIgnoreCase(a.name)))
             if (extra.isEmpty) unwrapped
             else {
-              graft.operators.FactVersioned.addColumns(session,
-                table.graftTablePath,
-                extra.map(a => org.apache.spark.sql.types.StructField(
-                  a.name, a.dataType, nullable = true)),
-                retain = table.retentionForDml)
-              val reloaded = DataSourceV2Relation.create(
-                rel.catalog.map(_.asInstanceOf[
+              // route through the catalog's own ALTER path — facts get
+              // the metadata-only addColumns commit (tombstones
+              // enforced), dims a widened full-copy generation; both
+              // honor the catalog's retention conf
+              val cat = rel.catalog.map(_.asInstanceOf[
                   org.apache.spark.sql.connector.catalog.TableCatalog])
-                  .getOrElse(GraftDml.unsupported(
-                    "INSERT widening needs a catalog-resolved table"))
-                  .loadTable(rel.identifier.get),
+                .getOrElse(GraftDml.unsupported(
+                  "INSERT widening needs a catalog-resolved table"))
+              cat.alterTable(rel.identifier.get,
+                extra.map(a => org.apache.spark.sql.connector.catalog
+                  .TableChange.addColumn(Array(a.name), a.dataType)): _*)
+              val reloaded = DataSourceV2Relation.create(
+                cat.loadTable(rel.identifier.get),
                 rel.catalog, rel.identifier)
               unwrapped.copy(table = i.table.transform {
                 case r: DataSourceV2Relation if r.eq(rel) => reloaded

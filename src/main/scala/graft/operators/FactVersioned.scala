@@ -1029,17 +1029,22 @@ object FactVersioned {
     }
 
   /** The table's partition column names in nesting order, recovered
-    * from the head generation's manifest dir names (nested Hive
-    * `c1=v1/c2=v2` forms, unescaped). Fails loudly on a table whose
-    * head holds no partitions (nothing to recover from — callers that
-    * know the columns should pass them instead). */
+    * from the newest retained generation whose manifest holds
+    * partitions (nested Hive `c1=v1/c2=v2` forms, unescaped) — the
+    * layout is a table constant, so an EMPTY head (a TRUNCATE commit)
+    * recovers it from history. Fails loudly only when no retained
+    * generation holds a partition (callers that know the columns
+    * should pass them instead). */
   def partitionColumns(spark: SparkSession, tablePath: String): Seq[String] = {
     val g = resolveGen(spark, tablePath, None)
-    val dir = spark.read.parquet(manifestDir(tablePath, g).toString)
-      .select("dir").limit(1).collect()
+    val dir = generations(spark, tablePath).reverse.iterator
+      .map(gg => spark.read.parquet(manifestDir(tablePath, gg).toString)
+        .select("dir").limit(1).collect())
+      .find(_.nonEmpty).flatMap(_.headOption)
     require(dir.nonEmpty,
       s"FactVersioned.partitionColumns: generation $g of $tablePath has " +
-        "no partitions — pass the partition columns explicitly")
+        "no partitions (nor does any retained generation) — pass the " +
+        "partition columns explicitly")
     dir.head.getString(0).split("/").toSeq.map { seg =>
       val eq = seg.indexOf('=')
       require(eq > 0,

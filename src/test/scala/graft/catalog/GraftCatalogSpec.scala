@@ -174,6 +174,43 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE is VERSIONED emptying: the new head is empty, " +
+      "history still time-travels, nothing is staged or destroyed") {
+    val root = Files.createTempDirectory("graft_cat_trunc_").toString
+    register(root)
+    val fpath = s"$root/tf"
+    val rows = (1 to 30).map(i => (i.toLong, i % 3, i * 10L))
+      .toDF("k", "p", "v")
+    FactVersioned.upsert(spark, fpath, rows, Seq("k"), "p", retain = 10)
+    spark.conf.set("spark.sql.catalog.graftt.retain", "10")
+    try {
+      spark.sql("TRUNCATE TABLE graftt.tf")
+      assert(spark.table("graftt.tf").count() == 0)
+      assert(FactVersioned.generations(spark, fpath) == Seq(0L, 1L))
+      // zero staged data: the truncate is a manifest-only commit
+      val fs = new org.apache.hadoop.fs.Path(fpath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$fpath/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")))
+      // the pre-truncate generation still reads exactly
+      assert(spark.sql("SELECT * FROM graftt.tf VERSION AS OF 0")
+        .count() == 30)
+      // truncating the already-empty head is a no-op, not an error
+      spark.sql("TRUNCATE TABLE graftt.tf")
+      assert(spark.table("graftt.tf").count() == 0)
+      // the table stays insertable after
+      spark.sql("INSERT INTO graftt.tf BY NAME " +
+        "SELECT 99L AS k, 0 AS p, 1L AS v")
+      assert(spark.table("graftt.tf").count() == 1)
+      // dimension tables truncate the same way
+      Versioned.commit(dim(5), s"$root/td")
+      spark.sql("TRUNCATE TABLE graftt.td")
+      assert(spark.table("graftt.td").count() == 0)
+      assert(spark.sql("SELECT * FROM graftt.td VERSION AS OF 0")
+        .count() == 5)
+    } finally spark.conf.unset("spark.sql.catalog.graftt.retain")
+  }
+
   test("DROP TABLE ... PURGE destroys a committed table through the " +
       "claim protocol; bare DROP stays rejected; racing readers fail " +
       "loudly, never read a half-table") {

@@ -702,6 +702,15 @@ class GraftDmlSpec extends SparkSpec {
           "SELECT 1001L AS k, 0 AS p, 1L AS v, 'y' AS note")
       }
       assert(messagesOf(e).contains("DROPPED"), messagesOf(e))
+      // dimension tables widen through the same door (alterTable →
+      // a widened full-copy generation, then the append)
+      Versioned.commit((1 to 5).map(i => (i.toLong, s"n$i"))
+        .toDF("k", "name"), s"${path.stripSuffix("/t")}/d")
+      s.sql("INSERT INTO g.d BY NAME " +
+        "SELECT 6L AS k, 'n6' AS name, 'x' AS tag")
+      assert(s.sql("SELECT tag FROM g.d WHERE k = 6")
+        .head().getString(0) == "x")
+      assert(s.sql("SELECT tag FROM g.d WHERE k = 1").head().isNullAt(0))
     } finally s.conf.unset(GraftDml.AutoMergeConf)
   }
 
