@@ -443,19 +443,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * failed write). Committed tables keep the DDL rejection — use the
     * explicit `DROP TABLE ... PURGE` form ([[purgeTable]]) to destroy
     * a committed table through the claim protocol. */
-  override def dropTable(ident: Identifier): Boolean = {
-    val path = tablePath(ident)
+  /** A pending CTAS husk with no committed data: the one thing bare
+    * DROP may remove. Shared by both drop doors so the condition can
+    * never diverge between them. */
+  private def deletePendingHusk(path: String): Option[Boolean] =
     if (isPending(path) &&
         FactVersioned.generations(spark, path).isEmpty &&
         Versioned.generations(spark, path).isEmpty) {
       val root = new Path(path)
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(root, true)
-    } else throw new UnsupportedOperationException(
-      s"GraftCatalog is read-only DDL for committed tables: bare " +
-        "DROP TABLE would silently destroy versioned history — use " +
-        "DROP TABLE ... PURGE to opt in explicitly")
-  }
+      Some(root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true))
+    } else None
+
+  override def dropTable(ident: Identifier): Boolean =
+    deletePendingHusk(tablePath(ident)).getOrElse(
+      throw new UnsupportedOperationException(
+        s"GraftCatalog is read-only DDL for committed tables: bare " +
+          "DROP TABLE would silently destroy versioned history — use " +
+          "DROP TABLE ... PURGE to opt in explicitly"))
 
   /** `DROP TABLE ... PURGE` — the explicit-opt-in destructive door
     * (VERDICT r13 Next #5): irreversibly deletes the table tree,
@@ -465,17 +470,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * manifest/marker), never read a half-tree as a valid generation. */
   override def purgeTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)
-    if (isPending(path) &&
-        FactVersioned.generations(spark, path).isEmpty &&
-        Versioned.generations(spark, path).isEmpty) {
-      val root = new Path(path)
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(root, true)
-    } else if (FactVersioned.generations(spark, path).nonEmpty) {
+    deletePendingHusk(path).getOrElse {
+    if (FactVersioned.generations(spark, path).nonEmpty) {
       FactVersioned.destroy(spark, path); true
     } else if (Versioned.generations(spark, path).nonEmpty) {
       Versioned.destroy(spark, path); true
     } else throw new NoSuchTableException(ident)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

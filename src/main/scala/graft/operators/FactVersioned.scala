@@ -82,6 +82,14 @@ object FactVersioned {
   private def genMeta(t: String, g: Long) = new Path(gensRoot(t), s"gen=$g")
   private def manifestDir(t: String, g: Long) = new Path(genMeta(t, g), "manifest")
 
+  /** Order-insensitive (name, type) view of a schema — the equality
+    * BOTH schema checks in [[publishClaimed]] compare on (compat vs
+    * parent, DDL-loss guard vs head): nullability is not load-bearing
+    * (write paths flip it freely), field order is presentation. One
+    * definition so the two notions can never silently diverge. */
+  private def schemaShape(st: StructType): Seq[(String, DataType)] =
+    st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+
   /** The properties contract every committing entry point enforces:
     * the file is newline-delimited `key\tvalue` lines, so keys must be
     * newline- and tab-free and values newline-free or the NEXT reader's
@@ -713,9 +721,7 @@ object FactVersioned {
       //  - a commit that carries NOTHING (touched ⊇ every parent
       //    partition) may change anything: no old file enters the new
       //    manifest, and prior generations keep their own schemas.
-      def norm(st: StructType) =
-        st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      if (norm(ps) != norm(content.schema)) {
+      if (schemaShape(ps) != schemaShape(content.schema)) {
         val cTypes = content.schema.fields
           .map(f => f.name -> f.dataType).toMap
         val pTypes = ps.fields.map(f => f.name -> f.dataType).toMap
@@ -820,13 +826,12 @@ object FactVersioned {
     // writers) compares its own content schema instead. Fast path
     // (head == basis): zero extra reads.
     head.filter(_ > parentGen).foreach { hg =>
-      def norm(st: StructType): Seq[(String, DataType)] =
-        st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      val headSchema = norm(readSchema(spark, tablePath, hg))
+      val headSchema = schemaShape(readSchema(spark, tablePath, hg))
       val headMap = readColMap(fs, tablePath, hg)
       val (basisSchema, basisMap) =
-        if (parentGen < 0) (norm(content.schema), Map.empty[String, String])
-        else (norm(readSchema(spark, tablePath, parentGen)),
+        if (parentGen < 0)
+          (schemaShape(content.schema), Map.empty[String, String])
+        else (schemaShape(readSchema(spark, tablePath, parentGen)),
           readColMap(fs, tablePath, parentGen))
       if (basisSchema != headSchema || basisMap != headMap) {
         val headDirs = spark.read
@@ -1388,18 +1393,25 @@ object FactVersioned {
 
   /** Record `keys` as the table's default merge keys if none are
     * recorded yet. Post-commit best-effort: a crash before the write
-    * just means the NEXT upsert records it. */
+    * just means the NEXT upsert records it. First writer wins via
+    * write-tmp-then-RENAME — bare `create(overwrite = false)` is
+    * check-then-act on LocalFileSystem (the same reason claimNext
+    * rides [[CommitLock.atomicCreate]]), and rename additionally makes
+    * the CONTENT atomic: no reader ever sees a half-written record. */
   private[graft] def recordMergeKeys(
       spark: SparkSession, tablePath: String, keys: Seq[String]): Unit = {
     val fs = fsOf(spark, tablePath)
     val p = defaultKeysPath(tablePath)
     if (fs.exists(p)) return
-    try {
-      val out = fs.create(p, false) // exclusive — first writer wins
-      try out.write(keys.map(_.toLowerCase).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { case _: java.io.IOException => () /* concurrent recorder */ }
+    val tmp = new Path(p.getParent,
+      s"${p.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(keys.map(_.toLowerCase).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-to-existing fails (returns false) on Hadoop filesystems —
+    // the loser just cleans its tmp up
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   /** Rewrite (or drop) the default-keys record after a DDL: `f` maps
@@ -1806,9 +1818,13 @@ object FactVersioned {
     * conflict), then delete the tree. Readers racing the purge fail
     * LOUDLY, never wrongly: generation resolution requires the commit
     * marker and the manifest, both gone with the tree — a half-read
-    * surfaces as missing files, not as a plausible half-table. Exposed
-    * only behind the catalog's explicit `DROP TABLE ... PURGE` door;
-    * bare `DROP TABLE` keeps the safety rejection. */
+    * surfaces as missing files, not as a plausible half-table. A
+    * writer claiming AFTER the purge's claim may re-create the table
+    * as a fresh, COMPLETE first generation once the purge's claim
+    * vanishes with the tree — semantically a re-create after the
+    * purge, never a torn state. Exposed only behind the catalog's
+    * explicit `DROP TABLE ... PURGE` door; bare `DROP TABLE` keeps
+    * the safety rejection. */
   def destroy(spark: SparkSession, tablePath: String): Unit = {
     val fs = fsOf(spark, tablePath)
     require(fs.exists(gensRoot(tablePath)),

@@ -128,12 +128,17 @@ object Versioned {
   }
 
   /** PURGE — irreversibly delete the whole table tree, claiming the
-    * next generation first so racing committers serialize with the
-    * purge exactly as with another commit (a racer that claimed before
-    * us publishes a generation that is deleted with the table — the
-    * purge's explicit intent; one claiming after us finds the tree
-    * gone and fails loudly). Exposed only behind the catalog's
-    * explicit `DROP TABLE ... PURGE` door. */
+    * next generation first and then WAITING for every lower-numbered
+    * in-flight claim to resolve (publish, vanish, or go stale) before
+    * deleting: a committer that claimed BEFORE the purge publishes
+    * first and its generation is deleted with the table — the purge's
+    * explicit intent — rather than re-creating the tree by writing
+    * AFTER the delete. A writer claiming AFTER the purge's claim may
+    * still re-create the table as a fresh, COMPLETE generation once
+    * the purge's claim vanishes with the tree — semantically the same
+    * as re-creating the table after the purge, never a torn read
+    * (resolution requires the commit marker, written last). Exposed
+    * only behind the catalog's explicit `DROP TABLE ... PURGE` door. */
   def destroy(spark: SparkSession, tablePath: String): Unit = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,6 +157,26 @@ object Versioned {
       if (CommitLock.atomicCreate(fs, new Path(genDir(root, next), ClaimMarker)))
         claimed = true
       else next += 1
+    }
+    // linearize: a lower claim still writing would re-create the tree
+    // AFTER our delete (its parquet write mkdirs) — wait it out like
+    // any committer (FactVersioned.awaitLowerClaims' contract)
+    val deadline = System.currentTimeMillis() + 60L * 1000L
+    var g = 0L
+    while (g < next) {
+      val dir = genDir(root, g)
+      val unresolved = fs.exists(new Path(dir, ClaimMarker)) &&
+        !fs.exists(new Path(dir, CommitMarker)) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(new Path(dir, ClaimMarker))
+            .getModificationTime < StaleClaimMs
+      if (!unresolved) g += 1
+      else if (System.currentTimeMillis() > deadline) {
+        fs.delete(genDir(root, next), true) // roll our claim back
+        throw new java.util.ConcurrentModificationException(
+          s"Versioned.destroy: generation $g is still being written at " +
+            s"$tablePath — retry the purge once the writer resolves")
+      } else Thread.sleep(50)
     }
     fs.delete(root, true)
   }

@@ -44,6 +44,13 @@ import graft.operators.{BloomPrune, Bucketing, Changelog, DataSkipping, FactVers
   */
 object ScaleQueries extends QueryPack {
 
+  /** Every message down a throwable's cause chain — gates asserting on
+    * nested analysis/commit failures share this one walker. */
+  private def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(causeMessages))
+
   /** Column names physically present in a generation's staged files
     * (q160: the post-rename staging contract). */
   private def stagedFileColumns(
@@ -1925,13 +1932,10 @@ object ScaleQueries extends QueryPack {
           .collect()
         None
       } catch { case t: Throwable => Some(t) }
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x =>
-          Option(x.getMessage).toSeq ++
-            Option(x.getCause).toSeq.flatMap(msgs))
-      require(e.exists(t => msgs(t).exists(_.contains("explicitly"))),
+      require(e.exists(t =>
+          causeMessages(t).exists(_.contains("explicitly"))),
         s"q162: a keyless call over an unrecorded table must carry " +
-          s"the pass-keys-explicitly guidance, got ${e.map(msgs)}")
+          s"the pass-keys-explicitly guidance, got ${e.map(causeMessages)}")
       val fs = new org.apache.hadoop.fs.Path(wh)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(wh), true)
@@ -2011,11 +2015,8 @@ object ScaleQueries extends QueryPack {
         s.sql("ALTER TABLE graft.orders_ie DROP COLUMN note")
         val dead = try { s.sql(widening); None }
           catch { case t: Throwable => Some(t) }
-        def msgs163(t: Throwable): Seq[String] =
-          Option(t).toSeq.flatMap(x =>
-            Option(x.getMessage).toSeq ++
-              Option(x.getCause).toSeq.flatMap(msgs163))
-        require(dead.exists(t => msgs163(t).exists(_.contains("DROPPED"))),
+        require(dead.exists(t =>
+            causeMessages(t).exists(_.contains("DROPPED"))),
           "q163: re-widening a tombstoned name must reject loudly")
         val out = s.sql(
           """SELECT o_orderkey, o_orderstatus, o_totalprice, note

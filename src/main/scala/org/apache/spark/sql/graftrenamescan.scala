@@ -200,14 +200,17 @@ private class GraftRenamingScan(
 
   /** Rewrite physical column names to logical in EXPLAIN text
     * (identifier-boundary matches — `v` must not rewrite inside
-    * `avg`). Display-only: resolution is by exprId everywhere; without
-    * this a plan prints `PushedFilters: [v > 350]` for a column the
-    * user knows as `amount` — a debugging trap. */
+    * `avg`; '/'-adjacent tokens are excluded so a FILESYSTEM PATH
+    * segment that happens to equal a physical column name is never
+    * mistranslated in `description()`'s embedded Location).
+    * Display-only: resolution is by exprId everywhere; without this a
+    * plan prints `PushedFilters: [v > 350]` for a column the user
+    * knows as `amount` — a debugging trap. */
   private def logicalText(s: String): String =
     p2l.foldLeft(s) { case (acc, (p, l)) =>
       acc.replaceAll(
-        "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(p) +
-          "(?![A-Za-z0-9_])", java.util.regex.Matcher.quoteReplacement(l))
+        "(?i)(?<![A-Za-z0-9_/])" + java.util.regex.Pattern.quote(p) +
+          "(?![A-Za-z0-9_/])", java.util.regex.Matcher.quoteReplacement(l))
     }
 
   // runtime (dynamic) filtering, e.g. DPP: Spark 4.1's own FileScan
