@@ -24,16 +24,20 @@ import graft.operators.{AnnIndex, FactChangeFeed, TfIdf}
   * ANN/BM25 stores and the CDC feed were the only first-class
   * subsystems without a SQL door (VERDICT r12 "Next" #3/#4):
   *
-  *  - `graft_table_changes('<cat>.<t>' | '<path>'[, 'k1[,k2]'], from, to)`
+  *  - `graft_table_changes('<cat>.<t>' | '<path>'[, 'k1[,k2]'], from[, to])`
   *    — the row delta transforming generation `from` into `to` of a
   *    fact table ([[FactChangeFeed.window]]'s `(from, to]` window;
-  *    `from = -1` reads "from empty"). Generations are immutable, so
-  *    the same window always returns the identical rows — the Delta
-  *    `table_changes` idea over the manifest store (this store
-  *    computes CDC from generation diffs; it does not persist
-  *    per-commit change rows). The keys argument may be omitted when
-  *    the table has RECORDED default merge keys (written at its first
-  *    upsert/MERGE — [[graft.operators.FactVersioned.recordedMergeKeys]]).
+  *    `from = -1` reads "from empty"; `to` defaults to the head
+  *    generation, Delta's optional end version). Generations are
+  *    immutable, so the same window always returns the identical
+  *    rows — the Delta `table_changes` idea over the manifest store
+  *    (this store computes CDC from generation diffs; it does not
+  *    persist per-commit change rows). The keys argument may be
+  *    omitted when the table has RECORDED default merge keys (written
+  *    at its first upsert/MERGE —
+  *    [[graft.operators.FactVersioned.recordedMergeKeys]]). Windows
+  *    spanning an ALTER RENAME are exact: the from side translates
+  *    through the column mappings to the window-end naming.
   *  - `graft_ann_topk('<table>', '<vec_col>', k, n_probe)` — IVF
   *    top-k over the PERSISTED `_graft_ann__` sidecar
   *    ([[AnnIndex.ivfTopKIndexed]]): corpus self-join shape, no base
@@ -158,27 +162,46 @@ object GraftFunctions {
   val tableBuilders: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_table_changes" -> (es => {
       val fn = "graft_table_changes"
-      require(es.length == 3 || es.length == 4,
-        s"usage: $fn('<cat>.<table>'|'<path>'[, 'k1[,k2]'], from_gen, " +
-          "to_gen) — from_gen = -1 reads from empty; the keys argument " +
-          "may be omitted when the table has recorded default merge " +
-          "keys (set at its first upsert/MERGE)")
+      require(es.length >= 2 && es.length <= 4,
+        s"usage: $fn('<cat>.<table>'|'<path>'[, 'k1[,k2]'], from_gen" +
+          "[, to_gen]) — from_gen = -1 reads from empty; to_gen " +
+          "defaults to the head generation; the keys argument may be " +
+          "omitted when the table has recorded default merge keys " +
+          "(set at its first upsert/MERGE)")
+      // argument shapes disambiguate by literal type (Delta's
+      // `table_changes` makes the end version optional the same way):
+      // a STRING in position 2 is the keys list, an INTEGER is
+      // from_gen; a missing final integer means "to the head".
+      val hasKeys = es.length == 4 ||
+        (es.length >= 2 && (folded(es(1)) match {
+          case Literal(_, StringType) => true
+          case _ => false
+        }))
+      val fromIdx = if (hasKeys) 2 else 1
+      require(es.length > fromIdx,
+        s"usage: $fn('<cat>.<table>'[, 'k1[,k2]'], from_gen[, to_gen])")
       val spark = SparkSession.active
       val path = tablePathArg(spark, es, 0, fn)
-      val fromIdx = if (es.length == 4) 2 else 1
       val from = litLong(es, fromIdx, fn, "from_gen")
-      val to = litLong(es, fromIdx + 1, fn, "to_gen")
+      val to =
+        if (es.length > fromIdx + 1) litLong(es, fromIdx + 1, fn, "to_gen")
+        else {
+          val gens = graft.operators.FactVersioned.generations(spark, path)
+          require(gens.nonEmpty,
+            s"$fn: no committed generations at $path")
+          gens.max
+        }
       // Delta's `table_changes('t', from, to)` shape: with no keys
       // argument, resolve the table's RECORDED default merge keys
       // (written at first upsert/MERGE — FactVersioned.recordMergeKeys).
-      // The record names HEAD-logical columns; a window over PRE-rename
-      // generations sees the column under its then-current name, so
-      // translate head-logical → physical → window-end logical through
-      // the column mappings (windows SPANNING a rename are constrained
-      // the same way for explicit keys: the two generations disagree on
-      // the name either way).
+      // The record names HEAD-logical columns; the window computes and
+      // emits under the WINDOW-END generation's naming (the from side
+      // translates through the column mappings inside
+      // FactChangeFeed.window — rename-spanning windows are exact), so
+      // translate head-logical → physical → window-end logical here.
+      // Explicit keys are likewise window-end names.
       val keys =
-        if (es.length == 4)
+        if (hasKeys)
           litString(es, 1, fn, "keys")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         else {

@@ -340,10 +340,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * mapping: the renamed column keeps its physical on-file name, a
     * per-generation colmap aliases reads and routes writes, the old
     * name is tombstoned); dimensions commit a fresh full-copy
-    * generation. Earlier generations keep their own schemas —
-    * `VERSION AS OF` reads both sides of the evolution; later DML sees
-    * the new schema. Everything else (retype, nested fields,
-    * positioned or defaulted adds) is rejected: those rewrite data. */
+    * generation. NESTED struct fields add and drop too
+    * ([[FactVersioned.addNestedColumn]]/[[FactVersioned.dropNestedColumn]]
+    * — same metadata-only commit; parquet schema clipping null-fills a
+    * field absent from carried files, arrays of structs included).
+    * Earlier generations keep their own schemas — `VERSION AS OF`
+    * reads both sides of the evolution; later DML sees the new schema.
+    * Everything else (retype, nested renames, positioned or defaulted
+    * adds) is rejected: those rewrite data or need nested column
+    * mapping. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     val isFact = FactVersioned.generations(spark, path).nonEmpty
@@ -352,32 +357,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val drops = Seq.newBuilder[String]
     val renames = Seq.newBuilder[(String, String)]
+    val nestedAdds =
+      Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
+    val nestedDrops = Seq.newBuilder[Seq[String]]
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "GraftCatalog: RENAME COLUMN of a nested field is not " +
-            s"supported (got ${r.fieldNames.mkString(".")})")
+            s"supported (got ${r.fieldNames.mkString(".")}) — the " +
+            "column mapping is top-level; add the new field and " +
+            "backfill instead")
         renames += r.fieldNames.head -> r.newName
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "GraftCatalog: ADD COLUMN of a nested field is not supported " +
-            s"(got ${a.fieldNames.mkString(".")})")
         require(a.isNullable,
-          s"GraftCatalog: added column '${a.fieldNames.head}' must be " +
-            "nullable — existing files have no values for it")
+          s"GraftCatalog: added column '${a.fieldNames.mkString(".")}' " +
+            "must be nullable — existing files have no values for it")
         require(a.position() == null,
           "GraftCatalog: ADD COLUMN FIRST/AFTER is not supported — " +
             "columns append (carried files null-fill by NAME)")
         require(a.defaultValue() == null,
           "GraftCatalog: ADD COLUMN DEFAULT is not supported — carried " +
             "rows would need a data rewrite to hold the default")
-        adds += StructType(Seq()).add(a.fieldNames.head, a.dataType,
-          nullable = true).fields.head
+        if (a.fieldNames.length == 1)
+          adds += StructType(Seq()).add(a.fieldNames.head, a.dataType,
+            nullable = true).fields.head
+        else nestedAdds += a.fieldNames.toSeq -> a.dataType
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "GraftCatalog: DROP COLUMN of a nested field is not supported " +
-            s"(got ${d.fieldNames.mkString(".")})")
-        drops += d.fieldNames.head
+        if (d.fieldNames.length == 1) drops += d.fieldNames.head
+        else nestedDrops += d.fieldNames.toSeq
       case other => throw new UnsupportedOperationException(
         "GraftCatalog: only ALTER TABLE ADD/DROP/RENAME COLUMN(S) is " +
           s"supported (metadata-scale evolution); got $other — retypes " +
@@ -385,7 +392,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val (fields, dropped, renamed) =
       (adds.result(), drops.result(), renames.result())
-    require(Seq(fields, dropped, renamed).count(_.nonEmpty) <= 1,
+    val (nAdds, nDrops) = (nestedAdds.result(), nestedDrops.result())
+    require(Seq(fields, dropped, renamed, nAdds.map(_._1), nDrops)
+        .count(_.nonEmpty) <= 1,
       "GraftCatalog: mix of ADD/DROP/RENAME in one ALTER is not " +
         "supported — issue separate statements")
     if (isFact) {
@@ -397,13 +406,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         FactVersioned.renameColumns(spark, path, renamed.toMap,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE RENAME COLUMN"))
+      else if (nAdds.nonEmpty)
+        nAdds.foreach { case (p, dt) =>
+          FactVersioned.addNestedColumn(spark, path, p, dt,
+            retain = retainFor(path),
+            properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
+        }
+      else if (nDrops.nonEmpty)
+        nDrops.foreach { p =>
+          FactVersioned.dropNestedColumn(spark, path, p,
+            retain = retainFor(path),
+            properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
+        }
       else
         FactVersioned.dropColumns(spark, path, dropped,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
     } else {
       val cur = Versioned.read(spark, path)
-      if (fields.nonEmpty) {
+      if (nAdds.nonEmpty || nDrops.nonEmpty) {
+        // full-copy store: reshape the struct column in a fresh
+        // generation. Column.withField/dropFields address nested
+        // structs by dotted path (arrays of structs are a fact-table
+        // capability — these throw their own unsupported error here).
+        val reshaped = nDrops.foldLeft(
+          nAdds.foldLeft(cur) { case (df, (p, dt)) =>
+            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
+              s"GraftCatalog: column '${p.head}' does not exist")
+            df.withColumn(p.head,
+              org.apache.spark.sql.functions.col(p.head).withField(
+                p.tail.mkString("."),
+                org.apache.spark.sql.functions.lit(null).cast(dt)))
+          }) { case (df, p) =>
+            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
+              s"GraftCatalog: column '${p.head}' does not exist")
+            df.withColumn(p.head,
+              org.apache.spark.sql.functions.col(p.head)
+                .dropFields(p.tail.mkString(".")))
+          }
+        Versioned.commit(reshaped, path, retain = retainFor(path))
+      } else if (fields.nonEmpty) {
         fields.foreach { f =>
           require(!cur.columns.exists(_.equalsIgnoreCase(f.name)),
             s"GraftCatalog: column '${f.name}' already exists")

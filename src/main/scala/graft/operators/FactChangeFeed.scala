@@ -88,8 +88,41 @@ object FactChangeFeed {
             s"(have ${gens.mkString(",")}) — retention outran the " +
             "consumer; re-seed from a full read")
         val dirs = touchedSince(spark, tablePath, a, toGen).toSeq.sorted
-        val from0 = FactVersioned.readDirs(spark, tablePath, Some(a), dirs)
+        val from1 = FactVersioned.readDirs(spark, tablePath, Some(a), dirs)
         val to = FactVersioned.readDirs(spark, tablePath, Some(toGen), dirs)
+        // a window crossing a RENAME commit: each generation reads
+        // under its OWN era's logical names (the VERSION AS OF
+        // posture), so the from-side frame may name a column by its
+        // pre-rename spelling while the to-side uses the new one.
+        // Physical names are pinned forever, so the column mappings
+        // give the exact identity: translate from-side logical →
+        // physical (era-a colmap) → window-end logical (era-toGen
+        // colmap reversed). Without this, a renamed value column would
+        // look dropped-and-added — null-filled on the from side — and
+        // EVERY carried row would surface as an update with its old
+        // value erased. A column genuinely dropped between a and toGen
+        // keeps its physical spelling here and falls out of the final
+        // to-columns projection, exactly as before.
+        val from0 = {
+          val mapA = FactVersioned.generationColMap(spark, tablePath, Some(a))
+          val mapTo = FactVersioned
+            .generationColMap(spark, tablePath, Some(toGen))
+            .map { case (l, p) => p.toLowerCase -> l }
+          val renames = from1.columns.flatMap { c =>
+            val phys = mapA.getOrElse(c.toLowerCase, c)
+            // the colmap stores lower-cased logical keys — pin the
+            // translated name to the to-side's ACTUAL spelling so the
+            // case-sensitive null-fill/projection below line up
+            val endName0 = mapTo.getOrElse(phys.toLowerCase, phys)
+            val endName = to.columns.find(_.equalsIgnoreCase(endName0))
+              .getOrElse(endName0)
+            if (endName == c) None else Some(c -> endName)
+          }.toMap
+          if (renames.isEmpty) from1
+          else from1.select(from1.columns.map(c =>
+            org.apache.spark.sql.functions.col(c)
+              .as(renames.getOrElse(c, c))).toIndexedSeq: _*)
+        }
         // a window crossing an ADDITIVE evolution commit: the from-side
         // generation lacks the added columns — null-fill them (exactly
         // how the evolved generation reads the carried files), so rows

@@ -90,6 +90,53 @@ object FactVersioned {
   private def schemaShape(st: StructType): Seq[(String, DataType)] =
     st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
 
+  /** Structural type widening, `wide ⊇ narrow`: every field of
+    * `narrow` is present in `wide` with a (recursively) widened type;
+    * `wide` may carry extra struct fields at any depth — the nested
+    * twin of the top-level additive-evolution relaxation. Arrays and
+    * maps widen element-/value-wise; leaves compare exactly
+    * (nullability lives on fields, not leaf types, and field
+    * nullability is not load-bearing here — see [[schemaShape]]). */
+  private def widens(narrow: DataType, wide: DataType): Boolean =
+    (narrow, wide) match {
+      case (n: StructType, w: StructType) =>
+        n.fields.forall(nf =>
+          w.fields.find(_.name.equalsIgnoreCase(nf.name))
+            .exists(wf => widens(nf.dataType, wf.dataType)))
+      case (n: org.apache.spark.sql.types.ArrayType,
+          w: org.apache.spark.sql.types.ArrayType) =>
+        widens(n.elementType, w.elementType)
+      case (n: org.apache.spark.sql.types.MapType,
+          w: org.apache.spark.sql.types.MapType) =>
+        widens(n.keyType, w.keyType) && widens(n.valueType, w.valueType)
+      case (n, w) => n == w
+    }
+
+  /** Tombstone keys (lower-cased dotted paths) of every field present
+    * in `content` but absent from `parent`, at ANY depth — the names a
+    * widening commit is ADDING, checked against the dropped-columns
+    * tombstone on the shared committer so no widening door can
+    * resurrect physically-carried values. */
+  private def addedFieldKeys(
+      parent: DataType, content: DataType,
+      prefix: Seq[String]): Seq[String] = (parent, content) match {
+    case (p: StructType, c: StructType) =>
+      c.fields.toSeq.flatMap { cf =>
+        p.fields.find(_.name.equalsIgnoreCase(cf.name)) match {
+          case Some(pf) =>
+            addedFieldKeys(pf.dataType, cf.dataType, prefix :+ cf.name)
+          case None => Seq((prefix :+ cf.name).mkString(".").toLowerCase)
+        }
+      }
+    case (p: org.apache.spark.sql.types.ArrayType,
+        c: org.apache.spark.sql.types.ArrayType) =>
+      addedFieldKeys(p.elementType, c.elementType, prefix)
+    case (p: org.apache.spark.sql.types.MapType,
+        c: org.apache.spark.sql.types.MapType) =>
+      addedFieldKeys(p.valueType, c.valueType, prefix)
+    case _ => Seq.empty
+  }
+
   /** The properties contract every committing entry point enforces:
     * the file is newline-delimited `key\tvalue` lines, so keys must be
     * newline- and tab-free and values newline-free or the NEXT reader's
@@ -722,14 +769,14 @@ object FactVersioned {
       //    partition) may change anything: no old file enters the new
       //    manifest, and prior generations keep their own schemas.
       if (schemaShape(ps) != schemaShape(content.schema)) {
-        val cTypes = content.schema.fields
-          .map(f => f.name -> f.dataType).toMap
-        val pTypes = ps.fields.map(f => f.name -> f.dataType).toMap
-        val additive = ps.fields.forall(f =>
-          cTypes.get(f.name).contains(f.dataType))
-        val narrowing = touchedDirs.isEmpty &&
-          content.schema.fields.forall(f =>
-            pTypes.get(f.name).contains(f.dataType))
+        // additive/narrowing are STRUCTURAL (see [[widens]]): a struct
+        // gaining a nested field is additive exactly like a table
+        // gaining a column — carried files null-fill the field on read
+        // (parquet schema clipping, arrays of structs included); a
+        // struct losing one is narrowing — reads under the narrowed
+        // pinned schema simply never request the field
+        val additive = widens(ps, content.schema)
+        val narrowing = touchedDirs.isEmpty && widens(content.schema, ps)
         lazy val carriedDirs = {
           val parentDirs = spark.read
             .parquet(manifestDir(tablePath, pg).toString)
@@ -740,11 +787,10 @@ object FactVersioned {
         // committer, so EVERY widening door (addColumns, upsertEvolve,
         // upsertEvolveBy, raw replacePartitionsBy) hits it — a revived
         // name over carried files would silently resurrect the stale
-        // physical values those files still hold
-        val revived = content.schema.fieldNames
-          .filterNot(n => ps.fieldNames.exists(_.equalsIgnoreCase(n)))
-          .filter(n =>
-            droppedColumns(spark, tablePath).contains(n.toLowerCase))
+        // physical values those files still hold. Nested fields are
+        // checked by their dotted tombstone keys, same reasoning.
+        val revived = addedFieldKeys(ps, content.schema, Nil)
+          .filter(droppedColumns(spark, tablePath).contains)
         require(revived.isEmpty || carriedDirs.isEmpty,
           s"FactVersioned: column(s) ${revived.mkString(", ")} were " +
             "previously DROPPED — carried data files still physically " +
@@ -1546,6 +1592,189 @@ object FactVersioned {
     commit
   }
 
+  // ---- nested-field evolution ---------------------------------------
+  //
+  // Top-level evolution stays [[addColumns]]/[[dropColumns]]; these are
+  // their STRUCT-FIELD twins (`ALTER TABLE t ADD COLUMN s.f`, Delta's
+  // nested schema-evolution posture). Identical commit shape: a
+  // metadata-only generation pinning the reshaped schema, every parent
+  // file carried verbatim. Reads make it correct for free — the pinned
+  // explicit schema clips against each parquet file's own schema, so a
+  // nested field absent from a carried file reads as null (including
+  // inside arrays of structs), and a dropped nested field is simply
+  // never requested from files that still hold it. Tombstones record
+  // the full DOTTED path (`s.f`, lower-cased) in the same
+  // `_dropped_columns` file — dotted entries can never collide with
+  // top-level names, and the same resurrect-protection reasoning
+  // applies segment-for-segment.
+
+  /** Strip the optional `element` step Spark's SQL paths use to
+    * address array elements (`tags.element.z`) — the API form may
+    * omit it; both resolve identically here. */
+  private def dropElementStep(path: Seq[String]): Seq[String] =
+    if (path.nonEmpty && path.head.equalsIgnoreCase("element")) path.tail
+    else path
+
+  /** The tombstone key of a nested path: lower-cased, dotted, with
+    * non-terminal `element` steps dropped so the SQL spelling
+    * (`tags.element.z`) and the API spelling (`tags.z`) can never
+    * dodge each other's tombstone. (A genuine intermediate struct
+    * field NAMED `element` collapses too — conservative: at worst an
+    * unrelated re-add is rejected, never a resurrect allowed.) */
+  private def nestedKey(path: Seq[String]): String =
+    (path.init.filterNot(_.equalsIgnoreCase("element")) :+ path.last)
+      .mkString(".").toLowerCase
+
+  /** The field at dotted `path` inside `dt`, if it resolves — descends
+    * structs by case-insensitive name and looks THROUGH array element
+    * types (a field inside an array of structs evolves like any
+    * other). */
+  private def fieldAt(dt: DataType, path: Seq[String]): Option[StructField] =
+    dt match {
+      case s: StructType if path.nonEmpty =>
+        s.fields.find(_.name.equalsIgnoreCase(path.head)).flatMap { f =>
+          if (path.length == 1) Some(f) else fieldAt(f.dataType, path.tail)
+        }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        fieldAt(a.elementType, dropElementStep(path))
+      case _ => None
+    }
+
+  /** `dt` with nullable `add` appended to the struct at `parent`
+    * (empty = `dt` itself); every step validated loudly. */
+  private def addFieldAt(
+      dt: DataType, parent: Seq[String], add: StructField,
+      full: String): DataType = dt match {
+    case s: StructType if parent.isEmpty =>
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(add.name)),
+        s"addNestedColumn: field '$full' already exists")
+      s.add(add)
+    case s: StructType =>
+      val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(parent.head))
+      require(idx >= 0,
+        s"addNestedColumn: '$full' — segment '${parent.head}' does not " +
+          s"exist (have ${s.fieldNames.mkString(", ")})")
+      val f = s.fields(idx)
+      StructType(s.fields.updated(idx,
+        f.copy(dataType = addFieldAt(f.dataType, parent.tail, add, full))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType =
+        addFieldAt(a.elementType, dropElementStep(parent), add, full))
+    case other => throw new IllegalArgumentException(
+      s"addNestedColumn: '$full' — parent segment is not a struct " +
+        s"(got ${other.simpleString})")
+  }
+
+  /** `dt` with the field at `path` removed; the emptied-struct case is
+    * rejected with drop-the-column guidance. */
+  private def dropFieldAt(
+      dt: DataType, path: Seq[String], full: String): DataType = dt match {
+    case s: StructType =>
+      val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(path.head))
+      require(idx >= 0,
+        s"dropNestedColumn: '$full' — segment '${path.head}' does not " +
+          s"exist (have ${s.fieldNames.mkString(", ")})")
+      if (path.length == 1) {
+        require(s.fields.length > 1,
+          s"dropNestedColumn: '$full' is the struct's last field — " +
+            "drop the whole column instead")
+        StructType(s.fields.patch(idx, Nil, 1))
+      } else {
+        val f = s.fields(idx)
+        StructType(s.fields.updated(idx,
+          f.copy(dataType = dropFieldAt(f.dataType, path.tail, full))))
+      }
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType =
+        dropFieldAt(a.elementType, dropElementStep(path), full))
+    case other => throw new IllegalArgumentException(
+      s"dropNestedColumn: '$full' — parent segment is not a struct " +
+        s"(got ${other.simpleString})")
+  }
+
+  /** Commit a new generation whose pinned schema gains nullable nested
+    * field `path` (length ≥ 2: `Seq("s", "f")` adds `s.f`) of
+    * `dataType` — metadata-scale nested additive evolution. Same
+    * contract as [[addColumns]]: carried files null-fill the field on
+    * read (parquet schema clipping, arrays of structs included),
+    * earlier generations keep their own pinned schemas, and the commit
+    * costs one manifest copy + marker at any table size. Later writes
+    * must stage the FULL reshaped struct (missing nested fields do not
+    * coerce — the same loud posture as a missing top-level column). */
+  def addNestedColumn(
+      spark: SparkSession,
+      tablePath: String,
+      path: Seq[String],
+      dataType: org.apache.spark.sql.types.DataType,
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(path.length >= 2,
+      "addNestedColumn: path must name a struct field " +
+        "(top-level columns use addColumns)")
+    val full = path.mkString(".")
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"addNestedColumn: no committed generations " +
+      s"at $tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    require(!droppedColumns(spark, tablePath).contains(nestedKey(path)),
+      s"addNestedColumn: field '$full' was previously DROPPED — files " +
+        "carried from pre-drop commits still physically hold its old " +
+        "values, which a re-add would silently RESURRECT (or, under a " +
+        "new type, fail to read). Rewrite the table under a fresh path " +
+        "to reuse the name.")
+    // same belt-and-braces as addColumns: any retained generation still
+    // pinning the path means carried files may physically hold it
+    gens.filter(_ != head).foreach { g =>
+      require(fieldAt(readSchema(spark, tablePath, g), path).isEmpty,
+        s"addNestedColumn: field '$full' is still pinned by retained " +
+          s"generation $g — let retention expire it or rewrite the " +
+          "table under a fresh path")
+    }
+    val widened = addFieldAt(schema, path.init,
+      org.apache.spark.sql.types.StructField(path.last, dataType,
+        nullable = true), full).asInstanceOf[StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], widened)
+    replacePartitionsBy(spark, tablePath, empty,
+      partitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties)
+  }
+
+  /** Commit a new generation whose pinned schema DROPS nested field
+    * `path` — metadata-scale nested column removal, the struct-field
+    * twin of [[dropColumns]]: carried files keep the field physically,
+    * reads under the narrowed pinned schema never project it, and the
+    * dotted path is tombstoned against unsafe re-adds (preCommit, same
+    * crash reasoning as dropColumns). */
+  def dropNestedColumn(
+      spark: SparkSession,
+      tablePath: String,
+      path: Seq[String],
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(path.length >= 2,
+      "dropNestedColumn: path must name a struct field " +
+        "(top-level columns use dropColumns)")
+    val full = path.mkString(".")
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"dropNestedColumn: no committed generations " +
+      s"at $tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    require(fieldAt(schema, path).nonEmpty,
+      s"dropNestedColumn: field '$full' does not exist")
+    val narrowed =
+      dropFieldAt(schema, path, full).asInstanceOf[StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], narrowed)
+    replacePartitionsBy(spark, tablePath, empty,
+      partitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties,
+      preCommit = () =>
+        tombstoneNames(spark, tablePath, Seq(nestedKey(path))))
+  }
+
   /** Merge `names` into the dropped/renamed-away tombstone, tmp-write +
     * bak-rotate (the Bookmark pattern): an in-place overwrite could
     * crash between truncation and close and LOSE earlier entries — and
@@ -1702,15 +1931,24 @@ object FactVersioned {
     DataSkipping.BloomDirPrefix, DataSkipping.StaleBloomDirPrefix)
 
   /** Rename each `<prefix><old>` sidecar dir to `<prefix><new>` after
-    * a column rename — see [[renameColumns]]. */
+    * a column rename — see [[renameColumns]]. The column segment
+    * matches CASE-INSENSITIVELY (Spark name resolution is — a rename
+    * of `VEC` must carry an index built as `vec`), and the carried dir
+    * adopts the rename's target spelling, which is how index lookups
+    * resolve the sidecar afterwards. */
   private def carrySidecars(
       spark: SparkSession, tablePath: String,
       renames: Map[String, String]): Unit = {
     val fs = fsOf(spark, tablePath)
+    val root = new Path(tablePath)
+    if (!fs.exists(root)) return
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
     renames.foreach { case (old, nu) =>
       SidecarPrefixes.foreach { pre =>
-        val from = new Path(tablePath, pre + old)
-        if (fs.exists(from)) {
+        dirs.filter { p =>
+          p.getName.startsWith(pre) &&
+            p.getName.stripPrefix(pre).equalsIgnoreCase(old)
+        }.foreach { from =>
           val to = new Path(tablePath, pre + nu)
           if (!fs.exists(to)) fs.rename(from, to)
         }

@@ -1760,6 +1760,147 @@ object ScaleQueries extends QueryPack {
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
     }),
 
+    // Cross-rename CDC windows: a `graft_table_changes` window
+    // SPANNING an ALTER RENAME commit is exact — the from side reads
+    // its own era's logical names and translates through the column
+    // mappings to the window-end naming (physical names are pinned
+    // forever, so the identity is exact). Before this, a spanning
+    // window null-filled the renamed column on the from side and
+    // surfaced EVERY carried row as an update with its old value
+    // erased. In-gate: the pure-rename window is empty (a rename moves
+    // no data), the keyless door resolves the recorded keys across the
+    // rename, and the spanning window is hash-equal to the
+    // explicit-keys twin. Output value-gated against the DuckDB
+    // change-set mirror, under the post-rename name.
+    "q166_sql_table_changes_rename" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q166_").toString
+      val path = s"$wh/orders_cr"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      // gen 0: base (records o_orderkey as the default merge key)
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year",
+        retain = 10)
+      // gen 1: metadata-only rename o_totalprice → amount
+      FactVersioned.renameColumns(s0, path,
+        Map("o_totalprice" -> "amount"), retain = 10)
+      // gen 2: the q157 change batch, staged under the NEW name
+      val renamedBase = o.withColumnRenamed("o_totalprice", "amount")
+      val batch = renamedBase
+        .where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("amount", col("amount") * 2)
+        .unionByName(renamedBase
+          .where(col("p_year") === 1996 && col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      FactVersioned.upsert(s0, path, batch, Seq("o_orderkey"), "p_year",
+        retain = 10)
+      val s = s0
+      graft.GraftFunctions.register(s)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      // the pure-rename window moves no rows
+      require(s.sql(
+          "SELECT * FROM graft_table_changes('graft.orders_cr', 0, 1)")
+          .count() == 0L,
+        "q166: a metadata-only rename window must be empty")
+      // the spanning window, keyless (recorded keys cross the rename)
+      val out = s.sql(
+        """SELECT op, o_orderkey, o_orderstatus, amount
+          |FROM graft_table_changes('graft.orders_cr', 0, 2)
+          |""".stripMargin).localCheckpoint()
+      // hash-equal to the explicit-keys twin
+      val twin = s.sql(
+        """SELECT op, o_orderkey, o_orderstatus, amount
+          |FROM graft_table_changes('graft.orders_cr', 'o_orderkey', 0, 2)
+          |""".stripMargin)
+      require(out.collect().toSet == twin.collect().toSet,
+        "q166: the keyless spanning window must be hash-equal to the " +
+          "explicit-keys twin")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
+    }),
+
+    // NESTED struct-field evolution (the last schema-evolution limit
+    // carried from r13: "nested struct fields can't evolve"): `ALTER
+    // TABLE ADD/DROP COLUMN s.f` commits a metadata-only generation
+    // whose pinned schema reshapes the struct — parquet schema
+    // clipping null-fills an added field in carried files and never
+    // projects a dropped one; `VERSION AS OF` reads every era's own
+    // shape. In-gate: both DDLs stage ZERO bytes (FS-asserted), a
+    // post-evolution upsert lands real nested values, the dropped
+    // path is tombstoned against re-adds, and history still reads the
+    // dropped field. Output is FLAT (struct fields projected out) and
+    // value-gated against the DuckDB mirror.
+    "q167_sql_nested_evolution" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q167_").toString
+      val path = s"$wh/orders_ns"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")).as("meta"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year",
+        retain = 10)
+      val s = s0
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // gen 1: nested ADD — metadata-only, zero staged bytes
+        s.sql("ALTER TABLE graft.orders_ns ADD COLUMN meta.note STRING")
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+          "q167: nested ADD must be one zero-staged-bytes commit")
+        // carried rows null-fill the new field
+        require(s.sql(
+            "SELECT count(*) FROM graft.orders_ns WHERE meta.note IS NOT NULL")
+            .head().getLong(0) == 0L,
+          "q167: carried rows must read the added nested field as null")
+        // gen 2: new rows stage real nested values (full struct)
+        val adds = o.where(col("p_year") === 1995 && col("o_orderkey") % 2 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            struct(lit("N").as("status"), col("meta.price").as("price"),
+              concat(lit("n-"), col("o_orderkey").cast("string")).as("note"))
+              .as("meta"),
+            col("p_year"))
+        FactVersioned.upsert(s, path, adds, Seq("o_orderkey"), "p_year",
+          retain = 10)
+        // gen 3: nested DROP — metadata-only; history keeps the field
+        s.sql("ALTER TABLE graft.orders_ns DROP COLUMN meta.price")
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L, 3L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=3")),
+          "q167: nested DROP must be one zero-staged-bytes commit")
+        require(s.sql("SELECT meta.price FROM graft.orders_ns VERSION AS OF 0")
+            .head().get(0) != null,
+          "q167: history must still read the dropped nested field")
+        // the dropped path is tombstoned against re-adds
+        val readd = try {
+          s.sql("ALTER TABLE graft.orders_ns ADD COLUMN meta.price DOUBLE")
+          None
+        } catch { case t: Throwable => Some(t) }
+        require(readd.exists(t =>
+            causeMessages(t).exists(_.contains("DROPPED"))),
+          s"q167: re-adding the dropped nested path must reject with " +
+            s"the tombstone guidance, got ${readd.map(causeMessages)}")
+        val out = s.sql(
+          """SELECT o_orderkey, meta.status AS status, meta.note AS note
+            |FROM graft.orders_ns""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // TIMESTAMP-typed partition columns (VERDICT r13 Next #8 — the
     // last carried type limit; hour/day-partitioned event tables are
     // the 100 TB norm): the full lifecycle over a fact table
@@ -2734,6 +2875,39 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
         |FROM base WHERE y = 1996 AND o_orderkey % 3 = 0""".stripMargin,
+    // the q157 change set under the POST-RENAME column name: the
+    // spanning window translates the from side through the colmaps, so
+    // only genuinely-changed rows surface — update_pre carries the
+    // TRUE old value, never a null-filled phantom
+    "q166_sql_table_changes_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT 'update_pre' AS op, o_orderkey, o_orderstatus,
+        |  o_totalprice AS amount
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, 'U', o_totalprice * 2
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |FROM base WHERE y = 1996 AND o_orderkey % 3 = 0""".stripMargin,
+    // head after the nested lifecycle ≡ base rows (note null-filled)
+    // + the inserted rows with their notes; the dropped price never
+    // appears — DuckDB mirrors the FLAT projection
+    "q167_sql_nested_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(NULL AS VARCHAR) AS note
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, 'N',
+        |  CONCAT('n-', CAST(o_orderkey AS VARCHAR))
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     // VERSION AS OF 0 after the truncate ≡ the untouched base slice —
     // truncation destroys nothing until retention
     "q165_sql_truncate_purge" ->

@@ -77,6 +77,33 @@ class GraftTableFunctionsSpec extends SparkSpec {
     assert(seed.length == 30 && seed.forall(_ == "insert"))
   }
 
+  test("graft_table_changes end generation defaults to the HEAD " +
+      "(Delta's optional end version): the 2-arg keyless and 3-arg " +
+      "keyed forms are hash-equal to their explicit-to twins") {
+    val path = tmp() + "/t"
+    val base = (1 to 30).map(i => (i.toLong, i % 3, i * 10L))
+      .toDF("k", "p", "v")
+    // first upsert records k as the default merge key
+    FactVersioned.upsert(spark, path, base, Seq("k"), "p")
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 999L), (31L, 1, 310L)).toDF("k", "p", "v"),
+      Seq("k"), "p")
+    val explicit = spark.sql(
+      s"SELECT op, k, v FROM graft_table_changes('$path', 'k', 0, 1)")
+      .as[(String, Long, Long)].collect().toSet
+    assert(explicit.nonEmpty)
+    // keyed, to-gen omitted → head
+    val keyed = spark.sql(
+      s"SELECT op, k, v FROM graft_table_changes('$path', 'k', 0)")
+      .as[(String, Long, Long)].collect().toSet
+    assert(keyed == explicit)
+    // keyless AND to-gen omitted → recorded keys, head window
+    val minimal = spark.sql(
+      s"SELECT op, k, v FROM graft_table_changes('$path', 0)")
+      .as[(String, Long, Long)].collect().toSet
+    assert(minimal == explicit)
+  }
+
   test("TVF argument validation fails loudly: non-literal args, wrong " +
       "arity, unknown catalog ref") {
     def messageOf(body: => Any): String =

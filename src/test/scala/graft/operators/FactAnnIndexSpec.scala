@@ -401,4 +401,20 @@ class FactAnnIndexSpec extends SparkSpec {
     assert(Option(e.getMessage).getOrElse("").toLowerCase
       .contains("index"), e.toString)
   }
+
+  test("sidecar carry matches the column CASE-INSENSITIVELY: renaming " +
+      "'VEC' carries an index built as 'vec'") {
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, corpus(120), Seq("id"), "p")
+    FactAnnIndex.writeIndex(spark, path, "id", "vec", nLists = 4)
+    val before = resultSet(fannTopK(path))
+    assert(before.nonEmpty)
+    // Spark name resolution is case-insensitive — the DDL may spell
+    // the column differently from the index build
+    FactVersioned.renameColumns(spark, path, Map("VEC" -> "embedding"))
+    val out = FactAnnIndex.topK(spark, path, "embedding", k = 3,
+      nProbe = 4, overFetch = 4)
+    assert(resultSet(out) == before,
+      "a case-mismatched rename must still carry the sidecar")
+  }
 }

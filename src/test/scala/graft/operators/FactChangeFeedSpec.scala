@@ -184,6 +184,55 @@ class FactChangeFeedSpec extends SparkSpec {
       s"evolution window must carry the new column as updates: $seen")
   }
 
+  test("a window spanning a RENAME COLUMN commit is exact: unchanged " +
+      "rows emit nothing, changes surface under the window-end name " +
+      "with their true old values") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    val v0 = base(9)
+    FactVersioned.upsert(spark, path, v0, Seq("k"), "p")
+    // gen 1: metadata-only rename v → amount; gen 2: one update + one
+    // insert, staged under the NEW name
+    FactVersioned.renameColumns(spark, path, Map("v" -> "amount"))
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 999L), (100L, 1, 1L)).toDF("k", "p", "amount"),
+      Seq("k"), "p")
+    // the pure-rename window (0 → 1] declares no touched partitions
+    // and emits NO change rows — a rename moves no data
+    assert(FactChangeFeed.window(spark, path, Seq("k"), Some(0L), 1L)
+      .count() == 0L,
+      "a metadata-only rename window must be empty")
+    // the spanning window (0 → 2]: the from side reads era-0 names
+    // (v) and translates through the colmaps to the window-end name
+    // (amount) — WITHOUT the translation every carried row of the
+    // touched partitions would surface as an update with a null old
+    // value
+    val w = FactChangeFeed.window(spark, path, Seq("k"), Some(0L), 2L)
+    assert(w.columns.contains("amount") && !w.columns.contains("v"),
+      s"spanning window must emit window-end names, got ${w.columns.toSeq}")
+    val got = w.select(col("op"), col("k"), col("p"), col("amount"))
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("update_pre", 3L, 0, 30L),
+      ("update_post", 3L, 0, 999L),
+      ("insert", 100L, 1, 1L)), got)
+  }
+
+  test("a RENAMED KEY column spans a window: window-end key naming " +
+      "resolves on both sides") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    FactVersioned.upsert(spark, path, base(6), Seq("k"), "p")
+    FactVersioned.renameColumns(spark, path, Map("k" -> "id"))
+    FactVersioned.upsert(spark, path,
+      Seq((2L, 2, 222L)).toDF("id", "p", "v"), Seq("id"), "p")
+    val w = FactChangeFeed.window(spark, path, Seq("id"), Some(0L), 2L)
+    val got = w.select(col("op"), col("id"), col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("update_pre", 2L, 20L), ("update_post", 2L, 222L)), got)
+  }
+
   test("a bookmark older than retention fails loudly, never silently skips") {
     val wh = tmp()
     val path = s"$wh/t"
