@@ -803,7 +803,18 @@ case class GraftInsertEvolveRule(session: SparkSession)
           case Some((rel, _)) if enabled =>
             val extra = child.output.filterNot(a =>
               rel.output.exists(_.name.equalsIgnoreCase(a.name)))
-            if (extra.isEmpty) unwrapped
+            // NESTED widening under a shared column name: the source's
+            // struct carries fields the table's doesn't — each becomes
+            // its own nested ADD (metadata-only, tombstones enforced at
+            // the addNestedColumn door). Non-widening type conflicts
+            // contribute nothing here and surface as the standard
+            // resolution error after the unwrap.
+            val nested = child.output.flatMap { a =>
+              rel.output.find(_.name.equalsIgnoreCase(a.name)).toSeq
+                .flatMap(t => graft.operators.FactVersioned
+                  .addedNestedFields(t.dataType, a.dataType, Seq(t.name)))
+            }
+            if (extra.isEmpty && nested.isEmpty) unwrapped
             else {
               // route through the catalog's own ALTER path — facts get
               // the metadata-only addColumns commit (tombstones
@@ -813,9 +824,17 @@ case class GraftInsertEvolveRule(session: SparkSession)
                   org.apache.spark.sql.connector.catalog.TableCatalog])
                 .getOrElse(GraftDml.unsupported(
                   "INSERT widening needs a catalog-resolved table"))
-              cat.alterTable(rel.identifier.get,
-                extra.map(a => org.apache.spark.sql.connector.catalog
-                  .TableChange.addColumn(Array(a.name), a.dataType)): _*)
+              if (extra.nonEmpty)
+                cat.alterTable(rel.identifier.get,
+                  extra.map(a => org.apache.spark.sql.connector.catalog
+                    .TableChange.addColumn(Array(a.name), a.dataType)): _*)
+              // nested adds commit one-by-one (the ALTER route keeps
+              // top-level and nested shapes as separate statements)
+              nested.foreach { case (p, dt) =>
+                cat.alterTable(rel.identifier.get,
+                  org.apache.spark.sql.connector.catalog
+                    .TableChange.addColumn(p.toArray, dt))
+              }
               val reloaded = DataSourceV2Relation.create(
                 cat.loadTable(rel.identifier.get),
                 rel.catalog, rel.identifier)

@@ -112,6 +112,38 @@ object FactVersioned {
       case (n, w) => n == w
     }
 
+  /** (path, dataType) of every NESTED field `content` carries beyond
+    * `parent` under a shared column — the TableChanges an evolving
+    * writer (INSERT BY NAME widening) needs to issue before its
+    * append resolves. Only depth ≥ 2 paths: top-level extras are the
+    * caller's plain addColumns. Arrays and maps are looked through;
+    * shapes that do not match structurally contribute nothing (the
+    * caller's standard resolution error then names the conflict). */
+  def addedNestedFields(
+      parent: org.apache.spark.sql.types.DataType,
+      content: org.apache.spark.sql.types.DataType,
+      prefix: Seq[String]): Seq[(Seq[String],
+        org.apache.spark.sql.types.DataType)] =
+    (parent, content) match {
+      case (p: StructType, c: StructType) =>
+        c.fields.toSeq.flatMap { cf =>
+          p.fields.find(_.name.equalsIgnoreCase(cf.name)) match {
+            case Some(pf) =>
+              addedNestedFields(pf.dataType, cf.dataType, prefix :+ cf.name)
+            case None if prefix.nonEmpty =>
+              Seq((prefix :+ cf.name) -> cf.dataType)
+            case None => Seq.empty
+          }
+        }
+      case (p: org.apache.spark.sql.types.ArrayType,
+          c: org.apache.spark.sql.types.ArrayType) =>
+        addedNestedFields(p.elementType, c.elementType, prefix)
+      case (p: org.apache.spark.sql.types.MapType,
+          c: org.apache.spark.sql.types.MapType) =>
+        addedNestedFields(p.valueType, c.valueType, prefix)
+      case _ => Seq.empty
+    }
+
   /** Tombstone keys (lower-cased dotted paths) of every field present
     * in `content` but absent from `parent`, at ANY depth — the names a
     * widening commit is ADDING, checked against the dropped-columns

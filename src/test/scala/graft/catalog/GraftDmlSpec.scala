@@ -714,6 +714,42 @@ class GraftDmlSpec extends SparkSpec {
     } finally s.conf.unset(GraftDml.AutoMergeConf)
   }
 
+  test("INSERT BY NAME auto-widening covers NESTED struct fields: a " +
+      "source struct carrying an extra field evolves the table " +
+      "(metadata-only) before the append; carried rows null-fill") {
+    val wh = Files.createTempDirectory("graft_dml_nins_").toString
+    val path = s"$wh/t"
+    val rows0 = (1 to 9).map(i => (i.toLong, i % 3, s"s$i"))
+      .toDF("k", "p", "src")
+      .select(col("k"), col("p"), struct(col("src")).as("meta"))
+    FactVersioned.upsert(spark, path, rows0, Seq("k"), "p")
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    // conf off: the wider struct is the standard resolution error
+    intercept[Exception] {
+      s.sql("INSERT INTO g.t BY NAME SELECT 100L AS k, 0 AS p, " +
+        "named_struct('src', 'new', 'lang', 'en') AS meta")
+    }
+    assert(FactVersioned.generations(s, path) == Seq(0L))
+    s.conf.set(GraftDml.AutoMergeConf, "true")
+    try {
+      s.sql("INSERT INTO g.t BY NAME SELECT 100L AS k, 0 AS p, " +
+        "named_struct('src', 'new', 'lang', 'en') AS meta")
+      assert(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L),
+        "nested widening + append must land as two generations")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+        "the nested widening commit must stage no data")
+      assert(s.sql("SELECT meta.lang FROM g.t WHERE k = 100")
+        .head().getString(0) == "en")
+      assert(s.sql("SELECT meta.lang FROM g.t WHERE k = 5")
+        .head().isNullAt(0), "carried rows must null-fill")
+    } finally s.conf.unset(GraftDml.AutoMergeConf)
+  }
+
   test("ON-clause cast see-through is limited to comparison coercion: " +
       "a user cast to STRING is rejected, not silently re-joined raw") {
     val (s, _, path) = freshTable()
@@ -811,6 +847,38 @@ class GraftDmlSpec extends SparkSpec {
       .select("k", "stale").as[(Long, Int)].collect().toMap
     assert((1 to 3).forall(i => now(i.toLong) == 0))
     assert((4 to 10).forall(i => now(i.toLong) == 1))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens NESTED struct fields: the " +
+      "evolution lands as a metadata-only commit and carried rows " +
+      "null-fill the new field") {
+    val wh = Files.createTempDirectory("graft_dml_nevo_").toString
+    val path = s"$wh/t"
+    val rows0 = (1 to 12).map(i => (i.toLong, i % 3, s"s$i"))
+      .toDF("k", "p", "src")
+      .select(col("k"), col("p"), struct(col("src")).as("meta"))
+    FactVersioned.upsert(spark, path, rows0, Seq("k"), "p")
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.root", wh)
+    s.createDataset(Seq((3L, 0))).toDF("k", "p")
+      .select(col("k"), col("p"),
+        struct(lit("new").as("src"), lit("en").as("lang")).as("meta"))
+      .createOrReplaceTempView("nevo_src")
+    s.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO g.t t USING nevo_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = FactVersioned.read(s, path)
+    val meta = now.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("src", "lang"), meta.toString)
+    val got = now.select(col("k"), col("meta.src"), col("meta.lang"))
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(3L) == ("new", Some("en")), got.toString)
+    assert(got(4L) == ("s4", None), "carried rows must null-fill")
   }
 
   test("MERGE WITH SCHEMA EVOLUTION widens through addColumns — and a " +
