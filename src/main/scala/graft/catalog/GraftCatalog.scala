@@ -652,7 +652,7 @@ private[catalog] class WritableFactTable(
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val rows = data.drop(FactVersioned.VGenCol)
     FactVersioned.appendBy(spark, path, rows,
-      FactVersioned.partitionColumns(spark, path),
+      FactVersioned.logicalPartitionColumns(spark, path),
       retain = retention,
       properties = Map("operation" -> "INSERT"))
     ()
@@ -671,7 +671,7 @@ private[catalog] class WritableFactTable(
     if (FactVersioned.partitionDirs(spark, path, None).isEmpty)
       return true
     val head = FactVersioned.read(spark, path)
-    val pcolsAll = FactVersioned.partitionColumns(spark, path)
+    val pcolsAll = FactVersioned.logicalPartitionColumns(spark, path)
     val touched = head
       .select(pcolsAll.map(org.apache.spark.sql.functions.col): _*)
       .distinct().limit(10001).collect()

@@ -867,7 +867,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some((rel, table)) =>
             val pcols =
               if (table.isInstanceOf[WritableFactTable])
-                FactVersioned.partitionColumns(
+                FactVersioned.logicalPartitionColumns(
                   session, table.graftTablePath)
               else Nil
             assignments.foreach { asg =>
@@ -912,7 +912,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             require(keys.nonEmpty, "GraftDml: MERGE ON yielded no keys")
             val pcols =
               if (table.isInstanceOf[WritableFactTable])
-                FactVersioned.partitionColumns(
+                FactVersioned.logicalPartitionColumns(
                   session, table.graftTablePath)
               else Nil
             val program = mergeProgram(m, rel, m.sourceTable, keys, pcols)
@@ -1064,7 +1064,7 @@ case class GraftMergeCommand(
   }
 
   private def runFact(spark: SparkSession, src: DataFrame): Unit = {
-    val pcols = FactVersioned.partitionColumns(spark, path)
+    val pcols = FactVersioned.logicalPartitionColumns(spark, path)
     val tpNames = pcols.indices.map(tpName)
     val srcProbe = src.select(keys.zip(kTmp).map { case ((_, s), kn) =>
       col(s).as(kn) }: _*).distinct()
@@ -1157,7 +1157,7 @@ case class GraftMergeCommand(
       val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
         .map(r => pcols.indices.map(r.get))
       val touchedDirs = touched.map(v =>
-        FactVersioned.partitionDirPath(pcols, v))
+        FactVersioned.physicalPartitionDirPath(spark, path, pcols, v))
       val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
       // reduceOption: an insert-only MERGE (the insert-if-absent idiom)
       // has no UPDATE and no DELETE clause — nothing to anti-join away
@@ -1276,7 +1276,7 @@ case class GraftUpdateCommand(
       }
     }
     if (isFact) {
-      val pcols = FactVersioned.partitionColumns(spark, path)
+      val pcols = FactVersioned.logicalPartitionColumns(spark, path)
       val sel = t.where(c).select(pcols.map(col): _*)
       val touchedRows = sel.distinct().limit(10001).collect()
       require(touchedRows.length <= 10000,
@@ -1320,7 +1320,7 @@ case class GraftDeleteCommand(
     val c: Column = GraftColumnBridge.column(cond.expr)
     val keepCond = coalesce(c, lit(false)) === lit(false)
     if (isFact) {
-      val pcols = FactVersioned.partitionColumns(spark, path)
+      val pcols = FactVersioned.logicalPartitionColumns(spark, path)
       val sel = t.where(c).select(pcols.map(col): _*)
       val touchedRows = sel.distinct().limit(10001).collect()
       require(touchedRows.length <= 10000,

@@ -351,9 +351,13 @@ case class GraftOptimizeCommand(
   }
 
   /** Does `dir` (a nested Hive leaf path) satisfy every WHERE
-    * predicate under the pinned `schema` types? */
+    * predicate under the pinned `schema` types? Predicates name
+    * LOGICAL columns; dir segments are keyed by the PHYSICAL spelling
+    * (column mapping — a renamed partition column keeps its on-disk
+    * dir name), so `physOf` translates at the lookup. */
   private def matches(
-      dir: String, pcols: Seq[String], schema: StructType): Boolean = {
+      dir: String, pcols: Seq[String], schema: StructType,
+      physOf: String => String): Boolean = {
     val segs = dir.split("/").map { seg =>
       val eq = seg.indexOf('=')
       val un = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -371,10 +375,11 @@ case class GraftOptimizeCommand(
       // typed comparison can match (typedCompare reads its
       // __HIVE_DEFAULT_PARTITION__ dir value as None, SQL 3VL)
       if (op == "isnull")
-        segs.get(c.toLowerCase).contains(
+        segs.get(physOf(c).toLowerCase).contains(
           org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-      else segs.get(c.toLowerCase).flatMap(typedCompare(_, v, dt, c)).exists {
+      else segs.get(physOf(c).toLowerCase)
+        .flatMap(typedCompare(_, v, dt, c)).exists {
         cmp => op match {
           case "=" => cmp == 0
           case "<" => cmp < 0
@@ -390,10 +395,12 @@ case class GraftOptimizeCommand(
     val r = GraftMaintenance.resolve(spark, table, "OPTIMIZE")
     val retain = GraftMaintenance.retainFor(spark, r.catalogName, r.path)
     if (r.isFact) {
-      val pcols = FactVersioned.partitionColumns(spark, r.path)
+      val pcols = FactVersioned.logicalPartitionColumns(spark, r.path)
+      val cmap = FactVersioned.generationColMap(spark, r.path)
       val schema = FactVersioned.generationHandle(spark, r.path, None)._2
       val all = FactVersioned.partitionDirs(spark, r.path)
-      val scoped = all.filter(matches(_, pcols, schema))
+      val scoped = all.filter(matches(_, pcols, schema,
+        c => FactVersioned.physOf(cmap, c)))
       if (where.nonEmpty && scoped.isEmpty && all.nonEmpty)
         throw new IllegalArgumentException(
           "OPTIMIZE WHERE matched no partitions — a silent no-op " +
@@ -577,7 +584,7 @@ case class GraftDescribeDetailCommand(
           new org.apache.hadoop.fs.Path(s"$data/$f")).getLen)
       }.sum
       val pcols =
-        try FactVersioned.partitionColumns(spark, r.path)
+        try FactVersioned.logicalPartitionColumns(spark, r.path)
         catch { case _: IllegalArgumentException => Seq.empty[String] }
       Seq(Row("fact", r.path, pcols, gens.length.toLong, gens.max,
         files.length.toLong, bytes,

@@ -481,7 +481,8 @@ object FactVersioned {
     val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
       .map(r => partitionCols.indices.map(r.get))
     val basis = gens.max
-    val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
+    val touchedDirs = touched.map(v =>
+      physicalPartitionDirPath(spark, tablePath, partitionCols, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitionsBy(spark, tablePath,
       Upsert.upsertEvolve(current, updates, keys),
@@ -770,8 +771,13 @@ object FactVersioned {
       parentMap.filter { case (l, _) => present(l) }
     }
 
+    // the on-disk tree and the manifest `dir` strings are keyed by the
+    // PHYSICAL partition column names (column mapping pins them at
+    // first write, exactly like data columns' on-file names) — callers
+    // pass logical names; never-renamed tables take the identity
+    val physPartitionCols = partitionCols.map(c => physOf(cmap, c))
     val touchedDirs =
-      touched.map(v => partitionDirPath(partitionCols, v)).distinct
+      touched.map(v => partitionDirPath(physPartitionCols, v)).distinct
     // a commit PINNING its own mapping is the metadata-only rename door
     // ([[renameColumns]] — which validated the bijective shape); data
     // must never stage under a hand-picked map
@@ -843,15 +849,16 @@ object FactVersioned {
 
     // stage this commit's data files under their own vgen dir; leaf
     // dirs nest one level per partition column. Mapped tables stage
-    // under PHYSICAL names (partition columns are never renamable, so
-    // dir names are unaffected) — every file of the table then shares
-    // one physical namespace regardless of when it was written.
+    // under PHYSICAL names — column values in files AND partition dir
+    // names alike — so every file of the table shares one physical
+    // namespace regardless of when (or under which logical schema) it
+    // was written.
     if (fs.exists(genData)) fs.delete(genData, true) // stale-claim debris
     val toStage =
       if (cmap.isEmpty) content
       else content.select(content.columns.toIndexedSeq.map(c =>
         col(c).as(physOf(cmap, c))): _*)
-    toStage.write.partitionBy(partitionCols: _*).parquet(genData.toString)
+    toStage.write.partitionBy(physPartitionCols: _*).parquet(genData.toString)
     def leafDirs(base: Path, depth: Int): Array[String] =
       if (!fs.exists(base)) Array.empty
       else if (depth == 1)
@@ -1083,8 +1090,8 @@ object FactVersioned {
           preCommit = preCommit)
       else {
         val basis = gens.max // the head this merge is derived from
-        val touchedDirs =
-          touched.map(v => Upsert.partitionDirName(partitionCol, v))
+        val touchedDirs = touched.map(v =>
+          physicalPartitionDirPath(spark, tablePath, Seq(partitionCol), Seq(v)))
         val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
         val keep = current.join(
           updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -1118,6 +1125,47 @@ object FactVersioned {
     * recovers it from history. Fails loudly only when no retained
     * generation holds a partition (callers that know the columns
     * should pass them instead). */
+  /** [[partitionColumns]] translated to the head generation's LOGICAL
+    * names through the column mapping — the names SQL and API users
+    * see. Dir names (and [[partitionColumns]]) stay PHYSICAL forever:
+    * a renamed partition column keeps its on-disk dir spelling exactly
+    * like a renamed data column keeps its on-file name, so renames
+    * never move or rewrite a partition tree. Never-renamed tables
+    * return [[partitionColumns]] verbatim. */
+  def logicalPartitionColumns(
+      spark: SparkSession, tablePath: String): Seq[String] = {
+    val phys = partitionColumns(spark, tablePath)
+    val cmap = generationColMap(spark, tablePath)
+    if (cmap.isEmpty) return phys
+    val rev = cmap.map { case (l, p) => p.toLowerCase -> l }
+    val schema = readSchema(spark, tablePath,
+      generations(spark, tablePath).max)
+    phys.map { p =>
+      val logical = rev.getOrElse(p.toLowerCase, p)
+      // the colmap stores lower-cased logical keys — recover the
+      // pinned schema's actual spelling
+      schema.fieldNames.find(_.equalsIgnoreCase(logical)).getOrElse(logical)
+    }
+  }
+
+  /** The head generation's PHYSICAL spellings of (logical or physical)
+    * partition column names — the dir-derivation seam every pre-commit
+    * partition pruning shares. Identity when the table never renamed. */
+  private def physPcolsAt(
+      spark: SparkSession, tablePath: String,
+      cols: Seq[String]): Seq[String] = {
+    val cmap = generationColMap(spark, tablePath)
+    if (cmap.isEmpty) cols else cols.map(c => physOf(cmap, c))
+  }
+
+  /** [[partitionDirPath]] under the head generation's PHYSICAL
+    * partition column names — what the manifest `dir` strings and the
+    * on-disk tree are keyed by. */
+  private[graft] def physicalPartitionDirPath(
+      spark: SparkSession, tablePath: String,
+      cols: Seq[String], vals: Seq[Any]): String =
+    partitionDirPath(physPcolsAt(spark, tablePath, cols), vals)
+
   def partitionColumns(spark: SparkSession, tablePath: String): Seq[String] = {
     val g = resolveGen(spark, tablePath, None)
     val dir = generations(spark, tablePath).reverse.iterator
@@ -1170,7 +1218,8 @@ object FactVersioned {
           preCommit = preCommit)
       else {
         val basis = gens.max
-        val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
+        val touchedDirs = touched.map(v =>
+          physicalPartitionDirPath(spark, tablePath, partitionCols, v))
         val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
         val keep = current.join(
           updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -1207,7 +1256,8 @@ object FactVersioned {
       return replacePartitionsBy(spark, tablePath, rows, partitionCols,
         touched, retain, properties = properties, statsCols = statsCols)
     val basis = gens.max
-    val touchedDirs = touched.map(v => partitionDirPath(partitionCols, v))
+    val touchedDirs = touched.map(v =>
+      physicalPartitionDirPath(spark, tablePath, partitionCols, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitionsBy(spark, tablePath, current.unionByName(rows),
       partitionCols, touched, retain, basisGen = Some(basis),
@@ -1238,8 +1288,8 @@ object FactVersioned {
       return replacePartitions(spark, tablePath, rows, partitionCol,
         touched, retain, properties = properties, statsCols = statsCols)
     val basis = gens.max
-    val touchedDirs =
-      touched.map(v => Upsert.partitionDirName(partitionCol, v))
+    val touchedDirs = touched.map(v =>
+      physicalPartitionDirPath(spark, tablePath, Seq(partitionCol), Seq(v)))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitions(spark, tablePath, current.unionByName(rows),
       partitionCol, touched, retain, basisGen = Some(basis),
@@ -1366,8 +1416,8 @@ object FactVersioned {
     requireKeyUnique(updates, keys, "FactVersioned.upsertEvolve")
     val touched = touchedRows.map(_.get(0)).toIndexedSeq
     val basis = gens.max
-    val touchedDirs =
-      touched.map(v => Upsert.partitionDirName(partitionCol, v))
+    val touchedDirs = touched.map(v =>
+      physicalPartitionDirPath(spark, tablePath, Seq(partitionCol), Seq(v)))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitions(spark, tablePath,
       Upsert.upsertEvolve(current, updates, keys),
@@ -1433,7 +1483,7 @@ object FactVersioned {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], widened)
     replacePartitionsBy(spark, tablePath, empty,
-      partitionColumns(spark, tablePath), Nil, retain,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
       basisGen = Some(head), properties = properties)
   }
 
@@ -1581,7 +1631,9 @@ object FactVersioned {
       require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
         s"dropColumns: column '$n' does not exist " +
           s"(have ${schema.fieldNames.mkString(", ")})")
-      require(!pcols.exists(_.equalsIgnoreCase(n)),
+      require(!pcols.exists(_.equalsIgnoreCase(n)) &&
+          !logicalPartitionColumns(spark, tablePath)
+            .exists(_.equalsIgnoreCase(n)),
         s"dropColumns: '$n' is a partition column — it shapes the " +
           "physical layout; repartition through replacePartitions " +
           "under a new column set instead")
@@ -1601,7 +1653,8 @@ object FactVersioned {
     // aborts the claim and leaves a spurious tombstone for a column
     // that still exists, which is conservative-safe: the widening
     // doors reject the name, and the column itself never vanished)
-    val commit = replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
+    val commit = replacePartitionsBy(spark, tablePath, empty,
+      logicalPartitionColumns(spark, tablePath), Nil,
       retain, basisGen = Some(head), properties = properties,
       preCommit = () => tombstoneNames(spark, tablePath, names))
     // dropping a RECORDED default merge key: warn (later keyed upserts
@@ -1769,7 +1822,7 @@ object FactVersioned {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], widened)
     replacePartitionsBy(spark, tablePath, empty,
-      partitionColumns(spark, tablePath), Nil, retain,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
       basisGen = Some(head), properties = properties)
   }
 
@@ -1801,7 +1854,7 @@ object FactVersioned {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], narrowed)
     replacePartitionsBy(spark, tablePath, empty,
-      partitionColumns(spark, tablePath), Nil, retain,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
       basisGen = Some(head), properties = properties,
       preCommit = () =>
         tombstoneNames(spark, tablePath, Seq(nestedKey(path))))
@@ -1847,9 +1900,15 @@ object FactVersioned {
     * table size. Earlier generations keep their own pinned schemas and
     * mappings, so `VERSION AS OF` reads both sides of the rename.
     *
+    * PARTITION columns rename too (r14): the on-disk dir tree and the
+    * manifest `dir` strings keep the PHYSICAL spelling forever (the
+    * same pinning as data columns' on-file names) — renames never move
+    * a partition tree; reads alias the partition value column at the
+    * scan seam, writes and partition pruning translate logical →
+    * physical at the dir-derivation seams
+    * ([[physicalPartitionDirPath]] / the committer's own staging).
+    *
     * Constraints (each fails loudly):
-    *  - partition columns cannot rename (they shape the physical
-    *    layout: dir names, manifest `dir` strings, pruning);
     *  - `vgen` is reserved on both sides;
     *  - the new name must be FRESH: not a current column, not
     *    tombstoned (a dropped or renamed-away name may still exist
@@ -1886,7 +1945,6 @@ object FactVersioned {
       s"$tablePath — create the table first")
     val head = gens.max
     val schema = readSchema(spark, tablePath, head)
-    val pcols = partitionColumns(spark, tablePath)
     val dead = droppedColumns(spark, tablePath)
     val targetsLower = renames.values.map(_.toLowerCase).toSeq
     require(targetsLower.distinct.length == targetsLower.length,
@@ -1895,11 +1953,6 @@ object FactVersioned {
       require(schema.fieldNames.exists(_.equalsIgnoreCase(old)),
         s"renameColumns: column '$old' does not exist " +
           s"(have ${schema.fieldNames.mkString(", ")})")
-      require(!pcols.exists(_.equalsIgnoreCase(old)),
-        s"renameColumns: '$old' is a partition column — it shapes the " +
-          "physical layout (dir names, manifest keys, pruning); " +
-          "repartition through replacePartitions under a new column " +
-          "set instead")
       require(!old.equalsIgnoreCase(VGenCol) && !nu.equalsIgnoreCase(VGenCol),
         s"column name $VGenCol is reserved by FactVersioned")
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(nu)),
@@ -1929,8 +1982,14 @@ object FactVersioned {
     })
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], renamed)
-    val commit = replacePartitionsBy(spark, tablePath, empty, pcols, Nil,
-      retain, basisGen = Some(head), properties = properties,
+    // the empty frame carries the POST-rename logical names — pass the
+    // partition columns under the same naming (a renamed partition
+    // column's dir spelling stays physical; the committer translates)
+    val pcolsLogical = logicalPartitionColumns(spark, tablePath).map { pc =>
+      renames.find(_._1.equalsIgnoreCase(pc)).map(_._2).getOrElse(pc)
+    }
+    val commit = replacePartitionsBy(spark, tablePath, empty, pcolsLogical,
+      Nil, retain, basisGen = Some(head), properties = properties,
       colMap = Some(newMap),
       preCommit = () =>
         tombstoneNames(spark, tablePath, renames.keys.toSeq))

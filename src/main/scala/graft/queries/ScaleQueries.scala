@@ -1901,6 +1901,89 @@ object ScaleQueries extends QueryPack {
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
     }),
 
+    // PARTITION-COLUMN rename (the last rejected ALTER shape): the
+    // on-disk dir tree and manifest `dir` strings keep the PHYSICAL
+    // spelling forever — the rename is the same metadata-only column-
+    // mapping commit as a data column's, and every later door (MERGE
+    // scoping, OPTIMIZE WHERE, upsert write-amp, pruning, TRUNCATE)
+    // speaks the new logical name and translates at the dir-derivation
+    // seam. In-gate: the rename stages zero bytes AND the partition
+    // tree is untouched (FS-asserted — no new-name dir ever exists),
+    // a MERGE under the new name stages ONLY the scoped physical dir
+    // (write-amp assert), OPTIMIZE WHERE under the new name compacts
+    // exactly that partition, and the old name fails loudly. Output
+    // value-gated against the DuckDB mirror under the new name.
+    "q168_sql_partition_rename" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q168_").toString
+      val path = s"$wh/orders_pr"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("p_year"))
+        .where(col("p_year").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "p_year",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_pr RENAME COLUMN p_year TO fiscal_year")
+        // metadata-only AND the tree is untouched: nothing staged, the
+        // physical dirs keep their spelling, no new-name dir exists
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+          "q168: the partition rename must stage no data")
+        val dirs0 = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=0"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        require(dirs0 == Set("p_year=1995", "p_year=1996"),
+          s"q168: the physical partition tree must keep its spelling: $dirs0")
+        // MERGE under the NEW name: write-amp = the one scoped
+        // (physical) partition
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW q168_src AS
+            |SELECT o_orderkey, fiscal_year, 'U' AS o_orderstatus,
+            |  o_totalprice * 2 AS o_totalprice
+            |FROM graft.orders_pr
+            |WHERE fiscal_year = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+        s.sql(
+          """MERGE INTO graft.orders_pr t USING q168_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_orderstatus = s.o_orderstatus,
+            |  o_totalprice = s.o_totalprice""".stripMargin)
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        require(staged == Set("p_year=1995"),
+          s"q168: MERGE under the renamed partition column must stage " +
+            s"only the scoped physical dir, got $staged")
+        // OPTIMIZE WHERE speaks the new name; the old one fails loudly
+        val opt = s.sql(
+          "OPTIMIZE graft.orders_pr WHERE fiscal_year = 1995").collect()
+        require(opt.head.getLong(1) == 1L,
+          "q168: OPTIMIZE WHERE fiscal_year must compact exactly one " +
+            "partition")
+        val old = try {
+          s.sql("OPTIMIZE graft.orders_pr WHERE p_year = 1995").collect()
+          None
+        } catch { case t: Throwable => Some(t) }
+        require(old.exists(t => causeMessages(t)
+            .exists(_.contains("not a partition column"))),
+          s"q168: the old partition name must fail loudly, got " +
+            s"${old.map(causeMessages)}")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus, o_totalprice, fiscal_year
+            |FROM graft.orders_pr""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // TIMESTAMP-typed partition columns (VERDICT r13 Next #8 — the
     // last carried type limit; hour/day-partitioned event tables are
     // the 100 TB norm): the full lifecycle over a fact table
@@ -2908,6 +2991,21 @@ object ScaleQueries extends QueryPack {
         |SELECT o_orderkey + 20000000, 'N',
         |  CONCAT('n-', CAST(o_orderkey AS VARCHAR))
         |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // the merged head under the RENAMED partition column ≡ 1995 evens
+    // doubled and flagged, everything else carried — the rename moved
+    // no data, so values match the from-scratch recomputation exactly
+    "q168_sql_partition_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey,
+        |  CASE WHEN y = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN y = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  y AS fiscal_year
+        |FROM base""".stripMargin,
     // VERSION AS OF 0 after the truncate ≡ the untouched base slice —
     // truncation destroys nothing until retention
     "q165_sql_truncate_purge" ->

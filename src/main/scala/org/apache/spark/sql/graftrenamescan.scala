@@ -54,7 +54,24 @@ private class GraftRenamedTable(
   override def schema(): StructType = logical
   override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] =
     CatalogV2Util.structTypeToV2Columns(logical)
-  override def partitioning(): Array[Transform] = inner.partitioning()
+  // a renamed PARTITION column keeps its physical dir spelling — the
+  // inner table's inferred partitioning reports that; translate back
+  // to the logical name (the logical schema's spelling) for users
+  override def partitioning(): Array[Transform] = {
+    val rev = l2p.map { case (l, p) => p.toLowerCase -> l }
+    inner.partitioning().map { t =>
+      t.references().toSeq match {
+        case Seq(r) if t.name() == "identity" &&
+            r.fieldNames().length == 1 &&
+            rev.contains(r.fieldNames().head.toLowerCase) =>
+          val lower = rev(r.fieldNames().head.toLowerCase)
+          org.apache.spark.sql.connector.expressions.Expressions.identity(
+            logical.fieldNames.find(_.equalsIgnoreCase(lower))
+              .getOrElse(lower))
+        case _ => t
+      }
+    }
+  }
   override def properties(): java.util.Map[String, String] =
     inner.properties()
   override def capabilities(): java.util.Set[TableCapability] =

@@ -660,8 +660,9 @@ class FactVersionedSpec extends SparkSpec {
     assert(rows(FactVersioned.read(spark, path)) == before)
   }
 
-  test("renameColumns guards: partition columns, existing/tombstoned " +
-      "targets, vgen, and swaps are rejected") {
+  test("renameColumns guards: existing/tombstoned targets, vgen, and " +
+      "swaps are rejected (partition columns rename since r14 — " +
+      "PartitionRenameSpec)") {
     val path = tmp()
     FactVersioned.upsert(spark, path,
       (1 to 30).map(i => (i.toLong, i % 3, i * 10L, s"n$i"))
@@ -669,8 +670,6 @@ class FactVersionedSpec extends SparkSpec {
       Seq("k"), "p")
     def msg(body: => Any): String =
       intercept[Exception](body).getMessage
-    assert(msg(FactVersioned.renameColumns(spark, path, Map("p" -> "q")))
-      .contains("partition column"))
     assert(msg(FactVersioned.renameColumns(spark, path, Map("v" -> "note")))
       .contains("already exists"))
     assert(msg(FactVersioned.renameColumns(spark, path,
