@@ -393,67 +393,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val (fields, dropped, renamed) =
       (adds.result(), drops.result(), renames.result())
     val (nAdds, nDrops) = (nestedAdds.result(), nestedDrops.result())
-    require(Seq(fields, dropped, renamed, nAdds.map(_._1), nDrops)
-        .count(_.nonEmpty) <= 1,
+    // one KIND per statement — but top-level and nested fields of the
+    // same kind travel together (ALTER TABLE ADD COLUMNS (x INT,
+    // s.f STRING) is one statement, and Spark's own schema-evolution
+    // rule issues exactly one alterTable for all missing fields)
+    val addsAll = fields.map(f => Seq(f.name) -> f.dataType) ++ nAdds
+    val dropsAll = dropped.map(Seq(_)) ++ nDrops
+    require(Seq(addsAll.map(_._1), dropsAll,
+        renamed.map(r => Seq(r._1))).count(_.nonEmpty) <= 1,
       "GraftCatalog: mix of ADD/DROP/RENAME in one ALTER is not " +
         "supported — issue separate statements")
     if (isFact) {
-      if (fields.nonEmpty)
-        FactVersioned.addColumns(spark, path, fields,
+      if (addsAll.nonEmpty)
+        // ONE atomic commit for the whole ADD statement — top-level
+        // and nested fields together (a failed validation can never
+        // leave the table half-evolved)
+        FactVersioned.addFields(spark, path, addsAll,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
       else if (renamed.nonEmpty)
         FactVersioned.renameColumns(spark, path, renamed.toMap,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE RENAME COLUMN"))
-      else if (nAdds.nonEmpty)
-        nAdds.foreach { case (p, dt) =>
-          FactVersioned.addNestedColumn(spark, path, p, dt,
-            retain = retainFor(path),
-            properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
-        }
-      else if (nDrops.nonEmpty)
-        nDrops.foreach { p =>
-          FactVersioned.dropNestedColumn(spark, path, p,
-            retain = retainFor(path),
-            properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
-        }
       else
-        FactVersioned.dropColumns(spark, path, dropped,
+        FactVersioned.dropFieldPaths(spark, path, dropsAll,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
     } else {
       val cur = Versioned.read(spark, path)
-      if (nAdds.nonEmpty || nDrops.nonEmpty) {
-        // full-copy store: reshape the struct column in a fresh
-        // generation. Column.withField/dropFields address nested
-        // structs by dotted path (arrays of structs are a fact-table
-        // capability — these throw their own unsupported error here).
-        val reshaped = nDrops.foldLeft(
-          nAdds.foldLeft(cur) { case (df, (p, dt)) =>
+      if (addsAll.nonEmpty) {
+        // full-copy store: reshape in ONE fresh generation. Top-level
+        // adds null-fill a new column; nested adds reshape the struct
+        // via Column.withField (dotted path; arrays of structs are a
+        // fact-table capability — withField throws its own unsupported
+        // error here). Existence is checked through the SCHEMA WALK,
+        // not trusted to withField, which silently REPLACES an
+        // existing field.
+        val reshaped = addsAll.foldLeft(cur) { case (df, (p, dt)) =>
+          if (p.length == 1) {
+            require(!cur.columns.exists(_.equalsIgnoreCase(p.head)),
+              s"GraftCatalog: column '${p.head}' already exists")
+            df.withColumn(p.head,
+              org.apache.spark.sql.functions.lit(null).cast(dt))
+          } else {
             require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
               s"GraftCatalog: column '${p.head}' does not exist")
+            require(FactVersioned.fieldAt(
+                cur.schema(cur.schema.fieldIndex(p.head)).dataType,
+                p.tail).isEmpty,
+              s"GraftCatalog: field '${p.mkString(".")}' already exists")
             df.withColumn(p.head,
               org.apache.spark.sql.functions.col(p.head).withField(
                 p.tail.mkString("."),
                 org.apache.spark.sql.functions.lit(null).cast(dt)))
-          }) { case (df, p) =>
-            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
-              s"GraftCatalog: column '${p.head}' does not exist")
-            df.withColumn(p.head,
-              org.apache.spark.sql.functions.col(p.head)
-                .dropFields(p.tail.mkString(".")))
           }
-        Versioned.commit(reshaped, path, retain = retainFor(path))
-      } else if (fields.nonEmpty) {
-        fields.foreach { f =>
-          require(!cur.columns.exists(_.equalsIgnoreCase(f.name)),
-            s"GraftCatalog: column '${f.name}' already exists")
         }
-        val widened = fields.foldLeft(cur)((df, f) =>
-          df.withColumn(f.name,
-            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-        Versioned.commit(widened, path, retain = retainFor(path))
+        Versioned.commit(reshaped, path, retain = retainFor(path))
       } else if (renamed.nonEmpty) {
         // full-copy store: the renamed generation IS a fresh copy —
         // no mapping needed, nothing physical carries over
@@ -466,16 +461,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Versioned.commit(renamed.foldLeft(cur) { case (df, (old, nu)) =>
           df.withColumnRenamed(old, nu) }, path, retain = retainFor(path))
       } else {
-        dropped.foreach { n =>
-          require(cur.columns.exists(_.equalsIgnoreCase(n)),
-            s"GraftCatalog: column '$n' does not exist")
+        // drops, top-level and nested, in one fresh generation.
+        // Presence is checked through the schema walk — dropFields is
+        // documented as a silent no-op on absent fields, which would
+        // burn a full-copy generation for nothing and lie to the
+        // caller.
+        val reshaped = dropsAll.foldLeft(cur) { case (df, p) =>
+          if (p.length == 1) {
+            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
+              s"GraftCatalog: column '${p.head}' does not exist")
+            df.drop(p.head)
+          } else {
+            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
+              s"GraftCatalog: column '${p.head}' does not exist")
+            require(FactVersioned.fieldAt(
+                cur.schema(cur.schema.fieldIndex(p.head)).dataType,
+                p.tail).nonEmpty,
+              s"GraftCatalog: field '${p.mkString(".")}' does not exist")
+            df.withColumn(p.head,
+              org.apache.spark.sql.functions.col(p.head)
+                .dropFields(p.tail.mkString(".")))
+          }
         }
-        require(dropped.map(_.toLowerCase).distinct.length < cur.columns.length,
+        require(dropsAll.filter(_.length == 1).map(_.head.toLowerCase)
+            .distinct.length < cur.columns.length,
           "GraftCatalog: cannot drop every column")
-        // full-copy store: the new generation simply omits the column —
-        // no tombstone needed, nothing physical carries over
-        Versioned.commit(cur.drop(dropped: _*), path,
-          retain = retainFor(path))
+        Versioned.commit(reshaped, path, retain = retainFor(path))
       }
     }
     loadTable(ident)

@@ -824,17 +824,17 @@ case class GraftInsertEvolveRule(session: SparkSession)
                   org.apache.spark.sql.connector.catalog.TableCatalog])
                 .getOrElse(GraftDml.unsupported(
                   "INSERT widening needs a catalog-resolved table"))
-              if (extra.nonEmpty)
-                cat.alterTable(rel.identifier.get,
-                  extra.map(a => org.apache.spark.sql.connector.catalog
-                    .TableChange.addColumn(Array(a.name), a.dataType)): _*)
-              // nested adds commit one-by-one (the ALTER route keeps
-              // top-level and nested shapes as separate statements)
-              nested.foreach { case (p, dt) =>
-                cat.alterTable(rel.identifier.get,
-                  org.apache.spark.sql.connector.catalog
-                    .TableChange.addColumn(p.toArray, dt))
-              }
+              // ONE alterTable call for the whole widening — top-level
+              // and nested adds land as one atomic metadata commit
+              // (FactVersioned.addFields), so a failed validation
+              // (e.g. a tombstoned nested name) can never leave the
+              // table half-evolved by a failed INSERT
+              cat.alterTable(rel.identifier.get,
+                (extra.map(a => org.apache.spark.sql.connector.catalog
+                    .TableChange.addColumn(Array(a.name), a.dataType)) ++
+                  nested.map { case (p, dt) =>
+                    org.apache.spark.sql.connector.catalog
+                      .TableChange.addColumn(p.toArray, dt) }): _*)
               val reloaded = DataSourceV2Relation.create(
                 cat.loadTable(rel.identifier.get),
                 rel.catalog, rel.identifier)
@@ -1156,8 +1156,11 @@ case class GraftMergeCommand(
       if (touchedRows.isEmpty) return // nothing routed: no commit
       val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
         .map(r => pcols.indices.map(r.get))
-      val touchedDirs = touched.map(v =>
-        FactVersioned.physicalPartitionDirPath(spark, path, pcols, v))
+      // one metadata read, hoisted out of the per-partition loop
+      val physPcols =
+        FactVersioned.physicalPartitionColumns(spark, path, pcols)
+      val touchedDirs =
+        touched.map(v => FactVersioned.partitionDirPath(physPcols, v))
       val current = FactVersioned.readDirs(spark, path, basisGen, touchedDirs)
       // reduceOption: an insert-only MERGE (the insert-if-absent idiom)
       // has no UPDATE and no DELETE clause — nothing to anti-join away

@@ -481,8 +481,8 @@ object FactVersioned {
     val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
       .map(r => partitionCols.indices.map(r.get))
     val basis = gens.max
-    val touchedDirs = touched.map(v =>
-      physicalPartitionDirPath(spark, tablePath, partitionCols, v))
+    val physCols = physicalPartitionColumns(spark, tablePath, partitionCols)
+    val touchedDirs = touched.map(v => partitionDirPath(physCols, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitionsBy(spark, tablePath,
       Upsert.upsertEvolve(current, updates, keys),
@@ -1090,8 +1090,10 @@ object FactVersioned {
           preCommit = preCommit)
       else {
         val basis = gens.max // the head this merge is derived from
-        val touchedDirs = touched.map(v =>
-          physicalPartitionDirPath(spark, tablePath, Seq(partitionCol), Seq(v)))
+        val physCol = physicalPartitionColumns(
+          spark, tablePath, Seq(partitionCol)).head
+        val touchedDirs =
+          touched.map(v => Upsert.partitionDirName(physCol, v))
         val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
         val keep = current.join(
           updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -1150,21 +1152,14 @@ object FactVersioned {
 
   /** The head generation's PHYSICAL spellings of (logical or physical)
     * partition column names — the dir-derivation seam every pre-commit
-    * partition pruning shares. Identity when the table never renamed. */
-  private def physPcolsAt(
+    * partition pruning shares. Identity when the table never renamed.
+    * ONE metadata read — callers hoist it outside per-value loops. */
+  private[graft] def physicalPartitionColumns(
       spark: SparkSession, tablePath: String,
       cols: Seq[String]): Seq[String] = {
     val cmap = generationColMap(spark, tablePath)
     if (cmap.isEmpty) cols else cols.map(c => physOf(cmap, c))
   }
-
-  /** [[partitionDirPath]] under the head generation's PHYSICAL
-    * partition column names — what the manifest `dir` strings and the
-    * on-disk tree are keyed by. */
-  private[graft] def physicalPartitionDirPath(
-      spark: SparkSession, tablePath: String,
-      cols: Seq[String], vals: Seq[Any]): String =
-    partitionDirPath(physPcolsAt(spark, tablePath, cols), vals)
 
   def partitionColumns(spark: SparkSession, tablePath: String): Seq[String] = {
     val g = resolveGen(spark, tablePath, None)
@@ -1218,8 +1213,9 @@ object FactVersioned {
           preCommit = preCommit)
       else {
         val basis = gens.max
-        val touchedDirs = touched.map(v =>
-          physicalPartitionDirPath(spark, tablePath, partitionCols, v))
+        val physCols =
+          physicalPartitionColumns(spark, tablePath, partitionCols)
+        val touchedDirs = touched.map(v => partitionDirPath(physCols, v))
         val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
         val keep = current.join(
           updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -1256,8 +1252,8 @@ object FactVersioned {
       return replacePartitionsBy(spark, tablePath, rows, partitionCols,
         touched, retain, properties = properties, statsCols = statsCols)
     val basis = gens.max
-    val touchedDirs = touched.map(v =>
-      physicalPartitionDirPath(spark, tablePath, partitionCols, v))
+    val physCols = physicalPartitionColumns(spark, tablePath, partitionCols)
+    val touchedDirs = touched.map(v => partitionDirPath(physCols, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitionsBy(spark, tablePath, current.unionByName(rows),
       partitionCols, touched, retain, basisGen = Some(basis),
@@ -1288,8 +1284,10 @@ object FactVersioned {
       return replacePartitions(spark, tablePath, rows, partitionCol,
         touched, retain, properties = properties, statsCols = statsCols)
     val basis = gens.max
-    val touchedDirs = touched.map(v =>
-      physicalPartitionDirPath(spark, tablePath, Seq(partitionCol), Seq(v)))
+    val physCol = physicalPartitionColumns(
+      spark, tablePath, Seq(partitionCol)).head
+    val touchedDirs =
+      touched.map(v => Upsert.partitionDirName(physCol, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitions(spark, tablePath, current.unionByName(rows),
       partitionCol, touched, retain, basisGen = Some(basis),
@@ -1416,8 +1414,10 @@ object FactVersioned {
     requireKeyUnique(updates, keys, "FactVersioned.upsertEvolve")
     val touched = touchedRows.map(_.get(0)).toIndexedSeq
     val basis = gens.max
-    val touchedDirs = touched.map(v =>
-      physicalPartitionDirPath(spark, tablePath, Seq(partitionCol), Seq(v)))
+    val physCol = physicalPartitionColumns(
+      spark, tablePath, Seq(partitionCol)).head
+    val touchedDirs =
+      touched.map(v => Upsert.partitionDirName(physCol, v))
     val current = readDirs(spark, tablePath, Some(basis), touchedDirs)
     replacePartitions(spark, tablePath,
       Upsert.upsertEvolve(current, updates, keys),
@@ -1445,46 +1445,11 @@ object FactVersioned {
       require(f.nullable,
         s"addColumns: '${f.name}' must be nullable — carried files have " +
           "no values for it (additive evolution null-fills)")
-      require(!f.name.equalsIgnoreCase(VGenCol),
-        s"column name $VGenCol is reserved by FactVersioned")
     }
-    val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"addColumns: no committed generations at " +
-      s"$tablePath — create the table first")
-    val head = gens.max
-    val (_, schema, _) = generationHandle(spark, tablePath, Some(head))
-    val dead = droppedColumns(spark, tablePath)
-    added.foreach { f =>
-      require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-        s"addColumns: column '${f.name}' already exists")
-      require(!dead.contains(f.name.toLowerCase),
-        s"addColumns: column '${f.name}' was previously DROPPED — " +
-          "files carried from pre-drop commits still physically hold " +
-          "its old values, which a re-add would silently RESURRECT " +
-          "(or, under a new type, fail to read). Rewrite the table " +
-          "under a fresh path (or replacePartitions over every " +
-          "partition) to reuse the name.")
-    }
-    // belt and braces with the tombstone: any RETAINED generation still
-    // pinning the name means physically-carried files may hold it
-    // (conservative — also trips briefly after a full rewrite, until
-    // the old generations expire)
-    gens.filter(_ != head).foreach { g =>
-      val gs = readSchema(spark, tablePath, g)
-      added.foreach { f =>
-        require(!gs.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-          s"addColumns: column '${f.name}' is still pinned by retained " +
-            s"generation $g — carried data files may physically hold " +
-            "its old values; let retention expire it or rewrite the " +
-            "table under a fresh path")
-      }
-    }
-    val widened = added.foldLeft(schema)(_ add _)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], widened)
-    replacePartitionsBy(spark, tablePath, empty,
-      logicalPartitionColumns(spark, tablePath), Nil, retain,
-      basisGen = Some(head), properties = properties)
+    // one validation codepath for every widening shape — the atomic
+    // [[addFields]] door (top-level and nested adds share it)
+    addFields(spark, tablePath,
+      added.map(f => Seq(f.name) -> f.dataType), retain, properties)
   }
 
   /** Table-level record of the merge keys the table was FIRST upserted
@@ -1621,107 +1586,84 @@ object FactVersioned {
       retain: Int = 3,
       properties: Map[String, String] = Map.empty): Commit = {
     require(names.nonEmpty, "dropColumns: no columns given")
-    val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"dropColumns: no committed generations at " +
-      s"$tablePath — create the table first")
-    val head = gens.max
-    val (_, schema, _) = generationHandle(spark, tablePath, Some(head))
-    val pcols = partitionColumns(spark, tablePath)
-    names.foreach { n =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
-        s"dropColumns: column '$n' does not exist " +
-          s"(have ${schema.fieldNames.mkString(", ")})")
-      require(!pcols.exists(_.equalsIgnoreCase(n)) &&
-          !logicalPartitionColumns(spark, tablePath)
-            .exists(_.equalsIgnoreCase(n)),
-        s"dropColumns: '$n' is a partition column — it shapes the " +
-          "physical layout; repartition through replacePartitions " +
-          "under a new column set instead")
-      require(!n.equalsIgnoreCase(VGenCol),
-        s"column name $VGenCol is reserved by FactVersioned")
-    }
-    require(names.map(_.toLowerCase).toSet.size < schema.fields.length,
-      "dropColumns: cannot drop every column")
-    val narrowed = StructType(schema.fields.filterNot(f =>
-      names.exists(_.equalsIgnoreCase(f.name))))
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], narrowed)
-    // the tombstone is written INSIDE the commit protocol (preCommit:
-    // after linearization — concurrent dropColumns serialize, so the
-    // read-merge-write cannot lose entries — and BEFORE the marker, so
-    // a VISIBLE drop always has its tombstone; a crash after preCommit
-    // aborts the claim and leaves a spurious tombstone for a column
-    // that still exists, which is conservative-safe: the widening
-    // doors reject the name, and the column itself never vanished)
-    val commit = replacePartitionsBy(spark, tablePath, empty,
-      logicalPartitionColumns(spark, tablePath), Nil,
-      retain, basisGen = Some(head), properties = properties,
-      preCommit = () => tombstoneNames(spark, tablePath, names))
-    // dropping a RECORDED default merge key: warn (later keyed upserts
-    // against this column fail at their own resolution) and retire the
-    // record — a stale default must fail loudly at the keyless
-    // table_changes door, not resolve a phantom column
-    remapMergeKeys(spark, tablePath, keys => {
-      val droppedKeys = keys.filter(k =>
-        names.exists(_.equalsIgnoreCase(k)))
-      if (droppedKeys.isEmpty) Some(keys)
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"dropColumns($tablePath): column(s) " +
-            s"${droppedKeys.mkString(", ")} are the table's recorded " +
-            "default merge keys — retiring the record; keyless " +
-            "graft_table_changes calls now require explicit keys")
-        None
-      }
-    })
-    commit
+    // one validation codepath for every narrowing shape — the atomic
+    // [[dropFieldPaths]] door (top-level and nested drops share it)
+    dropFieldPaths(spark, tablePath, names.map(Seq(_)), retain, properties)
   }
 
   // ---- nested-field evolution ---------------------------------------
   //
-  // Top-level evolution stays [[addColumns]]/[[dropColumns]]; these are
-  // their STRUCT-FIELD twins (`ALTER TABLE t ADD COLUMN s.f`, Delta's
-  // nested schema-evolution posture). Identical commit shape: a
+  // Top-level and STRUCT-FIELD evolution share two ATOMIC doors
+  // ([[addFields]]/[[dropFieldPaths]] — `ALTER TABLE t ADD COLUMNS
+  // (x INT, s.f STRING)` is ONE commit, so a failed validation can
+  // never leave the table half-evolved). Identical commit shape: a
   // metadata-only generation pinning the reshaped schema, every parent
   // file carried verbatim. Reads make it correct for free — the pinned
   // explicit schema clips against each parquet file's own schema, so a
   // nested field absent from a carried file reads as null (including
-  // inside arrays of structs), and a dropped nested field is simply
-  // never requested from files that still hold it. Tombstones record
-  // the full DOTTED path (`s.f`, lower-cased) in the same
-  // `_dropped_columns` file — dotted entries can never collide with
-  // top-level names, and the same resurrect-protection reasoning
+  // inside arrays of structs and map values), and a dropped nested
+  // field is simply never requested from files that still hold it.
+  // Tombstones record the full DOTTED path (`s.f`, lower-cased) in the
+  // same `_dropped_columns` file — dotted entries can never collide
+  // with top-level names, and the same resurrect-protection reasoning
   // applies segment-for-segment.
 
-  /** Strip the optional `element` step Spark's SQL paths use to
-    * address array elements (`tags.element.z`) — the API form may
-    * omit it; both resolve identically here. */
-  private def dropElementStep(path: Seq[String]): Seq[String] =
-    if (path.nonEmpty && path.head.equalsIgnoreCase("element")) path.tail
+  /** Strip the optional container step Spark's SQL paths use to
+    * address array elements / map values (`tags.element.z`,
+    * `m.value.z`) — the API form may omit it; both resolve
+    * identically here. Only consumed AT the matching container
+    * position, so a struct field genuinely named `element` or `value`
+    * keeps its segment. */
+  private def dropStep(path: Seq[String], step: String): Seq[String] =
+    if (path.nonEmpty && path.head.equalsIgnoreCase(step)) path.tail
     else path
 
-  /** The tombstone key of a nested path: lower-cased, dotted, with
-    * non-terminal `element` steps dropped so the SQL spelling
-    * (`tags.element.z`) and the API spelling (`tags.z`) can never
-    * dodge each other's tombstone. (A genuine intermediate struct
-    * field NAMED `element` collapses too — conservative: at worst an
-    * unrelated re-add is rejected, never a resurrect allowed.) */
-  private def nestedKey(path: Seq[String]): String =
-    (path.init.filterNot(_.equalsIgnoreCase("element")) :+ path.last)
-      .mkString(".").toLowerCase
+  private def rejectMapKeyStep(path: Seq[String], full: String): Unit =
+    require(!(path.nonEmpty && path.head.equalsIgnoreCase("key")),
+      s"'$full': map KEY types cannot evolve — keys define lookup " +
+        "identity; rewrite the table under a new map type instead")
+
+  /** The tombstone key of a field path: lower-cased, dotted, with
+    * container steps (`element`/`value`) stripped exactly where the
+    * SCHEMA WALK consumes them — so the key derivation is the same
+    * function as [[addedFieldKeys]]' walk, and the SQL spelling
+    * (`tags.element.z`), the API spelling (`tags.z`), and the
+    * committer's schema diff can never disagree on a field's key. */
+  private def canonicalKey(
+      schema: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): String = {
+    def walk(dt: org.apache.spark.sql.types.DataType,
+        p: Seq[String]): Seq[String] = dt match {
+      case s: StructType if p.nonEmpty =>
+        s.fields.find(_.name.equalsIgnoreCase(p.head)) match {
+          case Some(f) if p.length > 1 => p.head +: walk(f.dataType, p.tail)
+          case _ => p // terminal segment (existing leaf or a new name)
+        }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        walk(a.elementType, dropStep(p, "element"))
+      case m: org.apache.spark.sql.types.MapType =>
+        walk(m.valueType, dropStep(p, "value"))
+      case _ => p
+    }
+    walk(schema, path).mkString(".").toLowerCase
+  }
 
   /** The field at dotted `path` inside `dt`, if it resolves — descends
     * structs by case-insensitive name and looks THROUGH array element
-    * types (a field inside an array of structs evolves like any
-    * other). */
-  private def fieldAt(dt: DataType, path: Seq[String]): Option[StructField] =
+    * and map value types (a field inside an array of structs evolves
+    * like any other). */
+  private[graft] def fieldAt(
+      dt: DataType, path: Seq[String]): Option[StructField] =
     dt match {
       case s: StructType if path.nonEmpty =>
         s.fields.find(_.name.equalsIgnoreCase(path.head)).flatMap { f =>
           if (path.length == 1) Some(f) else fieldAt(f.dataType, path.tail)
         }
       case a: org.apache.spark.sql.types.ArrayType =>
-        fieldAt(a.elementType, dropElementStep(path))
+        fieldAt(a.elementType, dropStep(path, "element"))
+      case m: org.apache.spark.sql.types.MapType
+          if !path.headOption.exists(_.equalsIgnoreCase("key")) =>
+        fieldAt(m.valueType, dropStep(path, "value"))
       case _ => None
     }
 
@@ -1732,21 +1674,25 @@ object FactVersioned {
       full: String): DataType = dt match {
     case s: StructType if parent.isEmpty =>
       require(!s.fieldNames.exists(_.equalsIgnoreCase(add.name)),
-        s"addNestedColumn: field '$full' already exists")
+        s"addFields: field '$full' already exists")
       s.add(add)
     case s: StructType =>
       val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(parent.head))
       require(idx >= 0,
-        s"addNestedColumn: '$full' — segment '${parent.head}' does not " +
+        s"addFields: '$full' — segment '${parent.head}' does not " +
           s"exist (have ${s.fieldNames.mkString(", ")})")
       val f = s.fields(idx)
       StructType(s.fields.updated(idx,
         f.copy(dataType = addFieldAt(f.dataType, parent.tail, add, full))))
     case a: org.apache.spark.sql.types.ArrayType =>
       a.copy(elementType =
-        addFieldAt(a.elementType, dropElementStep(parent), add, full))
+        addFieldAt(a.elementType, dropStep(parent, "element"), add, full))
+    case m: org.apache.spark.sql.types.MapType =>
+      rejectMapKeyStep(parent, full)
+      m.copy(valueType =
+        addFieldAt(m.valueType, dropStep(parent, "value"), add, full))
     case other => throw new IllegalArgumentException(
-      s"addNestedColumn: '$full' — parent segment is not a struct " +
+      s"addFields: '$full' — parent segment is not a struct " +
         s"(got ${other.simpleString})")
   }
 
@@ -1757,11 +1703,11 @@ object FactVersioned {
     case s: StructType =>
       val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(path.head))
       require(idx >= 0,
-        s"dropNestedColumn: '$full' — segment '${path.head}' does not " +
+        s"dropFieldPaths: '$full' — segment '${path.head}' does not " +
           s"exist (have ${s.fieldNames.mkString(", ")})")
       if (path.length == 1) {
         require(s.fields.length > 1,
-          s"dropNestedColumn: '$full' is the struct's last field — " +
+          s"dropFieldPaths: '$full' is the struct's last field — " +
             "drop the whole column instead")
         StructType(s.fields.patch(idx, Nil, 1))
       } else {
@@ -1771,21 +1717,178 @@ object FactVersioned {
       }
     case a: org.apache.spark.sql.types.ArrayType =>
       a.copy(elementType =
-        dropFieldAt(a.elementType, dropElementStep(path), full))
+        dropFieldAt(a.elementType, dropStep(path, "element"), full))
+    case m: org.apache.spark.sql.types.MapType =>
+      rejectMapKeyStep(path, full)
+      m.copy(valueType =
+        dropFieldAt(m.valueType, dropStep(path, "value"), full))
     case other => throw new IllegalArgumentException(
-      s"dropNestedColumn: '$full' — parent segment is not a struct " +
+      s"dropFieldPaths: '$full' — parent segment is not a struct " +
         s"(got ${other.simpleString})")
   }
 
-  /** Commit a new generation whose pinned schema gains nullable nested
-    * field `path` (length ≥ 2: `Seq("s", "f")` adds `s.f`) of
-    * `dataType` — metadata-scale nested additive evolution. Same
-    * contract as [[addColumns]]: carried files null-fill the field on
-    * read (parquet schema clipping, arrays of structs included),
-    * earlier generations keep their own pinned schemas, and the commit
-    * costs one manifest copy + marker at any table size. Later writes
-    * must stage the FULL reshaped struct (missing nested fields do not
-    * coerce — the same loud posture as a missing top-level column). */
+  /** ONE metadata-only commit widening the pinned schema by `adds` —
+    * each a (path, type): length-1 paths append nullable top-level
+    * columns, longer paths insert nullable nested struct fields
+    * (`Seq("s", "f")` adds `s.f`; arrays of structs and map values
+    * evolve through their `element`/`value` steps, which the API form
+    * may omit). ALL validations (existence, tombstones, retained-
+    * generation pins) run BEFORE the commit, so a multi-field ALTER
+    * lands atomically or not at all — never half-evolved. Carried
+    * files null-fill every added field on read (parquet schema
+    * clipping); earlier generations keep their own pinned schemas; the
+    * commit costs one manifest copy + marker at any table size. Later
+    * writes must stage the FULL reshaped struct (missing nested fields
+    * do not coerce — the same loud posture as a missing top-level
+    * column). */
+  def addFields(
+      spark: SparkSession,
+      tablePath: String,
+      adds: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(adds.nonEmpty, "addFields: no fields given")
+    adds.foreach { case (path, _) =>
+      require(path.nonEmpty, "addFields: empty field path") }
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"addFields: no committed generations " +
+      s"at $tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    val dead = droppedColumns(spark, tablePath)
+    lazy val retained =
+      gens.filter(_ != head).map(g => g -> readSchema(spark, tablePath, g))
+    adds.foreach { case (path, _) =>
+      val full = path.mkString(".")
+      if (path.length == 1) {
+        val name = path.head
+        require(!name.equalsIgnoreCase(VGenCol),
+          s"column name $VGenCol is reserved by FactVersioned")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"addFields: column '$name' already exists")
+      }
+      require(!dead.contains(canonicalKey(schema, path)),
+        s"addFields: field '$full' was previously DROPPED — files " +
+          "carried from pre-drop commits still physically hold its old " +
+          "values, which a re-add would silently RESURRECT (or, under " +
+          "a new type, fail to read). Rewrite the table under a fresh " +
+          "path to reuse the name.")
+      // belt and braces with the tombstone: any RETAINED generation
+      // still pinning the path means physically-carried files may hold
+      // it (conservative — also trips briefly after a full rewrite,
+      // until the old generations expire)
+      retained.foreach { case (g, gs) =>
+        require(fieldAt(gs, path).isEmpty &&
+            !(path.length == 1 &&
+              gs.fieldNames.exists(_.equalsIgnoreCase(path.head))),
+          s"addFields: field '$full' is still pinned by retained " +
+            s"generation $g — carried data files may physically hold " +
+            "its old values; let retention expire it or rewrite the " +
+            "table under a fresh path")
+      }
+    }
+    val keys = adds.map { case (p, _) => canonicalKey(schema, p) }
+    require(keys.distinct.length == keys.length,
+      s"addFields: duplicate field in one statement " +
+        s"(${adds.map(_._1.mkString(".")).mkString(", ")})")
+    val widened = adds.foldLeft(schema) { case (sch, (path, dt)) =>
+      addFieldAt(sch, path.init,
+        org.apache.spark.sql.types.StructField(path.last, dt,
+          nullable = true), path.mkString(".")).asInstanceOf[StructType]
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], widened)
+    replacePartitionsBy(spark, tablePath, empty,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties)
+  }
+
+  /** ONE metadata-only commit DROPPING the fields at `paths` (length-1
+    * = top-level columns, longer = nested struct fields) — the
+    * narrowing twin of [[addFields]], same atomicity: all validations
+    * run before the commit. Carried files keep every dropped field
+    * physically; reads under the narrowed pinned schema never request
+    * them; every dropped path is tombstoned against unsafe re-adds
+    * (preCommit — a crash after preCommit aborts the claim and leaves
+    * a conservative-safe spurious tombstone). Dropping a RECORDED
+    * default merge key retires the keyless-CDC record with a warning. */
+  def dropFieldPaths(
+      spark: SparkSession,
+      tablePath: String,
+      paths: Seq[Seq[String]],
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(paths.nonEmpty, "dropFieldPaths: no fields given")
+    paths.foreach(p => require(p.nonEmpty, "dropFieldPaths: empty path"))
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"dropFieldPaths: no committed generations " +
+      s"at $tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    val pcolsPhys = partitionColumns(spark, tablePath)
+    val pcolsLogical = logicalPartitionColumns(spark, tablePath)
+    paths.foreach { path =>
+      val full = path.mkString(".")
+      if (path.length == 1) {
+        val n = path.head
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"dropFieldPaths: column '$n' does not exist " +
+            s"(have ${schema.fieldNames.mkString(", ")})")
+        require(!pcolsPhys.exists(_.equalsIgnoreCase(n)) &&
+            !pcolsLogical.exists(_.equalsIgnoreCase(n)),
+          s"dropFieldPaths: '$n' is a partition column — it shapes " +
+            "the physical layout; repartition through " +
+            "replacePartitions under a new column set instead")
+        require(!n.equalsIgnoreCase(VGenCol),
+          s"column name $VGenCol is reserved by FactVersioned")
+      } else {
+        require(fieldAt(schema, path).nonEmpty,
+          s"dropFieldPaths: field '$full' does not exist")
+      }
+    }
+    // overlapping paths in one call (drop s AND s.f) would make the
+    // fold order-dependent — reject
+    val lowered = paths.map(_.map(_.toLowerCase))
+    lowered.foreach { a =>
+      require(!lowered.exists(b => b != a && b.startsWith(a)),
+        s"dropFieldPaths: '${a.mkString(".")}' contains another " +
+          "dropped path — drop the outer field alone")
+    }
+    require(paths.filter(_.length == 1).map(_.head.toLowerCase)
+        .toSet.size < schema.fields.length,
+      "dropFieldPaths: cannot drop every column")
+    val narrowed = paths.foldLeft(schema) { (sch, path) =>
+      dropFieldAt(sch, path, path.mkString(".")).asInstanceOf[StructType]
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], narrowed)
+    val tombs = paths.map(p => canonicalKey(schema, p))
+    val commit = replacePartitionsBy(spark, tablePath, empty,
+      pcolsLogical, Nil, retain,
+      basisGen = Some(head), properties = properties,
+      preCommit = () => tombstoneNames(spark, tablePath, tombs))
+    // dropping a RECORDED default merge key: warn (later keyed upserts
+    // against this column fail at their own resolution) and retire the
+    // record — a stale default must fail loudly at the keyless
+    // table_changes door, not resolve a phantom column
+    val topDropped = paths.filter(_.length == 1).map(_.head)
+    if (topDropped.nonEmpty) remapMergeKeys(spark, tablePath, keys => {
+      val droppedKeys = keys.filter(k =>
+        topDropped.exists(_.equalsIgnoreCase(k)))
+      if (droppedKeys.isEmpty) Some(keys)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dropFieldPaths($tablePath): column(s) " +
+            s"${droppedKeys.mkString(", ")} are the table's recorded " +
+            "default merge keys — retiring the record; keyless " +
+            "graft_table_changes calls now require explicit keys")
+        None
+      }
+    })
+    commit
+  }
+
+  /** Single nested add — delegates to the atomic [[addFields]] door. */
   def addNestedColumn(
       spark: SparkSession,
       tablePath: String,
@@ -1796,42 +1899,11 @@ object FactVersioned {
     require(path.length >= 2,
       "addNestedColumn: path must name a struct field " +
         "(top-level columns use addColumns)")
-    val full = path.mkString(".")
-    val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"addNestedColumn: no committed generations " +
-      s"at $tablePath — create the table first")
-    val head = gens.max
-    val schema = readSchema(spark, tablePath, head)
-    require(!droppedColumns(spark, tablePath).contains(nestedKey(path)),
-      s"addNestedColumn: field '$full' was previously DROPPED — files " +
-        "carried from pre-drop commits still physically hold its old " +
-        "values, which a re-add would silently RESURRECT (or, under a " +
-        "new type, fail to read). Rewrite the table under a fresh path " +
-        "to reuse the name.")
-    // same belt-and-braces as addColumns: any retained generation still
-    // pinning the path means carried files may physically hold it
-    gens.filter(_ != head).foreach { g =>
-      require(fieldAt(readSchema(spark, tablePath, g), path).isEmpty,
-        s"addNestedColumn: field '$full' is still pinned by retained " +
-          s"generation $g — let retention expire it or rewrite the " +
-          "table under a fresh path")
-    }
-    val widened = addFieldAt(schema, path.init,
-      org.apache.spark.sql.types.StructField(path.last, dataType,
-        nullable = true), full).asInstanceOf[StructType]
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], widened)
-    replacePartitionsBy(spark, tablePath, empty,
-      logicalPartitionColumns(spark, tablePath), Nil, retain,
-      basisGen = Some(head), properties = properties)
+    addFields(spark, tablePath, Seq(path -> dataType), retain, properties)
   }
 
-  /** Commit a new generation whose pinned schema DROPS nested field
-    * `path` — metadata-scale nested column removal, the struct-field
-    * twin of [[dropColumns]]: carried files keep the field physically,
-    * reads under the narrowed pinned schema never project it, and the
-    * dotted path is tombstoned against unsafe re-adds (preCommit, same
-    * crash reasoning as dropColumns). */
+  /** Single nested drop — delegates to the atomic [[dropFieldPaths]]
+    * door. */
   def dropNestedColumn(
       spark: SparkSession,
       tablePath: String,
@@ -1841,23 +1913,7 @@ object FactVersioned {
     require(path.length >= 2,
       "dropNestedColumn: path must name a struct field " +
         "(top-level columns use dropColumns)")
-    val full = path.mkString(".")
-    val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"dropNestedColumn: no committed generations " +
-      s"at $tablePath — create the table first")
-    val head = gens.max
-    val schema = readSchema(spark, tablePath, head)
-    require(fieldAt(schema, path).nonEmpty,
-      s"dropNestedColumn: field '$full' does not exist")
-    val narrowed =
-      dropFieldAt(schema, path, full).asInstanceOf[StructType]
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], narrowed)
-    replacePartitionsBy(spark, tablePath, empty,
-      logicalPartitionColumns(spark, tablePath), Nil, retain,
-      basisGen = Some(head), properties = properties,
-      preCommit = () =>
-        tombstoneNames(spark, tablePath, Seq(nestedKey(path))))
+    dropFieldPaths(spark, tablePath, Seq(path), retain, properties)
   }
 
   /** Merge `names` into the dropped/renamed-away tombstone, tmp-write +
@@ -1906,7 +1962,7 @@ object FactVersioned {
     * a partition tree; reads alias the partition value column at the
     * scan seam, writes and partition pruning translate logical →
     * physical at the dir-derivation seams
-    * ([[physicalPartitionDirPath]] / the committer's own staging).
+    * ([[physicalPartitionColumns]] / the committer's own staging).
     *
     * Constraints (each fails loudly):
     *  - `vgen` is reserved on both sides;

@@ -133,6 +133,62 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(topLevel.getMessage.contains("addColumns"), topLevel.getMessage)
   }
 
+  test("a MIXED ADD (top-level + nested in one statement) lands as ONE " +
+      "atomic commit; a failing validation commits nothing") {
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, base(6), Seq("k"), "p", retain = 5)
+    FactVersioned.addFields(spark, path,
+      Seq(Seq("extra") -> LongType, Seq("meta", "lang") -> StringType),
+      retain = 5)
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L),
+      "a mixed add must be exactly one commit")
+    val head = FactVersioned.read(spark, path)
+    assert(head.columns.contains("extra"))
+    assert(head.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("lang"))
+    // atomicity: one valid + one invalid field — NOTHING commits
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.addFields(spark, path,
+        Seq(Seq("extra2") -> LongType, Seq("k", "x") -> StringType))
+    }
+    assert(e.getMessage.contains("not a struct"), e.getMessage)
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L),
+      "a failed mixed add must commit nothing")
+    assert(!FactVersioned.read(spark, path).columns.contains("extra2"))
+  }
+
+  test("fields inside MAP VALUES evolve (m.value.f and the step-less " +
+      "API form); map KEYS are rejected loudly") {
+    val path = tmp() + "/t"
+    val df = (1 to 6).map(i => (i.toLong, i % 2)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        map(lit("a"), struct(col("k").as("x"))).as("m"))
+    FactVersioned.upsert(spark, path, df, Seq("k"), "p", retain = 5)
+    FactVersioned.addNestedColumn(spark, path,
+      Seq("m", "value", "y"), StringType, retain = 5)
+    val vt = FactVersioned.read(spark, path).schema("m").dataType
+      .asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+    assert(vt.fieldNames.toSeq == Seq("x", "y"))
+    // carried rows null-fill inside the map value
+    val got = FactVersioned.read(spark, path).where(col("k") === 3)
+      .select(col("m")("a")("y")).as[Option[String]].head()
+    assert(got.isEmpty)
+    // the step-less API spelling resolves to the same field — its
+    // tombstone blocks BOTH spellings after a drop
+    FactVersioned.dropNestedColumn(spark, path, Seq("m", "y"), retain = 5)
+    val re = intercept[IllegalArgumentException] {
+      FactVersioned.addNestedColumn(spark, path,
+        Seq("m", "value", "y"), StringType)
+    }
+    assert(re.getMessage.contains("DROPPED"), re.getMessage)
+    // map keys can never evolve
+    val key = intercept[IllegalArgumentException] {
+      FactVersioned.addNestedColumn(spark, path,
+        Seq("m", "key", "z"), StringType)
+    }
+    assert(key.getMessage.contains("KEY"), key.getMessage)
+  }
+
   test("SQL door: ALTER TABLE ADD/DROP COLUMN of a nested field " +
       "routes to the metadata-only commits on a FACT table and a " +
       "full-copy generation on a DIMENSION") {
@@ -145,6 +201,17 @@ class NestedEvolutionSpec extends SparkSpec {
     s.sql("ALTER TABLE g2.f ADD COLUMN meta.lang STRING")
     assert(FactVersioned.generations(s, s"$wh/f") == Seq(0L, 1L),
       "nested ADD on a fact must be one metadata-only generation")
+    // a MIXED statement (top-level + nested) is ONE commit
+    s.sql("ALTER TABLE g2.f ADD COLUMNS (extra BIGINT, meta.tag STRING)")
+    assert(FactVersioned.generations(s, s"$wh/f") == Seq(0L, 1L, 2L),
+      "a mixed ADD statement must land as one atomic commit")
+    assert(s.table("g2.f").columns.contains("extra"))
+    s.sql("ALTER TABLE g2.f DROP COLUMNS (extra, meta.tag)")
+    // retention (3) expires gen 0 at this fourth commit — the max is
+    // what proves ONE commit landed
+    assert(FactVersioned.generations(s, s"$wh/f").max == 3L,
+      "a mixed DROP statement must land as one atomic commit")
+    assert(!s.table("g2.f").columns.contains("extra"))
     assert(s.table("g2.f").select(col("meta.lang"))
       .as[Option[String]].collect().forall(_.isEmpty))
     s.sql("ALTER TABLE g2.f DROP COLUMN meta.score")
