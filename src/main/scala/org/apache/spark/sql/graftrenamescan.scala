@@ -257,6 +257,16 @@ private class GraftRenamingScan(
   }
   override def toBatch: Batch = inner.toBatch
   override def description(): String = logicalText(inner.description())
+
+  // scan metrics (numFiles, filesSize, …) pass through — identity
+  // tables report them via BatchScanExec, and a renamed table losing
+  // its scan metrics would blind both the UI and the pruning specs
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
   override def getMetaData(): Map[String, String] = inner match {
     case s: org.apache.spark.sql.internal.connector.SupportsMetadata =>
       // Location is a filesystem path — a dir segment could collide

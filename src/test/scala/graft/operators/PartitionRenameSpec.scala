@@ -90,6 +90,39 @@ class PartitionRenameSpec extends SparkSpec {
     assert(old.getMessage.contains("does not exist"), old.getMessage)
   }
 
+  test("reads over a renamed partition column PRUNE at the file " +
+      "level: a predicate on the new name scans only the matching " +
+      "physical dir's files") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p", retain = 5)
+    FactVersioned.renameColumns(spark, path, Map("p" -> "bucket"),
+      retain = 5)
+    val s = spark
+    s.conf.set("spark.sql.catalog.g3",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g3.root", wh)
+    val q = s.table("g3.t").where(col("bucket") === 1)
+    assert(q.count() == 10L)
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val files = finalPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        // Spark 4 groups input partitions: Seq[Seq[InputPartition]]
+        b.partitions.flatten.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.urlEncodedPath).toSeq
+          case _ => Nil
+        }
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("/p=1/")),
+      s"the renamed-pcol predicate must prune to the physical p=1 " +
+        s"dir's files, got $files")
+  }
+
   test("SQL lifecycle over a renamed partition column: ALTER, scoped " +
       "MERGE write-amp, OPTIMIZE WHERE, TRUNCATE, partitioning report") {
     val wh = tmp()
