@@ -90,6 +90,85 @@ class PartitionRenameSpec extends SparkSpec {
     assert(old.getMessage.contains("does not exist"), old.getMessage)
   }
 
+  test("interleaved PARTITION-COLUMN rename + concurrent upserts: the " +
+      "rename is never lost, surviving upserts land, and the physical " +
+      "tree never grows a new-name dir") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p", retain = 50)
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def upsertRetry(key: Long): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 30) {
+        attempts += 1
+        try {
+          // the retry contract: re-resolve the CURRENT logical
+          // partition column (the rename may have landed mid-flight)
+          val pcol = FactVersioned.logicalPartitionColumns(spark, path).head
+          FactVersioned.upsert(spark, path,
+            Seq((key, 0, key * 100L)).toDF("k", pcol, "v"),
+            Seq("k"), pcol, retain = 50)
+          landed.add(key); done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => // retry
+          case e: IllegalArgumentException
+              if e.getMessage.contains("not compatible") ||
+                e.getMessage.contains("partition column") => // stale name
+          case _: org.apache.spark.sql.AnalysisException => // renamed mid-read
+        }
+      }
+      assert(done, s"upsert $key starved after $attempts attempts")
+    }
+    def renameRetry(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 30) {
+        attempts += 1
+        try {
+          FactVersioned.renameColumns(spark, path, Map("p" -> "bucket"),
+            retain = 50)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => // retry
+        }
+      }
+      assert(done, s"rename starved after $attempts attempts")
+    }
+    try {
+      val fa = Future { (101L to 106L).foreach(upsertRetry) }
+      val fb = Future { (201L to 206L).foreach(upsertRetry) }
+      val fr = Future { Thread.sleep(150); renameRetry() }
+      Await.result(Future.sequence(Seq(fa, fb, fr)), 5.minutes)
+    } finally pool.shutdown()
+    // the rename must never be lost to a racing data commit
+    assert(FactVersioned.logicalPartitionColumns(spark, path) ==
+      Seq("bucket"))
+    // the physical tree NEVER grows a new-name dir — every commit of
+    // the storm staged under the pinned physical spelling
+    val dataRoot = new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}")
+    val vgens = fs(path).listStatus(dataRoot).filter(_.isDirectory)
+    vgens.foreach { g =>
+      val dirs = fs(path).listStatus(g.getPath)
+        .filter(_.isDirectory).map(_.getPath.getName)
+      assert(dirs.forall(_.startsWith("p=")),
+        s"physical dir spelling violated under ${g.getPath.getName}: " +
+          dirs.mkString(","))
+    }
+    // every upsert that reported success is visible
+    val now = FactVersioned.read(spark, path)
+      .select(col("k"), col("v")).as[(Long, Long)].collect().toMap
+    landed.forEach { k =>
+      assert(now.get(k).contains(k * 100L), s"upsert $k lost")
+    }
+    assert(landed.size == 12, s"only ${landed.size}/12 upserts landed")
+  }
+
   test("reads over a renamed partition column PRUNE at the file " +
       "level: a predicate on the new name scans only the matching " +
       "physical dir's files") {
