@@ -826,8 +826,16 @@ object FactVersioned {
         // upsertEvolveBy, raw replacePartitionsBy) hits it — a revived
         // name over carried files would silently resurrect the stale
         // physical values those files still hold. Nested fields are
-        // checked by their dotted tombstone keys, same reasoning.
+        // checked by their dotted tombstone keys, which anchor on the
+        // PHYSICAL top-segment name (see canonicalKey — the key must
+        // survive a rename of the containing column).
         val revived = addedFieldKeys(ps, content.schema, Nil)
+          .map { k =>
+            val dot = k.indexOf('.')
+            if (dot < 0) k
+            else physOf(cmap, k.substring(0, dot)).toLowerCase +
+              k.substring(dot)
+          }
           .filter(droppedColumns(spark, tablePath).contains)
         require(revived.isEmpty || carriedDirs.isEmpty,
           s"FactVersioned: column(s) ${revived.mkString(", ")} were " +
@@ -1628,10 +1636,19 @@ object FactVersioned {
     * SCHEMA WALK consumes them — so the key derivation is the same
     * function as [[addedFieldKeys]]' walk, and the SQL spelling
     * (`tags.element.z`), the API spelling (`tags.z`), and the
-    * committer's schema diff can never disagree on a field's key. */
+    * committer's schema diff can never disagree on a field's key.
+    * NESTED keys (length ≥ 2) anchor on the PHYSICAL top-segment name
+    * (`cmap`) — physical names are pinned forever, so a tombstone
+    * written as `meta.score` still blocks `info.score` after `meta`
+    * renames to `info`: the carried files physically hold the dropped
+    * field under the SAME top column either way, and a re-add under
+    * any spelling would resurrect the stale values. Top-level keys
+    * stay logical: renames tombstone the old logical name and reject
+    * tombstoned targets, so that scheme is already rename-closed. */
   private def canonicalKey(
       schema: org.apache.spark.sql.types.DataType,
-      path: Seq[String]): String = {
+      path: Seq[String],
+      cmap: Map[String, String]): String = {
     def walk(dt: org.apache.spark.sql.types.DataType,
         p: Seq[String]): Seq[String] = dt match {
       case s: StructType if p.nonEmpty =>
@@ -1645,7 +1662,9 @@ object FactVersioned {
         walk(m.valueType, dropStep(p, "value"))
       case _ => p
     }
-    walk(schema, path).mkString(".").toLowerCase
+    val walked = walk(schema, path)
+    (if (walked.length >= 2) physOf(cmap, walked.head) +: walked.tail
+     else walked).mkString(".").toLowerCase
   }
 
   /** The field at dotted `path` inside `dt`, if it resolves — descends
@@ -1755,9 +1774,11 @@ object FactVersioned {
       s"at $tablePath — create the table first")
     val head = gens.max
     val schema = readSchema(spark, tablePath, head)
+    val cmap = readColMap(fsOf(spark, tablePath), tablePath, head)
     val dead = droppedColumns(spark, tablePath)
-    lazy val retained =
-      gens.filter(_ != head).map(g => g -> readSchema(spark, tablePath, g))
+    lazy val retained = gens.filter(_ != head).map(g =>
+      (g, readSchema(spark, tablePath, g),
+        readColMap(fsOf(spark, tablePath), tablePath, g)))
     adds.foreach { case (path, _) =>
       val full = path.mkString(".")
       if (path.length == 1) {
@@ -1767,7 +1788,7 @@ object FactVersioned {
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"addFields: column '$name' already exists")
       }
-      require(!dead.contains(canonicalKey(schema, path)),
+      require(!dead.contains(canonicalKey(schema, path, cmap)),
         s"addFields: field '$full' was previously DROPPED — files " +
           "carried from pre-drop commits still physically hold its old " +
           "values, which a re-add would silently RESURRECT (or, under " +
@@ -1777,8 +1798,20 @@ object FactVersioned {
       // still pinning the path means physically-carried files may hold
       // it (conservative — also trips briefly after a full rewrite,
       // until the old generations expire)
-      retained.foreach { case (g, gs) =>
-        require(fieldAt(gs, path).isEmpty &&
+      retained.foreach { case (g, gs, gcmap) =>
+        // resolve the path under generation g's OWN naming: the head
+        // logical top translates through the head colmap to physical
+        // (pinned forever) and back through g's colmap — without this
+        // a rename between g and head hides g's pinned field
+        val genPath =
+          if (path.length == 1) path
+          else {
+            val phys = physOf(cmap, path.head)
+            gcmap.collectFirst { case (l, p)
+                if p.equalsIgnoreCase(phys) => l }
+              .getOrElse(phys) +: path.tail
+          }
+        require(fieldAt(gs, genPath).isEmpty &&
             !(path.length == 1 &&
               gs.fieldNames.exists(_.equalsIgnoreCase(path.head))),
           s"addFields: field '$full' is still pinned by retained " +
@@ -1787,7 +1820,7 @@ object FactVersioned {
             "table under a fresh path")
       }
     }
-    val keys = adds.map { case (p, _) => canonicalKey(schema, p) }
+    val keys = adds.map { case (p, _) => canonicalKey(schema, p, cmap) }
     require(keys.distinct.length == keys.length,
       s"addFields: duplicate field in one statement " +
         s"(${adds.map(_._1.mkString(".")).mkString(", ")})")
@@ -1825,6 +1858,7 @@ object FactVersioned {
       s"at $tablePath — create the table first")
     val head = gens.max
     val schema = readSchema(spark, tablePath, head)
+    val cmap = readColMap(fsOf(spark, tablePath), tablePath, head)
     val pcolsPhys = partitionColumns(spark, tablePath)
     val pcolsLogical = logicalPartitionColumns(spark, tablePath)
     paths.foreach { path =>
@@ -1862,7 +1896,7 @@ object FactVersioned {
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], narrowed)
-    val tombs = paths.map(p => canonicalKey(schema, p))
+    val tombs = paths.map(p => canonicalKey(schema, p, cmap))
     val commit = replacePartitionsBy(spark, tablePath, empty,
       pcolsLogical, Nil, retain,
       basisGen = Some(head), properties = properties,

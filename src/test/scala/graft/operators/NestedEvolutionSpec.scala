@@ -189,6 +189,39 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(key.getMessage.contains("KEY"), key.getMessage)
   }
 
+  test("nested tombstones SURVIVE a rename of the containing column: " +
+      "the dropped field cannot re-add under the new top name (carried " +
+      "files still hold it physically under the same top column)") {
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, base(6), Seq("k"), "p", retain = 10)
+    FactVersioned.dropNestedColumn(spark, path, Seq("meta", "score"),
+      retain = 10)
+    FactVersioned.renameColumns(spark, path, Map("meta" -> "info"),
+      retain = 10)
+    // the head reads the renamed struct without the dropped field
+    assert(FactVersioned.read(spark, path).schema("info").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("src"))
+    // re-adding under the NEW top name must hit the tombstone — the
+    // physical top column is the same, and carried files still hold
+    // the dropped field's stale values
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.addNestedColumn(spark, path, Seq("info", "score"),
+        LongType, retain = 10)
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // dropping ANOTHER field post-rename tombstones under the physical
+    // top too: drop info.src would empty the struct, so add one first
+    FactVersioned.addNestedColumn(spark, path, Seq("info", "lang"),
+      StringType, retain = 10)
+    FactVersioned.dropNestedColumn(spark, path, Seq("info", "lang"),
+      retain = 10)
+    val e2 = intercept[IllegalArgumentException] {
+      FactVersioned.addNestedColumn(spark, path, Seq("info", "lang"),
+        StringType, retain = 10)
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+  }
+
   test("SQL door: ALTER TABLE ADD/DROP COLUMN of a nested field " +
       "routes to the metadata-only commits on a FACT table and a " +
       "full-copy generation on a DIMENSION") {
