@@ -436,14 +436,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             df.withColumn(p.head,
               org.apache.spark.sql.functions.lit(null).cast(dt))
           } else {
-            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
+            // resolve the schema's own spelling FIRST: the existence
+            // check is case-insensitive, so the schema access below
+            // must not re-resolve case-sensitively ('ADD COLUMN
+            // META.lang' on column 'meta' would pass the check then
+            // throw a raw field-does-not-exist) — the same posture as
+            // the fact-table path's fieldAt
+            val top = cur.schema.fields
+              .find(_.name.equalsIgnoreCase(p.head))
+            require(top.nonEmpty,
               s"GraftCatalog: column '${p.head}' does not exist")
-            require(FactVersioned.fieldAt(
-                cur.schema(cur.schema.fieldIndex(p.head)).dataType,
-                p.tail).isEmpty,
+            require(FactVersioned.fieldAt(top.get.dataType, p.tail).isEmpty,
               s"GraftCatalog: field '${p.mkString(".")}' already exists")
-            df.withColumn(p.head,
-              org.apache.spark.sql.functions.col(p.head).withField(
+            df.withColumn(top.get.name,
+              org.apache.spark.sql.functions.col(top.get.name).withField(
                 p.tail.mkString("."),
                 org.apache.spark.sql.functions.lit(null).cast(dt)))
           }
@@ -472,14 +478,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               s"GraftCatalog: column '${p.head}' does not exist")
             df.drop(p.head)
           } else {
-            require(cur.columns.exists(_.equalsIgnoreCase(p.head)),
+            // same case-insensitive spelling resolution as the
+            // nested-add branch above
+            val top = cur.schema.fields
+              .find(_.name.equalsIgnoreCase(p.head))
+            require(top.nonEmpty,
               s"GraftCatalog: column '${p.head}' does not exist")
-            require(FactVersioned.fieldAt(
-                cur.schema(cur.schema.fieldIndex(p.head)).dataType,
-                p.tail).nonEmpty,
+            require(FactVersioned.fieldAt(top.get.dataType, p.tail).nonEmpty,
               s"GraftCatalog: field '${p.mkString(".")}' does not exist")
-            df.withColumn(p.head,
-              org.apache.spark.sql.functions.col(p.head)
+            df.withColumn(top.get.name,
+              org.apache.spark.sql.functions.col(top.get.name)
                 .dropFields(p.tail.mkString(".")))
           }
         }

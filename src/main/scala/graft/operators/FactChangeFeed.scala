@@ -127,14 +127,26 @@ object FactChangeFeed {
         // generation lacks the added columns — null-fill them (exactly
         // how the evolved generation reads the carried files), so rows
         // whose only change is the new column surface as updates
-        // instead of silently vanishing from the diff
-        val fromCols = from0.columns.toSet
-        val from = to.schema.fields.filterNot(f => fromCols(f.name))
-          .foldLeft(from0)((df, f) =>
-            df.withColumn(f.name,
-              org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-          .select(to.columns.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
+        // instead of silently vanishing from the diff. A window
+        // crossing a NESTED add/drop leaves a shared column with a
+        // narrower/wider struct type on the from side — conform it to
+        // the to-side type with the SAME posture (null-fill added
+        // nested fields, project dropped ones away, recursively
+        // through arrays and map values), so the diff compares the
+        // shapes the evolved generation itself reads instead of
+        // throwing an opaque resolution error out of the union below
+        val fromTypes = from0.schema.fields.map(f => f.name -> f.dataType).toMap
+        val from = from0.select(to.schema.fields.map { f =>
+          fromTypes.get(f.name) match {
+            case None => org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+            case Some(ft) if ft == f.dataType =>
+              org.apache.spark.sql.functions.col(f.name)
+            case Some(ft) => conformTo(
+              org.apache.spark.sql.functions.col(f.name), ft, f.dataType)
+              .as(f.name)
+          }
+        }.toIndexedSeq: _*)
         Changelog.changeSet(from, to, keys,
           dedupNullKeyed = true, emitDeletes = true)
       case None =>
@@ -142,6 +154,44 @@ object FactChangeFeed {
         val empty = to.limit(0)
         Changelog.changeSet(empty, to, keys,
           dedupNullKeyed = true, emitDeletes = true)
+    }
+  }
+
+  /** Rebuild `e` (typed `from`) as the structurally-evolved type `to`:
+    * struct fields are matched by name case-insensitively, fields
+    * `to` adds are null-filled, fields it drops fall away, arrays and
+    * map VALUES conform element-wise (map keys never evolve — the DDL
+    * doors reject key evolution as a lookup-identity change), leaves
+    * cast. The expression twin of parquet schema clipping: a carried
+    * file read under the evolved pinned schema produces exactly these
+    * values, so a CDC window spanning the evolution diffs what the
+    * evolved generation itself reads. Null-ness of intermediate
+    * structs is preserved — a null struct stays null instead of
+    * becoming a struct of nulls. */
+  private def conformTo(
+      e: org.apache.spark.sql.Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, transform, transform_values, when}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (from, to) match {
+      case (f, t) if f == t => e
+      case (f: StructType, t: StructType) =>
+        val rebuilt = struct(t.fields.map { tf =>
+          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(ff) =>
+              conformTo(e.getField(ff.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }.toIndexedSeq: _*)
+        when(e.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case (f: ArrayType, t: ArrayType) =>
+        transform(e, x => conformTo(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        transform_values(e,
+          (_, v) => conformTo(v, f.valueType, t.valueType))
+      case (_, t) => e.cast(t)
     }
   }
 

@@ -90,6 +90,23 @@ object FactVersioned {
   private def schemaShape(st: StructType): Seq[(String, DataType)] =
     st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
 
+  /** `dt` normalized for exact-identity comparison: nullability forced
+    * and struct field names lower-cased at every depth (neither is
+    * load-bearing — see [[schemaShape]]); everything else kept. The
+    * comparison [[widens]] uses where NO structural relaxation is
+    * allowed (map keys). */
+  private def typeShape(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name.toLowerCase, typeShape(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(typeShape(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        typeShape(m.keyType), typeShape(m.valueType))
+    case other => other
+  }
+
   /** Structural type widening, `wide ⊇ narrow`: every field of
     * `narrow` is present in `wide` with a (recursively) widened type;
     * `wide` may carry extra struct fields at any depth — the nested
@@ -108,7 +125,16 @@ object FactVersioned {
         widens(n.elementType, w.elementType)
       case (n: org.apache.spark.sql.types.MapType,
           w: org.apache.spark.sql.types.MapType) =>
-        widens(n.keyType, w.keyType) && widens(n.valueType, w.valueType)
+        // keys compare EXACTLY (up to nullability and field-name case,
+        // which are not load-bearing — see [[schemaShape]]): a map-key
+        // struct gaining a field is not additive — carried files would
+        // read key structs with null-filled fields, silently changing
+        // lookup identity. The committer's structural relaxation must
+        // agree with the DDL doors' rejectMapKeyStep ("keys define
+        // lookup identity"), or a raw data commit could evolve what
+        // ALTER explicitly rejects
+        typeShape(n.keyType) == typeShape(w.keyType) &&
+          widens(n.valueType, w.valueType)
       case (n, w) => n == w
     }
 
@@ -784,6 +810,43 @@ object FactVersioned {
     require(colMapOverride.isEmpty || touchedDirs.isEmpty,
       "FactVersioned: a column-mapping override is metadata-only — " +
         "data commits inherit the parent generation's mapping")
+
+    // RETRY-CONTRACT CLASSIFICATION (claim-time twin of the DDL-loss
+    // guard at the linearization point below): when DDL (rename/add/
+    // drop) landed between this commit's BASIS read and its claim, the
+    // compat + tombstone checks below would run the basis-derived
+    // content against the POST-DDL head schema and throw a
+    // NON-retryable IllegalArgumentException whose message
+    // ("previously DROPPED" / "not compatible") misdescribes a
+    // transient race — e.g. a rename tombstones `v` while an upsert
+    // carrying `v` is in flight, and the upsert dies instead of
+    // retrying. Detect the basis-vs-claim-head metadata drift FIRST
+    // and classify it as the retryable ConcurrentModificationException
+    // — the same retry-against-head contract as a partition conflict.
+    // The IAEs below then fire only when the claim-time head still
+    // equals the basis (a genuine resurrect / incompatibility). Fast
+    // path (basis == head at claim, the no-race common case): zero
+    // extra reads. Same carries-nothing exemption as the
+    // linearization-point guard: a commit that touches every head
+    // partition binds no carried file to its metadata.
+    for (b <- basisGen; pg <- parentAtClaim if pg > b) {
+      val drift =
+        schemaShape(readSchema(spark, tablePath, b)) !=
+          schemaShape(readSchema(spark, tablePath, pg)) ||
+          readColMap(fs, tablePath, b) != readColMap(fs, tablePath, pg)
+      if (drift) {
+        val parentDirs = spark.read
+          .parquet(manifestDir(tablePath, pg).toString)
+          .select("dir").distinct().collect().map(_.getString(0)).toSet
+        if ((parentDirs -- touchedDirs.toSet).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"FactVersioned: the schema or column mapping of $tablePath " +
+              s"changed after this commit's basis generation $b (a " +
+              s"rename/add/drop landed concurrently, by generation $pg) " +
+              "— the content was derived under the old metadata; retry " +
+              "the operation against the new head")
+      }
+    }
     parentAtClaim.filter(_ => colMapOverride.isEmpty).foreach { pg =>
       val ps = readSchema(spark, tablePath, pg)
       // full compatibility, not field-name sets: a silent TYPE change
@@ -1880,10 +1943,20 @@ object FactVersioned {
           s"dropFieldPaths: field '$full' does not exist")
       }
     }
-    // overlapping paths in one call (drop s AND s.f) would make the
-    // fold order-dependent — reject
-    val lowered = paths.map(_.map(_.toLowerCase))
+    // overlapping or duplicate paths in one call (drop s AND s.f, or
+    // the same field twice) would make the fold order-dependent —
+    // reject. Compared on canonicalKey-NORMALIZED paths (the same walk
+    // the tombstones use), so two spellings of one field through
+    // container steps ('m.y' vs 'm.value.y', 'tags.b' vs
+    // 'tags.element.b') are rejected with the intended message here
+    // instead of failing the fold below with a confusing
+    // "segment does not exist"
+    val lowered = paths.map(p =>
+      canonicalKey(schema, p, cmap).split('.').toSeq)
     lowered.foreach { a =>
+      require(lowered.count(_ == a) == 1,
+        s"dropFieldPaths: '${a.mkString(".")}' is given more than " +
+          "once (two spellings of the same field)")
       require(!lowered.exists(b => b != a && b.startsWith(a)),
         s"dropFieldPaths: '${a.mkString(".")}' contains another " +
           "dropped path — drop the outer field alone")

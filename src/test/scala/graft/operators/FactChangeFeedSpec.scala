@@ -184,6 +184,51 @@ class FactChangeFeedSpec extends SparkSpec {
       s"evolution window must carry the new column as updates: $seen")
   }
 
+  test("a window spanning a NESTED add/drop reconciles struct shapes: " +
+      "added fields null-fill on the from side, dropped ones fall away") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    val metaBase = (1 to 6).map(i => (i.toLong, i % 3, s"s$i", i * 10L))
+      .toDF("k", "p", "src", "score")
+      .select(col("k"), col("p"),
+        struct(col("src"), col("score")).as("meta"))
+    FactVersioned.upsert(spark, path, metaBase, Seq("k"), "p", retain = 10)
+    val g0 = FactVersioned.generations(spark, path).max
+    // nested ADD + a data commit inside one window: the from-side
+    // struct is NARROWER than the to-side — the diff must null-fill
+    // meta.lang on the from side (exactly how the evolved generation
+    // reads carried files), not throw a struct-resolution error
+    FactVersioned.addNestedColumn(spark, path, Seq("meta", "lang"),
+      org.apache.spark.sql.types.StringType, retain = 10)
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0)).toDF("k", "p").select(col("k"), col("p"),
+        struct(lit("s3").as("src"), lit(30L).as("score"),
+          lit("en").as("lang")).as("meta")),
+      Seq("k"), "p", retain = 10)
+    val g1 = FactVersioned.generations(spark, path).max
+    val w = FactChangeFeed.window(spark, path, Seq("k"), Some(g0), g1)
+    val got = w.select(col("op"), col("k"), col("meta.lang"))
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      ("update_pre", 3L, None), ("update_post", 3L, Some("en"))), got)
+    // nested DROP spanning a window: the from-side struct is WIDER —
+    // the dropped field falls away on both sides, so rows that only
+    // differed in it emit nothing and real changes diff exactly
+    FactVersioned.dropNestedColumn(spark, path, Seq("meta", "score"),
+      retain = 10)
+    FactVersioned.upsert(spark, path,
+      Seq((4L, 1)).toDF("k", "p").select(col("k"), col("p"),
+        struct(lit("zz").as("src"),
+          lit(null).cast("string").as("lang")).as("meta")),
+      Seq("k"), "p", retain = 10)
+    val g2 = FactVersioned.generations(spark, path).max
+    val w2 = FactChangeFeed.window(spark, path, Seq("k"), Some(g1), g2)
+    val got2 = w2.select(col("op"), col("k"), col("meta.src"))
+      .as[(String, Long, String)].collect().toSet
+    assert(got2 == Set(
+      ("update_pre", 4L, "s4"), ("update_post", 4L, "zz")), got2)
+  }
+
   test("a window spanning a RENAME COLUMN commit is exact: unchanged " +
       "rows emit nothing, changes surface under the window-end name " +
       "with their true old values") {

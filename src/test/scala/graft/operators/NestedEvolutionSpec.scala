@@ -259,5 +259,77 @@ class NestedEvolutionSpec extends SparkSpec {
     s.sql("ALTER TABLE g2.d DROP COLUMN meta.score")
     assert(s.table("g2.d").select(col("meta.src")).as[String]
       .collect().toSet == (1 to 4).map(i => s"s$i").toSet)
+    // the dimension path resolves the top segment case-insensitively,
+    // like the fact path's fieldAt: 'META.tag' on column 'meta' must
+    // evolve, not throw a raw field-does-not-exist after passing the
+    // existence check
+    s.sql("ALTER TABLE g2.d ADD COLUMN META.tag STRING")
+    assert(s.table("g2.d").schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.contains("tag"))
+    s.sql("ALTER TABLE g2.d DROP COLUMN Meta.TAG")
+    assert(!s.table("g2.d").schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.contains("tag"))
+  }
+
+  test("dropFieldPaths rejects two spellings of one field (container " +
+      "steps, or a literal duplicate) as duplicates instead of failing " +
+      "the fold with a confusing missing-segment error") {
+    val path = tmp() + "/t"
+    val df = (1 to 6).map(i => (i.toLong, i % 2)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        array(struct(col("k").as("a"), col("k").as("b"))).as("tags"))
+    FactVersioned.upsert(spark, path, df, Seq("k"), "p", retain = 5)
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.dropFieldPaths(spark, path,
+        Seq(Seq("tags", "b"), Seq("tags", "element", "b")))
+    }
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      FactVersioned.dropFieldPaths(spark, path,
+        Seq(Seq("tags", "b"), Seq("tags", "b")))
+    }
+    assert(e2.getMessage.contains("more than once"), e2.getMessage)
+    // nothing committed by either rejection
+    assert(FactVersioned.generations(spark, path) == Seq(0L))
+  }
+
+  test("a raw data commit cannot evolve a map KEY struct — keys define " +
+      "lookup identity, so the committer agrees with the DDL doors; " +
+      "map VALUE structs stay additively evolvable") {
+    val path = tmp() + "/t"
+    val df = (1 to 4).map(i => (i.toLong, i % 2)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        map_from_arrays(array(struct(col("k").as("a"))),
+          array(struct((col("k") * 10).as("x")))).as("m"))
+    FactVersioned.upsert(spark, path, df, Seq("k"), "p", retain = 5)
+    val head = FactVersioned.generations(spark, path).max
+    // key struct gains a field: NOT additive — carried files would
+    // read key structs with null-filled fields, changing identity
+    val keyWidened = Seq((9L, 0)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        map_from_arrays(
+          array(struct(lit(9L).as("a"), lit("x").as("extra"))),
+          array(struct(lit(90L).as("x")))).as("m"))
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.replacePartitions(spark, path, keyWidened, "p",
+        Seq(0), retain = 5, basisGen = Some(head))
+    }
+    assert(e.getMessage.contains("not compatible"), e.getMessage)
+    // value struct gains a field: additive as before
+    val valWidened = Seq((9L, 0)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        map_from_arrays(array(struct(lit(9L).as("a"))),
+          array(struct(lit(90L).as("x"), lit("y").as("extra")))).as("m"))
+    FactVersioned.replacePartitions(spark, path,
+      FactVersioned.read(spark, path).where(col("p") === 0)
+        .select(col("k"), col("p"),
+          org.apache.spark.sql.functions.transform_values(col("m"),
+            (_, v) => struct(v("x").as("x"),
+              lit(null).cast(StringType).as("extra"))).as("m"))
+        .unionByName(valWidened),
+      "p", Seq(0), retain = 5, basisGen = Some(head))
+    val vt = FactVersioned.read(spark, path).schema("m").dataType
+      .asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+    assert(vt.fieldNames.toSeq == Seq("x", "extra"))
   }
 }
