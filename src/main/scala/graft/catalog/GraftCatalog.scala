@@ -226,7 +226,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"GraftCatalog: ${ident.name} is a pending CREATE TABLE with no " +
           "committed data yet — a CTAS writes it, or DROP the husk")
-    } else throw new NoSuchTableException(ident)
+    } else Versioned.renamedTo(spark, path) match {
+      case Some(to) => throw new IllegalArgumentException(
+        s"GraftCatalog: table '${ident.name}' was RENAMED to " +
+          s"'${to.split('/').last}' ($to) — query it under its new name")
+      case None => throw new NoSuchTableException(ident)
+    }
   }
 
   // ---- namespaces: a single flat (empty) namespace, so SHOW TABLES
@@ -314,10 +319,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) {
-      require(isPending(path),
+      // a rename guidance tombstone (marker-only dir) is superseded by
+      // an explicit CREATE of the old name; anything else foreign
+      // stays protected
+      val renamedHusk = Versioned.renamedTo(spark, path).nonEmpty &&
+        fs.listStatus(root).forall(st => !st.isDirectory &&
+          st.getPath.getName == Versioned.RenamedToMarker)
+      require(isPending(path) || renamedHusk,
         s"GraftCatalog: $path exists but is not a graft table — refusing " +
           "to create over foreign data")
-      fs.delete(root, true) // crashed-CTAS husk
+      fs.delete(root, true) // crashed-CTAS or renamed-away husk
     }
     fs.mkdirs(root)
     val out = fs.create(pendingPath(path), true)
@@ -540,8 +551,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly()
+  /** `ALTER TABLE ... RENAME TO` — ONE claim-serialized directory move
+    * ([[FactVersioned.renameTable]] / [[Versioned.renameTable]]): every
+    * sidecar, colmap, tombstone and the recorded default merge keys
+    * live inside the tree and ride along; O(1) at any table size. The
+    * old name keeps a guidance tombstone — reads and commits against
+    * it fail loudly naming the new table; an explicit CREATE TABLE of
+    * the old name supersedes the tombstone. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldPath = tablePath(oldIdent)
+    val newPath = tablePath(newIdent)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    if (FactVersioned.generations(spark, oldPath).nonEmpty)
+      FactVersioned.renameTable(spark, oldPath, newPath)
+    else if (Versioned.generations(spark, oldPath).nonEmpty)
+      Versioned.renameTable(spark, oldPath, newPath)
+    else if (isPending(oldPath))
+      throw new IllegalStateException(
+        s"GraftCatalog: ${oldIdent.name} is a pending CREATE TABLE with " +
+          "no committed data — write it first or DROP the husk")
+    else throw new NoSuchTableException(oldIdent)
+  }
 }
 
 object GraftCatalog {

@@ -213,6 +213,10 @@ object FactVersioned {
       fs: org.apache.hadoop.fs.FileSystem,
       tablePath: String,
       who: String): Long = {
+    // a renamed-away path keeps a guidance tombstone: committing here
+    // would silently re-create a DIVERGENT fresh table under the old
+    // name (one fs.exists on the commit path — metadata-scale)
+    Versioned.requireNotRenamedAway(fs, tablePath, who)
     val gRoot = gensRoot(tablePath)
     val present = fs.listStatus(gRoot).filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -2330,6 +2334,72 @@ object FactVersioned {
         throw e
     }
     fs.delete(new Path(tablePath), true)
+  }
+
+  /** `ALTER TABLE ... RENAME TO` — move the WHOLE table tree to
+    * `newPath` in one filesystem rename, serialized through the claim
+    * protocol like [[destroy]]: claim the next generation, await every
+    * lower in-flight claim, then move. Everything the table owns —
+    * generations, manifests, column maps, tombstones, ANN/BM25
+    * sidecars, recorded default merge keys — lives INSIDE the tree and
+    * rides the one move; no per-file work, so the rename is O(1) at
+    * any table size. After the move the rename's own claim is released
+    * inside the new tree and a guidance tombstone
+    * ([[Versioned.RenamedToMarker]]) lands at the old path:
+    * [[claimNext]] rejects commits against the old name loudly
+    * (naming the new path) instead of silently re-creating a divergent
+    * fresh table. In-flight HIGHER claims — writers that claimed after
+    * the rename's claim — abort the rename retryably: they hold
+    * absolute old-path staging paths and would re-create the old tree
+    * after the move. A crash between the move and the claim release
+    * degrades to one stale-claim wait for the next committer, never a
+    * torn table (the move itself is atomic on the contracted
+    * filesystems — see [[CommitLock.atomicCreate]]'s notes). */
+  def renameTable(
+      spark: SparkSession, oldPath: String, newPath: String): Unit = {
+    val fs = fsOf(spark, oldPath)
+    require(fs.exists(gensRoot(oldPath)),
+      s"FactVersioned.renameTable: no versioned table at $oldPath")
+    require(generations(spark, oldPath).nonEmpty,
+      s"FactVersioned.renameTable: no committed generations at $oldPath")
+    val dst = new Path(newPath)
+    require(!fs.exists(dst),
+      s"FactVersioned.renameTable: destination $newPath already exists")
+    val next = claimNext(fs, oldPath, "FactVersioned.renameTable")
+    def inFlight(g: Long): Boolean = {
+      val dir = genMeta(oldPath, g)
+      fs.exists(new Path(dir, Versioned.ClaimMarker)) &&
+        !fs.exists(new Path(dir, Versioned.CommitMarker)) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(new Path(dir, Versioned.ClaimMarker))
+            .getModificationTime < Versioned.StaleClaimMs
+    }
+    try {
+      awaitLowerClaims(fs, oldPath, next, "FactVersioned.renameTable")
+      val higher = fs.listStatus(gensRoot(oldPath)).filter(_.isDirectory)
+        .flatMap(_.getPath.getName.stripPrefix("gen=").toLongOption)
+        .filter(g => g > next && inFlight(g))
+      if (higher.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"FactVersioned.renameTable: generation(s) " +
+            s"${higher.mkString(",")} claimed after the rename at " +
+            s"$oldPath — retry the rename")
+    } catch {
+      case e: Throwable =>
+        abortClaim(fs, oldPath, next,
+          new Path(dataRoot(oldPath), s"$VGenCol=$next"))
+        throw e
+    }
+    val parent = dst.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    require(fs.rename(new Path(oldPath), dst),
+      s"FactVersioned.renameTable: filesystem move $oldPath -> " +
+        s"$newPath failed")
+    // release the rename's own claim inside the MOVED tree so the
+    // first post-rename committer doesn't wait out the stale-claim
+    // lease; a crash before this line degrades to exactly that wait
+    fs.delete(genMeta(newPath, next), true)
+    Versioned.writeRenamedMarker(fs, oldPath, newPath)
   }
 
   /** Expire old generations' metadata, then GC data files no retained

@@ -58,6 +58,59 @@ object Versioned {
     * older ones are crashed-writer debris and reclaimed. */
   val StaleClaimMs: Long = 60L * 60L * 1000L
 
+  /** Guidance tombstone a table RENAME leaves at the old path (content:
+    * the new path). Commits and reads against the old path fail loudly
+    * naming the new one instead of silently re-creating a divergent
+    * fresh table; an explicit CREATE TABLE at the old name supersedes
+    * it (the catalog deletes the marker-only husk). Shared by both
+    * stores so the guidance cannot drift between them. */
+  val RenamedToMarker = "_graft_renamed_to"
+
+  /** The new path recorded by a rename's guidance marker at `path`,
+    * if one is present. */
+  def renamedTo(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path, RenamedToMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  private[operators] def writeRenamedMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      oldPath: String, newPath: String): Unit = {
+    fs.mkdirs(new Path(oldPath))
+    val out = fs.create(new Path(oldPath, RenamedToMarker), true)
+    try out.write(
+      newPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[operators] def requireNotRenamedAway(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, who: String): Unit = {
+    val m = new Path(tablePath, RenamedToMarker)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      val to = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+      throw new IllegalArgumentException(
+        s"$who: the table at $tablePath was RENAMED to '$to' — commit " +
+          "there, or delete the marker-only directory to reuse the path")
+    }
+  }
+
   final case class Commit(gen: Long, path: String)
 
   private def genDir(root: Path, g: Long) = new Path(root, s"gen=$g")
@@ -87,6 +140,7 @@ object Versioned {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNotRenamedAway(fs, tablePath, "Versioned.commit")
     if (!fs.exists(root)) fs.mkdirs(root)
     // start past every dir present — committed or not, so a crashed
     // writer's leftover is never overwritten — then CAS-claim the
@@ -179,6 +233,82 @@ object Versioned {
       } else Thread.sleep(50)
     }
     fs.delete(root, true)
+  }
+
+  /** `ALTER TABLE ... RENAME TO` for the full-copy store: ONE
+    * directory move, serialized through the claim protocol exactly
+    * like [[destroy]] (claim → await lower claims → move). After the
+    * move the rename's own claim is released inside the new tree and a
+    * guidance marker ([[RenamedToMarker]]) lands at the old path, so a
+    * late committer against the old name fails loudly naming the new
+    * one instead of silently re-creating a divergent table. In-flight
+    * HIGHER claims (writers that claimed after the rename) abort the
+    * rename retryably — they would keep writing into the old path
+    * after the move. */
+  def renameTable(
+      spark: SparkSession, oldPath: String, newPath: String): Unit = {
+    val root = new Path(oldPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generations(spark, oldPath).nonEmpty,
+      s"Versioned.renameTable: no committed table at $oldPath")
+    val dst = new Path(newPath)
+    require(!fs.exists(dst),
+      s"Versioned.renameTable: destination $newPath already exists")
+    val present = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => if (n.startsWith("gen="))
+        n.stripPrefix("gen=").toLongOption else None)
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"Versioned.renameTable: could not claim a generation at $oldPath")
+      if (CommitLock.atomicCreate(fs,
+          new Path(genDir(root, next), ClaimMarker)))
+        claimed = true
+      else next += 1
+    }
+    def inFlight(g: Long): Boolean = {
+      val dir = genDir(root, g)
+      fs.exists(new Path(dir, ClaimMarker)) &&
+        !fs.exists(new Path(dir, CommitMarker)) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(new Path(dir, ClaimMarker))
+            .getModificationTime < StaleClaimMs
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 60L * 1000L
+      var g = 0L
+      while (g < next) {
+        if (!inFlight(g)) g += 1
+        else if (System.currentTimeMillis() > deadline)
+          throw new java.util.ConcurrentModificationException(
+            s"Versioned.renameTable: generation $g is still being " +
+              s"written at $oldPath — retry once the writer resolves")
+        else Thread.sleep(50)
+      }
+      val higher = fs.listStatus(root).filter(_.isDirectory)
+        .flatMap(_.getPath.getName.stripPrefix("gen=").toLongOption)
+        .filter(g => g > next && inFlight(g))
+      if (higher.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"Versioned.renameTable: generation(s) ${higher.mkString(",")} " +
+            s"claimed after the rename at $oldPath — retry")
+    } catch {
+      case e: Throwable =>
+        fs.delete(genDir(root, next), true)
+        throw e
+    }
+    val parent = dst.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    require(fs.rename(root, dst),
+      s"Versioned.renameTable: filesystem move $oldPath -> $newPath failed")
+    // release the rename's own claim inside the MOVED tree (a crash
+    // here degrades to one stale-claim wait, never a torn table)
+    fs.delete(genDir(dst, next), true)
+    writeRenamedMarker(fs, oldPath, newPath)
   }
 
   /** Delete every `gen=` dir below `floor` except in-flight claims. */

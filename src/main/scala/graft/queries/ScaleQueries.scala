@@ -1984,6 +1984,83 @@ object ScaleQueries extends QueryPack {
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
     }),
 
+    // TABLE rename (`ALTER TABLE ... RENAME TO`, VERDICT r14 Next #3):
+    // ONE claim-serialized directory move — O(1) at any table size,
+    // because everything the table owns (generations, manifests,
+    // colmaps, tombstones, sidecars, default merge keys) lives inside
+    // the tree and rides the move. In-gate asserts: the old path holds
+    // ONLY the guidance tombstone after the move, the move adds no
+    // generation and stages no data, the old name fails loudly naming
+    // the new one, full DML (MERGE with its write-amp contract) and
+    // time travel continue under the new name. Output value-gated
+    // against the DuckDB from-scratch recomputation.
+    "q169_sql_table_rename" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q169_").toString
+      val path = s"$wh/orders_tr"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_tr RENAME TO orders_moved")
+        val moved = s"$wh/orders_moved"
+        require(fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .map(_.getPath.getName).toSeq ==
+            Seq(Versioned.RenamedToMarker),
+          "q169: the old path must hold only the guidance tombstone")
+        require(FactVersioned.generations(s, moved) == Seq(0L),
+          "q169: the move must add no generation and stage no data")
+        val old = try {
+          s.sql("SELECT * FROM graft.orders_tr").collect(); None
+        } catch { case t: Throwable => Some(t) }
+        require(old.exists(t => causeMessages(t)
+            .exists(m => m.contains("RENAMED") &&
+              m.contains("orders_moved"))),
+          s"q169: the old name must fail naming the new table, got " +
+            s"${old.map(causeMessages)}")
+        // full DML under the new name: MERGE doubles 1995 evens, and
+        // its write-amp contract holds across the move (only the
+        // scoped partition stages)
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW q169_src AS
+            |SELECT o_orderkey, y, 'U' AS o_orderstatus,
+            |  o_totalprice * 2 AS o_totalprice
+            |FROM graft.orders_moved
+            |WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+        s.sql(
+          """MERGE INTO graft.orders_moved t USING q169_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_orderstatus = s.o_orderstatus,
+            |  o_totalprice = s.o_totalprice""".stripMargin)
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$moved/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        require(staged == Set("y=1995"),
+          s"q169: MERGE after the move must stage only the scoped " +
+            s"partition, got $staged")
+        // time travel crossed the move intact
+        require(s.sql(
+            "SELECT count(*) FROM graft.orders_moved VERSION AS OF 0")
+          .head.getLong(0) == o.count(),
+          "q169: VERSION AS OF 0 must read the pre-move content")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus, o_totalprice, y
+            |FROM graft.orders_moved""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // TIMESTAMP-typed partition columns (VERDICT r13 Next #8 — the
     // last carried type limit; hour/day-partitioned event tables are
     // the 100 TB norm): the full lifecycle over a fact table
@@ -2991,6 +3068,21 @@ object ScaleQueries extends QueryPack {
         |SELECT o_orderkey + 20000000, 'N',
         |  CONCAT('n-', CAST(o_orderkey AS VARCHAR))
         |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // the merged head after the TABLE rename ≡ 1995 evens doubled and
+    // flagged, everything else carried — the move itself changes no
+    // row, so values match the from-scratch recomputation exactly
+    "q169_sql_table_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey,
+        |  CASE WHEN y = 1995 AND o_orderkey % 2 = 0
+        |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN y = 1995 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  y
+        |FROM base""".stripMargin,
     // the merged head under the RENAMED partition column ≡ 1995 evens
     // doubled and flagged, everything else carried — the rename moved
     // no data, so values match the from-scratch recomputation exactly

@@ -516,4 +516,46 @@ class GraftCatalogSpec extends SparkSpec {
       assert(q.as[(Long, Long, Long)].head() == ((10L, 400L, 40L)))
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushDown")
   }
+
+  test("ALTER TABLE RENAME TO: reads under the new name match, the old " +
+      "name fails with guidance, re-CREATE of the old name supersedes " +
+      "the tombstone, and an existing destination is rejected") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    val path = s"$root/tr"
+    val f0 = (1 to 30).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "p", "v")
+    FactVersioned.upsert(spark, path, f0, Seq("k"), "p", retain = 10)
+    register(root)
+    val before = spark.sql("SELECT * FROM graftt.tr")
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet
+    spark.sql("ALTER TABLE graftt.tr RENAME TO tr2")
+    assert(spark.sql("SELECT * FROM graftt.tr2")
+      .select("k", "p", "v").as[(Long, Int, Long)].collect().toSet ==
+      before)
+    // time travel follows the move
+    assert(spark.sql("SELECT count(*) FROM graftt.tr2 VERSION AS OF 0")
+      .as[Long].head() == 30L)
+    // the old name rejects with guidance naming the new table
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graftt.tr").collect()
+    }
+    assert(e.getMessage.contains("RENAMED") && e.getMessage.contains("tr2"),
+      e.getMessage)
+    // SHOW TABLES lists only the new name; IF EXISTS probes agree
+    val names = spark.sql("SHOW TABLES IN graftt").select("tableName")
+      .as[String].collect().toSet
+    assert(names.contains("tr2") && !names.contains("tr"), names.toString)
+    // renaming onto an existing table is rejected
+    FactVersioned.upsert(spark, s"$root/occupied", f0, Seq("k"), "p")
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] {
+      spark.sql("ALTER TABLE graftt.tr2 RENAME TO occupied")
+    }
+    // an explicit CREATE of the old name supersedes the tombstone
+    spark.sql("CREATE TABLE graftt.tr AS SELECT 1L AS a, 2L AS b")
+    assert(spark.sql("SELECT a FROM graftt.tr").as[Long].head() == 1L)
+    // dimension tables rename through the same door
+    Versioned.commit(dim(5), s"$root/dr")
+    spark.sql("ALTER TABLE graftt.dr RENAME TO dr2")
+    assert(spark.sql("SELECT count(*) FROM graftt.dr2").as[Long].head() == 5L)
+  }
 }
