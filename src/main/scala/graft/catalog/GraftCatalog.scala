@@ -318,6 +318,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"GraftCatalog: column name ${FactVersioned.VGenCol} is reserved")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CREATE TABLE is the explicit creation door: state the filesystem
+    // contract here too, before any husk lands
+    graft.operators.CommitLock.requireAtomicCommitContract(
+      fs, root, "GraftCatalog.createTable")
     if (fs.exists(root)) {
       // a rename guidance tombstone (marker-only dir) is superseded by
       // an explicit CREATE of the old name; anything else foreign

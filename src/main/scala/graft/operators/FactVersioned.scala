@@ -750,7 +750,14 @@ object FactVersioned {
       s"column name $VGenCol is reserved by FactVersioned")
     val fs = fsOf(spark, tablePath)
     val gRoot = gensRoot(tablePath)
-    if (!fs.exists(gRoot)) fs.mkdirs(gRoot)
+    if (!fs.exists(gRoot)) {
+      // first commit = table creation: enforce the filesystem contract
+      // ONCE, loudly (atomic exclusive-create + rename — see
+      // CommitLock.requireAtomicCommitContract); existing tables are
+      // never re-probed
+      CommitLock.requireAtomicCommitContract(fs, gRoot, "FactVersioned")
+      fs.mkdirs(gRoot)
+    }
 
     val next = claimNext(fs, tablePath, "FactVersioned")
     // From here to the commit marker, ANY failure must roll the claim

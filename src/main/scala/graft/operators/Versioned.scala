@@ -141,7 +141,12 @@ object Versioned {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNotRenamedAway(fs, tablePath, "Versioned.commit")
-    if (!fs.exists(root)) fs.mkdirs(root)
+    if (!fs.exists(root)) {
+      // first commit = table creation: enforce the filesystem contract
+      // ONCE, loudly (see CommitLock.requireAtomicCommitContract)
+      CommitLock.requireAtomicCommitContract(fs, root, "Versioned")
+      fs.mkdirs(root)
+    }
     // start past every dir present — committed or not, so a crashed
     // writer's leftover is never overwritten — then CAS-claim the
     // number BEFORE any data write: exclusive create of the claim file

@@ -129,4 +129,53 @@ class CommitLockSpec extends SparkSpec {
     assert(overlap.get() === 1, "second contender must acquire after release")
     assert(second.isDone)
   }
+
+  test("the filesystem contract rejects non-atomic stores at table " +
+      "creation, loudly; the assume-atomic opt-in and existing tables " +
+      "pass; HDFS-class schemes pass") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocks3.impl", classOf[MockObjectStoreFileSystem].getName)
+    conf.setBoolean(CommitLock.AssumeAtomicKey, false)
+    val root = "mocks3:" +
+      Files.createTempDirectory("graft_mockfs_").toString
+    import spark.implicits._
+    val df = Seq((1L, 0, 10L)).toDF("k", "p", "v")
+    // fact-store creation rejects with the contract message
+    val e = intercept[UnsupportedOperationException] {
+      FactVersioned.upsert(spark, s"$root/t", df, Seq("k"), "p")
+    }
+    assert(e.getMessage.contains("mocks3") &&
+      e.getMessage.contains("ATOMIC") &&
+      e.getMessage.contains(CommitLock.AssumeAtomicKey), e.getMessage)
+    // dim-store creation rejects identically
+    intercept[UnsupportedOperationException] {
+      Versioned.commit(df, s"$root/d")
+    }
+    try {
+      // the documented opt-in unlocks the store
+      conf.setBoolean(CommitLock.AssumeAtomicKey, true)
+      FactVersioned.upsert(spark, s"$root/t", df, Seq("k"), "p")
+      assert(FactVersioned.read(spark, s"$root/t")
+        .select(col("v")).as[Long].head() == 10L)
+      // EXISTING tables are never re-probed: flip the conf back off —
+      // commits against the already-created table still land
+      conf.setBoolean(CommitLock.AssumeAtomicKey, false)
+      FactVersioned.upsert(spark, s"$root/t",
+        Seq((2L, 0, 20L)).toDF("k", "p", "v"), Seq("k"), "p")
+      assert(FactVersioned.read(spark, s"$root/t").count() == 2)
+    } finally conf.setBoolean(CommitLock.AssumeAtomicKey, false)
+    // local-filesystem tables (the known-good list) are untouched
+    val local = Files.createTempDirectory("graft_localfs_").toString
+    FactVersioned.upsert(spark, s"$local/t", df, Seq("k"), "p")
+    assert(FactVersioned.read(spark, s"$local/t").count() == 1)
+  }
+}
+
+/** A RawLocalFileSystem wearing an object-store scheme — the mock the
+  * contract check is spec'd against. */
+class MockObjectStoreFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mocks3"
+  override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
 }
