@@ -200,8 +200,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val cmap = FactVersioned.generationColMap(spark, path, gen)
       val physSchema =
         if (cmap.isEmpty) schema
-        else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-          f.copy(name = FactVersioned.physOf(cmap, f.name))))
+        else FactVersioned.physSchemaOf(schema, cmap)
       val parquet = ParquetTable(s"$catalogName.$display", spark, opts,
         files, Some(physSchema.add(FactVersioned.VGenCol, LongType)),
         classOf[ParquetFileFormat])
@@ -372,17 +371,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val drops = Seq.newBuilder[String]
     val renames = Seq.newBuilder[(String, String)]
+    val nestedRenames = Seq.newBuilder[(Seq[String], String)]
     val nestedAdds =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedDrops = Seq.newBuilder[Seq[String]]
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "GraftCatalog: RENAME COLUMN of a nested field is not " +
-            s"supported (got ${r.fieldNames.mkString(".")}) — the " +
-            "column mapping is top-level; add the new field and " +
-            "backfill instead")
-        renames += r.fieldNames.head -> r.newName
+        if (r.fieldNames.length == 1)
+          renames += r.fieldNames.head -> r.newName
+        else nestedRenames += r.fieldNames.toSeq -> r.newName
       case a: TableChange.AddColumn =>
         require(a.isNullable,
           s"GraftCatalog: added column '${a.fieldNames.mkString(".")}' " +
@@ -407,7 +404,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val (fields, dropped, renamed) =
       (adds.result(), drops.result(), renames.result())
-    val (nAdds, nDrops) = (nestedAdds.result(), nestedDrops.result())
+    val (nAdds, nDrops, nRenames) =
+      (nestedAdds.result(), nestedDrops.result(), nestedRenames.result())
     // one KIND per statement — but top-level and nested fields of the
     // same kind travel together (ALTER TABLE ADD COLUMNS (x INT,
     // s.f STRING) is one statement, and Spark's own schema-evolution
@@ -415,9 +413,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val addsAll = fields.map(f => Seq(f.name) -> f.dataType) ++ nAdds
     val dropsAll = dropped.map(Seq(_)) ++ nDrops
     require(Seq(addsAll.map(_._1), dropsAll,
-        renamed.map(r => Seq(r._1))).count(_.nonEmpty) <= 1,
+        renamed.map(r => Seq(r._1)) ++ nRenames.map(_._1))
+        .count(_.nonEmpty) <= 1,
       "GraftCatalog: mix of ADD/DROP/RENAME in one ALTER is not " +
         "supported — issue separate statements")
+    require(renamed.isEmpty || nRenames.isEmpty,
+      "GraftCatalog: mix of top-level and nested RENAME in one ALTER " +
+        "is not supported — issue separate statements")
     if (isFact) {
       if (addsAll.nonEmpty)
         // ONE atomic commit for the whole ADD statement — top-level
@@ -430,6 +432,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         FactVersioned.renameColumns(spark, path, renamed.toMap,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE RENAME COLUMN"))
+      else if (nRenames.nonEmpty)
+        nRenames.foreach { case (p, nu) =>
+          FactVersioned.renameNestedColumn(spark, path, p, nu,
+            retain = retainFor(path),
+            properties = Map("operation" -> "ALTER TABLE RENAME COLUMN"))
+        }
       else
         FactVersioned.dropFieldPaths(spark, path, dropsAll,
           retain = retainFor(path),
@@ -470,17 +478,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           }
         }
         Versioned.commit(reshaped, path, retain = retainFor(path))
-      } else if (renamed.nonEmpty) {
+      } else if (renamed.nonEmpty || nRenames.nonEmpty) {
         // full-copy store: the renamed generation IS a fresh copy —
-        // no mapping needed, nothing physical carries over
+        // no mapping needed, nothing physical carries over. Nested
+        // renames rebuild the struct via a positional cast (field
+        // names from the target type, positions/types identical).
         renamed.foreach { case (old, nu) =>
           require(cur.columns.exists(_.equalsIgnoreCase(old)),
             s"GraftCatalog: column '$old' does not exist")
           require(!cur.columns.exists(_.equalsIgnoreCase(nu)),
             s"GraftCatalog: column '$nu' already exists")
         }
-        Versioned.commit(renamed.foldLeft(cur) { case (df, (old, nu)) =>
-          df.withColumnRenamed(old, nu) }, path, retain = retainFor(path))
+        val topRenamed = renamed.foldLeft(cur) { case (df, (old, nu)) =>
+          df.withColumnRenamed(old, nu) }
+        val reshaped = nRenames.foldLeft(topRenamed) { case (df, (p, nu)) =>
+          val top = cur.schema.fields
+            .find(_.name.equalsIgnoreCase(p.head))
+          require(top.nonEmpty,
+            s"GraftCatalog: column '${p.head}' does not exist")
+          require(FactVersioned.fieldAt(top.get.dataType, p.tail).nonEmpty,
+            s"GraftCatalog: field '${p.mkString(".")}' does not exist")
+          require(FactVersioned.fieldAt(top.get.dataType,
+              p.tail.init :+ nu).isEmpty,
+            s"GraftCatalog: field '$nu' already exists under " +
+              s"'${p.init.mkString(".")}'")
+          df.withColumn(top.get.name,
+            org.apache.spark.sql.functions.col(top.get.name).cast(
+              FactVersioned.renameFieldAt(top.get.dataType, p.tail, nu)))
+        }
+        Versioned.commit(reshaped, path, retain = retainFor(path))
       } else {
         // drops, top-level and nested, in one fresh generation.
         // Presence is checked through the schema walk — dropFields is

@@ -105,23 +105,65 @@ object FactChangeFeed {
         // to-columns projection, exactly as before.
         val from0 = {
           val mapA = FactVersioned.generationColMap(spark, tablePath, Some(a))
-          val mapTo = FactVersioned
+          val mapToFull = FactVersioned
             .generationColMap(spark, tablePath, Some(toGen))
+          val mapTo = mapToFull.filterNot(_._1.contains('.'))
             .map { case (l, p) => p.toLowerCase -> l }
-          val renames = from1.columns.flatMap { c =>
-            val phys = mapA.getOrElse(c.toLowerCase, c)
+          // NESTED renames translate the same way, path-wise: era-a
+          // logical → physical (era-a dotted entries) → window-end
+          // logical (era-toGen dotted entries, reversed onto physical
+          // paths). Leaf-name case is reconciled by the conformTo
+          // rebuild below (case-insensitive field match).
+          val nestedA = mapA.collect { case (k, v) if k.contains('.') =>
+            k.split('.').toSeq -> v }
+          val revToNested: Map[Seq[String], String] =
+            mapToFull.collect { case (k, v) if k.contains('.') =>
+              val lpath = k.split('.').toSeq
+              val ppath = lpath.indices.map { i =>
+                val prefix = lpath.take(i + 1).mkString(".")
+                val phys =
+                  if (i == lpath.length - 1) v
+                  else if (i == 0) mapToFull.getOrElse(lpath(i), lpath(i))
+                  else mapToFull.getOrElse(prefix, lpath(i))
+                phys.toLowerCase
+              }
+              (ppath: Seq[String]) -> lpath.last
+            }
+          def renameFieldsType(
+              dt: org.apache.spark.sql.types.DataType,
+              lpath: Seq[String],
+              ppath: Seq[String]): org.apache.spark.sql.types.DataType =
+            dt match {
+              case st: org.apache.spark.sql.types.StructType =>
+                org.apache.spark.sql.types.StructType(st.fields.map { f =>
+                  val lp = lpath :+ f.name.toLowerCase
+                  val physLeaf = nestedA.getOrElse(lp, f.name)
+                  val pp = ppath :+ physLeaf.toLowerCase
+                  f.copy(name = revToNested.getOrElse(pp, physLeaf),
+                    dataType = renameFieldsType(f.dataType, lp, pp))
+                })
+              case ar: org.apache.spark.sql.types.ArrayType =>
+                ar.copy(elementType =
+                  renameFieldsType(ar.elementType, lpath, ppath))
+              case mp: org.apache.spark.sql.types.MapType =>
+                mp.copy(valueType =
+                  renameFieldsType(mp.valueType, lpath, ppath))
+              case other => other
+            }
+          val cols = from1.schema.fields.map { f =>
+            val phys = mapA.getOrElse(f.name.toLowerCase, f.name)
             // the colmap stores lower-cased logical keys — pin the
             // translated name to the to-side's ACTUAL spelling so the
             // case-sensitive null-fill/projection below line up
             val endName0 = mapTo.getOrElse(phys.toLowerCase, phys)
             val endName = to.columns.find(_.equalsIgnoreCase(endName0))
               .getOrElse(endName0)
-            if (endName == c) None else Some(c -> endName)
-          }.toMap
-          if (renames.isEmpty) from1
-          else from1.select(from1.columns.map(c =>
-            org.apache.spark.sql.functions.col(c)
-              .as(renames.getOrElse(c, c))).toIndexedSeq: _*)
+            val newType = renameFieldsType(f.dataType,
+              Seq(f.name.toLowerCase), Seq(phys.toLowerCase))
+            val c = org.apache.spark.sql.functions.col(f.name)
+            (if (newType == f.dataType) c else c.cast(newType)).as(endName)
+          }
+          from1.select(cols.toIndexedSeq: _*)
         }
         // a window crossing an ADDITIVE evolution commit: the from-side
         // generation lacks the added columns — null-fill them (exactly

@@ -417,6 +417,87 @@ object FactVersioned {
   private[graft] def physOf(cmap: Map[String, String], name: String): String =
     cmap.getOrElse(name.toLowerCase, name)
 
+  /** The colmap's NESTED entries: lower-cased dotted LOGICAL path
+    * (canonical walk form — container steps stripped) → physical LEAF
+    * segment name. Top-level entries (no dot) stay the plain
+    * logical→physical column map every earlier consumer reads; dotted
+    * keys never collide with top-level lookups, so the format is
+    * strictly additive (r15, nested RENAME COLUMN). */
+  private def nestedMapEntries(
+      cmap: Map[String, String]): Map[Seq[String], String] =
+    cmap.collect { case (k, v) if k.contains('.') =>
+      k.split('.').toSeq -> v }
+
+  /** `schema` (logical) rewritten to its PHYSICAL shape under `cmap`:
+    * top-level names via [[physOf]], nested struct-field LEAF names via
+    * the dotted colmap entries — positions and types untouched, so a
+    * positional rebind (struct cast / DSv2 batch binding) is exact.
+    * Walks through arrays and map values like [[fieldAt]]. */
+  private[graft] def physSchemaOf(
+      schema: StructType, cmap: Map[String, String]): StructType = {
+    val nested = nestedMapEntries(cmap)
+    if (nested.isEmpty)
+      return StructType(schema.fields.map(f =>
+        f.copy(name = physOf(cmap, f.name))))
+    def walk(dt: DataType, path: Seq[String]): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val p = path :+ f.name.toLowerCase
+        val leaf = nested.getOrElse(p, f.name)
+        f.copy(name = if (path.isEmpty) physOf(cmap, f.name) else leaf,
+          dataType = walk(f.dataType, p))
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = walk(a.elementType, path))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = walk(m.valueType, path)) // keys never evolve
+      case other => other
+    }
+    walk(schema, Nil).asInstanceOf[StructType]
+  }
+
+  /** `src` with field NAMES taken positionally from `names` at every
+    * depth, and every field/container forced NULLABLE — types stay
+    * `src`'s. Nullability is not load-bearing ([[schemaShape]]) and
+    * the runtime frame's nullability may differ from the statically
+    * pinned one (parquet reads widen to nullable), so a rename-only
+    * cast must never be rejected over it. */
+  private def withNamesOf(src: DataType, names: DataType): DataType =
+    (src, names) match {
+      case (s: StructType, n: StructType) =>
+        StructType(s.fields.zip(n.fields).map { case (sf, nf) =>
+          sf.copy(name = nf.name, nullable = true,
+            dataType = withNamesOf(sf.dataType, nf.dataType))
+        })
+      case (s: org.apache.spark.sql.types.ArrayType,
+          n: org.apache.spark.sql.types.ArrayType) =>
+        s.copy(elementType = withNamesOf(s.elementType, n.elementType),
+          containsNull = true)
+      case (s: org.apache.spark.sql.types.MapType,
+          n: org.apache.spark.sql.types.MapType) =>
+        s.copy(valueType = withNamesOf(s.valueType, n.valueType),
+          valueContainsNull = true)
+      case (s, _) => s
+    }
+
+  /** Logical column `name` of `schema` as a read/stage expression over
+    * its physical twin: a plain alias when only the top-level name
+    * differs; a positional struct CAST (field names from the target
+    * type, positions/types/nullability identical) when nested renames
+    * reshape the column. Direction is chosen by the caller via
+    * (fromName, toField). */
+  private def bindColumn(
+      fromName: String,
+      toField: org.apache.spark.sql.types.StructField,
+      fromType: DataType): org.apache.spark.sql.Column = {
+    val c = col(fromName)
+    val target = withNamesOf(fromType, toField.dataType)
+    // skip the cast when no NAME actually changes (compare against the
+    // same-nullability-normalized identity) — unmapped columns bind as
+    // plain aliases exactly as before
+    (if (target == withNamesOf(fromType, fromType)) c else c.cast(target))
+      .as(toField.name)
+  }
+
   /** One pinned-schema scan assembling a generation from its manifest's
     * file list; `dirs` (None = all) prunes at the FILE level before any
     * scan — the manifest is the skipping index. */
@@ -445,15 +526,16 @@ object FactVersioned {
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     else {
       // renamed table: files hold PHYSICAL names — read under the
-      // physical schema and alias each column back to its logical name
-      // (the aliases prune/push down like any projection)
-      val phys = StructType(schema.fields.map(f =>
-        f.copy(name = physOf(cmap, f.name))))
+      // physical schema and bind each column back to its logical name
+      // (alias for top-level renames; positional struct cast when
+      // nested fields renamed — both prune/push down like projections)
+      val phys = physSchemaOf(schema, cmap)
       spark.read.schema(phys.add(VGenCol, LongType))
         .option("basePath", data)
         .parquet(files.toIndexedSeq: _*)
-        .select(schema.fields.toIndexedSeq.map(f =>
-          col(physOf(cmap, f.name)).as(f.name)): _*)
+        .select(schema.fields.toIndexedSeq.zip(phys.fields).map {
+          case (lf, pf) => bindColumn(pf.name, lf, pf.dataType)
+        }: _*)
     }
   }
 
@@ -658,14 +740,14 @@ object FactVersioned {
           .where(residual)
           .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       else {
-        val phys = StructType(schema.fields.map(f =>
-          f.copy(name = physOf(cmap, f.name))))
-        // alias to logical FIRST, then the logical-name residual applies
+        val phys = physSchemaOf(schema, cmap)
+        // bind to logical FIRST, then the logical-name residual applies
         spark.read.schema(phys.add(VGenCol, LongType))
           .option("basePath", data)
           .parquet(files.map(f => s"$data/$f").toIndexedSeq: _*)
-          .select(schema.fields.toIndexedSeq.map(f =>
-            col(physOf(cmap, f.name)).as(f.name)): _*)
+          .select(schema.fields.toIndexedSeq.zip(phys.fields).map {
+            case (lf, pf) => bindColumn(pf.name, lf, pf.dataType)
+          }: _*)
           .where(residual)
       }
     DataSkipping.PrunedScan(df,
@@ -805,7 +887,10 @@ object FactVersioned {
       val parentMap = parentAtClaim
         .map(readColMap(fs, tablePath, _)).getOrElse(Map.empty)
       val present = content.columns.map(_.toLowerCase).toSet
-      parentMap.filter { case (l, _) => present(l) }
+      // nested entries (dotted keys) ride with their top column — a
+      // stale dotted entry for a since-dropped nested field is inert
+      // (every consumer walks the pinned schema, never the map alone)
+      parentMap.filter { case (l, _) => present(l.takeWhile(_ != '.')) }
     }
 
     // the on-disk tree and the manifest `dir` strings are keyed by the
@@ -938,8 +1023,16 @@ object FactVersioned {
     if (fs.exists(genData)) fs.delete(genData, true) // stale-claim debris
     val toStage =
       if (cmap.isEmpty) content
-      else content.select(content.columns.toIndexedSeq.map(c =>
-        col(c).as(physOf(cmap, c))): _*)
+      else {
+        // stage under PHYSICAL names at every depth: alias the top
+        // name; a positional struct cast renames nested fields
+        val physStage = physSchemaOf(
+          StructType(content.schema.fields), cmap)
+        content.select(content.schema.fields.toIndexedSeq
+          .zip(physStage.fields).map { case (lf, pf) =>
+            bindColumn(lf.name, pf, lf.dataType)
+          }: _*)
+      }
     toStage.write.partitionBy(physPartitionCols: _*).parquet(genData.toString)
     def leafDirs(base: Path, depth: Int): Array[String] =
       if (!fs.exists(base)) Array.empty
@@ -2034,6 +2127,119 @@ object FactVersioned {
     dropFieldPaths(spark, tablePath, Seq(path), retain, properties)
   }
 
+  /** The path's segments with the SCHEMA's actual spellings, container
+    * steps stripped exactly like [[fieldAt]]'s walk; None when the
+    * path does not resolve. */
+  private def walkActual(
+      dt: DataType, p: Seq[String]): Option[Seq[String]] = dt match {
+    case s: StructType if p.nonEmpty =>
+      s.fields.find(_.name.equalsIgnoreCase(p.head)).flatMap { f =>
+        if (p.length == 1) Some(Seq(f.name))
+        else walkActual(f.dataType, p.tail).map(f.name +: _)
+      }
+    case a: org.apache.spark.sql.types.ArrayType =>
+      walkActual(a.elementType, dropStep(p, "element"))
+    case m: org.apache.spark.sql.types.MapType
+        if !p.headOption.exists(_.equalsIgnoreCase("key")) =>
+      walkActual(m.valueType, dropStep(p, "value"))
+    case _ => None
+  }
+
+  /** `dt` with the struct field at `path` renamed to `newLeaf` —
+    * positions and types untouched. */
+  private[graft] def renameFieldAt(
+      dt: DataType, path: Seq[String], newLeaf: String): DataType =
+    dt match {
+      case s: StructType =>
+        val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(path.head))
+        val f = s.fields(idx)
+        if (path.length == 1)
+          StructType(s.fields.updated(idx, f.copy(name = newLeaf)))
+        else StructType(s.fields.updated(idx,
+          f.copy(dataType = renameFieldAt(f.dataType, path.tail, newLeaf))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType =
+          renameFieldAt(a.elementType, dropStep(path, "element"), newLeaf))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType =
+          renameFieldAt(m.valueType, dropStep(path, "value"), newLeaf))
+      case other => other
+    }
+
+  /** Rename the NESTED struct field at dotted `path` to `newLeaf` with
+    * NO data rewrite — the nested twin of [[renameColumns]] (VERDICT
+    * r14 Next #5). The field keeps its PHYSICAL on-file leaf name
+    * forever; the new generation's colmap records the rename as a
+    * dotted entry (lower-cased logical path → physical leaf), reads
+    * rebind the struct positionally ([[physSchemaOf]] + a struct
+    * cast), later commits stage under physical names at every depth,
+    * and the OLD logical path is tombstoned so a later re-add cannot
+    * resurrect the carried files' stale values (the same inductive
+    * chain as top-level renames: every era's old spelling is
+    * tombstoned when it goes away, and the first spelling IS the
+    * physical one). One manifest copy + two small files at any table
+    * size; `VERSION AS OF` reads both sides. */
+  def renameNestedColumn(
+      spark: SparkSession,
+      tablePath: String,
+      path: Seq[String],
+      newLeaf: String,
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(path.length >= 2,
+      "renameNestedColumn: path must name a struct field " +
+        "(top-level columns use renameColumns)")
+    require(newLeaf.nonEmpty && !newLeaf.contains('.'),
+      "renameNestedColumn: the new name is a single field name " +
+        "(fields cannot move between structs)")
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"renameNestedColumn: no committed " +
+      s"generations at $tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    val fs = fsOf(spark, tablePath)
+    val cmap = readColMap(fs, tablePath, head)
+    val full = path.mkString(".")
+    val actual = walkActual(schema, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameNestedColumn: field '$full' does not exist"))
+    val parent = actual.init
+    val oldLeaf = actual.last
+    require(!newLeaf.equalsIgnoreCase(oldLeaf),
+      s"renameNestedColumn: '$full' already spells $newLeaf")
+    // sibling freshness: the containing struct must not already hold
+    // the target name
+    require(walkActual(schema, parent :+ newLeaf).isEmpty,
+      s"renameNestedColumn: target '${(parent :+ newLeaf).mkString(".")}' " +
+        "already exists (swaps are not supported — rename through a " +
+        "fresh intermediate name)")
+    // the target path must not be tombstoned — a dropped/renamed-away
+    // nested name may still live PHYSICALLY in carried files
+    val dead = droppedColumns(spark, tablePath)
+    require(!dead.contains(canonicalKey(schema, parent :+ newLeaf, cmap)),
+      s"renameNestedColumn: target name '$newLeaf' was previously " +
+        "dropped or renamed away under " +
+        s"'${parent.mkString(".")}' — carried data files may still " +
+        "physically hold it; choose a fresh name")
+    // the colmap's dotted keys are LOGICAL paths; the physical leaf is
+    // the old entry's value, or (first rename) the old spelling itself
+    val keyOld = actual.map(_.toLowerCase).mkString(".")
+    val physLeaf = cmap.getOrElse(keyOld, oldLeaf)
+    val keyNew = (parent.map(_.toLowerCase) :+ newLeaf.toLowerCase)
+      .mkString(".")
+    val newMap = (cmap - keyOld) + (keyNew -> physLeaf)
+    val renamed = renameFieldAt(schema, actual, newLeaf)
+      .asInstanceOf[StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], renamed)
+    replacePartitionsBy(spark, tablePath, empty,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties,
+      colMap = Some(newMap),
+      preCommit = () => tombstoneNames(spark, tablePath,
+        Seq(canonicalKey(schema, actual, cmap))))
+  }
+
   /** Merge `names` into the dropped/renamed-away tombstone, tmp-write +
     * bak-rotate (the Bookmark pattern): an in-place overwrite could
     * crash between truncation and close and LOSE earlier entries — and
@@ -2146,7 +2352,16 @@ object FactVersioned {
     val newMap = renames.foldLeft(parentMap) { case (m, (old, nu)) =>
       val phys = m.getOrElse(old.toLowerCase,
         schema.fieldNames.find(_.equalsIgnoreCase(old)).get)
-      (m - old.toLowerCase) + (nu.toLowerCase -> phys)
+      // nested entries are keyed by LOGICAL dotted paths — re-key the
+      // ones living under the renamed top column so they keep
+      // resolving (their physical LEAF values are untouched)
+      val rekeyed = m.map { case (k, v) =>
+        val dot = k.indexOf('.')
+        if (dot > 0 && k.substring(0, dot) == old.toLowerCase)
+          (nu.toLowerCase + k.substring(dot)) -> v
+        else k -> v
+      }
+      (rekeyed - old.toLowerCase) + (nu.toLowerCase -> phys)
     }
     val renamed = StructType(schema.fields.map { f =>
       renames.find(_._1.equalsIgnoreCase(f.name)) match {

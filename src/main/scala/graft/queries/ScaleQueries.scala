@@ -1984,6 +1984,92 @@ object ScaleQueries extends QueryPack {
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
     }),
 
+    // NESTED struct-field rename (`ALTER TABLE ... RENAME COLUMN s.f`,
+    // VERDICT r14 Next #5 — the last rejected ALTER shape): the field
+    // keeps its PHYSICAL on-file leaf name; the commit is the same
+    // metadata-only column-mapping shape as a top-level rename (dotted
+    // colmap entry), reads rebind the struct positionally at the scan
+    // seam, later DML stages physical at every depth, and the old
+    // spelling is tombstoned. In-gate asserts: zero staged bytes,
+    // carried VALUES readable under the new field name via SQL
+    // (projection + filter through the rename shim), post-rename
+    // INSERT stages the physical leaf, the old spelling fails loudly,
+    // time travel keeps both sides, and the CDC window spanning the
+    // rename is exact. Output value-gated against the DuckDB mirror
+    // (flat projection).
+    "q170_sql_nested_rename" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q170_").toString
+      val path = s"$wh/orders_nr"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")).as("meta"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_nr RENAME COLUMN meta.price " +
+          "TO amount")
+        // metadata-only: one generation, zero staged bytes
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+          "q170: the nested rename must stage no data")
+        // carried values read under the new spelling; old fails loudly
+        val sum0 = s.sql(
+          "SELECT round(sum(meta.amount), 2) FROM graft.orders_nr")
+          .head.getDouble(0)
+        val old = try {
+          s.sql("SELECT meta.price FROM graft.orders_nr").collect(); None
+        } catch { case t: Throwable => Some(t) }
+        require(old.nonEmpty,
+          "q170: the old nested spelling must fail after the rename")
+        // time travel keeps the pre-rename era
+        require(s.sql(
+            "SELECT round(sum(meta.price), 2) FROM graft.orders_nr " +
+              "VERSION AS OF 0").head.getDouble(0) == sum0,
+          "q170: VERSION AS OF 0 must read the old spelling, same values")
+        // post-rename INSERT: stages the PHYSICAL leaf name
+        s.sql(
+          """INSERT INTO graft.orders_nr BY NAME
+            |SELECT o_orderkey + 30000000 AS o_orderkey,
+            |  named_struct('status', 'N', 'amount', meta.amount * 2)
+            |    AS meta,
+            |  y, CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_nr
+            |WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin)
+        val stagedMeta = s.read.parquet(
+            s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")
+          .schema("meta").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        require(stagedMeta.fieldNames.toSeq == Seq("status", "price"),
+          s"q170: staged files must keep the physical leaf, got " +
+            s"${stagedMeta.fieldNames.toSeq}")
+        // the CDC window spanning the rename is exact: only the
+        // inserted rows surface, carried rows emit NOTHING
+        val w = graft.operators.FactChangeFeed.window(
+          s, path, Seq("o_orderkey"), Some(0L), 2L)
+        val ops = w.groupBy(col("op")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(ops.keySet == Set("insert"),
+          s"q170: the spanning window must hold only inserts, got $ops")
+        val out = s.sql(
+          """SELECT o_orderkey, meta.status AS status,
+            |  round(meta.amount, 2) AS amount, y
+            |FROM graft.orders_nr""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // TABLE rename (`ALTER TABLE ... RENAME TO`, VERDICT r14 Next #3):
     // ONE claim-serialized directory move — O(1) at any table size,
     // because everything the table owns (generations, manifests,
@@ -3068,6 +3154,20 @@ object ScaleQueries extends QueryPack {
         |SELECT o_orderkey + 20000000, 'N',
         |  CONCAT('n-', CAST(o_orderkey AS VARCHAR))
         |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // the head after the NESTED rename lifecycle ≡ base rows under the
+    // new field spelling + the doubled inserts — the rename moved no
+    // data, so values match the from-scratch recomputation exactly
+    "q170_sql_nested_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus AS status,
+        |  round(o_totalprice, 2) AS amount, y
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 'N', round(o_totalprice * 2, 2), y
+        |FROM base WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin,
     // the merged head after the TABLE rename ≡ 1995 evens doubled and
     // flagged, everything else carried — the move itself changes no
     // row, so values match the from-scratch recomputation exactly

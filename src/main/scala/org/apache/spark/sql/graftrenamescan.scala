@@ -38,7 +38,9 @@ object GraftRenameShim {
 
   /** `inner` reads PHYSICAL columns; the returned table presents
     * `logicalSchema` and translates scans through `logicalToPhysical`
-    * (lower-cased logical keys; identity entries absent). */
+    * (lower-cased logical keys; identity entries absent; DOTTED keys
+    * are nested-field renames mapping a logical path to its physical
+    * LEAF name — r15). */
   def table(
       inner: Table with SupportsRead,
       logicalSchema: StructType,
@@ -46,10 +48,87 @@ object GraftRenameShim {
     new GraftRenamedTable(inner, logicalSchema, logicalToPhysical)
 }
 
+/** Schema-level name translation at every depth, derived from the
+  * LOGICAL schema + the colmap (top-level entries + dotted nested
+  * entries). Positions and types never change — only names — so the
+  * physical reader's batches bind to the logical attributes
+  * positionally, nested structs included. */
+private class GraftNameMaps(
+    logical: StructType,
+    cmap: Map[String, String]) {
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+
+  private val top: Map[String, String] =
+    cmap.filterNot(_._1.contains('.'))
+  private val nested: Map[Seq[String], String] =
+    cmap.collect { case (k, v) if k.contains('.') => k.split('.').toSeq -> v }
+
+  /** lower-cased PHYSICAL dotted path → logical field spelling, for
+    * every renamed field (top-level and nested). Built once from the
+    * full logical schema; pruned physical sub-schemas look up by their
+    * accumulated physical paths. */
+  private val physRev: Map[Seq[String], String] = {
+    val out = Map.newBuilder[Seq[String], String]
+    def walk(dt: DataType, lpath: Seq[String], ppath: Seq[String]): Unit =
+      dt match {
+        case s: StructType => s.fields.foreach { f =>
+          val lp = lpath :+ f.name.toLowerCase
+          val pname =
+            if (lpath.isEmpty) top.getOrElse(f.name.toLowerCase, f.name)
+            else nested.getOrElse(lp, f.name)
+          val pp = ppath :+ pname.toLowerCase
+          if (!pname.equalsIgnoreCase(f.name)) out += (pp -> f.name)
+          walk(f.dataType, lp, pp)
+        }
+        case a: ArrayType => walk(a.elementType, lpath, ppath)
+        case m: MapType => walk(m.valueType, lpath, ppath)
+        case _ => ()
+      }
+    walk(logical, Nil, Nil)
+    out.result()
+  }
+
+  /** A logical (sub-)schema under PHYSICAL names at every depth. */
+  def toPhys(st: StructType): StructType = {
+    def walk(dt: DataType, lpath: Seq[String]): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val lp = lpath :+ f.name.toLowerCase
+        val pname =
+          if (lpath.isEmpty) top.getOrElse(f.name.toLowerCase, f.name)
+          else nested.getOrElse(lp, f.name)
+        f.copy(name = pname, dataType = walk(f.dataType, lp))
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType, lpath))
+      case m: MapType => m.copy(valueType = walk(m.valueType, lpath))
+      case other => other
+    }
+    walk(st, Nil).asInstanceOf[StructType]
+  }
+
+  /** A physical (sub-)schema under LOGICAL names at every depth. */
+  def toLogical(st: StructType): StructType = {
+    def walk(dt: DataType, ppath: Seq[String]): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val pp = ppath :+ f.name.toLowerCase
+        f.copy(name = physRev.getOrElse(pp, f.name),
+          dataType = walk(f.dataType, pp))
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType, ppath))
+      case m: MapType => m.copy(valueType = walk(m.valueType, ppath))
+      case other => other
+    }
+    walk(st, Nil).asInstanceOf[StructType]
+  }
+}
+
 private class GraftRenamedTable(
     inner: Table with SupportsRead,
     logical: StructType,
-    l2p: Map[String, String]) extends Table with SupportsRead {
+    cmap: Map[String, String]) extends Table with SupportsRead {
+  // top-level entries drive attribute/partition translation; the full
+  // map (dotted nested entries included) drives schema translation
+  private val l2p: Map[String, String] = cmap.filterNot(_._1.contains('.'))
+  private val maps = new GraftNameMaps(logical, cmap)
   override def name(): String = inner.name()
   override def schema(): StructType = logical
   override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] =
@@ -77,14 +156,18 @@ private class GraftRenamedTable(
   override def capabilities(): java.util.Set[TableCapability] =
     inner.capabilities()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRenamingScanBuilder(inner.newScanBuilder(options), l2p)
+    new GraftRenamingScanBuilder(inner.newScanBuilder(options), l2p, maps)
 }
 
 /** Rewrites NamedReferences inside DSv2 connector expression trees
-  * through a name map (top-level column segment only — nested-field
-  * renames don't exist in this store). Shapes it can't rebuild are
-  * returned unchanged by [[renameRefs]] / signalled by [[None]] from
-  * [[renameRefsStrict]] so callers can decline instead of mistranslate. */
+  * through a name map (top-level column segment only; nested-field
+  * renames — r15 — keep their LOGICAL tail here, which is correctness-
+  * safe: Spark's parquet filter/aggregate translation skips columns
+  * absent from the file schema, so a renamed nested leaf merely loses
+  * footer-level pruning for that one field, never misreads). Shapes it
+  * can't rebuild are returned unchanged by [[renameRefs]] / signalled
+  * by [[None]] from [[renameRefsStrict]] so callers can decline
+  * instead of mistranslate. */
 private object GraftV2ExprRename {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, FieldReference, GeneralScalarExpression, NamedReference}
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -138,7 +221,8 @@ private object GraftV2ExprRename {
 
 private class GraftRenamingScanBuilder(
     inner: ScanBuilder,
-    l2p: Map[String, String]) extends ScanBuilder
+    l2p: Map[String, String],
+    maps: GraftNameMaps) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -149,8 +233,10 @@ private class GraftRenamingScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case s: SupportsPushDownRequiredColumns =>
-      s.pruneColumns(StructType(
-        requiredSchema.fields.map(f => f.copy(name = pname(f.name)))))
+      // translate at EVERY depth: the parquet reader clips the file
+      // schema by NAME, so a logical nested spelling reaching it would
+      // null-fill a renamed field instead of reading its values
+      s.pruneColumns(maps.toPhys(requiredSchema))
     case _ => ()
   }
 
@@ -201,19 +287,19 @@ private class GraftRenamingScanBuilder(
     case _ => false
   }
 
-  override def build(): Scan = new GraftRenamingScan(inner.build(), p2l)
+  override def build(): Scan = new GraftRenamingScan(inner.build(), p2l, maps)
 }
 
 private class GraftRenamingScan(
-    inner: Scan, p2l: Map[String, String]) extends Scan
+    inner: Scan, p2l: Map[String, String],
+    maps: GraftNameMaps) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
   private val l2p: Map[String, String] =
     p2l.map { case (p, l) => l.toLowerCase -> p }
   override def readSchema(): StructType =
-    StructType(inner.readSchema().fields.map(f =>
-      f.copy(name = p2l.getOrElse(f.name.toLowerCase, f.name))))
+    maps.toLogical(inner.readSchema())
 
   /** Rewrite physical column names to logical in EXPLAIN text
     * (identifier-boundary matches — `v` must not rewrite inside

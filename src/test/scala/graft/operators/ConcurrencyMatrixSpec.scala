@@ -150,6 +150,11 @@ class ConcurrencyMatrixSpec extends SparkSpec {
       FactVersioned.dropNestedColumn(spark, p, Seq("meta", "score"),
         retain = 50)
     },
+    "nested_rename" -> { a: String =>
+      FactVersioned.renameNestedColumn(spark, pathOf(a),
+        Seq("meta", "score"), "points", retain = 50)
+      ()
+    },
     "partition_rename" -> { a: String =>
       FactVersioned.renameColumns(spark, pathOf(a), Map("p" -> "pp"),
         retain = 50)
@@ -234,6 +239,12 @@ class ConcurrencyMatrixSpec extends SparkSpec {
           assert(meta.fieldNames.contains("lang") &&
               !meta.fieldNames.contains("score"),
             s"[$ddlName x $dmlName] nested evolution lost: " +
+              meta.fieldNames.toSeq)
+        case "nested_rename" =>
+          val meta = head.schema("meta").dataType.asInstanceOf[StructType]
+          assert(meta.fieldNames.contains("points") &&
+              !meta.fieldNames.contains("score"),
+            s"[$ddlName x $dmlName] nested rename lost: " +
               meta.fieldNames.toSeq)
         case _ => ()
       }

@@ -229,6 +229,36 @@ class FactChangeFeedSpec extends SparkSpec {
       ("update_pre", 4L, "s4"), ("update_post", 4L, "zz")), got2)
   }
 
+  test("a window spanning a NESTED field RENAME is exact: unchanged " +
+      "rows emit nothing, changes surface under the window-end field " +
+      "name with their true old values") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    val metaBase = (1 to 6).map(i => (i.toLong, i % 3, s"s$i", i * 10L))
+      .toDF("k", "p", "src", "score")
+      .select(col("k"), col("p"),
+        struct(col("src"), col("score")).as("meta"))
+    FactVersioned.upsert(spark, path, metaBase, Seq("k"), "p", retain = 10)
+    val g0 = FactVersioned.generations(spark, path).max
+    FactVersioned.renameNestedColumn(spark, path, Seq("meta", "score"),
+      "points", retain = 10)
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0)).toDF("k", "p").select(col("k"), col("p"),
+        struct(lit("s3").as("src"), lit(999L).as("points")).as("meta")),
+      Seq("k"), "p", retain = 10)
+    val g2 = FactVersioned.generations(spark, path).max
+    // the pure-rename window emits nothing
+    assert(FactChangeFeed.window(spark, path, Seq("k"), Some(g0), g0 + 1)
+      .count() == 0L, "a metadata-only nested rename window must be empty")
+    // the spanning window: WITHOUT the nested translation every carried
+    // row would surface as an update with a null-filled old value
+    val w = FactChangeFeed.window(spark, path, Seq("k"), Some(g0), g2)
+    val got = w.select(col("op"), col("k"), col("meta.points"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("update_pre", 3L, 30L), ("update_post", 3L, 999L)), got)
+  }
+
   test("a window spanning a RENAME COLUMN commit is exact: unchanged " +
       "rows emit nothing, changes surface under the window-end name " +
       "with their true old values") {

@@ -271,6 +271,126 @@ class NestedEvolutionSpec extends SparkSpec {
       .asInstanceOf[StructType].fieldNames.contains("tag"))
   }
 
+  test("renameNestedColumn is metadata-only column mapping: carried " +
+      "files read their VALUES under the new field name, later commits " +
+      "stage physical, time travel keeps both sides, tombstones block " +
+      "both spellings") {
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, base(6), Seq("k"), "p", retain = 10)
+    val c = FactVersioned.renameNestedColumn(spark, path,
+      Seq("meta", "score"), "points", retain = 10)
+    // metadata-only: no data staged by the rename commit
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=${c.gen}")))
+    // carried rows read their true values under the NEW name
+    val head = FactVersioned.read(spark, path)
+    assert(head.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("src", "points"))
+    assert(head.select(col("k"), col("meta.points"))
+      .as[(Long, Long)].collect().toSet ==
+      (1 to 6).map(i => (i.toLong, i * 10L)).toSet)
+    // time travel keeps the old spelling
+    assert(FactVersioned.read(spark, path, Some(0L))
+      .select(col("meta.score")).as[Long].collect().toSet ==
+      (1 to 6).map(_ * 10L).toSet)
+    // a post-rename upsert stages under the PHYSICAL field name
+    val batch = Seq((100L, 1)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        struct(lit("new").as("src"), lit(7L).as("points")).as("meta"))
+    FactVersioned.upsert(spark, path, batch, Seq("k"), "p", retain = 10)
+    val staged = spark.read.parquet(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")
+    assert(staged.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("src", "score"),
+      "staged files must keep the physical leaf name")
+    assert(FactVersioned.read(spark, path).where(col("k") === 100L)
+      .select(col("meta.points")).as[Long].head() == 7L)
+    // the OLD spelling is tombstoned: re-adding it would resurrect the
+    // carried files' stale values
+    val e = intercept[IllegalArgumentException] {
+      FactVersioned.addNestedColumn(spark, path, Seq("meta", "score"),
+        LongType, retain = 10)
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // renaming BACK onto the physical spelling is equally rejected
+    val e2 = intercept[IllegalArgumentException] {
+      FactVersioned.renameNestedColumn(spark, path,
+        Seq("meta", "points"), "score", retain = 10)
+    }
+    assert(e2.getMessage.contains("dropped or renamed away"), e2.getMessage)
+    // a SECOND rename chains (points → pts), keeping the same physical
+    FactVersioned.renameNestedColumn(spark, path, Seq("meta", "points"),
+      "pts", retain = 10)
+    assert(FactVersioned.read(spark, path)
+      .select(col("meta.pts")).as[Long].collect().toSet ==
+      ((1 to 6).map(_ * 10L).toSet + 7L))
+    // and a TOP-LEVEL rename of the container re-keys the nested map
+    FactVersioned.renameColumns(spark, path, Map("meta" -> "info"),
+      retain = 10)
+    assert(FactVersioned.read(spark, path)
+      .select(col("info.pts")).as[Long].collect().toSet ==
+      ((1 to 6).map(_ * 10L).toSet + 7L))
+    // guards: missing field, sibling collision, top-level path
+    intercept[IllegalArgumentException] {
+      FactVersioned.renameNestedColumn(spark, path, Seq("info", "nope"),
+        "x")
+    }
+    intercept[IllegalArgumentException] {
+      FactVersioned.renameNestedColumn(spark, path, Seq("info", "pts"),
+        "src")
+    }
+    intercept[IllegalArgumentException] {
+      FactVersioned.renameNestedColumn(spark, path, Seq("info"), "x")
+    }
+  }
+
+  test("SQL door: ALTER TABLE RENAME COLUMN of a NESTED field — fact " +
+      "tables map metadata-only and SQL reads translate at the scan " +
+      "seam (projection, filter, aggregate); dimensions full-copy") {
+    val wh = tmp()
+    val s = spark
+    s.conf.set("spark.sql.catalog.g3",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g3.root", wh)
+    FactVersioned.upsert(s, s"$wh/f", base(9), Seq("k"), "p", retain = 10)
+    s.sql("ALTER TABLE g3.f RENAME COLUMN meta.score TO points")
+    assert(FactVersioned.generations(s, s"$wh/f") == Seq(0L, 1L),
+      "nested RENAME on a fact must be one metadata-only generation")
+    // pruned nested projection reads the carried VALUES under the new
+    // name (the shim must hand the parquet reader the PHYSICAL leaf)
+    assert(s.sql("SELECT meta.points FROM g3.f").as[Long]
+      .collect().toSet == (1 to 9).map(_ * 10L).toSet)
+    // filters and aggregates over the renamed field
+    assert(s.sql("SELECT count(*) FROM g3.f WHERE meta.points > 50")
+      .as[Long].head() == 4L)
+    assert(s.sql("SELECT sum(meta.points) AS t FROM g3.f")
+      .as[Long].head() == (1 to 9).map(_ * 10L).sum)
+    // the whole row still reads, struct intact
+    assert(s.sql("SELECT meta FROM g3.f").select(col("meta.src"))
+      .as[String].collect().toSet == (1 to 9).map(i => s"s$i").toSet)
+    // the old spelling is gone from the head and VERSION AS OF keeps it
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT meta.score FROM g3.f").collect()
+    }
+    assert(s.sql("SELECT meta.score FROM g3.f VERSION AS OF 0")
+      .as[Long].collect().toSet == (1 to 9).map(_ * 10L).toSet)
+    // SQL INSERT after the rename stages physical and reads back
+    s.sql(
+      """INSERT INTO g3.f BY NAME
+        |SELECT 100L AS k, 1 AS p,
+        |  named_struct('src', 'ins', 'points', 77L) AS meta,
+        |  CAST(NULL AS BIGINT) AS vgen""".stripMargin)
+    assert(s.sql("SELECT meta.points FROM g3.f WHERE k = 100")
+      .as[Long].head() == 77L)
+    // dimension: full-copy reshape through the same statement
+    Versioned.commit(base(4), s"$wh/d")
+    s.sql("ALTER TABLE g3.d RENAME COLUMN meta.score TO points")
+    assert(s.sql("SELECT meta.points FROM g3.d").as[Long]
+      .collect().toSet == (1 to 4).map(_ * 10L).toSet)
+  }
+
   test("dropFieldPaths rejects two spellings of one field (container " +
       "steps, or a literal duplicate) as duplicates instead of failing " +
       "the fold with a confusing missing-segment error") {
