@@ -198,9 +198,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // pruning/pushdown at the scan seam. Identity tables take the
       // unwrapped native table exactly as before.
       val cmap = FactVersioned.generationColMap(spark, path, gen)
+      // ADD COLUMN defaults ride the schema as EXISTS_DEFAULT field
+      // metadata — the parquet reader fills them for carried files
+      // that physically lack the column, and INSERT resolution sees
+      // CURRENT_DEFAULT on the presented logical schema
+      val defaults = FactVersioned.columnDefaults(spark, path)
+      val schemaD = FactVersioned.attachDefaults(schema, schema, defaults)
       val physSchema =
-        if (cmap.isEmpty) schema
-        else FactVersioned.physSchemaOf(schema, cmap)
+        if (cmap.isEmpty) schemaD
+        else FactVersioned.attachDefaults(
+          FactVersioned.physSchemaOf(schema, cmap), schema, defaults)
       val parquet = ParquetTable(s"$catalogName.$display", spark, opts,
         files, Some(physSchema.add(FactVersioned.VGenCol, LongType)),
         classOf[ParquetFileFormat])
@@ -208,7 +215,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           org.apache.spark.sql.connector.catalog.SupportsRead =
         if (cmap.isEmpty) parquet
         else org.apache.spark.sql.GraftRenameShim.table(parquet,
-          schema.add(FactVersioned.VGenCol, LongType), cmap)
+          schemaD.add(FactVersioned.VGenCol, LongType), cmap)
       // head resolution is INSERT-able; a pinned generation is not
       if (gen.isEmpty)
         new WritableFactTable(inner, path, () => retainFor(path),
@@ -372,6 +379,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val drops = Seq.newBuilder[String]
     val renames = Seq.newBuilder[(String, String)]
     val nestedRenames = Seq.newBuilder[(Seq[String], String)]
+    val addDefaults = scala.collection.mutable.Map.empty[String, String]
     val nestedAdds =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedDrops = Seq.newBuilder[Seq[String]]
@@ -387,13 +395,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.position() == null,
           "GraftCatalog: ADD COLUMN FIRST/AFTER is not supported — " +
             "columns append (carried files null-fill by NAME)")
-        require(a.defaultValue() == null,
-          "GraftCatalog: ADD COLUMN DEFAULT is not supported — carried " +
-            "rows would need a data rewrite to hold the default")
-        if (a.fieldNames.length == 1)
+        require(a.defaultValue() == null || a.fieldNames.length == 1,
+          "GraftCatalog: ADD COLUMN DEFAULT is supported for top-level " +
+            "columns only — nested existence defaults have no reader " +
+            "support")
+        if (a.fieldNames.length == 1) {
           adds += StructType(Seq()).add(a.fieldNames.head, a.dataType,
             nullable = true).fields.head
-        else nestedAdds += a.fieldNames.toSeq -> a.dataType
+          // metadata default applied at read for carried files (the
+          // Delta default-value posture) — zero data rewrite
+          Option(a.defaultValue()).foreach(d =>
+            addDefaults += a.fieldNames.head -> d.getSql)
+        } else nestedAdds += a.fieldNames.toSeq -> a.dataType
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames.length == 1) drops += d.fieldNames.head
         else nestedDrops += d.fieldNames.toSeq
@@ -427,7 +440,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // leave the table half-evolved)
         FactVersioned.addFields(spark, path, addsAll,
           retain = retainFor(path),
-          properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"))
+          properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"),
+          defaults = addDefaults.toMap)
       else if (renamed.nonEmpty)
         FactVersioned.renameColumns(spark, path, renamed.toMap,
           retain = retainFor(path),
@@ -456,8 +470,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           if (p.length == 1) {
             require(!cur.columns.exists(_.equalsIgnoreCase(p.head)),
               s"GraftCatalog: column '${p.head}' already exists")
+            // dims are full-copy: a DEFAULT materializes into the
+            // fresh generation directly
             df.withColumn(p.head,
-              org.apache.spark.sql.functions.lit(null).cast(dt))
+              addDefaults.get(p.head)
+                .map(org.apache.spark.sql.functions.expr)
+                .getOrElse(org.apache.spark.sql.functions.lit(null))
+                .cast(dt))
           } else {
             // resolve the schema's own spelling FIRST: the existence
             // check is case-insensitive, so the schema access below

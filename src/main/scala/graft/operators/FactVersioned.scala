@@ -516,11 +516,17 @@ object FactVersioned {
     val files = pruned.select("file").collect().map(r => s"$data/${r.getString(0)}")
     val schema = readSchema(spark, tablePath, g)
     val cmap = readColMap(fsOf(spark, tablePath), tablePath, g)
+    // ADD COLUMN defaults apply via the read schema's field metadata:
+    // the parquet reader fills them for files physically lacking the
+    // column (carried pre-add files) and reads real values elsewhere
+    val defaults = columnDefaults(spark, tablePath)
     if (files.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else if (cmap.isEmpty)
-      spark.read.schema(schema.add(VGenCol, LongType))
+      spark.read
+        .schema(attachDefaults(schema, schema, defaults)
+          .add(VGenCol, LongType))
         .option("basePath", data)
         .parquet(files.toIndexedSeq: _*)
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -530,7 +536,9 @@ object FactVersioned {
       // (alias for top-level renames; positional struct cast when
       // nested fields renamed — both prune/push down like projections)
       val phys = physSchemaOf(schema, cmap)
-      spark.read.schema(phys.add(VGenCol, LongType))
+      spark.read
+        .schema(attachDefaults(phys, schema, defaults)
+          .add(VGenCol, LongType))
         .option("basePath", data)
         .parquet(files.toIndexedSeq: _*)
         .select(schema.fields.toIndexedSeq.zip(phys.fields).map {
@@ -729,12 +737,15 @@ object FactVersioned {
     val residual = ranges
       .map(r => col(r.colName) >= r.lower && col(r.colName) <= r.upper)
       .reduce(_ && _)
+    val defaults = columnDefaults(spark, tablePath)
     val df =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else if (cmap.isEmpty)
-        spark.read.schema(schema.add(VGenCol, LongType))
+        spark.read
+          .schema(attachDefaults(schema, schema, defaults)
+            .add(VGenCol, LongType))
           .option("basePath", data)
           .parquet(files.map(f => s"$data/$f").toIndexedSeq: _*)
           .where(residual)
@@ -742,7 +753,9 @@ object FactVersioned {
       else {
         val phys = physSchemaOf(schema, cmap)
         // bind to logical FIRST, then the logical-name residual applies
-        spark.read.schema(phys.add(VGenCol, LongType))
+        spark.read
+          .schema(attachDefaults(phys, schema, defaults)
+            .add(VGenCol, LongType))
           .option("basePath", data)
           .parquet(files.map(f => s"$data/$f").toIndexedSeq: _*)
           .select(schema.fields.toIndexedSeq.zip(phys.fields).map {
@@ -1165,7 +1178,12 @@ object FactVersioned {
     }
     carried.unionByName(freshDf, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDir(tablePath, next).toString)
-    val ddl = content.schema.toDDL.getBytes(StandardCharsets.UTF_8)
+    // pin the schema METADATA-FREE: toDDL renders CURRENT_DEFAULT
+    // metadata as a DEFAULT clause that fromDDL cannot parse back
+    // (defaults live in their own table-level record), and content
+    // read back from this very store carries read-side metadata
+    val ddl = stripFieldMetadata(content.schema).toDDL
+      .getBytes(StandardCharsets.UTF_8)
     val out = fs.create(new Path(genMeta(tablePath, next), "schema.ddl"), true)
     try out.write(ddl) finally out.close()
     if (cmap.nonEmpty) {
@@ -1614,17 +1632,20 @@ object FactVersioned {
       tablePath: String,
       added: Seq[StructField],
       retain: Int = 3,
-      properties: Map[String, String] = Map.empty): Commit = {
+      properties: Map[String, String] = Map.empty,
+      defaults: Map[String, String] = Map.empty): Commit = {
     require(added.nonEmpty, "addColumns: no columns given")
     added.foreach { f =>
       require(f.nullable,
         s"addColumns: '${f.name}' must be nullable — carried files have " +
-          "no values for it (additive evolution null-fills)")
+          "no values for it (additive evolution null-fills; a DEFAULT " +
+          "is applied at read for carried files)")
     }
     // one validation codepath for every widening shape — the atomic
     // [[addFields]] door (top-level and nested adds share it)
     addFields(spark, tablePath,
-      added.map(f => Seq(f.name) -> f.dataType), retain, properties)
+      added.map(f => Seq(f.name) -> f.dataType), retain, properties,
+      defaults)
   }
 
   /** Table-level record of the merge keys the table was FIRST upserted
@@ -1700,6 +1721,109 @@ object FactVersioned {
       }
     }
   }
+
+  /** `schema` with every field's metadata cleared, at every depth —
+    * the pinned schema.ddl must stay `fromDDL`-parseable, and field
+    * metadata (read-side EXISTS_DEFAULT and whatever callers attach)
+    * is never part of the pinned contract. */
+  private def stripFieldMetadata(schema: StructType): StructType = {
+    def strip(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = strip(f.dataType),
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = strip(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = strip(m.keyType), valueType = strip(m.valueType))
+      case other => other
+    }
+    strip(schema).asInstanceOf[StructType]
+  }
+
+  /** Table-level record of `ADD COLUMN ... DEFAULT` values (the Delta
+    * default-value posture, VERDICT r14 Next #6): lower-cased LOGICAL
+    * column name → constant-FOLDED SQL literal. Applied AT READ via
+    * Spark's own existence-default machinery — the read schema's field
+    * carries `EXISTS_DEFAULT` metadata, so the parquet reader fills
+    * the default ONLY for files that physically lack the column
+    * (carried pre-add files); files holding the column — explicit
+    * NULLs included — read their own values. Zero data rewrite at any
+    * table size, zero custom reader code. Time travel to a pre-add
+    * generation is unaffected (the field is absent from that pinned
+    * schema, so no metadata attaches). */
+  private def defaultsPath(t: String) = new Path(gensRoot(t), "_defaults")
+
+  /** The recorded ADD COLUMN defaults (lower-cased logical column →
+    * folded SQL literal). Falls back to `.bak` like the tombstone. */
+  def columnDefaults(
+      spark: SparkSession, tablePath: String): Map[String, String] = {
+    val fs = fsOf(spark, tablePath)
+    def readMap(p: Path): Option[Map[String, String]] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text = try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+            new String(out.toByteArray, StandardCharsets.UTF_8)
+          } finally in.close()
+          Some(text.split("\n").filter(_.contains("\t")).map { line =>
+            val i = line.indexOf('\t')
+            line.substring(0, i) -> line.substring(i + 1)
+          }.toMap)
+        }
+      } catch { case _: java.io.IOException => None }
+    val p = defaultsPath(tablePath)
+    readMap(p).orElse(readMap(new Path(p.toString + ".bak")))
+      .getOrElse(Map.empty)
+  }
+
+  /** Overwrite the defaults record with `all` (tmp+bak rotation — the
+    * tombstone pattern; empty deletes the record). */
+  private def writeDefaultsRecord(
+      spark: SparkSession, tablePath: String,
+      all: Map[String, String]): Unit = {
+    val fs = fsOf(spark, tablePath)
+    val dest = defaultsPath(tablePath)
+    val bak = new Path(dest.toString + ".bak")
+    if (all.isEmpty) {
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (fs.exists(bak)) fs.delete(bak, false)
+      return
+    }
+    val tmp = new Path(dest.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(all.toSeq.sorted
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(bak)) fs.delete(bak, false)
+    if (fs.exists(dest)) fs.rename(dest, bak)
+    require(fs.rename(tmp, dest),
+      s"FactVersioned: defaults record rename failed at $dest")
+  }
+
+  /** `schema` with `EXISTS_DEFAULT`/`CURRENT_DEFAULT` metadata attached
+    * to each top-level field whose LOGICAL name (taken positionally
+    * from `logical`) has a recorded default — works on the logical
+    * schema itself (logical == schema) and on its physical twin. */
+  private[graft] def attachDefaults(
+      schema: StructType,
+      logical: StructType,
+      defaults: Map[String, String]): StructType =
+    if (defaults.isEmpty) schema
+    else StructType(schema.fields.zip(logical.fields).map {
+      case (f, lf) => defaults.get(lf.name.toLowerCase) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", sql)
+            .putString("CURRENT_DEFAULT", sql)
+            .build())
+        case None => f
+      }
+    })
 
   /** Table-level tombstone record of every column name ever dropped
     * ([[dropColumns]]): carried data files from pre-drop commits still
@@ -1932,10 +2056,34 @@ object FactVersioned {
       tablePath: String,
       adds: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
       retain: Int = 3,
-      properties: Map[String, String] = Map.empty): Commit = {
+      properties: Map[String, String] = Map.empty,
+      defaults: Map[String, String] = Map.empty): Commit = {
     require(adds.nonEmpty, "addFields: no fields given")
     adds.foreach { case (path, _) =>
       require(path.nonEmpty, "addFields: empty field path") }
+    // ADD COLUMN ... DEFAULT: top-level adds only (nested defaults
+    // would need per-file nested existence handling Spark's reader
+    // doesn't provide). The expression is constant-FOLDED here — a
+    // non-constant or ill-typed default fails the statement before
+    // anything commits — and stored as a plain literal.
+    val foldedDefaults: Map[String, String] = defaults.map { case (c, sql) =>
+      val add = adds.find(a => a._1.length == 1 &&
+        a._1.head.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"addFields: DEFAULT given for '$c', which is not a " +
+            "top-level column in this ADD statement"))
+      val dt = add._2
+      val folded = try spark.sql(
+        s"SELECT CAST(($sql) AS ${dt.sql})").head.get(0)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"addFields: DEFAULT for '$c' must be a constant expression " +
+            s"castable to ${dt.sql}: ${e.getMessage}")
+      }
+      c.toLowerCase ->
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(folded, dt).sql
+    }
     val gens = generations(spark, tablePath)
     require(gens.nonEmpty, s"addFields: no committed generations " +
       s"at $tablePath — create the table first")
@@ -2000,7 +2148,13 @@ object FactVersioned {
       spark.sparkContext.emptyRDD[Row], widened)
     replacePartitionsBy(spark, tablePath, empty,
       logicalPartitionColumns(spark, tablePath), Nil, retain,
-      basisGen = Some(head), properties = properties)
+      basisGen = Some(head), properties = properties,
+      // the defaults record lands INSIDE the commit (preCommit, like
+      // tombstones): a crash after the write but before the marker
+      // leaves an inert record for a column no schema pins
+      preCommit = () => if (foldedDefaults.nonEmpty)
+        writeDefaultsRecord(spark, tablePath,
+          columnDefaults(spark, tablePath) ++ foldedDefaults))
   }
 
   /** ONE metadata-only commit DROPPING the fields at `paths` (length-1
@@ -2083,6 +2237,14 @@ object FactVersioned {
     // record — a stale default must fail loudly at the keyless
     // table_changes door, not resolve a phantom column
     val topDropped = paths.filter(_.length == 1).map(_.head)
+    // a dropped column retires its ADD COLUMN default (the tombstone
+    // blocks a re-add; a stale default must not linger)
+    if (topDropped.nonEmpty) locally {
+      val defs = columnDefaults(spark, tablePath)
+      val kept = defs.filterNot { case (k, _) =>
+        topDropped.exists(_.equalsIgnoreCase(k)) }
+      if (kept != defs) writeDefaultsRecord(spark, tablePath, kept)
+    }
     if (topDropped.nonEmpty) remapMergeKeys(spark, tablePath, keys => {
       val droppedKeys = keys.filter(k =>
         topDropped.exists(_.equalsIgnoreCase(k)))
@@ -2388,6 +2550,15 @@ object FactVersioned {
       renames.find(_._1.equalsIgnoreCase(k))
         .map(_._2.toLowerCase).getOrElse(k)
     }))
+    // ADD COLUMN defaults are keyed by logical name too — re-key
+    locally {
+      val defs = columnDefaults(spark, tablePath)
+      val rekeyed = defs.map { case (k, v) =>
+        renames.find(_._1.toLowerCase == k)
+          .map(_._2.toLowerCase -> v).getOrElse(k -> v)
+      }
+      if (rekeyed != defs) writeDefaultsRecord(spark, tablePath, rekeyed)
+    }
     // column-keyed index sidecars (ANN/text/bloom) carry their LOGICAL
     // column name only in the DIRECTORY name — their contents are
     // name-agnostic fixed schemas ((file, id, cell, u, q…) rows,

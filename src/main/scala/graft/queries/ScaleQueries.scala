@@ -1984,6 +1984,74 @@ object ScaleQueries extends QueryPack {
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
     }),
 
+    // ADD COLUMN ... DEFAULT (VERDICT r14 Next #6 — the Delta
+    // default-value posture): the ALTER is the same metadata-only
+    // addColumns commit; the folded default rides a table-level record
+    // and applies AT READ via Spark's own existence-default machinery
+    // (EXISTS_DEFAULT field metadata — the parquet reader fills it
+    // only for files physically lacking the column). In-gate asserts:
+    // zero staged bytes, every carried row reads the default, a
+    // post-add INSERT persists real values (and an explicit NULL stays
+    // NULL), time travel keeps the pre-add shape. Output value-gated
+    // against the DuckDB mirror.
+    "q171_sql_add_default" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q171_").toString
+      val path = s"$wh/orders_def"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val baseN = o.count()
+        s.sql("ALTER TABLE graft.orders_def ADD COLUMN tier STRING " +
+          "DEFAULT 'std'")
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+          "q171: ADD COLUMN DEFAULT must stage no data")
+        // every carried row reads the default — never null
+        require(s.sql("SELECT count(*) FROM graft.orders_def " +
+            "WHERE tier = 'std'").head.getLong(0) == baseN,
+          "q171: carried rows must read the default")
+        // new writes persist REAL values; an explicit NULL stays NULL
+        s.sql(
+          """INSERT INTO graft.orders_def BY NAME
+            |SELECT o_orderkey + 40000000 AS o_orderkey, 'V' AS
+            |  o_orderstatus, o_totalprice, y,
+            |  CASE WHEN o_orderkey % 200 = 0 THEN CAST(NULL AS STRING)
+            |       ELSE 'vip' END AS tier,
+            |  CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_def
+            |WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin)
+        require(s.sql("SELECT count(*) FROM graft.orders_def " +
+            "WHERE o_orderkey > 40000000 AND tier IS NULL")
+          .head.getLong(0) > 0 ||
+          s.sql("SELECT count(*) FROM graft.orders_def " +
+            "WHERE o_orderkey > 40000000 AND o_orderkey % 200 <> 0 " +
+            "AND tier = 'vip'").head.getLong(0) > 0,
+          "q171: post-add writes must persist their own values")
+        // time travel keeps the pre-add shape
+        require(!s.sql("SELECT * FROM graft.orders_def VERSION AS OF 0")
+          .columns.contains("tier"),
+          "q171: VERSION AS OF 0 must keep the pre-add schema")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus,
+            |  round(o_totalprice, 2) AS o_totalprice, y, tier
+            |FROM graft.orders_def""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // NESTED struct-field rename (`ALTER TABLE ... RENAME COLUMN s.f`,
     // VERDICT r14 Next #5 — the last rejected ALTER shape): the field
     // keeps its PHYSICAL on-file leaf name; the commit is the same
@@ -3154,6 +3222,22 @@ object ScaleQueries extends QueryPack {
         |SELECT o_orderkey + 20000000, 'N',
         |  CONCAT('n-', CAST(o_orderkey AS VARCHAR))
         |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // the head after ADD COLUMN DEFAULT ≡ base rows reading the
+    // default + the inserted rows with their own values (NULL where
+    // explicitly written) — the ALTER moved no data
+    "q171_sql_add_default" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, y, 'std' AS tier
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, 'V', round(o_totalprice, 2), y,
+        |  CASE WHEN o_orderkey % 200 = 0 THEN CAST(NULL AS VARCHAR)
+        |       ELSE 'vip' END
+        |FROM base WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin,
     // the head after the NESTED rename lifecycle ≡ base rows under the
     // new field spelling + the doubled inserts — the rename moved no
     // data, so values match the from-scratch recomputation exactly

@@ -391,6 +391,88 @@ class NestedEvolutionSpec extends SparkSpec {
       .collect().toSet == (1 to 4).map(_ * 10L).toSet)
   }
 
+  test("ADD COLUMN ... DEFAULT: carried files read the default at " +
+      "read time (metadata-only, zero rewrite); files holding the " +
+      "column — explicit NULLs included — read their own values; the " +
+      "default survives renames and retires on drop") {
+    val path = tmp() + "/t"
+    FactVersioned.upsert(spark, path, base(6), Seq("k"), "p", retain = 10)
+    val c = FactVersioned.addColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("tier", StringType)),
+      retain = 10, defaults = Map("tier" -> "'bronze'"))
+    // metadata-only: nothing staged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=${c.gen}")))
+    // every carried row reads the default, not null
+    assert(FactVersioned.read(spark, path).select(col("tier"))
+      .as[String].collect().toSeq == Seq.fill(6)("bronze"))
+    // a post-add write persists REAL values — explicit null included —
+    // and only genuinely-absent files fill the default
+    FactVersioned.upsert(spark, path,
+      Seq((1L, 1, "gold"), (100L, 0, null)).toDF("k", "p", "tier")
+        .select(col("k"), col("p"),
+          struct(lit("x").as("src"), lit(0L).as("score")).as("meta"),
+          col("tier")),
+      Seq("k"), "p", retain = 10)
+    val got = FactVersioned.read(spark, path)
+      .select(col("k"), col("tier"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("gold"))
+    assert(got(100L).isEmpty, "an explicit NULL must stay NULL")
+    assert(got(2L).contains("bronze"), "carried rows keep the default")
+    // time travel to the pre-add generation is unaffected
+    assert(!FactVersioned.read(spark, path, Some(0L))
+      .columns.contains("tier"))
+    // the default follows a rename of its column
+    FactVersioned.renameColumns(spark, path, Map("tier" -> "grade"),
+      retain = 10)
+    assert(FactVersioned.read(spark, path).where(col("k") === 2L)
+      .select(col("grade")).as[String].head() == "bronze")
+    // and retires with a drop
+    FactVersioned.dropColumns(spark, path, Seq("grade"), retain = 10)
+    assert(FactVersioned.columnDefaults(spark, path).isEmpty)
+    // a non-constant / ill-typed default fails loudly, commits nothing
+    val gensBefore = FactVersioned.generations(spark, path)
+    intercept[IllegalArgumentException] {
+      FactVersioned.addColumns(spark, path,
+        Seq(org.apache.spark.sql.types.StructField("bad", LongType)),
+        retain = 10, defaults = Map("bad" -> "not_a_column + 1"))
+    }
+    assert(FactVersioned.generations(spark, path) == gensBefore)
+  }
+
+  test("SQL door: ADD COLUMN ... DEFAULT routes through the catalog — " +
+      "facts metadata-only with read-time defaults, dims materialize") {
+    val wh = tmp()
+    val s = spark
+    s.conf.set("spark.sql.catalog.g4",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.g4.root", wh)
+    FactVersioned.upsert(s, s"$wh/f", base(6), Seq("k"), "p", retain = 10)
+    s.sql("ALTER TABLE g4.f ADD COLUMN tier STRING DEFAULT 'bronze'")
+    assert(FactVersioned.generations(s, s"$wh/f") == Seq(0L, 1L),
+      "fact ADD DEFAULT must be one metadata-only generation")
+    assert(s.sql("SELECT tier FROM g4.f").as[String]
+      .collect().toSeq == Seq.fill(6)("bronze"))
+    assert(s.sql("SELECT count(*) FROM g4.f WHERE tier = 'bronze'")
+      .as[Long].head() == 6L)
+    // new SQL writes persist real values
+    s.sql(
+      """INSERT INTO g4.f BY NAME
+        |SELECT 100L AS k, 1 AS p,
+        |  named_struct('src', 'i', 'score', 1L) AS meta,
+        |  'gold' AS tier, CAST(NULL AS BIGINT) AS vgen""".stripMargin)
+    assert(s.sql("SELECT tier FROM g4.f WHERE k = 100")
+      .as[String].head() == "gold")
+    // dimension: the full-copy generation materializes the default
+    Versioned.commit(base(4), s"$wh/d")
+    s.sql("ALTER TABLE g4.d ADD COLUMN tier STRING DEFAULT 'dim'")
+    assert(s.sql("SELECT tier FROM g4.d").as[String]
+      .collect().toSeq == Seq.fill(4)("dim"))
+  }
+
   test("dropFieldPaths rejects two spellings of one field (container " +
       "steps, or a literal duplicate) as duplicates instead of failing " +
       "the fold with a confusing missing-segment error") {
