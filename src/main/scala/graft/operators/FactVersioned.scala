@@ -342,7 +342,8 @@ object FactVersioned {
     * touched file existed — that inference cannot see partition
     * DELETES, which is exactly why the file is now written. */
   private[operators] def readTouched(
-      spark: SparkSession, tablePath: String, g: Long): Set[String] = {
+      spark: SparkSession, tablePath: String, g: Long): Set[String] =
+    MetaCache.get(metaKey(spark, tablePath, g, "touched")) {
     val fs = fsOf(spark, tablePath)
     val p = new Path(genMeta(tablePath, g), TouchedFile)
     if (fs.exists(p)) {
@@ -360,17 +361,102 @@ object FactVersioned {
     }
   }
 
-  private def readSchema(
-      spark: SparkSession, tablePath: String, g: Long): StructType = {
-    val fs = fsOf(spark, tablePath)
-    val in = fs.open(new Path(genMeta(tablePath, g), "schema.ddl"))
-    val ddl = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    StructType.fromDDL(ddl)
+  /** Session-wide memo of IMMUTABLE per-generation metadata (VERDICT
+    * r14 Next #7 — the DML-lifecycle metadata shave): a committed
+    * generation's manifest file list, pinned schema, colmap and
+    * touched set never change, so re-reading them on EVERY SQL
+    * statement's table resolution re-ran a small Spark job (the
+    * manifest) plus several file opens per statement for nothing.
+    * Keyed by (table, gen, COMMIT-MARKER MTIME): the mtime pins table
+    * identity across a purge/re-create reusing the same path and
+    * generation numbers — one getFileStatus probe per lookup, orders
+    * of magnitude cheaper than the reads it saves. Entries never need
+    * invalidation (immutability); the LRU bound caps driver memory;
+    * over-sized manifest lists read through uncached. A generation
+    * whose marker is missing (mid-commit, or expired by retention)
+    * bypasses the cache entirely. Identity assumption: marker mtime
+    * at millisecond resolution — a purge + re-create + first commit
+    * landing inside ONE millisecond is physically excluded by the
+    * write path (the re-create's staging write alone takes longer). */
+  private object MetaCache {
+    private val MaxEntries = 256
+    /** Manifest lists above this many files read through uncached —
+      * at 100 TB a manifest can hold millions of rows and the LRU
+      * must not pin gigabytes on the driver. */
+    val MaxCachedFiles = 200000
+    private val map = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, AnyRef](64, 0.75f, true) {
+        override protected def removeEldestEntry(
+            e: java.util.Map.Entry[String, AnyRef]): Boolean =
+          size() > MaxEntries
+      })
+    def get[T <: AnyRef](key: Option[String])(compute: => T): T =
+      key match {
+        case None => compute
+        case Some(k) =>
+          val hit = map.get(k)
+          if (hit != null) hit.asInstanceOf[T]
+          else {
+            val v = compute
+            map.put(k, v)
+            v
+          }
+      }
+    def getFiltered[T <: AnyRef](key: Option[String])(compute: => T)(
+        cacheable: T => Boolean): T =
+      key match {
+        case None => compute
+        case Some(k) =>
+          val hit = map.get(k)
+          if (hit != null) hit.asInstanceOf[T]
+          else {
+            val v = compute
+            if (cacheable(v)) map.put(k, v)
+            v
+          }
+      }
   }
+
+  /** The memo key of (kind, table, gen) — None when the generation's
+    * commit marker is unreadable (mid-commit or expired), which makes
+    * the lookup a plain uncached read. */
+  private def metaKey(
+      spark: SparkSession, tablePath: String, g: Long,
+      kind: String): Option[String] =
+    metaKeyFs(fsOf(spark, tablePath), tablePath, g, kind)
+
+  private def metaKeyFs(
+      fs: org.apache.hadoop.fs.FileSystem, tablePath: String, g: Long,
+      kind: String): Option[String] =
+    try {
+      val st = fs.getFileStatus(
+        new Path(genMeta(tablePath, g), Versioned.CommitMarker))
+      Some(s"$kind|$tablePath|$g|${st.getModificationTime}")
+    } catch { case _: java.io.IOException => None }
+
+  private def readSchema(
+      spark: SparkSession, tablePath: String, g: Long): StructType =
+    MetaCache.get(metaKey(spark, tablePath, g, "schema")) {
+      val fs = fsOf(spark, tablePath)
+      val in = fs.open(new Path(genMeta(tablePath, g), "schema.ddl"))
+      val ddl = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      StructType.fromDDL(ddl)
+    }
+
+  /** A generation's (dir, file) manifest rows — memoized (immutable
+    * once committed; see [[MetaCache]]). */
+  private def manifestRows(
+      spark: SparkSession, tablePath: String,
+      g: Long): IndexedSeq[(String, String)] =
+    MetaCache.getFiltered(metaKey(spark, tablePath, g, "manifest")) {
+      spark.read.parquet(manifestDir(tablePath, g).toString)
+        .select("dir", "file").collect()
+        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+    }(_.length <= MetaCache.MaxCachedFiles)
 
   // ---- column mapping (ALTER TABLE RENAME COLUMN) --------------------
   //
@@ -398,9 +484,10 @@ object FactVersioned {
   private def readColMap(
       fs: org.apache.hadoop.fs.FileSystem,
       t: String,
-      g: Long): Map[String, String] = {
+      g: Long): Map[String, String] =
+    MetaCache.get(metaKeyFs(fs, t, g, "colmap")) {
     val p = colMapPath(t, g)
-    if (!fs.exists(p)) return Map.empty
+    if (fs.exists(p)) {
     val in = fs.open(p)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -411,6 +498,7 @@ object FactVersioned {
       val i = line.indexOf('\t')
       line.substring(0, i).toLowerCase -> line.substring(i + 1)
     }.toMap
+    } else Map.empty[String, String]
   }
 
   /** The physical (on-file) name of logical column `name` under `cmap`. */
@@ -506,14 +594,15 @@ object FactVersioned {
       tablePath: String,
       g: Long,
       dirs: Option[Seq[String]]): DataFrame = {
-    val m = spark.read.parquet(manifestDir(tablePath, g).toString)
+    val all = manifestRows(spark, tablePath, g)
     val pruned = dirs match {
-      case Some(ds) if ds.nonEmpty => m.where(col("dir").isin(ds: _*))
-      case Some(_) => m.where(lit(false))
-      case None => m
+      case Some(ds) if ds.nonEmpty =>
+        val keep = ds.toSet; all.filter(r => keep(r._1))
+      case Some(_) => IndexedSeq.empty
+      case None => all
     }
     val data = dataRoot(tablePath).toString
-    val files = pruned.select("file").collect().map(r => s"$data/${r.getString(0)}")
+    val files = pruned.map(r => s"$data/${r._2}")
     val schema = readSchema(spark, tablePath, g)
     val cmap = readColMap(fsOf(spark, tablePath), tablePath, g)
     // ADD COLUMN defaults apply via the read schema's field metadata:
@@ -573,8 +662,7 @@ object FactVersioned {
       tablePath: String,
       gen: Option[Long] = None): Seq[String] = {
     val g = resolveGen(spark, tablePath, gen)
-    spark.read.parquet(manifestDir(tablePath, g).toString)
-      .select("dir").distinct().collect().map(_.getString(0)).sorted.toSeq
+    manifestRows(spark, tablePath, g).map(_._1).distinct.sorted
   }
 
   /** [[upsertEvolve]] for MULTI-COLUMN partitioned tables — additive
@@ -639,8 +727,7 @@ object FactVersioned {
       gen: Option[Long]): (Seq[String], StructType, String) = {
     val g = resolveGen(spark, tablePath, gen)
     val data = dataRoot(tablePath).toString
-    val files = spark.read.parquet(manifestDir(tablePath, g).toString)
-      .select("file").collect().map(r => s"$data/${r.getString(0)}").toSeq
+    val files = manifestRows(spark, tablePath, g).map(r => s"$data/${r._2}")
     (files, readSchema(spark, tablePath, g), data)
   }
 
@@ -944,9 +1031,8 @@ object FactVersioned {
           schemaShape(readSchema(spark, tablePath, pg)) ||
           readColMap(fs, tablePath, b) != readColMap(fs, tablePath, pg)
       if (drift) {
-        val parentDirs = spark.read
-          .parquet(manifestDir(tablePath, pg).toString)
-          .select("dir").distinct().collect().map(_.getString(0)).toSet
+        val parentDirs = manifestRows(spark, tablePath, pg)
+          .map(_._1).toSet
         if ((parentDirs -- touchedDirs.toSet).nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"FactVersioned: the schema or column mapping of $tablePath " +
@@ -987,12 +1073,9 @@ object FactVersioned {
         // pinned schema simply never request the field
         val additive = widens(ps, content.schema)
         val narrowing = touchedDirs.isEmpty && widens(content.schema, ps)
-        lazy val carriedDirs = {
-          val parentDirs = spark.read
-            .parquet(manifestDir(tablePath, pg).toString)
-            .select("dir").distinct().collect().map(_.getString(0)).toSet
-          parentDirs -- touchedDirs.toSet
-        }
+        lazy val carriedDirs =
+          manifestRows(spark, tablePath, pg).map(_._1).toSet --
+            touchedDirs.toSet
         // the dropped-column tombstone is enforced HERE, on the shared
         // committer, so EVERY widening door (addColumns, upsertEvolve,
         // upsertEvolveBy, raw replacePartitionsBy) hits it — a revived
@@ -1107,9 +1190,8 @@ object FactVersioned {
         else (schemaShape(readSchema(spark, tablePath, parentGen)),
           readColMap(fs, tablePath, parentGen))
       if (basisSchema != headSchema || basisMap != headMap) {
-        val headDirs = spark.read
-          .parquet(manifestDir(tablePath, hg).toString)
-          .select("dir").distinct().collect().map(_.getString(0)).toSet
+        val headDirs = manifestRows(spark, tablePath, hg)
+          .map(_._1).toSet
         if ((headDirs -- touchedDirs.toSet).nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"FactVersioned: the schema or column mapping of $tablePath " +
@@ -1357,14 +1439,13 @@ object FactVersioned {
   def partitionColumns(spark: SparkSession, tablePath: String): Seq[String] = {
     val g = resolveGen(spark, tablePath, None)
     val dir = generations(spark, tablePath).reverse.iterator
-      .map(gg => spark.read.parquet(manifestDir(tablePath, gg).toString)
-        .select("dir").limit(1).collect())
-      .find(_.nonEmpty).flatMap(_.headOption)
+      .map(gg => manifestRows(spark, tablePath, gg).headOption.map(_._1))
+      .find(_.nonEmpty).flatten
     require(dir.nonEmpty,
       s"FactVersioned.partitionColumns: generation $g of $tablePath has " +
         "no partitions (nor does any retained generation) — pass the " +
         "partition columns explicitly")
-    dir.head.getString(0).split("/").toSeq.map { seg =>
+    dir.get.split("/").toSeq.map { seg =>
       val eq = seg.indexOf('=')
       require(eq > 0,
         s"FactVersioned.partitionColumns: malformed partition dir '$seg'")
@@ -2747,7 +2828,15 @@ object FactVersioned {
     * after the move. A crash between the move and the claim release
     * degrades to one stale-claim wait for the next committer, never a
     * torn table (the move itself is atomic on the contracted
-    * filesystems — see [[CommitLock.atomicCreate]]'s notes). */
+    * filesystems — see [[CommitLock.atomicCreate]]'s notes).
+    *
+    * READER retry contract: a scan in flight over the old path when
+    * the tree moves fails with Spark's standard FAILED_READ_FILE
+    * (FileNotFoundException cause) — the same shape every snapshot
+    * store shows a reader racing a move/vacuum; the reader re-resolves
+    * (the old path's tombstone names the new location) and retries.
+    * Writers get the retryable ConcurrentModificationException (claim
+    * races) or the loud renamed-away guidance (post-move commits). */
   def renameTable(
       spark: SparkSession, oldPath: String, newPath: String): Unit = {
     val fs = fsOf(spark, oldPath)

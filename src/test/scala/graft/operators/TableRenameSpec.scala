@@ -135,11 +135,20 @@ class TableRenameSpec extends SparkSpec {
         } catch {
           // the FULL retry contract: transient races surface as the
           // retryable CME, the loud renamed-away guidance (re-target),
-          // or an AnalysisException from a mid-read move
+          // an AnalysisException from a mid-read move, or Spark's
+          // standard FAILED_READ_FILE when the tree moves under an
+          // in-flight scan (FileNotFoundException in the cause chain —
+          // the same shape any snapshot store shows a reader racing a
+          // move/vacuum; re-resolve and retry)
           case _: java.util.ConcurrentModificationException => // retry
           case e: IllegalArgumentException
               if e.getMessage.contains("RENAMED") => // re-target
           case _: org.apache.spark.sql.AnalysisException => // moved mid-read
+          case e: org.apache.spark.SparkException
+              if Iterator.iterate[Throwable](e)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .exists(_.isInstanceOf[java.io.FileNotFoundException]) =>
+            // scan raced the move
         }
       }
       assert(done, s"upsert $key starved after $attempts attempts")
