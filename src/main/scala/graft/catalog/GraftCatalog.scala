@@ -115,25 +115,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         math.max(3, depth)
       }
 
+  /** A namespace is a marker-bearing subdirectory of the root (r15 —
+    * VERDICT r14 missing #5): `CREATE NAMESPACE a` creates `<root>/a`
+    * with a `_graft_namespace` marker, and `graft.a.t` resolves to
+    * `<root>/a/t`. The marker distinguishes a namespace dir from a
+    * table dir (and from foreign data) without probing table layouts. */
+  private val NsMarker = "_graft_namespace"
+
+  private def hadoopFs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((root +: namespace.toSeq).mkString("/"))
+
+  private def validateSegment(s: String): Unit =
+    require(s.nonEmpty && !s.contains("/") && s != ".." && s != "." &&
+        !s.startsWith("_") && !s.startsWith("."),
+      s"GraftCatalog: invalid namespace/table segment '$s'")
+
   private def tablePath(ident: Identifier): String = {
-    if (ident.namespace.nonEmpty)
-      throw new NoSuchTableException(ident)
-    s"$root/${ident.name}"
+    if (ident.namespace.isEmpty) s"$root/${ident.name}"
+    else {
+      ident.namespace.foreach(validateSegment)
+      if (!namespaceExists(ident.namespace))
+        throw new NoSuchTableException(ident)
+      s"$root/${ident.namespace.mkString("/")}/${ident.name}"
+    }
+  }
+
+  private def tablesUnder(dir: Path): Seq[String] = {
+    val fs = hadoopFs(dir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter { n =>
+        val p = s"$dir/$n"
+        FactVersioned.generations(spark, p).nonEmpty ||
+          Versioned.generations(spark, p).nonEmpty
+      }.sorted.toSeq
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return Array.empty
-    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
-      .filter { n =>
-        val p = s"$root/$n"
-        FactVersioned.generations(spark, p).nonEmpty ||
-          Versioned.generations(spark, p).nonEmpty
-      }
-      .sorted
-      .map(Identifier.of(Array.empty[String], _))
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    tablesUnder(nsPath(namespace))
+      .map(Identifier.of(namespace, _)).toArray
   }
 
   /** Overridden (the default probes loadTable and maps only
@@ -145,7 +170,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * ns.t`, `CREATE TABLE IF NOT EXISTS`) instead of leaking
     * [[NoSuchTableException]] out of an existence probe. */
   override def tableExists(ident: Identifier): Boolean = {
-    if (ident.namespace.nonEmpty) return false
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      return false
     val path = tablePath(ident)
     FactVersioned.generations(spark, path).nonEmpty ||
       Versioned.generations(spark, path).nonEmpty || isPending(path)
@@ -240,38 +266,90 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  // ---- namespaces: a single flat (empty) namespace, so SHOW TABLES
-  // and catalog browsing resolve; all DDL rejected like tables --------
+  // ---- namespaces: the flat (empty) namespace plus marker-dir
+  // namespaces (r15) — CREATE/DROP NAMESPACE, SHOW NAMESPACES/TABLES,
+  // dotted resolution; non-empty drops and CASCADE rejected (the bare-
+  // DROP-TABLE safety posture) ----------------------------------------
+
+  private def childNamespaces(parent: Array[String]): Seq[String] = {
+    val dir = nsPath(parent)
+    val fs = hadoopFs(dir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new Path(p, NsMarker)))
+      .map(_.getName).sorted.toSeq
+  }
 
   override def listNamespaces(): Array[Array[String]] =
-    Array(Array.empty[String])
+    childNamespaces(Array.empty).map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) Array.empty
-    else throw new NoSuchNamespaceException(namespace)
+    if (namespace.isEmpty) listNamespaces()
+    else if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    else childNamespaces(namespace).map(n => namespace :+ n).toArray
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      hadoopFs(p).exists(new Path(p, NsMarker))
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] =
-    if (namespace.isEmpty) util.Collections.emptyMap()
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace)
 
+  /** `CREATE NAMESPACE a[.b]` — a marker-bearing subdirectory; parents
+    * must exist (no implicit deep creation), and a dir already holding
+    * a table or foreign data is never converted. */
   override def createNamespace(
       namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = readOnly()
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty, "GraftCatalog: empty namespace")
+    namespace.foreach(validateSegment)
+    // Spark attaches reserved properties (owner, ...) to every CREATE
+    // NAMESPACE — accepted and NOT persisted (a namespace here is pure
+    // name resolution; loadNamespaceMetadata reports none)
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    if (namespace.length > 1 && !namespaceExists(namespace.init))
+      throw new NoSuchNamespaceException(namespace.init)
+    val dir = nsPath(namespace)
+    val fs = hadoopFs(dir)
+    require(!fs.exists(dir) ||
+        FactVersioned.generations(spark, dir.toString).isEmpty &&
+        Versioned.generations(spark, dir.toString).isEmpty &&
+        !isPending(dir.toString),
+      s"GraftCatalog: $dir already holds a table — a namespace cannot " +
+        "shadow it")
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, NsMarker), true).close()
+  }
 
   override def alterNamespace(
-      namespace: Array[String], changes: NamespaceChange*): Unit = readOnly()
-
-  override def dropNamespace(
-      namespace: Array[String], cascade: Boolean): Boolean = readOnly()
-
-  private def readOnly(): Nothing =
+      namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
-      "GraftCatalog is read-only: commit through Versioned/FactVersioned " +
-        "(the claim/marker protocol must not be bypassed by DDL)")
+      "GraftCatalog: namespaces carry no alterable properties")
+
+  /** `DROP NAMESPACE` — only when EMPTY; CASCADE is rejected with
+    * guidance (it would silently destroy versioned tables — the same
+    * safety posture as bare DROP TABLE). */
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val tables = tablesUnder(nsPath(namespace))
+    val children = childNamespaces(namespace)
+    require(tables.isEmpty && children.isEmpty,
+      s"GraftCatalog: namespace ${namespace.mkString(".")} is not " +
+        s"empty (tables: ${tables.mkString(", ")}; namespaces: " +
+        s"${children.mkString(", ")}) — DROP TABLE ... PURGE each " +
+        "table and drop child namespaces first (CASCADE would " +
+        "silently destroy versioned history)")
+    hadoopFs(nsPath(namespace)).delete(nsPath(namespace), true)
+  }
 
   // ---- CTAS: CREATE TABLE ... AS SELECT creates a versioned table
   // whose FIRST commit is the SELECT's result, routed through the
@@ -299,6 +377,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
     val path = tablePath(ident)
     if (FactVersioned.generations(spark, path).nonEmpty ||
         Versioned.generations(spark, path).nonEmpty)

@@ -517,6 +517,62 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushDown")
   }
 
+  test("namespace DDL: CREATE/SHOW/USE/DROP namespaces as marker dirs; " +
+      "tables resolve under them; non-empty drop and CASCADE rejected " +
+      "with guidance; RENAME TO moves across namespaces") {
+    val root = Files.createTempDirectory("graft_cat_").toString
+    register(root)
+    spark.sql("CREATE NAMESPACE graftt.raw")
+    spark.sql("CREATE NAMESPACE graftt.curated")
+    val nss = spark.sql("SHOW NAMESPACES IN graftt")
+      .select("namespace").as[String].collect().toSet
+    assert(nss == Set("raw", "curated"), nss.toString)
+    // CTAS into a namespace; reads resolve under the dotted name
+    spark.sql("CREATE TABLE graftt.raw.ev AS SELECT 1L AS k, 10L AS v")
+    assert(spark.sql("SELECT v FROM graftt.raw.ev").as[Long].head() == 10L)
+    assert(spark.sql("SHOW TABLES IN graftt.raw").select("tableName")
+      .as[String].collect().toSeq == Seq("ev"))
+    // the flat root keeps working and does not list namespaced tables
+    FactVersioned.upsert(spark, s"$root/flat",
+      (1 to 6).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x"),
+      Seq("k"), "p")
+    val flatTables = spark.sql("SHOW TABLES IN graftt")
+      .select("tableName").as[String].collect().toSet
+    assert(flatTables.contains("flat") && !flatTables.contains("ev"))
+    // a missing namespace fails loudly; creating under it too
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.nope.ev").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftt.nope.t AS SELECT 1 AS a")
+    }
+    // RENAME TO moves across namespaces (one directory move)
+    spark.sql("ALTER TABLE graftt.raw.ev RENAME TO curated.ev")
+    assert(spark.sql("SELECT v FROM graftt.curated.ev")
+      .as[Long].head() == 10L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.raw.ev").collect()
+    }
+    // non-empty namespace drop is rejected with guidance; CASCADE too
+    val e = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graftt.curated")
+    }
+    assert(e.getMessage.contains("PURGE") ||
+      Option(e.getCause).exists(_.getMessage.contains("PURGE")),
+      e.getMessage)
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE graftt.curated CASCADE")
+    }
+    // empty namespaces drop cleanly
+    spark.sql("DROP NAMESPACE graftt.raw")
+    assert(spark.sql("SHOW NAMESPACES IN graftt")
+      .select("namespace").as[String].collect().toSet == Set("curated"))
+    // PURGE the table, then the namespace drops
+    spark.sql("DROP TABLE graftt.curated.ev PURGE")
+    spark.sql("DROP NAMESPACE graftt.curated")
+    assert(spark.sql("SHOW NAMESPACES IN graftt").count() == 0L)
+  }
+
   test("ALTER TABLE RENAME TO: reads under the new name match, the old " +
       "name fails with guidance, re-CREATE of the old name supersedes " +
       "the tombstone, and an existing destination is rejected") {
