@@ -214,8 +214,13 @@ object GraftFunctions {
                 s"$fn('<table>', 'k1[,k2]', from_gen, to_gen)"))
           val headMap = graft.operators.FactVersioned
             .generationColMap(spark, path)
+          // keys are TOP-LEVEL columns: reverse only the top-level
+          // colmap entries — a dotted nested-rename entry whose
+          // physical LEAF matches a top column's physical name would
+          // otherwise hijack the translation
           val toL = graft.operators.FactVersioned
             .generationColMap(spark, path, Some(to))
+            .filterNot(_._1.contains('.'))
             .map { case (l, p) => p.toLowerCase -> l }
           recorded.map { k =>
             val phys = headMap.getOrElse(k.toLowerCase, k)

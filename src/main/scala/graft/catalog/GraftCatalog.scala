@@ -128,15 +128,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsPath(namespace: Array[String]): Path =
     new Path((root +: namespace.toSeq).mkString("/"))
 
+  private def safeSegment(s: String): Boolean =
+    s.nonEmpty && !s.contains("/") && s != ".." && s != "." &&
+      !s.startsWith("_") && !s.startsWith(".")
+
   private def validateSegment(s: String): Unit =
-    require(s.nonEmpty && !s.contains("/") && s != ".." && s != "." &&
-        !s.startsWith("_") && !s.startsWith("."),
+    require(safeSegment(s),
       s"GraftCatalog: invalid namespace/table segment '$s'")
 
+  /** Path of `ident` under the warehouse root. TABLE NAMES are
+    * validated like namespace segments — a name like `..` or one
+    * containing '/' would otherwise resolve (and RENAME TO could MOVE
+    * a table tree) outside the root; on the resolution path an unsafe
+    * name is simply "no such table". */
   private def tablePath(ident: Identifier): String = {
+    if (!safeSegment(ident.name) ||
+        !ident.namespace.forall(safeSegment))
+      throw new NoSuchTableException(ident)
     if (ident.namespace.isEmpty) s"$root/${ident.name}"
     else {
-      ident.namespace.foreach(validateSegment)
       if (!namespaceExists(ident.namespace))
         throw new NoSuchTableException(ident)
       s"$root/${ident.namespace.mkString("/")}/${ident.name}"
@@ -228,7 +238,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // metadata — the parquet reader fills them for carried files
       // that physically lack the column, and INSERT resolution sees
       // CURRENT_DEFAULT on the presented logical schema
-      val defaults = FactVersioned.columnDefaults(spark, path)
+      val defaults = FactVersioned.columnDefaults(spark, path, gen)
       val schemaD = FactVersioned.attachDefaults(schema, schema, defaults)
       val physSchema =
         if (cmap.isEmpty) schemaD
@@ -340,14 +350,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
-    val tables = tablesUnder(nsPath(namespace))
-    val children = childNamespaces(namespace)
-    require(tables.isEmpty && children.isEmpty,
+    // STRICTLY empty: nothing but the marker may remain — committed
+    // tables, pending CTAS husks, child namespaces and foreign files
+    // are all protected (the recursive delete below must never destroy
+    // any of them). The one exemption: a renamed-away guidance
+    // tombstone husk (a dir holding ONLY `_graft_renamed_to`) is pure
+    // redirect metadata — dropping the namespace drops the redirect.
+    val fs0 = hadoopFs(nsPath(namespace))
+    val extras = fs0.listStatus(nsPath(namespace))
+      .filterNot(_.getPath.getName == NsMarker)
+      .filterNot { st =>
+        st.isDirectory && {
+          val entries = fs0.listStatus(st.getPath)
+          entries.nonEmpty && entries.forall(e => !e.isDirectory &&
+            e.getPath.getName == Versioned.RenamedToMarker)
+        }
+      }
+      .map(_.getPath.getName)
+    require(extras.isEmpty,
       s"GraftCatalog: namespace ${namespace.mkString(".")} is not " +
-        s"empty (tables: ${tables.mkString(", ")}; namespaces: " +
-        s"${children.mkString(", ")}) — DROP TABLE ... PURGE each " +
-        "table and drop child namespaces first (CASCADE would " +
-        "silently destroy versioned history)")
+        s"empty (${extras.sorted.mkString(", ")}) — DROP TABLE ... " +
+        "PURGE each table, drop child namespaces, and clear foreign " +
+        "entries first (CASCADE would silently destroy versioned " +
+        "history)")
     hadoopFs(nsPath(namespace)).delete(nsPath(namespace), true)
   }
 
@@ -591,7 +616,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val topRenamed = renamed.foldLeft(cur) { case (df, (old, nu)) =>
           df.withColumnRenamed(old, nu) }
         val reshaped = nRenames.foldLeft(topRenamed) { case (df, (p, nu)) =>
-          val top = cur.schema.fields
+          // resolve against the FOLDING frame's schema, not the
+          // original — two nested renames under one top column in a
+          // single alterTable call must compose, not revert
+          val top = df.schema.fields
             .find(_.name.equalsIgnoreCase(p.head))
           require(top.nonEmpty,
             s"GraftCatalog: column '${p.head}' does not exist")

@@ -166,10 +166,11 @@ object FactChangeFeed {
           from1.select(cols.toIndexedSeq: _*)
         }
         // a window crossing an ADDITIVE evolution commit: the from-side
-        // generation lacks the added columns — null-fill them (exactly
-        // how the evolved generation reads the carried files), so rows
-        // whose only change is the new column surface as updates
-        // instead of silently vanishing from the diff. A window
+        // generation lacks the added columns — fill them EXACTLY how
+        // the evolved generation reads the carried files: the column's
+        // recorded ADD COLUMN default when one exists (else null), so
+        // carried rows whose to-side read is just the default emit
+        // NOTHING, and rows that genuinely changed surface. A window
         // crossing a NESTED add/drop leaves a shared column with a
         // narrower/wider struct type on the from side — conform it to
         // the to-side type with the SAME posture (null-fill added
@@ -177,10 +178,14 @@ object FactChangeFeed {
         // through arrays and map values), so the diff compares the
         // shapes the evolved generation itself reads instead of
         // throwing an opaque resolution error out of the union below
+        val toDefaults =
+          FactVersioned.columnDefaults(spark, tablePath, Some(toGen))
         val fromTypes = from0.schema.fields.map(f => f.name -> f.dataType).toMap
         val from = from0.select(to.schema.fields.map { f =>
           fromTypes.get(f.name) match {
-            case None => org.apache.spark.sql.functions.lit(null)
+            case None => toDefaults.get(f.name.toLowerCase)
+              .map(org.apache.spark.sql.functions.expr)
+              .getOrElse(org.apache.spark.sql.functions.lit(null))
               .cast(f.dataType).as(f.name)
             case Some(ft) if ft == f.dataType =>
               org.apache.spark.sql.functions.col(f.name)

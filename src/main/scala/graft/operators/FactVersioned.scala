@@ -607,8 +607,9 @@ object FactVersioned {
     val cmap = readColMap(fsOf(spark, tablePath), tablePath, g)
     // ADD COLUMN defaults apply via the read schema's field metadata:
     // the parquet reader fills them for files physically lacking the
-    // column (carried pre-add files) and reads real values elsewhere
-    val defaults = columnDefaults(spark, tablePath)
+    // column (carried pre-add files) and reads real values elsewhere.
+    // Per-GENERATION record — each era reads under its own defaults.
+    val defaults = readDefaults(fsOf(spark, tablePath), tablePath, g)
     if (files.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -824,7 +825,7 @@ object FactVersioned {
     val residual = ranges
       .map(r => col(r.colName) >= r.lower && col(r.colName) <= r.upper)
       .reduce(_ && _)
-    val defaults = columnDefaults(spark, tablePath)
+    val defaults = readDefaults(fsOf(spark, tablePath), tablePath, g)
     val df =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -919,7 +920,8 @@ object FactVersioned {
       properties: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       preCommit: () => Unit = () => (),
-      colMap: Option[Map[String, String]] = None): Commit = {
+      colMap: Option[Map[String, String]] = None,
+      defaults: Option[Map[String, String]] = None): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     require(partitionCols.nonEmpty, "no partition columns given")
     requireCleanProperties(properties)
@@ -933,6 +935,9 @@ object FactVersioned {
     val fs = fsOf(spark, tablePath)
     val gRoot = gensRoot(tablePath)
     if (!fs.exists(gRoot)) {
+      // a renamed-away path must not be re-husked by the mkdirs below
+      // (claimNext re-checks, but only after the dir exists)
+      Versioned.requireNotRenamedAway(fs, tablePath, "FactVersioned")
       // first commit = table creation: enforce the filesystem contract
       // ONCE, loudly (atomic exclusive-create + rename — see
       // CommitLock.requireAtomicCommitContract); existing tables are
@@ -949,7 +954,7 @@ object FactVersioned {
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCols, touched,
         basisGen, properties, statsCols, fs, gRoot, next, genData,
-        preCommit, colMap)
+        preCommit, colMap, defaults)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -975,8 +980,10 @@ object FactVersioned {
       next: Long,
       genData: Path,
       preCommit: () => Unit,
-      colMapOverride: Option[Map[String, String]] = None): Commit = {
+      colMapOverride: Option[Map[String, String]] = None,
+      defaultsOverride: Option[Map[String, String]] = None): Commit = {
     val parentAtClaim = generations(spark, tablePath).lastOption
+    val presentCols = content.columns.map(_.toLowerCase).toSet
 
     // the generation's logical→physical mapping: a rename commit pins
     // its own ([[renameColumns]]); every other commit INHERITS the
@@ -986,11 +993,19 @@ object FactVersioned {
     val cmap: Map[String, String] = colMapOverride.getOrElse {
       val parentMap = parentAtClaim
         .map(readColMap(fs, tablePath, _)).getOrElse(Map.empty)
-      val present = content.columns.map(_.toLowerCase).toSet
       // nested entries (dotted keys) ride with their top column — a
       // stale dotted entry for a since-dropped nested field is inert
       // (every consumer walks the pinned schema, never the map alone)
-      parentMap.filter { case (l, _) => present(l.takeWhile(_ != '.')) }
+      parentMap.filter { case (l, _) =>
+        presentCols(l.takeWhile(_ != '.')) }
+    }
+    // ADD COLUMN defaults travel with the generation exactly like the
+    // colmap: inherited (restricted to columns still present — a drop
+    // retires its default), or pinned by the DDL door that changes them
+    val defs: Map[String, String] = defaultsOverride.getOrElse {
+      parentAtClaim.map(readDefaults(fs, tablePath, _))
+        .getOrElse(Map.empty)
+        .filter { case (c, _) => presentCols(c) }
     }
 
     // the on-disk tree and the manifest `dir` strings are keyed by the
@@ -1146,6 +1161,13 @@ object FactVersioned {
     // carried rows over the real new head); overlapping ones abort
     awaitLowerClaims(fs, tablePath, next, "FactVersioned")
 
+    // TABLE-MOVE GUARD at the linearization point: a rename that
+    // listed in-flight claims and moved the tree while this commit was
+    // STAGING would otherwise be silently diverged by this publish
+    // re-creating the old path (the claimNext entry check ran before
+    // the guidance marker landed). One fs.exists per commit.
+    Versioned.requireNotRenamedAway(fs, tablePath, "FactVersioned")
+
     val head = generations(spark, tablePath).lastOption
     val parentGen = basisGen.orElse(parentAtClaim).getOrElse(-1L)
     if (head.exists(_ > parentGen)) {
@@ -1274,6 +1296,13 @@ object FactVersioned {
         .map { case (l, p) => s"$l\t$p" }.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
       finally cm.close()
+    }
+    if (defs.nonEmpty) {
+      val df0 = fs.create(defaultsPath(tablePath, next), true)
+      try df0.write(defs.toSeq.sorted
+        .map { case (c, v) => s"$c\t$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally df0.close()
     }
     // the DECLARED touched set (staged dirs ∪ partition deletes) — the
     // conflict-detection record later committers check overlap against.
@@ -1821,69 +1850,55 @@ object FactVersioned {
     strip(schema).asInstanceOf[StructType]
   }
 
-  /** Table-level record of `ADD COLUMN ... DEFAULT` values (the Delta
-    * default-value posture, VERDICT r14 Next #6): lower-cased LOGICAL
-    * column name → constant-FOLDED SQL literal. Applied AT READ via
-    * Spark's own existence-default machinery — the read schema's field
-    * carries `EXISTS_DEFAULT` metadata, so the parquet reader fills
-    * the default ONLY for files that physically lack the column
-    * (carried pre-add files); files holding the column — explicit
-    * NULLs included — read their own values. Zero data rewrite at any
-    * table size, zero custom reader code. Time travel to a pre-add
-    * generation is unaffected (the field is absent from that pinned
-    * schema, so no metadata attaches). */
-  private def defaultsPath(t: String) = new Path(gensRoot(t), "_defaults")
+  /** PER-GENERATION record of `ADD COLUMN ... DEFAULT` values (the
+    * Delta default-value posture, VERDICT r14 Next #6): lower-cased
+    * LOGICAL column name → constant-FOLDED SQL literal. Applied AT
+    * READ via Spark's own existence-default machinery — the read
+    * schema's field carries `EXISTS_DEFAULT` metadata, so the parquet
+    * reader fills the default ONLY for files that physically lack the
+    * column (carried pre-add files); files holding the column —
+    * explicit NULLs included — read their own values. Zero data
+    * rewrite at any table size, zero custom reader code. The record
+    * travels WITH the generation exactly like the colmap (inherited by
+    * every commit, re-keyed by a rename's own commit, gone when the
+    * column drops out of the content), so `VERSION AS OF` reads every
+    * era under ITS OWN defaults — a later rename or drop can never
+    * change what a committed generation returns. */
+  private def defaultsPath(t: String, g: Long) =
+    new Path(genMeta(t, g), "defaults")
 
-  /** The recorded ADD COLUMN defaults (lower-cased logical column →
-    * folded SQL literal). Falls back to `.bak` like the tombstone. */
+  /** Generation `gen`'s (default: head's) ADD COLUMN defaults
+    * (lower-cased logical column → folded SQL literal). Memoized —
+    * immutable once committed, like the colmap. */
   def columnDefaults(
-      spark: SparkSession, tablePath: String): Map[String, String] = {
-    val fs = fsOf(spark, tablePath)
-    def readMap(p: Path): Option[Map[String, String]] =
-      try {
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          val text = try {
-            val out = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-            new String(out.toByteArray, StandardCharsets.UTF_8)
-          } finally in.close()
-          Some(text.split("\n").filter(_.contains("\t")).map { line =>
-            val i = line.indexOf('\t')
-            line.substring(0, i) -> line.substring(i + 1)
-          }.toMap)
-        }
-      } catch { case _: java.io.IOException => None }
-    val p = defaultsPath(tablePath)
-    readMap(p).orElse(readMap(new Path(p.toString + ".bak")))
-      .getOrElse(Map.empty)
+      spark: SparkSession, tablePath: String,
+      gen: Option[Long] = None): Map[String, String] = {
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty) return Map.empty
+    val g = gen.getOrElse(gens.max)
+    if (!gens.contains(g)) return Map.empty
+    readDefaults(fsOf(spark, tablePath), tablePath, g)
   }
 
-  /** Overwrite the defaults record with `all` (tmp+bak rotation — the
-    * tombstone pattern; empty deletes the record). */
-  private def writeDefaultsRecord(
-      spark: SparkSession, tablePath: String,
-      all: Map[String, String]): Unit = {
-    val fs = fsOf(spark, tablePath)
-    val dest = defaultsPath(tablePath)
-    val bak = new Path(dest.toString + ".bak")
-    if (all.isEmpty) {
-      if (fs.exists(dest)) fs.delete(dest, false)
-      if (fs.exists(bak)) fs.delete(bak, false)
-      return
+  private def readDefaults(
+      fs: org.apache.hadoop.fs.FileSystem,
+      t: String, g: Long): Map[String, String] =
+    MetaCache.get(metaKeyFs(fs, t, g, "defaults")) {
+      val p = defaultsPath(t, g)
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        val in = fs.open(p)
+        val text = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        text.split("\n").filter(_.contains("\t")).map { line =>
+          val i = line.indexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+      }
     }
-    val tmp = new Path(dest.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(all.toSeq.sorted
-      .map { case (k, v) => s"$k\t$v" }.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(bak)) fs.delete(bak, false)
-    if (fs.exists(dest)) fs.rename(dest, bak)
-    require(fs.rename(tmp, dest),
-      s"FactVersioned: defaults record rename failed at $dest")
-  }
 
   /** `schema` with `EXISTS_DEFAULT`/`CURRENT_DEFAULT` metadata attached
     * to each top-level field whose LOGICAL name (taken positionally
@@ -2161,9 +2176,15 @@ object FactVersioned {
           s"addFields: DEFAULT for '$c' must be a constant expression " +
             s"castable to ${dt.sql}: ${e.getMessage}")
       }
-      c.toLowerCase ->
-        org.apache.spark.sql.catalyst.expressions.Literal
-          .create(folded, dt).sql
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(folded, dt).sql
+      // the record is newline-delimited/tab-separated — a literal that
+      // renders control characters would corrupt it (same contract as
+      // commit properties)
+      require(!lit.exists(ch => ch == '\n' || ch == '\r' || ch == '\t'),
+        s"addFields: DEFAULT for '$c' renders a literal containing " +
+          "newline/tab characters — not supported")
+      c.toLowerCase -> lit
     }
     val gens = generations(spark, tablePath)
     require(gens.nonEmpty, s"addFields: no committed generations " +
@@ -2203,8 +2224,12 @@ object FactVersioned {
           if (path.length == 1) path
           else {
             val phys = physOf(cmap, path.head)
+            // TOP-LEVEL entries only: a dotted nested-rename entry
+            // whose physical LEAF matches this physical top name would
+            // produce an unresolvable dotted genPath and silently
+            // neutralize the pin check
             gcmap.collectFirst { case (l, p)
-                if p.equalsIgnoreCase(phys) => l }
+                if !l.contains('.') && p.equalsIgnoreCase(phys) => l }
               .getOrElse(phys) +: path.tail
           }
         require(fieldAt(gs, genPath).isEmpty &&
@@ -2230,12 +2255,12 @@ object FactVersioned {
     replacePartitionsBy(spark, tablePath, empty,
       logicalPartitionColumns(spark, tablePath), Nil, retain,
       basisGen = Some(head), properties = properties,
-      // the defaults record lands INSIDE the commit (preCommit, like
-      // tombstones): a crash after the write but before the marker
-      // leaves an inert record for a column no schema pins
-      preCommit = () => if (foldedDefaults.nonEmpty)
-        writeDefaultsRecord(spark, tablePath,
-          columnDefaults(spark, tablePath) ++ foldedDefaults))
+      // the widened generation pins ITS defaults (inherited + added);
+      // earlier generations keep their own records — time travel is
+      // never rewritten by a later rename/drop of a defaulted column
+      defaults =
+        if (foldedDefaults.isEmpty) None
+        else Some(columnDefaults(spark, tablePath) ++ foldedDefaults))
   }
 
   /** ONE metadata-only commit DROPPING the fields at `paths` (length-1
@@ -2317,15 +2342,10 @@ object FactVersioned {
     // against this column fail at their own resolution) and retire the
     // record — a stale default must fail loudly at the keyless
     // table_changes door, not resolve a phantom column
+    // (a dropped column's default retires automatically: the drop
+    // commit's content lacks the column, so the per-generation
+    // inheritance filter drops the entry with it)
     val topDropped = paths.filter(_.length == 1).map(_.head)
-    // a dropped column retires its ADD COLUMN default (the tombstone
-    // blocks a re-add; a stale default must not linger)
-    if (topDropped.nonEmpty) locally {
-      val defs = columnDefaults(spark, tablePath)
-      val kept = defs.filterNot { case (k, _) =>
-        topDropped.exists(_.equalsIgnoreCase(k)) }
-      if (kept != defs) writeDefaultsRecord(spark, tablePath, kept)
-    }
     if (topDropped.nonEmpty) remapMergeKeys(spark, tablePath, keys => {
       val droppedKeys = keys.filter(k =>
         topDropped.exists(_.equalsIgnoreCase(k)))
@@ -2620,9 +2640,17 @@ object FactVersioned {
     val pcolsLogical = logicalPartitionColumns(spark, tablePath).map { pc =>
       renames.find(_._1.equalsIgnoreCase(pc)).map(_._2).getOrElse(pc)
     }
+    // ADD COLUMN defaults are keyed by logical name too — the rename
+    // commit pins its own RE-KEYED record (earlier generations keep
+    // theirs, so VERSION AS OF reads each era's defaults unchanged)
+    val rekeyedDefaults = columnDefaults(spark, tablePath).map {
+      case (k, v) => renames.find(_._1.toLowerCase == k)
+        .map(_._2.toLowerCase -> v).getOrElse(k -> v)
+    }
     val commit = replacePartitionsBy(spark, tablePath, empty, pcolsLogical,
       Nil, retain, basisGen = Some(head), properties = properties,
       colMap = Some(newMap),
+      defaults = Some(rekeyedDefaults),
       preCommit = () =>
         tombstoneNames(spark, tablePath, renames.keys.toSeq))
     // the default-merge-keys record follows the rename (it names
@@ -2631,15 +2659,6 @@ object FactVersioned {
       renames.find(_._1.equalsIgnoreCase(k))
         .map(_._2.toLowerCase).getOrElse(k)
     }))
-    // ADD COLUMN defaults are keyed by logical name too — re-key
-    locally {
-      val defs = columnDefaults(spark, tablePath)
-      val rekeyed = defs.map { case (k, v) =>
-        renames.find(_._1.toLowerCase == k)
-          .map(_._2.toLowerCase -> v).getOrElse(k -> v)
-      }
-      if (rekeyed != defs) writeDefaultsRecord(spark, tablePath, rekeyed)
-    }
     // column-keyed index sidecars (ANN/text/bloom) carry their LOGICAL
     // column name only in the DIRECTORY name — their contents are
     // name-agnostic fixed schemas ((file, id, cell, u, q…) rows,
@@ -2724,6 +2743,10 @@ object FactVersioned {
     val next = claimNext(fs, tablePath, "FactVersioned.restore")
     try {
       awaitLowerClaims(fs, tablePath, next, "FactVersioned.restore")
+      // table-move guard at the linearization point (see
+      // publishClaimed): a rename racing this restore aborts it loudly
+      Versioned.requireNotRenamedAway(fs, tablePath,
+        "FactVersioned.restore")
       // a restore redefines every dir of (pre-restore head ∪ gen): any
       // commit landing after our basis conflicts
       val headNow = generations(spark, tablePath).max
@@ -2755,6 +2778,12 @@ object FactVersioned {
       if (fs.exists(srcMap))
         org.apache.hadoop.fs.FileUtil.copy(fs, srcMap, fs,
           colMapPath(tablePath, next), false,
+          spark.sparkContext.hadoopConfiguration)
+      // ADD COLUMN defaults travel with the schema too
+      val srcDefs = defaultsPath(tablePath, gen)
+      if (fs.exists(srcDefs))
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcDefs, fs,
+          defaultsPath(tablePath, next), false,
           spark.sparkContext.hadoopConfiguration)
       val tf = fs.create(new Path(genMeta(tablePath, next), TouchedFile),
         true)

@@ -176,6 +176,10 @@ object Versioned {
     // already exists and is exclusively ours; overwrite would delete
     // the claim and reopen the race window
     df.write.mode("append").parquet(dir.toString)
+    // table-move guard at the publication point: a rename landing
+    // between the entry check and here must not be diverged by this
+    // commit re-creating the old path (one fs.exists per commit)
+    requireNotRenamedAway(fs, tablePath, "Versioned.commit")
     fs.create(new Path(dir, CommitMarker), true).close()
     // retention: committed gens beyond the window, and uncommitted
     // debris older than the retention floor — but NEVER an in-flight

@@ -571,6 +571,26 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftt.curated.ev PURGE")
     spark.sql("DROP NAMESPACE graftt.curated")
     assert(spark.sql("SHOW NAMESPACES IN graftt").count() == 0L)
+    // a PENDING CTAS husk also blocks the drop — the emptiness check
+    // is strict (nothing but the marker), never a recursive destroy
+    spark.sql("CREATE NAMESPACE graftt.pend")
+    spark.sql("CREATE TABLE graftt.pend.husk (a INT) USING parquet")
+      .collect()
+    intercept[Exception] { spark.sql("DROP NAMESPACE graftt.pend") }
+    spark.sql("DROP TABLE graftt.pend.husk") // pending husks may drop bare
+    spark.sql("DROP NAMESPACE graftt.pend")
+    // unsafe table names never resolve outside the root (and RENAME TO
+    // can never move a tree out of the warehouse)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.`..`").collect()
+    }
+    FactVersioned.upsert(spark, s"$root/safe",
+      (1 to 3).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x"),
+      Seq("k"), "p")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftt.safe RENAME TO `../escaped`")
+    }
+    assert(FactVersioned.generations(spark, s"$root/safe").nonEmpty)
   }
 
   test("ALTER TABLE RENAME TO: reads under the new name match, the old " +

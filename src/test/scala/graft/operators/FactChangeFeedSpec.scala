@@ -229,6 +229,32 @@ class FactChangeFeedSpec extends SparkSpec {
       ("update_pre", 4L, "s4"), ("update_post", 4L, "zz")), got2)
   }
 
+  test("a window spanning ADD COLUMN ... DEFAULT fills the from side " +
+      "with the DEFAULT (how the evolved generation reads carried " +
+      "files) — unchanged rows emit nothing") {
+    val wh = tmp()
+    val path = s"$wh/t"
+    FactVersioned.upsert(spark, path, base(6), Seq("k"), "p", retain = 10)
+    val g0 = FactVersioned.generations(spark, path).max
+    FactVersioned.addColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.StringType)),
+      retain = 10, defaults = Map("tier" -> "'std'"))
+    // one real change inside the window; everything else carried
+    FactVersioned.upsert(spark, path,
+      Seq((3L, 0, 30L, "gold")).toDF("k", "p", "v", "tier"),
+      Seq("k"), "p", retain = 10)
+    val g2 = FactVersioned.generations(spark, path).max
+    val w = FactChangeFeed.window(spark, path, Seq("k"), Some(g0), g2)
+    val got = w.select(col("op"), col("k"), col("tier"))
+      .as[(String, Long, Option[String])].collect().toSet
+    // carried rows read 'std' on BOTH sides → only k=3 surfaces, with
+    // the default as its true old value
+    assert(got == Set(
+      ("update_pre", 3L, Some("std")), ("update_post", 3L, Some("gold"))),
+      got)
+  }
+
   test("a window spanning a NESTED field RENAME is exact: unchanged " +
       "rows emit nothing, changes surface under the window-end field " +
       "name with their true old values") {

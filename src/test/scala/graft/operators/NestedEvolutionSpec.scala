@@ -425,14 +425,23 @@ class NestedEvolutionSpec extends SparkSpec {
     // time travel to the pre-add generation is unaffected
     assert(!FactVersioned.read(spark, path, Some(0L))
       .columns.contains("tier"))
-    // the default follows a rename of its column
+    // the default follows a rename of its column — and each ERA keeps
+    // its own record: VERSION AS OF a post-add generation still reads
+    // the default under that era's name after later renames/drops
+    val preRenameGen = FactVersioned.generations(spark, path).max
     FactVersioned.renameColumns(spark, path, Map("tier" -> "grade"),
       retain = 10)
     assert(FactVersioned.read(spark, path).where(col("k") === 2L)
       .select(col("grade")).as[String].head() == "bronze")
-    // and retires with a drop
+    assert(FactVersioned.read(spark, path, Some(preRenameGen))
+      .where(col("k") === 2L).select(col("tier")).as[String]
+      .head() == "bronze",
+      "time travel must read the era's own defaults under its own name")
+    // and retires with a drop (the head record; history keeps its own)
     FactVersioned.dropColumns(spark, path, Seq("grade"), retain = 10)
     assert(FactVersioned.columnDefaults(spark, path).isEmpty)
+    assert(FactVersioned.columnDefaults(spark, path,
+      Some(preRenameGen)).nonEmpty)
     // a non-constant / ill-typed default fails loudly, commits nothing
     val gensBefore = FactVersioned.generations(spark, path)
     intercept[IllegalArgumentException] {
