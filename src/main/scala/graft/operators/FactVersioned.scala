@@ -2204,6 +2204,14 @@ object FactVersioned {
           s"column name $VGenCol is reserved by FactVersioned")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"addFields: column '$name' already exists")
+      } else {
+        // HEAD existence FIRST for nested paths too — without this, a
+        // field present in the head trips the retained-generation pin
+        // check below (the head's predecessor pins it) and reports a
+        // misleading "still pinned" instead of "already exists" (the
+        // signal an idempotent DDL retrier keys on)
+        require(fieldAt(schema, path).isEmpty,
+          s"addFields: field '$full' already exists")
       }
       require(!dead.contains(canonicalKey(schema, path, cmap)),
         s"addFields: field '$full' was previously DROPPED — files " +

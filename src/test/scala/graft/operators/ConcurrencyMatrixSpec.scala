@@ -143,16 +143,28 @@ class ConcurrencyMatrixSpec extends SparkSpec {
       FactVersioned.renameColumns(spark, pathOf(a), Map("v" -> "amount"),
         retain = 50)
     },
+    // composite DDL retried as a WHOLE must be IDEMPOTENT — the real
+    // retry contract ("retry against the new head") means re-checking
+    // whether each step is still needed, not blindly re-issuing it
     "nested_add_drop" -> { a: String =>
       val p = pathOf(a)
-      FactVersioned.addNestedColumn(spark, p, Seq("meta", "lang"),
-        StringType, retain = 50)
-      FactVersioned.dropNestedColumn(spark, p, Seq("meta", "score"),
-        retain = 50)
+      def meta = FactVersioned.read(spark, p).schema("meta")
+        .dataType.asInstanceOf[StructType].fieldNames.toSet
+      if (!meta.contains("lang"))
+        FactVersioned.addNestedColumn(spark, p, Seq("meta", "lang"),
+          StringType, retain = 50)
+      if (meta.contains("score"))
+        FactVersioned.dropNestedColumn(spark, p, Seq("meta", "score"),
+          retain = 50)
+      ()
     },
     "nested_rename" -> { a: String =>
-      FactVersioned.renameNestedColumn(spark, pathOf(a),
-        Seq("meta", "score"), "points", retain = 50)
+      val p = pathOf(a)
+      val meta = FactVersioned.read(spark, p).schema("meta")
+        .dataType.asInstanceOf[StructType].fieldNames.toSet
+      if (meta.contains("score"))
+        FactVersioned.renameNestedColumn(spark, p,
+          Seq("meta", "score"), "points", retain = 50)
       ()
     },
     "partition_rename" -> { a: String =>
@@ -197,10 +209,20 @@ class ConcurrencyMatrixSpec extends SparkSpec {
         try { op(a); done = true }
         catch {
           case t: Throwable if retryable(t) =>
+            // visible in storm logs: the interleave's conflict trail
+            println(s"[cmatrix $ddlName x $dmlName] $who retry " +
+              s"#$attempts: ${t.getClass.getSimpleName}: " +
+              s"${Option(t.getMessage).getOrElse("").take(160)}")
             last = t; Thread.sleep(20)
           case t: Throwable =>
+            val p = pathOf(a)
+            val gens = FactVersioned.generations(spark, p)
+            val shapes = gens.map(g => s"g$g=${FactVersioned
+              .read(spark, p, Some(g)).schema.simpleString.take(120)}")
             fail(s"[$ddlName x $dmlName] $who hit a NON-retryable " +
-              s"${t.getClass.getSimpleName}: ${messages(t).mkString(" | ")}")
+              s"${t.getClass.getSimpleName}: " +
+              s"${messages(t).mkString(" | ")}\n  gens=$gens\n  " +
+              shapes.mkString("\n  "))
         }
       }
       // starvation is a liveness failure, except a DML whose table was
