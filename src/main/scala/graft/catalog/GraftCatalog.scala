@@ -182,6 +182,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = {
     if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
       return false
+    // an unsafe segment is simply "not a table" here — tablePath THROWS
+    // NoSuchTableException for those, which must never leak out of an
+    // existence probe (ADVICE r15 #5: CREATE TABLE IF NOT EXISTS with
+    // such a name errored with a confusing 'no such table')
+    if (!safeSegment(ident.name) || !ident.namespace.forall(safeSegment))
+      return false
     val path = tablePath(ident)
     FactVersioned.generations(spark, path).nonEmpty ||
       Versioned.generations(spark, path).nonEmpty || isPending(path)
@@ -445,6 +451,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "to create over foreign data")
       fs.delete(root, true) // crashed-CTAS or renamed-away husk
     }
+    // an explicit CREATE at a renamed-away name supersedes BOTH
+    // guidance forms: the husk (deleted above) and a lingering
+    // parent-dir rename-intent marker (a rename that crashed in its
+    // move→marker window leaves only the intent)
+    Versioned.intentPath(path).foreach { ip =>
+      if (fs.exists(ip)) fs.delete(ip, false)
+    }
     fs.mkdirs(root)
     val out = fs.create(pendingPath(path), true)
     try out.write((
@@ -488,6 +501,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val nestedAdds =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedDrops = Seq.newBuilder[Seq[String]]
+    val retypes =
+      Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     changes.foreach {
       case r: TableChange.RenameColumn =>
         if (r.fieldNames.length == 1)
@@ -515,10 +530,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames.length == 1) drops += d.fieldNames.head
         else nestedDrops += d.fieldNames.toSeq
+      // `ALTER COLUMN ... TYPE` — SAFE widenings only (r16): facts
+      // commit metadata-only (carried files parquet-read under the
+      // wider schema — FactVersioned.widenFieldTypes), dims cast into
+      // a fresh full-copy generation. Narrowings/lossy changes are
+      // rejected by leafWidens with full-rewrite guidance.
+      case u: TableChange.UpdateColumnType =>
+        retypes += u.fieldNames.toSeq -> u.newDataType()
       case other => throw new UnsupportedOperationException(
-        "GraftCatalog: only ALTER TABLE ADD/DROP/RENAME COLUMN(S) is " +
-          s"supported (metadata-scale evolution); got $other — retypes " +
-          "rewrite data and keep their explicit operator surfaces")
+        "GraftCatalog: only ALTER TABLE ADD/DROP/RENAME COLUMN(S) and " +
+          "safe-widening ALTER COLUMN TYPE are supported " +
+          s"(metadata-scale evolution); got $other")
     }
     val (fields, dropped, renamed) =
       (adds.result(), drops.result(), renames.result())
@@ -530,16 +552,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // rule issues exactly one alterTable for all missing fields)
     val addsAll = fields.map(f => Seq(f.name) -> f.dataType) ++ nAdds
     val dropsAll = dropped.map(Seq(_)) ++ nDrops
+    val retypesAll = retypes.result()
     require(Seq(addsAll.map(_._1), dropsAll,
-        renamed.map(r => Seq(r._1)) ++ nRenames.map(_._1))
+        renamed.map(r => Seq(r._1)) ++ nRenames.map(_._1),
+        retypesAll.map(_._1))
         .count(_.nonEmpty) <= 1,
-      "GraftCatalog: mix of ADD/DROP/RENAME in one ALTER is not " +
-        "supported — issue separate statements")
+      "GraftCatalog: mix of ADD/DROP/RENAME/ALTER TYPE in one ALTER is " +
+        "not supported — issue separate statements")
     require(renamed.isEmpty || nRenames.isEmpty,
       "GraftCatalog: mix of top-level and nested RENAME in one ALTER " +
         "is not supported — issue separate statements")
     if (isFact) {
-      if (addsAll.nonEmpty)
+      if (retypesAll.nonEmpty)
+        FactVersioned.widenFieldTypes(spark, path, retypesAll,
+          retain = retainFor(path),
+          properties = Map("operation" -> "ALTER COLUMN TYPE"))
+      else if (addsAll.nonEmpty)
         // ONE atomic commit for the whole ADD statement — top-level
         // and nested fields together (a failed validation can never
         // leave the table half-evolved)
@@ -563,7 +591,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
     } else {
       val cur = Versioned.read(spark, path)
-      if (addsAll.nonEmpty) {
+      if (retypesAll.nonEmpty) {
+        // full-copy store: a retype IS a cast into the fresh
+        // generation — but only the SAFE widenings, same contract as
+        // the fact door (a narrowing cast silently clips values)
+        val reshaped = retypesAll.foldLeft(cur) { case (df, (p, to)) =>
+          val top = df.schema.fields
+            .find(_.name.equalsIgnoreCase(p.head))
+          require(top.nonEmpty,
+            s"GraftCatalog: column '${p.head}' does not exist")
+          val from =
+            if (p.length == 1) top.get.dataType
+            else FactVersioned.fieldAt(top.get.dataType, p.tail)
+              .getOrElse(throw new IllegalArgumentException(
+                s"GraftCatalog: field '${p.mkString(".")}' does not exist"))
+              .dataType
+          require(FactVersioned.leafWidens(from, to),
+            s"GraftCatalog: ${from.sql} -> ${to.sql} on " +
+              s"'${p.mkString(".")}' is not a safe widening — " +
+              "narrowings rewrite data explicitly (CTAS a fresh table)")
+          if (p.length == 1)
+            df.withColumn(top.get.name,
+              org.apache.spark.sql.functions.col(top.get.name).cast(to))
+          else
+            df.withColumn(top.get.name,
+              org.apache.spark.sql.functions.col(top.get.name).cast(
+                FactVersioned.setTypeAt(top.get.dataType, p.tail, to)))
+        }
+        Versioned.commit(reshaped, path, retain = retainFor(path))
+      } else if (addsAll.nonEmpty) {
         // full-copy store: reshape in ONE fresh generation. Top-level
         // adds null-fill a new column; nested adds reshape the struct
         // via Column.withField (dotted path; arrays of structs are a
@@ -749,9 +805,17 @@ object GraftCatalog {
   * whose `InsertableRelation` hands the whole resolved input frame to
   * the store's committer — the one write shape these stores support
   * (a distributed per-task writer could not claim generations).
-  * INSERT OVERWRITE is rejected: partition replacement has explicit
-  * operator surfaces (`replacePartitions`) whose touched-set contract
-  * a dynamic-overwrite path would hide.
+  * INSERT OVERWRITE (r16 — VERDICT r15 Next #5) routes through the
+  * same bridge as an overwrite-by-filter write: a static `PARTITION
+  * (p=v)` spec replaces exactly the named partitions
+  * ([[FactVersioned.replacePartitionsBy]] — write-amp ∝ the spec'd
+  * set, FS-asserted in gate q173), a spec-less overwrite replaces the
+  * whole head (every current partition plus the data's) as ONE
+  * versioned commit — time travel keeps the pre-overwrite head.
+  * Dynamic partition-overwrite MODE is rejected at analysis (the
+  * OVERWRITE_DYNAMIC capability is deliberately absent): its
+  * delete-what-the-data-holds contract hides the touched set; the
+  * static default covers the SQL spelling users type.
   *
   * Top-level (not catalog-inner) so [[GraftDml]]'s resolution rule can
   * recognize a resolved `DataSourceV2Relation` over a graft table and
@@ -806,6 +870,13 @@ private[catalog] abstract class GraftWritableTable(
     val caps = new util.HashSet(inner.capabilities())
     caps.add(org.apache.spark.sql.connector.catalog
       .TableCapability.V1_BATCH_WRITE)
+    // INSERT OVERWRITE (static mode): TRUNCATE covers the spec-less
+    // spelling (delete-expr = true), OVERWRITE_BY_FILTER the static
+    // PARTITION spec. OVERWRITE_DYNAMIC stays absent on purpose.
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCapability.TRUNCATE)
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCapability.OVERWRITE_BY_FILTER)
     // `MERGE ... WITH SCHEMA EVOLUTION`: Spark's own
     // ResolveMergeIntoSchemaEvolution rule gates on this capability and
     // routes the widening through alterTable → the stores' ADDITIVE
@@ -824,21 +895,36 @@ private[catalog] abstract class GraftWritableTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // SupportsOverwrite extends SupportsTruncate, so the spec-less
+      // INSERT OVERWRITE (delete-expr = true) arrives here as
+      // overwrite([AlwaysTrue]) via the default truncate()
+      private var overwriteFilters
+          : Option[Array[org.apache.spark.sql.sources.Filter]] = None
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteFilters = Some(filters); this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              if (overwrite) throw new UnsupportedOperationException(
-                "GraftCatalog: INSERT OVERWRITE is not supported — " +
-                  "replace partitions through " +
-                  "FactVersioned.replacePartitions (explicit touched set)")
-              insert(data)
-            }
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
+              overwriteFilters match {
+                case Some(filters) => overwriteWhere(filters, data)
+                case None => insert(data)
+              }
         }
     }
   def insert(data: org.apache.spark.sql.DataFrame): Unit
+  /** `INSERT OVERWRITE` with the analyzed static delete filters —
+    * `[AlwaysTrue]` for the spec-less spelling, partition `EqualTo`s
+    * for a static PARTITION spec. */
+  def overwriteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      data: org.apache.spark.sql.DataFrame): Unit
 }
 
 /** Fact-table INSERT: append via [[FactVersioned.append]] (cost ∝
@@ -863,6 +949,72 @@ private[catalog] class WritableFactTable(
       FactVersioned.logicalPartitionColumns(spark, path),
       retain = retention,
       properties = Map("operation" -> "INSERT"))
+    ()
+  }
+
+  /** `INSERT OVERWRITE` (static mode): one versioned
+    * [[FactVersioned.replacePartitionsBy]] commit whose touched set is
+    * the static spec's matching HEAD partitions plus whatever the data
+    * introduces — write-amp ∝ the spec'd scope, never the table; the
+    * spec-less spelling replaces every head partition (full-table
+    * overwrite, still ONE commit, still time-travelable). The pinned
+    * `resolvedGen` rides as the commit basis, so a foreign commit
+    * landing between analysis and execution conflicts retryably
+    * instead of being silently overwritten. */
+  override def overwriteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe,
+      EqualTo, Filter}
+    val rows = data.drop(FactVersioned.VGenCol)
+    val pcols = FactVersioned.logicalPartitionColumns(spark, path)
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    // the static spec arrives as partition-column equalities; anything
+    // else is a shape this door does not own (dynamic mode is rejected
+    // at analysis by the absent OVERWRITE_DYNAMIC capability)
+    val spec: Seq[(String, Any)] = filters.toSeq.flatMap(flat).flatMap {
+      case _: AlwaysTrue => None
+      case EqualTo(a, v) => Some(a -> v)
+      case EqualNullSafe(a, v) => Some(a -> v)
+      case other => throw new UnsupportedOperationException(
+        "GraftCatalog: INSERT OVERWRITE supports a static PARTITION " +
+          s"spec or a spec-less full overwrite; got filter $other")
+    }
+    spec.foreach { case (a, _) =>
+      require(pcols.exists(_.equalsIgnoreCase(a)),
+        s"GraftCatalog: INSERT OVERWRITE spec column '$a' is not a " +
+          s"partition column (${pcols.mkString(", ")})")
+    }
+    val pred = spec.foldLeft(lit(true)) { case (p, (a, v)) =>
+      p && (col(a) <=> lit(v))
+    }
+    val head = FactVersioned.read(spark, path)
+    val headTouched = head.where(pred)
+      .select(pcols.map(col): _*).distinct().limit(10001).collect()
+    val dataTouched = rows
+      .select(pcols.map(col): _*).distinct().limit(10001).collect()
+    require(headTouched.length <= 10000 && dataTouched.length <= 10000,
+      "GraftCatalog: INSERT OVERWRITE would replace more than 10000 " +
+        "partitions in one statement — scope the overwrite, or use " +
+        "FactVersioned.replacePartitionsBy with an explicit touched set")
+    // every inserted row must live inside the spec'd scope — outside
+    // rows would land in partitions the delete filter never cleared
+    // (Spark injects static spec values as constants, so this only
+    // trips hand-built plans)
+    if (spec.nonEmpty)
+      require(rows.where(!pred).isEmpty,
+        "GraftCatalog: INSERT OVERWRITE data holds rows outside the " +
+          "static PARTITION spec")
+    val touched = (headTouched ++ dataTouched)
+      .map(r => pcols.indices.map(r.get(_)): Seq[Any]).distinct
+    FactVersioned.replacePartitionsBy(spark, path, rows, pcols,
+      touched.toIndexedSeq, retain = retention,
+      basisGen = Some(resolvedGen),
+      properties = Map("operation" -> "INSERT OVERWRITE"))
     ()
   }
 
@@ -967,6 +1119,22 @@ private[catalog] class WritableDimTable(
     val current = Versioned.read(spark, path)
     Versioned.commit(current.unionByName(data), path,
       retain = retention)
+    ()
+  }
+
+  /** `INSERT OVERWRITE` on a full-copy dimension: the fresh generation
+    * IS the overwrite — the data replaces the head, history
+    * time-travels until retention. Partition specs cannot reach an
+    * unpartitioned table (Spark rejects the PARTITION clause earlier),
+    * so only the spec-less AlwaysTrue shape arrives. */
+  override def overwriteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    require(filters.forall(
+        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]),
+      "GraftCatalog: a dimension table has no partitions to scope an " +
+        s"INSERT OVERWRITE to; got ${filters.mkString(", ")}")
+    Versioned.commit(data, path, retain = retention)
     ()
   }
 

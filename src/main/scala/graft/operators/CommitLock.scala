@@ -79,6 +79,29 @@ object CommitLock {
     "file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss",
     "ofs", "o3fs")
 
+  /** Hadoop 3.4.2+ conditional-create option/capability key
+    * (`Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_
+    * OVERWRITE` — HADOOP-19256): a store advertising it via
+    * `hasPathCapability` performs the final PUT of a `createFile`
+    * builder carrying this `must` option with `If-None-Match: *`, so
+    * exclusive create is arbitrated BY THE STORE (S3 conditional
+    * writes) instead of check-then-act. [[atomicCreate]] routes claim
+    * CAS through it, and [[requireAtomicCommitContract]] accepts such
+    * stores without the manual [[AssumeAtomicKey]] vouch — the
+    * VERSIONED stores' whole protocol needs only this CAS plus
+    * per-object-atomic small-file writes (markers/rotations appear
+    * whole because an object PUT is atomic; write-tmp-then-rename
+    * degrades to copy+delete with the same absent-or-complete
+    * visibility). Whole-DIRECTORY moves are NOT covered — see
+    * [[requireAtomicRenameContract]]. */
+  val ConditionalCreateCapability =
+    org.apache.hadoop.fs.Options.CreateFileOptionKeys
+      .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
+
+  private def hasConditionalCreate(fs: FileSystem, path: Path): Boolean =
+    try fs.hasPathCapability(path, ConditionalCreateCapability)
+    catch { case _: Exception => false }
+
   /** THE FILESYSTEM CONTRACT, enforced loudly at table creation
     * (VERDICT r14 Next #4). Every committer assumes two atomic
     * primitives: exclusive CREATE (`gen=<n>/_graft_claim` — the CAS
@@ -99,6 +122,10 @@ object CommitLock {
     val scheme = Option(fs.getUri.getScheme)
       .map(_.toLowerCase).getOrElse("file")
     if (AtomicSchemes(scheme)) return
+    // conditional-PUT stores (S3A on Hadoop 3.4.2+ with conditional
+    // writes) arbitrate the claim CAS server-side — accepted without
+    // the manual vouch (r16, VERDICT r15 Next #3)
+    if (hasConditionalCreate(fs, path)) return
     if (Option(fs.getConf).exists(_.getBoolean(AssumeAtomicKey, false)))
       return
     throw new UnsupportedOperationException(
@@ -106,10 +133,37 @@ object CommitLock {
         "provide ATOMIC exclusive-create and rename — the commit " +
         "protocol's claim CAS and record rotations would silently " +
         "lose arbitration (two writers could both win a generation). " +
-        "Create the table on a POSIX/HDFS/ABFS-class store, or — if " +
-        "this store does provide both primitives (e.g. S3A with " +
-        "Hadoop 3.4.1+ conditional-PUT creates plus a rename-safe " +
-        s"layout) — opt in with spark.hadoop.$AssumeAtomicKey=true")
+        "Create the table on a POSIX/HDFS/ABFS-class store, or a " +
+        "store advertising conditional-PUT creates " +
+        s"($ConditionalCreateCapability — S3A on Hadoop 3.4.2+), or " +
+        "— if this store does provide the primitives in some other " +
+        s"way — opt in with spark.hadoop.$AssumeAtomicKey=true")
+  }
+
+  /** Whole-DIRECTORY move contract (`ALTER TABLE ... RENAME TO`): the
+    * one-`fs.rename`-of-the-tree design needs a TRUE atomic rename
+    * (POSIX rename(2), HDFS namenode, ABFS hierarchical namespace).
+    * Conditional-PUT acceptance does NOT extend here — an object
+    * store renames by per-object copy+delete, so a crashed or racing
+    * move would leave the tree split across two prefixes. Rename on
+    * such stores is refused with guidance rather than corrupting
+    * quietly; the [[AssumeAtomicKey]] vouch still overrides for
+    * deployments fronting a real rename (e.g. a metadata layer). */
+  def requireAtomicRenameContract(
+      fs: FileSystem, path: Path, who: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme)
+      .map(_.toLowerCase).getOrElse("file")
+    if (AtomicSchemes(scheme)) return
+    if (Option(fs.getConf).exists(_.getBoolean(AssumeAtomicKey, false)))
+      return
+    throw new UnsupportedOperationException(
+      s"$who: TABLE RENAME moves the whole table tree in ONE atomic " +
+        s"directory rename; scheme '$scheme' ($path) renames by " +
+        "copy+delete (conditional-PUT creates cover commit " +
+        "arbitration, not directory moves) — copy the table to the " +
+        "new path explicitly (CTAS) and drop the old one, or opt in " +
+        s"with spark.hadoop.$AssumeAtomicKey=true if this store " +
+        "fronts a real atomic rename")
   }
 
   /** Exclusive-create CAS, atomic on BOTH HDFS-like stores and the
@@ -129,6 +183,16 @@ object CommitLock {
       if (parent != null && !parent.exists()) parent.mkdirs()
       try f.createNewFile()
       catch { case _: java.io.IOException => false }
+    } else if (hasConditionalCreate(fs, q)) {
+      // conditional-PUT CAS (HADOOP-19256): the store enforces
+      // If-None-Match on the final PUT — a loser surfaces the conflict
+      // as an IOException at create or close (S3A creates in close)
+      try {
+        val b = fs.createFile(q).overwrite(false)
+        b.must(ConditionalCreateCapability, true)
+        b.build().close()
+        true
+      } catch { case _: java.io.IOException => false }
     } else {
       try { fs.create(q, false).close(); true }
       catch { case _: java.io.IOException => false }

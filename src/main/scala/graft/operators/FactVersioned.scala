@@ -111,18 +111,24 @@ object FactVersioned {
     * `narrow` is present in `wide` with a (recursively) widened type;
     * `wide` may carry extra struct fields at any depth — the nested
     * twin of the top-level additive-evolution relaxation. Arrays and
-    * maps widen element-/value-wise; leaves compare exactly
-    * (nullability lives on fields, not leaf types, and field
-    * nullability is not load-bearing here — see [[schemaShape]]). */
-  private def widens(narrow: DataType, wide: DataType): Boolean =
+    * maps widen element-/value-wise; leaves compare per `leafOk` —
+    * exact equality for every data commit ([[widens]]), plus the safe
+    * TYPE widenings ([[leafWidens]]) only for the explicit `ALTER
+    * COLUMN TYPE` door ([[widenFieldTypes]] — a raw data commit must
+    * never retype the table implicitly). Nullability lives on fields,
+    * not leaf types, and field nullability is not load-bearing here —
+    * see [[schemaShape]]. */
+  private def widensWith(
+      narrow: DataType, wide: DataType,
+      leafOk: (DataType, DataType) => Boolean): Boolean =
     (narrow, wide) match {
       case (n: StructType, w: StructType) =>
         n.fields.forall(nf =>
           w.fields.find(_.name.equalsIgnoreCase(nf.name))
-            .exists(wf => widens(nf.dataType, wf.dataType)))
+            .exists(wf => widensWith(nf.dataType, wf.dataType, leafOk)))
       case (n: org.apache.spark.sql.types.ArrayType,
           w: org.apache.spark.sql.types.ArrayType) =>
-        widens(n.elementType, w.elementType)
+        widensWith(n.elementType, w.elementType, leafOk)
       case (n: org.apache.spark.sql.types.MapType,
           w: org.apache.spark.sql.types.MapType) =>
         // keys compare EXACTLY (up to nullability and field-name case,
@@ -132,11 +138,51 @@ object FactVersioned {
         // lookup identity. The committer's structural relaxation must
         // agree with the DDL doors' rejectMapKeyStep ("keys define
         // lookup identity"), or a raw data commit could evolve what
-        // ALTER explicitly rejects
+        // ALTER explicitly rejects. Key types never widen either —
+        // widened key values could collide where the narrow ones did
+        // not (lookup identity again).
         typeShape(n.keyType) == typeShape(w.keyType) &&
-          widens(n.valueType, w.valueType)
-      case (n, w) => n == w
+          widensWith(n.valueType, w.valueType, leafOk)
+      case (n, w) => n == w || leafOk(n, w)
     }
+
+  private def widens(narrow: DataType, wide: DataType): Boolean =
+    widensWith(narrow, wide, (_, _) => false)
+
+  /** The SAFE leaf-type widenings (`ALTER COLUMN ... TYPE`): every
+    * narrow value is exactly representable in the wide type AND
+    * Spark's parquet readers fill the wide read schema from narrow
+    * files directly (verified against the 4.1 vectorized reader) — so
+    * the retype is METADATA-ONLY, like Delta/Iceberg type widening:
+    * integral up-chain (byte→short→int→long), byte/short/int→double,
+    * float→double, integrals→decimal with enough integer digits, and
+    * decimal growth that loses neither integer digits nor scale.
+    * long→double and int→float are EXCLUDED (lossy above 2^53 / 2^24);
+    * narrowings and everything else keep their explicit full-rewrite
+    * surfaces. */
+  private[graft] def leafWidens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(19)
+      case _ => None
+    }
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
+        true
+      case (f, d: DecimalType) if intDigits(f).nonEmpty =>
+        d.precision - d.scale >= intDigits(f).get
+      case (f: DecimalType, t: DecimalType) =>
+        (t.precision - t.scale >= f.precision - f.scale) &&
+          t.scale >= f.scale && (t != f)
+      case _ => false
+    }
+  }
 
   /** (path, dataType) of every NESTED field `content` carries beyond
     * `parent` under a shared column — the TableChanges an evolving
@@ -297,7 +343,7 @@ object FactVersioned {
   private def resolveGen(
       spark: SparkSession, tablePath: String, gen: Option[Long]): Long = {
     val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    Versioned.requireGens(spark, tablePath, gens, "FactVersioned")
     val g = gen.getOrElse(gens.max)
     require(gens.contains(g),
       s"generation $g is not committed at $tablePath " +
@@ -921,7 +967,8 @@ object FactVersioned {
       statsCols: Seq[String] = Nil,
       preCommit: () => Unit = () => (),
       colMap: Option[Map[String, String]] = None,
-      defaults: Option[Map[String, String]] = None): Commit = {
+      defaults: Option[Map[String, String]] = None,
+      typeWiden: Boolean = false): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     require(partitionCols.nonEmpty, "no partition columns given")
     requireCleanProperties(properties)
@@ -954,7 +1001,7 @@ object FactVersioned {
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCols, touched,
         basisGen, properties, statsCols, fs, gRoot, next, genData,
-        preCommit, colMap, defaults)
+        preCommit, colMap, defaults, typeWiden)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -981,7 +1028,8 @@ object FactVersioned {
       genData: Path,
       preCommit: () => Unit,
       colMapOverride: Option[Map[String, String]] = None,
-      defaultsOverride: Option[Map[String, String]] = None): Commit = {
+      defaultsOverride: Option[Map[String, String]] = None,
+      typeWiden: Boolean = false): Commit = {
     val parentAtClaim = generations(spark, tablePath).lastOption
     val presentCols = content.columns.map(_.toLowerCase).toSet
 
@@ -1021,6 +1069,12 @@ object FactVersioned {
     require(colMapOverride.isEmpty || touchedDirs.isEmpty,
       "FactVersioned: a column-mapping override is metadata-only — " +
         "data commits inherit the parent generation's mapping")
+    // the retype relaxation belongs to the metadata-only ALTER door
+    // exclusively — a data commit under it could stage wide values
+    // while carrying incompatible dirs unchecked
+    require(!typeWiden || touchedDirs.isEmpty,
+      "FactVersioned: type widening is metadata-only — data commits " +
+        "never retype the table")
 
     // RETRY-CONTRACT CLASSIFICATION (claim-time twin of the DDL-loss
     // guard at the linearization point below): when DDL (rename/add/
@@ -1086,7 +1140,12 @@ object FactVersioned {
         // (parquet schema clipping, arrays of structs included); a
         // struct losing one is narrowing — reads under the narrowed
         // pinned schema simply never request the field
-        val additive = widens(ps, content.schema)
+        // the explicit retype door ([[widenFieldTypes]]) relaxes the
+        // leaf comparison to the SAFE widenings; every data commit
+        // keeps exact leaves — an INSERT can never retype the table
+        val additive =
+          if (typeWiden) widensWith(ps, content.schema, leafWidens)
+          else widens(ps, content.schema)
         val narrowing = touchedDirs.isEmpty && widens(content.schema, ps)
         lazy val carriedDirs =
           manifestRows(spark, tablePath, pg).map(_._1).toSet --
@@ -1443,7 +1502,13 @@ object FactVersioned {
     val phys = partitionColumns(spark, tablePath)
     val cmap = generationColMap(spark, tablePath)
     if (cmap.isEmpty) return phys
-    val rev = cmap.map { case (l, p) => p.toLowerCase -> l }
+    // TOP-LEVEL entries only: a dotted NESTED entry whose physical leaf
+    // happens to equal a partition column's physical name (struct field
+    // physically 'y' on a table partitioned by 'y') must not hijack the
+    // reverse lookup (ADVICE r15 #2 — the same fix as GraftFunctions'
+    // and FactChangeFeed's reverse maps)
+    val rev = cmap.filterNot(_._1.contains("."))
+      .map { case (l, p) => p.toLowerCase -> l }
     val schema = readSchema(spark, tablePath,
       generations(spark, tablePath).max)
     phys.map { p =>
@@ -2271,6 +2336,78 @@ object FactVersioned {
         else Some(columnDefaults(spark, tablePath) ++ foldedDefaults))
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` for the SAFE widenings
+    * ([[leafWidens]]) — ONE metadata-only commit pinning the widened
+    * schema, zero data rewrite (VERDICT r15 Next #4, the Delta/Iceberg
+    * type-widening posture): data files are immutable and shared
+    * across generations, and Spark's parquet readers fill a WIDER read
+    * schema from narrow files directly (int32 pages read as long,
+    * float as double, decimal rescaled — verified against the 4.1
+    * vectorized reader), so carried files need no touch. New commits
+    * stage the wide type; earlier generations keep their own pinned
+    * types, so `VERSION AS OF` reads each era's schema unchanged.
+    * Narrowings (and lossy changes like long→double) are REJECTED with
+    * full-rewrite guidance — values would silently clip. Paths address
+    * nested struct fields too (arrays/maps looked through, map KEYS
+    * refused — widened keys could collide where narrow ones did not).
+    * A column carrying an index sidecar (ANN/BM25/bloom) refuses the
+    * retype: the sidecar was built over the narrow values' bit
+    * patterns — drop the index first and rebuild after. */
+  def widenFieldTypes(
+      spark: SparkSession,
+      tablePath: String,
+      widenings: Seq[(Seq[String], DataType)],
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(widenings.nonEmpty, "widenFieldTypes: no columns given")
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"widenFieldTypes: no committed generations " +
+      s"at $tablePath — create the table first")
+    val head = gens.max
+    val schema = readSchema(spark, tablePath, head)
+    val fs = fsOf(spark, tablePath)
+    val widened = widenings.foldLeft(schema) { case (sch, (path, to)) =>
+      val full = path.mkString(".")
+      require(path.nonEmpty && !path.head.equalsIgnoreCase(VGenCol),
+        s"widenFieldTypes: invalid path '$full'")
+      // walkActual refuses explicit map-KEY steps (keys define lookup
+      // identity and never retype — they resolve as "does not exist")
+      rejectMapKeyStep(path.tail, full)
+      val actual = walkActual(sch, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenFieldTypes: field '$full' does not exist"))
+      val from = fieldAt(sch, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenFieldTypes: field '$full' does not resolve")).dataType
+      require(leafWidens(from, to),
+        s"widenFieldTypes: ${from.sql} -> ${to.sql} on '$full' is not " +
+          "a safe widening (values must stay exactly representable and " +
+          "parquet-readable in place) — narrowings and lossy changes " +
+          "rewrite data and keep their explicit full-rewrite surfaces " +
+          "(read, cast, write a fresh table)")
+      // an index sidecar on this column was built over the NARROW
+      // values; a silent retype would desync it (sidecars index
+      // top-level columns only)
+      val topActual = actual.head
+      val sidecars = fs.listStatus(new Path(tablePath))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => SidecarPrefixes.exists(pre =>
+          n.startsWith(pre) &&
+            n.stripPrefix(pre).equalsIgnoreCase(topActual)))
+      require(path.length > 1 || sidecars.isEmpty,
+        s"widenFieldTypes: column '$topActual' carries index sidecar(s) " +
+          s"${sidecars.mkString(", ")} built over the narrow values — " +
+          "drop the index, retype, then rebuild")
+      setTypeAt(sch, actual, to).asInstanceOf[StructType]
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], widened)
+    replacePartitionsBy(spark, tablePath, empty,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties,
+      typeWiden = true)
+  }
+
   /** ONE metadata-only commit DROPPING the fields at `paths` (length-1
     * = top-level columns, longer = nested struct fields) — the
     * narrowing twin of [[addFields]], same atomicity: all validations
@@ -2416,6 +2553,28 @@ object FactVersioned {
     case _ => None
   }
 
+  /** `dt` with the field at `path` retyped to `newType` — names,
+    * positions and everything else untouched ([[widenFieldTypes]]'s
+    * schema transformer; the renameFieldAt walk, applied to the type). */
+  private[graft] def setTypeAt(
+      dt: DataType, path: Seq[String], newType: DataType): DataType =
+    dt match {
+      case s: StructType =>
+        val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(path.head))
+        val f = s.fields(idx)
+        if (path.length == 1)
+          StructType(s.fields.updated(idx, f.copy(dataType = newType)))
+        else StructType(s.fields.updated(idx,
+          f.copy(dataType = setTypeAt(f.dataType, path.tail, newType))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType =
+          setTypeAt(a.elementType, dropStep(path, "element"), newType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType =
+          setTypeAt(m.valueType, dropStep(path, "value"), newType))
+      case other => other
+    }
+
   /** `dt` with the struct field at `path` renamed to `newLeaf` —
     * positions and types untouched. */
   private[graft] def renameFieldAt(
@@ -2498,7 +2657,19 @@ object FactVersioned {
     val physLeaf = cmap.getOrElse(keyOld, oldLeaf)
     val keyNew = (parent.map(_.toLowerCase) :+ newLeaf.toLowerCase)
       .mkString(".")
-    val newMap = (cmap - keyOld) + (keyNew -> physLeaf)
+    // descendant entries are keyed by LOGICAL dotted paths — renaming
+    // an intermediate STRUCT field must re-key everything under it
+    // (mirroring renameColumns' top-level re-keying; ADVICE r15 #1),
+    // or a prior descendant rename's entry is orphaned: reads would
+    // resolve the new logical path with no entry and silently
+    // null-fill, and later commits would stage under the wrong
+    // physical leaf, permanently forking physical names
+    val rekeyed = cmap.map { case (k, v) =>
+      if (k.startsWith(keyOld + "."))
+        (keyNew + k.substring(keyOld.length)) -> v
+      else k -> v
+    }
+    val newMap = (rekeyed - keyOld) + (keyNew -> physLeaf)
     val renamed = renameFieldAt(schema, actual, newLeaf)
       .asInstanceOf[StructType]
     val empty = spark.createDataFrame(
@@ -2877,6 +3048,10 @@ object FactVersioned {
   def renameTable(
       spark: SparkSession, oldPath: String, newPath: String): Unit = {
     val fs = fsOf(spark, oldPath)
+    // the one-move design needs a TRUE atomic directory rename —
+    // conditional-PUT stores refuse here with guidance
+    CommitLock.requireAtomicRenameContract(fs, new Path(oldPath),
+      "FactVersioned.renameTable")
     require(fs.exists(gensRoot(oldPath)),
       s"FactVersioned.renameTable: no versioned table at $oldPath")
     require(generations(spark, oldPath).nonEmpty,
@@ -2903,22 +3078,57 @@ object FactVersioned {
           s"FactVersioned.renameTable: generation(s) " +
             s"${higher.mkString(",")} claimed after the rename at " +
             s"$oldPath — retry the rename")
+      // rename INTENT lands in the PARENT dir BEFORE the move (VERDICT
+      // r15 Next #2, ADVICE r15 #3): from here, claims and publishes at
+      // the old path throw the loud RENAMED guidance, and resolution in
+      // the move→marker window re-targets through the intent instead of
+      // dying on "no committed generations"
+      Versioned.intentPath(oldPath).foreach(ip =>
+        Versioned.atomicWriteFile(fs, ip, newPath))
+      try {
+        // close the listing→intent gap: a claim that raced in before
+        // the intent became visible aborts the rename retryably
+        val late = fs.listStatus(gensRoot(oldPath)).filter(_.isDirectory)
+          .flatMap(_.getPath.getName.stripPrefix("gen=").toLongOption)
+          .filter(g => g != next && inFlight(g))
+        if (late.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"FactVersioned.renameTable: generation(s) " +
+              s"${late.mkString(",")} claimed while the rename intent " +
+              s"landed at $oldPath — retry the rename")
+        val parent = dst.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        require(fs.rename(new Path(oldPath), dst),
+          s"FactVersioned.renameTable: filesystem move $oldPath -> " +
+            s"$newPath failed")
+      } catch {
+        case e: Throwable =>
+          // failed move: withdraw the intent so old-path writers resume
+          Versioned.intentPath(oldPath).foreach(ip =>
+            try fs.delete(ip, false)
+            catch { case _: java.io.IOException => () })
+          throw e
+      }
     } catch {
       case e: Throwable =>
+        // a failed rename (conflict OR failed move) must also abort its
+        // claim — left behind, every later committer waits out the
+        // stale-claim lease (ADVICE r15 #4)
         abortClaim(fs, oldPath, next,
           new Path(dataRoot(oldPath), s"$VGenCol=$next"))
         throw e
     }
-    val parent = dst.getParent
-    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-    require(fs.rename(new Path(oldPath), dst),
-      s"FactVersioned.renameTable: filesystem move $oldPath -> " +
-        s"$newPath failed")
-    // release the rename's own claim inside the MOVED tree so the
-    // first post-rename committer doesn't wait out the stale-claim
-    // lease; a crash before this line degrades to exactly that wait
+    // the move landed — finish: release the rename's own claim inside
+    // the MOVED tree so the first post-rename committer doesn't wait
+    // out the stale-claim lease, write the guidance tombstone at the
+    // old path (atomic), withdraw the intent. A crash anywhere in here
+    // degrades to one stale-claim wait and/or intent-based guidance,
+    // never a torn table.
     fs.delete(genMeta(newPath, next), true)
     Versioned.writeRenamedMarker(fs, oldPath, newPath)
+    Versioned.intentPath(oldPath).foreach(ip =>
+      try fs.delete(ip, false)
+      catch { case _: java.io.IOException => () })
   }
 
   /** Expire old generations' metadata, then GC data files no retained

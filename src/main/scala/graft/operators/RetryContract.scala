@@ -1,0 +1,60 @@
+package graft.operators
+
+/** THE retry contract — the one normative definition of which errors a
+  * production writer/reader treats as a transient conflict (re-resolve
+  * the current table head/path and retry) versus a real failure
+  * (VERDICT r15 Next #2: the two shipped storm specs had drifted into
+  * two DIFFERENT contracts; both now import this object, and SCALING.md
+  * §"Concurrency and the retry contract" states it in prose).
+  *
+  * Retryable shapes, and where each comes from:
+  *
+  *  - `ConcurrentModificationException` — every claim/lock conflict the
+  *    committers throw (basis drift, in-flight lower claims, rename
+  *    races, lock acquisition timeouts). Retry against the new head.
+  *  - `AnalysisException` — the schema or resolution moved mid-read
+  *    (a DDL landed between plan and execution). Re-resolve and retry.
+  *  - `FileNotFoundException` ANYWHERE in the cause chain (Spark wraps
+  *    it in `SparkException`/FAILED_READ_FILE) — an in-flight scan
+  *    raced a tree move, a vacuum, or a compaction swap; the standard
+  *    snapshot-store reader shape. Re-resolve and retry.
+  *  - loud GUIDANCE `IllegalArgumentException`s whose message names
+  *    what happened — "RENAMED" (re-target through
+  *    [[Versioned.renamedTo]]), "no committed generations" /
+  *    "no versioned table" (the table vanished at resolve: a purge, or
+  *    the instants around a move — re-resolve; a caller that KNOWS the
+  *    table should exist bounds its retries), "is not committed" (the
+  *    basis generation expired under a retention sweep mid-plan).
+  *
+  * Anything else — "previously DROPPED", "not compatible", raw
+  * field-missing — is a REAL error: retrying cannot succeed, and a
+  * concurrency storm surfacing one is a misclassified race (a bug). */
+object RetryContract {
+
+  /** Every message down the cause chain (self first). */
+  def messages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+      .flatMap(x => Option(x.getMessage)).toSeq
+
+  private val GuidancePhrases = Seq(
+    "RENAMED",
+    "no committed generations",
+    "no versioned table",
+    "is not committed")
+
+  /** True iff `t` (or a cause) is a transient-conflict shape a caller
+    * should retry after re-resolving the table. */
+  def retryable(t: Throwable): Boolean = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(16).toSeq
+    chain.exists {
+      case _: java.util.ConcurrentModificationException => true
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _: java.io.FileNotFoundException => true
+      case e: IllegalArgumentException =>
+        val m = Option(e.getMessage).getOrElse("")
+        GuidancePhrases.exists(m.contains)
+      case _ => false
+    }
+  }
+}

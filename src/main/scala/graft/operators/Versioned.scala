@@ -63,55 +63,149 @@ object Versioned {
     * naming the new one instead of silently re-creating a divergent
     * fresh table; an explicit CREATE TABLE at the old name supersedes
     * it (the catalog deletes the marker-only husk). Shared by both
-    * stores so the guidance cannot drift between them. */
+    * stores so the guidance cannot drift between them. Written
+    * ATOMICALLY (tmp + rename — VERDICT r15 Next #1): a create-then-
+    * write marker had a torn-read window where a racing reader saw an
+    * existing EMPTY marker and resolved the table path to "". */
   val RenamedToMarker = "_graft_renamed_to"
 
-  /** The new path recorded by a rename's guidance marker at `path`,
-    * if one is present. */
+  /** Rename-INTENT marker a table RENAME writes in the table's PARENT
+    * directory BEFORE the tree moves (content: the new path) — it
+    * cannot live inside the table (the move would carry it along), and
+    * it closes two races the post-move guidance marker alone cannot
+    * (VERDICT r15 Next #2, ADVICE r15 #3):
+    *  - a writer claiming at the old path AFTER the rename's claim
+    *    listings but BEFORE the move would publish a stranded commit;
+    *    with the intent visible first, its claim/publish guards throw
+    *    the loud RENAMED guidance instead;
+    *  - in the window between the move and the guidance marker, the
+    *    old path holds NOTHING — resolution falls back to the intent,
+    *    so readers get the re-targetable guidance, not a bare
+    *    "no committed generations".
+    * Freshness contract: with the old tree still present (rename in
+    * flight, or a crash BEFORE the move), the intent blocks old-path
+    * commits only while younger than [[StaleClaimMs]] — the same lease
+    * the rename's own claim ages out under — and stale pre-move debris
+    * is GC'd on sight. With the old tree GONE (move happened), the
+    * intent is authoritative guidance at any age: a crash between the
+    * move and the guidance marker leaves it as the ONLY pointer to the
+    * table's new home. */
+  val RenameIntentPrefix = "_graft_rename_intent."
+
+  /** The parent-dir rename-intent marker path for `tablePath`, or None
+    * for a filesystem-root table (no parent to host it — such tables
+    * fall back to the post-move guidance marker alone). Exposed to the
+    * catalog: an explicit CREATE TABLE at a renamed-away name
+    * supersedes the guidance, intent included. */
+  private[graft] def intentPath(tablePath: String): Option[Path] = {
+    val t = new Path(tablePath)
+    Option(t.getParent).map(p => new Path(p, RenameIntentPrefix + t.getName))
+  }
+
+  /** Contents of a small marker file; None when it is absent (or
+    * vanishes mid-probe — markers are GC'd and completed concurrently). */
+  private def readSmall(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          Some(new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Write `content` to `dest` with atomic visibility: tmp file in the
+    * same directory, then one rename — `dest` is either absent or
+    * complete, never torn (the tombstone/keys-record posture, now also
+    * the rename markers'). */
+  private[operators] def atomicWriteFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path, content: String): Unit = {
+    val tmp = new Path(dest.getParent,
+      "." + dest.getName + ".tmp." + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(tmp, dest),
+      s"Versioned: atomic marker write failed renaming into $dest")
+  }
+
+  /** The new path recorded by a rename's guidance marker at `path`, if
+    * one is present. Blank content is treated as marker-ABSENT (a torn
+    * or foreign file must never resolve the table path to ""). When the
+    * old path is entirely gone, the parent-dir rename INTENT is the
+    * guidance — the move→marker window and crashes inside it re-target
+    * instead of failing resolution. */
   def renamedTo(spark: SparkSession, path: String): Option[String] = {
-    val p = new Path(path, RenamedToMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        Some(new String(out.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-      } finally in.close()
-    }
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSmall(fs, new Path(path, RenamedToMarker))
+      .map(_.trim).filter(_.nonEmpty)
+      .orElse {
+        if (fs.exists(new Path(path))) None // table (or husk) still here
+        else intentPath(path)
+          .flatMap(readSmall(fs, _)).map(_.trim).filter(_.nonEmpty)
+      }
   }
 
   private[operators] def writeRenamedMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       oldPath: String, newPath: String): Unit = {
     fs.mkdirs(new Path(oldPath))
-    val out = fs.create(new Path(oldPath, RenamedToMarker), true)
-    try out.write(
-      newPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    atomicWriteFile(fs, new Path(oldPath, RenamedToMarker), newPath)
   }
+
+  private def renamedAwayError(
+      who: String, tablePath: String, to: String) =
+    new IllegalArgumentException(
+      s"$who: the table at $tablePath was RENAMED to '$to' — commit " +
+        "there, or delete the marker-only directory to reuse the path")
 
   private[operators] def requireNotRenamedAway(
       fs: org.apache.hadoop.fs.FileSystem,
       tablePath: String, who: String): Unit = {
-    val m = new Path(tablePath, RenamedToMarker)
-    if (fs.exists(m)) {
-      val in = fs.open(m)
-      val to = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        new String(out.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-      } finally in.close()
-      throw new IllegalArgumentException(
-        s"$who: the table at $tablePath was RENAMED to '$to' — commit " +
-          "there, or delete the marker-only directory to reuse the path")
+    readSmall(fs, new Path(tablePath, RenamedToMarker))
+      .map(_.trim).filter(_.nonEmpty) // blank = torn/foreign, not guidance
+      .foreach(to => throw renamedAwayError(who, tablePath, to))
+    intentPath(tablePath).foreach { ip =>
+      readSmall(fs, ip).map(_.trim).filter(_.nonEmpty).foreach { to =>
+        val fresh =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(ip).getModificationTime < StaleClaimMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (fresh || !fs.exists(new Path(tablePath)))
+          throw renamedAwayError(who, tablePath, to)
+        // stale intent with the old tree still present = a rename that
+        // crashed BEFORE its move; the table never left — GC the debris
+        else try fs.delete(ip, false)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
   final case class Commit(gen: Long, path: String)
+
+  /** Shared empty-table guard for resolution paths: a renamed-away
+    * table resolves to the loud RENAMED guidance (re-target and retry —
+    * the move→marker window and post-move reads both land here), a
+    * genuinely absent one to the plain requirement failure. */
+  private[operators] def requireGens(
+      spark: SparkSession, tablePath: String, gens: Seq[Long],
+      who: String): Unit =
+    if (gens.isEmpty) {
+      renamedTo(spark, tablePath).foreach { to =>
+        throw new IllegalArgumentException(
+          s"$who: the table at $tablePath was RENAMED to '$to' — " +
+            "query it there")
+      }
+      require(gens.nonEmpty, s"no committed generations at $tablePath")
+    }
 
   private def genDir(root: Path, g: Long) = new Path(root, s"gen=$g")
 
@@ -258,6 +352,9 @@ object Versioned {
       spark: SparkSession, oldPath: String, newPath: String): Unit = {
     val root = new Path(oldPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the one-move design needs a TRUE atomic directory rename —
+    // conditional-PUT stores refuse here with guidance
+    CommitLock.requireAtomicRenameContract(fs, root, "Versioned.renameTable")
     require(generations(spark, oldPath).nonEmpty,
       s"Versioned.renameTable: no committed table at $oldPath")
     val dst = new Path(newPath)
@@ -305,19 +402,50 @@ object Versioned {
         throw new java.util.ConcurrentModificationException(
           s"Versioned.renameTable: generation(s) ${higher.mkString(",")} " +
             s"claimed after the rename at $oldPath — retry")
+      // rename INTENT lands BEFORE the move: from this instant, claims
+      // and publishes at the old path fail with the loud RENAMED
+      // guidance (requireNotRenamedAway honors fresh intents), so no
+      // post-listing claim can strand a commit in the moved-away tree
+      intentPath(oldPath).foreach(ip => atomicWriteFile(fs, ip, newPath))
+      try {
+        // close the listing→intent gap: any claim that raced in before
+        // the intent became visible aborts the rename retryably
+        val late = fs.listStatus(root).filter(_.isDirectory)
+          .flatMap(_.getPath.getName.stripPrefix("gen=").toLongOption)
+          .filter(g => g != next && inFlight(g))
+        if (late.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"Versioned.renameTable: generation(s) ${late.mkString(",")} " +
+              s"claimed while the rename intent landed at $oldPath — retry")
+        val parent = dst.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        require(fs.rename(root, dst),
+          s"Versioned.renameTable: filesystem move $oldPath -> $newPath " +
+            "failed")
+      } catch {
+        case e: Throwable =>
+          // failed move: withdraw the intent so old-path writers resume
+          intentPath(oldPath).foreach(ip =>
+            try fs.delete(ip, false)
+            catch { case _: java.io.IOException => () })
+          throw e
+      }
     } catch {
       case e: Throwable =>
+        // abort the rename's claim too (ADVICE r15 #4: a claim left
+        // behind makes every later committer wait out the stale lease)
         fs.delete(genDir(root, next), true)
         throw e
     }
-    val parent = dst.getParent
-    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-    require(fs.rename(root, dst),
-      s"Versioned.renameTable: filesystem move $oldPath -> $newPath failed")
-    // release the rename's own claim inside the MOVED tree (a crash
-    // here degrades to one stale-claim wait, never a torn table)
+    // the move landed — finish: release the rename's own claim inside
+    // the MOVED tree, write the guidance tombstone at the old path,
+    // withdraw the intent. A crash anywhere in here degrades to one
+    // stale-claim wait and/or intent-based guidance, never a torn table.
     fs.delete(genDir(dst, next), true)
     writeRenamedMarker(fs, oldPath, newPath)
+    intentPath(oldPath).foreach(ip =>
+      try fs.delete(ip, false)
+      catch { case _: java.io.IOException => () })
   }
 
   /** Delete every `gen=` dir below `floor` except in-flight claims. */
@@ -379,7 +507,7 @@ object Versioned {
       tablePath: String,
       gen: Option[Long] = None): String = {
     val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    requireGens(spark, tablePath, gens, "Versioned.generationPath")
     val g = gen.getOrElse(gens.max)
     require(gens.contains(g),
       s"generation $g is not committed at $tablePath (have ${gens.mkString(",")})")
@@ -405,7 +533,7 @@ object Versioned {
       tablePath: String,
       gen: Option[Long] = None): DataFrame = {
     val gens = generations(spark, tablePath)
-    require(gens.nonEmpty, s"no committed generations at $tablePath")
+    requireGens(spark, tablePath, gens, "Versioned.read")
     val g = gen.getOrElse(gens.max)
     require(gens.contains(g),
       s"generation $g is not committed at $tablePath (have ${gens.mkString(",")})")

@@ -1994,6 +1994,147 @@ object ScaleQueries extends QueryPack {
     // post-add INSERT persists real values (and an explicit NULL stays
     // NULL), time travel keeps the pre-add shape. Output value-gated
     // against the DuckDB mirror.
+    // `ALTER COLUMN ... TYPE` safe widenings (VERDICT r15 Next #4):
+    // int->bigint and float->double commit METADATA-ONLY — carried
+    // files stay narrow on disk and the parquet reader fills the wider
+    // pinned schema in place (verified against Spark 4.1's vectorized
+    // reader); new writes stage wide (a post-widen INSERT lands values
+    // above int range); time travel keeps the narrow era; narrowings
+    // are rejected. In-gate asserts: zero staged bytes for the ALTERs,
+    // pre/post-widen types, an above-int-range value round-trips.
+    // Output value-gated against the DuckDB mirror (same widening
+    // casts applied to the raw table).
+    "q172_sql_widen_types" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q172_").toString
+      val path = s"$wh/orders_w"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_custkey").cast("int").as("cust"),
+          col("o_totalprice").cast("float").as("pricef"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_w ALTER COLUMN cust TYPE BIGINT")
+        s.sql("ALTER TABLE graft.orders_w ALTER COLUMN pricef TYPE DOUBLE")
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")),
+          "q172: the widenings must stage no data")
+        val head = s.sql("SELECT * FROM graft.orders_w")
+        require(head.schema("cust").dataType ==
+            org.apache.spark.sql.types.LongType &&
+            head.schema("pricef").dataType ==
+              org.apache.spark.sql.types.DoubleType,
+          "q172: the head must present the widened types")
+        // time travel keeps the narrow era
+        val v0 = s.sql("SELECT * FROM graft.orders_w VERSION AS OF 0")
+        require(v0.schema("cust").dataType ==
+            org.apache.spark.sql.types.IntegerType &&
+            v0.schema("pricef").dataType ==
+              org.apache.spark.sql.types.FloatType,
+          "q172: VERSION AS OF 0 must keep the narrow types")
+        // a post-widen INSERT stages values ABOVE the int range
+        s.sql(
+          """INSERT INTO graft.orders_w BY NAME
+            |SELECT o_orderkey + 50000000 AS o_orderkey, 'W' AS
+            |  o_orderstatus, cust + 3000000000 AS cust,
+            |  pricef * 2 AS pricef, y, CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_w
+            |WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin)
+        require(s.sql("SELECT count(*) FROM graft.orders_w " +
+            "WHERE cust > 3000000000").head.getLong(0) > 0,
+          "q172: post-widen writes must hold above-int-range values")
+        // narrowing back is rejected (Spark pre-rejects non-up-casts;
+        // our leafWidens rejects the lossy up-casts Spark allows)
+        val lossy = try {
+          s.sql("ALTER TABLE graft.orders_w ALTER COLUMN cust " +
+            "TYPE DOUBLE"); None
+        } catch { case t: Throwable => Some(t) }
+        require(lossy.exists(t => causeMessages(t)
+            .exists(_.contains("not a safe widening"))),
+          "q172: long -> double must be rejected as lossy")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus, cust, pricef, y
+            |FROM graft.orders_w""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
+    // SQL `INSERT OVERWRITE` (VERDICT r15 Next #5 — the spelling every
+    // Spark user types first): a static PARTITION spec routes to ONE
+    // versioned replace-partitions commit scoped to exactly the spec'd
+    // set — write-amp ∝ the spec, untouched partitions carried
+    // byte-identical (FS-asserted: only y=1995 staged, y=1996 files
+    // identical), time travel keeps the pre-overwrite head. Output
+    // value-gated against the DuckDB from-scratch recomputation.
+    "q173_sql_insert_overwrite" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q173_").toString
+      val path = s"$wh/orders_ow"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dataRoot = s"$path/${FactVersioned.DataDir}"
+        def files(d: String): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(d))
+            .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+        val carriedBefore = files(
+          s"$dataRoot/${FactVersioned.VGenCol}=0/y=1996")
+        s.sql(
+          """INSERT OVERWRITE graft.orders_ow PARTITION (y = 1995)
+            |SELECT o_orderkey, 'K' AS o_orderstatus,
+            |  o_totalprice * 3 AS o_totalprice,
+            |  CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_ow
+            |WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin)
+        // ONE commit; only the spec'd partition staged under it
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+          "q173: the overwrite must be one commit")
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$dataRoot/${FactVersioned.VGenCol}=1"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        require(staged == Set("y=1995"),
+          s"q173: only the spec'd partition may stage, got $staged")
+        // the untouched partition carried byte-identical
+        require(files(s"$dataRoot/${FactVersioned.VGenCol}=0/y=1996") ==
+            carriedBefore,
+          "q173: untouched partitions must carry byte-identical")
+        // time travel keeps the pre-overwrite head
+        require(s.sql(
+            "SELECT count(*) FROM graft.orders_ow VERSION AS OF 0")
+          .head.getLong(0) == o.count(),
+          "q173: VERSION AS OF 0 must read the pre-overwrite content")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus,
+            |  round(o_totalprice, 2) AS o_totalprice, y
+            |FROM graft.orders_ow""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     "q171_sql_add_default" -> ((s0, dir) => {
       val wh = Files.createTempDirectory("graft_q171_").toString
       val path = s"$wh/orders_def"
@@ -3225,6 +3366,39 @@ object ScaleQueries extends QueryPack {
     // the head after ADD COLUMN DEFAULT ≡ base rows reading the
     // default + the inserted rows with their own values (NULL where
     // explicitly written) — the ALTER moved no data
+    // the head after the widenings ≡ base rows under the widening
+    // CASTS (identical bit-exact: int->bigint and float->double are
+    // value-preserving) + the inserted above-int-range rows — the
+    // ALTERs moved no data
+    "q172_sql_widen_types" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_custkey AS INTEGER) AS cust,
+        |    CAST(o_totalprice AS REAL) AS pricef,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus, CAST(cust AS BIGINT) AS cust,
+        |  CAST(pricef AS DOUBLE) AS pricef, y
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 50000000, 'W',
+        |  CAST(cust AS BIGINT) + 3000000000,
+        |  CAST(pricef AS DOUBLE) * 2, y
+        |FROM base WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin,
+    // the head after the spec'd overwrite ≡ 1995 replaced by its even
+    // keys tripled and flagged, 1996 carried untouched — the overwrite
+    // scoped exactly one partition
+    "q173_sql_insert_overwrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, y
+        |FROM base WHERE y = 1996
+        |UNION ALL
+        |SELECT o_orderkey, 'K', round(o_totalprice * 3, 2), y
+        |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
     "q171_sql_add_default" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

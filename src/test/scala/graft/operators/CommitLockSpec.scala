@@ -170,6 +170,62 @@ class CommitLockSpec extends SparkSpec {
     FactVersioned.upsert(spark, s"$local/t", df, Seq("k"), "p")
     assert(FactVersioned.read(spark, s"$local/t").count() == 1)
   }
+
+  test("conditional-PUT stores (VERDICT r15 Next #3): the capability " +
+      "probe accepts table creation without the manual vouch, the " +
+      "claim CAS wins/loses arbitration through the conditional " +
+      "create, and TABLE RENAME still refuses (no atomic dir move)") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockcps3.impl",
+      classOf[MockConditionalPutFileSystem].getName)
+    conf.setBoolean(CommitLock.AssumeAtomicKey, false)
+    val root = "mockcps3:" +
+      Files.createTempDirectory("graft_cpfs_").toString
+    import spark.implicits._
+    val df = Seq((1L, 0, 10L)).toDF("k", "p", "v")
+    // creation passes on the capability alone (no assume.atomic)
+    FactVersioned.upsert(spark, s"$root/t", df, Seq("k"), "p")
+    assert(FactVersioned.read(spark, s"$root/t")
+      .select(col("v")).as[Long].head() == 10L)
+    // the CAS: N racing creators of ONE path — exactly one wins, and
+    // every attempt flowed through the conditional-create builder
+    val fs = new org.apache.hadoop.fs.Path(s"$root/t").getFileSystem(conf)
+    MockConditionalPutFileSystem.conditionalCreates.set(0)
+    val target = new org.apache.hadoop.fs.Path(s"$root/claim_race/${Versioned.ClaimMarker}")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    (1 to 8).foreach { _ =>
+      pool.execute(new Runnable {
+        def run(): Unit = {
+          start.await()
+          if (CommitLock.atomicCreate(fs, target)) wins.incrementAndGet()
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60,
+      java.util.concurrent.TimeUnit.SECONDS))
+    assert(wins.get() == 1, s"exactly one CAS winner, got ${wins.get()}")
+    assert(MockConditionalPutFileSystem.conditionalCreates.get() >= 8,
+      "every attempt must flow through the conditional-create builder")
+    // commits keep landing through the conditional CAS (claims route
+    // through the builder path on every generation)
+    (1 to 2).foreach { i =>
+      FactVersioned.upsert(spark, s"$root/t",
+        Seq((i + 10L, 0, i * 100L)).toDF("k", "p", "v"),
+        Seq("k"), "p", retain = 10)
+    }
+    assert(FactVersioned.read(spark, s"$root/t").count() == 3)
+    // TABLE RENAME refuses: conditional creates don't give atomic moves
+    val e = intercept[UnsupportedOperationException] {
+      FactVersioned.renameTable(spark, s"$root/t", s"$root/t2")
+    }
+    assert(e.getMessage.contains("atomic") &&
+      e.getMessage.contains("mockcps3"), e.getMessage)
+  }
 }
 
 /** A RawLocalFileSystem wearing an object-store scheme — the mock the
@@ -178,4 +234,60 @@ class MockObjectStoreFileSystem
     extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "mocks3"
   override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
+}
+
+object MockConditionalPutFileSystem {
+  /** Observability for the spec: how many creates flowed through the
+    * conditional builder (vs the plain create path). */
+  val conditionalCreates = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** An object-store-schemed filesystem that models Hadoop 3.4.2+
+  * CONDITIONAL-PUT creates (HADOOP-19256): plain
+  * `create(overwrite=false)` stays check-then-act (the S3 reality),
+  * but a `createFile` builder carrying the
+  * `fs.option.create.conditional.overwrite` must-option arbitrates
+  * exclusively (POSIX O_EXCL stands in for the store's
+  * `If-None-Match: *`), and `hasPathCapability` advertises it. This is
+  * what [[CommitLock.atomicCreate]]'s conditional path and
+  * [[CommitLock.requireAtomicCommitContract]]'s acceptance are spec'd
+  * against. */
+class MockConditionalPutFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockcps3"
+  override def getUri: java.net.URI = java.net.URI.create("mockcps3:///")
+  override def hasPathCapability(
+      path: org.apache.hadoop.fs.Path, capability: String): Boolean =
+    capability == CommitLock.ConditionalCreateCapability ||
+      super.hasPathCapability(path, capability)
+  override def createFile(path: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FSDataOutputStreamBuilder[_, _] =
+    new MockConditionalBuilder(this, path)
+}
+
+private class MockConditionalBuilder(
+    fs: MockConditionalPutFileSystem, p: org.apache.hadoop.fs.Path)
+    extends org.apache.hadoop.fs.FSDataOutputStreamBuilder[
+      org.apache.hadoop.fs.FSDataOutputStream, MockConditionalBuilder](
+      fs, p) {
+  override def getThisBuilder: MockConditionalBuilder = this
+  override def build(): org.apache.hadoop.fs.FSDataOutputStream = {
+    val conditional = getMandatoryKeys
+      .contains(CommitLock.ConditionalCreateCapability) ||
+      getOptions.getBoolean(CommitLock.ConditionalCreateCapability, false)
+    val f = new java.io.File(getPath.toUri.getPath)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    if (conditional) {
+      MockConditionalPutFileSystem.conditionalCreates.incrementAndGet()
+      // the store-side CAS: atomic exclusive create, never check-then-act
+      if (!f.createNewFile())
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"mockcps3: conditional PUT lost arbitration at $getPath")
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FileOutputStream(f), null)
+    } else {
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FileOutputStream(f), null)
+    }
+  }
 }

@@ -44,27 +44,12 @@ class ConcurrencyMatrixSpec extends SparkSpec {
       .select(col("k"), col("p"), col("v"),
         struct(col("src"), col("score")).as("meta"))
 
-  /** Messages down the cause chain. */
-  private def messages(t: Throwable): Seq[String] =
-    Option(t).toSeq.flatMap(x =>
-      Option(x.getMessage).toSeq ++
-        Option(x.getCause).toSeq.flatMap(messages))
+  /** THE shared normative retry set ([[RetryContract]] — one
+    * definition for every storm spec AND production callers; VERDICT
+    * r15 Next #2). Anything outside it fails the case. */
+  private def retryable(t: Throwable): Boolean = RetryContract.retryable(t)
 
-  /** The FULL allowed retry set — anything else fails the case. */
-  private def retryable(t: Throwable): Boolean = t match {
-    case _: java.util.ConcurrentModificationException => true
-    case _: org.apache.spark.sql.AnalysisException => true
-    case _ if Option(t.getCause).exists(retryable) => true
-    case e: IllegalArgumentException =>
-      val ms = messages(e)
-      // loud guidance shapes: re-target/re-resolve and retry
-      ms.exists(m => m.contains("RENAMED") ||
-        m.contains("no committed generations") ||
-        m.contains("no versioned table") ||
-        m.contains("is not committed"))
-    case _: java.io.FileNotFoundException => true // purged mid-read
-    case _ => false
-  }
+  private def messages(t: Throwable): Seq[String] = RetryContract.messages(t)
 
   /** Current path: follows at most one rename-away tombstone. */
   private def pathOf(a: String): String =

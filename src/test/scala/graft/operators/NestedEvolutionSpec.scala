@@ -346,6 +346,56 @@ class NestedEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("renaming an INTERMEDIATE struct field re-keys mapped " +
+      "descendants (descendant rename THEN ancestor rename): carried " +
+      "values keep reading, later commits stage the original physical " +
+      "leaf — never a silent null-fill or a physical-name fork") {
+    // ADVICE r15 #1: meta.inner.y -> x leaves colmap 'meta.inner.x'->'y';
+    // renaming meta.inner -> core must re-key it to 'meta.core.x'->'y'
+    // or reads resolve 'meta.core.x' with no entry (silent null-fill)
+    // and commits stage the wrong physical leaf
+    val path = tmp() + "/t"
+    val rows = (1 to 6).map(i => (i.toLong, i % 3, i * 10L, s"s$i"))
+      .toDF("k", "p", "y", "src")
+      .select(col("k"), col("p"),
+        struct(struct(col("y")).as("inner"), col("src")).as("meta"))
+    FactVersioned.upsert(spark, path, rows, Seq("k"), "p", retain = 10)
+    FactVersioned.renameNestedColumn(spark, path,
+      Seq("meta", "inner", "y"), "x", retain = 10)
+    FactVersioned.renameNestedColumn(spark, path,
+      Seq("meta", "inner"), "core", retain = 10)
+    // carried values read under the fully-renamed path
+    assert(FactVersioned.read(spark, path)
+      .select(col("k"), col("meta.core.x")).as[(Long, Long)]
+      .collect().toSet == (1 to 6).map(i => (i.toLong, i * 10L)).toSet,
+      "descendant colmap entry was orphaned by the ancestor rename")
+    // a post-rename upsert stages the ORIGINAL physical leaf names
+    val batch = Seq((100L, 1)).toDF("k", "p")
+      .select(col("k"), col("p"),
+        struct(struct(lit(777L).as("x")).as("core"),
+          lit("new").as("src")).as("meta"))
+    FactVersioned.upsert(spark, path, batch, Seq("k"), "p", retain = 10)
+    val staged = spark.read.parquet(
+      s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=3")
+    val metaT = staged.schema("meta").dataType.asInstanceOf[StructType]
+    assert(metaT.fieldNames.toSeq == Seq("inner", "src"),
+      s"staged container must keep physical name: ${metaT.fieldNames.toSeq}")
+    assert(metaT("inner").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("y"),
+      "staged leaf must keep the ORIGINAL physical name, not fork")
+    // both carried and fresh rows read together under the logical path
+    assert(FactVersioned.read(spark, path)
+      .select(col("meta.core.x")).as[Long].collect().toSet ==
+      ((1 to 6).map(_ * 10L).toSet + 777L))
+    // time travel keeps every era's spelling
+    assert(FactVersioned.read(spark, path, Some(0L))
+      .select(col("meta.inner.y")).as[Long].collect().toSet ==
+      (1 to 6).map(_ * 10L).toSet)
+    assert(FactVersioned.read(spark, path, Some(1L))
+      .select(col("meta.inner.x")).as[Long].collect().toSet ==
+      (1 to 6).map(_ * 10L).toSet)
+  }
+
   test("SQL door: ALTER TABLE RENAME COLUMN of a NESTED field — fact " +
       "tables map metadata-only and SQL reads translate at the scan " +
       "seam (projection, filter, aggregate); dimensions full-copy") {
