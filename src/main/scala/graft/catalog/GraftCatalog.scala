@@ -311,10 +311,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       hadoopFs(p).exists(new Path(p, NsMarker))
     }
 
+  /** Namespace properties live INSIDE the marker file as sorted
+    * `key\tvalue` lines (r16 — the alterNamespace gap): tiny, atomic
+    * to rewrite ([[Versioned.atomicWriteFile]]), and they ride a
+    * namespace rename/move with the directory. Keys/values are tab- and
+    * newline-free (the commit-properties contract). */
+  private def readNsProps(namespace: Array[String]): Map[String, String] = {
+    val m = new Path(nsPath(namespace), NsMarker)
+    val fs = hadoopFs(m)
+    if (!fs.exists(m)) return Map.empty
+    val in = fs.open(m)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").filter(_.contains("\t")).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
+  private def writeNsProps(
+      namespace: Array[String], props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '\n' || c == '\t') &&
+          !v.exists(c => c == '\n' || c == '\t'),
+        s"GraftCatalog: namespace property keys/values must be " +
+          s"non-empty and tab/newline-free: '$k'")
+    }
+    val dir = nsPath(namespace)
+    Versioned.atomicWriteFile(hadoopFs(dir), new Path(dir, NsMarker),
+      props.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+  }
+
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] =
-    if (namespaceExists(namespace)) util.Collections.emptyMap()
-    else throw new NoSuchNamespaceException(namespace)
+    if (namespaceExists(namespace)) {
+      val m = new util.HashMap[String, String]()
+      readNsProps(namespace).foreach { case (k, v) => m.put(k, v) }
+      m
+    } else throw new NoSuchNamespaceException(namespace)
 
   /** `CREATE NAMESPACE a[.b]` — a marker-bearing subdirectory; parents
     * must exist (no implicit deep creation), and a dir already holding
@@ -324,9 +361,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       metadata: util.Map[String, String]): Unit = {
     require(namespace.nonEmpty, "GraftCatalog: empty namespace")
     namespace.foreach(validateSegment)
-    // Spark attaches reserved properties (owner, ...) to every CREATE
-    // NAMESPACE — accepted and NOT persisted (a namespace here is pure
-    // name resolution; loadNamespaceMetadata reports none)
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(namespace)
@@ -342,12 +376,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "shadow it")
     fs.mkdirs(dir)
     fs.create(new Path(dir, NsMarker), true).close()
+    // user metadata persists in the marker (Spark attaches reserved
+    // properties like owner to every CREATE — persisted verbatim and
+    // reported back by loadNamespaceMetadata)
+    val props = metadata.asScala.toMap
+    if (props.nonEmpty) writeNsProps(namespace, props)
   }
 
+  /** `ALTER NAMESPACE ... SET/UNSET PROPERTIES`, `COMMENT ON
+    * NAMESPACE` — one atomic marker rewrite (r16). */
   override def alterNamespace(
-      namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: namespaces carry no alterable properties")
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val updated = changes.foldLeft(readNsProps(namespace)) {
+      case (props, set: NamespaceChange.SetProperty) =>
+        props + (set.property() -> set.value())
+      case (props, rm: NamespaceChange.RemoveProperty) =>
+        props - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported namespace change $other")
+    }
+    writeNsProps(namespace, updated)
+  }
 
   /** `DROP NAMESPACE` — only when EMPTY; CASCADE is rejected with
     * guidance (it would silently destroy versioned tables — the same
@@ -485,9 +536,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * field absent from carried files, arrays of structs included).
     * Earlier generations keep their own schemas — `VERSION AS OF`
     * reads both sides of the evolution; later DML sees the new schema.
-    * Everything else (retype, nested renames, positioned or defaulted
-    * adds) is rejected: those rewrite data or need nested column
-    * mapping. */
+    * Also supported (r15/r16): `ADD COLUMN ... DEFAULT` (read-time
+    * existence defaults), `ADD COLUMN ... FIRST/AFTER` (pinned-schema
+    * ordering — purely presentational), and safe-widening
+    * `ALTER COLUMN ... TYPE` ([[FactVersioned.widenFieldTypes]]).
+    * Narrowing/lossy retypes and nested positioning stay rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     val isFact = FactVersioned.generations(spark, path).nonEmpty
@@ -498,6 +551,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val renames = Seq.newBuilder[(String, String)]
     val nestedRenames = Seq.newBuilder[(Seq[String], String)]
     val addDefaults = scala.collection.mutable.Map.empty[String, String]
+    val addPositions = scala.collection.mutable.Map.empty[String, String]
     val nestedAdds =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedDrops = Seq.newBuilder[Seq[String]]
@@ -512,9 +566,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.isNullable,
           s"GraftCatalog: added column '${a.fieldNames.mkString(".")}' " +
             "must be nullable — existing files have no values for it")
-        require(a.position() == null,
-          "GraftCatalog: ADD COLUMN FIRST/AFTER is not supported — " +
-            "columns append (carried files null-fill by NAME)")
+        // FIRST/AFTER is presentational (the pinned schema's order IS
+        // the presented order; everything reads by name) — supported
+        // for top-level columns (r16); nested positioning stays
+        // rejected (ordinal threading for zero semantic gain)
+        require(a.position() == null || a.fieldNames.length == 1,
+          "GraftCatalog: ADD COLUMN FIRST/AFTER is supported for " +
+            "top-level columns only")
         require(a.defaultValue() == null || a.fieldNames.length == 1,
           "GraftCatalog: ADD COLUMN DEFAULT is supported for top-level " +
             "columns only — nested existence defaults have no reader " +
@@ -526,6 +584,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           // Delta default-value posture) — zero data rewrite
           Option(a.defaultValue()).foreach(d =>
             addDefaults += a.fieldNames.head -> d.getSql)
+          a.position() match {
+            case _: TableChange.First =>
+              addPositions += a.fieldNames.head.toLowerCase -> ""
+            case after: TableChange.After =>
+              addPositions += a.fieldNames.head.toLowerCase ->
+                after.column()
+            case _ => ()
+          }
         } else nestedAdds += a.fieldNames.toSeq -> a.dataType
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames.length == 1) drops += d.fieldNames.head
@@ -574,7 +640,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         FactVersioned.addFields(spark, path, addsAll,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"),
-          defaults = addDefaults.toMap)
+          defaults = addDefaults.toMap,
+          positions = addPositions.toMap)
       else if (renamed.nonEmpty)
         FactVersioned.renameColumns(spark, path, renamed.toMap,
           retain = retainFor(path),
@@ -657,7 +724,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 org.apache.spark.sql.functions.lit(null).cast(dt)))
           }
         }
-        Versioned.commit(reshaped, path, retain = retainFor(path))
+        // FIRST/AFTER on the full-copy store: reorder the fresh
+        // generation's columns (purely presentational, like the fact
+        // store's pinned-schema ordering)
+        val ordered = addPositions.foldLeft(reshaped) { case (df, (c, ref)) =>
+          val cols = df.columns.toBuffer
+          val idx = cols.indexWhere(_.equalsIgnoreCase(c))
+          val moved = cols.remove(idx)
+          val at =
+            if (ref.isEmpty) 0
+            else {
+              val r = cols.indexWhere(_.equalsIgnoreCase(ref))
+              require(r >= 0,
+                s"GraftCatalog: AFTER column '$ref' does not exist")
+              r + 1
+            }
+          cols.insert(at, moved)
+          df.select(cols.toSeq.map(
+            org.apache.spark.sql.functions.col): _*)
+        }
+        Versioned.commit(ordered, path, retain = retainFor(path))
       } else if (renamed.nonEmpty || nRenames.nonEmpty) {
         // full-copy store: the renamed generation IS a fresh copy —
         // no mapping needed, nothing physical carries over. Nested

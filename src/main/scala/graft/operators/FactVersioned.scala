@@ -66,7 +66,15 @@ object FactVersioned {
 
   final case class Commit(gen: Long, rewrittenDirs: Seq[String])
 
-  /** Roll back an unpublished claim: its metadata dir and staged data. */
+  /** Roll back an unpublished claim: its metadata dir and staged data.
+    * Then opportunistically remove the gens/data PARENT dirs when (and
+    * only when) empty: a writer whose claim raced a TABLE RENAME's
+    * move re-creates them at the old path before its publish guard
+    * throws the guidance — without the tidy, the renamed-away path
+    * would keep empty husk dirs next to its tombstone forever. The
+    * non-recursive delete is the safety: it cannot remove a dir a
+    * concurrent writer has (re)populated, and a racer observing the
+    * brief absence re-creates it or fails retryably. */
   private def abortClaim(
       fs: org.apache.hadoop.fs.FileSystem,
       tablePath: String,
@@ -75,6 +83,19 @@ object FactVersioned {
     if (fs.exists(genData)) fs.delete(genData, true)
     val meta = genMeta(tablePath, g)
     if (fs.exists(meta)) fs.delete(meta, true)
+    // only on a renamed-away path: a LIVE table's empty dataRoot (e.g.
+    // right after retention) must stay — scans root partition discovery
+    // there
+    val renamedAway =
+      fs.exists(new Path(tablePath, Versioned.RenamedToMarker)) ||
+        Versioned.intentPath(tablePath).exists(ip =>
+          try fs.exists(ip)
+          catch { case _: java.io.IOException => false })
+    if (renamedAway)
+      Seq(gensRoot(tablePath), dataRoot(tablePath)).foreach { p =>
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
   }
 
   private def gensRoot(t: String) = new Path(t, GensDir)
@@ -2218,10 +2239,26 @@ object FactVersioned {
       adds: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
       retain: Int = 3,
       properties: Map[String, String] = Map.empty,
-      defaults: Map[String, String] = Map.empty): Commit = {
+      defaults: Map[String, String] = Map.empty,
+      positions: Map[String, String] = Map.empty): Commit = {
     require(adds.nonEmpty, "addFields: no fields given")
     adds.foreach { case (path, _) =>
       require(path.nonEmpty, "addFields: empty field path") }
+    // ADD COLUMN FIRST/AFTER (r16): purely presentational — the pinned
+    // schema's field order IS the presented column order (reads
+    // project by NAME at every layer, so position never touches data).
+    // Keys are lower-cased top-level column names from this statement;
+    // value "" = FIRST, anything else = AFTER that (logical) column.
+    // Top-level columns only: nested positioning would thread ordinals
+    // through every struct-rebuild seam for zero semantic gain.
+    positions.foreach { case (c, ref) =>
+      require(adds.exists(a => a._1.length == 1 &&
+          a._1.head.equalsIgnoreCase(c)),
+        s"addFields: position given for '$c', which is not a top-level " +
+          "column in this ADD statement")
+      require(ref.isEmpty || !ref.equalsIgnoreCase(c),
+        s"addFields: column '$c' cannot be positioned AFTER itself")
+    }
     // ADD COLUMN ... DEFAULT: top-level adds only (nested defaults
     // would need per-file nested existence handling Spark's reader
     // doesn't provide). The expression is constant-FOLDED here — a
@@ -2318,10 +2355,29 @@ object FactVersioned {
     require(keys.distinct.length == keys.length,
       s"addFields: duplicate field in one statement " +
         s"(${adds.map(_._1.mkString(".")).mkString(", ")})")
-    val widened = adds.foldLeft(schema) { case (sch, (path, dt)) =>
+    val appended = adds.foldLeft(schema) { case (sch, (path, dt)) =>
       addFieldAt(sch, path.init,
         org.apache.spark.sql.types.StructField(path.last, dt,
           nullable = true), path.mkString(".")).asInstanceOf[StructType]
+    }
+    // apply FIRST/AFTER ordering over the appended shape, sequentially
+    // (a later add may position AFTER an earlier one in the same
+    // statement)
+    val widened = positions.foldLeft(appended) { case (sch, (c, ref)) =>
+      val fields = sch.fields.toBuffer
+      val idx = fields.indexWhere(_.name.equalsIgnoreCase(c))
+      val moved = fields.remove(idx)
+      val at =
+        if (ref.isEmpty) 0
+        else {
+          val r = fields.indexWhere(_.name.equalsIgnoreCase(ref))
+          require(r >= 0,
+            s"addFields: AFTER column '$ref' does not exist " +
+              s"(have ${sch.fieldNames.mkString(", ")})")
+          r + 1
+        }
+      fields.insert(at, moved)
+      StructType(fields.toSeq)
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], widened)

@@ -123,7 +123,7 @@ object Versioned {
     * same directory, then one rename — `dest` is either absent or
     * complete, never torn (the tombstone/keys-record posture, now also
     * the rename markers'). */
-  private[operators] def atomicWriteFile(
+  private[graft] def atomicWriteFile(
       fs: org.apache.hadoop.fs.FileSystem,
       dest: Path, content: String): Unit = {
     val tmp = new Path(dest.getParent,
@@ -145,13 +145,18 @@ object Versioned {
   def renamedTo(spark: SparkSession, path: String): Option[String] = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readSmall(fs, new Path(path, RenamedToMarker))
-      .map(_.trim).filter(_.nonEmpty)
-      .orElse {
-        if (fs.exists(new Path(path))) None // table (or husk) still here
-        else intentPath(path)
-          .flatMap(readSmall(fs, _)).map(_.trim).filter(_.nonEmpty)
-      }
+    def marker: Option[String] =
+      readSmall(fs, new Path(path, RenamedToMarker))
+        .map(_.trim).filter(_.nonEmpty)
+    marker.orElse {
+      if (fs.exists(new Path(path))) None // table (or husk) still here
+      else intentPath(path)
+        .flatMap(readSmall(fs, _)).map(_.trim).filter(_.nonEmpty)
+        // the completing rename writes the marker BEFORE deleting the
+        // intent — a miss on both can only mean the marker landed
+        // between the two probes; one re-probe closes the interleave
+        .orElse(marker)
+    }
   }
 
   private[operators] def writeRenamedMarker(
@@ -170,9 +175,13 @@ object Versioned {
   private[operators] def requireNotRenamedAway(
       fs: org.apache.hadoop.fs.FileSystem,
       tablePath: String, who: String): Unit = {
-    readSmall(fs, new Path(tablePath, RenamedToMarker))
-      .map(_.trim).filter(_.nonEmpty) // blank = torn/foreign, not guidance
-      .foreach(to => throw renamedAwayError(who, tablePath, to))
+    // probe INTENT FIRST, marker second — the completing rename writes
+    // the guidance marker BEFORE deleting the intent, so this order
+    // leaves no blind interleave: a caller that misses the intent
+    // (already deleted) necessarily probes the marker after it landed.
+    // The reverse order had a window (marker probed pre-write, intent
+    // probed post-delete) where a writer saw NEITHER and re-created
+    // empty table dirs at the renamed-away path.
     intentPath(tablePath).foreach { ip =>
       readSmall(fs, ip).map(_.trim).filter(_.nonEmpty).foreach { to =>
         val fresh =
@@ -187,6 +196,9 @@ object Versioned {
         catch { case _: java.io.IOException => () }
       }
     }
+    readSmall(fs, new Path(tablePath, RenamedToMarker))
+      .map(_.trim).filter(_.nonEmpty) // blank = torn/foreign, not guidance
+      .foreach(to => throw renamedAwayError(who, tablePath, to))
   }
 
   final case class Commit(gen: Long, path: String)
@@ -208,6 +220,66 @@ object Versioned {
     }
 
   private def genDir(root: Path, g: Long) = new Path(root, s"gen=$g")
+
+  /** CAS-claim the next free generation number under `root` — the one
+    * claim loop [[commit]]/[[destroy]]/[[renameTable]] share (r16
+    * refactor of three near-identical blocks): start past every dir
+    * present (committed or not), then exclusively create the claim
+    * marker; a loser takes the next number. */
+  private def claimNextGen(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, who: String): Long = {
+    val present = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => if (n.startsWith("gen="))
+        n.stripPrefix("gen=").toLongOption else None)
+    var next = if (present.isEmpty) 0L else present.max + 1L
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"$who: could not claim a generation at $root after $attempts " +
+          "attempts — runaway concurrent committers?")
+      // atomicCreate, not bare fs.create(overwrite=false): the latter is
+      // check-then-act on LocalFileSystem, so same-instant racers could
+      // both claim one number (atomic on HDFS, but the CAS must hold
+      // everywhere the tests run too)
+      if (CommitLock.atomicCreate(fs, new Path(genDir(root, next), ClaimMarker)))
+        return next
+      next += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True iff `gen=g` under `root` is a LIVE in-flight claim: claimed,
+    * uncommitted, younger than the stale lease. */
+  private def inFlightClaim(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, g: Long): Boolean = {
+    val dir = genDir(root, g)
+    fs.exists(new Path(dir, ClaimMarker)) &&
+      !fs.exists(new Path(dir, CommitMarker)) &&
+      System.currentTimeMillis() -
+        fs.getFileStatus(new Path(dir, ClaimMarker))
+          .getModificationTime < StaleClaimMs
+  }
+
+  /** Wait (up to 60 s) for every claim BELOW `next` to resolve —
+    * publish, vanish, or go stale — the linearization step [[destroy]]
+    * and [[renameTable]] share; throws the retryable conflict on
+    * timeout (callers roll their own claim back). */
+  private def awaitLowerResolved(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, next: Long,
+      who: String): Unit = {
+    val deadline = System.currentTimeMillis() + 60L * 1000L
+    var g = 0L
+    while (g < next) {
+      if (!inFlightClaim(fs, root, g)) g += 1
+      else if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"$who: generation $g is still being written at $root — " +
+            "retry once the writer resolves")
+      else Thread.sleep(50)
+    }
+  }
 
   /** Committed generation numbers, ascending. */
   def generations(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -241,30 +313,9 @@ object Versioned {
       CommitLock.requireAtomicCommitContract(fs, root, "Versioned")
       fs.mkdirs(root)
     }
-    // start past every dir present — committed or not, so a crashed
-    // writer's leftover is never overwritten — then CAS-claim the
-    // number BEFORE any data write: exclusive create of the claim file
-    // arbitrates racing committers onto distinct directories
-    val present = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap(n => if (n.startsWith("gen="))
-        n.stripPrefix("gen=").toLongOption else None)
-    var next = if (present.isEmpty) 0L else present.max + 1L
-    var claimed = false
-    var attempts = 0
-    while (!claimed) {
-      attempts += 1
-      require(attempts <= 1000,
-        s"Versioned.commit: could not claim a generation at $tablePath " +
-          s"after $attempts attempts — runaway concurrent committers?")
-      // atomicCreate, not bare fs.create(overwrite=false): the latter is
-      // check-then-act on LocalFileSystem, so same-instant racers could
-      // both claim one number (atomic on HDFS, but the CAS must hold
-      // everywhere the tests run too)
-      if (CommitLock.atomicCreate(fs, new Path(genDir(root, next), ClaimMarker)))
-        claimed = true
-      else next += 1 // another committer holds this number — take the next
-    }
+    // CAS-claim the number BEFORE any data write: exclusive create of
+    // the claim file arbitrates racing committers onto distinct dirs
+    val next = claimNextGen(fs, root, "Versioned.commit")
     val dir = genDir(root, next)
     // append, not overwrite: the directory (holding our claim file)
     // already exists and is exclusively ours; overwrite would delete
@@ -300,40 +351,15 @@ object Versioned {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"Versioned.destroy: no table at $tablePath")
-    val present = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap(n => if (n.startsWith("gen="))
-        n.stripPrefix("gen=").toLongOption else None)
-    var next = if (present.isEmpty) 0L else present.max + 1L
-    var attempts = 0
-    var claimed = false
-    while (!claimed) {
-      attempts += 1
-      require(attempts <= 1000,
-        s"Versioned.destroy: could not claim a generation at $tablePath")
-      if (CommitLock.atomicCreate(fs, new Path(genDir(root, next), ClaimMarker)))
-        claimed = true
-      else next += 1
-    }
+    val next = claimNextGen(fs, root, "Versioned.destroy")
     // linearize: a lower claim still writing would re-create the tree
     // AFTER our delete (its parquet write mkdirs) — wait it out like
     // any committer (FactVersioned.awaitLowerClaims' contract)
-    val deadline = System.currentTimeMillis() + 60L * 1000L
-    var g = 0L
-    while (g < next) {
-      val dir = genDir(root, g)
-      val unresolved = fs.exists(new Path(dir, ClaimMarker)) &&
-        !fs.exists(new Path(dir, CommitMarker)) &&
-        System.currentTimeMillis() -
-          fs.getFileStatus(new Path(dir, ClaimMarker))
-            .getModificationTime < StaleClaimMs
-      if (!unresolved) g += 1
-      else if (System.currentTimeMillis() > deadline) {
+    try awaitLowerResolved(fs, root, next, "Versioned.destroy")
+    catch {
+      case e: Throwable =>
         fs.delete(genDir(root, next), true) // roll our claim back
-        throw new java.util.ConcurrentModificationException(
-          s"Versioned.destroy: generation $g is still being written at " +
-            s"$tablePath — retry the purge once the writer resolves")
-      } else Thread.sleep(50)
+        throw e
     }
     fs.delete(root, true)
   }
@@ -360,41 +386,10 @@ object Versioned {
     val dst = new Path(newPath)
     require(!fs.exists(dst),
       s"Versioned.renameTable: destination $newPath already exists")
-    val present = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap(n => if (n.startsWith("gen="))
-        n.stripPrefix("gen=").toLongOption else None)
-    var next = if (present.isEmpty) 0L else present.max + 1L
-    var attempts = 0
-    var claimed = false
-    while (!claimed) {
-      attempts += 1
-      require(attempts <= 1000,
-        s"Versioned.renameTable: could not claim a generation at $oldPath")
-      if (CommitLock.atomicCreate(fs,
-          new Path(genDir(root, next), ClaimMarker)))
-        claimed = true
-      else next += 1
-    }
-    def inFlight(g: Long): Boolean = {
-      val dir = genDir(root, g)
-      fs.exists(new Path(dir, ClaimMarker)) &&
-        !fs.exists(new Path(dir, CommitMarker)) &&
-        System.currentTimeMillis() -
-          fs.getFileStatus(new Path(dir, ClaimMarker))
-            .getModificationTime < StaleClaimMs
-    }
+    val next = claimNextGen(fs, root, "Versioned.renameTable")
+    def inFlight(g: Long): Boolean = inFlightClaim(fs, root, g)
     try {
-      val deadline = System.currentTimeMillis() + 60L * 1000L
-      var g = 0L
-      while (g < next) {
-        if (!inFlight(g)) g += 1
-        else if (System.currentTimeMillis() > deadline)
-          throw new java.util.ConcurrentModificationException(
-            s"Versioned.renameTable: generation $g is still being " +
-              s"written at $oldPath — retry once the writer resolves")
-        else Thread.sleep(50)
-      }
+      awaitLowerResolved(fs, root, next, "Versioned.renameTable")
       val higher = fs.listStatus(root).filter(_.isDirectory)
         .flatMap(_.getPath.getName.stripPrefix("gen=").toLongOption)
         .filter(g => g > next && inFlight(g))

@@ -1994,6 +1994,70 @@ object ScaleQueries extends QueryPack {
     // post-add INSERT persists real values (and an explicit NULL stays
     // NULL), time travel keeps the pre-add shape. Output value-gated
     // against the DuckDB mirror.
+    // ADD COLUMN FIRST/AFTER + DEFAULT in one lifecycle (r16 — the last
+    // rejected ALTER shape): position is purely presentational (the
+    // pinned schema's order IS the presented order; reads stay
+    // by-name), so the commit is the same metadata-only shape as any
+    // add. In-gate asserts: zero staged bytes, presented column order,
+    // carried rows read the default, post-add INSERT persists real
+    // values. Output value-gated against the DuckDB mirror (the
+    // driver's compare sorts columns by name, so the VALUE gate is
+    // order-blind — the order assert lives in-gate).
+    "q174_sql_column_position" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q174_").toString
+      val path = s"$wh/orders_pos"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_pos ADD COLUMN flag STRING " +
+          "DEFAULT 'n' AFTER o_orderkey")
+        s.sql("ALTER TABLE graft.orders_pos ADD COLUMN grp INT FIRST")
+        // metadata-only: neither positioned add staged data
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")),
+          "q174: positioned adds must stage no data")
+        // the pinned order presents (partition column and vgen keep
+        // their discovery/provenance slots)
+        val cols = s.sql("SELECT * FROM graft.orders_pos").columns.toSeq
+          .filterNot(c => c == FactVersioned.VGenCol || c == "y")
+        require(cols == Seq("grp", "o_orderkey", "flag",
+            "o_orderstatus", "o_totalprice"),
+          s"q174: pinned order must present, got $cols")
+        // carried rows read the default through the positioned slot
+        require(s.sql("SELECT count(*) FROM graft.orders_pos " +
+            "WHERE flag = 'n' AND grp IS NULL").head.getLong(0) ==
+            o.count(),
+          "q174: carried rows must read the default and null-fill")
+        s.sql(
+          """INSERT INTO graft.orders_pos BY NAME
+            |SELECT 7 AS grp, o_orderkey + 60000000 AS o_orderkey,
+            |  'y' AS flag, 'P' AS o_orderstatus, o_totalprice, y,
+            |  CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_pos
+            |WHERE y = 1996 AND o_orderkey % 100 = 0""".stripMargin)
+        val out = s.sql(
+          """SELECT grp, o_orderkey, flag, o_orderstatus,
+            |  round(o_totalprice, 2) AS o_totalprice, y
+            |FROM graft.orders_pos""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // `ALTER COLUMN ... TYPE` safe widenings (VERDICT r15 Next #4):
     // int->bigint and float->double commit METADATA-ONLY — carried
     // files stay narrow on disk and the parquet reader fills the wider
@@ -3370,6 +3434,22 @@ object ScaleQueries extends QueryPack {
     // CASTS (identical bit-exact: int->bigint and float->double are
     // value-preserving) + the inserted above-int-range rows — the
     // ALTERs moved no data
+    // the head after the positioned-add lifecycle ≡ base rows with the
+    // default + null grp, plus the inserted rows with real values —
+    // position never touches data (the driver compare is order-blind;
+    // the order assert lives in-gate)
+    "q174_sql_column_position" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT CAST(NULL AS INTEGER) AS grp, o_orderkey, 'n' AS flag,
+        |  o_orderstatus, round(o_totalprice, 2) AS o_totalprice, y
+        |FROM base
+        |UNION ALL
+        |SELECT 7, o_orderkey + 60000000, 'y', 'P',
+        |  round(o_totalprice, 2), y
+        |FROM base WHERE y = 1996 AND o_orderkey % 100 = 0""".stripMargin,
     "q172_sql_widen_types" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

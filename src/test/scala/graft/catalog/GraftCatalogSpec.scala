@@ -340,24 +340,43 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 10L)
   }
 
-  test("INSERT OVERWRITE is rejected; pinned-version resolutions are " +
-      "not insertable") {
+  test("INSERT OVERWRITE commits (r16 — full-head replace, versioned); " +
+      "DYNAMIC partition-overwrite mode is rejected at analysis; " +
+      "pinned-version resolutions are not insertable") {
     val root = Files.createTempDirectory("graft_cat_").toString
     val path = s"$root/facts"
     val f0 = (1 to 12).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x")
     FactVersioned.upsert(spark, path, f0, Seq("k"), "p")
     register(root)
-    // Spark rejects it at the capability layer (no truncate/overwrite
-    // support advertised) — before the committer is ever reached
-    val e = intercept[Exception] {
-      spark.sql(
-        """INSERT OVERWRITE graftt.facts BY NAME
-          |SELECT k, p, x, CAST(NULL AS BIGINT) AS vgen
-          |FROM graftt.facts""".stripMargin)
-    }
-    assert(e.getMessage.contains("truncate") ||
-      e.getMessage.contains("OVERWRITE"), e.getMessage)
-    assert(FactVersioned.generations(spark, path) == Seq(0L))
+    // spec-less static overwrite: ONE versioned commit replacing the
+    // head; history keeps the old content (InsertOverwriteSpec covers
+    // the partition-spec'd shapes and FS write-amp asserts)
+    spark.sql(
+      """INSERT OVERWRITE graftt.facts BY NAME
+        |SELECT k, p, x * 10 AS x, CAST(NULL AS BIGINT) AS vgen
+        |FROM graftt.facts WHERE k <= 3""".stripMargin)
+    assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+    assert(spark.sql("SELECT count(*) FROM graftt.facts")
+      .as[Long].head() === 3L)
+    assert(spark.sql(
+        "SELECT count(*) FROM graftt.facts VERSION AS OF 0")
+      .as[Long].head() === 12L)
+    // dynamic mode: the OVERWRITE_DYNAMIC capability is deliberately
+    // absent — Spark rejects at analysis, nothing commits
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val e = intercept[Exception] {
+        spark.sql(
+          """INSERT OVERWRITE graftt.facts BY NAME
+            |SELECT k, p, x, CAST(NULL AS BIGINT) AS vgen
+            |FROM graftt.facts""".stripMargin)
+      }
+      assert(e.getMessage.toLowerCase.contains("dynamic") ||
+        e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
+      assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
   test("CTAS creates a fact table (PARTITIONED BY) or a dimension " +
@@ -591,6 +610,51 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graftt.safe RENAME TO `../escaped`")
     }
     assert(FactVersioned.generations(spark, s"$root/safe").nonEmpty)
+  }
+
+  test("namespace properties: CREATE ... WITH PROPERTIES persists, " +
+      "ALTER NAMESPACE SET/UNSET rewrites atomically, COMMENT ON " +
+      "lands, DESCRIBE reads them back; existence probes never throw " +
+      "on unsafe names") {
+    val root = Files.createTempDirectory("graft_nsp_").toString
+    spark.conf.set("spark.sql.catalog.graftnp",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftnp.root", root)
+    spark.sql("CREATE NAMESPACE graftnp.lake WITH PROPERTIES " +
+      "('team' = 'data', 'tier' = 'bronze')")
+    def props(): Map[String, String] =
+      spark.sql("DESCRIBE NAMESPACE EXTENDED graftnp.lake").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("Properties").exists(p =>
+      p.contains("team") && p.contains("bronze")), props())
+    spark.sql("ALTER NAMESPACE graftnp.lake SET PROPERTIES " +
+      "('tier' = 'silver', 'retention' = '30d')")
+    assert(props().get("Properties").exists(p =>
+      p.contains("silver") && p.contains("30d") && !p.contains("bronze")))
+    spark.sql("ALTER NAMESPACE graftnp.lake UNSET PROPERTIES " +
+      "('retention')")
+    assert(props().get("Properties").exists(p => !p.contains("30d")))
+    spark.sql("COMMENT ON NAMESPACE graftnp.lake IS 'the lake'")
+    assert(spark.sql("DESCRIBE NAMESPACE EXTENDED graftnp.lake")
+      .collect().exists(r => r.getString(1).contains("the lake")))
+    // tables keep resolving under a propertied namespace
+    import spark.implicits._
+    FactVersioned.upsert(spark, s"$root/lake/t",
+      (1 to 3).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x"),
+      Seq("k"), "p")
+    assert(spark.sql("SELECT count(*) FROM graftnp.lake.t")
+      .head.getLong(0) == 3)
+    // ADVICE r15 #5: an unsafe name is 'absent', not an exception, so
+    // CREATE TABLE IF NOT EXISTS paths behave; explicit creates still
+    // reject loudly at the create door
+    val cat = spark.sessionState.catalogManager.catalog("graftnp")
+      .asInstanceOf[GraftCatalog]
+    assert(!cat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "_underscored")))
+    assert(!cat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "..")))
   }
 
   test("ALTER TABLE RENAME TO: reads under the new name match, the old " +

@@ -222,6 +222,52 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
   }
 
+  test("ADD COLUMN FIRST/AFTER orders the pinned schema (purely " +
+      "presentational — reads stay by-name): facts metadata-only, dims " +
+      "full-copy; AFTER a missing column fails loudly") {
+    val wh = tmp()
+    val s = spark
+    s.conf.set("spark.sql.catalog.graftpos",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftpos.root", wh)
+    // fact: base columns (k, p, meta); add FIRST and AFTER
+    val fpath = s"$wh/ft"
+    FactVersioned.upsert(spark, fpath, base(6), Seq("k"), "p", retain = 10)
+    s.sql("ALTER TABLE graftpos.ft ADD COLUMN lead STRING FIRST")
+    s.sql("ALTER TABLE graftpos.ft ADD COLUMN midway LONG AFTER k")
+    // metadata-only: no data staged by either ALTER
+    val fs = new org.apache.hadoop.fs.Path(fpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$fpath/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$fpath/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")))
+    // presented order: data columns follow the pinned order (partition
+    // column and vgen keep their discovery/provenance slots)
+    val cols = s.sql("SELECT * FROM graftpos.ft").columns.toSeq
+      .filterNot(c => c == FactVersioned.VGenCol || c == "p")
+    assert(cols == Seq("lead", "k", "midway", "meta"),
+      s"pinned order must present, got $cols")
+    // carried rows null-fill; by-name reads are untouched by the order
+    assert(s.sql("SELECT count(*) FROM graftpos.ft WHERE lead IS NULL " +
+      "AND midway IS NULL").head.getLong(0) == 6)
+    assert(s.sql("SELECT sum(meta.score) FROM graftpos.ft")
+      .head.getLong(0) == (1 to 6).map(_ * 10L).sum)
+    // AFTER a missing column fails the statement, commits nothing
+    val gensBefore = FactVersioned.generations(spark, fpath)
+    intercept[Exception] {
+      s.sql("ALTER TABLE graftpos.ft ADD COLUMN x INT AFTER nope")
+    }
+    assert(FactVersioned.generations(spark, fpath) == gensBefore)
+    // dim: same surface, full-copy
+    val dpath = s"$wh/dt"
+    Versioned.commit((1 to 4).map(i => (i.toLong, i * 10L)).toDF("k", "v"),
+      dpath, retain = 5)
+    s.sql("ALTER TABLE graftpos.dt ADD COLUMN tag STRING FIRST")
+    assert(s.sql("SELECT * FROM graftpos.dt").columns.toSeq ==
+      Seq("tag", "k", "v"))
+  }
+
   test("SQL door: ALTER TABLE ADD/DROP COLUMN of a nested field " +
       "routes to the metadata-only commits on a FACT table and a " +
       "full-copy generation on a DIMENSION") {

@@ -194,11 +194,15 @@ class TableRenameSpec extends SparkSpec {
       s"[seed=$seed] rename intent marker leaked")
   }
 
-  // seeded repeats: `-Dgraft.storm.repeats=N` scales the campaign (the
-  // round ledger runs 50+ on quiet AND loaded machines); default keeps
-  // the suite fast while still exercising three distinct interleaves
+  // seeded repeats: `GRAFT_STORM_REPEATS=N` (env — sbt forks test JVMs,
+  // so a -D on the sbt command line would not arrive) scales the
+  // campaign (the round ledger runs 50+ on quiet AND loaded machines);
+  // the default keeps the suite fast while still exercising three
+  // distinct interleaves
   private val stormRepeats =
-    sys.props.get("graft.storm.repeats").flatMap(_.toIntOption).getOrElse(3)
+    sys.env.get("GRAFT_STORM_REPEATS")
+      .orElse(sys.props.get("graft.storm.repeats"))
+      .flatMap(_.toIntOption).getOrElse(3)
 
   test("interleaved TABLE RENAME + concurrent upserts: the move is " +
       "atomic, every surviving upsert lands exactly once at the final " +
