@@ -171,6 +171,14 @@ class ConcurrencyMatrixSpec extends SparkSpec {
     },
     "purge" -> { a: String =>
       FactVersioned.destroy(spark, pathOf(a))
+    },
+    // TABLE RENAME as a first-class matrix door (r16): the storm spec
+    // covers rename × upsert; the matrix adds rename × merge/optimize/
+    // vacuum under the same one-normative-contract harness. Retried as
+    // a whole, so idempotent: once the move landed, pathOf re-targets
+    // and the door is done.
+    "table_rename" -> { a: String =>
+      if (pathOf(a) == a) FactVersioned.renameTable(spark, a, a + "_mv")
     })
 
   private def runCase(
@@ -253,6 +261,17 @@ class ConcurrencyMatrixSpec extends SparkSpec {
               !meta.fieldNames.contains("score"),
             s"[$ddlName x $dmlName] nested rename lost: " +
               meta.fieldNames.toSeq)
+        case "table_rename" =>
+          assert(p == a + "_mv",
+            s"[$ddlName x $dmlName] table rename lost: resolved $p")
+          // the old path holds nothing but the guidance tombstone —
+          // no stranded commit, no husk dirs (the r16 storm-campaign
+          // invariant, now enforced across every DML pairing)
+          val fs = new Path(a).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          assert(fs.listStatus(new Path(a)).map(_.getPath.getName)
+              .toSeq == Seq(Versioned.RenamedToMarker),
+            s"[$ddlName x $dmlName] old path not a clean tombstone")
         case _ => ()
       }
     }
