@@ -552,6 +552,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val nestedRenames = Seq.newBuilder[(Seq[String], String)]
     val addDefaults = scala.collection.mutable.Map.empty[String, String]
     val addPositions = scala.collection.mutable.Map.empty[String, String]
+    val propSets = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val propUnsets = Seq.newBuilder[String]
     val nestedAdds =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedDrops = Seq.newBuilder[Seq[String]]
@@ -603,6 +605,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // rejected by leafWidens with full-rewrite guidance.
       case u: TableChange.UpdateColumnType =>
         retypes += u.fieldNames.toSeq -> u.newDataType()
+      // SET/UNSET TBLPROPERTIES + COMMENT ON TABLE (r16): facts pin a
+      // per-generation record (metadata-only commit, era-readable);
+      // dims keep a table-root record (full-copy store — properties
+      // are table-level there)
+      case sp: TableChange.SetProperty =>
+        propSets += sp.property() -> sp.value()
+      case rp: TableChange.RemoveProperty =>
+        propUnsets += rp.property()
       case other => throw new UnsupportedOperationException(
         "GraftCatalog: only ALTER TABLE ADD/DROP/RENAME COLUMN(S) and " +
           "safe-widening ALTER COLUMN TYPE are supported " +
@@ -619,17 +629,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val addsAll = fields.map(f => Seq(f.name) -> f.dataType) ++ nAdds
     val dropsAll = dropped.map(Seq(_)) ++ nDrops
     val retypesAll = retypes.result()
+    val unsetsAll = propUnsets.result()
+    val propsChanged = propSets.nonEmpty || unsetsAll.nonEmpty
     require(Seq(addsAll.map(_._1), dropsAll,
         renamed.map(r => Seq(r._1)) ++ nRenames.map(_._1),
-        retypesAll.map(_._1))
+        retypesAll.map(_._1),
+        if (propsChanged) Seq(Seq("tblproperties")) else Nil)
         .count(_.nonEmpty) <= 1,
-      "GraftCatalog: mix of ADD/DROP/RENAME/ALTER TYPE in one ALTER is " +
-        "not supported — issue separate statements")
+      "GraftCatalog: mix of ADD/DROP/RENAME/ALTER TYPE/SET PROPERTIES " +
+        "in one ALTER is not supported — issue separate statements")
     require(renamed.isEmpty || nRenames.isEmpty,
       "GraftCatalog: mix of top-level and nested RENAME in one ALTER " +
         "is not supported — issue separate statements")
     if (isFact) {
-      if (retypesAll.nonEmpty)
+      if (propsChanged)
+        FactVersioned.setTableProperties(spark, path, propSets.toMap,
+          unsetsAll, retain = retainFor(path),
+          properties = Map("operation" -> "ALTER TABLE SET TBLPROPERTIES"))
+      else if (retypesAll.nonEmpty)
         FactVersioned.widenFieldTypes(spark, path, retypesAll,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER COLUMN TYPE"))
@@ -656,6 +673,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         FactVersioned.dropFieldPaths(spark, path, dropsAll,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
+    } else if (propsChanged) {
+      // dims: a table-root record, atomically rewritten (the full-copy
+      // store carries no per-generation metadata dirs)
+      val updated =
+        (GraftCatalog.readDimProps(spark, path) ++ propSets.toMap) --
+          unsetsAll
+      Versioned.atomicWriteFile(
+        hadoopFs(new Path(path)), new Path(path, GraftCatalog.DimPropsFile),
+        updated.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+          .mkString("\n"))
     } else {
       val cur = Versioned.read(spark, path)
       if (retypesAll.nonEmpty) {
@@ -880,6 +907,30 @@ object GraftCatalog {
     * inside a CTAS between createTable and the data landing, or the
     * husk a crashed CTAS leaves). Content: `fact\t<pcol>` or `dim`. */
   val PendingMarkerName = "_graft_ctas_pending"
+
+  /** DIMENSION table properties record (table-root `key\tvalue` file,
+    * atomically rewritten): the full-copy store has no per-generation
+    * metadata dirs, so dim TBLPROPERTIES are table-level. Fact tables
+    * version theirs per generation ([[graft.operators.FactVersioned
+    * .tableProperties]]). */
+  val DimPropsFile = "_graft_tblprops"
+
+  private[catalog] def readDimProps(
+      spark: SparkSession, path: String): Map[String, String] = {
+    val p = new Path(path, DimPropsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").filter(_.contains("\t")).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
 }
 
 // ---- INSERT surface: append-only writes routed THROUGH the stores'
@@ -1029,6 +1080,14 @@ private[catalog] class WritableFactTable(
     path: String, retain: () => Int,
     val resolvedGen: Long)
     extends GraftWritableTable(inner, path, retain) {
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED read the head generation's
+    * pinned record (per-era; SET/UNSET commits a new generation). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap(inner.properties())
+    FactVersioned.tableProperties(spark, path)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val rows = data.drop(FactVersioned.VGenCol)
     FactVersioned.appendBy(spark, path, rows,
@@ -1201,6 +1260,12 @@ private[catalog] class WritableDimTable(
     inner: Table with org.apache.spark.sql.connector.catalog.SupportsRead,
     path: String, retain: () => Int)
     extends GraftWritableTable(inner, path, retain) {
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap(inner.properties())
+    GraftCatalog.readDimProps(spark, path)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val current = Versioned.read(spark, path)
     Versioned.commit(current.unionByName(data), path,

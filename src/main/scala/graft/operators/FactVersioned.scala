@@ -989,7 +989,8 @@ object FactVersioned {
       preCommit: () => Unit = () => (),
       colMap: Option[Map[String, String]] = None,
       defaults: Option[Map[String, String]] = None,
-      typeWiden: Boolean = false): Commit = {
+      typeWiden: Boolean = false,
+      tblProps: Option[Map[String, String]] = None): Commit = {
     require(retain >= 1, "retain must keep at least the new generation")
     require(partitionCols.nonEmpty, "no partition columns given")
     requireCleanProperties(properties)
@@ -1022,7 +1023,7 @@ object FactVersioned {
     val commit = try {
       publishClaimed(spark, tablePath, content, partitionCols, touched,
         basisGen, properties, statsCols, fs, gRoot, next, genData,
-        preCommit, colMap, defaults, typeWiden)
+        preCommit, colMap, defaults, typeWiden, tblProps)
     } catch {
       case e: Throwable =>
         abortClaim(fs, tablePath, next, genData)
@@ -1050,7 +1051,8 @@ object FactVersioned {
       preCommit: () => Unit,
       colMapOverride: Option[Map[String, String]] = None,
       defaultsOverride: Option[Map[String, String]] = None,
-      typeWiden: Boolean = false): Commit = {
+      typeWiden: Boolean = false,
+      tblPropsOverride: Option[Map[String, String]] = None): Commit = {
     val parentAtClaim = generations(spark, tablePath).lastOption
     val presentCols = content.columns.map(_.toLowerCase).toSet
 
@@ -1075,6 +1077,12 @@ object FactVersioned {
       parentAtClaim.map(readDefaults(fs, tablePath, _))
         .getOrElse(Map.empty)
         .filter { case (c, _) => presentCols(c) }
+    }
+    // TABLE PROPERTIES inherit verbatim (they name no columns) unless
+    // the SET/UNSET door pins its own record
+    val tprops: Map[String, String] = tblPropsOverride.getOrElse {
+      parentAtClaim.map(readTblProps(fs, tablePath, _))
+        .getOrElse(Map.empty)
     }
 
     // the on-disk tree and the manifest `dir` strings are keyed by the
@@ -1383,6 +1391,13 @@ object FactVersioned {
         .map { case (c, v) => s"$c\t$v" }.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
       finally df0.close()
+    }
+    if (tprops.nonEmpty) {
+      val tp = fs.create(tblPropsPath(tablePath, next), true)
+      try tp.write(tprops.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally tp.close()
     }
     // the DECLARED touched set (staged dirs ∪ partition deletes) — the
     // conflict-detection record later committers check overlap against.
@@ -1985,6 +2000,78 @@ object FactVersioned {
         }.toMap
       }
     }
+
+  /** Per-generation TABLE PROPERTIES record (`ALTER TABLE SET/UNSET
+    * TBLPROPERTIES`, r16) — the colmap/defaults posture: each
+    * generation pins ITS OWN properties (inherited verbatim from the
+    * parent unless a DDL commit overrides them), so `VERSION AS OF`
+    * reads each era's properties and a later SET can never rewrite
+    * what a committed generation reported. Distinct from
+    * [[PropertiesFile]] (per-COMMIT provenance: who/what wrote this
+    * generation); tblprops are the user's durable table metadata. */
+  private def tblPropsPath(t: String, g: Long) =
+    new Path(genMeta(t, g), "tblprops")
+
+  /** Generation `gen`'s (default: head's) table properties. */
+  def tableProperties(
+      spark: SparkSession, tablePath: String,
+      gen: Option[Long] = None): Map[String, String] = {
+    val gens = generations(spark, tablePath)
+    if (gens.isEmpty) return Map.empty
+    val g = gen.getOrElse(gens.max)
+    if (!gens.contains(g)) return Map.empty
+    readTblProps(fsOf(spark, tablePath), tablePath, g)
+  }
+
+  private def readTblProps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      t: String, g: Long): Map[String, String] =
+    MetaCache.get(metaKeyFs(fs, t, g, "tblprops")) {
+      val p = tblPropsPath(t, g)
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        val in = fs.open(p)
+        val text = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        text.split("\n").filter(_.contains("\t")).map { line =>
+          val i = line.indexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+      }
+    }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES (set) / UNSET TBLPROPERTIES
+    * (unset)` — ONE metadata-only commit pinning the updated record;
+    * carried files untouched, earlier generations keep their own
+    * properties. */
+  def setTableProperties(
+      spark: SparkSession,
+      tablePath: String,
+      set: Map[String, String],
+      unset: Seq[String] = Nil,
+      retain: Int = 3,
+      properties: Map[String, String] = Map.empty): Commit = {
+    require(set.nonEmpty || unset.nonEmpty,
+      "setTableProperties: no changes given")
+    requireCleanProperties(set)
+    val gens = generations(spark, tablePath)
+    require(gens.nonEmpty, s"setTableProperties: no committed " +
+      s"generations at $tablePath — create the table first")
+    val head = gens.max
+    val updated =
+      (readTblProps(fsOf(spark, tablePath), tablePath, head) ++ set) --
+        unset
+    val schema = readSchema(spark, tablePath, head)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    replacePartitionsBy(spark, tablePath, empty,
+      logicalPartitionColumns(spark, tablePath), Nil, retain,
+      basisGen = Some(head), properties = properties,
+      tblProps = Some(updated))
+  }
 
   /** `schema` with `EXISTS_DEFAULT`/`CURRENT_DEFAULT` metadata attached
     * to each top-level field whose LOGICAL name (taken positionally

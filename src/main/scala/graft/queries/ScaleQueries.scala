@@ -1994,6 +1994,67 @@ object ScaleQueries extends QueryPack {
     // post-add INSERT persists real values (and an explicit NULL stays
     // NULL), time travel keeps the pre-add shape. Output value-gated
     // against the DuckDB mirror.
+    // SET/UNSET TBLPROPERTIES + COMMENT ON TABLE (r16): a fact table's
+    // properties are a PER-GENERATION pinned record (the colmap/
+    // defaults posture) — SET/UNSET commits metadata-only, data
+    // commits inherit the record verbatim, earlier generations keep
+    // their own (era-readable), and the record rides a TABLE RENAME
+    // inside the tree. In-gate asserts: zero staged bytes, gen-0 record
+    // empty, inheritance across a data commit, survival across RENAME
+    // TO. Output = the surviving property rows via SHOW TBLPROPERTIES,
+    // value-gated against a DuckDB literal mirror.
+    "q175_sql_tblproperties" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q175_").toString
+      val path = s"$wh/orders_tp"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_tp SET TBLPROPERTIES " +
+          "('pipeline' = 'ingest-v2', 'tier' = 'gold', " +
+          "'retention.days' = '30')")
+        s.sql("ALTER TABLE graft.orders_tp UNSET TBLPROPERTIES ('tier')")
+        // both property commits are metadata-only
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L, 2L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=2")),
+          "q175: property commits must stage no data")
+        // era-readable: the pre-SET generation pinned no properties
+        require(FactVersioned.tableProperties(s, path, Some(0L)).isEmpty,
+          "q175: generation 0 must pin no properties")
+        // a data commit INHERITS the record verbatim
+        s.sql(
+          """INSERT INTO graft.orders_tp BY NAME
+            |SELECT o_orderkey + 70000000 AS o_orderkey, 'T' AS
+            |  o_orderstatus, y, CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_tp
+            |WHERE y = 1995 AND o_orderkey % 500 = 0""".stripMargin)
+        require(FactVersioned.tableProperties(s, path) ==
+            Map("pipeline" -> "ingest-v2", "retention.days" -> "30"),
+          "q175: data commits must inherit the properties record")
+        // the record rides a TABLE RENAME (it lives inside the tree)
+        s.sql("ALTER TABLE graft.orders_tp RENAME TO orders_tp2")
+        val out = s.sql("SHOW TBLPROPERTIES graft.orders_tp2")
+          .where(col("key").isin("pipeline", "tier", "retention.days"))
+          .select(col("key"), col("value"))
+          .localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     // ADD COLUMN FIRST/AFTER + DEFAULT in one lifecycle (r16 — the last
     // rejected ALTER shape): position is purely presentational (the
     // pinned schema's order IS the presented order; reads stay
@@ -3434,6 +3495,12 @@ object ScaleQueries extends QueryPack {
     // CASTS (identical bit-exact: int->bigint and float->double are
     // value-preserving) + the inserted above-int-range rows — the
     // ALTERs moved no data
+    // the surviving TBLPROPERTIES after SET+UNSET+inherit+rename ≡ the
+    // literal set (UNSET retired 'tier'; the rename moved the record)
+    "q175_sql_tblproperties" ->
+      """SELECT 'pipeline' AS key, 'ingest-v2' AS value
+        |UNION ALL
+        |SELECT 'retention.days', '30'""".stripMargin,
     // the head after the positioned-add lifecycle ≡ base rows with the
     // default + null grp, plus the inserted rows with real values —
     // position never touches data (the driver compare is order-blind;

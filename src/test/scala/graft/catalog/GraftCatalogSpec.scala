@@ -657,6 +657,67 @@ class GraftCatalogSpec extends SparkSpec {
         Array.empty[String], "..")))
   }
 
+  test("SET/UNSET TBLPROPERTIES + COMMENT ON TABLE: facts pin a " +
+      "per-generation record (metadata-only commit, era-readable via " +
+      "VERSION AS OF semantics), dims keep a table-root record; SHOW " +
+      "TBLPROPERTIES reads them back; properties ride a TABLE RENAME") {
+    val root = Files.createTempDirectory("graft_tbp_").toString
+    spark.conf.set("spark.sql.catalog.grafttp",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grafttp.root", root)
+    val fpath = s"$root/ft"
+    FactVersioned.upsert(spark, fpath,
+      (1 to 6).map(i => (i.toLong, i % 2, i * 1.0)).toDF("k", "p", "x"),
+      Seq("k"), "p", retain = 10)
+    spark.sql("ALTER TABLE grafttp.ft SET TBLPROPERTIES " +
+      "('pipeline' = 'ingest-v2', 'tier' = 'gold')")
+    // metadata-only: one generation, zero staged bytes
+    val fs = new org.apache.hadoop.fs.Path(fpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(FactVersioned.generations(spark, fpath) == Seq(0L, 1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$fpath/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")))
+    def shown(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES grafttp.ft").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown().get("pipeline").contains("ingest-v2"))
+    assert(shown().get("tier").contains("gold"))
+    // era-readable: generation 0 pinned NO properties
+    assert(FactVersioned.tableProperties(spark, fpath, Some(0L)).isEmpty)
+    assert(FactVersioned.tableProperties(spark, fpath) ==
+      Map("pipeline" -> "ingest-v2", "tier" -> "gold"))
+    // UNSET retires a key; later data commits INHERIT the record
+    spark.sql("ALTER TABLE grafttp.ft UNSET TBLPROPERTIES ('tier')")
+    assert(!shown().contains("tier") &&
+      shown().get("pipeline").contains("ingest-v2"))
+    FactVersioned.upsert(spark, fpath,
+      Seq((9L, 1, 9.0)).toDF("k", "p", "x"), Seq("k"), "p", retain = 10)
+    assert(FactVersioned.tableProperties(spark, fpath) ==
+      Map("pipeline" -> "ingest-v2"),
+      "data commits must inherit the properties record")
+    // COMMENT ON TABLE routes through the same door (SHOW
+    // TBLPROPERTIES filters the reserved 'comment' key — read the
+    // pinned record directly)
+    spark.sql("COMMENT ON TABLE grafttp.ft IS 'the fact table'")
+    assert(FactVersioned.tableProperties(spark, fpath)
+      .get("comment").contains("the fact table"))
+    // properties ride a TABLE RENAME (the record lives inside the tree)
+    spark.sql("ALTER TABLE grafttp.ft RENAME TO ft2")
+    assert(FactVersioned.tableProperties(spark, s"$root/ft2")
+      .get("pipeline").contains("ingest-v2"))
+    // dims: table-root record
+    val dpath = s"$root/dt"
+    Versioned.commit(
+      (1 to 4).map(i => (i.toLong, i * 10L)).toDF("k", "v"), dpath,
+      retain = 5)
+    spark.sql("ALTER TABLE grafttp.dt SET TBLPROPERTIES ('team' = 'ml')")
+    assert(spark.sql("SHOW TBLPROPERTIES grafttp.dt").collect()
+      .exists(r => r.getString(0) == "team" && r.getString(1) == "ml"))
+    spark.sql("ALTER TABLE grafttp.dt UNSET TBLPROPERTIES ('team')")
+    assert(!spark.sql("SHOW TBLPROPERTIES grafttp.dt").collect()
+      .exists(r => r.getString(0) == "team"))
+  }
+
   test("ALTER TABLE RENAME TO: reads under the new name match, the old " +
       "name fails with guidance, re-CREATE of the old name supersedes " +
       "the tombstone, and an existing destination is rejected") {
