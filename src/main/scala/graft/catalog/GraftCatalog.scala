@@ -311,25 +311,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       hadoopFs(p).exists(new Path(p, NsMarker))
     }
 
-  /** Namespace properties live INSIDE the marker file as sorted
-    * `key\tvalue` lines (r16 — the alterNamespace gap): tiny, atomic
-    * to rewrite ([[Versioned.atomicWriteFile]]), and they ride a
-    * namespace rename/move with the directory. Keys/values are tab- and
-    * newline-free (the commit-properties contract). */
+  /** Namespace properties live in a SIBLING file of the marker
+    * ([[NsPropsFile]], sorted `key\tvalue` lines, atomically rewritten
+    * via [[Versioned.atomicWriteFile]]) — NEVER inside the marker
+    * itself: the marker IS the namespace-existence bit, and a rewrite's
+    * delete→rename window (or a crash inside it) would make the
+    * namespace and every table under it transiently or permanently
+    * unresolvable. The marker is immutable after CREATE. Concurrent
+    * ALTER NAMESPACEs are last-writer-wins (properties are cosmetic
+    * metadata; nothing load-bearing reads them). */
+  private val NsPropsFile = "_graft_namespace_props"
+
   private def readNsProps(namespace: Array[String]): Map[String, String] = {
-    val m = new Path(nsPath(namespace), NsMarker)
-    val fs = hadoopFs(m)
-    if (!fs.exists(m)) return Map.empty
-    val in = fs.open(m)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split("\n").filter(_.contains("\t")).map { line =>
-      val i = line.indexOf('\t')
-      line.substring(0, i) -> line.substring(i + 1)
-    }.toMap
+    val p = new Path(nsPath(namespace), NsPropsFile)
+    Versioned.readKv(hadoopFs(p), p)
   }
 
   private def writeNsProps(
@@ -341,7 +336,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"non-empty and tab/newline-free: '$k'")
     }
     val dir = nsPath(namespace)
-    Versioned.atomicWriteFile(hadoopFs(dir), new Path(dir, NsMarker),
+    Versioned.atomicWriteFile(hadoopFs(dir), new Path(dir, NsPropsFile),
       props.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
   }
 
@@ -416,6 +411,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fs0 = hadoopFs(nsPath(namespace))
     val extras = fs0.listStatus(nsPath(namespace))
       .filterNot(_.getPath.getName == NsMarker)
+      // the namespace's own metadata: the properties record and any
+      // crashed rewrite's tmp debris (atomicWriteFile tmp naming)
+      .filterNot(st => st.getPath.getName == NsPropsFile ||
+        st.getPath.getName.startsWith("." + NsPropsFile + ".tmp"))
       .filterNot { st =>
         st.isDirectory && {
           val entries = fs0.listStatus(st.getPath)
@@ -515,6 +514,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (pcols.nonEmpty) s"fact\t${pcols.mkString(",")}" else "dim")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // check-AFTER-write half of the rename-window protocol (see
+    // Versioned.writeRenamedMarker): a rename completing concurrently
+    // may have dropped its guidance tombstone here before our pending
+    // marker became visible — the explicit CREATE supersedes it
+    val tomb = new Path(path, Versioned.RenamedToMarker)
+    if (fs.exists(tomb))
+      try fs.delete(tomb, false)
+      catch { case _: java.io.IOException => () }
     new PendingGraftTable(s"$catalogName.${ident.name}", path, schema,
       pcols, () => retainFor(path))
   }
@@ -551,7 +558,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val renames = Seq.newBuilder[(String, String)]
     val nestedRenames = Seq.newBuilder[(Seq[String], String)]
     val addDefaults = scala.collection.mutable.Map.empty[String, String]
-    val addPositions = scala.collection.mutable.Map.empty[String, String]
+    // STATEMENT order — positions apply sequentially (`ADD COLUMNS
+    // (a INT AFTER x, b INT AFTER a)` must place b after a's final
+    // slot), so a hash map's arbitrary iteration order would reorder
+    // multi-column positioned ADDs
+    val addPositions =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     val propSets = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val propUnsets = Seq.newBuilder[String]
     val nestedAdds =
@@ -658,7 +670,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE ADD COLUMNS"),
           defaults = addDefaults.toMap,
-          positions = addPositions.toMap)
+          positions = addPositions.toSeq)
       else if (renamed.nonEmpty)
         FactVersioned.renameColumns(spark, path, renamed.toMap,
           retain = retainFor(path),
@@ -905,8 +917,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   /** Marker file of a table created but not yet written (the window
     * inside a CTAS between createTable and the data landing, or the
-    * husk a crashed CTAS leaves). Content: `fact\t<pcol>` or `dim`. */
-  val PendingMarkerName = "_graft_ctas_pending"
+    * husk a crashed CTAS leaves). Content: `fact\t<pcol>` or `dim`.
+    * The NAME is owned by [[graft.operators.Versioned]] so the rename
+    * protocol can probe it without a reverse package dependency. */
+  val PendingMarkerName: String =
+    graft.operators.Versioned.CtasPendingMarker
 
   /** DIMENSION table properties record (table-root `key\tvalue` file,
     * atomically rewritten): the full-copy store has no per-generation
@@ -918,18 +933,8 @@ object GraftCatalog {
   private[catalog] def readDimProps(
       spark: SparkSession, path: String): Map[String, String] = {
     val p = new Path(path, DimPropsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split("\n").filter(_.contains("\t")).map { line =>
-      val i = line.indexOf('\t')
-      line.substring(0, i) -> line.substring(i + 1)
-    }.toMap
+    graft.operators.Versioned.readKv(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 }
 
@@ -1112,7 +1117,10 @@ private[catalog] class WritableFactTable(
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe,
       EqualTo, Filter}
-    val rows = data.drop(FactVersioned.VGenCol)
+    // materialize the source ONCE: the touched-set derivation, the
+    // spec-containment guard and the commit itself all consume it — an
+    // expensive SELECT must not run three times
+    val rows = data.drop(FactVersioned.VGenCol).localCheckpoint()
     val pcols = FactVersioned.logicalPartitionColumns(spark, path)
     def flat(f: Filter): Seq[Filter] = f match {
       case And(l, r) => flat(l) ++ flat(r)
@@ -1137,6 +1145,9 @@ private[catalog] class WritableFactTable(
     val pred = spec.foldLeft(lit(true)) { case (p, (a, v)) =>
       p && (col(a) <=> lit(v))
     }
+    // partition-column-only projection: the scan reads NO data columns
+    // (partition values come from dir names) — the truncateTable cost
+    // class, not a data scan
     val head = FactVersioned.read(spark, path)
     val headTouched = head.where(pred)
       .select(pcols.map(col): _*).distinct().limit(10001).collect()

@@ -2027,20 +2027,7 @@ object FactVersioned {
       fs: org.apache.hadoop.fs.FileSystem,
       t: String, g: Long): Map[String, String] =
     MetaCache.get(metaKeyFs(fs, t, g, "tblprops")) {
-      val p = tblPropsPath(t, g)
-      if (!fs.exists(p)) Map.empty[String, String]
-      else {
-        val in = fs.open(p)
-        val text = try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-          new String(out.toByteArray, StandardCharsets.UTF_8)
-        } finally in.close()
-        text.split("\n").filter(_.contains("\t")).map { line =>
-          val i = line.indexOf('\t')
-          line.substring(0, i) -> line.substring(i + 1)
-        }.toMap
-      }
+      Versioned.readKv(fs, tblPropsPath(t, g))
     }
 
   /** `ALTER TABLE ... SET TBLPROPERTIES (set) / UNSET TBLPROPERTIES
@@ -2327,17 +2314,22 @@ object FactVersioned {
       retain: Int = 3,
       properties: Map[String, String] = Map.empty,
       defaults: Map[String, String] = Map.empty,
-      positions: Map[String, String] = Map.empty): Commit = {
+      positions: Seq[(String, String)] = Nil): Commit = {
     require(adds.nonEmpty, "addFields: no fields given")
     adds.foreach { case (path, _) =>
       require(path.nonEmpty, "addFields: empty field path") }
     // ADD COLUMN FIRST/AFTER (r16): purely presentational — the pinned
     // schema's field order IS the presented column order (reads
     // project by NAME at every layer, so position never touches data).
-    // Keys are lower-cased top-level column names from this statement;
-    // value "" = FIRST, anything else = AFTER that (logical) column.
-    // Top-level columns only: nested positioning would thread ordinals
-    // through every struct-rebuild seam for zero semantic gain.
+    // Entries are (top-level column name from this statement, "") for
+    // FIRST or (name, afterColumn) for AFTER, in STATEMENT order —
+    // positions apply sequentially, so a later add may reference an
+    // earlier one's final slot. Top-level columns only: nested
+    // positioning would thread ordinals through every struct-rebuild
+    // seam for zero semantic gain.
+    require(positions.map(_._1.toLowerCase).distinct.length ==
+        positions.length,
+      "addFields: a column may carry at most one position")
     positions.foreach { case (c, ref) =>
       require(adds.exists(a => a._1.length == 1 &&
           a._1.head.equalsIgnoreCase(c)),

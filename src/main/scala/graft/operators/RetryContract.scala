@@ -14,10 +14,15 @@ package graft.operators
   *    races, lock acquisition timeouts). Retry against the new head.
   *  - `AnalysisException` — the schema or resolution moved mid-read
   *    (a DDL landed between plan and execution). Re-resolve and retry.
-  *  - `FileNotFoundException` ANYWHERE in the cause chain (Spark wraps
-  *    it in `SparkException`/FAILED_READ_FILE) — an in-flight scan
-  *    raced a tree move, a vacuum, or a compaction swap; the standard
-  *    snapshot-store reader shape. Re-resolve and retry.
+  *  - `FileNotFoundException` ANYWHERE in the cause chain, and
+  *    `FAILED_READ_FILE` in ANY flavor (Spark wraps a scan's failure
+  *    as `SparkException[FAILED_READ_FILE.*]`; the FILE_NOT_EXIST
+  *    flavor carries an FNF cause, but a file vanishing MID-read —
+  *    open succeeded, the tree moved under it — surfaces as NO_HINT
+  *    with a generic IO cause) — an in-flight scan raced a tree move,
+  *    a vacuum, or a compaction swap; the standard snapshot-store
+  *    reader shape. Re-resolve and retry (a genuinely corrupt file
+  *    keeps failing and exhausts the caller's bounded retries).
   *  - loud GUIDANCE `IllegalArgumentException`s whose message names
   *    what happened — "RENAMED" (re-target through
   *    [[Versioned.renamedTo]]), "no committed generations" /
@@ -51,6 +56,8 @@ object RetryContract {
       case _: java.util.ConcurrentModificationException => true
       case _: org.apache.spark.sql.AnalysisException => true
       case _: java.io.FileNotFoundException => true
+      case e: org.apache.spark.SparkException =>
+        Option(e.getMessage).exists(_.contains("FAILED_READ_FILE"))
       case e: IllegalArgumentException =>
         val m = Option(e.getMessage).getOrElse("")
         GuidancePhrases.exists(m.contains)

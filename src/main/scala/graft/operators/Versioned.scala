@@ -103,8 +103,10 @@ object Versioned {
   }
 
   /** Contents of a small marker file; None when it is absent (or
-    * vanishes mid-probe — markers are GC'd and completed concurrently). */
-  private def readSmall(
+    * vanishes mid-probe — markers are GC'd and completed concurrently,
+    * so the exists→open gap MUST tolerate a concurrent delete). Shared
+    * by every small-record reader so the FNF guard cannot drift. */
+  private[graft] def readSmall(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
     try {
       if (!fs.exists(p)) None
@@ -118,6 +120,18 @@ object Versioned {
         } finally in.close()
       }
     } catch { case _: java.io.FileNotFoundException => None }
+
+  /** A small `key\tvalue`-per-line record file as a map; empty when
+    * absent (or deleted mid-probe). The one parse for every tab-record
+    * reader (namespace/table properties). */
+  private[graft] def readKv(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Map[String, String] =
+    readSmall(fs, p).map { text =>
+      text.split("\n").filter(_.contains("\t")).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Write `content` to `dest` with atomic visibility: tmp file in the
     * same directory, then one rename — `dest` is either absent or
@@ -159,11 +173,32 @@ object Versioned {
     }
   }
 
+  /** The catalog's pending-CTAS marker name (the file lives in the
+    * table dir; defined here so the rename protocol below can probe it
+    * without a reverse package dependency). */
+  private[graft] val CtasPendingMarker = "_graft_ctas_pending"
+
   private[operators] def writeRenamedMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       oldPath: String, newPath: String): Unit = {
+    // an explicit CREATE TABLE that landed at the old name inside the
+    // move→marker window supersedes the guidance (it already deleted
+    // the rename intent): writing the tombstone now would brick the
+    // brand-new table. Symmetric check-AFTER-write on both sides
+    // closes every interleave: this side skips when the pending marker
+    // is visible, re-probes after writing and withdraws; the create
+    // side re-probes the tombstone after writing its pending marker
+    // and deletes it. If both complete, either this side's re-probe
+    // sees the pending (marker withdrawn) or the pending became
+    // visible only after it — which orders the create's re-probe after
+    // the marker write, so the create's delete wins.
+    val pending = new Path(oldPath, CtasPendingMarker)
+    if (fs.exists(pending)) return
     fs.mkdirs(new Path(oldPath))
     atomicWriteFile(fs, new Path(oldPath, RenamedToMarker), newPath)
+    if (fs.exists(pending))
+      try fs.delete(new Path(oldPath, RenamedToMarker), false)
+      catch { case _: java.io.IOException => () }
   }
 
   private def renamedAwayError(

@@ -259,6 +259,15 @@ class NestedEvolutionSpec extends SparkSpec {
       s.sql("ALTER TABLE graftpos.ft ADD COLUMN x INT AFTER nope")
     }
     assert(FactVersioned.generations(spark, fpath) == gensBefore)
+    // MULTI-column positioned ADD applies in STATEMENT order (a later
+    // add may reference an earlier one's slot — hash-order application
+    // would scramble it)
+    s.sql("ALTER TABLE graftpos.ft ADD COLUMNS " +
+      "(c1 INT AFTER k, c2 INT AFTER c1)")
+    val cols2 = s.sql("SELECT * FROM graftpos.ft").columns.toSeq
+      .filterNot(c => c == FactVersioned.VGenCol || c == "p")
+    assert(cols2 == Seq("lead", "k", "c1", "c2", "midway", "meta"),
+      s"statement-order positioning must hold, got $cols2")
     // dim: same surface, full-copy
     val dpath = s"$wh/dt"
     Versioned.commit((1 to 4).map(i => (i.toLong, i * 10L)).toDF("k", "v"),
