@@ -12,8 +12,17 @@ package graft.operators
   *  - `ConcurrentModificationException` — every claim/lock conflict the
   *    committers throw (basis drift, in-flight lower claims, rename
   *    races, lock acquisition timeouts). Retry against the new head.
-  *  - `AnalysisException` — the schema or resolution moved mid-read
-  *    (a DDL landed between plan and execution). Re-resolve and retry.
+  *  - `AnalysisException` carrying a RESOLUTION-DRIFT error condition
+  *    (`TABLE_OR_VIEW_NOT_FOUND`, the `UNRESOLVED_COLUMN`/`_FIELD`
+  *    families, `FIELD_NOT_FOUND`/`COLUMN_NOT_FOUND`,
+  *    `PATH_NOT_FOUND`, `PARTITIONS_NOT_FOUND`) — the name the plan
+  *    resolved against moved mid-statement (a DDL landed between plan
+  *    and execution). Re-resolve and retry. Every OTHER analysis
+  *    failure — parse errors, type mismatches, duplicate columns,
+  *    unsupported operations — is PERMANENT: no amount of retrying
+  *    reanalyzes a genuinely-wrong statement into a right one (ADVICE
+  *    r16 #2: the earlier any-AnalysisException classification would
+  *    retry those to exhaustion).
   *  - `FileNotFoundException` ANYWHERE in the cause chain, and
   *    `FAILED_READ_FILE` in ANY flavor (Spark wraps a scan's failure
   *    as `SparkException[FAILED_READ_FILE.*]`; the FILE_NOT_EXIST
@@ -47,6 +56,27 @@ object RetryContract {
     "no versioned table",
     "is not committed")
 
+  /** Error conditions (SQLSTATE-backed class names, prefix-matched so
+    * sub-conditions like `UNRESOLVED_COLUMN.WITH_SUGGESTION` match)
+    * that mean THE NAME MOVED, not the statement is wrong. */
+  private val ResolutionDriftConditions = Seq(
+    "TABLE_OR_VIEW_NOT_FOUND",
+    "UNRESOLVED_COLUMN",
+    "UNRESOLVED_FIELD",
+    "UNRESOLVED_ATTRIBUTE",
+    "FIELD_NOT_FOUND",
+    "COLUMN_NOT_FOUND",
+    "PATH_NOT_FOUND",
+    "PARTITIONS_NOT_FOUND")
+
+  /** Legacy (condition-less) spellings of the same drift shapes. */
+  private val ResolutionDriftPhrases = Seq(
+    "cannot be resolved",
+    "cannot resolve",
+    "Table or view not found",
+    "Path does not exist",
+    "No such struct field")
+
   /** True iff `t` (or a cause) is a transient-conflict shape a caller
     * should retry after re-resolving the table. */
   def retryable(t: Throwable): Boolean = {
@@ -54,7 +84,15 @@ object RetryContract {
       .take(16).toSeq
     chain.exists {
       case _: java.util.ConcurrentModificationException => true
-      case _: org.apache.spark.sql.AnalysisException => true
+      case e: org.apache.spark.sql.AnalysisException =>
+        // resolution drift ONLY (ADVICE r16 #2) — a permanent analysis
+        // error (parse/type/duplicate/unsupported) must surface, not
+        // retry to exhaustion
+        Option(e.getCondition) match {
+          case Some(c) => ResolutionDriftConditions.exists(c.startsWith)
+          case None => Option(e.getMessage).exists(m =>
+            ResolutionDriftPhrases.exists(m.contains))
+        }
       case _: java.io.FileNotFoundException => true
       case e: org.apache.spark.SparkException =>
         Option(e.getMessage).exists(_.contains("FAILED_READ_FILE"))

@@ -134,9 +134,15 @@ object Versioned {
     }.getOrElse(Map.empty)
 
   /** Write `content` to `dest` with atomic visibility: tmp file in the
-    * same directory, then one rename — `dest` is either absent or
-    * complete, never torn (the tombstone/keys-record posture, now also
-    * the rename markers'). */
+    * same directory, then ONE overwrite-capable rename — `dest` is
+    * either the old content or the new, never absent and never torn
+    * (ADVICE r16 #3: the earlier delete-then-rename had a transient-
+    * absent window on rewrites, and a racing recreate inside it made
+    * the rename fail spuriously on HDFS). `file://` goes through POSIX
+    * rename(2) (`ATOMIC_MOVE` + `REPLACE_EXISTING`); HDFS-class stores
+    * through `FileContext.rename(OVERWRITE)`; stores supporting
+    * neither fall back to delete+rename with one retry (their object
+    * PUTs are whole-object-atomic anyway, so the tmp degrades safely). */
   private[graft] def atomicWriteFile(
       fs: org.apache.hadoop.fs.FileSystem,
       dest: Path, content: String): Unit = {
@@ -145,9 +151,41 @@ object Versioned {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(tmp, dest),
-      s"Versioned: atomic marker write failed renaming into $dest")
+    val q = fs.makeQualified(dest)
+    if (q.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(q.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val overwriteRenamed =
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(q.toUri, fs.getConf)
+            .rename(fs.makeQualified(tmp), q,
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch {
+          // scheme has no AbstractFileSystem binding (mock/test
+          // stores) — fall through to delete+rename
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            false
+          case _: UnsupportedOperationException => false
+        }
+      if (!overwriteRenamed) {
+        if (fs.exists(dest)) fs.delete(dest, false)
+        val ok = fs.rename(tmp, dest) || {
+          // a racing recreate landed between delete and rename — the
+          // retry makes THIS write win (last-writer-wins is the
+          // contract for rewritable records; both contents are valid)
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(tmp, dest)
+        }
+        require(ok,
+          s"Versioned: atomic marker write failed renaming into $dest")
+      }
+    }
   }
 
   /** The new path recorded by a rename's guidance marker at `path`, if
