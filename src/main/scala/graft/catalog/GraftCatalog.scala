@@ -87,6 +87,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** `ALTER TABLE ADD/DROP CONSTRAINT` routes here only when the
+    * catalog advertises it (Spark gates the statement at analysis). */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   private def root: String =
@@ -453,6 +461,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * PENDING husk that reads fail loudly on and [[dropTable]] may
     * remove (Spark's CTAS failure cleanup). A husk left by a crashed
     * CTAS is wiped by the next createTable of the same name. */
+  /** CREATE TABLE with inline CONSTRAINT clauses: rejected with
+    * guidance rather than inheriting the default overload (which would
+    * SILENTLY drop them) — a pending table has no generation to pin a
+    * record to; ADD CONSTRAINT after the first write is the supported
+    * path (and validates the data it lands on). */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    require(info.constraints() == null || info.constraints().isEmpty,
+      "GraftCatalog: CREATE TABLE with inline CONSTRAINT clauses is " +
+        "not supported — create the table, write it, then ALTER TABLE " +
+        "ADD CONSTRAINT (which validates the existing data)")
+    createTable(ident,
+      org.apache.spark.sql.GraftColumnBridge
+        .v2ColumnsToStructType(info.columns()),
+      info.partitions(), info.properties())
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -566,6 +592,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       scala.collection.mutable.LinkedHashMap.empty[String, String]
     val propSets = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val propUnsets = Seq.newBuilder[String]
+    val consAdds = Seq.newBuilder[
+      org.apache.spark.sql.connector.catalog.constraints.Check]
+    val consDrops = Seq.newBuilder[(String, Boolean)]
     val nestedAdds =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedDrops = Seq.newBuilder[Seq[String]]
@@ -622,9 +651,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // dims keep a table-root record (full-copy store — properties
       // are table-level there)
       case sp: TableChange.SetProperty =>
+        require(!sp.property().toLowerCase
+            .startsWith(GraftCatalog.ConstraintKeyPrefix),
+          s"GraftCatalog: '${sp.property()}' is a reserved constraint " +
+            "record key — use ALTER TABLE ADD CONSTRAINT (its ADD path " +
+            "validates existing data; a raw property SET would not)")
         propSets += sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty =>
+        require(!rp.property().toLowerCase
+            .startsWith(GraftCatalog.ConstraintKeyPrefix),
+          s"GraftCatalog: '${rp.property()}' is a reserved constraint " +
+            "record key — use ALTER TABLE DROP CONSTRAINT")
         propUnsets += rp.property()
+      // `ALTER TABLE ADD CONSTRAINT name CHECK (...)` (r17): Spark's
+      // AddCheckConstraintExec has ALREADY scanned the table for a
+      // violating row by the time this lands (executeTake(1) on a
+      // NOT(predicate) scan — existing data is validated, loudly);
+      // here the record commits metadata-only, era-readable like
+      // tblprops. Enforcement on future writes comes from the tables
+      // reporting `constraints()` — Spark's ResolveTableConstraints
+      // injects a CheckInvariant over every v2 write.
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints
+              .Check => consAdds += c
+          case other => throw new UnsupportedOperationException(
+            "GraftCatalog: only CHECK constraints are supported " +
+              "(PRIMARY KEY / UNIQUE / FOREIGN KEY are not enforceable " +
+              "at commit time on a distributed store without a global " +
+              s"index); got ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        consDrops += dc.name() -> dc.ifExists()
       case other => throw new UnsupportedOperationException(
         "GraftCatalog: only ALTER TABLE ADD/DROP/RENAME COLUMN(S) and " +
           "safe-widening ALTER COLUMN TYPE are supported " +
@@ -643,18 +701,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val retypesAll = retypes.result()
     val unsetsAll = propUnsets.result()
     val propsChanged = propSets.nonEmpty || unsetsAll.nonEmpty
+    val (consAdded, consDropped) = (consAdds.result(), consDrops.result())
+    val consChanged = consAdded.nonEmpty || consDropped.nonEmpty
     require(Seq(addsAll.map(_._1), dropsAll,
         renamed.map(r => Seq(r._1)) ++ nRenames.map(_._1),
         retypesAll.map(_._1),
-        if (propsChanged) Seq(Seq("tblproperties")) else Nil)
+        if (propsChanged) Seq(Seq("tblproperties")) else Nil,
+        if (consChanged) Seq(Seq("constraints")) else Nil)
         .count(_.nonEmpty) <= 1,
-      "GraftCatalog: mix of ADD/DROP/RENAME/ALTER TYPE/SET PROPERTIES " +
-        "in one ALTER is not supported — issue separate statements")
+      "GraftCatalog: mix of ADD/DROP/RENAME/ALTER TYPE/SET PROPERTIES/" +
+        "CONSTRAINT in one ALTER is not supported — issue separate " +
+        "statements")
     require(renamed.isEmpty || nRenames.isEmpty,
       "GraftCatalog: mix of top-level and nested RENAME in one ALTER " +
         "is not supported — issue separate statements")
+    // ADD/DROP CONSTRAINT → a set/unset of reserved record keys over
+    // the same per-generation (fact) / table-root (dim) record as
+    // TBLPROPERTIES; `current` is the record the delta applies to
+    def constraintDelta(current: Map[String, String])
+        : (Map[String, String], Seq[String]) = {
+      val sets = consAdded.map { c =>
+        val (k, v) = GraftCatalog.encodeCheck(c)
+        require(!current.contains(k),
+          s"GraftCatalog: constraint '${c.name()}' already exists on " +
+            s"${ident.name} — DROP it first")
+        k -> v
+      }.toMap
+      val unsets = consDropped.map { case (n, ifExists) =>
+        val k = GraftCatalog.ConstraintKeyPrefix + n.toLowerCase
+        require(current.contains(k) || ifExists,
+          s"GraftCatalog: no constraint named '$n' on ${ident.name}")
+        k
+      }.filter(current.contains)
+      (sets, unsets)
+    }
     if (isFact) {
-      if (propsChanged)
+      if (consChanged) {
+        val (sets, unsets) =
+          constraintDelta(FactVersioned.tableProperties(spark, path))
+        if (sets.nonEmpty || unsets.nonEmpty)
+          FactVersioned.setTableProperties(spark, path, sets, unsets,
+            retain = retainFor(path),
+            properties = Map("operation" ->
+              (if (consAdded.nonEmpty) "ALTER TABLE ADD CONSTRAINT"
+               else "ALTER TABLE DROP CONSTRAINT")))
+      }
+      else if (propsChanged)
         FactVersioned.setTableProperties(spark, path, propSets.toMap,
           unsetsAll, retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE SET TBLPROPERTIES"))
@@ -685,16 +777,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         FactVersioned.dropFieldPaths(spark, path, dropsAll,
           retain = retainFor(path),
           properties = Map("operation" -> "ALTER TABLE DROP COLUMNS"))
-    } else if (propsChanged) {
-      // dims: a table-root record, atomically rewritten (the full-copy
-      // store carries no per-generation metadata dirs)
-      val updated =
-        (GraftCatalog.readDimProps(spark, path) ++ propSets.toMap) --
-          unsetsAll
-      Versioned.atomicWriteFile(
-        hadoopFs(new Path(path)), new Path(path, GraftCatalog.DimPropsFile),
-        updated.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
-          .mkString("\n"))
+    } else if (propsChanged || consChanged) {
+      // dims: a table-root record, atomically rewritten. The
+      // read-modify-write runs under the table's commit lock (ADVICE
+      // r16 #1): two concurrent ALTERs would otherwise interleave
+      // read→write and silently drop one statement's properties —
+      // last-writer-wins is fine for ONE key, not for disjoint keys.
+      graft.operators.CommitLock.withLocks(spark, Seq(path)) {
+        val current = GraftCatalog.readDimProps(spark, path)
+        val (sets, unsets) =
+          if (consChanged) constraintDelta(current)
+          else (propSets.toMap, unsetsAll)
+        val updated = (current ++ sets) -- unsets
+        Versioned.atomicWriteFile(
+          hadoopFs(new Path(path)),
+          new Path(path, GraftCatalog.DimPropsFile),
+          updated.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+            .mkString("\n"))
+      }
     } else {
       val cur = Versioned.read(spark, path)
       if (retypesAll.nonEmpty) {
@@ -936,6 +1036,58 @@ object GraftCatalog {
     graft.operators.Versioned.readKv(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  /** CHECK constraints (r17 — VERDICT r16 Next #4) persist INSIDE the
+    * per-generation tblprops record under this reserved key prefix —
+    * constraints are table metadata with exactly the properties
+    * lifecycle (inherited verbatim by every data commit, DDL commits a
+    * fresh record, era reads see each generation's own set, the record
+    * rides TABLE RENAME inside the tree), so they reuse that plumbing
+    * rather than duplicating it. The prefix is filtered OUT of the
+    * SHOW TBLPROPERTIES presentation (constraints present through
+    * `Table.constraints()` — DESCRIBE renders them as DDL) and user
+    * SET/UNSET of it is rejected: constraint changes go through
+    * ADD/DROP CONSTRAINT, whose ADD path VALIDATES existing data
+    * (Spark's AddCheckConstraintExec scans for a violating row before
+    * calling alterTable). */
+  val ConstraintKeyPrefix = "graft.constraint."
+
+  /** `name → record-value` for a CHECK constraint. Value layout:
+    * `enforced|rely|validationStatus|urlencoded-predicate-sql` — the
+    * URL-encoding keeps the record line tab/newline-free whatever the
+    * predicate holds. */
+  private[catalog] def encodeCheck(
+      c: org.apache.spark.sql.connector.catalog.constraints.Check)
+      : (String, String) = {
+    val sql = java.net.URLEncoder.encode(
+      c.predicateSql(), java.nio.charset.StandardCharsets.UTF_8)
+    (ConstraintKeyPrefix + c.name().toLowerCase,
+      s"${c.enforced()}|${c.rely()}|${c.validationStatus().name()}|$sql")
+  }
+
+  /** Public: gates and tests decode era records for asserts. */
+  def decodeConstraints(props: Map[String, String])
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    props.toSeq
+      .filter(_._1.startsWith(ConstraintKeyPrefix))
+      .sortBy(_._1)
+      .map { case (k, v) =>
+        val name = k.stripPrefix(ConstraintKeyPrefix)
+        val parts = v.split("\\|", 4)
+        require(parts.length == 4,
+          s"GraftCatalog: torn constraint record for '$name': $v")
+        val sql = java.net.URLDecoder.decode(
+          parts(3), java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(name)
+          .predicateSql(sql)
+          .enforced(parts(0).toBoolean)
+          .rely(parts(1).toBoolean)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.valueOf(parts(2)))
+          .build()
+      }.toArray
 }
 
 // ---- INSERT surface: append-only writes routed THROUGH the stores'
@@ -954,10 +1106,15 @@ object GraftCatalog {
   * set, FS-asserted in gate q173), a spec-less overwrite replaces the
   * whole head (every current partition plus the data's) as ONE
   * versioned commit — time travel keeps the pre-overwrite head.
-  * Dynamic partition-overwrite MODE is rejected at analysis (the
-  * OVERWRITE_DYNAMIC capability is deliberately absent): its
-  * delete-what-the-data-holds contract hides the touched set; the
-  * static default covers the SQL spelling users type.
+  * Dynamic partition-overwrite MODE
+  * (`spark.sql.sources.partitionOverwriteMode=dynamic`, r17 — VERDICT
+  * r16 Next #1) replaces EXACTLY the partitions the data holds rows
+  * for: the touched set is data-derived (one partition-column-only
+  * distinct over the input — never a table scan), capped at 10k
+  * like every other partition-replacing statement, committed as ONE
+  * `replacePartitionsBy` with the pinned `resolvedGen` basis so a
+  * racing foreign commit conflicts retryably. Untouched partitions
+  * carry byte-identical (gate q176 FS-asserts both).
   *
   * Top-level (not catalog-inner) so [[GraftDml]]'s resolution rule can
   * recognize a resolved `DataSourceV2Relation` over a graft table and
@@ -1012,13 +1169,16 @@ private[catalog] abstract class GraftWritableTable(
     val caps = new util.HashSet(inner.capabilities())
     caps.add(org.apache.spark.sql.connector.catalog
       .TableCapability.V1_BATCH_WRITE)
-    // INSERT OVERWRITE (static mode): TRUNCATE covers the spec-less
-    // spelling (delete-expr = true), OVERWRITE_BY_FILTER the static
-    // PARTITION spec. OVERWRITE_DYNAMIC stays absent on purpose.
+    // INSERT OVERWRITE: TRUNCATE covers the spec-less static spelling
+    // (delete-expr = true), OVERWRITE_BY_FILTER the static PARTITION
+    // spec, OVERWRITE_DYNAMIC the partitionOverwriteMode=dynamic shape
+    // (replace exactly the data's partitions — r17).
     caps.add(org.apache.spark.sql.connector.catalog
       .TableCapability.TRUNCATE)
     caps.add(org.apache.spark.sql.connector.catalog
       .TableCapability.OVERWRITE_BY_FILTER)
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCapability.OVERWRITE_DYNAMIC)
     // `MERGE ... WITH SCHEMA EVOLUTION`: Spark's own
     // ResolveMergeIntoSchemaEvolution rule gates on this capability and
     // routes the widening through alterTable → the stores' ADDITIVE
@@ -1038,29 +1198,56 @@ private[catalog] abstract class GraftWritableTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       // SupportsOverwrite extends SupportsTruncate, so the spec-less
       // INSERT OVERWRITE (delete-expr = true) arrives here as
       // overwrite([AlwaysTrue]) via the default truncate()
       private var overwriteFilters
           : Option[Array[org.apache.spark.sql.sources.Filter]] = None
+      private var dynamic = false
       override def overwrite(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : org.apache.spark.sql.connector.write.WriteBuilder = {
         overwriteFilters = Some(filters); this
       }
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        dynamic = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          // the dynamic shape normally never reaches this Write: Spark
+          // has no V1 exec for OverwritePartitionsDynamic, so
+          // GraftDmlRule rewrites the plan to a whole-frame command at
+          // analysis. A session WITHOUT the graft extensions falls
+          // through to toBatch — turn the opaque "Batch write is not
+          // supported" into guidance.
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            if (dynamic)
+              throw new UnsupportedOperationException(
+                "GraftCatalog: dynamic INSERT OVERWRITE needs the graft " +
+                  "SQL extensions (GraftDml.enable(spark) or " +
+                  "spark.sql.extensions=graft.GraftExtensions) — the " +
+                  "dynamic shape commits the whole frame through the " +
+                  "versioned store, which plain DSv2 batch writers " +
+                  "cannot express")
+            else super.toBatch
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
-              overwriteFilters match {
+              if (dynamic) overwriteDynamic(data)
+              else overwriteFilters match {
                 case Some(filters) => overwriteWhere(filters, data)
                 case None => insert(data)
               }
         }
     }
   def insert(data: org.apache.spark.sql.DataFrame): Unit
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`:
+    * replace exactly the partitions the data holds rows for. */
+  def overwriteDynamic(data: org.apache.spark.sql.DataFrame): Unit
   /** `INSERT OVERWRITE` with the analyzed static delete filters —
     * `[AlwaysTrue]` for the spec-less spelling, partition `EqualTo`s
     * for a static PARTITION spec. */
@@ -1085,14 +1272,30 @@ private[catalog] class WritableFactTable(
     path: String, retain: () => Int,
     val resolvedGen: Long)
     extends GraftWritableTable(inner, path, retain) {
-  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED read the head generation's
-    * pinned record (per-era; SET/UNSET commits a new generation). */
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED read the RESOLVED
+    * generation's pinned record (per-era; SET/UNSET commits a new
+    * generation) — pinned to `resolvedGen`, not re-read at call time,
+    * so a handle always reports the era whose data it reads (ADVICE
+    * r16 #4: a head re-read could show a NEWER era's record than the
+    * resolution's file set). */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap(inner.properties())
-    FactVersioned.tableProperties(spark, path)
+    FactVersioned.tableProperties(spark, path, Some(resolvedGen))
+      .filterNot(_._1.startsWith(GraftCatalog.ConstraintKeyPrefix))
       .foreach { case (k, v) => m.put(k, v) }
     m
   }
+
+  /** CHECK constraints of the resolved era ([[GraftCatalog
+    * .ConstraintKeyPrefix]] record keys) — Spark's
+    * ResolveTableConstraints reads these off every v2 write relation
+    * and injects the CheckInvariant that makes a violating INSERT /
+    * OVERWRITE fail loudly at runtime. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    GraftCatalog.decodeConstraints(
+      FactVersioned.tableProperties(spark, path, Some(resolvedGen)))
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val rows = data.drop(FactVersioned.VGenCol)
     FactVersioned.appendBy(spark, path, rows,
@@ -1171,6 +1374,38 @@ private[catalog] class WritableFactTable(
       touched.toIndexedSeq, retain = retention,
       basisGen = Some(resolvedGen),
       properties = Map("operation" -> "INSERT OVERWRITE"))
+    ()
+  }
+
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` (r17):
+    * ONE versioned commit replacing exactly the partitions the DATA
+    * holds rows for — the touched set is a partition-column-only
+    * distinct over the input (no table scan at all: partitions absent
+    * from the data are untouched BY CONSTRUCTION, so unlike the static
+    * door there is no head side to the derivation). Same 10k statement
+    * cap, same pinned-basis conflict detection, untouched partitions
+    * carried byte-identical (gate q176 FS-asserts). An empty input is
+    * a no-op by the same contract (nothing to replace), matching
+    * Spark's own dynamic-mode file-source semantics. */
+  override def overwriteDynamic(
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    // materialize ONCE — the touched-set derivation and the commit
+    // both consume the (possibly expensive) SELECT
+    val rows = data.drop(FactVersioned.VGenCol).localCheckpoint()
+    val pcols = FactVersioned.logicalPartitionColumns(spark, path)
+    val touched = rows
+      .select(pcols.map(col): _*).distinct().limit(10001).collect()
+    require(touched.length <= 10000,
+      "GraftCatalog: dynamic INSERT OVERWRITE would replace more than " +
+        "10000 partitions in one statement — scope the overwrite, or " +
+        "use FactVersioned.replacePartitionsBy with an explicit " +
+        "touched set")
+    if (touched.nonEmpty)
+      FactVersioned.replacePartitionsBy(spark, path, rows, pcols,
+        touched.toIndexedSeq.map(r => pcols.indices.map(r.get(_)): Seq[Any]),
+        retain = retention, basisGen = Some(resolvedGen),
+        properties = Map("operation" -> "INSERT OVERWRITE DYNAMIC"))
     ()
   }
 
@@ -1274,9 +1509,15 @@ private[catalog] class WritableDimTable(
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap(inner.properties())
     GraftCatalog.readDimProps(spark, path)
+      .filterNot(_._1.startsWith(GraftCatalog.ConstraintKeyPrefix))
       .foreach { case (k, v) => m.put(k, v) }
     m
   }
+
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    GraftCatalog.decodeConstraints(GraftCatalog.readDimProps(spark, path))
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
     val current = Versioned.read(spark, path)
     Versioned.commit(current.unionByName(data), path,
@@ -1296,6 +1537,16 @@ private[catalog] class WritableDimTable(
         _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]),
       "GraftCatalog: a dimension table has no partitions to scope an " +
         s"INSERT OVERWRITE to; got ${filters.mkString(", ")}")
+    Versioned.commit(data, path, retain = retention)
+    ()
+  }
+
+  /** Dynamic mode on an UNPARTITIONED table never analyzes (Spark's
+    * ResolveInsertInto only picks dynamic when partition columns lack
+    * static values, and a dimension reports none) — defensive twin of
+    * the spec-less overwrite for hand-built plans. */
+  override def overwriteDynamic(
+      data: org.apache.spark.sql.DataFrame): Unit = {
     Versioned.commit(data, path, retain = retention)
     ()
   }

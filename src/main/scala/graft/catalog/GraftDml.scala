@@ -182,6 +182,57 @@ object GraftDml {
     else df
   }
 
+  /** Enforced-CHECK validation for the custom DML write paths (r17).
+    * Spark's own ResolveTableConstraints covers every V2WriteCommand
+    * (INSERT / OVERWRITE / streaming appends) by injecting a
+    * CheckInvariant; MERGE and UPDATE route through graft commands
+    * instead, so the NEW-OR-MODIFIED rows are validated here before
+    * the commit — the Delta posture (constraints hold on every write
+    * path or they are decoration). One aggregate pass over the
+    * modified rows ONLY (carried rows were valid when written), and
+    * zero extra jobs when the table has no enforced constraint (the
+    * record read is metadata-cached). ANSI semantics: a CHECK passes
+    * on TRUE and UNKNOWN, fails only on FALSE. */
+  private[catalog] def enforceChecks(
+      spark: SparkSession,
+      path: String,
+      basisGen: Option[Long], // Some(gen) = fact; None = dim
+      rows: Option[DataFrame],
+      op: String): Unit = {
+    val props = basisGen match {
+      case Some(g) =>
+        graft.operators.FactVersioned.tableProperties(spark, path, Some(g))
+      case None => GraftCatalog.readDimProps(spark, path)
+    }
+    val checks = GraftCatalog.decodeConstraints(props).toSeq.collect {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check
+          if c.enforced() => c
+    }
+    if (checks.isEmpty) return
+    rows.foreach { df =>
+      val cols = df.columns.toSeq
+        .filterNot(_.equalsIgnoreCase(
+          graft.operators.FactVersioned.VGenCol))
+      val aggs = checks.flatMap { ch =>
+        val violated = !coalesce(expr(ch.predicateSql()), lit(true))
+        Seq(
+          sum(when(violated, 1L).otherwise(0L)),
+          first(when(violated,
+            to_json(struct(cols.map(col): _*))), ignoreNulls = true))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      checks.zipWithIndex.foreach { case (ch, i) =>
+        val n = if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i)
+        if (n > 0)
+          throw new IllegalStateException(
+            s"GraftDml: $op violates CHECK constraint " +
+              s"'${ch.name()}' (${ch.predicateSql()}) on $n row(s); " +
+              s"first violating row: ${r.getString(2 * i + 1)} — " +
+              "nothing was committed")
+      }
+    }
+  }
+
   /** The writable graft table under alias wrappers, with its relation. */
   private[catalog] def graftTarget(
       plan: LogicalPlan): Option[(DataSourceV2Relation, GraftWritableTable)] =
@@ -895,6 +946,20 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               basisGenOf(table), table.retentionForDml)
           case None => u
         }
+      // dynamic INSERT OVERWRITE (r17): Spark has NO V1-write exec for
+      // OverwritePartitionsDynamic (unlike append/overwrite-by-filter,
+      // which bridge through InsertableRelation), so the dynamic shape
+      // routes like MERGE — a command handing the WHOLE resolved frame
+      // to the store's committer. By the time the plan is resolved the
+      // analyzer has aligned the query to the table schema
+      // (outputResolved), so the frame's names are the table's.
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic if o.resolved =>
+        graftTarget(o.table) match {
+          case Some((_, table)) =>
+            GraftDynamicOverwriteCommand(o.query, table)
+          case None => o
+        }
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
           case Some((rel, table)) =>
@@ -1184,6 +1249,11 @@ case class GraftMergeCommand(
         bs.assigns.map(a => project(bySrcRows.get, a)))
       val content = (Seq(result) ++ newRows.toSeq ++ bySrcNew.toSeq)
         .reduce(_ unionByName _)
+      // enforced CHECKs validate the new-or-modified rows only —
+      // carried rows (`result`) were valid when their commit landed
+      GraftDml.enforceChecks(spark, path, basisGen,
+        (newRows.toSeq ++ bySrcNew.toSeq).reduceOption(_ unionByName _),
+        "MERGE")
       FactVersioned.replacePartitionsBy(spark, path, content, pcols, touched,
         retain = retain, basisGen = basisGen,
         properties = Map("operation" -> "MERGE"))
@@ -1241,6 +1311,9 @@ case class GraftMergeCommand(
     }
     val bySrcNew = program.bySource.flatMap(bs =>
       bs.assigns.map(a => project(bySrcRows.get, a)))
+    GraftDml.enforceChecks(spark, path, None,
+      (newRows.toSeq ++ bySrcNew.toSeq).reduceOption(_ unionByName _),
+      "MERGE")
     Versioned.commit(
       (Seq(kept) ++ newRows.toSeq ++ bySrcNew.toSeq).reduce(_ unionByName _),
       path, retain = retain)
@@ -1257,6 +1330,20 @@ case class GraftMergeCommand(
   * rejected at resolution (a partition-moving update has no
   * single-partition rewrite shape). Dimension tables commit the
   * updated content as a fresh full-copy generation. */
+/** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`, routed
+  * at analysis (see [[GraftDmlRule]]): one whole-frame call into the
+  * table's dynamic-overwrite committer — the data-derived touched set,
+  * 10k cap, pinned-basis conflict detection and byte-identical carry
+  * all live in [[GraftWritableTable.overwriteDynamic]]. */
+case class GraftDynamicOverwriteCommand(
+    query: LogicalPlan,
+    table: GraftWritableTable) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.overwriteDynamic(GraftColumnBridge.ofRows(spark, query))
+    Seq.empty
+  }
+}
+
 case class GraftUpdateCommand(
     relation: LogicalPlan,
     assignments: AnalyzedColumns,
@@ -1292,11 +1379,19 @@ case class GraftUpdateCommand(
         sel.schema)
       val content = scoped.select(updatedCols(scoped): _*)
         .drop(FactVersioned.VGenCol)
+      // enforced CHECKs validate the MODIFIED rows — filter on the
+      // PRE-assignment cond, then project through the assignments
+      // (filtering post-assignment would miss rows whose update
+      // falsifies the cond); carried rows were valid when written
+      GraftDml.enforceChecks(spark, path, basisGen,
+        Some(scoped.where(c).select(updatedCols(scoped): _*)), "UPDATE")
       // basis = the resolution-time head (see GraftDeleteCommand)
       FactVersioned.replacePartitionsBy(spark, path, content, pcols,
         touched, retain = retain, basisGen = basisGen)
     } else {
       if (t.where(c).isEmpty) return Seq.empty
+      GraftDml.enforceChecks(spark, path, None,
+        Some(t.where(c).select(updatedCols(t): _*)), "UPDATE")
       Versioned.commit(t.select(updatedCols(t): _*), path, retain = retain)
     }
     Seq.empty

@@ -2003,6 +2003,99 @@ object ScaleQueries extends QueryPack {
     // empty, inheritance across a data commit, survival across RENAME
     // TO. Output = the surviving property rows via SHOW TBLPROPERTIES,
     // value-gated against a DuckDB literal mirror.
+    // ALTER TABLE ADD CONSTRAINT ... CHECK (VERDICT r16 Next #4): the
+    // ADD validates existing data (a violating ADD is rejected with
+    // nothing committed), the record is a metadata-only per-generation
+    // commit (era-readable like q175's properties), a violating INSERT
+    // is rejected loudly with nothing committed, a conforming INSERT
+    // lands, and DROP CONSTRAINT lifts enforcement for later writes
+    // while the old era keeps its record. Output value-gated against
+    // the DuckDB from-scratch recomputation.
+    "q177_sql_add_constraint" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q177_").toString
+      val path = s"$wh/orders_ck"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // an ADD the existing data VIOLATES is rejected, no commit
+        val bad = try {
+          s.sql("ALTER TABLE graft.orders_ck ADD CONSTRAINT pricey " +
+            "CHECK (o_totalprice > 1e9)"); None
+        } catch { case t: Throwable => Some(t) }
+        require(bad.nonEmpty &&
+            FactVersioned.generations(s, path) == Seq(0L),
+          "q177: a violating ADD CONSTRAINT must fail with no commit")
+        // a conforming ADD is ONE metadata-only commit
+        s.sql("ALTER TABLE graft.orders_ck ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice > 0)")
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=1")),
+          "q177: ADD CONSTRAINT must be one metadata-only commit")
+        // era-readable: gen 0 pins no constraint, gen 1 pins it
+        require(graft.catalog.GraftCatalog.decodeConstraints(
+            FactVersioned.tableProperties(s, path, Some(0L))).isEmpty &&
+          graft.catalog.GraftCatalog.decodeConstraints(
+            FactVersioned.tableProperties(s, path, Some(1L)))
+            .exists(_.name() == "price_pos"),
+          "q177: the constraint record must be per-generation")
+        // a violating INSERT fails loudly; nothing lands
+        val viol = try {
+          s.sql(
+            """INSERT INTO graft.orders_ck BY NAME
+              |SELECT 999999999L AS o_orderkey, 'X' AS o_orderstatus,
+              |  -1.0 AS o_totalprice, 1995 AS y,
+              |  CAST(NULL AS BIGINT) AS vgen""".stripMargin); None
+        } catch { case t: Throwable => Some(t) }
+        require(viol.nonEmpty &&
+            FactVersioned.generations(s, path) == Seq(0L, 1L),
+          "q177: a violating INSERT must fail with no commit")
+        // a conforming INSERT lands (doubled 1995 sample, flagged 'C')
+        s.sql(
+          """INSERT INTO graft.orders_ck BY NAME
+            |SELECT o_orderkey + 60000000 AS o_orderkey, 'C' AS
+            |  o_orderstatus, o_totalprice * 2 AS o_totalprice, y,
+            |  CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_ck
+            |WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin)
+        // a violating MERGE through the custom command path fails too
+        val mviol = try {
+          s.sql(
+            """MERGE INTO graft.orders_ck t
+              |USING (SELECT min(o_orderkey) AS k FROM graft.orders_ck
+              |       WHERE y = 1995) s
+              |ON t.o_orderkey = s.k
+              |WHEN MATCHED THEN UPDATE SET o_totalprice = -5.0""".stripMargin)
+          None
+        } catch { case t: Throwable => Some(t) }
+        require(mviol.exists(t => causeMessages(t)
+            .exists(_.contains("price_pos"))),
+          "q177: a violating MERGE must name the constraint")
+        // DROP lifts enforcement for later writes
+        s.sql("ALTER TABLE graft.orders_ck DROP CONSTRAINT price_pos")
+        require(graft.catalog.GraftCatalog.decodeConstraints(
+            FactVersioned.tableProperties(s, path)).isEmpty,
+          "q177: DROP CONSTRAINT must clear the head record")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus,
+            |  round(o_totalprice, 2) AS o_totalprice, y
+            |FROM graft.orders_ck""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     "q175_sql_tblproperties" -> ((s0, dir) => {
       val wh = Files.createTempDirectory("graft_q175_").toString
       val path = s"$wh/orders_tp"
@@ -2258,6 +2351,87 @@ object ScaleQueries extends QueryPack {
         fs.delete(new org.apache.hadoop.fs.Path(wh), true)
         out
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
+    // SQL `INSERT OVERWRITE` under partitionOverwriteMode=dynamic
+    // (VERDICT r16 Next #1 — the spelling every Spark ETL job that
+    // overwrites "whatever partitions the data touches" uses): the
+    // touched set is DATA-derived — the statement carries no spec, yet
+    // exactly the two partitions the SELECT produces rows for stage
+    // (FS-asserted), the other two carry byte-identical, ONE versioned
+    // commit, time travel keeps the pre-overwrite head. Output
+    // value-gated against the DuckDB from-scratch recomputation.
+    "q176_sql_insert_overwrite_dynamic" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q176_").toString
+      val path = s"$wh/orders_dyn"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996, 1997, 1998))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      val prevMode =
+        s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dataRoot = s"$path/${FactVersioned.DataDir}"
+        def files(d: String): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(d))
+            .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+        val carried97 = files(
+          s"$dataRoot/${FactVersioned.VGenCol}=0/y=1997")
+        val carried98 = files(
+          s"$dataRoot/${FactVersioned.VGenCol}=0/y=1998")
+        // NO PARTITION clause — dynamic mode derives the touched set
+        // from the data, which only holds y ∈ {1995, 1996}
+        s.sql(
+          """INSERT OVERWRITE graft.orders_dyn
+            |SELECT o_orderkey, 'D' AS o_orderstatus,
+            |  o_totalprice * 2 AS o_totalprice,
+            |  CAST(NULL AS BIGINT) AS vgen, y
+            |FROM graft.orders_dyn
+            |WHERE y IN (1995, 1996) AND o_orderkey % 2 = 1""".stripMargin)
+        // ONE commit; exactly the data's partitions staged under it
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+          "q176: the dynamic overwrite must be one commit")
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$dataRoot/${FactVersioned.VGenCol}=1"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        require(staged == Set("y=1995", "y=1996"),
+          s"q176: exactly the data's partitions may stage, got $staged")
+        // the untouched partitions carried byte-identical
+        require(files(s"$dataRoot/${FactVersioned.VGenCol}=0/y=1997") ==
+            carried97 &&
+            files(s"$dataRoot/${FactVersioned.VGenCol}=0/y=1998") ==
+              carried98,
+          "q176: untouched partitions must carry byte-identical")
+        // time travel keeps the pre-overwrite head
+        require(s.sql(
+            "SELECT count(*) FROM graft.orders_dyn VERSION AS OF 0")
+          .head.getLong(0) == o.count(),
+          "q176: VERSION AS OF 0 must read the pre-overwrite content")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus,
+            |  round(o_totalprice, 2) AS o_totalprice, y
+            |FROM graft.orders_dyn""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft.retain")
+        prevMode match {
+          case Some(m) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
     }),
 
     "q171_sql_add_default" -> ((s0, dir) => {
@@ -3497,6 +3671,20 @@ object ScaleQueries extends QueryPack {
     // ALTERs moved no data
     // the surviving TBLPROPERTIES after SET+UNSET+inherit+rename ≡ the
     // literal set (UNSET retired 'tier'; the rename moved the record)
+    // the head after the constraint lifecycle ≡ base rows + the
+    // doubled conforming inserts — every rejected statement committed
+    // nothing, so values match the from-scratch recomputation exactly
+    "q177_sql_add_constraint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, y
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 60000000, 'C', round(o_totalprice * 2, 2), y
+        |FROM base WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin,
     "q175_sql_tblproperties" ->
       """SELECT 'pipeline' AS key, 'ingest-v2' AS value
         |UNION ALL
@@ -3546,6 +3734,20 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT o_orderkey, 'K', round(o_totalprice * 3, 2), y
         |FROM base WHERE y = 1995 AND o_orderkey % 2 = 0""".stripMargin,
+    // the head after the DYNAMIC overwrite ≡ 1995/1996 replaced by
+    // their odd keys doubled and flagged, 1997/1998 carried untouched —
+    // the data-derived touched set scoped exactly two partitions
+    "q176_sql_insert_overwrite_dynamic" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997, 1998))
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, y
+        |FROM base WHERE y IN (1997, 1998)
+        |UNION ALL
+        |SELECT o_orderkey, 'D', round(o_totalprice * 2, 2), y
+        |FROM base WHERE y IN (1995, 1996) AND o_orderkey % 2 = 1""".stripMargin,
     "q171_sql_add_default" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

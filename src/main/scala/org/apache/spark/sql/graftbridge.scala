@@ -63,6 +63,14 @@ object GraftColumnBridge {
       "NULL",
       org.apache.spark.sql.connector.expressions.LiteralValue(null, dt))
 
+  /** DSv2 `Column[]` → `StructType` (`CatalogV2Util` is private[sql]) —
+    * the conversion the TableInfo `createTable` overload needs. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** If the column is a sort order (`col.asc` / `col.desc`), return its
     * child column and whether the direction is ascending. The sort
     * wrapper lives at the ColumnNode layer in Spark 4, not in the lazily

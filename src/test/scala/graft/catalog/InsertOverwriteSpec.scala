@@ -71,6 +71,78 @@ class InsertOverwriteSpec extends SparkSpec {
     assert(FactVersioned.read(spark, path).count() == 20)
   }
 
+  test("dynamic mode (partitionOverwriteMode=dynamic): a spec-less " +
+      "overwrite replaces exactly the partitions the DATA holds — " +
+      "others carried byte-identical; a static spec under dynamic conf " +
+      "routes dynamic too; an empty input is a no-op") {
+    val wh = tmp()
+    // dynamic mode routes through the graft SQL extensions (no V1 exec
+    // exists for OverwritePartitionsDynamic)
+    val s = GraftDml.enable(spark)
+    s.conf.set("spark.sql.catalog.graftdyn",
+      classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftdyn.root", wh)
+    val path = s"$wh/ft"
+    FactVersioned.upsert(spark, path, base(30), Seq("k"), "p", retain = 10)
+    val fs = fsOf(path)
+    val dataRoot = s"$path/${FactVersioned.DataDir}"
+    def files(dir: String): Set[String] =
+      fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val p2Before = files(s"$dataRoot/${FactVersioned.VGenCol}=0/p=2")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // data touches p ∈ {0, 1} only — p=2 must survive untouched
+      s.sql(
+        """INSERT OVERWRITE graftdyn.ft
+          |SELECT k + 500 AS k, v * 3 AS v, CAST(NULL AS BIGINT) AS vgen,
+          |  p
+          |FROM graftdyn.ft WHERE p IN (0, 1) AND k % 2 = 0""".stripMargin)
+      assert(FactVersioned.generations(spark, path) == Seq(0L, 1L))
+      val staged = fs.listStatus(new Path(
+          s"$dataRoot/${FactVersioned.VGenCol}=1"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(staged == Set("p=0", "p=1"),
+        s"dynamic overwrite must stage exactly the data's partitions, " +
+          s"got $staged")
+      assert(files(s"$dataRoot/${FactVersioned.VGenCol}=0/p=2") == p2Before,
+        "the untouched partition must carry byte-identical")
+      val head = FactVersioned.read(spark, path)
+      assert(head.where(col("p") === 2).count() == 10)
+      assert(head.where(col("p").isin(0, 1)).count() ==
+        head.where(col("p").isin(0, 1) && col("k") > 500L).count())
+      // time travel keeps the pre-overwrite head
+      assert(FactVersioned.read(spark, path, Some(0L)).count() == 30)
+      // an EMPTY dynamic overwrite replaces nothing and commits nothing
+      s.sql(
+        """INSERT OVERWRITE graftdyn.ft
+          |SELECT k, v, CAST(NULL AS BIGINT) AS vgen, p
+          |FROM graftdyn.ft WHERE k < 0""".stripMargin)
+      assert(FactVersioned.generations(spark, path) == Seq(0L, 1L),
+        "an empty dynamic overwrite must be a no-op")
+      // a static spec under dynamic conf ALSO routes dynamic (Spark
+      // injects the spec values as constants into the query): the
+      // touched set is still data-derived — exactly p=2, replaced by
+      // the 3 rows
+      s.sql(
+        """INSERT OVERWRITE graftdyn.ft PARTITION (p = 2)
+          |SELECT k + 900 AS k, v, CAST(NULL AS BIGINT) AS vgen
+          |FROM graftdyn.ft WHERE p = 2 AND k <= 6""".stripMargin)
+      // p=2 held k ∈ {2,5,8,...}; k<=6 selects {2,5} — two rows
+      // replace the partition
+      assert(FactVersioned.read(spark, path).where(col("p") === 2)
+        .count() == 2)
+      assert(FactVersioned.read(spark, path).where(col("p") =!= 2)
+        .count() > 0)
+    } finally prev match {
+      case Some(m) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("spec-less INSERT OVERWRITE replaces the WHOLE head as one " +
       "versioned commit — new partitions land, vanished ones empty, " +
       "history keeps the old content") {
