@@ -491,20 +491,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Versioned.generations(spark, path).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val pcols: Seq[String] = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1 =>
-        val name = t.references.head.fieldNames.head
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-          s"GraftCatalog: partition column '$name' is not in the schema")
-        require(!name.contains(",") && !name.contains("\t"),
-          s"GraftCatalog: partition column name '$name' may not contain " +
-            "',' or tab (pending-marker encoding)")
-        name
-      case other => throw new UnsupportedOperationException(
-        "GraftCatalog: CREATE TABLE supports no partitioning (dimension " +
-          "table) or identity PARTITIONED BY columns (fact table, one " +
-          s"nested leaf level per column); got $other")
+    // identity columns pass through; ONE years/months/days/hours/bucket
+    // transform materializes as a generated partition column (r17 —
+    // [[PartitionTransforms]])
+    val (pcols, transformSpec) = PartitionTransforms.parse(partitions, schema)
+    pcols.foreach { name =>
+      require(transformSpec.exists(_.genCol == name) ||
+          schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"GraftCatalog: partition column '$name' is not in the schema")
+      require(!name.contains(",") && !name.contains("\t"),
+        s"GraftCatalog: partition column name '$name' may not contain " +
+          "',' or tab (pending-marker encoding)")
     }
     require(!schema.fieldNames.exists(
         _.equalsIgnoreCase(FactVersioned.VGenCol)),
@@ -535,6 +532,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (fs.exists(ip)) fs.delete(ip, false)
     }
     fs.mkdirs(root)
+    // the transform spec lands BEFORE the pending marker: a table that
+    // is visible as pending always has its derivation rule on disk
+    transformSpec.foreach(PartitionTransforms.write(spark, path, _))
     val out = fs.create(pendingPath(path), true)
     try out.write((
       if (pcols.nonEmpty) s"fact\t${pcols.mkString(",")}" else "dim")
@@ -1131,6 +1131,15 @@ private[catalog] abstract class GraftWritableTable(
   /** Retention for the [[GraftDml]] MERGE/DELETE commands — the same
     * conf-or-preserve resolution INSERT uses. */
   private[catalog] def retentionForDml: Int = retain()
+  /** The table's partition-transform spec, if transform-partitioned
+    * (r17) — one probe per table handle; the file is immutable. */
+  private[catalog] lazy val transformSpec
+      : Option[PartitionTransforms.Spec] =
+    PartitionTransforms.read(SparkSession.active, graftTablePath)
+  /** True for the GENERATED partition column (commit-assigned like
+    * provenance: writes derive it, input values are ignored). */
+  protected def isGeneratedCol(name: String): Boolean =
+    transformSpec.exists(_.genCol.equalsIgnoreCase(name))
   override def name(): String = inner.name()
   /** The native schema, with [[FactVersioned.VGenCol]] (when present —
     * fact tables only) carrying a NULL column DEFAULT in its field
@@ -1142,7 +1151,8 @@ private[catalog] abstract class GraftWritableTable(
     * sort last in a discovered-partition table, so BY NAME is the
     * vgen-free door. */
   override def schema(): StructType = StructType(inner.schema.fields.map { f =>
-    if (f.name.equalsIgnoreCase(FactVersioned.VGenCol))
+    if (f.name.equalsIgnoreCase(FactVersioned.VGenCol) ||
+        isGeneratedCol(f.name))
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
         .putString("CURRENT_DEFAULT", "NULL")
@@ -1159,6 +1169,15 @@ private[catalog] abstract class GraftWritableTable(
           "commit-assigned provenance (generation number); " +
             "input values are ignored",
           org.apache.spark.sql.GraftColumnBridge.nullColumnDefault(LongType),
+          null)
+      else if (isGeneratedCol(c.name))
+        org.apache.spark.sql.connector.catalog.Column.create(
+          c.name, c.dataType, true,
+          s"generated partition column " +
+            s"(${transformSpec.get.kind}(${transformSpec.get.source})); " +
+            "derived at commit, input values are ignored",
+          org.apache.spark.sql.GraftColumnBridge
+            .nullColumnDefault(c.dataType),
           null)
       else c
     }
@@ -1296,8 +1315,15 @@ private[catalog] class WritableFactTable(
         .Constraint] =
     GraftCatalog.decodeConstraints(
       FactVersioned.tableProperties(spark, path, Some(resolvedGen)))
+  /** Derive the generated partition column on transform-partitioned
+    * tables (input values ignored — commit-assigned); identity tables
+    * pass through. */
+  private def derived(
+      rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    transformSpec.fold(rows)(_.derive(rows))
+
   override def insert(data: org.apache.spark.sql.DataFrame): Unit = {
-    val rows = data.drop(FactVersioned.VGenCol)
+    val rows = derived(data.drop(FactVersioned.VGenCol))
     FactVersioned.appendBy(spark, path, rows,
       FactVersioned.logicalPartitionColumns(spark, path),
       retain = retention,
@@ -1323,7 +1349,7 @@ private[catalog] class WritableFactTable(
     // materialize the source ONCE: the touched-set derivation, the
     // spec-containment guard and the commit itself all consume it — an
     // expensive SELECT must not run three times
-    val rows = data.drop(FactVersioned.VGenCol).localCheckpoint()
+    val rows = derived(data.drop(FactVersioned.VGenCol)).localCheckpoint()
     val pcols = FactVersioned.logicalPartitionColumns(spark, path)
     def flat(f: Filter): Seq[Filter] = f match {
       case And(l, r) => flat(l) ++ flat(r)
@@ -1392,7 +1418,7 @@ private[catalog] class WritableFactTable(
     import org.apache.spark.sql.functions.col
     // materialize ONCE — the touched-set derivation and the commit
     // both consume the (possibly expensive) SELECT
-    val rows = data.drop(FactVersioned.VGenCol).localCheckpoint()
+    val rows = derived(data.drop(FactVersioned.VGenCol)).localCheckpoint()
     val pcols = FactVersioned.logicalPartitionColumns(spark, path)
     val touched = rows
       .select(pcols.map(col): _*).distinct().limit(10001).collect()
@@ -1477,7 +1503,11 @@ private[catalog] class PendingGraftTable(
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            (data0: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              // transform-partitioned CTAS: the generated column is
+              // derived here — the SELECT never names it
+              val data = PartitionTransforms.read(spark, path)
+                .fold(data0)(_.derive(data0))
               if (pcols.nonEmpty) {
                 val touchedRows = data.select(pcols.map(
                     org.apache.spark.sql.functions.col): _*)

@@ -131,6 +131,9 @@ object GraftDml {
     ext.injectResolutionRule(s => GraftMergeVgenRule(s))
     ext.injectResolutionRule(s => GraftInsertEvolveRule(s))
     ext.injectPostHocResolutionRule(s => GraftDmlRule(s))
+    // hidden-partitioning predicate mapping (r17): filters on a
+    // transform source column gain the partition-pruning conjunct
+    ext.injectOptimizerRule(s => GraftTransformPruneRule(s))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 
@@ -933,6 +936,16 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                   "from their current partition and re-INSERT them " +
                   "with the new value (or rewrite both partitions " +
                   "with FactVersioned.replacePartitions)")
+              // transform tables: the SOURCE column determines the
+              // generated partition column — assigning it either moves
+              // the row (unsupported above) or desyncs the derivation
+              if (table.isInstanceOf[WritableFactTable] &&
+                  PartitionTransforms.read(session, table.graftTablePath)
+                    .exists(_.source.equalsIgnoreCase(name)))
+                unsupported(s"UPDATE of '$name' — the source of this " +
+                  "table's partition transform — would move rows " +
+                  "between generated partitions; DELETE and re-INSERT " +
+                  "instead")
               if (name.equalsIgnoreCase(FactVersioned.VGenCol))
                 unsupported(s"'${FactVersioned.VGenCol}' is " +
                   "commit-assigned provenance and cannot be updated")
@@ -1194,7 +1207,38 @@ case class GraftMergeCommand(
             "partitions with FactVersioned.replacePartitions).")
       }
     }
-    val (updates, inserts, deletes) = route(enriched, tpNames, moveCheck)
+    val (updates0, inserts0, deletes) = route(enriched, tpNames, moveCheck)
+    // transform-partitioned target (r17): EVERY new-or-modified row
+    // gets the generated partition column RE-DERIVED from the source
+    // column (clause values for it are ignored — commit-assigned), so
+    // it can never drift from its definition. An update whose
+    // re-derivation leaves the target's partition is the
+    // partition-moving shape moveCheck rejects for identity tables —
+    // same loud error, checked here because the move is only visible
+    // AFTER derivation.
+    val (updates, inserts) = PartitionTransforms.read(spark, path) match {
+      case Some(sp) =>
+        val tpOfGen = pcols.zip(tpNames).collectFirst {
+          case (p, tp) if p.equalsIgnoreCase(sp.genCol) => tp
+        }.getOrElse(throw new IllegalStateException(
+          s"GraftDml: transform column ${sp.genCol} is not a partition " +
+            s"column of $path"))
+        val checkedUpdates = updates0.map { u =>
+          val d = sp.derive(u)
+          val moved = d.where(!(col(sp.genCol) <=> col(tpOfGen)))
+            .limit(1).collect()
+          if (moved.nonEmpty)
+            throw new IllegalStateException(
+              s"GraftDml: MERGE updates ${sp.source} across " +
+                s"${sp.kind}-partitions (re-derived ${sp.genCol} leaves " +
+                "the row's current partition) — a partition-moving " +
+                "update would leave the stale row behind. DELETE the " +
+                "key and re-INSERT it instead.")
+          d
+        }
+        (checkedUpdates, inserts0.map(sp.derive))
+      case None => (updates0, inserts0)
+    }
     // BY SOURCE sync: scoped target rows whose key the source never
     // names — dropped (DELETE) or rewritten in place through the
     // clause's target-side assignments (UPDATE). Cost ∝ the scoped

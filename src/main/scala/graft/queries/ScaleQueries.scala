@@ -2666,6 +2666,70 @@ object ScaleQueries extends QueryPack {
     // comparison, never string compare). Output value-gated against
     // the DuckDB mirror; timestamps leave the output as strings (the
     // oracle-compare dtype contract).
+    // Transform partitioning (VERDICT r16 Next #3 — the Iceberg
+    // `PARTITIONED BY (days(ts))` spelling): the generated column is
+    // derived at write (CTAS + INSERT; supplied values ignored), dirs
+    // are readable day strings, and a plain `WHERE ts` range reads
+    // ONLY the matching day dirs (hidden partitioning, FS-asserted via
+    // the files the scan actually opened). Output value-gated against
+    // the DuckDB from-scratch recomputation.
+    "q178_sql_transform_partitioning" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q178_").toString
+      val path = s"$wh/ev_days"
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      try {
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+          .createOrReplaceTempView("q178_src")
+        s.sql(
+          """CREATE TABLE graft.ev_days PARTITIONED BY (days(ts)) AS
+            |SELECT event_id, user_id, value, ts FROM q178_src""".stripMargin)
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // dirs are readable day strings under the GENERATED column
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$path/${FactVersioned.DataDir}/${FactVersioned.VGenCol}=0"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        require(dirs.nonEmpty && dirs.forall(_.matches(
+            "ts_day=\\d{4}-\\d{2}-\\d{2}")),
+          s"q178: partition dirs must be day strings, got $dirs")
+        // INSERT derives ts_day — the supplied value is ignored
+        s.sql(
+          """INSERT INTO graft.ev_days BY NAME
+            |SELECT 900000001L AS event_id, 1L AS user_id,
+            |  2.5 AS value, TIMESTAMP '2024-01-03 12:34:56' AS ts,
+            |  '1999-01-01' AS ts_day,
+            |  CAST(NULL AS BIGINT) AS vgen""".stripMargin)
+        require(s.sql("SELECT ts_day FROM graft.ev_days " +
+            "WHERE event_id = 900000001").head.getString(0) ==
+            "2024-01-03",
+          "q178: the generated column must be derived, not taken " +
+            "from input")
+        // HIDDEN PARTITIONING: a plain ts range reads only the two
+        // matching day dirs — asserted from the files the scan
+        // actually opened
+        val q = s.sql(
+          """SELECT event_id FROM graft.ev_days
+            |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+            |  AND ts < TIMESTAMP '2024-01-05 00:00:00'""".stripMargin)
+        val readDays = q.select(input_file_name()).distinct().collect()
+          .map(_.getString(0))
+          .flatMap(f => "ts_day=[0-9-]+".r.findFirstIn(f)).toSet
+        require(readDays == Set("ts_day=2024-01-03", "ts_day=2024-01-04"),
+          s"q178: the ts range must prune to its two days, read " +
+            s"$readDays")
+        val out = s.sql(
+          """SELECT event_id, ts_day, round(value, 4) AS value
+            |FROM graft.ev_days""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally s.conf.unset("spark.sql.catalog.graft.retain")
+    }),
+
     "q164_sql_timestamp_partitions" -> ((s0, dir) => {
       val wh = Files.createTempDirectory("graft_q164_").toString
       val path = s"$wh/events_ts"
@@ -3812,6 +3876,14 @@ object ScaleQueries extends QueryPack {
         |FROM orders WHERE year(o_orderdate) IN (1995, 1996)""".stripMargin,
     // the merged head ≡ events with day-3 evens doubled (OPTIMIZE
     // rewrites layout, never content)
+    // the transform-partitioned head ≡ base events (day-derived) + the
+    // one conforming insert — derivation moves no values
+    "q178_sql_transform_partitioning" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS ts_day,
+        |  round(value, 4) AS value
+        |FROM events
+        |UNION ALL
+        |SELECT 900000001, '2024-01-03', 2.5""".stripMargin,
     "q164_sql_timestamp_partitions" ->
       """SELECT event_id,
         |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS p_day,
