@@ -431,10 +431,12 @@ class GraftCatalogSpec extends SparkSpec {
         |AS SELECT * FROM ctas_src""".stripMargin)
     assert(FactVersioned.partitionColumns(spark, s"$root/ctas_mc") ==
       Seq("p", "k"))
-    // non-identity transforms still fail loudly
+    // bucket/days/… transforms are first-class since r17
+    // (TransformPartitionSpec); an UNSUPPORTED transform still fails
+    // loudly
     val e2 = intercept[Exception] {
       spark.sql(
-        """CREATE TABLE graftt.ctas_bad PARTITIONED BY (bucket(4, k))
+        """CREATE TABLE graftt.ctas_bad PARTITIONED BY (truncate(4, k))
           |AS SELECT * FROM ctas_src""".stripMargin)
     }
     assert(e2.getMessage.contains("identity") ||
