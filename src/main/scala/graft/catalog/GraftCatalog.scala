@@ -148,18 +148,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * validated like namespace segments — a name like `..` or one
     * containing '/' would otherwise resolve (and RENAME TO could MOVE
     * a table tree) outside the root; on the resolution path an unsafe
-    * name is simply "no such table". */
+    * name is simply "no such table". POINTER-AWARE (r17): an
+    * [[TablePointers.At]] entry redirects the name to its physical
+    * dir (the table was pointer-renamed TO this name — the tree never
+    * moved); a [[TablePointers.Renamed]] entry fails loudly with
+    * re-target guidance, so no DDL/DML can reach the NEW table's data
+    * through the OLD name. */
   private def tablePath(ident: Identifier): String = {
     if (!safeSegment(ident.name) ||
         !ident.namespace.forall(safeSegment))
       throw new NoSuchTableException(ident)
-    if (ident.namespace.isEmpty) s"$root/${ident.name}"
-    else {
-      if (!namespaceExists(ident.namespace))
-        throw new NoSuchTableException(ident)
-      s"$root/${ident.namespace.mkString("/")}/${ident.name}"
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchTableException(ident)
+    val key = TablePointers.keyOf(ident.namespace, ident.name)
+    TablePointers.read(spark, root).get(key) match {
+      case Some(TablePointers.At(dir)) => s"$root/$dir"
+      case Some(TablePointers.Renamed(to)) =>
+        throw new IllegalArgumentException(
+          s"GraftCatalog: table '${ident.name}' was RENAMED to " +
+            s"'${to.split('/').last}' ($root/$to) — query it under its " +
+            "new name")
+      case None => s"$root/$key"
     }
   }
+
+  /** The pointer entry of `ident`, if any (None for unsafe names). */
+  private def pointerEntry(ident: Identifier): Option[TablePointers.Entry] =
+    if (!safeSegment(ident.name) || !ident.namespace.forall(safeSegment))
+      None
+    else TablePointers.read(spark, root)
+      .get(TablePointers.keyOf(ident.namespace, ident.name))
 
   private def tablesUnder(dir: Path): Seq[String] = {
     val fs = hadoopFs(dir)
@@ -175,7 +193,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty && !namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
-    tablesUnder(nsPath(namespace))
+    // pointer-aware (r17): a dir that is the PHYSICAL home of a
+    // pointer-renamed table lists under its logical name, not its dir
+    // name; renamed-away names don't list at all
+    val map = TablePointers.read(spark, root)
+    val prefix =
+      if (namespace.isEmpty) "" else namespace.mkString("/") + "/"
+    val aliasTargets = map.values
+      .collect { case TablePointers.At(d) => d }.toSet
+    val renamedKeys =
+      map.collect { case (k, _: TablePointers.Renamed) => k }.toSet
+    val dirNames = tablesUnder(nsPath(namespace))
+      .filterNot(n => aliasTargets.contains(prefix + n) ||
+        renamedKeys.contains(prefix + n))
+    val aliasNames = map.collect {
+      case (k, _: TablePointers.At)
+          if k.startsWith(prefix) &&
+            !k.stripPrefix(prefix).contains("/") =>
+        k.stripPrefix(prefix)
+    }
+    (dirNames ++ aliasNames).distinct.sorted
       .map(Identifier.of(namespace, _)).toArray
   }
 
@@ -195,6 +232,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // existence probe (ADVICE r15 #5: CREATE TABLE IF NOT EXISTS with
     // such a name errored with a confusing 'no such table')
     if (!safeSegment(ident.name) || !ident.namespace.forall(safeSegment))
+      return false
+    // a pointer-renamed-away name is simply absent (its default dir
+    // may still hold the RENAMED table's data — never report that as
+    // this name existing)
+    if (pointerEntry(ident).exists(_.isInstanceOf[TablePointers.Renamed]))
       return false
     val path = tablePath(ident)
     FactVersioned.generations(spark, path).nonEmpty ||
@@ -486,7 +528,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
-    val path = tablePath(ident)
+    if (!safeSegment(ident.name) || !ident.namespace.forall(safeSegment))
+      throw new NoSuchTableException(ident)
+    // pointer layer (r17): an explicit CREATE supersedes a
+    // pointer-rename guidance entry; a live alias is "already exists"
+    // (unless its physical dir lost its table — a crash between purge
+    // and record cleanup — which the create heals); and a default dir
+    // occupied as ANOTHER table's physical home forces a fresh
+    // physical dir for this name, registered as an alias. All decided
+    // in ONE record mutation under the pointer lock.
+    val key = TablePointers.keyOf(ident.namespace, ident.name)
+    var physKey = key
+    if (TablePointers.read(spark, this.root).nonEmpty ||
+        pointerEntry(ident).nonEmpty)
+      TablePointers.mutate(spark, this.root) { m =>
+        m.get(key) match {
+          case Some(_: TablePointers.Renamed) => () // supersede below
+          case Some(TablePointers.At(d)) =>
+            val p = s"${this.root}/$d"
+            if (FactVersioned.generations(spark, p).nonEmpty ||
+                Versioned.generations(spark, p).nonEmpty || isPending(p))
+              throw new org.apache.spark.sql.catalyst.analysis
+                .TableAlreadyExistsException(ident)
+            // dangling alias (interrupted purge/drop): heal it
+          case None => ()
+        }
+        val targets =
+          m.values.collect { case TablePointers.At(d) => d }.toSet
+        if (targets.contains(key)) {
+          physKey = key + "__p" +
+            java.util.UUID.randomUUID().toString.take(8)
+          (m - key) + (key -> TablePointers.At(physKey))
+        } else m - key
+      }
+    val path = s"${this.root}/$physKey"
     if (FactVersioned.generations(spark, path).nonEmpty ||
         Versioned.generations(spark, path).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -980,28 +1055,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * manifest/marker), never read a half-tree as a valid generation. */
   override def purgeTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)
-    deletePendingHusk(path).getOrElse {
+    val ok = deletePendingHusk(path).getOrElse {
     if (FactVersioned.generations(spark, path).nonEmpty) {
       FactVersioned.destroy(spark, path); true
     } else if (Versioned.generations(spark, path).nonEmpty) {
       Versioned.destroy(spark, path); true
     } else throw new NoSuchTableException(ident)
     }
+    // pointer hygiene (r17): the purged name's alias and any guidance
+    // entries pointing AT it go too (a crash between destroy and this
+    // cleanup leaves a dangling alias, which createTable heals)
+    if (ok && pointerEntry(ident).nonEmpty) {
+      val key = TablePointers.keyOf(ident.namespace, ident.name)
+      TablePointers.mutate(spark, root) { m =>
+        (m - key).filter {
+          case (_, TablePointers.Renamed(t)) => t != key
+          case _ => true
+        }
+      }
+    }
+    ok
   }
 
-  /** `ALTER TABLE ... RENAME TO` — ONE claim-serialized directory move
-    * ([[FactVersioned.renameTable]] / [[Versioned.renameTable]]): every
-    * sidecar, colmap, tombstone and the recorded default merge keys
-    * live inside the tree and ride along; O(1) at any table size. The
-    * old name keeps a guidance tombstone — reads and commits against
-    * it fail loudly naming the new table; an explicit CREATE TABLE of
-    * the old name supersedes the tombstone. */
+  /** `ALTER TABLE ... RENAME TO` — TWO physical strategies behind one
+    * statement, routed by the store's contract (r17 — VERDICT r16
+    * Next #2):
+    *
+    *  - **tree move** (rename-atomic stores: POSIX, HDFS, ABFS, or the
+    *    [[graft.operators.CommitLock.AssumeAtomicKey]] vouch): ONE
+    *    claim-serialized directory rename
+    *    ([[FactVersioned.renameTable]] / [[Versioned.renameTable]]);
+    *    every sidecar, colmap, tombstone and recorded merge keys ride
+    *    along; O(1) at any table size; the old name keeps a guidance
+    *    tombstone.
+    *  - **pointer swap** (everything else — S3-class stores where a
+    *    tree move is per-object copy+delete): the tree NEVER moves;
+    *    one [[TablePointers]] record mutation under the warehouse
+    *    pointer lock re-targets the name (`new → at old-dir`,
+    *    `old → renamed new`). In-flight writers holding the physical
+    *    path are unaffected; resolution of the old name fails loudly
+    *    with re-target guidance; an explicit CREATE of the old name
+    *    supersedes the guidance entry.
+    *
+    * `spark.sql.catalog.<name>.renameMode` = `auto` (default — route
+    * by contract) | `move` | `pointer` forces a strategy; `pointer` on
+    * a rename-atomic store is legitimate when O(1)-regardless-of-
+    * metadata-size swaps are preferred over tree moves. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val mode = spark.conf
+      .getOption(s"spark.sql.catalog.$catalogName.renameMode")
+      .getOrElse("auto")
+    val usePointer = mode match {
+      case "pointer" => true
+      case "move" => false
+      case "auto" =>
+        !graft.operators.CommitLock.treeRenameAtomic(
+          hadoopFs(new Path(root)))
+      case other => throw new IllegalArgumentException(
+        s"GraftCatalog: renameMode must be auto|move|pointer, got " +
+          s"'$other'")
+    }
+    if (usePointer) { pointerRename(oldIdent, newIdent); return }
     val oldPath = tablePath(oldIdent)
     val newPath = tablePath(newIdent)
     if (tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(newIdent)
+    require(!pointerEntry(oldIdent).exists(
+        _.isInstanceOf[TablePointers.At]) &&
+        pointerEntry(newIdent).isEmpty,
+      s"GraftCatalog: ${oldIdent.name} or ${newIdent.name} is in the " +
+        "pointer record — a tree move would strand the pointer; use " +
+        "renameMode=pointer for this rename")
     if (FactVersioned.generations(spark, oldPath).nonEmpty)
       FactVersioned.renameTable(spark, oldPath, newPath)
     else if (Versioned.generations(spark, oldPath).nonEmpty)
@@ -1011,6 +1136,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"GraftCatalog: ${oldIdent.name} is a pending CREATE TABLE with " +
           "no committed data — write it first or DROP the husk")
     else throw new NoSuchTableException(oldIdent)
+  }
+
+  /** Pointer-swap rename: ONE record mutation under the warehouse
+    * pointer lock — existence probes, name-free checks, chain
+    * re-targeting (`x renamed old` entries follow to the new name) and
+    * the swap itself are all race-free against other pointer
+    * mutations. The data tree never moves. */
+  private def pointerRename(
+      oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!safeSegment(oldIdent.name) ||
+        !oldIdent.namespace.forall(safeSegment))
+      throw new NoSuchTableException(oldIdent)
+    validateSegment(newIdent.name)
+    if (newIdent.namespace.nonEmpty &&
+        !namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    val oldKey = TablePointers.keyOf(oldIdent.namespace, oldIdent.name)
+    val newKey = TablePointers.keyOf(newIdent.namespace, newIdent.name)
+    require(oldKey != newKey,
+      s"GraftCatalog: RENAME TO the same name '${oldIdent.name}'")
+    TablePointers.mutate(spark, root) { m =>
+      val oldDir = m.get(oldKey) match {
+        case Some(TablePointers.At(d)) => d
+        case Some(TablePointers.Renamed(to)) =>
+          throw new IllegalArgumentException(
+            s"GraftCatalog: table '${oldIdent.name}' was RENAMED to " +
+              s"'${to.split('/').last}' ($root/$to) — rename it under " +
+              "its new name")
+        case None => oldKey
+      }
+      val oldPath = s"$root/$oldDir"
+      val committed =
+        FactVersioned.generations(spark, oldPath).nonEmpty ||
+          Versioned.generations(spark, oldPath).nonEmpty
+      if (!committed) {
+        if (isPending(oldPath)) throw new IllegalStateException(
+          s"GraftCatalog: ${oldIdent.name} is a pending CREATE TABLE " +
+            "with no committed data — write it first or DROP the husk")
+        throw new NoSuchTableException(oldIdent)
+      }
+      if (m.get(newKey).exists(_.isInstanceOf[TablePointers.At]))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(newIdent)
+      val newDefault = s"$root/$newKey"
+      if (newDefault != oldPath &&
+          (FactVersioned.generations(spark, newDefault).nonEmpty ||
+            Versioned.generations(spark, newDefault).nonEmpty ||
+            isPending(newDefault)))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(newIdent)
+      // chain re-target: names renamed to OLD now point at NEW, so
+      // every stale name resolves its guidance in one hop
+      val retargeted = m.map {
+        case (k, TablePointers.Renamed(t)) if t == oldKey =>
+          k -> (TablePointers.Renamed(newKey): TablePointers.Entry)
+        case kv => kv
+      }
+      val base = retargeted - oldKey - newKey
+      val withAlias =
+        if (oldDir == newKey) base // rename-back: default home again
+        else base + (newKey -> TablePointers.At(oldDir))
+      withAlias + (oldKey -> TablePointers.Renamed(newKey))
+    }
   }
 }
 

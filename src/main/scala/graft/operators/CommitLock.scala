@@ -140,6 +140,17 @@ object CommitLock {
         s"way — opt in with spark.hadoop.$AssumeAtomicKey=true")
   }
 
+  /** True iff the store provides an ATOMIC whole-directory rename
+    * (the move-path contract below, as a probe instead of a throw) —
+    * the catalog's rename router picks the one-tree-move fast path on
+    * these stores and the pointer-swap path elsewhere (r17). */
+  def treeRenameAtomic(fs: FileSystem): Boolean = {
+    val scheme = Option(fs.getUri.getScheme)
+      .map(_.toLowerCase).getOrElse("file")
+    AtomicSchemes(scheme) ||
+      Option(fs.getConf).exists(_.getBoolean(AssumeAtomicKey, false))
+  }
+
   /** Whole-DIRECTORY move contract (`ALTER TABLE ... RENAME TO`): the
     * one-`fs.rename`-of-the-tree design needs a TRUE atomic rename
     * (POSIX rename(2), HDFS namenode, ABFS hierarchical namespace).

@@ -2096,6 +2096,78 @@ object ScaleQueries extends QueryPack {
       } finally s.conf.unset("spark.sql.catalog.graft.retain")
     }),
 
+    // Pointer-based TABLE RENAME (VERDICT r16 Next #2 — the
+    // object-store endgame): with renameMode=pointer the statement is
+    // ONE record swap in the warehouse _graft_names file — FS-asserted:
+    // the table tree NEVER moves (the physical dir keeps its
+    // _graft_gens; no tree appears at the new default path), the new
+    // name resolves and accepts writes into the SAME physical dir, the
+    // old name fails with re-target guidance, and an explicit CREATE
+    // of the old name supersedes it at a fresh physical dir. Output
+    // value-gated against the DuckDB from-scratch recomputation.
+    "q179_sql_pointer_rename" -> ((s0, dir) => {
+      val wh = Files.createTempDirectory("graft_q179_").toString
+      val path = s"$wh/orders_pr"
+      val o = t(s0, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("y"))
+        .where(col("y").isin(1995, 1996))
+      FactVersioned.upsert(s0, path, o, Seq("o_orderkey"), "y",
+        retain = 10)
+      val s = graft.catalog.GraftDml.enable(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", wh)
+      s.conf.set("spark.sql.catalog.graft.retain", "10")
+      s.conf.set("spark.sql.catalog.graft.renameMode", "pointer")
+      try {
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql("ALTER TABLE graft.orders_pr RENAME TO orders_pr2")
+        // the tree NEVER moved: one pointer swap, zero data-path cost
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            s"$path/_graft_gens")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$wh/orders_pr2")),
+          "q179: the pointer rename must not move the tree")
+        // the old name fails with re-target guidance
+        val stale = try { s.sql("SELECT * FROM graft.orders_pr")
+          .collect(); None } catch { case t: Throwable => Some(t) }
+        require(stale.exists(t => causeMessages(t)
+            .exists(m => m.contains("RENAMED") &&
+              m.contains("orders_pr2"))),
+          "q179: the old name must re-target loudly")
+        // a write through the NEW name lands in the SAME physical dir
+        s.sql(
+          """INSERT INTO graft.orders_pr2 BY NAME
+            |SELECT o_orderkey + 80000000 AS o_orderkey, 'P' AS
+            |  o_orderstatus, o_totalprice, y,
+            |  CAST(NULL AS BIGINT) AS vgen
+            |FROM graft.orders_pr2
+            |WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin)
+        require(FactVersioned.generations(s, path) == Seq(0L, 1L),
+          "q179: the new-name INSERT must commit into the old tree")
+        // an explicit CREATE of the old name supersedes the guidance
+        // at a FRESH physical dir (the default one holds the renamed
+        // table's data)
+        s.sql("CREATE TABLE graft.orders_pr AS SELECT 1L AS marker")
+        require(s.sql("SELECT count(*) FROM graft.orders_pr")
+            .head.getLong(0) == 1 &&
+            s.sql("SELECT count(*) FROM graft.orders_pr2")
+              .head.getLong(0) > 1,
+          "q179: the superseding CREATE and the renamed table must " +
+            "coexist")
+        val out = s.sql(
+          """SELECT o_orderkey, o_orderstatus,
+            |  round(o_totalprice, 2) AS o_totalprice, y
+            |FROM graft.orders_pr2""".stripMargin).localCheckpoint()
+        fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+        out
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft.retain")
+        s.conf.unset("spark.sql.catalog.graft.renameMode")
+      }
+    }),
+
     "q175_sql_tblproperties" -> ((s0, dir) => {
       val wh = Files.createTempDirectory("graft_q175_").toString
       val path = s"$wh/orders_tp"
@@ -3735,6 +3807,19 @@ object ScaleQueries extends QueryPack {
     // ALTERs moved no data
     // the surviving TBLPROPERTIES after SET+UNSET+inherit+rename ≡ the
     // literal set (UNSET retired 'tier'; the rename moved the record)
+    // the renamed head ≡ base rows + the flagged insert — the pointer
+    // swap moves no data, so values match the recomputation exactly
+    "q179_sql_pointer_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, y
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 80000000, 'P', round(o_totalprice, 2), y
+        |FROM base WHERE y = 1995 AND o_orderkey % 100 = 0""".stripMargin,
     // the head after the constraint lifecycle ≡ base rows + the
     // doubled conforming inserts — every rejected statement committed
     // nothing, so values match the from-scratch recomputation exactly
