@@ -94,16 +94,7 @@ object TablePointers {
         if (hit != null && hit.mtime == s.getModificationTime &&
             hit.len == s.getLen) hit.map
         else {
-          val text = try {
-            val in = fs.open(p)
-            try {
-              val out = new java.io.ByteArrayOutputStream()
-              org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-              new String(out.toByteArray,
-                java.nio.charset.StandardCharsets.UTF_8)
-            } finally in.close()
-          } catch { case _: java.io.FileNotFoundException => "" }
-          val m = parse(text)
+          val m = parse(readRaw(fs, p))
           cache.put(key,
             Cached(s.getModificationTime, s.getLen, m))
           m
@@ -114,22 +105,41 @@ object TablePointers {
   /** Apply `f` to the pointer map under the warehouse pointer lock and
     * commit the result as one atomic rewrite (previous content rotated
     * to `.bak`). `f` runs with the lock HELD, so it may probe table
-    * layouts race-free against other pointer mutations. */
+    * layouts race-free against other pointer mutations. The
+    * read-for-mutation BYPASSES the mtime cache: millisecond mtime
+    * granularity could serve a stale map to a mutation that follows
+    * another within the same tick, and a stale base under the lock is
+    * a lost update — the one failure the lock exists to prevent. */
   def mutate(spark: SparkSession, root: String)(
       f: Map[String, Entry] => Map[String, Entry]): Unit = {
     val fs = fsOf(spark, root)
     CommitLock.withLocks(spark, Seq(s"$root/$LockDir")) {
       val p = new Path(root, RecordFile)
-      val before = read(spark, root)
+      val before = parse(readRaw(fs, p))
       val after = f(before)
       if (after != before) {
         if (fs.exists(p))
           Versioned.atomicWriteFile(fs,
             new Path(root, RecordFile + ".bak"), serialize(before))
         Versioned.atomicWriteFile(fs, p, serialize(after))
+        // lock-free readers pick the rewrite up via mtime/len; THIS
+        // JVM's next read must not serve the pre-rewrite entry
+        cache.remove(fs.makeQualified(p).toString)
       }
     }
   }
+
+  private def readRaw(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    try {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => "" }
 
   /** Root-relative slash-joined key of an identifier. */
   def keyOf(namespace: Array[String], name: String): String =
