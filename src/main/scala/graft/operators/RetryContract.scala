@@ -69,10 +69,17 @@ object RetryContract {
     "PATH_NOT_FOUND",
     "PARTITIONS_NOT_FOUND")
 
-  /** Legacy (condition-less) spellings of the same drift shapes. */
+  /** Legacy spellings of the same drift shapes — matched in ADDITION
+    * to the condition check: legacy errors carry `_LEGACY_ERROR_TEMP_*`
+    * conditions (non-null but meaningless), e.g. `Dataset.resolve`'s
+    * "Cannot resolve column name \"amount\" among (k, p, v, meta)",
+    * the exact shape a rename racing an upsert surfaces (caught by the
+    * r17 storm campaign after the first narrowing matched phrases only
+    * when the condition was null). */
   private val ResolutionDriftPhrases = Seq(
     "cannot be resolved",
     "cannot resolve",
+    "Cannot resolve column name",
     "Table or view not found",
     "Path does not exist",
     "No such struct field")
@@ -87,12 +94,13 @@ object RetryContract {
       case e: org.apache.spark.sql.AnalysisException =>
         // resolution drift ONLY (ADVICE r16 #2) — a permanent analysis
         // error (parse/type/duplicate/unsupported) must surface, not
-        // retry to exhaustion
-        Option(e.getCondition) match {
-          case Some(c) => ResolutionDriftConditions.exists(c.startsWith)
-          case None => Option(e.getMessage).exists(m =>
+        // retry to exhaustion. Conditions and phrases BOTH match:
+        // legacy errors carry `_LEGACY_ERROR_TEMP_*` conditions, so a
+        // condition-only gate would miss their drift spellings.
+        Option(e.getCondition).exists(c =>
+          ResolutionDriftConditions.exists(c.startsWith)) ||
+          Option(e.getMessage).exists(m =>
             ResolutionDriftPhrases.exists(m.contains))
-        }
       case _: java.io.FileNotFoundException => true
       case e: org.apache.spark.SparkException =>
         Option(e.getMessage).exists(_.contains("FAILED_READ_FILE"))
