@@ -107,12 +107,20 @@ object Similarity {
     * Applicability bound: corpus must fit in a broadcast (~1M × 64-dim
     * doubles ≈ 512 MB). Beyond that, LSH/IVF are the scale paths.
     */
+  /** @param queryIdPred when set, only ids satisfying it are scored as
+    *   QUERIES (the corpus side — the broadcast candidates — is always
+    *   the full input): a caller that keeps 1-in-N queries would
+    *   otherwise pay the full all-queries scan and discard (N−1)/N of
+    *   it (guide §2.3 "don't compute things you throw away" — q135
+    *   computed 10× its kept rows). Row-identical to filtering the
+    *   output by the same predicate. */
   def bruteForceTopKBlocked(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      roundSim: Int = 4): DataFrame = {
+      roundSim: Int = 4,
+      queryIdPred: Option[Long => Boolean] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = Par.spread(df.select(col(idCol).cast("long").as("id"),
@@ -132,7 +140,8 @@ object Similarity {
     base.mapPartitions { it =>
       val cs = bc.value
       val roundStep = math.pow(10.0, -roundSim)
-      it.flatMap { case (qid, uSeq) =>
+      val qIt = queryIdPred.fold(it)(p => it.filter(r => p(r._1)))
+      qIt.flatMap { case (qid, uSeq) =>
         val u = uSeq.toArray
         // bounded selection: (sim desc, id asc), worst kept at index k-1
         val topIds = new Array[Long](k)

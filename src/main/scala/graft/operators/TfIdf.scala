@@ -175,30 +175,113 @@ object TfIdf {
     val qData: Array[(Long, Array[(String, Double)])] = qArr
       .as[(Long, Seq[(String, Double)])]
       .collect().map { case (q, ts) => (q, ts.toArray) }.sortBy(_._1)
-    val bcQ = spark.sparkContext.broadcast(qData)
+    // Query terms re-keyed to dense int ids (query-batch-scale, rides
+    // the same broadcast): the scoring loop's per-(doc,query,term) map
+    // probe was a String hash+equals on every step — r17 profile: the
+    // scoring stage burned ~45 task-seconds at sf0.1 and, worse, AQE
+    // coalesces the tiny docVecs shuffle to ONE partition so all of it
+    // ran single-threaded (7+ s wall). With ids, each doc loads its
+    // term→tf entries into a flat long array ONCE (|tfm| dictionary
+    // probes), and the per-query inner loop is an int-indexed array
+    // read — arithmetic, order and rounding unchanged, so the scaled
+    // score is bit-identical.
+    val termIdOf = new java.util.HashMap[String, Integer]()
+    qData.foreach(_._2.foreach { case (t, _) =>
+      if (!termIdOf.containsKey(t)) termIdOf.put(t, termIdOf.size()) })
+    val nTerms = termIdOf.size()
+    val qTermIds: Array[Array[Int]] =
+      qData.map(_._2.map(ts => termIdOf.get(ts._1).intValue()))
+    val qIdfs: Array[Array[Double]] = qData.map(_._2.map(_._2))
+    val bcQ = spark.sparkContext.broadcast(
+      (qData.map(_._1), qTermIds, qIdfs, termIdOf))
     val k1p1 = k1 + 1.0
     val scored = docVecs
       .as[(Long, Map[String, Long], Long)]
       .mapPartitions { it =>
-        val qs = bcQ.value
-        it.flatMap { case (did, tfm, len) =>
+        val (qids, qTerms, idfs, dict) = bcQ.value
+        val nq = qids.length
+        val tfOf = new Array[Long](math.max(nTerms, 1))
+        val touched = new Array[Int](math.max(nTerms, 1))
+        // Per-query bounded top-k selection (same total order as the
+        // final window: rounded score desc, doc_id asc), so only each
+        // partition's possible top-k rows enter the exchange — the
+        // global top-k per query is a subset of every partition-local
+        // top-k, and the ordering key below is computed exactly like
+        // the plan's `round(s/1e10, roundTo)` (Spark's Round on a
+        // double is BigDecimal HALF_UP — the Similarity.scala
+        // precedent), so the surviving row set is identical.
+        val topDoc = Array.fill(nq)(new Array[Long](k))
+        val topS = Array.fill(nq)(new Array[Long](k))
+        val topR = Array.fill(nq)(new Array[Double](k))
+        val filled = new Array[Int](nq)
+        // one rounding step at `roundTo`, in scaled-long units: a raw
+        // score more than one step below the worst kept ROUNDED value
+        // can neither beat nor tie it (rounding moves a value < 1 step)
+        val stepScaled = math.pow(10.0, 10 - roundTo)
+        def roundedOf(s: Long): Double = BigDecimal(s.toDouble / 1e10)
+          .setScale(roundTo, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        it.foreach { case (did, tfm, len) =>
+          var nt = 0
+          tfm.foreach { case (t, v) =>
+            val id = dict.get(t)
+            if (id ne null) {
+              tfOf(id.intValue()) = v
+              touched(nt) = id.intValue()
+              nt += 1
+            }
+          }
           // identical double-op order to the declarative formula:
           // (1-b) + ((b*len)/avgdl), then k1*norm inside the denom
           val normTail = (1.0 - b) + ((b * len) / avgdl)
-          qs.iterator.flatMap { case (qid, qts) =>
+          var qi = 0
+          while (qi < nq) {
+            val terms = qTerms(qi)
+            val tIdfs = idfs(qi)
             var s = 0L
             var i = 0
-            while (i < qts.length) {
-              val (term, idf) = qts(i)
-              val tfv = tfm.getOrElse(term, 0L)
+            while (i < terms.length) {
+              val tfv = tfOf(terms(i))
               if (tfv != 0L) {
                 val denom = tfv + k1 * normTail
-                val x = idf * ((tfv * k1p1) / denom) * 1e10
+                val x = tIdfs(i) * ((tfv * k1p1) / denom) * 1e10
                 s += roundHalfUpPos(x)
               }
               i += 1
             }
-            if (s > 0L) Some((qid, did, s)) else None
+            if (s > 0L) {
+              val f = filled(qi)
+              val worstR = if (f == k) topR(qi)(k - 1) else 0.0
+              val cannotQualify = f == k &&
+                s.toDouble < worstR * 1e10 - stepScaled
+              if (!cannotQualify) {
+                val r = roundedOf(s)
+                val ds = topDoc(qi)
+                val ss = topS(qi)
+                val rs = topR(qi)
+                val beatsWorst = f < k || r > rs(f - 1) ||
+                  (r == rs(f - 1) && did < ds(f - 1))
+                if (beatsWorst) {
+                  var pos = math.min(f, k - 1)
+                  while (pos > 0 && (r > rs(pos - 1) ||
+                      (r == rs(pos - 1) && did < ds(pos - 1)))) {
+                    ds(pos) = ds(pos - 1); ss(pos) = ss(pos - 1)
+                    rs(pos) = rs(pos - 1)
+                    pos -= 1
+                  }
+                  ds(pos) = did; ss(pos) = s; rs(pos) = r
+                  if (f < k) filled(qi) = f + 1
+                }
+              }
+            }
+            qi += 1
+          }
+          var j = 0
+          while (j < nt) { tfOf(touched(j)) = 0L; j += 1 }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until filled(qi)).map { r =>
+            (qids(qi), topDoc(qi)(r), topS(qi)(r))
           }
         }
       }
@@ -308,20 +391,35 @@ object TfIdf {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scan = Par.spread(spark.read.parquet(tablePath))
-    val dup = scan.groupBy(col(idCol)).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dup == 0,
-      s"TfIdf.writeTextIndex: $idCol must be unique in $tablePath")
+    // The uniqueness guard and the three sidecar writes are four
+    // INDEPENDENT actions (rows/stats/counts all read the one
+    // localCheckpointed tf pass; the dup probe reads only idCol) —
+    // at index-build sizes each action's cost is its stage-barrier
+    // floor, so running them sequentially paid 4 barriers for 1
+    // (optimization guide §2.6, overlap independent jobs). Failures
+    // surface at the joins below; the publish rename still happens
+    // only after every write completed.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dupF = Future {
+      scan.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).count()
+    }
     val (rows, stats, counts) =
       sidecarOf(scan, idCol, textCol, root.getName)
     val tmp = new org.apache.hadoop.fs.Path(root, TmpDirPrefix + textCol)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    rows.write.partitionBy("part")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "rows").toString)
-    stats.write.partitionBy("part")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "stats").toString)
-    counts.write.partitionBy("part")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "counts").toString)
+    val writes = Seq(
+      ("rows", rows), ("stats", stats), ("counts", counts)).map {
+      case (sub, df) => Future {
+        df.write.partitionBy("part")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, sub).toString)
+      }
+    }
+    writes.foreach(Await.result(_, Duration.Inf))
+    require(Await.result(dupF, Duration.Inf) == 0,
+      s"TfIdf.writeTextIndex: $idCol must be unique in $tablePath")
     val live = new org.apache.hadoop.fs.Path(root, DirPrefix + textCol)
     val stale = new org.apache.hadoop.fs.Path(root, StaleDirPrefix + textCol)
     if (fs.exists(stale)) fs.delete(stale, true)

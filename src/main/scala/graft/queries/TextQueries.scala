@@ -310,8 +310,13 @@ object TextQueries extends QueryPack {
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       val lex = graft.operators.TfIdf.bm25TopK(docs, "doc_id", "text",
         queries, "qid", "qtext", k = 10)
+      // queryIdPred prunes the blocked scan to the kept 1-in-10 query
+      // set up front (row-identical; the residual where() is a no-op
+      // guard) — computing all-queries top-10 and discarding 90% cost
+      // 10× the kept work (OPTIMIZATION_r17.md, guide §2.3)
       val vec = graft.operators.Similarity.bruteForceTopKBlocked(
-          t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 10,
+          queryIdPred = Some(id => id % 10 == 0))
         .where(col("query_id") % 10 === 0)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
