@@ -158,15 +158,25 @@ object AnnIndex {
     val base = Par.spread(
       baseOf(spark.read.parquet(tablePath), idCol, vecCol, rootName)).cache()
     try {
-      val n = base.count()
+      val n = base.count() // also materializes the cache once, up front
       require(n > 0,
         s"AnnIndex.writeIndex: no usable vectors in $tablePath.$vecCol")
+      // The uniqueness probe, the training-sample collect and (later)
+      // the four sidecar writes are independent actions over the now-
+      // cached base; at index-build sizes each costs its stage-barrier
+      // floor, so sequential execution paid ~6 barriers where the
+      // longest path needs 2 (optimization guide §2.6 — overlap
+      // independent jobs). Failures surface at the awaits; publish
+      // still renames only after every write completed.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       // the id is the index key: candidate re-attach and self-exclusion
       // are id-keyed, so duplicates would silently corrupt results
-      val dup = base.groupBy("id").count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        s"AnnIndex.writeIndex: $idCol must be unique in $tablePath")
+      val dupF = Future {
+        base.groupBy("id").count()
+          .where(col("count") > 1).limit(1).count()
+      }
       val lists =
         if (nLists > 0) nLists
         else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -184,21 +194,34 @@ object AnnIndex {
 
       val tmp = new Path(root, TmpDirPrefix + vecCol)
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      assignQuantize(base, centroids, codebooks, literalCellThreshold)
-        .write.partitionBy("part").parquet(new Path(tmp, "rows").toString)
       import spark.implicits._
-      centroids.zipWithIndex.toIndexedSeq
-        .map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
-      codebooks.zipWithIndex.toIndexedSeq
-        .flatMap { case (cb, s) =>
-          cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
-        .toDF("subspace", "code", "centroid")
-        .coalesce(1).write.parquet(new Path(tmp, "codebooks").toString)
-      Seq((sample.head.length, lists, seed, trainCap, pqM, pqKsub))
-        .toDF("dim", "n_lists", "seed", "train_cap", "pq_m", "pq_ksub")
-        .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
+      val writes = Seq(
+        Future {
+          assignQuantize(base, centroids, codebooks, literalCellThreshold)
+            .write.partitionBy("part")
+            .parquet(new Path(tmp, "rows").toString)
+        },
+        Future {
+          centroids.zipWithIndex.toIndexedSeq
+            .map { case (c, i) => (i, c.toSeq) }
+            .toDF("cell", "centroid")
+            .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
+        },
+        Future {
+          codebooks.zipWithIndex.toIndexedSeq
+            .flatMap { case (cb, s) =>
+              cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+            .toDF("subspace", "code", "centroid")
+            .coalesce(1).write.parquet(new Path(tmp, "codebooks").toString)
+        },
+        Future {
+          Seq((sample.head.length, lists, seed, trainCap, pqM, pqKsub))
+            .toDF("dim", "n_lists", "seed", "train_cap", "pq_m", "pq_ksub")
+            .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
+        })
+      writes.foreach(Await.result(_, Duration.Inf))
+      require(Await.result(dupF, Duration.Inf) == 0,
+        s"AnnIndex.writeIndex: $idCol must be unique in $tablePath")
 
       val live = new Path(root, DirPrefix + vecCol)
       val stale = new Path(root, StaleDirPrefix + vecCol)

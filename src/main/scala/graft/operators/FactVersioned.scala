@@ -469,6 +469,8 @@ object FactVersioned {
             v
           }
       }
+    def put(key: Option[String], v: AnyRef): Unit =
+      key.foreach(map.put(_, v))
     def getFiltered[T <: AnyRef](key: Option[String])(compute: => T)(
         cacheable: T => Boolean): T =
       key match {
@@ -1220,19 +1222,37 @@ object FactVersioned {
     // namespace regardless of when (or under which logical schema) it
     // was written.
     if (fs.exists(genData)) fs.delete(genData, true) // stale-claim debris
-    val toStage =
-      if (cmap.isEmpty) content
-      else {
-        // stage under PHYSICAL names at every depth: alias the top
-        // name; a positional struct cast renames nested fields
-        val physStage = physSchemaOf(
-          StructType(content.schema.fields), cmap)
-        content.select(content.schema.fields.toIndexedSeq
-          .zip(physStage.fields).map { case (lf, pf) =>
-            bindColumn(lf.name, pf, lf.dataType)
-          }: _*)
-      }
-    toStage.write.partitionBy(physPartitionCols: _*).parquet(genData.toString)
+    // Metadata-only doors (rename/add/drop/widen/properties/restore)
+    // pass a statically-empty frame (createDataFrame over an emptyRDD —
+    // zero partitions); its write job stages nothing and creates no dir
+    // (the q156/q165 gates assert the dir's ABSENCE), yet still paid a
+    // full write-job + committer cycle per DDL. Detect the zero-
+    // partition shape statically (no job) and skip the write — on-disk
+    // result identical. Any plan this can't prove empty writes as
+    // before.
+    val staticallyEmpty = content.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getNumPartitions == 0
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.isEmpty
+      case _ => false
+    }
+    if (!staticallyEmpty) {
+      val toStage =
+        if (cmap.isEmpty) content
+        else {
+          // stage under PHYSICAL names at every depth: alias the top
+          // name; a positional struct cast renames nested fields
+          val physStage = physSchemaOf(
+            StructType(content.schema.fields), cmap)
+          content.select(content.schema.fields.toIndexedSeq
+            .zip(physStage.fields).map { case (lf, pf) =>
+              bindColumn(lf.name, pf, lf.dataType)
+            }: _*)
+        }
+      toStage.write.partitionBy(physPartitionCols: _*)
+        .parquet(genData.toString)
+    }
     def leafDirs(base: Path, depth: Int): Array[String] =
       if (!fs.exists(base)) Array.empty
       else if (depth == 1)
@@ -1361,15 +1381,23 @@ object FactVersioned {
       }
     }
     // rebase: carry from the RESOLVED head, not the claim-time parent —
-    // a non-overlapping intervener's changes are thereby preserved
+    // a non-overlapping intervener's changes are thereby preserved.
+    // The parent manifest's schema is memoized (immutable once
+    // committed, like its rows): passing it to the read skips the
+    // footer-inference job that otherwise ran on EVERY commit.
     val carried = head match {
       case None => spark.emptyDataset[(String, String)].toDF("dir", "file")
       case Some(pg) =>
-        spark.read.parquet(manifestDir(tablePath, pg).toString)
+        val mdir = manifestDir(tablePath, pg).toString
+        val ms = MetaCache.get(metaKey(spark, tablePath, pg, "mschema")) {
+          spark.read.parquet(mdir).schema
+        }
+        spark.read.schema(ms).parquet(mdir)
           .where(!col("dir").isin(touchedDirs: _*))
     }
-    carried.unionByName(freshDf, allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDir(tablePath, next).toString)
+    val manifestOut = carried.unionByName(freshDf, allowMissingColumns = true)
+    manifestOut.coalesce(1).write
+      .parquet(manifestDir(tablePath, next).toString)
     // pin the schema METADATA-FREE: toDDL renders CURRENT_DEFAULT
     // metadata as a DEFAULT clause that fromDDL cannot parse back
     // (defaults live in their own table-level record), and content
@@ -1417,6 +1445,10 @@ object FactVersioned {
     }
     fs.create(new Path(genMeta(tablePath, next), Versioned.CommitMarker),
       true).close()
+    // seed the manifest-schema memo for this generation (readable only
+    // now that the marker exists — metaKey pins identity on its mtime)
+    MetaCache.put(metaKey(spark, tablePath, next, "mschema"),
+      StructType(manifestOut.schema.fields.map(_.copy(nullable = true))))
     Commit(next, stagedDirs.toIndexedSeq.sorted)
   }
 
@@ -3298,11 +3330,14 @@ object FactVersioned {
     // GC: any data file not referenced by a retained manifest is dead
     val dRoot = dataRoot(tablePath)
     if (!fs.exists(dRoot)) return
+    // manifestRows is the MetaCache-memoized (dir, file) list — on the
+    // common post-commit sweep every retained generation is already
+    // cached, so this is zero Spark jobs instead of one combined
+    // manifest read per commit; uncached (or over-sized) generations
+    // read through exactly as before, one small job each.
     val referenced: Set[String] =
-      if (retained.isEmpty) Set.empty
-      else spark.read.parquet(
-          retained.map(g => manifestDir(tablePath, g).toString): _*)
-        .select("file").distinct().collect().map(_.getString(0)).toSet
+      retained.flatMap(g =>
+        manifestRows(spark, tablePath, g).map(_._2)).toSet
     // recursive walk: partition dirs may nest (multi-column layouts),
     // so GC keys on the file's full vgen-relative path and prunes
     // emptied dirs bottom-up
