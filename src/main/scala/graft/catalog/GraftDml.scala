@@ -1114,9 +1114,28 @@ case class GraftMergeCommand(
     val src = GraftColumnBridge.ofRows(spark, source)
     // distinct: two target keys may map to ONE source column
     // (ON t.a = s.x AND t.b = s.x) — uniqueness over the distinct
-    // source columns is the same predicate without the duplicate ref
-    FactVersioned.requireKeyUnique(src, sNames.distinct, "GraftDml MERGE")
-    if (isFact) runFact(spark, src) else runDim(spark, src)
+    // source columns is the same predicate without the duplicate ref.
+    // The probe runs CONCURRENTLY with the routing reads (guide §2.6 —
+    // it touches only the source plan, they touch the enriched probe):
+    // every exit, including the nothing-routed early return, awaits it
+    // before finishing, so a duplicate-keyed source still ALWAYS fails
+    // with the cardinality error and never commits (the await sits
+    // before the publish call in runFact/runDim).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dupF = Future {
+      FactVersioned.requireKeyUnique(src, sNames.distinct, "GraftDml MERGE")
+    }
+    def awaitUnique(): Unit = Await.result(dupF, Duration.Inf)
+    try {
+      if (isFact) runFact(spark, src, awaitUnique)
+      else { awaitUnique(); runDim(spark, src) }
+    } finally {
+      // a routing error must not leak the probe; surface its failure
+      // only if the body itself succeeded (Await above rethrows first)
+      Await.ready(dupF, Duration.Inf)
+    }
     Seq.empty
   }
 
@@ -1141,7 +1160,9 @@ case class GraftMergeCommand(
     src.join(mk, cond, "left").drop(kTmp: _*)
   }
 
-  private def runFact(spark: SparkSession, src: DataFrame): Unit = {
+  private def runFact(
+      spark: SparkSession, src: DataFrame,
+      awaitUnique: () => Unit): Unit = {
     val pcols = FactVersioned.logicalPartitionColumns(spark, path)
     val tpNames = pcols.indices.map(tpName)
     val srcProbe = src.select(keys.zip(kTmp).map { case ((_, s), kn) =>
@@ -1164,7 +1185,8 @@ case class GraftMergeCommand(
     // re-run the source plan AND the full-target key probe
     val enriched = enrichedOf(spark, src, matchedKeys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try runFactRouted(spark, enriched, srcKeysAsTarget(src), pcols, tpNames)
+    try runFactRouted(spark, enriched, srcKeysAsTarget(src), pcols,
+      tpNames, awaitUnique)
     finally enriched.unpersist(blocking = false)
   }
 
@@ -1173,7 +1195,8 @@ case class GraftMergeCommand(
       enriched: DataFrame,
       srcKeysT: DataFrame,
       pcols: Seq[String],
-      tpNames: Seq[String]): Unit = {
+      tpNames: Seq[String],
+      awaitUnique: () => Unit): Unit = {
     // partition stability: only UPDATE-routed rows can strand a stale
     // target row (deletes use the target's own partition; inserts have
     // no target row) — each update clause's hits are checked against
@@ -1262,6 +1285,10 @@ case class GraftMergeCommand(
       require(touchedRows.length <= 10000,
         "GraftDml: MERGE touches more than 10000 partitions — " +
           "this is a rewrite, not an incremental commit")
+      // the cardinality contract holds on EVERY path out of the MERGE:
+      // surface a duplicate-keyed source here whether or not anything
+      // was routed, and always before the commit below can land
+      awaitUnique()
       if (touchedRows.isEmpty) return // nothing routed: no commit
       val touched: Seq[Seq[Any]] = touchedRows.toIndexedSeq
         .map(r => pcols.indices.map(r.get))

@@ -253,23 +253,42 @@ object FactAnnIndex {
       val byGen: Map[Long, Seq[String]] = gens
         .flatMap(g => relFiles(spark, tablePath, g)).distinct
         .groupBy(vgenOf)
-      byGen.toSeq.sortBy(_._1).foreach { case (g, rels) =>
-        writeGenRows(spark, tmp, g, rels, dataRoot, pinned, idCol,
-          vecCol, centroids, codebooks, literalCellThreshold)
-      }
+      // per-generation row/file stages are independent of each other
+      // and of the three tiny metadata writes — overlap them (guide
+      // §2.6) instead of paying one stage barrier each, sequentially.
+      // The rows-before-files order WITHIN a generation is preserved
+      // inside writeGenRows; publish still renames only after every
+      // write completed.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       import spark.implicits._
-      centroids.zipWithIndex.toIndexedSeq
-        .map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.parquet(new Path(tmp, "centroids").toString)
-      codebooks.zipWithIndex.toIndexedSeq
-        .flatMap { case (cb, sub) =>
-          cb.zipWithIndex.map { case (c, i) => (sub, i, c.toSeq) } }
-        .toDF("subspace", "code", "centroid")
-        .coalesce(1).write.parquet(new Path(tmp, "codebooks").toString)
-      Seq((sample.head.length, lists, seed, trainCap, pqM, pqKsub))
-        .toDF("dim", "n_lists", "seed", "train_cap", "pq_m", "pq_ksub")
-        .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
+      val writes =
+        byGen.toSeq.sortBy(_._1).map { case (g, rels) => Future {
+          writeGenRows(spark, tmp, g, rels, dataRoot, pinned, idCol,
+            vecCol, centroids, codebooks, literalCellThreshold)
+        } } ++ Seq(
+          Future {
+            centroids.zipWithIndex.toIndexedSeq
+              .map { case (c, i) => (i, c.toSeq) }
+              .toDF("cell", "centroid")
+              .coalesce(1).write
+              .parquet(new Path(tmp, "centroids").toString)
+          },
+          Future {
+            codebooks.zipWithIndex.toIndexedSeq
+              .flatMap { case (cb, sub) =>
+                cb.zipWithIndex.map { case (c, i) => (sub, i, c.toSeq) } }
+              .toDF("subspace", "code", "centroid")
+              .coalesce(1).write
+              .parquet(new Path(tmp, "codebooks").toString)
+          },
+          Future {
+            Seq((sample.head.length, lists, seed, trainCap, pqM, pqKsub))
+              .toDF("dim", "n_lists", "seed", "train_cap", "pq_m", "pq_ksub")
+              .coalesce(1).write.parquet(new Path(tmp, "meta").toString)
+          })
+      writes.foreach(Await.result(_, Duration.Inf))
 
       val live = new Path(indexDir(tablePath, vecCol))
       if (fs.exists(live)) fs.delete(live, true)
