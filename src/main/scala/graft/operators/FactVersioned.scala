@@ -3340,9 +3340,18 @@ object FactVersioned {
         manifestRows(spark, tablePath, g).map(_._2)).toSet
     // recursive walk: partition dirs may nest (multi-column layouts),
     // so GC keys on the file's full vgen-relative path and prunes
-    // emptied dirs bottom-up
+    // emptied dirs bottom-up. A dir may VANISH mid-walk — a concurrent
+    // committer's abortClaim rolls its claim back first and then
+    // deletes its staging tree, so between this sweep's dRoot listing
+    // and the visit the not-in-flight debris can already be gone
+    // (both parties want it deleted); treat a vanished dir as empty
+    // instead of failing the whole commit's sweep.
+    def listOrEmpty(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
     def sweep(p: Path, rel: String): Unit = {
-      fs.listStatus(p).foreach { st =>
+      listOrEmpty(p).foreach { st =>
         if (st.isDirectory) sweep(st.getPath, s"$rel/${st.getPath.getName}")
         else {
           val r = s"$rel/${st.getPath.getName}"
@@ -3351,11 +3360,12 @@ object FactVersioned {
             fs.delete(st.getPath, false)
         }
       }
-      if (fs.exists(p) && fs.listStatus(p).forall(st =>
+      val residue = listOrEmpty(p)
+      if (fs.exists(p) && residue.forall(st =>
           !st.isDirectory && !st.getPath.getName.endsWith(".parquet")))
         fs.delete(p, true) // only _SUCCESS-style residue left
     }
-    fs.listStatus(dRoot).filter(_.isDirectory).map(_.getPath).foreach { vd =>
+    listOrEmpty(dRoot).filter(_.isDirectory).map(_.getPath).foreach { vd =>
       val g = vd.getName.stripPrefix(s"$VGenCol=").toLongOption
       if (!g.exists(inFlight)) sweep(vd, vd.getName)
     }
